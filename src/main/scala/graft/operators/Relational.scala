@@ -1,0 +1,565 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession, Column}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Table loader: every query reads the driver-generated parquet under
+  * `dir`. Filters/projections are declared on the DataFrame so Catalyst
+  * pushes them into the parquet scan (PushedFilters / ReadSchema).
+  */
+object T {
+  def apply(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+}
+
+/** Relational query surface re-expressing SURVEY.md §2 (scans, filters,
+  * joins, aggregations, sorts/limits/set-ops, scalar functions, windows)
+  * over the TPC-H-ish test tables.
+  *
+  * Heracles delegates all of these to stock Spark SQL 2.2 (SURVEY §2.3-2.6:
+  * joins/aggs/sorts/functions are "Impl = S", proven by its test suites,
+  * e.g. /root/reference HBaseSQLQuerySuite.scala); the idiomatic Spark-4
+  * rebuild is therefore the DataFrame API with Catalyst doing pushdown,
+  * partial aggregation and join selection.
+  *
+  * Conventions shared with the DuckDB oracles in [[graft.SparkEntry.oracleSql]]:
+  *  - every computed column is aliased identically on both sides;
+  *  - double aggregates are rounded (sum→2dp, avg/stats→4dp) so that
+  *    floating accumulation order cannot flip the hash compare;
+  *  - temporal outputs are formatted to strings (Spark µs vs DuckDB ns
+  *    timestamps would otherwise differ in physical type);
+  *  - every ORDER BY carries a unique tie-break key.
+  */
+object Relational {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def li(s: SparkSession, d: String) = T(s, d, "lineitem")
+  private def ord(s: SparkSession, d: String) = T(s, d, "orders")
+  private def cust(s: SparkSession, d: String) = T(s, d, "customer")
+  private def supp(s: SparkSession, d: String) = T(s, d, "supplier")
+  private def nat(s: SparkSession, d: String) = T(s, d, "nation")
+  private def reg(s: SparkSession, d: String) = T(s, d, "region")
+  private def part(s: SparkSession, d: String) = T(s, d, "part")
+  /** `events.ts` is TIMESTAMP(NANOS) parquet, which Spark 4 refuses to
+    * read as a timestamp. With spark.sql.legacy.parquet.nanosAsLong=true
+    * (set in Verify/Bench/tests) it arrives as a long we convert to a
+    * µs timestamp; integer DIV keeps full precision (ns-since-epoch
+    * exceeds a double's 2^53 mantissa). */
+  private def ev(s: SparkSession, d: String): DataFrame = {
+    val df = T(s, d, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case _ => df
+    }
+  }
+
+  private def r2(c: Column) = round(c, 2)
+  private def r4(c: Column) = round(c, 4)
+  private def r6(c: Column) = round(c, 6)
+
+  // ---------------------------------------------------------------- scans
+
+  /** Projection + predicate; both reach the parquet scan (ReadSchema is
+    * 3 columns, PushedFilters has the gt). Mirrors the reference's
+    * column-pruned predicate scan (SURVEY §2.1/2.2). */
+  val scanProject: Q = (s, d) =>
+    li(s, d)
+      .filter(col("l_quantity") > 45)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+
+  /** Point predicate on the (conceptual) key column — the reference's
+    * multi-Get fast path (HBaseSQLReaderRDD point-range scan). */
+  val pointLookup: Q = (s, d) =>
+    ord(s, d)
+      .filter(col("o_orderkey") === 100)
+      .select(
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        r2(col("o_totalprice")).as("price"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("odate"))
+
+  /** Contiguous key-range scan — the reference's row-key range narrowing. */
+  val rangeScan: Q = (s, d) =>
+    ord(s, d)
+      .filter(col("o_orderkey").between(100, 200))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+
+  // -------------------------------------------------------------- filters
+
+  val filterLike: Q = (s, d) =>
+    part(s, d)
+      .filter(col("p_name").like("%gear%") || col("p_type").like("ECON%"))
+      .select(col("p_partkey"), col("p_name"), col("p_type"))
+
+  val filterIn: Q = (s, d) =>
+    ord(s, d)
+      .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH") &&
+        col("o_orderstatus") === "F")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("cnt"), r2(sum(col("o_totalprice"))).as("total"))
+
+  val filterBetween: Q = (s, d) =>
+    li(s, d)
+      .filter(col("l_quantity").between(10, 20))
+      .agg(count(lit(1)).as("cnt"),
+        r2(sum(col("l_extendedprice"))).as("sum_price"))
+
+  /** NOT over a disjunction — the reference normalizes via NotPusher
+    * (SURVEY §2.2); Catalyst's BooleanSimplification does it here. */
+  val filterNot: Q = (s, d) =>
+    ev(s, d)
+      .filter(!(col("event_type") === "click" || col("value") < 10))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt"), r2(sum(col("value"))).as("sum_value"))
+
+  /** Null-safe equality (<=>) over nulls manufactured by an outer join. */
+  val filterNullsafe: Q = (s, d) => {
+    val j = cust(s, d).join(ord(s, d),
+      col("c_custkey") === col("o_custkey"), "left")
+    j.filter(!(col("o_orderstatus") <=> lit("O")))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** IS NULL / IS NOT NULL over outer-join nulls (sparse-storage null
+    * semantics in the reference, SURVEY §2.2 null-projection narrowing). */
+  val filterIsNull: Q = (s, d) => {
+    val j = cust(s, d).join(ord(s, d),
+      col("c_custkey") === col("o_custkey"), "left")
+    j.groupBy(col("c_mktsegment"))
+      .agg(
+        count(when(col("o_orderkey").isNull, 1)).as("n_no_order"),
+        count(when(col("o_orderkey").isNotNull, 1)).as("n_order"))
+  }
+
+  // ---------------------------------------------------------------- joins
+
+  val joinInner: Q = (s, d) =>
+    li(s, d).join(ord(s, d), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("cnt"),
+        r2(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .as("revenue"))
+
+  val joinLeft: Q = (s, d) =>
+    cust(s, d).join(ord(s, d),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(col("o_orderkey")).as("n_orders"),
+        count(lit(1)).as("n_rows"))
+
+  val joinRight: Q = (s, d) =>
+    ord(s, d).join(cust(s, d),
+        col("o_custkey") === col("c_custkey"), "right")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(col("o_orderkey")).as("n_orders"),
+        count(lit(1)).as("n_rows"))
+
+  /** Full outer over two pre-aggregated sides (supplier vs customer
+    * counts per nation). Both sides are tiny → broadcast. */
+  val joinFull: Q = (s, d) => {
+    val sc = supp(s, d).groupBy(col("s_nationkey").as("nk1"))
+      .agg(count(lit(1)).as("n_supp"))
+    val cc = cust(s, d).groupBy(col("c_nationkey").as("nk2"))
+      .agg(count(lit(1)).as("n_cust"))
+    sc.join(cc, col("nk1") === col("nk2"), "full")
+      .select(
+        coalesce(col("nk1"), col("nk2")).as("nationkey"),
+        coalesce(col("n_supp"), lit(0)).as("n_supp"),
+        coalesce(col("n_cust"), lit(0)).as("n_cust"))
+  }
+
+  val joinSemi: Q = (s, d) =>
+    cust(s, d).join(
+        ord(s, d).filter(col("o_totalprice") > 100000),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+
+  val joinAnti: Q = (s, d) =>
+    cust(s, d).join(
+        ord(s, d).filter(col("o_totalprice") > 100000),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+
+  val joinCross: Q = (s, d) =>
+    reg(s, d).crossJoin(nat(s, d))
+      .select(col("r_name"), col("n_name"))
+
+  /** Theta (non-equi) join: equi key + inequality residual, like the
+    * reference's `x.a >= y.a+2` left-semi test (SURVEY §2.3). */
+  val joinTheta: Q = (s, d) =>
+    supp(s, d).join(cust(s, d),
+        col("s_nationkey") === col("c_nationkey") &&
+          col("s_acctbal") > col("c_acctbal"))
+      .groupBy(col("s_nationkey").as("nationkey"))
+      .agg(count(lit(1)).as("n_pairs"))
+
+  /** 5-way join chain (region→nation→customer→orders→lineitem), TPC-H
+    * Q5 shape: small dims broadcast, big-side shuffle only on orderkey. */
+  val joinMulti: Q = (s, d) => {
+    val r = reg(s, d).filter(col("r_name") === "ASIA")
+    val n = nat(s, d)
+    val c = cust(s, d)
+    val o = ord(s, d).filter(col("o_orderdate") >= lit("1996-01-01"))
+    val l = li(s, d)
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(r2(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+        .as("revenue"),
+        count(lit(1)).as("cnt"))
+  }
+
+  /** Null-safe join condition (EqualNullSafe as join key). */
+  val joinNullsafe: Q = (s, d) => {
+    val n1 = nat(s, d).select(col("n_nationkey").as("k1"),
+      col("n_regionkey").as("rk1"))
+    val n2 = nat(s, d).select(col("n_nationkey").as("k2"),
+      col("n_regionkey").as("rk2"))
+    n1.join(n2, col("rk1") <=> col("rk2"))
+      .groupBy(col("rk1").as("regionkey"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
+  // ----------------------------------------------------------------- aggs
+
+  /** TPC-H Q1: the flagship partial+final hash aggregation. */
+  val aggQ1: Q = (s, d) =>
+    li(s, d)
+      .filter(col("l_shipdate") <= lit("1998-09-02"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        r2(sum(col("l_quantity"))).as("sum_qty"),
+        r2(sum(col("l_extendedprice"))).as("sum_base_price"),
+        r2(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .as("sum_disc_price"),
+        r2(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))
+          * (lit(1) + col("l_tax")))).as("sum_charge"),
+        r4(avg(col("l_quantity"))).as("avg_qty"),
+        r4(avg(col("l_extendedprice"))).as("avg_price"),
+        r4(avg(col("l_discount"))).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+
+  val aggHaving: Q = (s, d) =>
+    li(s, d)
+      .groupBy(col("l_partkey"))
+      .agg(r2(sum(col("l_quantity"))).as("sum_qty"),
+        count(lit(1)).as("cnt"))
+      .filter(col("sum_qty") > 800)
+
+  val aggCountDistinct: Q = (s, d) =>
+    li(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(col("l_partkey")).as("n_part"),
+        countDistinct(col("l_suppkey"), col("l_partkey")).as("n_sp"))
+
+  val aggMinMax: Q = (s, d) =>
+    cust(s, d)
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        r2(min(col("c_acctbal"))).as("min_bal"),
+        r2(max(col("c_acctbal"))).as("max_bal"),
+        r4(avg(col("c_acctbal"))).as("avg_bal"),
+        r2(sum(col("c_acctbal"))).as("sum_bal"),
+        count(lit(1)).as("cnt"))
+
+  /** GROUP BY on a computed expression (year of a timestamp). */
+  val aggExprGroup: Q = (s, d) =>
+    ord(s, d)
+      .groupBy(year(col("o_orderdate")).as("yr"))
+      .agg(count(lit(1)).as("cnt"),
+        r2(sum(col("o_totalprice"))).as("total"))
+
+  val aggRollup: Q = (s, d) =>
+    ord(s, d)
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("cnt"))
+
+  val aggCube: Q = (s, d) =>
+    li(s, d)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("cnt"), r2(sum(col("l_quantity"))).as("sum_qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("rflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("lstatus"),
+        col("cnt"), col("sum_qty"))
+
+  val aggGroupingSets: Q = (s, d) => {
+    val v = s"gs_${Math.abs(d.hashCode)}"
+    ord(s, d).createOrReplaceTempView(v)
+    s.sql(
+      s"""SELECT coalesce(o_orderstatus, 'ALL') AS status,
+         |       coalesce(o_orderpriority, 'ALL') AS priority,
+         |       count(*) AS cnt
+         |FROM $v
+         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+         |""".stripMargin)
+  }
+
+  /** min_by/max_by with a unique ordering key (deterministic FIRST/LAST —
+    * the reference tests FIRST()/LAST(), SURVEY §2.4). */
+  val aggMinBy: Q = (s, d) =>
+    cust(s, d)
+      .groupBy(col("c_nationkey"))
+      .agg(
+        min_by(col("c_name"), col("c_custkey")).as("first_name"),
+        max_by(col("c_name"), col("c_custkey")).as("last_name"),
+        count(lit(1)).as("cnt"))
+
+  val aggStats: Q = (s, d) =>
+    li(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        r4(stddev_samp(col("l_extendedprice"))).as("sd_price"),
+        r4(var_samp(col("l_quantity"))).as("var_qty"),
+        count(lit(1)).as("cnt"))
+
+  /** HLL approximate distinct — no exact oracle (implementation-specific
+    * sketch), driver records a rows-only check. */
+  val aggApproxDistinct: Q = (s, d) =>
+    li(s, d)
+      .agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"))
+
+  // --------------------------------------------- sort / limit / set ops
+
+  val sortMulti: Q = (s, d) =>
+    li(s, d)
+      .filter(col("l_quantity") > 49)
+      .select(col("l_returnflag"), col("l_linestatus"),
+        col("l_orderkey"), col("l_linenumber"))
+      .orderBy(col("l_returnflag").asc, col("l_orderkey").desc,
+        col("l_linenumber").asc)
+
+  /** Top-k: ORDER BY + LIMIT plans as TakeOrderedAndProject (no global
+    * sort of the full table — per-partition heap then merge). */
+  val topK: Q = (s, d) =>
+    ord(s, d)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(15)
+      .select(col("o_orderkey"), r2(col("o_totalprice")).as("price"))
+
+  val distinctPairs: Q = (s, d) =>
+    li(s, d).select(col("l_returnflag"), col("l_linestatus")).distinct()
+
+  val unionAll: Q = (s, d) => {
+    val c = cust(s, d).select(col("c_custkey").as("id"),
+      col("c_name").as("name"), lit("customer").as("src"))
+    val p = supp(s, d).select(col("s_suppkey").as("id"),
+      col("s_name").as("name"), lit("supplier").as("src"))
+    c.unionAll(p)
+  }
+
+  val unionDistinct: Q = (s, d) => {
+    val c = cust(s, d).select(col("c_nationkey").as("nationkey"))
+    val p = supp(s, d).select(col("s_nationkey").as("nationkey"))
+    c.union(p).distinct()
+  }
+
+  val exceptQ: Q = (s, d) =>
+    cust(s, d).select(col("c_custkey").as("custkey"))
+      .except(ord(s, d).select(col("o_custkey").as("custkey")))
+
+  val intersectQ: Q = (s, d) =>
+    cust(s, d).select(col("c_custkey").as("custkey"))
+      .intersect(ord(s, d).select(col("o_custkey").as("custkey")))
+
+  // ------------------------------------------------------ scalar functions
+
+  val fnString: Q = (s, d) =>
+    part(s, d).select(
+      col("p_partkey"),
+      upper(col("p_name")).as("up"),
+      lower(col("p_brand")).as("lo"),
+      substring(col("p_name"), 1, 5).as("sub"),
+      length(col("p_name")).as("len"),
+      concat(col("p_brand"), lit("-"), col("p_type")).as("cat"),
+      regexp_replace(col("p_type"), " ", "_").as("rep"))
+
+  val fnMath: Q = (s, d) =>
+    li(s, d)
+      .filter(col("l_orderkey") <= 300)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        (col("l_orderkey") % 7).as("mod7"),
+        r4(abs(col("l_discount") - 0.05)).as("absd"),
+        r6(sqrt(col("l_quantity"))).as("sqrtq"),
+        ceil(col("l_extendedprice")).as("ceilp"),
+        floor(col("l_extendedprice")).as("floorp"),
+        r6(pow(col("l_tax") + 1, 2)).as("powt"))
+
+  val fnBitwise: Q = (s, d) =>
+    supp(s, d).select(
+      col("s_suppkey"),
+      col("s_suppkey").bitwiseAND(3).as("band"),
+      col("s_suppkey").bitwiseOR(8).as("bor"),
+      col("s_suppkey").bitwiseXOR(5).as("bxor"))
+
+  val fnCase: Q = (s, d) =>
+    ord(s, d)
+      .select(
+        when(col("o_totalprice") > 200000, "big")
+          .when(col("o_totalprice") > 100000, "mid")
+          .otherwise("small").as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+
+  val fnCast: Q = (s, d) =>
+    ord(s, d)
+      .filter(col("o_orderkey") <= 100)
+      .select(
+        col("o_orderkey"),
+        col("o_orderkey").cast("string").as("okstr"),
+        floor(col("o_totalprice")).cast("long").as("price_int"),
+        col("o_orderstatus").cast("string").as("st"),
+        lit("123").cast("int").as("i123"))
+
+  val fnDatetime: Q = (s, d) =>
+    ord(s, d)
+      .filter(col("o_orderkey") <= 200)
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mo"),
+        dayofmonth(col("o_orderdate")).as("dom"),
+        quarter(col("o_orderdate")).as("qtr"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("ods"),
+        datediff(col("o_orderdate"), lit("1995-01-01")).as("dd"))
+
+  val fnConditional: Q = (s, d) =>
+    cust(s, d).select(
+      col("c_custkey"),
+      r2(greatest(col("c_acctbal"), lit(0.0))).as("g"),
+      r2(least(col("c_acctbal"), lit(1000.0))).as("l"),
+      coalesce(nullif(col("c_mktsegment"), lit("BUILDING")), lit("B2B"))
+        .as("seg"))
+
+  // -------------------------------------------------------------- windows
+
+  val windowRank: Q = (s, d) => {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    ord(s, d)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("rk", rank().over(w))
+      .withColumn("drk", dense_rank().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"),
+        r2(col("o_totalprice")).as("price"),
+        col("rn"), col("rk"), col("drk"))
+  }
+
+  val windowRunning: Q = (s, d) => {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ord(s, d)
+      .select(col("o_custkey"), col("o_orderkey"),
+        r2(sum(col("o_totalprice")).over(w)).as("running_total"))
+  }
+
+  val windowLag: Q = (s, d) => {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    ord(s, d)
+      .select(col("o_custkey"), col("o_orderkey"),
+        r2(lag(col("o_totalprice"), 1).over(w)).as("prev_price"),
+        r2(lead(col("o_totalprice"), 1).over(w)).as("next_price"))
+  }
+
+  val windowNtile: Q = (s, d) => {
+    val w = Window.orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+    cust(s, d)
+      .select(col("c_custkey"), ntile(4).over(w).as("tile"))
+  }
+
+  // ------------------------------------------------- event-time windows
+
+  /** Tumbling 1-hour window aggregation (batch form of the streaming
+    * window; same plan shape as readStream+window, SURVEY §2.8). */
+  val eventsTumbling: Q = (s, d) =>
+    ev(s, d)
+      .groupBy(
+        window(col("ts"), "1 hour").getField("start").as("ws"),
+        col("event_type"))
+      .agg(count(lit(1)).as("cnt"), r2(sum(col("value"))).as("sum_value"))
+      .select(date_format(col("ws"), "yyyy-MM-dd HH:mm:ss")
+        .as("window_start"),
+        col("event_type"), col("cnt"), col("sum_value"))
+
+  /** Sliding window (2h window, 1h slide): each event lands in 2 windows. */
+  val eventsSliding: Q = (s, d) =>
+    ev(s, d)
+      .groupBy(
+        window(col("ts"), "2 hours", "1 hour").getField("start").as("ws"),
+        col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(date_format(col("ws"), "yyyy-MM-dd HH:mm:ss")
+        .as("window_start"),
+        col("event_type"), col("cnt"))
+
+  // ------------------------------------------------------------ registry
+
+  val queries: Map[String, Q] = Map(
+    "scan_project" -> scanProject,
+    "point_lookup" -> pointLookup,
+    "range_scan" -> rangeScan,
+    "filter_like" -> filterLike,
+    "filter_in" -> filterIn,
+    "filter_between" -> filterBetween,
+    "filter_not" -> filterNot,
+    "filter_nullsafe" -> filterNullsafe,
+    "filter_isnull" -> filterIsNull,
+    "join_inner" -> joinInner,
+    "join_left" -> joinLeft,
+    "join_right" -> joinRight,
+    "join_full" -> joinFull,
+    "join_semi" -> joinSemi,
+    "join_anti" -> joinAnti,
+    "join_cross" -> joinCross,
+    "join_theta" -> joinTheta,
+    "join_multi" -> joinMulti,
+    "join_nullsafe" -> joinNullsafe,
+    "agg_q1" -> aggQ1,
+    "agg_having" -> aggHaving,
+    "agg_count_distinct" -> aggCountDistinct,
+    "agg_minmax" -> aggMinMax,
+    "agg_expr_group" -> aggExprGroup,
+    "agg_rollup" -> aggRollup,
+    "agg_cube" -> aggCube,
+    "agg_grouping_sets" -> aggGroupingSets,
+    "agg_minby" -> aggMinBy,
+    "agg_stats" -> aggStats,
+    "agg_approx_distinct" -> aggApproxDistinct,
+    "sort_multi" -> sortMulti,
+    "topk" -> topK,
+    "distinct_pairs" -> distinctPairs,
+    "union_all" -> unionAll,
+    "union_distinct" -> unionDistinct,
+    "except" -> exceptQ,
+    "intersect" -> intersectQ,
+    "fn_string" -> fnString,
+    "fn_math" -> fnMath,
+    "fn_bitwise" -> fnBitwise,
+    "fn_case" -> fnCase,
+    "fn_cast" -> fnCast,
+    "fn_datetime" -> fnDatetime,
+    "fn_conditional" -> fnConditional,
+    "window_rank" -> windowRank,
+    "window_running" -> windowRunning,
+    "window_lag" -> windowLag,
+    "window_ntile" -> windowNtile,
+    "events_tumbling" -> eventsTumbling,
+    "events_sliding" -> eventsSliding,
+  )
+}
