@@ -1,0 +1,397 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession, Column}
+import org.apache.spark.sql.functions._
+
+/** LLM-training-data pipeline operators over the `documents` and
+  * `embeddings` tables: deduplication (exact, MinHash/LSH, SimHash,
+  * n-gram Jaccard), similarity search (brute-force cosine top-k /
+  * threshold pairs), and text analysis (fingerprinting, token counts,
+  * quality scores, language-ID heuristic).
+  *
+  * Scale design (100 TB target):
+  *  - signatures (MinHash/SimHash/fingerprint/quality) are pure map-side
+  *    array expressions — no explode, no shuffle, codegen-friendly;
+  *  - candidate generation shuffles only on (band, bandHash) — the
+  *    classic LSH band join — never all-pairs;
+  *  - the all-pairs variants used for oracle checks are explicitly
+  *    bounded (doc_id/vec_id caps) and documented as the verification
+  *    path, not the scale path.
+  */
+object TextOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def docs(s: SparkSession, d: String) = T(s, d, "documents")
+  private def emb(s: SparkSession, d: String) = T(s, d, "embeddings")
+
+  /** words / 3-word shingles as array columns (map-side only). */
+  private val wordsCol = split(col("text"), " ")
+  private val shinglesExpr =
+    """CASE WHEN size(ws) >= 3 THEN
+      |  transform(sequence(1, size(ws) - 2),
+      |            j -> concat(ws[j-1], ' ', ws[j], ' ', ws[j+1]))
+      |ELSE array(concat_ws(' ', ws)) END""".stripMargin
+
+  // ------------------------------------------------------------- exact dedup
+
+  /** Exact dedup accounting by content hash (hash-groupBy — the
+    * distributed exact-dedup primitive). */
+  val dedupExact: Q = (s, d) =>
+    docs(s, d)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(md5(col("text"))).as("n_unique"))
+
+  /** Canonical-row selection for exact dedup: keep min doc_id per
+    * normalized content fingerprint. */
+  val dedupExactKeep: Q = (s, d) =>
+    docs(s, d)
+      .groupBy(md5(lower(trim(col("text")))).as("fp"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  // ------------------------------------------------------------ fingerprint
+
+  /** Normalized 64-bit document fingerprint (md5 prefix — stable across
+    * engines, unlike xxhash). */
+  val fingerprint: Q = (s, d) =>
+    docs(s, d).select(
+      col("doc_id"),
+      substring(md5(lower(trim(col("text")))), 1, 16).as("fp"))
+
+  // ----------------------------------------------------------- token counts
+
+  val tokenCount: Q = (s, d) =>
+    docs(s, d)
+      .withColumn("tt", trim(col("text")))
+      .select(
+        col("doc_id"),
+        col("n_chars"),
+        (length(col("tt")) - length(regexp_replace(col("tt"), " ", "")) + 1)
+          .as("n_words"),
+        ceil(length(col("text")) / lit(4.0)).cast("long")
+          .as("n_tokens_bpe_est"))
+
+  // ---------------------------------------------------------- quality score
+
+  /** Text-quality features: lexical diversity, stopword ratio, average
+    * word length — all single-pass array expressions. */
+  val textQuality: Q = (s, d) =>
+    docs(s, d)
+      .withColumn("ws", wordsCol)
+      .select(
+        col("doc_id"),
+        size(col("ws")).as("n_words"),
+        size(array_distinct(col("ws"))).as("n_distinct"),
+        round(size(array_distinct(col("ws"))) / size(col("ws")).cast("double"),
+          4).as("lex_div"),
+        round(expr("size(filter(ws, w -> w IN ('the', 'a')))")
+          / size(col("ws")).cast("double"), 4).as("stop_ratio"),
+        round((length(col("text")) - size(col("ws")) + 1)
+          / size(col("ws")).cast("double"), 4).as("avg_word_len"))
+
+  // -------------------------------------------------------------- language ID
+
+  /** Stopword-ratio language heuristic. The synthetic corpus shares one
+    * vocabulary across its `lang` labels, so this is checked as a
+    * deterministic function (oracle = same rule in SQL), not against
+    * the label column. A real n-gram profile model drops in here. */
+  val langId: Q = (s, d) =>
+    docs(s, d)
+      .withColumn("ws", wordsCol)
+      .withColumn("stop_ratio",
+        round(expr("size(filter(ws, w -> w IN ('the', 'a')))")
+          / size(col("ws")).cast("double"), 4))
+      .select(
+        col("doc_id"), col("stop_ratio"),
+        when(col("stop_ratio") >= 0.04, "en").otherwise("und")
+          .as("pred_lang"))
+
+  // -------------------------------------------------------- n-gram Jaccard
+
+  /** Exact word-set Jaccard similarity for near-dup pairs ≥ 0.9.
+    * Verification path: bounded to doc_id < 1000 so the word-level
+    * self-join stays small; at scale the MinHash/LSH path below replaces
+    * it (this is the oracle for that approximation). */
+  val jaccardPairs: Q = (s, d) => {
+    val w = docs(s, d)
+      .filter(col("doc_id") < 1000)
+      .select(col("doc_id"), explode(array_distinct(wordsCol)).as("wd"))
+    val sz = w.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val shared = w.select(col("doc_id").as("da"), col("wd"))
+      .join(w.select(col("doc_id").as("db"), col("wd")), "wd")
+      .filter(col("da") < col("db"))
+      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("shared"))
+    shared
+      .join(sz.select(col("doc_id").as("da"), col("n").as("na")), "da")
+      .join(sz.select(col("doc_id").as("db"), col("n").as("nb")), "db")
+      .withColumn("jaccard",
+        round(col("shared") / (col("na") + col("nb") - col("shared")), 4))
+      .filter(col("jaccard") >= 0.9)
+      .select(col("da"), col("db"), col("jaccard"))
+  }
+
+  // ------------------------------------------------------------- MinHash/LSH
+
+  private val NumPerm = 64
+
+  /** Per-doc MinHash signature over 3-word shingles: 64 permutations via
+    * seeded xxhash64, computed as a nested array transform — one pass,
+    * zero shuffle, linear in (docs × shingles). */
+  def minhashSignatures(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .withColumn("ws", wordsCol)
+      .withColumn("sh", expr(shinglesExpr))
+      .withColumn("sig", expr(
+        s"""transform(sequence(0, ${NumPerm - 1}),
+           |  i -> array_min(transform(sh, t -> xxhash64(t, i))))"""
+          .stripMargin))
+      .drop("ws", "sh")
+
+  /** Signature dump (hex of first 4 components keeps output compact). */
+  val dedupMinhash: Q = (s, d) =>
+    minhashSignatures(s, d).select(
+      col("doc_id"),
+      hex(col("sig").getItem(0)).as("mh0"),
+      hex(col("sig").getItem(1)).as("mh1"),
+      hex(col("sig").getItem(2)).as("mh2"),
+      hex(col("sig").getItem(3)).as("mh3"))
+
+  /** LSH candidate pairs: 16 bands × 4 rows; shuffle key is
+    * (band, bandHash) so cost is bounded by bucket collisions, never
+    * all-pairs. Output: candidate pairs with estimated Jaccard. */
+  def minhashCandidates(s: SparkSession, d: String,
+      minEst: Double = 0.5): DataFrame = {
+    val sigs = minhashSignatures(s, d)
+    val bands = sigs.select(col("doc_id"), col("sig"),
+        explode(expr(
+          """transform(sequence(0, 15),
+            |  b -> named_struct('band', b,
+            |    'bh', xxhash64(sig[4*b], sig[4*b+1], sig[4*b+2], sig[4*b+3])))"""
+            .stripMargin)).as("bb"))
+      .select(col("doc_id"), col("sig"),
+        col("bb.band").as("band"), col("bb.bh").as("bh"))
+    val a = bands.select(col("band"), col("bh"),
+      col("doc_id").as("da"), col("sig").as("siga"))
+    val b = bands.select(col("band"), col("bh"),
+      col("doc_id").as("db"), col("sig").as("sigb"))
+    a.join(b, Seq("band", "bh")).filter(col("da") < col("db"))
+      .select(col("da"), col("db"), col("siga"), col("sigb")).distinct()
+      .withColumn("est_jaccard", round(expr(
+        s"""size(filter(zip_with(siga, sigb, (x, y) -> x = y), v -> v))
+           | / cast($NumPerm AS DOUBLE)""".stripMargin), 4))
+      .filter(col("est_jaccard") >= minEst)
+      .select(col("da"), col("db"), col("est_jaccard"))
+  }
+
+  val dedupMinhashPairs: Q = (s, d) => minhashCandidates(s, d, 0.2)
+
+  // ---------------------------------------------------------------- SimHash
+
+  /** 64-bit SimHash per doc from word-level xxhash64: majority vote per
+    * bit, folded back into a long — again one map-side pass. */
+  val dedupSimhash: Q = (s, d) =>
+    docs(s, d)
+      .withColumn("hs", expr("transform(split(text, ' '), w -> xxhash64(w))"))
+      .withColumn("simhash", expr(
+        """aggregate(sequence(0, 63), 0L, (acc, j) ->
+          |  acc | (CASE WHEN aggregate(hs, 0L,
+          |    (c, h) -> c + CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END)
+          |    > 0 THEN shiftleft(1L, j) ELSE 0L END))""".stripMargin))
+      .select(col("doc_id"), hex(col("simhash")).as("simhash_hex"))
+
+  /** SimHash near-dup pairs by Hamming distance ≤ maxDist (bounded ids —
+    * the scale path blocks on simhash prefixes instead of all-pairs). */
+  def simhashPairs(s: SparkSession, d: String, maxDist: Int): DataFrame = {
+    val h = docs(s, d)
+      .withColumn("hs", expr("transform(split(text, ' '), w -> xxhash64(w))"))
+      .withColumn("sh", expr(
+        """aggregate(sequence(0, 63), 0L, (acc, j) ->
+          |  acc | (CASE WHEN aggregate(hs, 0L,
+          |    (c, h) -> c + CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END)
+          |    > 0 THEN shiftleft(1L, j) ELSE 0L END))""".stripMargin))
+      .select(col("doc_id"), col("sh"))
+    val a = h.select(col("doc_id").as("da"), col("sh").as("ha"))
+    val b = h.select(col("doc_id").as("db"), col("sh").as("hb"))
+    a.crossJoin(b).filter(col("da") < col("db"))
+      .withColumn("dist", expr("bit_count(ha ^ hb)"))
+      .filter(col("dist") <= maxDist)
+      .select(col("da"), col("db"), col("dist"))
+  }
+
+  // ------------------------------------------------------- cosine similarity
+
+  /** dot(a,b) with both arrays cast to double — accumulation order is the
+    * array order, so the result is bit-deterministic. */
+  private def dotCol(a: String, b: String): Column =
+    expr(s"""aggregate(zip_with(cast($a AS ARRAY<DOUBLE>),
+            |                   cast($b AS ARRAY<DOUBLE>),
+            |                   (x, y) -> x * y),
+            |          0D, (acc, v) -> acc + v)""".stripMargin)
+
+  /** Brute-force cosine top-k against one query vector (vec_id 0):
+    * the ANN baseline. Broadcasts the single-row query side; the scan
+    * side is embarrassingly parallel. */
+  val annCosineTopk: Q = (s, d) => {
+    val e = emb(s, d)
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qv"))
+    e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .withColumn("sim", round(
+        dotCol("embedding", "qv") /
+          (sqrt(dotCol("embedding", "embedding")) *
+            sqrt(dotCol("qv", "qv"))), 4))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+      .limit(20)
+      .select(col("vec_id"), col("sim"))
+  }
+
+  /** Embedding near-dup pairs: cosine ≥ 0.3 over all pairs. Verification
+    * path (all-pairs is O(n²)); the LSH-bucketed variant below is the
+    * scale path. */
+  val annCosinePairs: Q = (s, d) => {
+    val a = emb(s, d).select(col("vec_id").as("va"),
+      col("embedding").as("ea"))
+    val b = emb(s, d).select(col("vec_id").as("vb"),
+      col("embedding").as("eb"))
+    a.crossJoin(b).filter(col("va") < col("vb"))
+      .withColumn("sim", round(
+        dotCol("ea", "eb") /
+          (sqrt(dotCol("ea", "ea")) * sqrt(dotCol("eb", "eb"))), 4))
+      .filter(col("sim") >= 0.3)
+      .select(col("va"), col("vb"), col("sim"))
+  }
+
+  /** Random-hyperplane LSH bucketing for cosine ANN at scale: 16 signed
+    * projections (seeded xxhash64 pseudo-random planes) → bucket key;
+    * candidates only join within a bucket. Rows-only check (the exact
+    * pair set is the oracle's job, see [[annCosinePairs]]). */
+  def annLshBuckets(s: SparkSession, d: String): DataFrame =
+    emb(s, d)
+      .withColumn("ed", expr("cast(embedding AS ARRAY<DOUBLE>)"))
+      .withColumn("bucket", expr(
+        """aggregate(sequence(0, 15), 0L, (acc, p) ->
+          |  acc | (CASE WHEN aggregate(
+          |    zip_with(ed, sequence(0, size(ed) - 1),
+          |      (x, i) -> x * (cast(xxhash64(p * 1024 + i) % 1000 AS DOUBLE)
+          |                     / 1000.0)),
+          |    0D, (a2, v) -> a2 + v) > 0D
+          |    THEN shiftleft(1L, p) ELSE 0L END))""".stripMargin))
+      .select(col("vec_id"), col("label"), col("bucket"))
+
+  val annLsh: Q = (s, d) =>
+    annLshBuckets(s, d)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_vectors"),
+        countDistinct(col("label")).as("n_labels"))
+
+  // ------------------------------------------------------------ registry
+
+  val queries: Map[String, Q] = Map(
+    "dedup_exact" -> dedupExact,
+    "dedup_exact_keep" -> dedupExactKeep,
+    "text_fingerprint" -> fingerprint,
+    "text_token_count" -> tokenCount,
+    "text_quality" -> textQuality,
+    "text_langid" -> langId,
+    "text_jaccard_pairs" -> jaccardPairs,
+    "dedup_minhash" -> dedupMinhash,
+    "dedup_minhash_pairs" -> dedupMinhashPairs,
+    "dedup_simhash" -> dedupSimhash,
+    "ann_cosine_topk" -> annCosineTopk,
+    "ann_cosine_pairs" -> annCosinePairs,
+    "ann_lsh" -> annLsh,
+  )
+
+  /** DuckDB oracles for the SQL-expressible subset. MinHash/SimHash/LSH
+    * signatures use xxhash64 (no DuckDB equivalent) → rows-only. */
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT source, count(*) AS n_docs,
+        |       count(DISTINCT md5(text)) AS n_unique
+        |FROM documents GROUP BY source""".stripMargin,
+
+    "dedup_exact_keep" ->
+      """SELECT md5(lower(trim(text))) AS fp, min(doc_id) AS keep_id,
+        |       count(*) AS n_copies
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "text_fingerprint" ->
+      """SELECT doc_id, substring(md5(lower(trim(text))), 1, 16) AS fp
+        |FROM documents""".stripMargin,
+
+    "text_token_count" ->
+      """SELECT doc_id, n_chars,
+        |       cast(length(trim(text))
+        |            - length(replace(trim(text), ' ', '')) + 1 AS INT)
+        |         AS n_words,
+        |       cast(ceil(length(text) / 4.0) AS BIGINT) AS n_tokens_bpe_est
+        |FROM documents""".stripMargin,
+
+    "text_quality" ->
+      """SELECT doc_id,
+        |       cast(len(string_split(text, ' ')) AS INT) AS n_words,
+        |       cast(len(list_distinct(string_split(text, ' '))) AS INT)
+        |         AS n_distinct,
+        |       round(len(list_distinct(string_split(text, ' ')))
+        |             / cast(len(string_split(text, ' ')) AS DOUBLE), 4)
+        |         AS lex_div,
+        |       round(len(list_filter(string_split(text, ' '),
+        |                             w -> w IN ('the', 'a')))
+        |             / cast(len(string_split(text, ' ')) AS DOUBLE), 4)
+        |         AS stop_ratio,
+        |       round((length(text) - len(string_split(text, ' ')) + 1)
+        |             / cast(len(string_split(text, ' ')) AS DOUBLE), 4)
+        |         AS avg_word_len
+        |FROM documents""".stripMargin,
+
+    "text_langid" ->
+      """SELECT doc_id,
+        |       round(len(list_filter(string_split(text, ' '),
+        |                             w -> w IN ('the', 'a')))
+        |             / cast(len(string_split(text, ' ')) AS DOUBLE), 4)
+        |         AS stop_ratio,
+        |       CASE WHEN round(len(list_filter(string_split(text, ' '),
+        |                             w -> w IN ('the', 'a')))
+        |             / cast(len(string_split(text, ' ')) AS DOUBLE), 4)
+        |              >= 0.04
+        |            THEN 'en' ELSE 'und' END AS pred_lang
+        |FROM documents""".stripMargin,
+
+    "text_jaccard_pairs" ->
+      """WITH w AS (SELECT doc_id,
+        |                  unnest(list_distinct(string_split(text, ' '))) AS wd
+        |           FROM documents WHERE doc_id < 1000),
+        |sz AS (SELECT doc_id, count(*) AS n FROM w GROUP BY 1),
+        |sh AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS shared
+        |       FROM w a JOIN w b ON a.wd = b.wd AND a.doc_id < b.doc_id
+        |       GROUP BY 1, 2)
+        |SELECT da, db,
+        |       round(shared / cast(sa.n + sb.n - shared AS DOUBLE), 4)
+        |         AS jaccard
+        |FROM sh
+        |JOIN sz sa ON da = sa.doc_id
+        |JOIN sz sb ON db = sb.doc_id
+        |WHERE round(shared / cast(sa.n + sb.n - shared AS DOUBLE), 4) >= 0.9"""
+        .stripMargin,
+
+    "ann_cosine_topk" ->
+      """SELECT vec_id,
+        |       round(list_cosine_similarity(
+        |         cast(embedding AS DOUBLE[]),
+        |         (SELECT cast(embedding AS DOUBLE[]) FROM embeddings
+        |          WHERE vec_id = 0)), 4) AS sim
+        |FROM embeddings WHERE vec_id <> 0
+        |ORDER BY sim DESC, vec_id ASC LIMIT 20""".stripMargin,
+
+    "ann_cosine_pairs" ->
+      """SELECT a.vec_id AS va, b.vec_id AS vb,
+        |       round(list_cosine_similarity(
+        |         cast(a.embedding AS DOUBLE[]),
+        |         cast(b.embedding AS DOUBLE[])), 4) AS sim
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE round(list_cosine_similarity(
+        |         cast(a.embedding AS DOUBLE[]),
+        |         cast(b.embedding AS DOUBLE[])), 4) >= 0.3""".stripMargin,
+  )
+}
