@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal (image/audio/video) column handling.
+  *
+  * Design: media is carried as an opaque `BINARY` payload plus typed
+  * metadata — the layout a 100 TB training-data lake uses (payload in
+  * parquet/object storage, metadata queryable). Decode / feature
+  * extraction runs partition-parallel via typed `mapPartitions`, the
+  * Scala analogue of the mapInPandas batch shape: per-partition setup
+  * (codec init) happens once, rows stream through in batches, output is
+  * a fixed-width feature vector column.
+  *
+  * The byte-level codecs (JPEG/PNG/audio) are STUBBED — this container
+  * has no image/audio libraries — with a deterministic fake documented
+  * on each function; the Spark-side schema, partitioning, and batch
+  * plumbing are real and tested.
+  */
+object Multimodal {
+
+  case class MediaRow(media_id: Long, kind: String, payload: Array[Byte],
+      width: Int, height: Int)
+  case class MediaFeatures(media_id: Long, kind: String, n_bytes: Int,
+      features: Array[Float])
+
+  /** Synthesize a media table from `documents` (payload = UTF-8 bytes
+    * standing in for an encoded image; dimensions derived from length).
+    * At scale this would be `spark.read.format("binaryFile")` or a
+    * parquet lake with a binary column. */
+  def mediaTable(spark: SparkSession, sfDir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(
+        col("doc_id").as("media_id"),
+        when(col("doc_id") % 2 === 0, "image").otherwise("audio").as("kind"),
+        col("text").cast("binary").as("payload"),
+        (col("n_chars") % 64 + 16).cast("int").as("width"),
+        (col("n_chars") % 48 + 16).cast("int").as("height"))
+      .as[MediaRow]
+  }
+
+  /** STUB image decode: a real implementation would decode the payload
+    * with an image codec and pool pixels; this deterministic fake hashes
+    * byte windows so the plumbing (batch shape, fixed width, ordering
+    * independence) is exercised end-to-end. */
+  private def decodeAndPoolStub(payload: Array[Byte], dim: Int): Array[Float] = {
+    val out = new Array[Float](dim)
+    if (payload.nonEmpty) {
+      var i = 0
+      while (i < payload.length) {
+        out(i % dim) += (payload(i) & 0xFF) / 255.0f
+        i += 1
+      }
+    }
+    out
+  }
+
+  /** Partition-parallel feature extraction (the mapInPandas analogue):
+    * one "codec" init per partition, streaming rows, fixed-width output. */
+  def extractFeatures(media: Dataset[MediaRow], dim: Int = 16)
+      : Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // per-partition setup would open the native codec here (once)
+      rows.map { r =>
+        MediaFeatures(r.media_id, r.kind, r.payload.length,
+          decodeAndPoolStub(r.payload, dim))
+      }
+    }
+  }
+
+  /** STUB resize: real impl re-encodes pixels; the fake truncates the
+    * payload deterministically, keeping the metadata contract. */
+  def resize(media: Dataset[MediaRow], w: Int, h: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.map { r =>
+      val keep = math.max(1, math.min(r.payload.length, w * h))
+      MediaRow(r.media_id, r.kind, r.payload.take(keep), w, h)
+    }
+  }
+
+  /** STUB frame sampling for video-kind payloads: real impl seeks key
+    * frames; the fake strides the payload. Output keeps one row per
+    * sampled frame — the explode shape a video pipeline needs. */
+  def sampleFrames(media: Dataset[MediaRow], everyN: Int)
+      : DataFrame = {
+    val s = media.sparkSession
+    import s.implicits._
+    media.flatMap { r =>
+      r.payload.indices.by(math.max(1, everyN)).take(8).map { off =>
+        (r.media_id, off, r.payload(off) & 0xFF)
+      }
+    }.toDF("media_id", "frame_offset", "frame_byte")
+  }
+
+  /** Metadata-only query path: media metadata is queryable without
+    * touching payloads (column pruning keeps the binary out of IO). */
+  def metaStats(media: Dataset[MediaRow]): DataFrame =
+    media.toDF()
+      .select(col("media_id"), col("kind"), col("width"), col("height"))
+      .groupBy(col("kind"))
+      .agg(count(lit(1)).as("n"),
+        avg(col("width")).as("avg_w"), avg(col("height")).as("avg_h"))
+}

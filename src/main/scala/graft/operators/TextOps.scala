@@ -138,7 +138,10 @@ object TextOps {
     * seeded xxhash64, computed as a nested array transform — one pass,
     * zero shuffle, linear in (docs × shingles). */
   def minhashSignatures(s: SparkSession, d: String): DataFrame =
-    docs(s, d)
+    minhashSignaturesOn(docs(s, d))
+
+  def minhashSignaturesOn(df: DataFrame): DataFrame =
+    df
       .withColumn("ws", wordsCol)
       .withColumn("sh", expr(shinglesExpr))
       .withColumn("sig", expr(
@@ -158,24 +161,27 @@ object TextOps {
 
   /** LSH candidate pairs: 16 bands × 4 rows; shuffle key is
     * (band, bandHash) so cost is bounded by bucket collisions, never
-    * all-pairs. Output: candidate pairs with estimated Jaccard. */
+    * all-pairs. The band join carries only (doc_id, band, bh) — the wide
+    * signature arrays are re-attached to the (few) surviving candidate
+    * pairs afterwards, keeping shuffle and distinct narrow. */
   def minhashCandidates(s: SparkSession, d: String,
-      minEst: Double = 0.5): DataFrame = {
-    val sigs = minhashSignatures(s, d)
-    val bands = sigs.select(col("doc_id"), col("sig"),
+      minEst: Double = 0.5): DataFrame =
+    minhashCandidatesOn(minhashSignaturesOn(docs(s, d)), minEst)
+
+  def minhashCandidatesOn(sigsDf: DataFrame, minEst: Double): DataFrame = {
+    val sigs = sigsDf.select(col("doc_id"), col("sig"))
+    val bands = sigs.select(col("doc_id"),
         explode(expr(
           """transform(sequence(0, 15),
-            |  b -> named_struct('band', b,
-            |    'bh', xxhash64(sig[4*b], sig[4*b+1], sig[4*b+2], sig[4*b+3])))"""
-            .stripMargin)).as("bb"))
-      .select(col("doc_id"), col("sig"),
-        col("bb.band").as("band"), col("bb.bh").as("bh"))
-    val a = bands.select(col("band"), col("bh"),
-      col("doc_id").as("da"), col("sig").as("siga"))
-    val b = bands.select(col("band"), col("bh"),
-      col("doc_id").as("db"), col("sig").as("sigb"))
-    a.join(b, Seq("band", "bh")).filter(col("da") < col("db"))
-      .select(col("da"), col("db"), col("siga"), col("sigb")).distinct()
+            |  b -> xxhash64(sig[4*b], sig[4*b+1], sig[4*b+2], sig[4*b+3], b))"""
+            .stripMargin)).as("bh"))
+    val a = bands.select(col("bh"), col("doc_id").as("da"))
+    val b = bands.select(col("bh"), col("doc_id").as("db"))
+    val cands = a.join(b, Seq("bh")).filter(col("da") < col("db"))
+      .select(col("da"), col("db")).distinct()
+    cands
+      .join(sigs.select(col("doc_id").as("da"), col("sig").as("siga")), "da")
+      .join(sigs.select(col("doc_id").as("db"), col("sig").as("sigb")), "db")
       .withColumn("est_jaccard", round(expr(
         s"""size(filter(zip_with(siga, sigb, (x, y) -> x = y), v -> v))
            | / cast($NumPerm AS DOUBLE)""".stripMargin), 4))
@@ -189,27 +195,27 @@ object TextOps {
 
   /** 64-bit SimHash per doc from word-level xxhash64: majority vote per
     * bit, folded back into a long — again one map-side pass. */
-  val dedupSimhash: Q = (s, d) =>
-    docs(s, d)
+  def simhashOn(df: DataFrame): DataFrame =
+    df
       .withColumn("hs", expr("transform(split(text, ' '), w -> xxhash64(w))"))
       .withColumn("simhash", expr(
         """aggregate(sequence(0, 63), 0L, (acc, j) ->
           |  acc | (CASE WHEN aggregate(hs, 0L,
           |    (c, h) -> c + CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END)
           |    > 0 THEN shiftleft(1L, j) ELSE 0L END))""".stripMargin))
+      .select(col("doc_id"), col("simhash"))
+
+  val dedupSimhash: Q = (s, d) =>
+    simhashOn(docs(s, d))
       .select(col("doc_id"), hex(col("simhash")).as("simhash_hex"))
 
   /** SimHash near-dup pairs by Hamming distance ≤ maxDist (bounded ids —
     * the scale path blocks on simhash prefixes instead of all-pairs). */
-  def simhashPairs(s: SparkSession, d: String, maxDist: Int): DataFrame = {
-    val h = docs(s, d)
-      .withColumn("hs", expr("transform(split(text, ' '), w -> xxhash64(w))"))
-      .withColumn("sh", expr(
-        """aggregate(sequence(0, 63), 0L, (acc, j) ->
-          |  acc | (CASE WHEN aggregate(hs, 0L,
-          |    (c, h) -> c + CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END)
-          |    > 0 THEN shiftleft(1L, j) ELSE 0L END))""".stripMargin))
-      .select(col("doc_id"), col("sh"))
+  def simhashPairs(s: SparkSession, d: String, maxDist: Int): DataFrame =
+    simhashPairsOn(docs(s, d), maxDist)
+
+  def simhashPairsOn(df: DataFrame, maxDist: Int): DataFrame = {
+    val h = simhashOn(df).select(col("doc_id"), col("simhash").as("sh"))
     val a = h.select(col("doc_id").as("da"), col("sh").as("ha"))
     val b = h.select(col("doc_id").as("db"), col("sh").as("hb"))
     a.crossJoin(b).filter(col("da") < col("db"))
@@ -248,16 +254,20 @@ object TextOps {
 
   /** Embedding near-dup pairs: cosine ≥ 0.3 over all pairs. Verification
     * path (all-pairs is O(n²)); the LSH-bucketed variant below is the
-    * scale path. */
+    * scale path. Norms are computed once per vector before the pair
+    * join (1 dot per pair instead of 3; same arithmetic → same bits as
+    * the oracle's dot/(‖a‖·‖b‖)). */
   val annCosinePairs: Q = (s, d) => {
-    val a = emb(s, d).select(col("vec_id").as("va"),
-      col("embedding").as("ea"))
-    val b = emb(s, d).select(col("vec_id").as("vb"),
-      col("embedding").as("eb"))
+    val withNorm = emb(s, d)
+      .withColumn("ed", expr("cast(embedding AS ARRAY<DOUBLE>)"))
+      .withColumn("nrm", sqrt(dotCol("ed", "ed")))
+    val a = withNorm.select(col("vec_id").as("va"), col("ed").as("ea"),
+      col("nrm").as("na"))
+    val b = withNorm.select(col("vec_id").as("vb"), col("ed").as("eb"),
+      col("nrm").as("nb"))
     a.crossJoin(b).filter(col("va") < col("vb"))
       .withColumn("sim", round(
-        dotCol("ea", "eb") /
-          (sqrt(dotCol("ea", "ea")) * sqrt(dotCol("eb", "eb"))), 4))
+        dotCol("ea", "eb") / (col("na") * col("nb")), 4))
       .filter(col("sim") >= 0.3)
       .select(col("va"), col("vb"), col("sim"))
   }

@@ -1,0 +1,34 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.{SparkEntry, TestSpark}
+
+/** Smoke spec over the whole driver-facing query inventory: every
+  * registered operator runs at sf0.001 and returns the expected shape.
+  * (Exact value parity vs DuckDB is the driver's gate, replicated by
+  * tools/check.py.) */
+class QueriesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  // queries that legitimately return zero rows at tiny scale
+  private val mayBeEmpty = Set("except", "text_jaccard_pairs",
+    "dedup_minhash_pairs", "join_anti")
+
+  SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    test(s"query $name runs and returns a sane shape") {
+      val df = fn(spark, TestSpark.sfDir)
+      val n = df.count()
+      assert(df.schema.fields.nonEmpty)
+      if (!mayBeEmpty(name)) assert(n > 0, s"$name returned no rows")
+    }
+  }
+
+  test("entry flagship query returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every oracle key has a matching query") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracles without queries: $missing")
+  }
+}

@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+/** Semantic tests for the dedup/similarity operators: injected near-
+  * duplicates must be found by MinHash-LSH and SimHash; ANN top-k must
+  * agree with brute force. (Value parity for the SQL-expressible subset
+  * is covered by the DuckDB oracle gate.) */
+class TextOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private lazy val docs =
+    spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet")
+
+  /** documents ∪ near-copies of doc 0/1/2 (one word appended) with ids
+    * 10000+i — known near-dup pairs (i, 10000+i). */
+  private lazy val withDups = {
+    val copies = docs.filter(col("doc_id") < 3)
+      .withColumn("doc_id", col("doc_id") + 10000)
+      .withColumn("text", concat(col("text"), lit(" zzzz")))
+    docs.unionAll(copies)
+  }
+
+  test("minhash LSH finds injected near-duplicates with high estimate") {
+    val cands = TextOps.minhashCandidatesOn(
+      TextOps.minhashSignaturesOn(withDups), minEst = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val found = cands.filter { case (a, b, _) => b == a + 10000 }
+    assert(found.length == 3, s"expected 3 injected pairs, got ${cands.toSeq}")
+    assert(found.forall(_._3 >= 0.7))
+  }
+
+  test("minhash estimate approximates true shingle jaccard") {
+    // identical docs → estimate 1.0
+    val dup = docs.filter(col("doc_id") === 0)
+      .withColumn("doc_id", lit(555L))
+    val cands = TextOps.minhashCandidatesOn(
+      TextOps.minhashSignaturesOn(
+        docs.filter(col("doc_id") === 0).unionAll(dup)), minEst = 0.5)
+      .collect()
+    assert(cands.length == 1 && cands(0).getDouble(2) == 1.0)
+  }
+
+  test("simhash: near-duplicates within small hamming distance") {
+    val pairs = TextOps.simhashPairsOn(withDups, maxDist = 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    (0L to 2L).foreach { i =>
+      assert(pairs.contains((i, i + 10000)), s"missing pair $i")
+    }
+  }
+
+  test("ann top-k equals brute-force ranking") {
+    val topk = TextOps.annCosineTopk(spark, TestSpark.sfDir).collect()
+    assert(topk.length == 20)
+    val sims = topk.map(_.getDouble(1))
+    assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    // brute force in Scala
+    val all = spark.read.parquet(s"${TestSpark.sfDir}/embeddings.parquet")
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val q = all(0L)
+    def cos(a: Array[Double], b: Array[Double]) = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val expTop = all.toSeq.filter(_._1 != 0L)
+      .map { case (id, v) =>
+        (id, BigDecimal(cos(q, v)).setScale(4, BigDecimal.RoundingMode.HALF_UP))
+      }
+      .sortBy { case (id, s) => (-s, id) }.take(20).map(_._1)
+    assert(topk.map(_.getLong(0)).toSeq == expTop)
+  }
+
+  test("identical vectors always share an LSH bucket") {
+    val buckets = TextOps.annLshBuckets(spark, TestSpark.sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // deterministic: same vector → same bucket (re-run)
+    val again = TextOps.annLshBuckets(spark, TestSpark.sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(buckets == again)
+  }
+
+  test("exact dedup collapses injected exact copies") {
+    val dup = docs.filter(col("doc_id") < 5)
+      .withColumn("doc_id", col("doc_id") + 20000)
+    val both = docs.unionAll(dup)
+    val keep = both.groupBy(md5(lower(trim(col("text")))).as("fp"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n"))
+    assert(keep.filter(col("n") === 2).count() == 5)
+    assert(keep.count() == docs.count())
+  }
+}
