@@ -1,0 +1,259 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftshim.ColumnExpr
+import org.apache.spark.sql.types._
+
+/** Native (whole-stage-codegen) kernels for the similarity/dedup hot
+  * paths. The round-1 implementations expressed these with Catalyst
+  * higher-order functions (`aggregate(zip_with(...))`), which are
+  * interpreted lambdas allocating an intermediate array per row — at
+  * 2M candidate pairs that dominated the benchmark. These expressions
+  * fuse the loops and compile into the surrounding codegen stage.
+  *
+  * Reference has no vector ops at all (extension surface, SURVEY §7.1
+  * step 10); the design follows the prompt's preference order: native
+  * `Expression` with `doGenCode` over UDFs.
+  */
+object VectorKernels {
+
+  /** Fused cosine kernel: one pass accumulating x·y, ‖x‖², ‖y‖² in
+    * ascending index order — bit-identical to the unfused
+    * dot/(√(x·x)·√(y·y)) with the same accumulation order. */
+  def cosine(x: ArrayData, y: ArrayData, lf: Boolean, rf: Boolean): Double = {
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < n) {
+      val xi = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yi = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+      dot += xi * yi; na += xi * xi; nb += yi * yi; i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  def dot(x: ArrayData, y: ArrayData, lf: Boolean, rf: Boolean): Double = {
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0; var i = 0
+    while (i < n) {
+      val xi = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yi = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+      acc += xi * yi; i += 1
+    }
+    acc
+  }
+
+  /** Double-hashing MinHash (Kirsch–Mitzenmacher): perm_i(t) =
+    * h1(t) + i·h2(t), so each shingle is hashed twice instead of
+    * `numPerm` times. One pass over the shingle array, no allocation
+    * beyond the signature itself. */
+  def minhashSig(shingles: ArrayData, numPerm: Int): ArrayData = {
+    val sig = Array.fill(numPerm)(Long.MaxValue)
+    val n = shingles.numElements()
+    var j = 0
+    while (j < n) {
+      if (!shingles.isNullAt(j)) {
+        val s = shingles.getUTF8String(j)
+        val h1 = XXH64.hashUTF8String(s, 42L)
+        val h2 = XXH64.hashUTF8String(s, 77L) | 1L
+        var v = h1; var i = 0
+        while (i < numPerm) {
+          if (v < sig(i)) sig(i) = v
+          v += h2; i += 1
+        }
+      }
+      j += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  /** 64-bit SimHash over token hashes: majority vote per bit using a
+    * count array, one pass over the tokens. */
+  def simhash64(tokens: ArrayData): Long = {
+    val votes = new Array[Int](64)
+    val n = tokens.numElements()
+    var j = 0
+    while (j < n) {
+      if (!tokens.isNullAt(j)) {
+        val h = XXH64.hashUTF8String(tokens.getUTF8String(j), 42L)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      j += 1
+    }
+    var out = 0L; var b = 0
+    while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+}
+
+private object VecTypes {
+  def isVec(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => true
+    case _ => false
+  }
+  def isFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  def checkVec(name: String, es: Expression*): TypeCheckResult =
+    if (es.forall(isVec)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$name expects ARRAY<FLOAT|DOUBLE> arguments, got " +
+        es.map(_.dataType.simpleString).mkString(", "))
+  def checkStrArray(name: String, e: Expression): TypeCheckResult =
+    e.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"$name expects ARRAY<STRING>, got ${t.simpleString}")
+    }
+}
+
+/** cosine(a, b) over ARRAY<FLOAT|DOUBLE> — codegen'd fused loop. */
+case class VecCosine(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    VecTypes.checkVec(prettyName, left, right)
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vec_cosine"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      VecTypes.isFloat(left), VecTypes.isFloat(right))
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val xi = if (VecTypes.isFloat(left)) s"(double) $a.getFloat(i)"
+               else s"$a.getDouble(i)"
+      val yi = if (VecTypes.isFloat(right)) s"(double) $b.getFloat(i)"
+               else s"$b.getDouble(i)"
+      val (n, dot, na, nb, i) = (ctx.freshName("n"), ctx.freshName("dot"),
+        ctx.freshName("na"), ctx.freshName("nb"), ctx.freshName("i"))
+      val (x, y) = (ctx.freshName("x"), ctx.freshName("y"))
+      val xiI = xi.replace("(i)", s"($i)"); val yiI = yi.replace("(i)", s"($i)")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $x = $xiI; double $y = $yiI;
+         |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |}
+         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VecCosine =
+    copy(left = newLeft, right = newRight)
+}
+
+/** dot(a, b) over ARRAY<FLOAT|DOUBLE> — codegen'd loop. */
+case class VecDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    VecTypes.checkVec(prettyName, left, right)
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vec_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      VecTypes.isFloat(left), VecTypes.isFloat(right))
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val xi = if (VecTypes.isFloat(left)) s"(double) $a.getFloat(i)"
+               else s"$a.getDouble(i)"
+      val yi = if (VecTypes.isFloat(right)) s"(double) $b.getFloat(i)"
+               else s"$b.getDouble(i)"
+      val (n, acc, i) = (ctx.freshName("n"), ctx.freshName("acc"),
+        ctx.freshName("i"))
+      val xiI = xi.replace("(i)", s"($i)"); val yiI = yi.replace("(i)", s"($i)")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) { $acc += ($xiI) * ($yiI); }
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VecDot =
+    copy(left = newLeft, right = newRight)
+}
+
+/** minhash_sig(shingles, numPerm) → ARRAY<BIGINT> signature. */
+case class MinHashSig(child: Expression, numPerm: Int)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    VecTypes.checkStrArray(prettyName, child)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+
+  override def nullSafeEval(in: Any): Any =
+    VectorKernels.minhashSig(in.asInstanceOf[ArrayData], numPerm)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.VectorKernels.minhashSig($a, $numPerm);")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+/** simhash64(tokens) → BIGINT SimHash. */
+case class SimHash64(child: Expression)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    VecTypes.checkStrArray(prettyName, child)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override def nullSafeEval(in: Any): Any =
+    VectorKernels.simhash64(in.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.VectorKernels.simhash64($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+/** Column API + SQL registration for the vector kernels. */
+object VectorOps {
+  def cosine(a: Column, b: Column): Column =
+    ColumnExpr.column(VecCosine(ColumnExpr.expr(a), ColumnExpr.expr(b)))
+  def dot(a: Column, b: Column): Column =
+    ColumnExpr.column(VecDot(ColumnExpr.expr(a), ColumnExpr.expr(b)))
+  def minhashSig(shingles: Column, numPerm: Int): Column =
+    ColumnExpr.column(MinHashSig(ColumnExpr.expr(shingles), numPerm))
+  def simhash64(tokens: Column): Column =
+    ColumnExpr.column(SimHash64(ColumnExpr.expr(tokens)))
+
+  /** Register as SQL functions (vec_cosine, vec_dot, minhash_sig,
+    * simhash64) on a session. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("vec_cosine",
+      { args => VecCosine(args(0), args(1)) }, "scala_udf")
+    reg.createOrReplaceTempFunction("vec_dot",
+      { args => VecDot(args(0), args(1)) }, "scala_udf")
+    reg.createOrReplaceTempFunction("minhash_sig",
+      { args =>
+        val n = args(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v, IntegerType) =>
+            v.asInstanceOf[Int]
+          case _ => 64
+        }
+        MinHashSig(args(0), n)
+      }, "scala_udf")
+    reg.createOrReplaceTempFunction("simhash64",
+      { args => SimHash64(args(0)) }, "scala_udf")
+  }
+}

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession, Column}
 import org.apache.spark.sql.functions._
+import graft.functions.VectorOps
 
 /** LLM-training-data pipeline operators over the `documents` and
   * `embeddings` tables: deduplication (exact, MinHash/LSH, SimHash,
@@ -135,8 +136,9 @@ object TextOps {
   private val NumPerm = 64
 
   /** Per-doc MinHash signature over 3-word shingles: 64 permutations via
-    * seeded xxhash64, computed as a nested array transform — one pass,
-    * zero shuffle, linear in (docs × shingles). */
+    * double-hashing ([[graft.functions.MinHashSig]] — a codegen'd native
+    * kernel, 2 hashes per shingle) — one pass, zero shuffle, linear in
+    * (docs × shingles). */
   def minhashSignatures(s: SparkSession, d: String): DataFrame =
     minhashSignaturesOn(docs(s, d))
 
@@ -144,10 +146,7 @@ object TextOps {
     df
       .withColumn("ws", wordsCol)
       .withColumn("sh", expr(shinglesExpr))
-      .withColumn("sig", expr(
-        s"""transform(sequence(0, ${NumPerm - 1}),
-           |  i -> array_min(transform(sh, t -> xxhash64(t, i))))"""
-          .stripMargin))
+      .withColumn("sig", VectorOps.minhashSig(col("sh"), NumPerm))
       .drop("ws", "sh")
 
   /** Signature dump (hex of first 4 components keeps output compact). */
@@ -194,15 +193,10 @@ object TextOps {
   // ---------------------------------------------------------------- SimHash
 
   /** 64-bit SimHash per doc from word-level xxhash64: majority vote per
-    * bit, folded back into a long — again one map-side pass. */
+    * bit ([[graft.functions.SimHash64]], codegen'd) — one map-side pass. */
   def simhashOn(df: DataFrame): DataFrame =
     df
-      .withColumn("hs", expr("transform(split(text, ' '), w -> xxhash64(w))"))
-      .withColumn("simhash", expr(
-        """aggregate(sequence(0, 63), 0L, (acc, j) ->
-          |  acc | (CASE WHEN aggregate(hs, 0L,
-          |    (c, h) -> c + CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END)
-          |    > 0 THEN shiftleft(1L, j) ELSE 0L END))""".stripMargin))
+      .withColumn("simhash", VectorOps.simhash64(split(col("text"), " ")))
       .select(col("doc_id"), col("simhash"))
 
   val dedupSimhash: Q = (s, d) =>
@@ -226,27 +220,18 @@ object TextOps {
 
   // ------------------------------------------------------- cosine similarity
 
-  /** dot(a,b) with both arrays cast to double — accumulation order is the
-    * array order, so the result is bit-deterministic. */
-  private def dotCol(a: String, b: String): Column =
-    expr(s"""aggregate(zip_with(cast($a AS ARRAY<DOUBLE>),
-            |                   cast($b AS ARRAY<DOUBLE>),
-            |                   (x, y) -> x * y),
-            |          0D, (acc, v) -> acc + v)""".stripMargin)
-
   /** Brute-force cosine top-k against one query vector (vec_id 0):
     * the ANN baseline. Broadcasts the single-row query side; the scan
-    * side is embarrassingly parallel. */
+    * side is embarrassingly parallel. [[graft.functions.VecCosine]] is a
+    * fused codegen'd kernel (one loop accumulating x·y, ‖x‖², ‖y‖² in
+    * index order — bit-identical to dot/(‖a‖·‖b‖) computed separately). */
   val annCosineTopk: Q = (s, d) => {
     val e = emb(s, d)
     val q = e.filter(col("vec_id") === 0)
       .select(col("embedding").as("qv"))
     e.filter(col("vec_id") =!= 0)
       .crossJoin(broadcast(q))
-      .withColumn("sim", round(
-        dotCol("embedding", "qv") /
-          (sqrt(dotCol("embedding", "embedding")) *
-            sqrt(dotCol("qv", "qv"))), 4))
+      .withColumn("sim", round(VectorOps.cosine(col("embedding"), col("qv")), 4))
       .orderBy(col("sim").desc, col("vec_id").asc)
       .limit(20)
       .select(col("vec_id"), col("sim"))
@@ -254,20 +239,14 @@ object TextOps {
 
   /** Embedding near-dup pairs: cosine ≥ 0.3 over all pairs. Verification
     * path (all-pairs is O(n²)); the LSH-bucketed variant below is the
-    * scale path. Norms are computed once per vector before the pair
-    * join (1 dot per pair instead of 3; same arithmetic → same bits as
-    * the oracle's dot/(‖a‖·‖b‖)). */
+    * scale path. The fused [[graft.functions.VecCosine]] kernel keeps
+    * the whole pair loop inside one codegen stage. */
   val annCosinePairs: Q = (s, d) => {
-    val withNorm = emb(s, d)
-      .withColumn("ed", expr("cast(embedding AS ARRAY<DOUBLE>)"))
-      .withColumn("nrm", sqrt(dotCol("ed", "ed")))
-    val a = withNorm.select(col("vec_id").as("va"), col("ed").as("ea"),
-      col("nrm").as("na"))
-    val b = withNorm.select(col("vec_id").as("vb"), col("ed").as("eb"),
-      col("nrm").as("nb"))
+    val e = emb(s, d)
+    val a = e.select(col("vec_id").as("va"), col("embedding").as("ea"))
+    val b = e.select(col("vec_id").as("vb"), col("embedding").as("eb"))
     a.crossJoin(b).filter(col("va") < col("vb"))
-      .withColumn("sim", round(
-        dotCol("ea", "eb") / (col("na") * col("nb")), 4))
+      .withColumn("sim", round(VectorOps.cosine(col("ea"), col("eb")), 4))
       .filter(col("sim") >= 0.3)
       .select(col("va"), col("vb"), col("sim"))
   }
