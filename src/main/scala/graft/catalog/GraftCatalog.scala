@@ -1,0 +1,242 @@
+package graft.catalog
+
+import java.io.File
+import java.nio.file.{Files, Paths}
+import java.util.Collections
+
+import scala.collection.concurrent.TrieMap
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.{StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import graft.codec.KeyCodec
+
+/** V2 `TableCatalog` for graft tables — the rebuild of the reference's
+  * `HBaseCatalog extends ExternalCatalog` (/root/reference
+  * `HBaseCatalog.scala:97-99`) on the sanctioned Spark-4 extension
+  * point (SURVEY §1.5: "V2 TableCatalog — far smaller surface than
+  * forking ExternalCatalog").
+  *
+  * Register with:
+  * {{{
+  *   spark.sql.catalog.graft = graft.catalog.GraftCatalog
+  *   spark.sql.catalog.graft.warehouse = /path/to/warehouse
+  * }}}
+  * then:
+  * {{{
+  *   CREATE TABLE graft.ns.t (k1 INT, k2 STRING, v DOUBLE)
+  *   TBLPROPERTIES('keyCols'='k1;k2', 'numRegions'='16')
+  *   INSERT INTO graft.ns.t SELECT ...   -- range-shuffled sorted bulk load
+  *   SELECT ... FROM graft.ns.t WHERE k1 = 5  -- region-pruned scan
+  * }}}
+  *
+  * DDL semantics mirror the reference (SURVEY §1.4): explicit key
+  * columns via `keyCols` TBLPROPERTIES (order = composite key order),
+  * ten storable atomic types, optional `nonKeyCols` family/qualifier
+  * mapping (kept as metadata for capability parity; our storage does
+  * not need cell addressing), databases = namespaces, rename/partition
+  * APIs unsupported exactly as in the reference
+  * (`HBaseCatalog.scala:257-259,288-290,434-444`).
+  */
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var warehouse: File = _
+  private val cache = TrieMap.empty[String, GraftTable]
+
+  override def initialize(name: String,
+      options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = new File(
+      Option(options.get("warehouse")).getOrElse("/tmp/graft_warehouse"))
+    Files.createDirectories(Paths.get(warehouse.getPath, "default"))
+  }
+
+  override def name(): String = catalogName
+  override def defaultNamespace(): Array[String] = Array("default")
+
+  private def nsDir(namespace: Array[String]): File = {
+    require(namespace.length == 1,
+      s"graft supports single-level namespaces, got ${namespace.mkString(".")}")
+    new File(warehouse, namespace.head)
+  }
+  private def tableDir(ident: Identifier): File =
+    new File(nsDir(ident.namespace()), ident.name())
+
+  // ------------------------------------------------------------- tables
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val d = nsDir(namespace)
+    if (!d.isDirectory) throw new NoSuchNamespaceException(namespace.toSeq)
+    Option(d.listFiles()).getOrElse(Array.empty)
+      .filter(f => TableMeta.exists(f))
+      .map(f => Identifier.of(namespace, f.getName))
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    val dir = tableDir(ident)
+    if (!TableMeta.exists(dir))
+      throw new NoSuchTableException(ident.namespace().toSeq :+ ident.name())
+    cache.getOrElseUpdate(dir.getPath,
+      new GraftTable(ident.toString, dir, TableMeta.load(dir)))
+  }
+
+  override def invalidateTable(ident: Identifier): Unit =
+    cache.remove(tableDir(ident).getPath)
+
+  override def tableExists(ident: Identifier): Boolean =
+    TableMeta.exists(tableDir(ident))
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: java.util.Map[String, String]): Table = {
+    if (partitions.nonEmpty) throw new UnsupportedOperationException(
+      "graft tables are key-organized; PARTITIONED BY is not supported " +
+        "(declare keyCols in TBLPROPERTIES)")
+    val dir = tableDir(ident)
+    if (TableMeta.exists(dir))
+      throw new TableAlreadyExistsException(ident.namespace().toSeq :+ ident.name())
+    if (!nsDir(ident.namespace()).isDirectory)
+      throw new NoSuchNamespaceException(ident.namespace().toSeq)
+
+    val props = properties.asScala.toMap
+    val keyCols = props.getOrElse(TableMeta.KeyColsProp,
+      throw new IllegalArgumentException(
+        s"graft table requires TBLPROPERTIES('${TableMeta.KeyColsProp}'=" +
+          "'k1;k2;…')")).split(";").map(_.trim).filter(_.nonEmpty).toSeq
+    require(keyCols.nonEmpty, "keyCols must name at least one column")
+
+    val byName = schema.fields.map(f => f.name.toLowerCase -> f).toMap
+    keyCols.foreach { k =>
+      val f = byName.getOrElse(k.toLowerCase,
+        throw new IllegalArgumentException(s"key column $k not in schema"))
+      require(KeyCodec.supportedTypes.contains(f.dataType),
+        s"key column $k has unsupported type ${f.dataType.simpleString}")
+    }
+    schema.fields.foreach { f =>
+      require(KeyCodec.supportedTypes.contains(f.dataType),
+        s"column ${f.name}: type ${f.dataType.simpleString} is not storable " +
+          "(ten atomic types only)")
+    }
+    // optional family/qualifier mapping — validated, kept as metadata
+    props.get(TableMeta.NonKeyColsProp).foreach { spec =>
+      val keySet = keyCols.map(_.toLowerCase).toSet
+      spec.split(";").map(_.trim).filter(_.nonEmpty).foreach { entry =>
+        val parts = entry.split(",").map(_.trim)
+        require(parts.length == 3,
+          s"nonKeyCols entry '$entry' must be 'col,family,qualifier'")
+        require(byName.contains(parts(0).toLowerCase),
+          s"nonKeyCols column ${parts(0)} not in schema")
+        require(!keySet.contains(parts(0).toLowerCase),
+          s"nonKeyCols column ${parts(0)} is a key column")
+      }
+    }
+
+    Files.createDirectories(dir.toPath)
+    val meta = TableMeta(schema, keyCols,
+      props - TableCatalog.PROP_PROVIDER - TableCatalog.PROP_OWNER)
+    TableMeta.save(dir, meta)
+    TableMeta.saveRegions(dir, Nil)
+    new GraftTable(ident.toString, dir, meta)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val dir = tableDir(ident)
+    if (!TableMeta.exists(dir))
+      throw new NoSuchTableException(ident.namespace().toSeq :+ ident.name())
+    var meta = TableMeta.load(dir)
+    changes.foreach {
+      case add: TableChange.AddColumn =>
+        require(add.fieldNames.length == 1,
+          "graft supports top-level columns only")
+        val name = add.fieldNames.head
+        require(KeyCodec.supportedTypes.contains(add.dataType),
+          s"column $name: unsupported type ${add.dataType.simpleString}")
+        require(!meta.schema.fieldNames.exists(_.equalsIgnoreCase(name)),
+          s"column $name already exists")
+        meta = meta.copy(schema =
+          meta.schema.add(StructField(name, add.dataType, nullable = true)))
+      case del: TableChange.DeleteColumn =>
+        val name = del.fieldNames.head
+        require(!meta.keyCols.exists(_.equalsIgnoreCase(name)),
+          s"cannot drop key column $name") // reference: alter non-key only
+        require(meta.schema.fieldNames.exists(_.equalsIgnoreCase(name)),
+          s"column $name does not exist")
+        meta = meta.copy(schema = StructType(
+          meta.schema.fields.filterNot(_.name.equalsIgnoreCase(name))))
+      case set: TableChange.SetProperty =>
+        meta = meta.copy(properties =
+          meta.properties + (set.property -> set.value))
+      case rm: TableChange.RemoveProperty =>
+        meta = meta.copy(properties = meta.properties - rm.property)
+      case other => throw new UnsupportedOperationException(
+        s"graft alterTable does not support $other")
+    }
+    TableMeta.save(dir, meta)
+    cache.remove(dir.getPath)
+    new GraftTable(ident.toString, dir, meta)
+  }
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val dir = tableDir(ident)
+    if (!TableMeta.exists(dir)) return false
+    cache.remove(dir.getPath)
+    deleteRecursively(dir)
+    true
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException(
+      "rename is not supported") // mirrors HBaseCatalog.scala:257-259
+
+  // --------------------------------------------------------- namespaces
+
+  override def listNamespaces(): Array[Array[String]] =
+    Option(warehouse.listFiles()).getOrElse(Array.empty)
+      .filter(_.isDirectory).map(f => Array(f.getName))
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces()
+    else if (namespaceExists(namespace)) Array.empty
+    else throw new NoSuchNamespaceException(namespace.toSeq)
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.length == 1 && nsDir(namespace).isDirectory
+
+  override def loadNamespaceMetadata(namespace: Array[String])
+      : java.util.Map[String, String] = {
+    if (!namespaceExists(namespace))
+      throw new NoSuchNamespaceException(namespace.toSeq)
+    Collections.emptyMap()
+  }
+
+  override def createNamespace(namespace: Array[String],
+      metadata: java.util.Map[String, String]): Unit = {
+    if (namespaceExists(namespace))
+      throw new NamespaceAlreadyExistsException(namespace)
+    Files.createDirectories(nsDir(namespace).toPath)
+  }
+
+  override def alterNamespace(namespace: Array[String],
+      changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("alterNamespace not supported")
+
+  override def dropNamespace(namespace: Array[String],
+      cascade: Boolean): Boolean = {
+    val d = nsDir(namespace)
+    if (!d.isDirectory) return false
+    if (!cascade && Option(d.listFiles()).exists(_.nonEmpty))
+      throw new IllegalStateException(
+        s"namespace ${namespace.mkString(".")} is not empty")
+    deleteRecursively(d)
+    true
+  }
+
+  private def deleteRecursively(f: File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete()
+  }
+}

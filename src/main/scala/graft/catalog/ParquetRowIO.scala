@@ -1,0 +1,297 @@
+package graft.catalog
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.example.data.Group
+import org.apache.parquet.example.data.simple.SimpleGroupFactory
+import org.apache.parquet.filter2.compat.FilterCompat
+import org.apache.parquet.filter2.predicate.{FilterApi, FilterPredicate}
+import org.apache.parquet.hadoop.example.{ExampleParquetWriter, GroupReadSupport, GroupWriteSupport}
+import org.apache.parquet.hadoop.metadata.CompressionCodecName
+import org.apache.parquet.hadoop.{ParquetFileReader, ParquetReader, ParquetWriter}
+import org.apache.parquet.io.api.Binary
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType, Types}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.sources
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Row-oriented parquet IO for the graft catalog's region files, over
+  * the reference's ten storable types (SURVEY §1.2), using the public
+  * parquet-mr Group API.
+  *
+  * The reference's scan is likewise row-oriented (HBase `Result` →
+  * `InternalRow`, /root/reference `HBaseRelation.buildRow:982-999`);
+  * column pruning maps to a parquet projection schema and the
+  * FilterList pushdown maps to parquet `FilterPredicate`s evaluated
+  * against row-group statistics and records — storage-side filtering
+  * without a server process.
+  */
+object ParquetRowIO {
+
+  // -------------------------------------------------- schema conversion
+
+  def toParquetSchema(schema: StructType): MessageType = {
+    val b = Types.buildMessage()
+    schema.fields.foreach { f =>
+      val t = f.dataType match {
+        case BooleanType => Types.optional(BOOLEAN).named(f.name)
+        case ByteType => Types.optional(INT32)
+          .as(LogicalTypeAnnotation.intType(8, true)).named(f.name)
+        case ShortType => Types.optional(INT32)
+          .as(LogicalTypeAnnotation.intType(16, true)).named(f.name)
+        case IntegerType => Types.optional(INT32).named(f.name)
+        case LongType => Types.optional(INT64).named(f.name)
+        case FloatType => Types.optional(FLOAT).named(f.name)
+        case DoubleType => Types.optional(DOUBLE).named(f.name)
+        case StringType => Types.optional(BINARY)
+          .as(LogicalTypeAnnotation.stringType()).named(f.name)
+        case DateType => Types.optional(INT32)
+          .as(LogicalTypeAnnotation.dateType()).named(f.name)
+        case TimestampType => Types.optional(INT64)
+          .as(LogicalTypeAnnotation.timestampType(true,
+            LogicalTypeAnnotation.TimeUnit.MICROS)).named(f.name)
+        case other => throw new IllegalArgumentException(
+          s"graft tables store the ten atomic types only; got $other " +
+            s"for column ${f.name}")
+      }
+      b.addField(t)
+    }
+    b.named("graft_schema")
+  }
+
+  // ------------------------------------------------------------- writer
+
+  final class RowWriter(file: String, schema: StructType) {
+    private val conf = new Configuration()
+    private val messageType = toParquetSchema(schema)
+    GroupWriteSupport.setSchema(messageType, conf)
+    private val factory = new SimpleGroupFactory(messageType)
+    private val writer: ParquetWriter[Group] =
+      ExampleParquetWriter.builder(new Path(file))
+        .withConf(conf)
+        .withCompressionCodec(CompressionCodecName.SNAPPY)
+        .build()
+    private val types = schema.fields.map(_.dataType)
+
+    /** Write one Catalyst internal row (dates = days, timestamps = µs). */
+    def write(row: InternalRow): Unit = {
+      val g = factory.newGroup()
+      var i = 0
+      while (i < types.length) {
+        if (!row.isNullAt(i)) types(i) match {
+          case BooleanType => g.add(i, row.getBoolean(i))
+          case ByteType => g.add(i, row.getByte(i).toInt)
+          case ShortType => g.add(i, row.getShort(i).toInt)
+          case IntegerType | DateType => g.add(i, row.getInt(i))
+          case LongType | TimestampType => g.add(i, row.getLong(i))
+          case FloatType => g.add(i, row.getFloat(i))
+          case DoubleType => g.add(i, row.getDouble(i))
+          case StringType =>
+            g.add(i, Binary.fromConstantByteArray(row.getUTF8String(i).getBytes))
+          case other => throw new IllegalStateException(other.toString)
+        }
+        i += 1
+      }
+      writer.write(g)
+    }
+
+    def close(): Unit = writer.close()
+  }
+
+  // ------------------------------------------------------------- reader
+
+  /** Reader producing InternalRows in `requested` field order; fields
+    * absent from the file (added later via ALTER TABLE ADD COLUMN) read
+    * as null. */
+  final class RowReader(file: String, requested: StructType,
+      filter: Option[FilterPredicate]) {
+    private val conf = new Configuration()
+    private val hPath = new Path(file)
+    private val fileSchema: MessageType = {
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(hPath, conf)
+      val r = ParquetFileReader.open(in)
+      try r.getFooter.getFileMetaData.getSchema finally r.close()
+    }
+    private val present: Array[Boolean] =
+      requested.fields.map(f => fileSchema.containsField(f.name))
+    private val projection: MessageType = {
+      val b = Types.buildMessage()
+      requested.fields.iterator.zipWithIndex
+        .filter { case (_, i) => present(i) }
+        .foreach { case (f, _) =>
+          b.addField(fileSchema.getType(Seq(f.name): _*)) }
+      b.named("graft_schema")
+    }
+    // requested index -> projection index (-1 when absent from the file)
+    private val projIdx: Array[Int] = {
+      var p = -1
+      requested.fields.indices.map { i =>
+        if (present(i)) { p += 1; p } else -1
+      }.toArray
+    }
+    conf.set(org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA,
+      projection.toString)
+    private val reader: ParquetReader[Group] = {
+      val b = ParquetReader.builder(new GroupReadSupport(), hPath).withConf(conf)
+      filter.foreach(f => b.withFilter(FilterCompat.get(f)))
+      b.build()
+    }
+    private val types = requested.fields.map(_.dataType)
+
+    /** Next row or null at end of file. */
+    def next(): InternalRow = {
+      val g = reader.read()
+      if (g == null) return null
+      val row = new GenericInternalRow(types.length)
+      var i = 0
+      while (i < types.length) {
+        val p = projIdx(i)
+        if (p < 0 || g.getFieldRepetitionCount(p) == 0) row.setNullAt(i)
+        else types(i) match {
+          case BooleanType => row.setBoolean(i, g.getBoolean(p, 0))
+          case ByteType => row.setByte(i, g.getInteger(p, 0).toByte)
+          case ShortType => row.setShort(i, g.getInteger(p, 0).toShort)
+          case IntegerType | DateType => row.setInt(i, g.getInteger(p, 0))
+          case LongType | TimestampType => row.setLong(i, g.getLong(p, 0))
+          case FloatType => row.setFloat(i, g.getFloat(p, 0))
+          case DoubleType => row.setDouble(i, g.getDouble(p, 0))
+          case StringType =>
+            row.update(i, UTF8String.fromBytes(g.getBinary(p, 0).getBytes))
+          case other => throw new IllegalStateException(other.toString)
+        }
+        i += 1
+      }
+      row
+    }
+
+    def close(): Unit = reader.close()
+  }
+
+  // ----------------------------------- V1 Filter -> parquet FilterPredicate
+
+  /** Best-effort conversion of Spark source filters to parquet
+    * predicates for row-group/page skipping (the storage-side face of
+    * the reference's FilterList pushdown). Unconvertible subtrees are
+    * dropped where sound (under AND) or abandon the branch (under OR);
+    * Spark re-applies every filter above the scan, so this only has to
+    * be conservative, never exact. */
+  def toParquetFilter(filters: Seq[sources.Filter], schema: StructType)
+      : Option[FilterPredicate] = {
+    val converted = filters.flatMap(f => convert(f, schema))
+    converted.reduceOption(FilterApi.and)
+  }
+
+  private def convert(f: sources.Filter, schema: StructType)
+      : Option[FilterPredicate] = f match {
+    case sources.And(l, r) =>
+      (convert(l, schema), convert(r, schema)) match {
+        case (Some(a), Some(b)) => Some(FilterApi.and(a, b))
+        case (a, b) => a.orElse(b) // AND: either side alone is sound
+      }
+    case sources.Or(l, r) =>
+      for (a <- convert(l, schema); b <- convert(r, schema))
+        yield FilterApi.or(a, b)
+    case sources.EqualTo(a, v) => cmp(a, v, schema, Cmp.Eq)
+    case sources.GreaterThan(a, v) => cmp(a, v, schema, Cmp.Gt)
+    case sources.GreaterThanOrEqual(a, v) => cmp(a, v, schema, Cmp.GtEq)
+    case sources.LessThan(a, v) => cmp(a, v, schema, Cmp.Lt)
+    case sources.LessThanOrEqual(a, v) => cmp(a, v, schema, Cmp.LtEq)
+    case sources.In(a, vs) if vs.nonEmpty && vs.length <= 20 =>
+      val opts = vs.toSeq.map(v => cmp(a, v, schema, Cmp.Eq))
+      if (opts.forall(_.isDefined)) opts.flatten.reduceOption(FilterApi.or)
+      else None
+    case _ => None
+  }
+
+  private object Cmp extends Enumeration { val Eq, Gt, GtEq, Lt, LtEq = Value }
+
+  /** Normalize an external filter value to the column's internal type. */
+  private[catalog] def toInternal(dt: DataType, v: Any): Option[Any] =
+    (dt, v) match {
+      case (_, null) => None
+      case (DateType, d: java.sql.Date) => Some(d.toLocalDate.toEpochDay.toInt)
+      case (DateType, d: java.time.LocalDate) => Some(d.toEpochDay.toInt)
+      case (TimestampType, t: java.sql.Timestamp) =>
+        Some(t.getTime * 1000L + (t.getNanos / 1000L) % 1000L)
+      case (TimestampType, t: java.time.Instant) =>
+        Some(t.getEpochSecond * 1000000L + t.getNano / 1000L)
+      case (StringType, s: String) => Some(s)
+      case (BooleanType, b: Boolean) => Some(b)
+      case (ByteType, x: Byte) => Some(x)
+      case (ShortType, x: Short) => Some(x)
+      case (ShortType, x: Byte) => Some(x.toShort)
+      case (IntegerType, x: Int) => Some(x)
+      case (IntegerType, x: Short) => Some(x.toInt)
+      case (IntegerType, x: Byte) => Some(x.toInt)
+      case (IntegerType, x: Long) if x.isValidInt => Some(x.toInt)
+      case (LongType, x: Long) => Some(x)
+      case (LongType, x: Int) => Some(x.toLong)
+      case (LongType, x: Short) => Some(x.toLong)
+      case (LongType, x: Byte) => Some(x.toLong)
+      case (FloatType, x: Float) => Some(x)
+      case (DoubleType, x: Double) => Some(x)
+      case (DoubleType, x: Float) => Some(x.toDouble)
+      case (DoubleType, x: java.math.BigDecimal) => Some(x.doubleValue)
+      case _ => None
+    }
+
+  private def cmp(attr: String, value: Any, schema: StructType,
+      op: Cmp.Value): Option[FilterPredicate] = {
+    val field = schema.fields.find(_.name.equalsIgnoreCase(attr))
+      .getOrElse(return None)
+    toInternal(field.dataType, value).flatMap { v =>
+      field.dataType match {
+        case ByteType | ShortType | IntegerType | DateType =>
+          val c = FilterApi.intColumn(field.name)
+          val i = v match {
+            case x: Byte => Int.box(x.toInt); case x: Short => Int.box(x.toInt)
+            case x: Int => Int.box(x)
+          }
+          Some(op match {
+            case Cmp.Eq => FilterApi.eq(c, i); case Cmp.Gt => FilterApi.gt(c, i)
+            case Cmp.GtEq => FilterApi.gtEq(c, i); case Cmp.Lt => FilterApi.lt(c, i)
+            case Cmp.LtEq => FilterApi.ltEq(c, i)
+          })
+        case LongType | TimestampType =>
+          val c = FilterApi.longColumn(field.name)
+          val l = Long.box(v.asInstanceOf[Long])
+          Some(op match {
+            case Cmp.Eq => FilterApi.eq(c, l); case Cmp.Gt => FilterApi.gt(c, l)
+            case Cmp.GtEq => FilterApi.gtEq(c, l); case Cmp.Lt => FilterApi.lt(c, l)
+            case Cmp.LtEq => FilterApi.ltEq(c, l)
+          })
+        case FloatType =>
+          val c = FilterApi.floatColumn(field.name)
+          val x = Float.box(v.asInstanceOf[Float])
+          Some(op match {
+            case Cmp.Eq => FilterApi.eq(c, x); case Cmp.Gt => FilterApi.gt(c, x)
+            case Cmp.GtEq => FilterApi.gtEq(c, x); case Cmp.Lt => FilterApi.lt(c, x)
+            case Cmp.LtEq => FilterApi.ltEq(c, x)
+          })
+        case DoubleType =>
+          val c = FilterApi.doubleColumn(field.name)
+          val x = Double.box(v.asInstanceOf[Double])
+          Some(op match {
+            case Cmp.Eq => FilterApi.eq(c, x); case Cmp.Gt => FilterApi.gt(c, x)
+            case Cmp.GtEq => FilterApi.gtEq(c, x); case Cmp.Lt => FilterApi.lt(c, x)
+            case Cmp.LtEq => FilterApi.ltEq(c, x)
+          })
+        case StringType =>
+          val c = FilterApi.binaryColumn(field.name)
+          val b = Binary.fromString(v.asInstanceOf[String])
+          Some(op match {
+            case Cmp.Eq => FilterApi.eq(c, b); case Cmp.Gt => FilterApi.gt(c, b)
+            case Cmp.GtEq => FilterApi.gtEq(c, b); case Cmp.Lt => FilterApi.lt(c, b)
+            case Cmp.LtEq => FilterApi.ltEq(c, b)
+          })
+        case BooleanType if op == Cmp.Eq =>
+          Some(FilterApi.eq(FilterApi.booleanColumn(field.name),
+            Boolean.box(v.asInstanceOf[Boolean])))
+        case _ => None
+      }
+    }
+  }
+}

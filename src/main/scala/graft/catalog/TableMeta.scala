@@ -1,0 +1,122 @@
+package graft.catalog
+
+import java.io.File
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/** Catalog metadata for one graft table, persisted as JSON files inside
+  * the table directory.
+  *
+  * Capability port of the reference's catalog persistence (Heracles
+  * stores a Java-serialized `HBaseRelation` in an HBase `metadata`
+  * table — /root/reference `HBaseCatalog.scala:814-870`); the rebuild
+  * stores plain JSON beside the data, which is the V2-catalog-idiomatic
+  * equivalent (serialization format is an implementation detail, not a
+  * capability — SURVEY §7.1 step 2).
+  *
+  * Layout of a table directory:
+  * {{{
+  *   <warehouse>/<namespace>/<table>/
+  *     _graft_meta.json      schema, key columns, table properties
+  *     _graft_regions.json   one entry per region file: rows + per-key-
+  *                           dimension min/max in order-preserving hex
+  *     part-*.parquet        region data files, sorted by composite key
+  * }}}
+  */
+final case class RegionMeta(file: String, rows: Long,
+    mins: Seq[String], maxs: Seq[String])
+
+final case class TableMeta(schema: StructType, keyCols: Seq[String],
+    properties: Map[String, String]) {
+  def keyTypes: Seq[DataType] = keyCols.map(schema(_).dataType)
+}
+
+object TableMeta {
+  val MetaFile = "_graft_meta.json"
+  val RegionsFile = "_graft_regions.json"
+
+  /** Reference DDL property names (SURVEY §1.4): keyCols = `k1;k2;…`,
+    * nonKeyCols = `col,family,qualifier;…`, encodingFormat. */
+  val KeyColsProp = "keyCols"
+  val NonKeyColsProp = "nonKeyCols"
+  val EncodingProp = "encodingFormat"
+  val NumRegionsProp = "numRegions"
+
+  private def mapper = new ObjectMapper()
+
+  private def writeAtomic(path: File, content: String): Unit = {
+    val tmp = Paths.get(path.getPath + ".tmp")
+    Files.write(tmp, content.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, path.toPath, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  def exists(tableDir: File): Boolean = new File(tableDir, MetaFile).isFile
+
+  def save(tableDir: File, meta: TableMeta): Unit = {
+    val m = mapper
+    val root = m.createObjectNode()
+    root.put("schema", meta.schema.json)
+    val kc = root.putArray("keyCols")
+    meta.keyCols.foreach(kc.add)
+    val props = root.putObject("properties")
+    meta.properties.foreach { case (k, v) => props.put(k, v) }
+    writeAtomic(new File(tableDir, MetaFile), root.toString)
+  }
+
+  def load(tableDir: File): TableMeta = {
+    val root = mapper.readTree(new File(tableDir, MetaFile))
+    val schema = DataType.fromJson(root.get("schema").asText)
+      .asInstanceOf[StructType]
+    val keyCols = {
+      val a = root.get("keyCols").asInstanceOf[ArrayNode]
+      (0 until a.size).map(a.get(_).asText)
+    }
+    val props = {
+      val p = root.get("properties").asInstanceOf[ObjectNode]
+      val it = p.fields()
+      val b = Map.newBuilder[String, String]
+      while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asText }
+      b.result()
+    }
+    TableMeta(schema, keyCols, props)
+  }
+
+  def saveRegions(tableDir: File, regions: Seq[RegionMeta]): Unit = {
+    val m = mapper
+    val root = m.createObjectNode()
+    val arr = root.putArray("regions")
+    regions.foreach { r =>
+      val o = arr.addObject()
+      o.put("file", r.file)
+      o.put("rows", r.rows)
+      val mins = o.putArray("mins"); r.mins.foreach(mins.add)
+      val maxs = o.putArray("maxs"); r.maxs.foreach(maxs.add)
+    }
+    writeAtomic(new File(tableDir, RegionsFile), root.toString)
+  }
+
+  def loadRegions(tableDir: File): Seq[RegionMeta] = {
+    val f = new File(tableDir, RegionsFile)
+    if (!f.isFile) return Nil
+    val root = mapper.readTree(f)
+    val arr = root.get("regions").asInstanceOf[ArrayNode]
+    (0 until arr.size).map { i =>
+      val o = arr.get(i)
+      def strs(field: String): Seq[String] = {
+        val a = o.get(field).asInstanceOf[ArrayNode]
+        (0 until a.size).map(a.get(_).asText)
+      }
+      RegionMeta(o.get("file").asText, o.get("rows").asLong,
+        strs("mins"), strs("maxs"))
+    }
+  }
+
+  /** Append newly committed regions (write-commit protocol). */
+  def appendRegions(tableDir: File, added: Seq[RegionMeta]): Unit =
+    saveRegions(tableDir, loadRegions(tableDir) ++ added)
+}

@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver-gate queries that run through the full V2 catalog path
+  * ([[graft.catalog.GraftCatalog]]): SQL DDL → range-shuffled sorted
+  * bulk INSERT → region-pruned SQL scans, verified against the same
+  * DuckDB oracles as the plain-parquet queries (the catalog must hold
+  * exactly the source rows).
+  */
+object CatalogQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val built = scala.collection.concurrent.TrieMap[String, String]()
+
+  /** Ensure the graft catalog is registered and the orders table for
+    * this sf dir is created+loaded; returns its fully qualified name. */
+  private def ordersTable(s: SparkSession, d: String): String =
+    built.getOrElseUpdate(d, {
+      if (s.conf.getOption("spark.sql.catalog.graft").isEmpty) {
+        s.conf.set("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft.warehouse",
+          "/tmp/graft_catalog_warehouse")
+      }
+      val ns = s"sf_${math.abs(d.hashCode)}"
+      val fqn = s"graft.$ns.orders_t"
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS graft.$ns")
+      val exists = s.sql(s"SHOW TABLES IN graft.$ns").collect()
+        .exists(_.getString(1) == "orders_t")
+      if (!exists) {
+        s.sql(
+          s"""CREATE TABLE $fqn (
+             |  o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING,
+             |  o_orderpriority STRING, o_totalprice DOUBLE, o_orderdate DATE)
+             |TBLPROPERTIES('keyCols'='o_orderkey', 'numRegions'='16')"""
+            .stripMargin)
+        val v = s"orders_cat_src_${math.abs(d.hashCode)}"
+        s.read.parquet(s"$d/orders.parquet")
+          .select("o_orderkey", "o_custkey", "o_orderstatus",
+            "o_orderpriority", "o_totalprice", "o_orderdate")
+          .createOrReplaceTempView(v)
+        s.sql(s"INSERT INTO $fqn SELECT * FROM $v")
+      }
+      fqn
+    })
+
+  /** Point lookup: prunes to 1 of 16 regions (KeyRanges + manifest). */
+  val pointLookup: Q = (s, d) => s.sql(
+    s"""SELECT o_orderkey, o_custkey, o_orderstatus,
+       |       round(o_totalprice, 2) AS price,
+       |       date_format(o_orderdate, 'yyyy-MM-dd') AS odate
+       |FROM ${ordersTable(s, d)} WHERE o_orderkey = 100""".stripMargin)
+
+  /** Key-range scan through region pruning + parquet row-group skip. */
+  val rangeScan: Q = (s, d) => s.sql(
+    s"""SELECT o_orderkey, o_custkey, o_orderstatus
+       |FROM ${ordersTable(s, d)}
+       |WHERE o_orderkey BETWEEN 100 AND 200""".stripMargin)
+
+  /** Disjunctive key predicate + aggregation above the pruned scan. */
+  val keyAgg: Q = (s, d) => s.sql(
+    s"""SELECT o_orderstatus, count(*) AS cnt,
+       |       round(sum(o_totalprice), 2) AS total
+       |FROM ${ordersTable(s, d)}
+       |WHERE o_orderkey <= 500 OR o_orderkey > 1400
+       |GROUP BY o_orderstatus""".stripMargin)
+
+  /** Non-key (cell) predicate: regions cannot be pruned, parquet
+    * row-group stats + residual filtering take over. */
+  val cellFilter: Q = (s, d) => s.sql(
+    s"""SELECT o_orderpriority, count(*) AS cnt
+       |FROM ${ordersTable(s, d)}
+       |WHERE o_totalprice > 200000 AND o_orderstatus = 'F'
+       |GROUP BY o_orderpriority""".stripMargin)
+
+  /** Join catalog table against a parquet table (the reference's
+    * cross-source test, HBaseAdditionalQuerySuite join w/ parquet). */
+  val joinParquet: Q = (s, d) => {
+    val v = s"cust_cat_${math.abs(d.hashCode)}"
+    s.read.parquet(s"$d/customer.parquet").createOrReplaceTempView(v)
+    s.sql(
+      s"""SELECT c.c_mktsegment AS seg, count(*) AS cnt,
+         |       round(sum(o.o_totalprice), 2) AS total
+         |FROM ${ordersTable(s, d)} o JOIN $v c ON o.o_custkey = c.c_custkey
+         |WHERE o.o_orderkey <= 3000
+         |GROUP BY c.c_mktsegment""".stripMargin)
+  }
+
+  val queries: Map[String, Q] = Map(
+    "catalog_point_lookup" -> pointLookup,
+    "catalog_range_scan" -> rangeScan,
+    "catalog_key_agg" -> keyAgg,
+    "catalog_cell_filter" -> cellFilter,
+    "catalog_join_parquet" -> joinParquet,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "catalog_point_lookup" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+        |       round(o_totalprice, 2) AS price,
+        |       strftime(o_orderdate, '%Y-%m-%d') AS odate
+        |FROM orders WHERE o_orderkey = 100""".stripMargin,
+
+    "catalog_range_scan" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus
+        |FROM orders WHERE o_orderkey BETWEEN 100 AND 200""".stripMargin,
+
+    "catalog_key_agg" ->
+      """SELECT o_orderstatus, count(*) AS cnt,
+        |       round(sum(o_totalprice), 2) AS total
+        |FROM orders WHERE o_orderkey <= 500 OR o_orderkey > 1400
+        |GROUP BY o_orderstatus""".stripMargin,
+
+    "catalog_cell_filter" ->
+      """SELECT o_orderpriority, count(*) AS cnt
+        |FROM orders WHERE o_totalprice > 200000 AND o_orderstatus = 'F'
+        |GROUP BY o_orderpriority""".stripMargin,
+
+    "catalog_join_parquet" ->
+      """SELECT c.c_mktsegment AS seg, count(*) AS cnt,
+        |       round(sum(o.o_totalprice), 2) AS total
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE o.o_orderkey <= 3000
+        |GROUP BY c.c_mktsegment""".stripMargin,
+  )
+}

@@ -13,6 +13,9 @@ object TestSpark {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
+      .config("spark.sql.catalog.graft.warehouse",
+        s"/tmp/graft_test_warehouse_${ProcessHandle.current().pid()}")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

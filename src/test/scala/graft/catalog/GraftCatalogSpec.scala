@@ -1,0 +1,182 @@
+package graft.catalog
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import graft.TestSpark
+
+/** End-to-end DDL → bulk insert → pruned scan through the V2 catalog. */
+class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sfDir
+
+  override def beforeAll(): Unit = {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.t1")
+  }
+
+  test("create table requires keyCols") {
+    val e = intercept[Exception] {
+      spark.sql("CREATE TABLE graft.t1.bad (a INT, b STRING)")
+    }
+    assert(e.getMessage.contains("keyCols"))
+  }
+
+  test("create, describe, insert, select round trip") {
+    spark.sql("DROP TABLE IF EXISTS graft.t1.orders_t")
+    spark.sql(
+      """CREATE TABLE graft.t1.orders_t (
+        |  o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING,
+        |  o_totalprice DOUBLE, o_orderdate DATE)
+        |TBLPROPERTIES('keyCols'='o_orderkey', 'numRegions'='8')""".stripMargin)
+    assert(spark.sql("SHOW TABLES IN graft.t1").collect()
+      .map(_.getString(1)).contains("orders_t"))
+
+    spark.read.parquet(s"$sf/orders.parquet")
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate")
+      .createOrReplaceTempView("orders_src")
+    spark.sql("INSERT INTO graft.t1.orders_t SELECT * FROM orders_src")
+
+    val n = spark.table("graft.t1.orders_t").count()
+    val expected = spark.table("orders_src").count()
+    assert(n == expected)
+
+    // point lookup matches the parquet source
+    val got = spark.sql(
+      "SELECT o_custkey FROM graft.t1.orders_t WHERE o_orderkey = 100")
+      .collect().map(_.getLong(0)).toSeq
+    val want = spark.sql(
+      "SELECT o_custkey FROM orders_src WHERE o_orderkey = 100")
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == want)
+  }
+
+  test("write produced multiple key-sorted disjoint regions") {
+    val cat = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[GraftCatalog]
+    val t = cat.loadTable(org.apache.spark.sql.connector.catalog.Identifier
+      .of(Array("t1"), "orders_t")).asInstanceOf[GraftTable]
+    val regions = TableMeta.loadRegions(t.tableDir)
+    assert(regions.size > 1, s"expected multiple regions, got ${regions.size}")
+    // each region's [min,max] in hex; sorted and pairwise disjoint
+    val sorted = regions.sortBy(_.mins.head)
+    sorted.sliding(2).foreach {
+      case Seq(a, b) => assert(a.maxs.head <= b.mins.head,
+        s"overlapping regions: ${a.maxs.head} vs ${b.mins.head}")
+      case _ =>
+    }
+    // rows inside each file are sorted by the key
+    val f = new java.io.File(t.tableDir, sorted.head.file).getPath
+    val keys = spark.read.parquet(f).select("o_orderkey")
+      .collect().map(_.getLong(0)).toSeq
+    assert(keys == keys.sorted)
+  }
+
+  test("region pruning selects a strict subset for key predicates") {
+    val cat = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[GraftCatalog]
+    val t = cat.loadTable(org.apache.spark.sql.connector.catalog.Identifier
+      .of(Array("t1"), "orders_t")).asInstanceOf[GraftTable]
+    val total = TableMeta.loadRegions(t.tableDir).size
+
+    def planned(filters: Array[sources.Filter]): Int = {
+      val b = t.newScanBuilder(CaseInsensitiveStringMap.empty())
+        .asInstanceOf[GraftScanBuilder]
+      b.pushFilters(filters)
+      b.build().asInstanceOf[GraftScan].planInputPartitions().length
+    }
+    assert(planned(Array(sources.EqualTo("o_orderkey", 100L))) == 1)
+    assert(planned(Array(sources.LessThan("o_orderkey", 5L))) <= 2)
+    assert(planned(Array.empty) == total)
+    // IS NULL on a key column proves empty (keys are non-null)
+    assert(planned(Array(sources.IsNull("o_orderkey"))) == 0)
+  }
+
+  test("aggregation and join over the catalog table match parquet") {
+    val viaCatalog = spark.sql(
+      """SELECT o_orderstatus, count(*) AS cnt,
+        |       round(sum(o_totalprice), 2) AS total
+        |FROM graft.t1.orders_t WHERE o_orderkey <= 500
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+      .collect().map(_.toSeq).toSeq
+    val viaParquet = spark.sql(
+      """SELECT o_orderstatus, count(*) AS cnt,
+        |       round(sum(o_totalprice), 2) AS total
+        |FROM orders_src WHERE o_orderkey <= 500
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+      .collect().map(_.toSeq).toSeq
+    assert(viaCatalog == viaParquet)
+  }
+
+  test("null key values are rejected at write time") {
+    spark.sql("DROP TABLE IF EXISTS graft.t1.nullkey")
+    spark.sql(
+      """CREATE TABLE graft.t1.nullkey (k INT, v STRING)
+        |TBLPROPERTIES('keyCols'='k')""".stripMargin)
+    val e = intercept[Exception] {
+      spark.sql("INSERT INTO graft.t1.nullkey VALUES (1, 'a'), (NULL, 'b')")
+    }
+    assert(e.getMessage != null)
+    spark.sql("DROP TABLE graft.t1.nullkey")
+  }
+
+  test("alter table add/drop non-key column; key column drop rejected") {
+    spark.sql("DROP TABLE IF EXISTS graft.t1.alt")
+    spark.sql(
+      """CREATE TABLE graft.t1.alt (k INT, v STRING)
+        |TBLPROPERTIES('keyCols'='k')""".stripMargin)
+    spark.sql("INSERT INTO graft.t1.alt VALUES (1, 'a')")
+    spark.sql("ALTER TABLE graft.t1.alt ADD COLUMN extra DOUBLE")
+    // old files lack the new column -> reads as null
+    val r = spark.sql("SELECT k, v, extra FROM graft.t1.alt").collect()
+    assert(r.length == 1 && r.head.isNullAt(2))
+    spark.sql("INSERT INTO graft.t1.alt VALUES (2, 'b', 3.5)")
+    val r2 = spark.sql("SELECT extra FROM graft.t1.alt WHERE k = 2").collect()
+    assert(r2.head.getDouble(0) == 3.5)
+    spark.sql("ALTER TABLE graft.t1.alt DROP COLUMN extra")
+    assert(!spark.table("graft.t1.alt").columns.contains("extra"))
+    val e = intercept[Exception] {
+      spark.sql("ALTER TABLE graft.t1.alt DROP COLUMN k")
+    }
+    assert(e.getMessage.contains("key column"))
+    spark.sql("DROP TABLE graft.t1.alt")
+  }
+
+  test("composite string+numeric key with date/timestamp columns") {
+    spark.sql("DROP TABLE IF EXISTS graft.t1.comp")
+    spark.sql(
+      """CREATE TABLE graft.t1.comp (
+        |  name STRING, seq INT, d DATE, ts TIMESTAMP, v DOUBLE)
+        |TBLPROPERTIES('keyCols'='name;seq')""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft.t1.comp VALUES
+        |('b', 2, DATE'2020-01-02', TIMESTAMP'2020-01-02 03:04:05.123456', 2.0),
+        |('a', 1, DATE'2020-01-01', TIMESTAMP'2020-01-01 00:00:00', 1.0),
+        |('a', 2, NULL, NULL, NULL)""".stripMargin)
+    val rows = spark.sql(
+      "SELECT name, seq, CAST(d AS STRING), CAST(ts AS STRING), v " +
+        "FROM graft.t1.comp ORDER BY name, seq").collect()
+    assert(rows.length == 3)
+    assert(rows(0).getString(0) == "a" && rows(0).getInt(1) == 1)
+    assert(rows(0).getString(2) == "2020-01-01")
+    assert(rows(1).isNullAt(2) && rows(1).isNullAt(3) && rows(1).isNullAt(4))
+    assert(rows(2).getString(3) == "2020-01-02 03:04:05.123456")
+    // prune on the first key dimension only (prefix predicate)
+    val a = spark.sql("SELECT count(*) FROM graft.t1.comp WHERE name = 'a'")
+      .collect().head.getLong(0)
+    assert(a == 2)
+    spark.sql("DROP TABLE graft.t1.comp")
+  }
+
+  test("drop table and namespace") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.t2")
+    spark.sql(
+      """CREATE TABLE graft.t2.tmp (k INT) TBLPROPERTIES('keyCols'='k')""")
+    assert(spark.sql("SHOW TABLES IN graft.t2").count() == 1)
+    spark.sql("DROP TABLE graft.t2.tmp")
+    assert(spark.sql("SHOW TABLES IN graft.t2").count() == 0)
+    spark.sql("DROP NAMESPACE graft.t2")
+  }
+}
