@@ -46,6 +46,8 @@ object Relational {
     * (set in Verify/Bench/tests) it arrives as a long we convert to a
     * µs timestamp; integer DIV keeps full precision (ns-since-epoch
     * exceeds a double's 2^53 mantissa). */
+  private[operators] def events(s: SparkSession, d: String): DataFrame =
+    ev(s, d)
   private def ev(s: SparkSession, d: String): DataFrame = {
     val df = T(s, d, "events")
     df.schema("ts").dataType match {

@@ -12,7 +12,7 @@ class QueriesSpec extends AnyFunSuite {
 
   // queries that legitimately return zero rows at tiny scale
   private val mayBeEmpty = Set("except", "text_jaccard_pairs",
-    "dedup_minhash_pairs", "join_anti")
+    "dedup_minhash_pairs", "join_anti", "subquery_not_exists")
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"query $name runs and returns a sane shape") {
