@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, IntegerLiteral}
+import graft.functions.{MinHashSig, SimHash64, VecCosine, VecDot}
+
+/** Session extension wiring the graft native functions into SQL.
+  *
+  * The reference extends the session by forking `SparkSession`
+  * (/root/reference `HBaseSparkSession.scala:33-47`, a Spark-2 pattern);
+  * the Spark-4-sanctioned equivalent is `SparkSessionExtensions`:
+  * {{{
+  *   spark.sql.extensions = graft.GraftExtensions
+  *   spark.sql.catalog.graft = graft.catalog.GraftCatalog
+  * }}}
+  * after which `vec_cosine`, `vec_dot`, `minhash_sig(arr[, k])`,
+  * `simhash64` are plain SQL functions.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, clazz: Class[_]): ExpressionInfo =
+    new ExpressionInfo(clazz.getName, name)
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((FunctionIdentifier("vec_cosine"),
+      info("vec_cosine", classOf[VecCosine]),
+      (args: Seq[Expression]) => VecCosine(args(0), args(1))))
+    ext.injectFunction((FunctionIdentifier("vec_dot"),
+      info("vec_dot", classOf[VecDot]),
+      (args: Seq[Expression]) => VecDot(args(0), args(1))))
+    ext.injectFunction((FunctionIdentifier("minhash_sig"),
+      info("minhash_sig", classOf[MinHashSig]),
+      (args: Seq[Expression]) => args match {
+        case Seq(a) => MinHashSig(a, 64)
+        case Seq(a, IntegerLiteral(k)) => MinHashSig(a, k)
+        case _ => throw new IllegalArgumentException(
+          "minhash_sig(shingles[, numPerm]) expects a literal numPerm")
+      }))
+    ext.injectFunction((FunctionIdentifier("simhash64"),
+      info("simhash64", classOf[SimHash64]),
+      (args: Seq[Expression]) => SimHash64(args(0))))
+  }
+}

@@ -20,7 +20,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ TextOps.queries ++ StoreQueries.queries ++
-      CatalogQueries.queries ++ Extended.queries
+      CatalogQueries.queries ++ Extended.queries ++ Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys (non-SQL-expressible ops,
@@ -28,5 +28,5 @@ object SparkEntry {
     * check. */
   def oracleSql: Map[String, String] =
     RelationalOracles.oracles ++ TextOps.oracles ++ StoreQueries.oracles ++
-      CatalogQueries.oracles ++ Extended.oracles
+      CatalogQueries.oracles ++ Extended.oracles ++ Multimodal.oracles
 }

@@ -103,4 +103,44 @@ object Multimodal {
       .groupBy(col("kind"))
       .agg(count(lit(1)).as("n"),
         avg(col("width")).as("avg_w"), avg(col("height")).as("avg_h"))
+
+  // ---------------------------------------------------- driver-gate queries
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // metadata query never touches the binary payload column
+    "multimodal_meta" -> ((s, d) =>
+      metaStats(mediaTable(s, d))
+        .select(col("kind"), col("n"),
+          round(col("avg_w"), 4).as("avg_w"),
+          round(col("avg_h"), 4).as("avg_h"))),
+    // stubbed decode+pool over mapPartitions — deterministic fake,
+    // no SQL equivalent → rows-only check
+    "multimodal_features" -> ((s, d) =>
+      extractFeatures(mediaTable(s, d)).toDF()
+        .select(col("media_id"), col("kind"), col("n_bytes"),
+          round(element_at(col("features"), 1), 4).as("f0"))),
+    // frame sampling count contract is SQL-expressible
+    "multimodal_frames" -> ((s, d) =>
+      sampleFrames(mediaTable(s, d), 16)
+        .agg(count(lit(1)).as("n_frames"),
+          countDistinct(col("media_id")).as("n_media"))),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "multimodal_meta" ->
+      """SELECT CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END
+        |         AS kind,
+        |       count(*) AS n,
+        |       round(avg(n_chars % 64 + 16), 4) AS avg_w,
+        |       round(avg(n_chars % 48 + 16), 4) AS avg_h
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "multimodal_frames" ->
+      """SELECT CAST(sum(least(8, (n_chars - 1) // 16 + 1)) AS BIGINT)
+        |         AS n_frames,
+        |       count(*) AS n_media
+        |FROM documents""".stripMargin,
+  )
 }

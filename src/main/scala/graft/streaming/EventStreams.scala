@@ -96,6 +96,40 @@ object EventStreams {
       }
   }
 
+  /** Watermarked stream-stream interval join: every click paired with
+    * the same user's views in the preceding 30 minutes. Both sides carry
+    * watermarks so join state is bounded (late rows beyond 1 h dropped) —
+    * the streaming face of the batch as-of/range joins in
+    * [[graft.operators.Extended]]. */
+  def clickViewJoin(events: DataFrame): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
+      .withWatermark("v_ts", "1 hour")
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id"))
+      .withWatermark("c_ts", "1 hour")
+    clicks.join(views, expr(
+      """c_user = v_user AND
+        |v_ts BETWEEN c_ts - INTERVAL 30 MINUTES AND c_ts""".stripMargin))
+      .select(col("event_id"), col("c_user").as("user_id"),
+        col("c_ts"), col("v_ts"))
+  }
+
+  /** Streaming ingest into a graft catalog table: each micro-batch runs
+    * the table's range-shuffled sorted bulk append (foreachBatch → V2
+    * write), i.e. continuous bulk load into the key-sorted store. */
+  def streamIntoTable(spark: SparkSession, events: DataFrame,
+      tableFqn: String): Unit = {
+    val q = events.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.writeTo(tableFqn).append()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+  }
+
   /** Run any of the above to completion against the file-backed stream
     * and return the final result as a batch DataFrame (memory sink). */
   def runToBatch(spark: SparkSession, streamed: DataFrame, name: String,

@@ -66,6 +66,59 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(got.count() == batchEvents.select("event_id").distinct().count())
   }
 
+  test("sliding window stream equals batch aggregation up to watermark") {
+    val stream = EventStreams.asStream(spark, TestSpark.sfDir)
+    val got = EventStreams.runToBatch(spark,
+      EventStreams.slidingCounts(stream), "t_sliding")
+    val exp = batchEvents
+      .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"), col("event_type"), col("cnt"))
+      .filter(col("window_end") <= lit(horizon))
+    val gotClosed = got.filter(
+      col("window_start") + expr("INTERVAL 2 HOURS") <= lit(horizon))
+    assert(gotClosed.select("window_start", "event_type", "cnt")
+      .collect().toSet ==
+      exp.select("window_start", "event_type", "cnt").collect().toSet)
+  }
+
+  test("stream-stream interval join matches the batch join") {
+    val stream = EventStreams.asStream(spark, TestSpark.sfDir)
+    val got = EventStreams.runToBatch(spark,
+      EventStreams.clickViewJoin(stream), "t_ssjoin")
+    val views = batchEvents.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
+    val clicks = batchEvents.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id"))
+    val exp = clicks.join(views, expr(
+      "c_user = v_user AND v_ts BETWEEN c_ts - INTERVAL 30 MINUTES AND c_ts"))
+    assert(got.count() == exp.count())
+    assert(got.count() > 0)
+  }
+
+  test("streaming ingest into a graft catalog table (continuous bulk load)") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.stream")
+    spark.sql("DROP TABLE IF EXISTS graft.stream.events_t")
+    spark.sql(
+      """CREATE TABLE graft.stream.events_t (
+        |  event_id BIGINT, ts TIMESTAMP, user_id BIGINT,
+        |  event_type STRING, value DOUBLE)
+        |TBLPROPERTIES('keyCols'='event_id', 'numRegions'='4')""".stripMargin)
+    val stream = EventStreams.asStream(spark, TestSpark.sfDir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    EventStreams.streamIntoTable(spark, stream, "graft.stream.events_t")
+    val n = spark.table("graft.stream.events_t").count()
+    assert(n == batchEvents.count())
+    // point lookup through region pruning still works on streamed data
+    val one = spark.sql(
+      "SELECT event_type FROM graft.stream.events_t WHERE event_id = 10")
+      .collect()
+    assert(one.length == 1)
+    spark.sql("DROP TABLE graft.stream.events_t")
+  }
+
   test("flatMapGroupsWithState running totals match batch group-by") {
     val stream = EventStreams.asStream(spark, TestSpark.sfDir)
     val got = EventStreams.runToBatch(spark,
