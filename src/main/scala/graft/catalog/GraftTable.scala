@@ -6,6 +6,7 @@ import java.util.OptionalLong
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
@@ -130,7 +131,8 @@ class GraftScanBuilder(tableDir: File, meta: TableMeta)
 
 class GraftScan(tableDir: File, meta: TableMeta, required: StructType,
     filters: Array[sources.Filter])
-    extends Scan with Batch with SupportsReportStatistics {
+    extends Scan with Batch with SupportsReportStatistics
+    with SupportsReportOrdering {
 
   private val dims: Map[String, (Int, DataType)] =
     meta.keyCols.zipWithIndex.map { case (k, i) =>
@@ -162,6 +164,20 @@ class GraftScan(tableDir: File, meta: TableMeta, required: StructType,
         .sum.max(1L))
     override def numRows(): OptionalLong =
       OptionalLong.of(selectedRegions.map(_.rows).sum)
+  }
+
+  /** Region files are written key-sorted (RequiresDistributionAndOrdering
+    * on the write side), so each partition reads in composite-key order —
+    * reported so Spark elides local sorts on key prefixes (the rebuild of
+    * the reference's declared scan ordering, HBaseSQLTableScan.scala:41-47).
+    * Only reported when every key column survives column pruning. */
+  override def outputOrdering(): Array[connector.expressions.SortOrder] = {
+    val have = required.fieldNames.map(_.toLowerCase).toSet
+    if (meta.keyCols.forall(k => have.contains(k.toLowerCase)))
+      meta.keyCols.map(k => connector.expressions.Expressions.sort(
+        connector.expressions.Expressions.column(k),
+        connector.expressions.SortDirection.ASCENDING)).toArray
+    else Array.empty
   }
 
   override def description(): String =

@@ -218,6 +218,32 @@ object TextOps {
       .select(col("da"), col("db"), col("dist"))
   }
 
+  // ------------------------------------------------------ char n-gram Jaccard
+
+  /** Character-3-gram Jaccard near-dup pairs (the shingle-level
+    * complement of the word-level [[jaccardPairs]]). Verification path
+    * bounded to doc_id < 200; the MinHash/LSH band join is the scale
+    * path for both. */
+  val ngramJaccardPairs: Q = (s, d) => {
+    val g = docs(s, d)
+      .filter(col("doc_id") < 200)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        """transform(sequence(1, greatest(length(text) - 2, 1)),
+          |          i -> substring(text, i, 3))""".stripMargin))).as("gram"))
+    val sz = g.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val shared = g.select(col("doc_id").as("da"), col("gram"))
+      .join(g.select(col("doc_id").as("db"), col("gram")), "gram")
+      .filter(col("da") < col("db"))
+      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("shared"))
+    shared
+      .join(sz.select(col("doc_id").as("da"), col("n").as("na")), "da")
+      .join(sz.select(col("doc_id").as("db"), col("n").as("nb")), "db")
+      .withColumn("jaccard",
+        round(col("shared") / (col("na") + col("nb") - col("shared")), 4))
+      .filter(col("jaccard") >= 0.8)
+      .select(col("da"), col("db"), col("jaccard"))
+  }
+
   // ------------------------------------------------------- cosine similarity
 
   /** Brute-force cosine top-k against one query vector (vec_id 0):
@@ -251,15 +277,16 @@ object TextOps {
       .select(col("va"), col("vb"), col("sim"))
   }
 
-  /** Random-hyperplane LSH bucketing for cosine ANN at scale: 16 signed
-    * projections (seeded xxhash64 pseudo-random planes) → bucket key;
-    * candidates only join within a bucket. Rows-only check (the exact
-    * pair set is the oracle's job, see [[annCosinePairs]]). */
-  def annLshBuckets(s: SparkSession, d: String): DataFrame =
+  /** Random-hyperplane LSH bucketing for cosine ANN at scale: nPlanes
+    * signed projections (seeded xxhash64 pseudo-random planes) → bucket
+    * key; candidates only join within a bucket. Rows-only check (the
+    * exact pair set is the oracle's job, see [[annCosinePairs]]). */
+  def annLshBuckets(s: SparkSession, d: String,
+      nPlanes: Int = 16): DataFrame =
     emb(s, d)
       .withColumn("ed", expr("cast(embedding AS ARRAY<DOUBLE>)"))
       .withColumn("bucket", expr(
-        """aggregate(sequence(0, 15), 0L, (acc, p) ->
+        s"""aggregate(sequence(0, ${nPlanes - 1}), 0L, (acc, p) ->
           |  acc | (CASE WHEN aggregate(
           |    zip_with(ed, sequence(0, size(ed) - 1),
           |      (x, i) -> x * (cast(xxhash64(p * 1024 + i) % 1000 AS DOUBLE)
@@ -267,6 +294,28 @@ object TextOps {
           |    0D, (a2, v) -> a2 + v) > 0D
           |    THEN shiftleft(1L, p) ELSE 0L END))""".stripMargin))
       .select(col("vec_id"), col("label"), col("bucket"))
+
+  /** Multi-probe LSH ANN: coarse-quantize with 8 hyperplanes, probe all
+    * buckets within Hamming distance 2 of the query's bucket, exact
+    * cosine only on the probed candidates — the IVF-style scale path
+    * (probe set bounds work at ~14% of buckets vs the brute-force scan
+    * of [[annCosineTopk]], which is its accuracy oracle). */
+  val annIvfTopk: Q = (s, d) => {
+    val b = annLshBuckets(s, d, nPlanes = 8)
+    val qb = b.filter(col("vec_id") === 0)
+      .select(col("bucket").as("qbucket"))
+    val q = emb(s, d).filter(col("vec_id") === 0)
+      .select(col("embedding").as("qv"))
+    b.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(qb))
+      .filter(expr("bit_count(bucket ^ qbucket) <= 2"))
+      .join(emb(s, d), "vec_id")
+      .crossJoin(broadcast(q))
+      .withColumn("sim", round(VectorOps.cosine(col("embedding"), col("qv")), 4))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+      .limit(10)
+      .select(col("vec_id"), col("sim"))
+  }
 
   val annLsh: Q = (s, d) =>
     annLshBuckets(s, d)
@@ -290,6 +339,10 @@ object TextOps {
     "ann_cosine_topk" -> annCosineTopk,
     "ann_cosine_pairs" -> annCosinePairs,
     "ann_lsh" -> annLsh,
+    "ann_ivf_topk" -> annIvfTopk,
+    "text_ngram_jaccard" -> ngramJaccardPairs,
+    "dedup_simhash_pairs" -> ((s, d) =>
+      simhashPairsOn(docs(s, d).filter(col("doc_id") < 1000), 8)),
   )
 
   /** DuckDB oracles for the SQL-expressible subset. MinHash/SimHash/LSH
@@ -382,5 +435,26 @@ object TextOps {
         |WHERE round(list_cosine_similarity(
         |         cast(a.embedding AS DOUBLE[]),
         |         cast(b.embedding AS DOUBLE[])), 4) >= 0.3""".stripMargin,
+
+    "text_ngram_jaccard" ->
+      """WITH idx AS (SELECT doc_id, text,
+        |                     unnest(generate_series(1,
+        |                       greatest(length(text) - 2, 1))) AS i
+        |              FROM documents WHERE doc_id < 200),
+        |g AS (SELECT DISTINCT doc_id,
+        |             substr(text, CAST(i AS INT), 3) AS gram
+        |      FROM idx),
+        |sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
+        |sh AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS shared
+        |       FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |       GROUP BY 1, 2)
+        |SELECT da, db,
+        |       round(shared / cast(sa.n + sb.n - shared AS DOUBLE), 4)
+        |         AS jaccard
+        |FROM sh
+        |JOIN sz sa ON da = sa.doc_id
+        |JOIN sz sb ON db = sb.doc_id
+        |WHERE round(shared / cast(sa.n + sb.n - shared AS DOUBLE), 4) >= 0.8"""
+        .stripMargin,
   )
 }

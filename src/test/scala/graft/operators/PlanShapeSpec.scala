@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Physical-plan shape assertions: the plans behind the headline
+  * operators must stay the plans we designed for 100 TB — filters and
+  * projections reaching the parquet scan, small dimensions broadcast,
+  * top-k as TakeOrderedAndProject (no global sort), partial (map-side)
+  * aggregation, native kernels inside whole-stage codegen, and
+  * catalog scans pruned to the regions a key predicate selects. */
+class PlanShapeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sfDir
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("scan_project pushes filter and prunes columns at the parquet scan") {
+    val p = plan(Relational.scanProject(spark, sf))
+    assert(p.contains("PushedFilters"))
+    assert(p.contains("GreaterThan(l_quantity"))
+    // ReadSchema carries only the three projected columns
+    val read = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(read.contains("l_orderkey") && read.contains("l_quantity"))
+    assert(!read.contains("l_shipdate"))
+  }
+
+  test("join_multi broadcasts the three small dimensions") {
+    val p = plan(Relational.joinMulti(spark, sf))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,
+      s"expected >=3 broadcast joins:\n$p")
+  }
+
+  test("topk plans as TakeOrderedAndProject, not a global sort") {
+    val p = plan(Relational.topK(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("agg_q1 performs partial (map-side) aggregation") {
+    val p = plan(Relational.aggQ1(spark, sf))
+    assert(p.contains("partial_"), s"no partial aggregation in:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2)
+  }
+
+  test("cosine kernel runs inside whole-stage codegen") {
+    val df = TextOps.annCosinePairs(spark, sf)
+    df.collect() // finalize the adaptive plan
+    val p = plan(df)
+    assert(p.contains("vec_cosine"), p)
+    assert(p.contains("codegen id"), p) // inside a WholeStageCodegen stage
+  }
+
+  test("window_rank shuffles once on the partition key") {
+    val p = plan(Relational.windowRank(spark, sf))
+    assert("(?m)^\\s*(?:[+:]-)?\\s*\\+?- Exchange".r.findAllIn(p).size <= 1 &&
+      p.contains("hashpartitioning"), p)
+  }
+
+  test("catalog point query scans exactly one pruned region") {
+    CatalogQueries.pointLookup(spark, sf).collect() // builds table on demand
+    val p = plan(spark.sql(
+      s"SELECT * FROM graft.sf_${math.abs(sf.hashCode)}.orders_t " +
+        "WHERE o_orderkey = 100"))
+    assert(p.contains("regions=1"), s"expected 1-region scan:\n$p")
+  }
+
+  test("catalog full scan reads all regions; key IS NULL reads none") {
+    val t = s"graft.sf_${math.abs(sf.hashCode)}.orders_t"
+    CatalogQueries.pointLookup(spark, sf).collect()
+    val full = plan(spark.sql(s"SELECT * FROM $t"))
+    assert(full.contains("regions=16"), full)
+    val none = plan(spark.sql(s"SELECT * FROM $t WHERE o_orderkey IS NULL"))
+    assert(none.contains("regions=0"), none)
+  }
+}
