@@ -170,6 +170,45 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("DROP TABLE graft.t1.comp")
   }
 
+  test("UDF in WHERE stays residual and answers correctly") {
+    // reference: UDFs are never pushed down (ScanPredClassifier catch-all)
+    spark.udf.register("graft_is_even", (x: Long) => x % 2 == 0)
+    val got = spark.sql(
+      "SELECT count(*) FROM graft.t1.orders_t " +
+        "WHERE graft_is_even(o_orderkey) AND o_orderkey <= 100")
+      .collect().head.getLong(0)
+    val want = spark.sql(
+      "SELECT count(*) FROM orders_src " +
+        "WHERE o_orderkey % 2 = 0 AND o_orderkey <= 100")
+      .collect().head.getLong(0)
+    assert(got == want && got > 0)
+  }
+
+  test("131-region parallel bulk load (reference's largest region count)") {
+    spark.sql("DROP TABLE IF EXISTS graft.t1.orders_many")
+    spark.sql(
+      """CREATE TABLE graft.t1.orders_many (
+        |  o_orderkey BIGINT, o_totalprice DOUBLE)
+        |TBLPROPERTIES('keyCols'='o_orderkey', 'numRegions'='131')"""
+        .stripMargin)
+    spark.sql("INSERT INTO graft.t1.orders_many " +
+      "SELECT o_orderkey, o_totalprice FROM orders_src")
+    val cat = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[GraftCatalog]
+    val t = cat.loadTable(org.apache.spark.sql.connector.catalog.Identifier
+      .of(Array("t1"), "orders_many")).asInstanceOf[GraftTable]
+    val regions = TableMeta.loadRegions(t.tableDir)
+    assert(regions.size > 100, s"got ${regions.size} regions")
+    assert(regions.map(_.rows).sum ==
+      spark.table("orders_src").count())
+    // point lookup prunes to one of the many regions
+    val b = t.newScanBuilder(CaseInsensitiveStringMap.empty())
+      .asInstanceOf[GraftScanBuilder]
+    b.pushFilters(Array(sources.EqualTo("o_orderkey", 750L)))
+    assert(b.build().asInstanceOf[GraftScan].planInputPartitions().length == 1)
+    spark.sql("DROP TABLE graft.t1.orders_many")
+  }
+
   test("drop table and namespace") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.t2")
     spark.sql(
