@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, IntegerLiteral}
-import graft.functions.{MinHashSig, SimHash64, VecCosine, VecDot}
+import graft.functions.{LshBucket, MinHashSig, SimHash64, VecCosine, VecDot}
 
 /** Session extension wiring the graft native functions into SQL.
   *
@@ -40,5 +40,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("simhash64"),
       info("simhash64", classOf[SimHash64]),
       (args: Seq[Expression]) => SimHash64(args(0))))
+    ext.injectFunction((FunctionIdentifier("lsh_bucket"),
+      info("lsh_bucket", classOf[LshBucket]),
+      (args: Seq[Expression]) => args match {
+        case Seq(a) => LshBucket(a, 16)
+        case Seq(a, IntegerLiteral(k)) => LshBucket(a, k)
+        case _ => throw new IllegalArgumentException(
+          "lsh_bucket(vec[, nPlanes]) expects a literal nPlanes")
+      }))
   }
 }

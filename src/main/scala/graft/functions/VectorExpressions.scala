@@ -70,6 +70,28 @@ object VectorKernels {
     new GenericArrayData(sig)
   }
 
+  /** Random-hyperplane LSH bucket: bit p is the sign of the projection
+    * of the vector onto pseudo-random plane p (components derived from
+    * seeded xxhash of (p, i)). One fused pass, no per-plane array
+    * allocation. */
+  def lshBucket(x: ArrayData, nPlanes: Int, lf: Boolean): Long = {
+    val n = x.numElements()
+    var bucket = 0L
+    var p = 0
+    while (p < nPlanes) {
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        val xi = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+        acc += xi * ((XXH64.hashInt(p * 1024 + i, 42L) % 1000L).toDouble / 1000.0)
+        i += 1
+      }
+      if (acc > 0.0) bucket |= (1L << p)
+      p += 1
+    }
+    bucket
+  }
+
   /** 64-bit SimHash over token hashes: majority vote per bit using a
     * count array, one pass over the tokens. */
   def simhash64(tokens: ArrayData): Long = {
@@ -187,6 +209,27 @@ case class VecDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** lsh_bucket(vec, nPlanes) → BIGINT random-hyperplane bucket key. */
+case class LshBucket(child: Expression, nPlanes: Int)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    VecTypes.checkVec(prettyName, child)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "lsh_bucket"
+
+  override def nullSafeEval(in: Any): Any =
+    VectorKernels.lshBucket(in.asInstanceOf[ArrayData], nPlanes,
+      VecTypes.isFloat(child))
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.VectorKernels.lshBucket(" +
+        s"$a, $nPlanes, ${VecTypes.isFloat(child)});")
+
+  override protected def withNewChildInternal(newChild: Expression): LshBucket =
+    copy(child = newChild)
+}
+
 /** minhash_sig(shingles, numPerm) → ARRAY<BIGINT> signature. */
 case class MinHashSig(child: Expression, numPerm: Int)
     extends UnaryExpression {
@@ -233,6 +276,8 @@ object VectorOps {
     ColumnExpr.column(VecDot(ColumnExpr.expr(a), ColumnExpr.expr(b)))
   def minhashSig(shingles: Column, numPerm: Int): Column =
     ColumnExpr.column(MinHashSig(ColumnExpr.expr(shingles), numPerm))
+  def lshBucket(vec: Column, nPlanes: Int): Column =
+    ColumnExpr.column(LshBucket(ColumnExpr.expr(vec), nPlanes))
   def simhash64(tokens: Column): Column =
     ColumnExpr.column(SimHash64(ColumnExpr.expr(tokens)))
 

@@ -278,21 +278,14 @@ object TextOps {
   }
 
   /** Random-hyperplane LSH bucketing for cosine ANN at scale: nPlanes
-    * signed projections (seeded xxhash64 pseudo-random planes) → bucket
+    * signed projections (seeded-hash pseudo-random planes,
+    * [[graft.functions.LshBucket]] — fused codegen'd kernel) → bucket
     * key; candidates only join within a bucket. Rows-only check (the
     * exact pair set is the oracle's job, see [[annCosinePairs]]). */
   def annLshBuckets(s: SparkSession, d: String,
       nPlanes: Int = 16): DataFrame =
     emb(s, d)
-      .withColumn("ed", expr("cast(embedding AS ARRAY<DOUBLE>)"))
-      .withColumn("bucket", expr(
-        s"""aggregate(sequence(0, ${nPlanes - 1}), 0L, (acc, p) ->
-          |  acc | (CASE WHEN aggregate(
-          |    zip_with(ed, sequence(0, size(ed) - 1),
-          |      (x, i) -> x * (cast(xxhash64(p * 1024 + i) % 1000 AS DOUBLE)
-          |                     / 1000.0)),
-          |    0D, (a2, v) -> a2 + v) > 0D
-          |    THEN shiftleft(1L, p) ELSE 0L END))""".stripMargin))
+      .withColumn("bucket", VectorOps.lshBucket(col("embedding"), nPlanes))
       .select(col("vec_id"), col("label"), col("bucket"))
 
   /** Multi-probe LSH ANN: coarse-quantize with 8 hyperplanes, probe all
