@@ -111,10 +111,14 @@ object GraftFilters {
 
 class GraftScanBuilder(tableDir: File, meta: TableMeta)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
+
+  import org.apache.spark.sql.connector.expressions.aggregate._
+  import org.apache.spark.sql.connector.expressions.NamedReference
 
   private var required: StructType = meta.schema
   private var pushed: Array[sources.Filter] = Array.empty
+  private var aggPlan: Option[Seq[GraftAggScan.Spec]] = None
 
   override def pushFilters(filters: Array[sources.Filter])
       : Array[sources.Filter] = {
@@ -126,7 +130,130 @@ class GraftScanBuilder(tableDir: File, meta: TableMeta)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new GraftScan(tableDir, meta, required, pushed)
+  /** Metadata-answerable aggregation: COUNT(*) and MIN/MAX over key
+    * columns with no filter and no grouping come straight from the
+    * region manifest (per-region rows + per-dimension min/max) — zero
+    * data IO. This is the V2-sanctioned face of the reference's
+    * partial-aggregation-in-storage coprocessor (SURVEY §2.7), without
+    * a server process. */
+  private def analyzeAgg(agg: Aggregation): Option[Seq[GraftAggScan.Spec]] = {
+    if (pushed.nonEmpty || agg.groupByExpressions.nonEmpty) return None
+    val keyDim = meta.keyCols.map(_.toLowerCase).zipWithIndex.toMap
+    def dimOf(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[Int] = e match {
+      case r: NamedReference if r.fieldNames.length == 1 =>
+        keyDim.get(r.fieldNames.head.toLowerCase)
+      case _ => None
+    }
+    val specs = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar => Some(GraftAggScan.CountAll)
+      case m: Min => dimOf(m.column).map(GraftAggScan.KeyMin)
+      case m: Max => dimOf(m.column).map(GraftAggScan.KeyMax)
+      case _ => None
+    }
+    if (specs.forall(_.isDefined)) Some(specs.flatten) else None
+  }
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    analyzeAgg(agg).isDefined
+
+  override def pushAggregation(agg: Aggregation): Boolean =
+    analyzeAgg(agg) match {
+      case Some(s) => aggPlan = Some(s); true
+      case None => false
+    }
+
+  override def build(): Scan = aggPlan match {
+    case Some(specs) => new GraftAggScan(tableDir, meta, specs)
+    case None => new GraftScan(tableDir, meta, required, pushed)
+  }
+}
+
+/** Manifest-answered aggregate scan: one partition, one row, no data
+  * file reads. Values are computed on the driver at planning time and
+  * shipped inside the InputPartition. */
+object GraftAggScan {
+  sealed trait Spec extends Serializable
+  case object CountAll extends Spec
+  final case class KeyMin(dim: Int) extends Spec
+  final case class KeyMax(dim: Int) extends Spec
+}
+
+class GraftAggScan(tableDir: File, meta: TableMeta,
+    specs: Seq[GraftAggScan.Spec]) extends Scan with Batch {
+  import GraftAggScan._
+
+  private val keyTypes = meta.keyTypes
+
+  override def readSchema(): StructType = StructType(specs.zipWithIndex.map {
+    case (CountAll, i) => StructField(s"agg_$i", LongType, nullable = false)
+    case (KeyMin(d), i) => StructField(s"agg_$i", keyTypes(d), nullable = true)
+    case (KeyMax(d), i) => StructField(s"agg_$i", keyTypes(d), nullable = true)
+  })
+
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val regions = TableMeta.loadRegions(tableDir)
+    // (countValue | minHex | maxHex, type json) per spec, driver-computed
+    val cells: Seq[(String, String)] = specs.map {
+      case CountAll => (regions.map(_.rows).sum.toString, "")
+      case KeyMin(d) =>
+        val mins = regions.map(_.mins(d)).filter(_.nonEmpty)
+        (if (mins.isEmpty) "" else mins.minBy(KeyCodec.fromHex)(
+          Ordering.fromLessThan((a: Array[Byte], b: Array[Byte]) =>
+            KeyCodec.compare(a, b) < 0)), keyTypes(d).json)
+      case KeyMax(d) =>
+        val maxs = regions.map(_.maxs(d)).filter(_.nonEmpty)
+        (if (maxs.isEmpty) "" else maxs.maxBy(KeyCodec.fromHex)(
+          Ordering.fromLessThan((a: Array[Byte], b: Array[Byte]) =>
+            KeyCodec.compare(a, b) < 0)), keyTypes(d).json)
+    }
+    Array(GraftAggInputPartition(cells.map(_._1).toArray,
+      cells.map(_._2).toArray))
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    GraftAggReaderFactory()
+
+  override def description(): String =
+    s"GraftAggScan ${tableDir.getName} manifest-only specs=$specs"
+}
+
+final case class GraftAggInputPartition(cells: Array[String],
+    typeJsons: Array[String]) extends InputPartition
+
+final case class GraftAggReaderFactory() extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition)
+      : PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[GraftAggInputPartition]
+    new PartitionReader[InternalRow] {
+      private var emitted = false
+      override def next(): Boolean = !emitted && { emitted = true; true }
+      override def get(): InternalRow = {
+        val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          p.cells.length)
+        p.cells.indices.foreach { i =>
+          if (p.typeJsons(i).isEmpty) {
+            row.setLong(i, p.cells(i).toLong) // CountAll
+          } else if (p.cells(i).isEmpty) {
+            row.setNullAt(i) // min/max of an empty table
+          } else {
+            val dt = DataType.fromJson(p.typeJsons(i))
+            val bytes = KeyCodec.fromHex(p.cells(i))
+            val v = KeyCodec.decode(dt, bytes, 0, bytes.length)
+            row.update(i, v match {
+              case s: String =>
+                org.apache.spark.unsafe.types.UTF8String.fromString(s)
+              case other => other
+            })
+          }
+        }
+        row
+      }
+      override def close(): Unit = ()
+    }
+  }
 }
 
 class GraftScan(tableDir: File, meta: TableMeta, required: StructType,

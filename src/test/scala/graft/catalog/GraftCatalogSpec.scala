@@ -170,6 +170,34 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("DROP TABLE graft.t1.comp")
   }
 
+  test("count/min/max on keys answered from the manifest (agg pushdown)") {
+    val df = spark.sql("SELECT count(*) AS c, min(o_orderkey) AS mn, " +
+      "max(o_orderkey) AS mx FROM graft.t1.orders_t")
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("simple"))
+    assert(p.contains("GraftAggScan"), s"aggregate not pushed:\n$p")
+    val r = df.collect().head
+    val e = spark.sql("SELECT count(*), min(o_orderkey), max(o_orderkey) " +
+      "FROM orders_src").collect().head
+    assert(r.getLong(0) == e.getLong(0))
+    assert(r.getLong(1) == e.getLong(1) && r.getLong(2) == e.getLong(2))
+    // with a filter the pushdown must NOT trigger; result stays correct
+    val f = spark.sql("SELECT count(*) FROM graft.t1.orders_t " +
+      "WHERE o_orderkey <= 100")
+    assert(!f.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("simple"))
+      .contains("GraftAggScan"))
+    assert(f.collect().head.getLong(0) ==
+      spark.sql("SELECT count(*) FROM orders_src WHERE o_orderkey <= 100")
+        .collect().head.getLong(0))
+    // avg is not metadata-answerable -> falls back to a real scan
+    val a = spark.sql(
+      "SELECT round(avg(o_totalprice), 2) FROM graft.t1.orders_t")
+    assert(a.collect().head.getDouble(0) ==
+      spark.sql("SELECT round(avg(o_totalprice), 2) FROM orders_src")
+        .collect().head.getDouble(0))
+  }
+
   test("UDF in WHERE stays residual and answers correctly") {
     // reference: UDFs are never pushed down (ScanPredClassifier catch-all)
     spark.udf.register("graft_is_even", (x: Long) => x % 2 == 0)
