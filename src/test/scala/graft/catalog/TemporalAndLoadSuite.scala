@@ -1,0 +1,96 @@
+package graft.catalog
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Reference golden behaviors for temporal key columns and nullable
+  * CSV bulk load (/root/reference HBaseBasicOperationSuite.scala:41-81,
+  * HBaseBulkLoadIntoTableSuite.scala:173-277). Each single-row INSERT
+  * commits its own region file, so these also exercise manifest growth
+  * across commits and scans that merge many tiny regions. */
+class TemporalAndLoadSuite extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("DateType key: range predicates and order by over encoded dates") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.op")
+    spark.sql("DROP TABLE IF EXISTS graft.op.date_table")
+    spark.sql(
+      """CREATE TABLE graft.op.date_table (c1 DATE, c2 DATE)
+        |TBLPROPERTIES('keyCols'='c1', 'nonKeyCols'='c2,f,c')""".stripMargin)
+    spark.sql("INSERT INTO graft.op.date_table VALUES " +
+      "(DATE'2010-12-31', DATE'2010-01-01')")
+    spark.sql("INSERT INTO graft.op.date_table VALUES " +
+      "(DATE'2011-12-31', DATE'2011-01-01')")
+    spark.sql("INSERT INTO graft.op.date_table VALUES " +
+      "(DATE'2012-12-31', DATE'2012-01-01')")
+
+    val r1 = spark.sql("SELECT * FROM graft.op.date_table " +
+      "WHERE c1 < CAST('2012-12-31' AS DATE) ORDER BY c2 DESC").collect()
+    assert(r1.length == 2)
+
+    val r2 = spark.sql(
+      "SELECT date_format(c1, 'yyyy-MM-dd') AS d1, " +
+        "date_format(c2, 'yyyy-MM-dd') AS d2 FROM graft.op.date_table " +
+        "WHERE c2 < CAST('2012-01-01' AS DATE) ORDER BY c2 DESC").collect()
+    assert(r2.length == 2)
+    assert(r2(0).getString(0) == "2011-12-31" &&
+      r2(0).getString(1) == "2011-01-01")
+    assert(r2(1).getString(0) == "2010-12-31" &&
+      r2(1).getString(1) == "2010-01-01")
+    spark.sql("DROP TABLE graft.op.date_table")
+  }
+
+  test("TimestampType key: range predicates and order by over µs keys") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.op")
+    spark.sql("DROP TABLE IF EXISTS graft.op.ts_table")
+    spark.sql(
+      """CREATE TABLE graft.op.ts_table (c1 TIMESTAMP, c2 TIMESTAMP)
+        |TBLPROPERTIES('keyCols'='c1', 'nonKeyCols'='c2,f,c')""".stripMargin)
+    Seq("2009", "2010", "2011").foreach { y =>
+      spark.sql(s"INSERT INTO graft.op.ts_table VALUES " +
+        s"(TIMESTAMP'$y-08-07 03:14:15', TIMESTAMP'$y-08-07 13:14:15')")
+    }
+    val r1 = spark.sql("SELECT * FROM graft.op.ts_table " +
+      "WHERE c1 < CAST('2011-08-07 03:14:15' AS TIMESTAMP) " +
+      "ORDER BY c2 DESC").collect()
+    assert(r1.length == 2)
+    val r2 = spark.sql(
+      "SELECT date_format(c1, 'yyyy-MM-dd HH:mm:ss') AS t1, " +
+        "date_format(c2, 'yyyy-MM-dd HH:mm:ss') AS t2 " +
+        "FROM graft.op.ts_table " +
+        "WHERE c2 < CAST('2011-08-07 13:14:15' AS TIMESTAMP) " +
+        "ORDER BY c2 DESC").collect()
+    assert(r2.length == 2)
+    assert(r2(0).getString(0) == "2010-08-07 03:14:15")
+    assert(r2(0).getString(1) == "2010-08-07 13:14:15")
+    assert(r2(1).getString(0) == "2009-08-07 03:14:15")
+    assert(r2(1).getString(1) == "2009-08-07 13:14:15")
+    spark.sql("DROP TABLE graft.op.ts_table")
+  }
+
+  test("nullable CSV bulk load backfills short lines with nulls") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.op")
+    spark.sql("DROP TABLE IF EXISTS graft.op.tb_null")
+    spark.sql(
+      """CREATE TABLE graft.op.tb_null (
+        |  col1 STRING, col2 TINYINT, col3 SMALLINT, col4 INT)
+        |TBLPROPERTIES('keyCols'='col1')""".stripMargin)
+    GraftBulkLoad.loadCsv(spark,
+      "/root/reference/src/test/resources/loadNullableData.txt",
+      "graft.op.tb_null")
+    val rows = spark.sql(
+      "SELECT * FROM graft.op.tb_null ORDER BY col1").collect()
+    assert(rows.length == 4)
+    assert(rows(0).getString(0) == "row1" && rows(0).isNullAt(1) &&
+      rows(0).getShort(2) == 8 && rows(0).getInt(3) == 101)
+    assert(rows(1).getByte(1) == 2 && rows(1).isNullAt(2) &&
+      rows(1).getInt(3) == 102)
+    assert(rows(2).getShort(2) == 10 && rows(2).isNullAt(3))
+    assert(rows(3).getString(0) == "row4" && rows(3).isNullAt(1) &&
+      rows(3).isNullAt(2) && rows(3).isNullAt(3))
+    // IS NULL over loaded nulls
+    assert(spark.sql("SELECT count(*) FROM graft.op.tb_null " +
+      "WHERE col2 IS NULL").collect().head.getLong(0) == 2)
+    spark.sql("DROP TABLE graft.op.tb_null")
+  }
+}
