@@ -237,6 +237,46 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("DROP TABLE graft.t1.orders_many")
   }
 
+  test("CTAS creates and loads a key-organized table") {
+    spark.sql("DROP TABLE IF EXISTS graft.t1.ctas_t")
+    spark.sql(
+      """CREATE TABLE graft.t1.ctas_t
+        |TBLPROPERTIES('keyCols'='o_orderkey', 'numRegions'='4')
+        |AS SELECT o_orderkey, o_totalprice FROM orders_src
+        |   WHERE o_orderkey <= 1000""".stripMargin)
+    val n = spark.table("graft.t1.ctas_t").count()
+    val e = spark.sql(
+      "SELECT count(*) FROM orders_src WHERE o_orderkey <= 1000")
+      .collect().head.getLong(0)
+    assert(n == e && n > 0)
+    spark.sql("DROP TABLE graft.t1.ctas_t")
+  }
+
+  test("unsupported DDL fails with reference-parity errors") {
+    // decimal columns are not storable (ten atomic types only)
+    val e1 = intercept[Exception] {
+      spark.sql("CREATE TABLE graft.t1.badtype (k INT, v DECIMAL(10,2)) " +
+        "TBLPROPERTIES('keyCols'='k')")
+    }
+    assert(e1.getMessage.contains("not storable"))
+    // rename is unsupported, mirroring the reference
+    spark.sql("DROP TABLE IF EXISTS graft.t1.ren1")
+    spark.sql("CREATE TABLE graft.t1.ren1 (k INT) " +
+      "TBLPROPERTIES('keyCols'='k')")
+    val e2 = intercept[Exception] {
+      spark.sql("ALTER TABLE graft.t1.ren1 RENAME TO graft.t1.ren2")
+    }
+    assert(e2.getMessage.toLowerCase.contains("rename"))
+    spark.sql("DROP TABLE graft.t1.ren1")
+    // PARTITIONED BY is rejected (keys organize storage instead)
+    val e3 = intercept[Exception] {
+      spark.sql("CREATE TABLE graft.t1.badpart (k INT, p INT) " +
+        "PARTITIONED BY (p) TBLPROPERTIES('keyCols'='k')")
+    }
+    assert(e3.getMessage.contains("keyCols") ||
+      e3.getMessage.contains("PARTITIONED"))
+  }
+
   test("drop table and namespace") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.t2")
     spark.sql(
