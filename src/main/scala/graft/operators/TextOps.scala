@@ -218,6 +218,36 @@ object TextOps {
       .select(col("da"), col("db"), col("dist"))
   }
 
+  /** Scale path for SimHash near-dups: split the 64-bit hash into 4
+    * 16-bit blocks; by pigeonhole, two hashes within Hamming distance 3
+    * agree on at least one block, so shuffling on (block index, block
+    * value) finds every such pair without an all-pairs join — candidate
+    * cost is bounded by block collisions, exactness preserved by the
+    * bit_count verification (the classic SimHash blocking scheme,
+    * reconstructed from the public algorithm). */
+  def simhashPairsBlocked(df: DataFrame, maxDist: Int): DataFrame = {
+    require(maxDist <= 3,
+      "4-block pigeonhole guarantees recall only for maxDist <= 3")
+    val h = simhashOn(df).select(col("doc_id"), col("simhash").as("sh"))
+    val blocks = h.select(col("doc_id"), col("sh"),
+      explode(expr(
+        """transform(sequence(0, 3),
+          |  b -> named_struct('b', b,
+          |                    'v', shiftrightunsigned(sh, b * 16) & 65535))"""
+          .stripMargin)).as("blk"))
+      .select(col("doc_id"), col("sh"),
+        col("blk.b").as("b"), col("blk.v").as("v"))
+    val a = blocks.select(col("b"), col("v"),
+      col("doc_id").as("da"), col("sh").as("ha"))
+    val bb = blocks.select(col("b"), col("v"),
+      col("doc_id").as("db"), col("sh").as("hb"))
+    a.join(bb, Seq("b", "v")).filter(col("da") < col("db"))
+      .select(col("da"), col("db"),
+        expr("bit_count(ha ^ hb)").as("dist"))
+      .filter(col("dist") <= maxDist)
+      .distinct() // a pair may collide in several blocks
+  }
+
   // ------------------------------------------------------ char n-gram Jaccard
 
   /** Character-3-gram Jaccard near-dup pairs (the shingle-level
@@ -335,7 +365,7 @@ object TextOps {
     "ann_ivf_topk" -> annIvfTopk,
     "text_ngram_jaccard" -> ngramJaccardPairs,
     "dedup_simhash_pairs" -> ((s, d) =>
-      simhashPairsOn(docs(s, d).filter(col("doc_id") < 1000), 8)),
+      simhashPairsBlocked(docs(s, d), 3)),
   )
 
   /** DuckDB oracles for the SQL-expressible subset. MinHash/SimHash/LSH

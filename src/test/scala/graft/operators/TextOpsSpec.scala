@@ -81,6 +81,46 @@ class TextOpsSpec extends AnyFunSuite {
     assert(buckets == again)
   }
 
+  test("blocked simhash pairs equal the all-pairs result (pigeonhole)") {
+    val sample = withDups.filter(col("doc_id") < 200 || col("doc_id") >= 10000)
+    val exact = TextOps.simhashPairsOn(sample, maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val blocked = TextOps.simhashPairsBlocked(sample, maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(blocked == exact,
+      s"blocked=${blocked.size} exact=${exact.size} " +
+        s"diff=${(exact -- blocked) ++ (blocked -- exact)}")
+  }
+
+  test("LSH banding recalls every high-jaccard shingle pair") {
+    // exact 3-word-shingle jaccard >= 0.9 (the quantity MinHash estimates)
+    val sh = withDups
+      .withColumn("ws", split(col("text"), " "))
+      .withColumn("sh", expr(
+        """CASE WHEN size(ws) >= 3 THEN
+          |  transform(sequence(1, size(ws) - 2),
+          |            j -> concat(ws[j-1], ' ', ws[j], ' ', ws[j+1]))
+          |ELSE array(concat_ws(' ', ws)) END""".stripMargin))
+      .select(col("doc_id"), explode(array_distinct(col("sh"))).as("g"))
+    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val exact = sh.select(col("doc_id").as("da"), col("g"))
+      .join(sh.select(col("doc_id").as("db"), col("g")), "g")
+      .filter(col("da") < col("db"))
+      .groupBy("da", "db").agg(count(lit(1)).as("shared"))
+      .join(sz.select(col("doc_id").as("da"), col("n").as("na")), "da")
+      .join(sz.select(col("doc_id").as("db"), col("n").as("nb")), "db")
+      .filter(col("shared") / (col("na") + col("nb") - col("shared")) >= 0.9)
+      .select("da", "db")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "fixture should contain high-jaccard pairs")
+    val cands = TextOps.minhashCandidatesOn(
+      TextOps.minhashSignaturesOn(withDups), minEst = 0.5)
+      .select("da", "db")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val missed = exact -- cands
+    assert(missed.isEmpty, s"LSH missed high-similarity pairs: $missed")
+  }
+
   test("exact dedup collapses injected exact copies") {
     val dup = docs.filter(col("doc_id") < 5)
       .withColumn("doc_id", col("doc_id") + 20000)
