@@ -259,20 +259,42 @@ final case class GraftAggReaderFactory() extends PartitionReaderFactory {
 class GraftScan(tableDir: File, meta: TableMeta, required: StructType,
     filters: Array[sources.Filter])
     extends Scan with Batch with SupportsReportStatistics
-    with SupportsReportOrdering {
+    with SupportsReportOrdering with SupportsRuntimeFiltering {
 
   private val dims: Map[String, (Int, DataType)] =
     meta.keyCols.zipWithIndex.map { case (k, i) =>
       k.toLowerCase -> (i, meta.schema(k).dataType)
     }.toMap
 
+  /** Runtime (dynamic) filters Spark injects at execution time — e.g.
+    * the build-side key set of a broadcast join. They prune regions
+    * exactly like planning-time filters; the V2-native realization of
+    * dynamic partition pruning over key-organized storage. */
+  @volatile private var runtimeFilters: Array[sources.Filter] = Array.empty
+
+  override def filterAttributes()
+      : Array[connector.expressions.NamedReference] =
+    meta.keyCols.map(connector.expressions.Expressions.column).toArray
+
+  override def filter(runtime: Array[sources.Filter]): Unit = {
+    runtimeFilters = runtime
+    selectedRegionsCache = null // re-prune with the tighter set
+  }
+
   /** Regions surviving interval pruning (driver-side, O(regions)). */
-  lazy val selectedRegions: Seq[RegionMeta] = {
-    val constraints = GraftFilters.intervals(filters.toSeq, dims)
-    TableMeta.loadRegions(tableDir).filter { r =>
-      KeyRanges.survives(constraints,
-        r.mins.map(KeyCodec.fromHex), r.maxs.map(KeyCodec.fromHex))
+  @volatile private var selectedRegionsCache: Seq[RegionMeta] = _
+  def selectedRegions: Seq[RegionMeta] = {
+    var c = selectedRegionsCache
+    if (c == null) {
+      val constraints =
+        GraftFilters.intervals(filters.toSeq ++ runtimeFilters, dims)
+      c = TableMeta.loadRegions(tableDir).filter { r =>
+        KeyRanges.survives(constraints,
+          r.mins.map(KeyCodec.fromHex), r.maxs.map(KeyCodec.fromHex))
+      }
+      selectedRegionsCache = c
     }
+    c
   }
 
   override def readSchema(): StructType = required

@@ -237,6 +237,25 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("DROP TABLE graft.t1.orders_many")
   }
 
+  test("runtime (dynamic) filters re-prune regions at execution time") {
+    val cat = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[GraftCatalog]
+    val t = cat.loadTable(org.apache.spark.sql.connector.catalog.Identifier
+      .of(Array("t1"), "orders_t")).asInstanceOf[GraftTable]
+    val b = t.newScanBuilder(CaseInsensitiveStringMap.empty())
+      .asInstanceOf[GraftScanBuilder]
+    b.pushFilters(Array.empty)
+    val scan = b.build().asInstanceOf[GraftScan]
+    val total = scan.planInputPartitions().length
+    assert(total > 1)
+    assert(scan.filterAttributes().map(_.fieldNames.head) ===
+      Array("o_orderkey"))
+    // Spark injects the broadcast build side's key set at runtime
+    scan.filter(Array[sources.Filter](sources.In("o_orderkey",
+      Array(100L, 101L, 102L): Array[Any])))
+    assert(scan.planInputPartitions().length == 1)
+  }
+
   test("CTAS creates and loads a key-organized table") {
     spark.sql("DROP TABLE IF EXISTS graft.t1.ctas_t")
     spark.sql(

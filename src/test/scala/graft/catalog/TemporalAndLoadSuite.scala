@@ -68,6 +68,38 @@ class TemporalAndLoadSuite extends AnyFunSuite {
     spark.sql("DROP TABLE graft.op.ts_table")
   }
 
+  test("compaction rewrites many small appends into few sorted regions") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.op")
+    spark.sql("DROP TABLE IF EXISTS graft.op.many_appends")
+    spark.sql(
+      """CREATE TABLE graft.op.many_appends (k INT, v STRING)
+        |TBLPROPERTIES('keyCols'='k')""".stripMargin)
+    // five separate commits -> five overlapping single-row-ish regions
+    (1 to 5).foreach { i =>
+      spark.sql(s"INSERT INTO graft.op.many_appends VALUES " +
+        s"($i, 'a$i'), (${i + 100}, 'b$i')")
+    }
+    val cat = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[GraftCatalog]
+    def regions(): Seq[RegionMeta] = TableMeta.loadRegions(
+      cat.loadTable(org.apache.spark.sql.connector.catalog.Identifier
+        .of(Array("op"), "many_appends")).asInstanceOf[GraftTable].tableDir)
+    assert(regions().size >= 5)
+
+    GraftCompact.compact(spark, "graft", "op", "many_appends", 2)
+    val after = regions()
+    assert(after.size == 2, s"got ${after.size} regions")
+    assert(spark.table("graft.op.many_appends").count() == 10)
+    // disjoint and sorted after compaction
+    val sorted = after.sortBy(_.mins.head)
+    assert(sorted(0).maxs.head <= sorted(1).mins.head)
+    // data intact, point query correct
+    assert(spark.sql(
+      "SELECT v FROM graft.op.many_appends WHERE k = 103")
+      .collect().head.getString(0) == "b3")
+    spark.sql("DROP TABLE graft.op.many_appends")
+  }
+
   test("nullable CSV bulk load backfills short lines with nulls") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.op")
     spark.sql("DROP TABLE IF EXISTS graft.op.tb_null")
