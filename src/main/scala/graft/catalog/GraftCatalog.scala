@@ -121,6 +121,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         s"column ${f.name}: type ${f.dataType.simpleString} is not storable " +
           "(ten atomic types only)")
     }
+    // reference's two physical encodings (SURVEY §1.3). Our storage is
+    // typed parquet, so the choice is metadata-only: values never lose
+    // their type, key pruning stays sound under both (the reference
+    // needed custom comparators for stringformat; that hazard does not
+    // exist here).
+    props.get(TableMeta.EncodingProp).foreach { e =>
+      require(e == "binaryformat" || e == "stringformat",
+        s"encodingFormat must be binaryformat or stringformat, got $e")
+    }
     // optional family/qualifier mapping — validated, kept as metadata
     props.get(TableMeta.NonKeyColsProp).foreach { spec =>
       val keySet = keyCols.map(_.toLowerCase).toSet

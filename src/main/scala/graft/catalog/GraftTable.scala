@@ -42,7 +42,8 @@ class GraftTable(tableName: String, val tableDir: File, val meta: TableMeta)
   override def properties(): java.util.Map[String, String] =
     meta.properties.asJava
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(tableDir, meta)
@@ -300,6 +301,15 @@ class GraftScan(tableDir: File, meta: TableMeta, required: StructType,
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
+  /** Streaming read: the append-only region manifest is the changelog —
+    * an offset is "number of committed regions", each micro-batch reads
+    * the regions committed since the last offset. (Do not compact a
+    * table while it is being tailed; compaction rewrites the manifest.)
+    * The reference has no streaming surface at all (SURVEY §2.8). */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new GraftMicroBatchStream(tableDir, required, filters)
+
   override def planInputPartitions(): Array[InputPartition] =
     selectedRegions.map(r => GraftInputPartition(
       new File(tableDir, r.file).getPath, r.rows): InputPartition).toArray
@@ -336,6 +346,38 @@ class GraftScan(tableDir: File, meta: TableMeta, required: StructType,
 
 final case class GraftInputPartition(file: String, rows: Long)
     extends InputPartition
+
+/** Offset = count of committed regions in the manifest. */
+final case class RegionCountOffset(n: Int)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = n.toString
+}
+
+final class GraftMicroBatchStream(tableDir: File, required: StructType,
+    filters: Array[sources.Filter])
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  override def initialOffset(): Offset = RegionCountOffset(0)
+  override def latestOffset(): Offset =
+    RegionCountOffset(TableMeta.loadRegions(tableDir).size)
+  override def deserializeOffset(json: String): Offset =
+    RegionCountOffset(json.trim.toInt)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset)
+      : Array[InputPartition] = {
+    val s = start.asInstanceOf[RegionCountOffset].n
+    val e = end.asInstanceOf[RegionCountOffset].n
+    TableMeta.loadRegions(tableDir).slice(s, e).map(r =>
+      GraftInputPartition(new File(tableDir, r.file).getPath, r.rows)
+        : InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    GraftReaderFactory(required.json, filters)
+}
 
 final case class GraftReaderFactory(requiredJson: String,
     filters: Array[sources.Filter]) extends PartitionReaderFactory {

@@ -296,6 +296,29 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       e3.getMessage.contains("PARTITIONED"))
   }
 
+  test("encodingFormat property: stringformat accepted, bogus rejected") {
+    spark.sql("DROP TABLE IF EXISTS graft.t1.strfmt")
+    spark.sql(
+      """CREATE TABLE graft.t1.strfmt (strkey STRING, q INT, cost DOUBLE)
+        |TBLPROPERTIES('keyCols'='strkey',
+        |              'encodingFormat'='stringformat')""".stripMargin)
+    spark.sql("INSERT INTO graft.t1.strfmt VALUES " +
+      "('01857000000007', 31, 11.41), ('01857000000008', 37, 63.63)")
+    // identical query semantics under either encoding (reference's
+    // stringformat suite re-runs the same goldens)
+    val r = spark.sql("SELECT q, cost FROM graft.t1.strfmt " +
+      "WHERE strkey = '01857000000007'").collect()
+    assert(r.length == 1 && r.head.getInt(0) == 31)
+    assert(spark.sql("SELECT count(*) FROM graft.t1.strfmt " +
+      "WHERE strkey > '01857000000007'").collect().head.getLong(0) == 1)
+    spark.sql("DROP TABLE graft.t1.strfmt")
+    val e = intercept[Exception] {
+      spark.sql("CREATE TABLE graft.t1.badenc (k INT) " +
+        "TBLPROPERTIES('keyCols'='k', 'encodingFormat'='protobuf')")
+    }
+    assert(e.getMessage.contains("encodingFormat"))
+  }
+
   test("drop table and namespace") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.t2")
     spark.sql(

@@ -119,6 +119,29 @@ class EventStreamsSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.stream.events_t")
   }
 
+  test("readStream tails a graft table as regions are appended") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.stream")
+    spark.sql("DROP TABLE IF EXISTS graft.stream.tail_t")
+    spark.sql(
+      """CREATE TABLE graft.stream.tail_t (k INT, v STRING)
+        |TBLPROPERTIES('keyCols'='k')""".stripMargin)
+    spark.sql("INSERT INTO graft.stream.tail_t VALUES (1, 'a'), (2, 'b')")
+    val q = spark.readStream.table("graft.stream.tail_t")
+      .writeStream.format("memory").queryName("t_tail")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("t_tail").count() == 2)
+      // a second committed batch becomes the next micro-batch
+      spark.sql("INSERT INTO graft.stream.tail_t VALUES (3, 'c')")
+      q.processAllAvailable()
+      assert(spark.table("t_tail").count() == 3)
+      assert(spark.table("t_tail").select("k").collect()
+        .map(_.getInt(0)).toSet == Set(1, 2, 3))
+    } finally q.stop()
+    spark.sql("DROP TABLE graft.stream.tail_t")
+  }
+
   test("flatMapGroupsWithState running totals match batch group-by") {
     val stream = EventStreams.asStream(spark, TestSpark.sfDir)
     val got = EventStreams.runToBatch(spark,
