@@ -116,7 +116,21 @@ object TableMeta {
     }
   }
 
-  /** Append newly committed regions (write-commit protocol). */
-  def appendRegions(tableDir: File, added: Seq[RegionMeta]): Unit =
-    saveRegions(tableDir, loadRegions(tableDir) ++ added)
+  /** Append newly committed regions (write-commit protocol). The
+    * read-modify-write is serialized through an OS file lock so
+    * concurrent committers (parallel INSERTs, a streaming sink racing a
+    * batch load) cannot drop each other's regions; combined with the
+    * atomic manifest move this gives lost-update-free appends on any
+    * filesystem with advisory locking. */
+  def appendRegions(tableDir: File, added: Seq[RegionMeta]): Unit = {
+    val lockFile = new File(tableDir, ".graft_manifest.lock")
+    val ch = java.nio.channels.FileChannel.open(lockFile.toPath,
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.WRITE)
+    try {
+      val lock = ch.lock()
+      try saveRegions(tableDir, loadRegions(tableDir) ++ added)
+      finally lock.release()
+    } finally ch.close()
+  }
 }
