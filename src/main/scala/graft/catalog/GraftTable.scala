@@ -274,8 +274,13 @@ class GraftScan(tableDir: File, meta: TableMeta, required: StructType,
   @volatile private var runtimeFilters: Array[sources.Filter] = Array.empty
 
   override def filterAttributes()
-      : Array[connector.expressions.NamedReference] =
-    meta.keyCols.map(connector.expressions.Expressions.column).toArray
+      : Array[connector.expressions.NamedReference] = {
+    // only key columns that survived column pruning — Spark resolves
+    // these against the scan output
+    val have = required.fieldNames.map(_.toLowerCase).toSet
+    meta.keyCols.filter(k => have.contains(k.toLowerCase))
+      .map(connector.expressions.Expressions.column).toArray
+  }
 
   override def filter(runtime: Array[sources.Filter]): Unit = {
     runtimeFilters = runtime

@@ -86,12 +86,65 @@ object CatalogQueries {
          |GROUP BY c.c_mktsegment""".stripMargin)
   }
 
+  /** Lineitem in the catalog too (composite key l_orderkey;l_linenumber),
+    * for multi-table queries entirely over graft storage. */
+  private val builtLi = scala.collection.concurrent.TrieMap[String, String]()
+  private def lineitemTable(s: SparkSession, d: String): String =
+    builtLi.getOrElseUpdate(d, {
+      ordersTable(s, d) // ensures catalog + namespace exist
+      val ns = s"sf_${math.abs(d.hashCode)}"
+      val fqn = s"graft.$ns.lineitem_t"
+      val exists = s.sql(s"SHOW TABLES IN graft.$ns").collect()
+        .exists(_.getString(1) == "lineitem_t")
+      if (!exists) {
+        s.sql(
+          s"""CREATE TABLE $fqn (
+             |  l_orderkey BIGINT, l_linenumber INT, l_extendedprice DOUBLE,
+             |  l_discount DOUBLE, l_shipdate DATE)
+             |TBLPROPERTIES('keyCols'='l_orderkey;l_linenumber',
+             |              'numRegions'='32')""".stripMargin)
+        val v = s"li_cat_src_${math.abs(d.hashCode)}"
+        s.read.parquet(s"$d/lineitem.parquet")
+          .select("l_orderkey", "l_linenumber", "l_extendedprice",
+            "l_discount", "l_shipdate")
+          .createOrReplaceTempView(v)
+        s.sql(s"INSERT INTO $fqn SELECT * FROM $v")
+      }
+      fqn
+    })
+
+  /** TPC-H Q5-shaped flagship over graft-stored fact tables: both big
+    * sides scan the key-sorted region store, small dims broadcast from
+    * parquet — the reference's cross-source join at its most demanding. */
+  val tpchQ5: Q = (s, d) => {
+    val li = lineitemTable(s, d)
+    val o = ordersTable(s, d)
+    Seq("customer", "nation", "region").foreach { t =>
+      s.read.parquet(s"$d/$t.parquet")
+        .createOrReplaceTempView(s"${t}_cat_dim_${math.abs(d.hashCode)}")
+    }
+    val h = math.abs(d.hashCode)
+    s.sql(
+      s"""SELECT n.n_name AS nation,
+         |       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
+         |         AS revenue,
+         |       count(*) AS cnt
+         |FROM $li l
+         |JOIN $o o ON l.l_orderkey = o.o_orderkey
+         |JOIN customer_cat_dim_$h c ON o.o_custkey = c.c_custkey
+         |JOIN nation_cat_dim_$h n ON c.c_nationkey = n.n_nationkey
+         |JOIN region_cat_dim_$h r ON n.n_regionkey = r.r_regionkey
+         |WHERE r.r_name = 'ASIA' AND o.o_orderdate >= DATE'1996-01-01'
+         |GROUP BY n.n_name""".stripMargin)
+  }
+
   val queries: Map[String, Q] = Map(
     "catalog_point_lookup" -> pointLookup,
     "catalog_range_scan" -> rangeScan,
     "catalog_key_agg" -> keyAgg,
     "catalog_cell_filter" -> cellFilter,
     "catalog_join_parquet" -> joinParquet,
+    "catalog_tpch_q5" -> tpchQ5,
   )
 
   val oracles: Map[String, String] = Map(
@@ -122,5 +175,18 @@ object CatalogQueries {
         |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         |WHERE o.o_orderkey <= 3000
         |GROUP BY c.c_mktsegment""".stripMargin,
+
+    "catalog_tpch_q5" ->
+      """SELECT n.n_name AS nation,
+        |       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
+        |         AS revenue,
+        |       count(*) AS cnt
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |WHERE r.r_name = 'ASIA' AND o.o_orderdate >= DATE'1996-01-01'
+        |GROUP BY n.n_name""".stripMargin,
   )
 }
