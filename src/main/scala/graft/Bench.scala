@@ -19,6 +19,7 @@ object Bench {
       SparkEntry.entry(spark).count()
       SparkEntry.queries("store_point_lookup")(spark, sfDir).count()
       SparkEntry.queries("catalog_point_lookup")(spark, sfDir).count()
+      SparkEntry.queries("catalog_tpch_q5")(spark, sfDir).count()
     } catch { case _: Throwable => }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
