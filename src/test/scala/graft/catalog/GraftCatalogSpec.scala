@@ -319,6 +319,39 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("encodingFormat"))
   }
 
+  test("empty table: scans return nothing, manifest aggregates null/zero") {
+    spark.sql("DROP TABLE IF EXISTS graft.t1.empty_t")
+    spark.sql("CREATE TABLE graft.t1.empty_t (k INT, v DOUBLE) " +
+      "TBLPROPERTIES('keyCols'='k')")
+    assert(spark.table("graft.t1.empty_t").count() == 0)
+    assert(spark.sql("SELECT * FROM graft.t1.empty_t WHERE k = 5")
+      .collect().isEmpty)
+    val r = spark.sql(
+      "SELECT count(*) AS c, min(k) AS mn, max(k) AS mx " +
+        "FROM graft.t1.empty_t").collect().head
+    assert(r.getLong(0) == 0 && r.isNullAt(1) && r.isNullAt(2))
+    // non-pushable aggregate over empty data
+    assert(spark.sql("SELECT avg(v) FROM graft.t1.empty_t")
+      .collect().head.isNullAt(0))
+    spark.sql("DROP TABLE graft.t1.empty_t")
+  }
+
+  test("string-keyed manifest aggregate decodes min/max correctly") {
+    spark.sql("DROP TABLE IF EXISTS graft.t1.strkey_t")
+    spark.sql("CREATE TABLE graft.t1.strkey_t (name STRING, n INT) " +
+      "TBLPROPERTIES('keyCols'='name')")
+    spark.sql("INSERT INTO graft.t1.strkey_t VALUES " +
+      "('mango', 1), ('apple', 2), ('zebra', 3)")
+    val df = spark.sql(
+      "SELECT min(name) AS mn, max(name) AS mx FROM graft.t1.strkey_t")
+    assert(df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("simple"))
+      .contains("GraftAggScan"))
+    val r = df.collect().head
+    assert(r.getString(0) == "apple" && r.getString(1) == "zebra")
+    spark.sql("DROP TABLE graft.t1.strkey_t")
+  }
+
   test("drop table and namespace") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.t2")
     spark.sql(
