@@ -248,6 +248,31 @@ object TextOps {
       .distinct() // a pair may collide in several blocks
   }
 
+  // ---------------------------------------------------------- PII scrubbing
+
+  /** PII scrub: mask emails, phone numbers, and long digit runs
+    * (SSN/card-like) in one codegen'd regexp pass each. The fixture has
+    * no real PII, so deterministic synthetic contact lines are appended
+    * per doc before scrubbing — the oracle applies the same regexes in
+    * DuckDB (patterns restricted to RE2∩Java syntax: no backrefs,
+    * explicit classes). */
+  val piiScrub: Q = (s, d) =>
+    docs(s, d)
+      .withColumn("raw", concat(
+        substring(col("text"), 1, 40),
+        lit(" contact user"), col("doc_id"), lit("@example.com or "),
+        lit("555-0"), (col("doc_id") % 1000).cast("string"),
+        lit(" ssn 123-45-"), lpad((col("doc_id") % 10000).cast("string"),
+          4, "0")))
+      .select(
+        col("doc_id"),
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col("raw"),
+              "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+            "[0-9]{3}-[0-9]{2}-[0-9]{4}", "<SSN>"),
+          "[0-9]{3}-[0-9]{3,4}", "<PHONE>").as("clean"))
+
   // ------------------------------------------------------ char n-gram Jaccard
 
   /** Character-3-gram Jaccard near-dup pairs (the shingle-level
@@ -364,6 +389,7 @@ object TextOps {
     "ann_lsh" -> annLsh,
     "ann_ivf_topk" -> annIvfTopk,
     "text_ngram_jaccard" -> ngramJaccardPairs,
+    "text_pii_scrub" -> piiScrub,
     "dedup_simhash_pairs" -> ((s, d) =>
       simhashPairsBlocked(docs(s, d), 3)),
   )
@@ -458,6 +484,19 @@ object TextOps {
         |WHERE round(list_cosine_similarity(
         |         cast(a.embedding AS DOUBLE[]),
         |         cast(b.embedding AS DOUBLE[])), 4) >= 0.3""".stripMargin,
+
+    "text_pii_scrub" ->
+      """SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(
+        |        substring(text, 1, 40) || ' contact user' || doc_id ||
+        |          '@example.com or 555-0' || (doc_id % 1000) ||
+        |          ' ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
+        |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '[0-9]{3}-[0-9]{2}-[0-9]{4}', '<SSN>', 'g'),
+        |    '[0-9]{3}-[0-9]{3,4}', '<PHONE>', 'g') AS clean
+        |FROM documents""".stripMargin,
 
     "text_ngram_jaccard" ->
       """WITH idx AS (SELECT doc_id, text,
