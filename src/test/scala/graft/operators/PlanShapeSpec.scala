@@ -67,6 +67,17 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("regions=1"), s"expected 1-region scan:\n$p")
   }
 
+  test("catalog Q5: fact-fact join shuffles, dims broadcast, stats flow") {
+    val df = CatalogQueries.tpchQ5(spark, sf)
+    df.collect()
+    val p = plan(df)
+    // both fact sides come from graft scans
+    assert("GraftScan".r.findAllIn(p).size >= 2, p)
+    // the three small dimensions broadcast (manifest row statistics make
+    // the planner see the graft sides as large)
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p)
+  }
+
   test("catalog full scan reads all regions; key IS NULL reads none") {
     val t = s"graft.sf_${math.abs(sf.hashCode)}.orders_t"
     CatalogQueries.pointLookup(spark, sf).collect()
