@@ -122,15 +122,25 @@ object TableMeta {
     * batch load) cannot drop each other's regions; combined with the
     * atomic manifest move this gives lost-update-free appends on any
     * filesystem with advisory locking. */
+  // JVM file locks throw OverlappingFileLockException for same-process
+  // contention, so serialize threads on a per-table monitor first and
+  // use the OS lock only against other processes.
+  private val monitors =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   def appendRegions(tableDir: File, added: Seq[RegionMeta]): Unit = {
-    val lockFile = new File(tableDir, ".graft_manifest.lock")
-    val ch = java.nio.channels.FileChannel.open(lockFile.toPath,
-      java.nio.file.StandardOpenOption.CREATE,
-      java.nio.file.StandardOpenOption.WRITE)
-    try {
-      val lock = ch.lock()
-      try saveRegions(tableDir, loadRegions(tableDir) ++ added)
-      finally lock.release()
-    } finally ch.close()
+    val monitor = monitors.computeIfAbsent(
+      tableDir.getCanonicalPath, _ => new Object)
+    monitor.synchronized {
+      val lockFile = new File(tableDir, ".graft_manifest.lock")
+      val ch = java.nio.channels.FileChannel.open(lockFile.toPath,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      try {
+        val lock = ch.lock()
+        try saveRegions(tableDir, loadRegions(tableDir) ++ added)
+        finally lock.release()
+      } finally ch.close()
+    }
   }
 }

@@ -100,6 +100,56 @@ class TemporalAndLoadSuite extends AnyFunSuite {
     spark.sql("DROP TABLE graft.op.many_appends")
   }
 
+  test("failed insert aborts cleanly: manifest and files untouched") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.op")
+    spark.sql("DROP TABLE IF EXISTS graft.op.abort_t")
+    spark.sql(
+      """CREATE TABLE graft.op.abort_t (k INT, v DOUBLE)
+        |TBLPROPERTIES('keyCols'='k')""".stripMargin)
+    spark.sql("INSERT INTO graft.op.abort_t VALUES (1, 1.0), (2, 2.0)")
+    val cat = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[GraftCatalog]
+    val dir = cat.loadTable(org.apache.spark.sql.connector.catalog.Identifier
+      .of(Array("op"), "abort_t")).asInstanceOf[GraftTable].tableDir
+    def files(): Set[String] =
+      dir.listFiles().map(_.getName).filter(_.endsWith(".parquet")).toSet
+    val before = files()
+    val regionsBefore = TableMeta.loadRegions(dir)
+    spark.udf.register("graft_boom",
+      (x: Int) => { if (x > 5) throw new RuntimeException("boom"); x })
+    intercept[Exception] {
+      spark.sql("INSERT INTO graft.op.abort_t " +
+        "SELECT graft_boom(id + 4), CAST(id AS DOUBLE) " +
+        "FROM range(0, 10)")
+    }
+    assert(files() == before, "aborted write left stray region files")
+    assert(TableMeta.loadRegions(dir) == regionsBefore)
+    assert(spark.table("graft.op.abort_t").count() == 2)
+    spark.sql("DROP TABLE graft.op.abort_t")
+  }
+
+  test("concurrent inserts both commit (manifest lock, no lost update)") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.op")
+    spark.sql("DROP TABLE IF EXISTS graft.op.conc_t")
+    spark.sql(
+      """CREATE TABLE graft.op.conc_t (k INT, v INT)
+        |TBLPROPERTIES('keyCols'='k')""".stripMargin)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fs = (0 until 4).map { i =>
+      Future {
+        spark.sql(s"INSERT INTO graft.op.conc_t " +
+          s"SELECT CAST(id AS INT), $i FROM range(${i * 100}, ${i * 100 + 50})")
+      }
+    }
+    Await.result(Future.sequence(fs), 120.seconds)
+    assert(spark.table("graft.op.conc_t").count() == 200)
+    assert(spark.sql("SELECT count(DISTINCT v) FROM graft.op.conc_t")
+      .collect().head.getLong(0) == 4)
+    spark.sql("DROP TABLE graft.op.conc_t")
+  }
+
   test("nullable CSV bulk load backfills short lines with nulls") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.op")
     spark.sql("DROP TABLE IF EXISTS graft.op.tb_null")
