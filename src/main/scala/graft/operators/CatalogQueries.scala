@@ -25,8 +25,15 @@ object CatalogQueries {
       val ns = s"sf_${math.abs(d.hashCode)}"
       val fqn = s"graft.$ns.orders_t"
       s.sql(s"CREATE NAMESPACE IF NOT EXISTS graft.$ns")
+      // a killed prior run can leave a half-loaded table; trust it only
+      // if its row count matches the source
+      val srcCount = s.read.parquet(s"$d/orders.parquet").count()
       val exists = s.sql(s"SHOW TABLES IN graft.$ns").collect()
-        .exists(_.getString(1) == "orders_t")
+        .exists(_.getString(1) == "orders_t") && {
+        val ok = s.table(fqn).count() == srcCount
+        if (!ok) s.sql(s"DROP TABLE $fqn")
+        ok
+      }
       if (!exists) {
         s.sql(
           s"""CREATE TABLE $fqn (
@@ -94,8 +101,13 @@ object CatalogQueries {
       ordersTable(s, d) // ensures catalog + namespace exist
       val ns = s"sf_${math.abs(d.hashCode)}"
       val fqn = s"graft.$ns.lineitem_t"
+      val srcCount = s.read.parquet(s"$d/lineitem.parquet").count()
       val exists = s.sql(s"SHOW TABLES IN graft.$ns").collect()
-        .exists(_.getString(1) == "lineitem_t")
+        .exists(_.getString(1) == "lineitem_t") && {
+        val ok = s.table(fqn).count() == srcCount
+        if (!ok) s.sql(s"DROP TABLE $fqn")
+        ok
+      }
       if (!exists) {
         s.sql(
           s"""CREATE TABLE $fqn (
