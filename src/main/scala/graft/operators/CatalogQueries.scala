@@ -150,7 +150,44 @@ object CatalogQueries {
          |GROUP BY n.n_name""".stripMargin)
   }
 
+  /** Documents in the catalog too — LLM-pipeline ops composed over the
+    * key-sorted store rather than raw parquet. */
+  private val builtDocs = scala.collection.concurrent.TrieMap[String, String]()
+  private def documentsTable(s: SparkSession, d: String): String =
+    builtDocs.getOrElseUpdate(d, {
+      ordersTable(s, d)
+      val ns = s"sf_${math.abs(d.hashCode)}"
+      val fqn = s"graft.$ns.documents_t"
+      val srcCount = s.read.parquet(s"$d/documents.parquet").count()
+      val exists = s.sql(s"SHOW TABLES IN graft.$ns").collect()
+        .exists(_.getString(1) == "documents_t") && {
+        val ok = s.table(fqn).count() == srcCount
+        if (!ok) s.sql(s"DROP TABLE $fqn")
+        ok
+      }
+      if (!exists) {
+        s.sql(
+          s"""CREATE TABLE $fqn (
+             |  doc_id BIGINT, text STRING, lang STRING, source STRING,
+             |  n_chars BIGINT)
+             |TBLPROPERTIES('keyCols'='doc_id', 'numRegions'='8')"""
+            .stripMargin)
+        val v = s"docs_cat_src_${math.abs(d.hashCode)}"
+        s.read.parquet(s"$d/documents.parquet").createOrReplaceTempView(v)
+        s.sql(s"INSERT INTO $fqn SELECT * FROM $v")
+      }
+      fqn
+    })
+
+  /** Exact dedup accounting over catalog-stored documents (the LLM
+    * pipeline running on the storage engine, not raw files). */
+  val dedupOnStore: Q = (s, d) => s.sql(
+    s"""SELECT source, count(*) AS n_docs,
+       |       count(DISTINCT md5(text)) AS n_unique
+       |FROM ${documentsTable(s, d)} GROUP BY source""".stripMargin)
+
   val queries: Map[String, Q] = Map(
+    "catalog_dedup_exact" -> dedupOnStore,
     "catalog_point_lookup" -> pointLookup,
     "catalog_range_scan" -> rangeScan,
     "catalog_key_agg" -> keyAgg,
@@ -160,6 +197,11 @@ object CatalogQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "catalog_dedup_exact" ->
+      """SELECT source, count(*) AS n_docs,
+        |       count(DISTINCT md5(text)) AS n_unique
+        |FROM documents GROUP BY source""".stripMargin,
+
     "catalog_point_lookup" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus,
         |       round(o_totalprice, 2) AS price,

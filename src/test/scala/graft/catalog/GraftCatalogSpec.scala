@@ -352,6 +352,28 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("DROP TABLE graft.t1.strkey_t")
   }
 
+  test("insert with explicit column list and defaults-to-null") {
+    spark.sql("DROP TABLE IF EXISTS graft.t1.collist")
+    spark.sql(
+      """CREATE TABLE graft.t1.collist (k INT, a STRING, b DOUBLE)
+        |TBLPROPERTIES('keyCols'='k')""".stripMargin)
+    // partial column list: unmentioned column becomes null
+    spark.sql("INSERT INTO graft.t1.collist (k, a) VALUES (1, 'x')")
+    // reordered column list
+    spark.sql("INSERT INTO graft.t1.collist (b, k, a) VALUES (2.5, 2, 'y')")
+    val rows = spark.sql(
+      "SELECT k, a, b FROM graft.t1.collist ORDER BY k").collect()
+    assert(rows(0).getInt(0) == 1 && rows(0).getString(1) == "x" &&
+      rows(0).isNullAt(2))
+    assert(rows(1).getInt(0) == 2 && rows(1).getString(1) == "y" &&
+      rows(1).getDouble(2) == 2.5)
+    // arity mismatch is an analysis error
+    intercept[Exception] {
+      spark.sql("INSERT INTO graft.t1.collist VALUES (3, 'z')")
+    }
+    spark.sql("DROP TABLE graft.t1.collist")
+  }
+
   test("drop table and namespace") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.t2")
     spark.sql(
