@@ -166,16 +166,32 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
           s"column $name: unsupported type ${add.dataType.simpleString}")
         require(!meta.schema.fieldNames.exists(_.equalsIgnoreCase(name)),
           s"column $name already exists")
-        meta = meta.copy(schema =
+        // region files written before a DROP still hold the old column
+        // under this name; readers match by name, so re-adding it with a
+        // different type would decode garbage. Same type re-exposes the
+        // old cells (matching the reference, where dropping the column
+        // mapping leaves HBase cells in place).
+        tombstones(meta).get(name.toLowerCase).foreach { oldType =>
+          require(oldType == add.dataType.simpleString,
+            s"column $name was previously dropped with type $oldType; " +
+              s"re-adding it as ${add.dataType.simpleString} is not " +
+              "supported (old region files still hold " +
+              s"$oldType-typed values under this name)")
+        }
+        meta = withTombstones(meta,
+          tombstones(meta) - name.toLowerCase).copy(schema =
           meta.schema.add(StructField(name, add.dataType, nullable = true)))
       case del: TableChange.DeleteColumn =>
         val name = del.fieldNames.head
         require(!meta.keyCols.exists(_.equalsIgnoreCase(name)),
           s"cannot drop key column $name") // reference: alter non-key only
-        require(meta.schema.fieldNames.exists(_.equalsIgnoreCase(name)),
-          s"column $name does not exist")
-        meta = meta.copy(schema = StructType(
-          meta.schema.fields.filterNot(_.name.equalsIgnoreCase(name))))
+        val field = meta.schema.fields.find(_.name.equalsIgnoreCase(name))
+          .getOrElse(throw new IllegalArgumentException(
+            s"requirement failed: column $name does not exist"))
+        meta = withTombstones(meta, tombstones(meta) +
+          (name.toLowerCase -> field.dataType.simpleString)).copy(
+          schema = StructType(
+            meta.schema.fields.filterNot(_.name.equalsIgnoreCase(name))))
       case set: TableChange.SetProperty =>
         meta = meta.copy(properties =
           meta.properties + (set.property -> set.value))
@@ -188,6 +204,23 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     cache.remove(dir.getPath)
     new GraftTable(ident.toString, dir, meta)
   }
+
+  /** Dropped-column tombstones ("name:type;…" in table properties):
+    * names of physical columns still present in pre-ALTER region files. */
+  private val DroppedColsProp = "graft.droppedColumns"
+
+  private def tombstones(meta: TableMeta): Map[String, String] =
+    meta.properties.get(DroppedColsProp).toSeq
+      .flatMap(_.split(";")).filter(_.nonEmpty)
+      .map { e => val i = e.lastIndexOf(':')
+        e.substring(0, i) -> e.substring(i + 1) }.toMap
+
+  private def withTombstones(meta: TableMeta,
+      ts: Map[String, String]): TableMeta =
+    meta.copy(properties =
+      if (ts.isEmpty) meta.properties - DroppedColsProp
+      else meta.properties + (DroppedColsProp ->
+        ts.map { case (n, t) => s"$n:$t" }.mkString(";")))
 
   override def dropTable(ident: Identifier): Boolean = {
     val dir = tableDir(ident)

@@ -15,7 +15,15 @@ import org.apache.spark.sql.connector.catalog.Identifier
   * e.g. the streaming foreachBatch sink — accumulates overlapping
   * little regions that weaken pruning. Compaction = one range-shuffled
   * sorted rewrite through the normal write path into a staging table,
-  * then an atomic-enough manifest+file swap.
+  * then a manifest swap under the table's manifest lock.
+  *
+  * Concurrency: the rewrite reads exactly the region files present when
+  * compaction started (the snapshot), and the final swap happens inside
+  * [[TableMeta.withManifestLock]], carrying forward any regions other
+  * writers committed after the snapshot. A concurrent INSERT or
+  * streaming sink therefore never loses its commit. The manifest
+  * generation is bumped so streams resumed from pre-compaction
+  * checkpoints fail loudly instead of mis-slicing.
   */
 object GraftCompact {
 
@@ -26,6 +34,10 @@ object GraftCompact {
     val ident = Identifier.of(Array(namespace), table)
     val t = cat.loadTable(ident).asInstanceOf[GraftTable]
 
+    val snapshot = TableMeta.loadRegions(t.tableDir)
+    if (snapshot.isEmpty) return
+    val snapFiles = snapshot.map(_.file).toSet
+
     val stagingName = s"${table}__compacting"
     val stagingIdent = Identifier.of(Array(namespace), stagingName)
     cat.dropTable(stagingIdent) // stale staging from a failed run
@@ -34,20 +46,29 @@ object GraftCompact {
     props.put(TableMeta.NumRegionsProp, numRegions.toString)
     cat.createTable(stagingIdent, t.meta.schema,
       Array.empty, props)
-    spark.sql(s"INSERT INTO $catalogName.$namespace.$stagingName " +
-      s"SELECT * FROM $catalogName.$namespace.$table")
+    // read exactly the snapshot files (not the live table) so rows
+    // committed mid-compaction are rewritten by nobody and carried
+    // forward as-is below; files lacking later-ALTERed columns read null
+    spark.read.schema(t.meta.schema)
+      .parquet(snapshot.map(r => new File(t.tableDir, r.file).getPath): _*)
+      .writeTo(s"$catalogName.$namespace.$stagingName").append()
 
     val staging = cat.loadTable(stagingIdent).asInstanceOf[GraftTable]
     val newRegions = TableMeta.loadRegions(staging.tableDir)
-    val oldRegions = TableMeta.loadRegions(t.tableDir)
-    // move new files in, point the manifest at them, remove old files
-    newRegions.foreach { r =>
-      Files.move(new File(staging.tableDir, r.file).toPath,
-        new File(t.tableDir, r.file).toPath,
-        StandardCopyOption.REPLACE_EXISTING)
+    // swap under the manifest lock: keep regions committed after the
+    // snapshot (lost-update-free vs concurrent INSERT / streaming sink)
+    TableMeta.withManifestLock(t.tableDir) {
+      val tail = TableMeta.loadRegions(t.tableDir)
+        .filterNot(r => snapFiles.contains(r.file))
+      newRegions.foreach { r =>
+        Files.move(new File(staging.tableDir, r.file).toPath,
+          new File(t.tableDir, r.file).toPath,
+          StandardCopyOption.REPLACE_EXISTING)
+      }
+      TableMeta.saveRegions(t.tableDir, newRegions ++ tail,
+        TableMeta.loadGeneration(t.tableDir) + 1)
     }
-    TableMeta.saveRegions(t.tableDir, newRegions)
-    oldRegions.foreach(r => new File(t.tableDir, r.file).delete())
+    snapshot.foreach(r => new File(t.tableDir, r.file).delete())
     cat.dropTable(stagingIdent)
     cat.invalidateTable(ident)
   }

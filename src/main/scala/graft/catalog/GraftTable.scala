@@ -196,19 +196,23 @@ class GraftAggScan(tableDir: File, meta: TableMeta,
 
   override def planInputPartitions(): Array[InputPartition] = {
     val regions = TableMeta.loadRegions(tableDir)
-    // (countValue | minHex | maxHex, type json) per spec, driver-computed
+    // (countValue | minHex | maxHex | null for empty table, type json)
+    // per spec, driver-computed. Committed regions always have rows>0,
+    // so every manifest min/max is a real value — including "" (hex of
+    // the empty-string key, which KeyCodec encodes to zero bytes); only
+    // an empty manifest means NULL.
     val cells: Seq[(String, String)] = specs.map {
       case CountAll => (regions.map(_.rows).sum.toString, "")
       case KeyMin(d) =>
-        val mins = regions.map(_.mins(d)).filter(_.nonEmpty)
-        (if (mins.isEmpty) "" else mins.minBy(KeyCodec.fromHex)(
-          Ordering.fromLessThan((a: Array[Byte], b: Array[Byte]) =>
-            KeyCodec.compare(a, b) < 0)), keyTypes(d).json)
+        (if (regions.isEmpty) null else regions.map(_.mins(d))
+          .minBy(KeyCodec.fromHex)(
+            Ordering.fromLessThan((a: Array[Byte], b: Array[Byte]) =>
+              KeyCodec.compare(a, b) < 0)), keyTypes(d).json)
       case KeyMax(d) =>
-        val maxs = regions.map(_.maxs(d)).filter(_.nonEmpty)
-        (if (maxs.isEmpty) "" else maxs.maxBy(KeyCodec.fromHex)(
-          Ordering.fromLessThan((a: Array[Byte], b: Array[Byte]) =>
-            KeyCodec.compare(a, b) < 0)), keyTypes(d).json)
+        (if (regions.isEmpty) null else regions.map(_.maxs(d))
+          .maxBy(KeyCodec.fromHex)(
+            Ordering.fromLessThan((a: Array[Byte], b: Array[Byte]) =>
+              KeyCodec.compare(a, b) < 0)), keyTypes(d).json)
     }
     Array(GraftAggInputPartition(cells.map(_._1).toArray,
       cells.map(_._2).toArray))
@@ -237,7 +241,7 @@ final case class GraftAggReaderFactory() extends PartitionReaderFactory {
         p.cells.indices.foreach { i =>
           if (p.typeJsons(i).isEmpty) {
             row.setLong(i, p.cells(i).toLong) // CountAll
-          } else if (p.cells(i).isEmpty) {
+          } else if (p.cells(i) == null) {
             row.setNullAt(i) // min/max of an empty table
           } else {
             val dt = DataType.fromJson(p.typeJsons(i))
@@ -352,10 +356,24 @@ class GraftScan(tableDir: File, meta: TableMeta, required: StructType,
 final case class GraftInputPartition(file: String, rows: Long)
     extends InputPartition
 
-/** Offset = count of committed regions in the manifest. */
-final case class RegionCountOffset(n: Int)
+/** Offset = count of committed regions in the manifest, qualified by the
+  * manifest generation (bumped by compaction). A checkpoint taken
+  * before a compaction no longer indexes the same region list, so a
+  * generation mismatch fails the stream with a clear error instead of
+  * silently re-reading or mis-slicing rewritten regions. */
+final case class RegionCountOffset(gen: Long, n: Int)
     extends org.apache.spark.sql.connector.read.streaming.Offset {
-  override def json(): String = n.toString
+  override def json(): String = s"""{"gen":$gen,"n":$n}"""
+}
+
+object RegionCountOffset {
+  def parse(json: String): RegionCountOffset = {
+    val t = json.trim
+    if (t.startsWith("{")) {
+      val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(t)
+      RegionCountOffset(node.get("gen").asLong, node.get("n").asInt)
+    } else RegionCountOffset(0L, t.toInt) // pre-generation checkpoint
+  }
 }
 
 final class GraftMicroBatchStream(tableDir: File, required: StructType,
@@ -363,18 +381,29 @@ final class GraftMicroBatchStream(tableDir: File, required: StructType,
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
   import org.apache.spark.sql.connector.read.streaming.Offset
 
-  override def initialOffset(): Offset = RegionCountOffset(0)
+  private def generation: Long = TableMeta.loadGeneration(tableDir)
+
+  private def checkGeneration(o: RegionCountOffset): RegionCountOffset = {
+    val g = generation
+    if (o.gen != g) throw new IllegalStateException(
+      s"graft stream offset generation ${o.gen} does not match manifest " +
+        s"generation $g for ${tableDir.getName}: the table was compacted " +
+        "since the checkpoint. Restart the stream with a fresh checkpoint.")
+    o
+  }
+
+  override def initialOffset(): Offset = RegionCountOffset(generation, 0)
   override def latestOffset(): Offset =
-    RegionCountOffset(TableMeta.loadRegions(tableDir).size)
+    RegionCountOffset(generation, TableMeta.loadRegions(tableDir).size)
   override def deserializeOffset(json: String): Offset =
-    RegionCountOffset(json.trim.toInt)
+    RegionCountOffset.parse(json)
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 
   override def planInputPartitions(start: Offset, end: Offset)
       : Array[InputPartition] = {
-    val s = start.asInstanceOf[RegionCountOffset].n
-    val e = end.asInstanceOf[RegionCountOffset].n
+    val s = checkGeneration(start.asInstanceOf[RegionCountOffset]).n
+    val e = checkGeneration(end.asInstanceOf[RegionCountOffset]).n
     TableMeta.loadRegions(tableDir).slice(s, e).map(r =>
       GraftInputPartition(new File(tableDir, r.file).getPath, r.rows)
         : InputPartition).toArray

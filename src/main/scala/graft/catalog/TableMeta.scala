@@ -86,9 +86,11 @@ object TableMeta {
     TableMeta(schema, keyCols, props)
   }
 
-  def saveRegions(tableDir: File, regions: Seq[RegionMeta]): Unit = {
+  def saveRegions(tableDir: File, regions: Seq[RegionMeta],
+      generation: Long = 0L): Unit = {
     val m = mapper
     val root = m.createObjectNode()
+    root.put("generation", generation)
     val arr = root.putArray("regions")
     regions.foreach { r =>
       val o = arr.addObject()
@@ -98,6 +100,17 @@ object TableMeta {
       val maxs = o.putArray("maxs"); r.maxs.foreach(maxs.add)
     }
     writeAtomic(new File(tableDir, RegionsFile), root.toString)
+  }
+
+  /** Manifest generation: bumped by compaction (which rewrites the
+    * region set), preserved by appends. Streaming offsets carry it so a
+    * checkpoint taken before a compaction fails loudly instead of
+    * re-reading or mis-slicing rewritten regions. */
+  def loadGeneration(tableDir: File): Long = {
+    val f = new File(tableDir, RegionsFile)
+    if (!f.isFile) return 0L
+    val g = mapper.readTree(f).get("generation")
+    if (g == null) 0L else g.asLong
   }
 
   def loadRegions(tableDir: File): Seq[RegionMeta] = {
@@ -128,7 +141,11 @@ object TableMeta {
   private val monitors =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
-  def appendRegions(tableDir: File, added: Seq[RegionMeta]): Unit = {
+  /** Run `body` holding the table's manifest lock (per-table monitor for
+    * same-JVM threads + OS file lock for other processes). Every
+    * manifest read-modify-write — append and compaction swap alike —
+    * must go through here. */
+  def withManifestLock[T](tableDir: File)(body: => T): T = {
     val monitor = monitors.computeIfAbsent(
       tableDir.getCanonicalPath, _ => new Object)
     monitor.synchronized {
@@ -138,9 +155,14 @@ object TableMeta {
         java.nio.file.StandardOpenOption.WRITE)
       try {
         val lock = ch.lock()
-        try saveRegions(tableDir, loadRegions(tableDir) ++ added)
-        finally lock.release()
+        try body finally lock.release()
       } finally ch.close()
     }
   }
+
+  def appendRegions(tableDir: File, added: Seq[RegionMeta]): Unit =
+    withManifestLock(tableDir) {
+      saveRegions(tableDir, loadRegions(tableDir) ++ added,
+        loadGeneration(tableDir))
+    }
 }

@@ -1,0 +1,150 @@
+package graft.catalog
+
+import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+
+import org.apache.spark.sql.connector.catalog.Identifier
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Round-3 safety fixes: compaction vs concurrent commits, manifest
+  * generations in streaming offsets, empty-string key aggregates, and
+  * dropped-column tombstones. */
+class CatalogSafetySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def cat = spark.sessionState.catalogManager.catalog("graft")
+    .asInstanceOf[GraftCatalog]
+  private def tableDir(ns: String, t: String) =
+    cat.loadTable(Identifier.of(Array(ns), t))
+      .asInstanceOf[GraftTable].tableDir
+
+  test("compaction carries forward regions committed concurrently") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.safety")
+    spark.sql("DROP TABLE IF EXISTS graft.safety.compact_race")
+    spark.sql(
+      """CREATE TABLE graft.safety.compact_race (k INT, v STRING)
+        |TBLPROPERTIES('keyCols'='k')""".stripMargin)
+    (1 to 6).foreach { i =>
+      spark.sql(s"INSERT INTO graft.safety.compact_race VALUES ($i, 'base$i')")
+    }
+
+    // race 4 single-row inserts against the compaction rewrite
+    val pool = Executors.newFixedThreadPool(2)
+    val start = new CountDownLatch(1)
+    val inserter = pool.submit(new Runnable {
+      override def run(): Unit = {
+        start.await()
+        (101 to 104).foreach { i =>
+          spark.sql(
+            s"INSERT INTO graft.safety.compact_race VALUES ($i, 'race$i')")
+        }
+      }
+    })
+    val compactor = pool.submit(new Runnable {
+      override def run(): Unit = {
+        start.await()
+        GraftCompact.compact(spark, "graft", "safety", "compact_race", 2)
+      }
+    })
+    start.countDown()
+    inserter.get(120, TimeUnit.SECONDS)
+    compactor.get(120, TimeUnit.SECONDS)
+    pool.shutdown()
+
+    // no commit lost: all 10 rows present exactly once
+    val rows = spark.table("graft.safety.compact_race").collect()
+    assert(rows.length == 10, s"lost/duplicated rows: ${rows.length}")
+    val ks = rows.map(_.getInt(0)).sorted.toSeq
+    assert(ks == ((1 to 6) ++ (101 to 104)).toSeq)
+    spark.sql("DROP TABLE graft.safety.compact_race")
+  }
+
+  test("compaction bumps manifest generation; appends preserve it") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.safety")
+    spark.sql("DROP TABLE IF EXISTS graft.safety.gen_t")
+    spark.sql(
+      """CREATE TABLE graft.safety.gen_t (k INT, v STRING)
+        |TBLPROPERTIES('keyCols'='k')""".stripMargin)
+    val dir = tableDir("safety", "gen_t")
+    assert(TableMeta.loadGeneration(dir) == 0L)
+    spark.sql("INSERT INTO graft.safety.gen_t VALUES (1, 'a'), (2, 'b')")
+    assert(TableMeta.loadGeneration(dir) == 0L)
+    GraftCompact.compact(spark, "graft", "safety", "gen_t", 1)
+    assert(TableMeta.loadGeneration(dir) == 1L)
+    spark.sql("INSERT INTO graft.safety.gen_t VALUES (3, 'c')")
+    assert(TableMeta.loadGeneration(dir) == 1L)
+    spark.sql("DROP TABLE graft.safety.gen_t")
+  }
+
+  test("stream offset from before a compaction fails loudly") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.safety")
+    spark.sql("DROP TABLE IF EXISTS graft.safety.stream_gen")
+    spark.sql(
+      """CREATE TABLE graft.safety.stream_gen (k INT, v STRING)
+        |TBLPROPERTIES('keyCols'='k')""".stripMargin)
+    spark.sql("INSERT INTO graft.safety.stream_gen VALUES (1, 'a')")
+    spark.sql("INSERT INTO graft.safety.stream_gen VALUES (2, 'b')")
+    val dir = tableDir("safety", "stream_gen")
+    val stream = new GraftMicroBatchStream(dir,
+      TableMeta.load(dir).schema, Array.empty)
+    val before = stream.latestOffset().asInstanceOf[RegionCountOffset]
+    assert(before.gen == 0L && before.n == 2)
+
+    GraftCompact.compact(spark, "graft", "safety", "stream_gen", 1)
+    val e = intercept[IllegalStateException] {
+      stream.planInputPartitions(RegionCountOffset(before.gen, 0), before)
+    }
+    assert(e.getMessage.contains("compacted"))
+    // fresh offsets at the new generation slice correctly
+    val after = stream.latestOffset().asInstanceOf[RegionCountOffset]
+    assert(after.gen == 1L && after.n == 1)
+    assert(stream.planInputPartitions(
+      RegionCountOffset(after.gen, 0), after).length == 1)
+    spark.sql("DROP TABLE graft.safety.stream_gen")
+  }
+
+  test("offset json round-trips; legacy bare-int offsets parse as gen 0") {
+    val o = RegionCountOffset(3L, 17)
+    assert(RegionCountOffset.parse(o.json()) == o)
+    assert(RegionCountOffset.parse("42") == RegionCountOffset(0L, 42))
+  }
+
+  test("MIN/MAX agg pushdown honors empty-string keys") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.safety")
+    spark.sql("DROP TABLE IF EXISTS graft.safety.empty_key")
+    spark.sql(
+      """CREATE TABLE graft.safety.empty_key (k STRING, v INT)
+        |TBLPROPERTIES('keyCols'='k')""".stripMargin)
+    spark.sql("INSERT INTO graft.safety.empty_key VALUES ('', 1), ('b', 2)")
+    val r = spark.sql(
+      "SELECT min(k) AS lo, max(k) AS hi, count(*) AS n " +
+        "FROM graft.safety.empty_key").collect().head
+    assert(r.getString(0) == "", s"min was '${r.getString(0)}'")
+    assert(r.getString(1) == "b")
+    assert(r.getLong(2) == 2L)
+    spark.sql("DROP TABLE graft.safety.empty_key")
+  }
+
+  test("re-adding a dropped column with a different type is rejected") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.safety")
+    spark.sql("DROP TABLE IF EXISTS graft.safety.tomb")
+    spark.sql(
+      """CREATE TABLE graft.safety.tomb (k INT, v INT)
+        |TBLPROPERTIES('keyCols'='k')""".stripMargin)
+    spark.sql("INSERT INTO graft.safety.tomb VALUES (1, 10), (2, 20)")
+    spark.sql("ALTER TABLE graft.safety.tomb DROP COLUMN v")
+
+    val e = intercept[Exception] {
+      spark.sql("ALTER TABLE graft.safety.tomb ADD COLUMN v STRING")
+    }
+    assert(e.getMessage.contains("previously dropped"))
+
+    // same type is allowed and re-exposes the old cells (reference
+    // behavior: dropping the mapping leaves the HBase cells in place)
+    spark.sql("ALTER TABLE graft.safety.tomb ADD COLUMN v INT")
+    val got = spark.sql(
+      "SELECT v FROM graft.safety.tomb ORDER BY k").collect().map(_.getInt(0))
+    assert(got.toSeq == Seq(10, 20))
+    spark.sql("DROP TABLE graft.safety.tomb")
+  }
+}
