@@ -11,6 +11,8 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.sources.v2.bucketing.enabled", "true")
+      .config("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Untimed warmup: JVM/codegen warm, parquet footers cached, and the
@@ -21,10 +23,17 @@ object Bench {
       SparkEntry.queries("catalog_point_lookup")(spark, sfDir).count()
       SparkEntry.queries("catalog_tpch_q5")(spark, sfDir).count()
     } catch { case _: Throwable => }
+    // a failing query reports -1 s, loudly: silent swallowing would let a
+    // broken query keep "benchmarking"
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try {
+        fn(spark, sfDir).count()
+        name -> (System.nanoTime() - t0) / 1e9
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] FAILED $name: ${e.getMessage}")
+        name -> -1.0
+      }
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

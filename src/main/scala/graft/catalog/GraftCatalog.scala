@@ -41,11 +41,38 @@ import graft.codec.KeyCodec
   * APIs unsupported exactly as in the reference
   * (`HBaseCatalog.scala:257-259,288-290,434-444`).
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with FunctionCatalog {
 
   private var catalogName: String = _
   private var warehouse: File = _
   private val cache = TrieMap.empty[String, GraftTable]
+
+  /** Region-bucket functions for fixed-split tables, keyed by function
+    * name (`region_<split-set-hash>`). Registered whenever such a table
+    * is created or loaded, so scans planned afterwards can resolve the
+    * transform they report (Spark resolves it on the driver through
+    * this catalog's `loadFunction`). */
+  private val regionFns =
+    TrieMap.empty[String, org.apache.spark.sql.connector.catalog.functions.UnboundFunction]
+
+  private def registerRegionFn(meta: TableMeta): Unit =
+    meta.splits.foreach { sp =>
+      regionFns.getOrElseUpdate(sp.functionName, new GraftRegionFunction(sp))
+    }
+
+  override def listFunctions(namespace: Array[String])
+      : Array[Identifier] =
+    regionFns.keys.map(n => Identifier.of(namespace, n)).toArray
+
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    regionFns.getOrElse(ident.name,
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchFunctionException(ident))
+
+  override def functionExists(ident: Identifier): Boolean =
+    regionFns.contains(ident.name)
 
   override def initialize(name: String,
       options: CaseInsensitiveStringMap): Unit = {
@@ -80,8 +107,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val dir = tableDir(ident)
     if (!TableMeta.exists(dir))
       throw new NoSuchTableException(ident.namespace().toSeq :+ ident.name())
-    cache.getOrElseUpdate(dir.getPath,
-      new GraftTable(ident.toString, dir, TableMeta.load(dir)))
+    cache.getOrElseUpdate(dir.getPath, {
+      val meta = TableMeta.load(dir)
+      registerRegionFn(meta)
+      new GraftTable(ident.toString, dir, meta)
+    })
   }
 
   override def invalidateTable(ident: Identifier): Unit =
@@ -130,6 +160,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       require(e == "binaryformat" || e == "stringformat",
         s"encodingFormat must be binaryformat or stringformat, got $e")
     }
+    // fixed region split points (the reference's pre-split regions) —
+    // validated eagerly so a bad list fails the CREATE, not the scan
+    props.get(TableMeta.RegionSplitsProp).foreach { spec =>
+      RegionSplits.parse(byName(keyCols.head.toLowerCase).dataType, spec)
+    }
     // optional family/qualifier mapping — validated, kept as metadata
     props.get(TableMeta.NonKeyColsProp).foreach { spec =>
       val keySet = keyCols.map(_.toLowerCase).toSet
@@ -149,6 +184,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       props - TableCatalog.PROP_PROVIDER - TableCatalog.PROP_OWNER)
     TableMeta.save(dir, meta)
     TableMeta.saveRegions(dir, Nil)
+    registerRegionFn(meta)
     new GraftTable(ident.toString, dir, meta)
   }
 
@@ -193,9 +229,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
           schema = StructType(
             meta.schema.fields.filterNot(_.name.equalsIgnoreCase(name))))
       case set: TableChange.SetProperty =>
+        require(set.property != TableMeta.RegionSplitsProp,
+          "regionSplits is fixed at CREATE TABLE (existing region files " +
+            "are bucketed by the original splits)")
         meta = meta.copy(properties =
           meta.properties + (set.property -> set.value))
       case rm: TableChange.RemoveProperty =>
+        require(rm.property != TableMeta.RegionSplitsProp,
+          "regionSplits is fixed at CREATE TABLE")
         meta = meta.copy(properties = meta.properties - rm.property)
       case other => throw new UnsupportedOperationException(
         s"graft alterTable does not support $other")

@@ -264,7 +264,8 @@ final case class GraftAggReaderFactory() extends PartitionReaderFactory {
 class GraftScan(tableDir: File, meta: TableMeta, required: StructType,
     filters: Array[sources.Filter])
     extends Scan with Batch with SupportsReportStatistics
-    with SupportsReportOrdering with SupportsRuntimeFiltering {
+    with SupportsReportOrdering with SupportsRuntimeFiltering
+    with SupportsReportPartitioning {
 
   private val dims: Map[String, (Int, DataType)] =
     meta.keyCols.zipWithIndex.map { case (k, i) =>
@@ -319,9 +320,40 @@ class GraftScan(tableDir: File, meta: TableMeta, required: StructType,
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new GraftMicroBatchStream(tableDir, required, filters)
 
+  /** Key-grouped partitioning over the fixed region buckets, when the
+    * table declares `regionSplits` and every region file carries its
+    * bucket. With `spark.sql.sources.v2.bucketing.enabled`:
+    *  - GROUP BY on the first key column (or any superset) plans with
+    *    no Exchange (bucket is a function of k1, so equal keys share a
+    *    partition), and
+    *  - joins between two tables with byte-identical split lists plan
+    *    as storage-partitioned joins — no Exchange on either fact side
+    *    (the reference's `canBeAggregatedForAll` intent,
+    *    `HBaseStrategies.scala:44-175`, realized on the V2 API). */
+  private def keyGrouped: Boolean = meta.splits.isDefined &&
+    selectedRegions.nonEmpty && selectedRegions.forall(_.bucket >= 0)
+
+  override def outputPartitioning()
+      : connector.read.partitioning.Partitioning =
+    if (keyGrouped) {
+      val sp = meta.splits.get
+      new connector.read.partitioning.KeyGroupedPartitioning(
+        Array(connector.expressions.Expressions.apply(sp.functionName,
+          connector.expressions.Expressions.column(meta.keyCols.head))),
+        selectedRegions.map(_.bucket).distinct.size)
+    } else {
+      new connector.read.partitioning.UnknownPartitioning(
+        selectedRegions.size)
+    }
+
   override def planInputPartitions(): Array[InputPartition] =
-    selectedRegions.map(r => GraftInputPartition(
-      new File(tableDir, r.file).getPath, r.rows): InputPartition).toArray
+    if (keyGrouped)
+      selectedRegions.map(r => GraftKeyedInputPartition(
+        new File(tableDir, r.file).getPath, r.rows, r.bucket)
+        : InputPartition).toArray
+    else
+      selectedRegions.map(r => GraftInputPartition(
+        new File(tableDir, r.file).getPath, r.rows): InputPartition).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
     GraftReaderFactory(required.json, filters)
@@ -355,6 +387,15 @@ class GraftScan(tableDir: File, meta: TableMeta, required: StructType,
 
 final case class GraftInputPartition(file: String, rows: Long)
     extends InputPartition
+
+/** Region file of a fixed-split table: every row maps to `bucket` under
+  * the table's region transform, so the partition key is the bucket. */
+final case class GraftKeyedInputPartition(file: String, rows: Long,
+    bucket: Int) extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](bucket))
+}
 
 /** Offset = count of committed regions in the manifest, qualified by the
   * manifest generation (bumped by compaction). A checkpoint taken
@@ -417,9 +458,13 @@ final case class GraftReaderFactory(requiredJson: String,
     filters: Array[sources.Filter]) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition)
       : PartitionReader[InternalRow] = {
-    val p = partition.asInstanceOf[GraftInputPartition]
+    val file = partition match {
+      case p: GraftInputPartition => p.file
+      case p: GraftKeyedInputPartition => p.file
+      case other => throw new IllegalStateException(other.toString)
+    }
     val required = DataType.fromJson(requiredJson).asInstanceOf[StructType]
-    new GraftPartitionReader(p.file, required, filters)
+    new GraftPartitionReader(file, required, filters)
   }
 }
 

@@ -50,50 +50,78 @@ class GraftWrite(tableDir: File, meta: TableMeta)
 }
 
 final case class RegionCommit(file: String, rows: Long,
-    mins: Seq[String], maxs: Seq[String]) extends WriterCommitMessage
+    mins: Seq[String], maxs: Seq[String], bucket: Int = -1)
+    extends WriterCommitMessage
+
+/** One task may emit several region files (one per fixed region bucket
+  * it received rows for, when the table declares `regionSplits`). */
+final case class RegionCommits(files: Seq[RegionCommit])
+    extends WriterCommitMessage
 
 class GraftBatchWrite(tableDir: File, meta: TableMeta) extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo)
       : DataWriterFactory =
     GraftWriterFactory(tableDir.getPath, meta.schema.json,
-      meta.keyCols.toArray)
+      meta.keyCols.toArray,
+      meta.splits.map(_.points.map(KeyCodec.toHex)).getOrElse(Array.empty))
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val regions = messages.collect {
+    val regions = messages.flatMap {
+      case RegionCommits(files) => files
+      case other => throw new IllegalStateException(other.toString)
+    }.collect {
       case r: RegionCommit if r.rows > 0 =>
-        RegionMeta(r.file, r.rows, r.mins, r.maxs)
+        RegionMeta(r.file, r.rows, r.mins, r.maxs, r.bucket)
     }
     TableMeta.appendRegions(tableDir, regions.toSeq)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
-      case r: RegionCommit => new File(tableDir, r.file).delete()
+      case RegionCommits(files) =>
+        files.foreach(r => new File(tableDir, r.file).delete())
       case _ =>
     }
 }
 
 final case class GraftWriterFactory(dir: String, schemaJson: String,
-    keyCols: Array[String]) extends DataWriterFactory {
+    keyCols: Array[String], splitsHex: Array[String])
+    extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : DataWriter[InternalRow] =
-    new GraftDataWriter(dir, schemaJson, keyCols, partitionId, taskId)
+    new GraftDataWriter(dir, schemaJson, keyCols, splitsHex, partitionId,
+      taskId)
 }
 
+/** Writes one region file per (task, region bucket). Input arrives
+  * key-sorted (RequiresDistributionAndOrdering), and the bucket is
+  * monotone in the first key column, so files roll at most
+  * `numBuckets` times per task and each file covers a single bucket. */
 final class GraftDataWriter(dir: String, schemaJson: String,
-    keyCols: Array[String], partitionId: Int, taskId: Long)
-    extends DataWriter[InternalRow] {
+    keyCols: Array[String], splitsHex: Array[String], partitionId: Int,
+    taskId: Long) extends DataWriter[InternalRow] {
 
   private val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
   private val keyIdx = keyCols.map(schema.fieldIndex)
   private val keyTypes = keyIdx.map(schema.fields(_).dataType)
-  private val fileName = f"part-$partitionId%05d-$taskId-${UUID.randomUUID()}.parquet"
+  private val splits: Array[Array[Byte]] = splitsHex.map(KeyCodec.fromHex)
 
-  private var writer: ParquetRowIO.RowWriter = _
-  private var rows = 0L
-  private val mins = Array.fill[Array[Byte]](keyCols.length)(null)
-  private val maxs = Array.fill[Array[Byte]](keyCols.length)(null)
+  private final class FileState(val bucket: Int) {
+    val fileName =
+      f"part-$partitionId%05d-$taskId-${UUID.randomUUID()}.parquet"
+    val writer =
+      new ParquetRowIO.RowWriter(new File(dir, fileName).getPath, schema)
+    var rows = 0L
+    val mins = Array.fill[Array[Byte]](keyCols.length)(null)
+    val maxs = Array.fill[Array[Byte]](keyCols.length)(null)
+    def toCommit: RegionCommit = RegionCommit(fileName, rows,
+      mins.map(b => if (b == null) "" else KeyCodec.toHex(b)).toSeq,
+      maxs.map(b => if (b == null) "" else KeyCodec.toHex(b)).toSeq, bucket)
+  }
+
+  private var current: FileState = _
+  private var closed = List.empty[FileState]
 
   /** Internal value of key dimension d, for the codec. */
   private def keyValue(row: InternalRow, d: Int): Any = keyTypes(d) match {
@@ -108,33 +136,56 @@ final class GraftDataWriter(dir: String, schemaJson: String,
     case other => throw new IllegalStateException(other.toString)
   }
 
+  private def bucketOf(encFirstKey: Array[Byte]): Int = {
+    var lo = 0
+    var hi = splits.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (KeyCodec.compare(splits(mid), encFirstKey) <= 0) lo = mid + 1
+      else hi = mid
+    }
+    lo
+  }
+
   override def write(row: InternalRow): Unit = {
+    val encs = new Array[Array[Byte]](keyIdx.length)
     var d = 0
     while (d < keyIdx.length) {
       if (row.isNullAt(keyIdx(d)))
         throw new IllegalArgumentException(
           s"null value in key column ${keyCols(d)}")
-      val enc = KeyCodec.encode(keyTypes(d), keyValue(row, d))
-      if (mins(d) == null || KeyCodec.compare(enc, mins(d)) < 0) mins(d) = enc
-      if (maxs(d) == null || KeyCodec.compare(enc, maxs(d)) > 0) maxs(d) = enc
+      encs(d) = KeyCodec.encode(keyTypes(d), keyValue(row, d))
       d += 1
     }
-    if (writer == null)
-      writer = new ParquetRowIO.RowWriter(new File(dir, fileName).getPath, schema)
-    writer.write(row)
-    rows += 1
+    val bucket = if (splits.isEmpty) -1 else bucketOf(encs(0))
+    if (current == null || bucket != current.bucket) {
+      if (current != null) { current.writer.close(); closed ::= current }
+      current = new FileState(bucket)
+    }
+    d = 0
+    while (d < keyIdx.length) {
+      if (current.mins(d) == null ||
+        KeyCodec.compare(encs(d), current.mins(d)) < 0)
+        current.mins(d) = encs(d)
+      if (current.maxs(d) == null ||
+        KeyCodec.compare(encs(d), current.maxs(d)) > 0)
+        current.maxs(d) = encs(d)
+      d += 1
+    }
+    current.writer.write(row)
+    current.rows += 1
   }
 
   override def commit(): WriterCommitMessage = {
-    if (writer != null) writer.close()
-    RegionCommit(fileName, rows,
-      mins.map(b => if (b == null) "" else KeyCodec.toHex(b)).toSeq,
-      maxs.map(b => if (b == null) "" else KeyCodec.toHex(b)).toSeq)
+    if (current != null) { current.writer.close(); closed ::= current }
+    current = null
+    RegionCommits(closed.reverse.map(_.toCommit))
   }
 
   override def abort(): Unit = {
-    if (writer != null) writer.close()
-    new File(dir, fileName).delete()
+    if (current != null) { current.writer.close(); closed ::= current }
+    current = null
+    closed.foreach(f => new File(dir, f.fileName).delete())
   }
 
   override def close(): Unit = ()

@@ -27,12 +27,20 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *     part-*.parquet        region data files, sorted by composite key
   * }}}
   */
+/** `bucket` = fixed-region index when the table declares `regionSplits`
+  * (-1 otherwise): the value of the table's region transform for every
+  * row in the file, enabling key-grouped (storage-partitioned) plans. */
 final case class RegionMeta(file: String, rows: Long,
-    mins: Seq[String], maxs: Seq[String])
+    mins: Seq[String], maxs: Seq[String], bucket: Int = -1)
 
 final case class TableMeta(schema: StructType, keyCols: Seq[String],
     properties: Map[String, String]) {
   def keyTypes: Seq[DataType] = keyCols.map(schema(_).dataType)
+
+  /** Fixed split points on the first key column, when declared. */
+  lazy val splits: Option[RegionSplits] =
+    properties.get(TableMeta.RegionSplitsProp)
+      .map(RegionSplits.parse(schema(keyCols.head).dataType, _))
 }
 
 object TableMeta {
@@ -45,6 +53,7 @@ object TableMeta {
   val NonKeyColsProp = "nonKeyCols"
   val EncodingProp = "encodingFormat"
   val NumRegionsProp = "numRegions"
+  val RegionSplitsProp = "regionSplits"
 
   private def mapper = new ObjectMapper()
 
@@ -96,6 +105,7 @@ object TableMeta {
       val o = arr.addObject()
       o.put("file", r.file)
       o.put("rows", r.rows)
+      if (r.bucket >= 0) o.put("bucket", r.bucket)
       val mins = o.putArray("mins"); r.mins.foreach(mins.add)
       val maxs = o.putArray("maxs"); r.maxs.foreach(maxs.add)
     }
@@ -125,7 +135,8 @@ object TableMeta {
         (0 until a.size).map(a.get(_).asText)
       }
       RegionMeta(o.get("file").asText, o.get("rows").asLong,
-        strs("mins"), strs("maxs"))
+        strs("mins"), strs("maxs"),
+        if (o.has("bucket")) o.get("bucket").asInt else -1)
     }
   }
 

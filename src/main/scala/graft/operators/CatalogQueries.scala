@@ -12,6 +12,30 @@ object CatalogQueries {
   type Q = (SparkSession, String) => DataFrame
 
   private val built = scala.collection.concurrent.TrieMap[String, String]()
+  private val splitsCache = scala.collection.concurrent.TrieMap[String, String]()
+
+  /** Shared fixed region splits on the orderkey domain, so orders_t and
+    * lineitem_t are co-partitioned: their fact-fact joins plan as
+    * storage-partitioned joins and GROUP BY on the orderkey prefix needs
+    * no Exchange. Deterministic for a given sf dir (approxQuantile is). */
+  private def orderKeySplits(s: SparkSession, d: String): String =
+    splitsCache.getOrElseUpdate(d, {
+      val probs = (1 until 16).map(_ / 16.0).toArray
+      s.read.parquet(s"$d/orders.parquet")
+        .stat.approxQuantile("o_orderkey", probs, 0.001)
+        .map(_.toLong).distinct.sorted.mkString(";")
+    })
+
+  /** Half-loaded or pre-regionSplits tables from a killed prior run are
+    * rebuilt: trust only a table whose row count matches the source AND
+    * that already carries the co-partitioning splits. */
+  private def usable(s: SparkSession, fqn: String, srcCount: Long): Boolean = {
+    val hasSplits = s.sql(s"SHOW TBLPROPERTIES $fqn").collect()
+      .exists(_.getString(0) == "regionSplits")
+    val ok = hasSplits && s.table(fqn).count() == srcCount
+    if (!ok) s.sql(s"DROP TABLE $fqn")
+    ok
+  }
 
   /** Ensure the graft catalog is registered and the orders table for
     * this sf dir is created+loaded; returns its fully qualified name. */
@@ -22,24 +46,23 @@ object CatalogQueries {
         s.conf.set("spark.sql.catalog.graft.warehouse",
           "/tmp/graft_catalog_warehouse")
       }
+      // key-grouped scans are only honored under these (safe defaults)
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      s.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled",
+        "true")
       val ns = s"sf_${math.abs(d.hashCode)}"
       val fqn = s"graft.$ns.orders_t"
       s.sql(s"CREATE NAMESPACE IF NOT EXISTS graft.$ns")
-      // a killed prior run can leave a half-loaded table; trust it only
-      // if its row count matches the source
       val srcCount = s.read.parquet(s"$d/orders.parquet").count()
       val exists = s.sql(s"SHOW TABLES IN graft.$ns").collect()
-        .exists(_.getString(1) == "orders_t") && {
-        val ok = s.table(fqn).count() == srcCount
-        if (!ok) s.sql(s"DROP TABLE $fqn")
-        ok
-      }
+        .exists(_.getString(1) == "orders_t") && usable(s, fqn, srcCount)
       if (!exists) {
         s.sql(
           s"""CREATE TABLE $fqn (
              |  o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING,
              |  o_orderpriority STRING, o_totalprice DOUBLE, o_orderdate DATE)
-             |TBLPROPERTIES('keyCols'='o_orderkey', 'numRegions'='16')"""
+             |TBLPROPERTIES('keyCols'='o_orderkey',
+             |              'regionSplits'='${orderKeySplits(s, d)}')"""
             .stripMargin)
         val v = s"orders_cat_src_${math.abs(d.hashCode)}"
         s.read.parquet(s"$d/orders.parquet")
@@ -103,18 +126,16 @@ object CatalogQueries {
       val fqn = s"graft.$ns.lineitem_t"
       val srcCount = s.read.parquet(s"$d/lineitem.parquet").count()
       val exists = s.sql(s"SHOW TABLES IN graft.$ns").collect()
-        .exists(_.getString(1) == "lineitem_t") && {
-        val ok = s.table(fqn).count() == srcCount
-        if (!ok) s.sql(s"DROP TABLE $fqn")
-        ok
-      }
+        .exists(_.getString(1) == "lineitem_t") && usable(s, fqn, srcCount)
       if (!exists) {
+        // same splits as orders_t -> co-partitioned on the orderkey
         s.sql(
           s"""CREATE TABLE $fqn (
              |  l_orderkey BIGINT, l_linenumber INT, l_extendedprice DOUBLE,
              |  l_discount DOUBLE, l_shipdate DATE)
              |TBLPROPERTIES('keyCols'='l_orderkey;l_linenumber',
-             |              'numRegions'='32')""".stripMargin)
+             |              'regionSplits'='${orderKeySplits(s, d)}')"""
+            .stripMargin)
         val v = s"li_cat_src_${math.abs(d.hashCode)}"
         s.read.parquet(s"$d/lineitem.parquet")
           .select("l_orderkey", "l_linenumber", "l_extendedprice",
@@ -186,6 +207,17 @@ object CatalogQueries {
        |       count(DISTINCT md5(text)) AS n_unique
        |FROM ${documentsTable(s, d)} GROUP BY source""".stripMargin)
 
+  /** GROUP BY on the key prefix of a fixed-split table: the scan's
+    * KeyGroupedPartitioning already clusters equal orderkeys, so this
+    * aggregates with NO Exchange (the reference's exchange-free
+    * aggregation intent, `HBaseStrategies.scala:44-175`, realized;
+    * asserted in PlanShapeSpec). */
+  val keyGroupBy: Q = (s, d) => s.sql(
+    s"""SELECT l_orderkey, count(*) AS n_items, max(l_linenumber) AS max_ln,
+       |       round(sum(l_extendedprice), 2) AS revenue
+       |FROM ${lineitemTable(s, d)}
+       |GROUP BY l_orderkey""".stripMargin)
+
   val queries: Map[String, Q] = Map(
     "catalog_dedup_exact" -> dedupOnStore,
     "catalog_point_lookup" -> pointLookup,
@@ -194,6 +226,7 @@ object CatalogQueries {
     "catalog_cell_filter" -> cellFilter,
     "catalog_join_parquet" -> joinParquet,
     "catalog_tpch_q5" -> tpchQ5,
+    "catalog_key_groupby" -> keyGroupBy,
   )
 
   val oracles: Map[String, String] = Map(
@@ -242,5 +275,11 @@ object CatalogQueries {
         |JOIN region r ON n.n_regionkey = r.r_regionkey
         |WHERE r.r_name = 'ASIA' AND o.o_orderdate >= DATE'1996-01-01'
         |GROUP BY n.n_name""".stripMargin,
+
+    "catalog_key_groupby" ->
+      """SELECT l_orderkey, count(*) AS n_items,
+        |       CAST(max(l_linenumber) AS INT) AS max_ln,
+        |       round(CAST(sum(l_extendedprice) AS DOUBLE), 2) AS revenue
+        |FROM lineitem GROUP BY l_orderkey""".stripMargin,
   )
 }

@@ -55,7 +55,14 @@ object RegionStore {
   // ------------------------------------------------------------- bulk load
 
   /** Range-shuffle + sort + write: the LOAD DATA path. One output file
-    * per region, globally ordered by the composite key. */
+    * per region, globally ordered by the composite key.
+    *
+    * Manifest stats (per-file rows + key min/max) come from the parquet
+    * footers — O(files) metadata reads, never a second pass over the
+    * data (at 100 TB a read-back would double ingest IO). Footer
+    * min/max may be widened (truncated binary stats) or absent (NaN
+    * floats, INT96): widened bounds stay sound for pruning; absent ones
+    * fall back to a targeted single-file aggregation. */
   def bulkLoad(df: DataFrame, keyCols: Seq[String], dir: String,
       numRegions: Int): Unit = {
     val spark = df.sparkSession
@@ -66,40 +73,122 @@ object RegionStore {
         s"key column $k has unsupported type ${f.dataType}")
     }
     val keyExprs = keyCols.map(col)
-    df.filter(keyCols.map(col(_).isNotNull).reduce(_ && _))
-      .repartitionByRange(numRegions, keyExprs: _*)
-      .sortWithinPartitions(keyExprs: _*)
-      .write.mode("overwrite").parquet(dir)
-
-    // per-file stats in one pass (regions ≪ rows, collect is bounded)
-    val back = spark.read.parquet(dir)
-    val aggs = keyCols.flatMap(k =>
-      Seq(min(col(k)).as(s"min_$k"), max(col(k)).as(s"max_$k"))) :+
-      count(lit(1)).as("rows")
-    val stats = back
-      .groupBy(input_file_name().as("file"))
-      .agg(aggs.head, aggs.tail: _*)
-      .collect()
+    // INT96 timestamps carry no usable stats; micros do
+    val tsConf = "spark.sql.parquet.outputTimestampType"
+    val savedTs = spark.conf.getOption(tsConf)
+    spark.conf.set(tsConf, "TIMESTAMP_MICROS")
+    try {
+      df.filter(keyCols.map(col(_).isNotNull).reduce(_ && _))
+        .repartitionByRange(numRegions, keyExprs: _*)
+        .sortWithinPartitions(keyExprs: _*)
+        .write.mode("overwrite").parquet(dir)
+    } finally savedTs match {
+      case Some(v) => spark.conf.set(tsConf, v)
+      case None => spark.conf.unset(tsConf)
+    }
 
     val keyTypes = keyCols.map(schema(_).dataType)
-    val rows = stats.map { r =>
-      val file = r.getString(0).replaceFirst("^file:/*", "/")
-        .split('/').last
-      val mins = keyCols.zip(keyTypes).map { case (k, dt) =>
-        KeyCodec.toHex(KeyCodec.encode(dt, toCodecValue(dt, r.getAs[Any](s"min_$k"))))
+    val files = Option(new java.io.File(dir).listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith("part-") &&
+        f.getName.endsWith(".parquet"))
+      .sortBy(_.getName)
+    val rows = files.toSeq.flatMap { f =>
+      val (n, minsMaxs) = footerStats(f.getPath, keyCols, keyTypes)
+      if (n == 0) None
+      else {
+        val (mins, maxs) = minsMaxs.getOrElse(fileAgg(spark, f.getPath,
+          keyCols, keyTypes))
+        Some((f.getName, n, mins, maxs,
+          keyCols.zip(keyTypes).map { case (k, dt) => s"$k:${dt.json}" },
+          schema.json))
       }
-      val maxs = keyCols.zip(keyTypes).map { case (k, dt) =>
-        KeyCodec.toHex(KeyCodec.encode(dt, toCodecValue(dt, r.getAs[Any](s"max_$k"))))
-      }
-      (file, r.getAs[Long]("rows"), mins, maxs,
-        keyCols.zip(keyTypes).map { case (k, dt) => s"$k:${dt.json}" },
-        schema.json)
-    }.toSeq
+    }
 
     import spark.implicits._
     rows.toDF("file", "rows", "minHex", "maxHex", "keyCols", "schemaJson")
       .coalesce(1)
       .write.mode("overwrite").json(s"$dir/$ManifestDir")
+  }
+
+  /** Footer read: (row count, per-key (minHex, maxHex)) — None for the
+    * stats when any key column lacks exact-enough footer statistics. */
+  private def footerStats(path: String, keyCols: Seq[String],
+      keyTypes: Seq[DataType]): (Long, Option[(Seq[String], Seq[String])]) = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import scala.jdk.CollectionConverters._
+    val in = HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(path),
+      new org.apache.hadoop.conf.Configuration())
+    val r = ParquetFileReader.open(in)
+    try {
+      val blocks = r.getFooter.getBlocks.asScala.toSeq
+      val rows = blocks.map(_.getRowCount).sum
+      if (rows == 0) return (0L, None)
+      val perKey = keyCols.zip(keyTypes).map { case (k, dt) =>
+        val colStats = blocks.map(_.getColumns.asScala
+          .find(_.getPath.toDotString.equalsIgnoreCase(k))
+          .map(_.getStatistics).orNull)
+        if (colStats.exists(s => s == null || s.isEmpty ||
+          !s.hasNonNullValue)) None
+        else {
+          val encs = colStats.map { s =>
+            (statValue(dt, s.genericGetMin), statValue(dt, s.genericGetMax))
+          }
+          for {
+            mins <- sequence(encs.map(_._1))
+            maxs <- sequence(encs.map(_._2))
+          } yield (
+            mins.map(KeyCodec.encode(dt, _)).min(byteOrdering),
+            maxs.map(KeyCodec.encode(dt, _)).max(byteOrdering))
+        }
+      }
+      if (perKey.forall(_.isDefined)) {
+        val ms = perKey.map(_.get)
+        (rows, Some((ms.map(m => KeyCodec.toHex(m._1)),
+          ms.map(m => KeyCodec.toHex(m._2)))))
+      } else (rows, None)
+    } finally r.close()
+  }
+
+  private val byteOrdering: Ordering[Array[Byte]] =
+    Ordering.fromLessThan((a, b) => KeyCodec.compare(a, b) < 0)
+
+  private def sequence[T](xs: Seq[Option[T]]): Option[Seq[T]] =
+    if (xs.forall(_.isDefined)) Some(xs.map(_.get)) else None
+
+  /** Parquet footer stat value → codec-space value for `dt`. */
+  private def statValue(dt: DataType, v: Any): Option[Any] = (dt, v) match {
+    case (StringType, b: org.apache.parquet.io.api.Binary) =>
+      Some(b.toStringUsingUTF8)
+    case (ByteType, i: java.lang.Integer) => Some(i.toByte)
+    case (ShortType, i: java.lang.Integer) => Some(i.toShort)
+    case (IntegerType | DateType, i: java.lang.Integer) => Some(i.toInt)
+    case (LongType | TimestampType, l: java.lang.Long) => Some(l.toLong)
+    case (FloatType, f: java.lang.Float) if !f.isNaN => Some(f.toFloat)
+    case (DoubleType, d: java.lang.Double) if !d.isNaN => Some(d.toDouble)
+    case (BooleanType, b: java.lang.Boolean) => Some(b.booleanValue)
+    case _ => None
+  }
+
+  /** Targeted fallback: aggregate one file's key min/max (only when its
+    * footer stats are unusable — NaN keys or exotic encodings). */
+  private def fileAgg(spark: SparkSession, path: String, keyCols: Seq[String],
+      keyTypes: Seq[DataType]): (Seq[String], Seq[String]) = {
+    val aggs = keyCols.flatMap(k =>
+      Seq(min(col(k)).as(s"min_$k"), max(col(k)).as(s"max_$k")))
+    val r = spark.read.parquet(path).agg(aggs.head, aggs.tail: _*)
+      .collect().head
+    val mins = keyCols.zip(keyTypes).map { case (k, dt) =>
+      KeyCodec.toHex(KeyCodec.encode(dt,
+        toCodecValue(dt, r.getAs[Any](s"min_$k"))))
+    }
+    val maxs = keyCols.zip(keyTypes).map { case (k, dt) =>
+      KeyCodec.toHex(KeyCodec.encode(dt,
+        toCodecValue(dt, r.getAs[Any](s"max_$k"))))
+    }
+    (mins, maxs)
   }
 
   // -------------------------------------------------------------- manifest

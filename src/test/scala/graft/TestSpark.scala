@@ -12,6 +12,10 @@ object TestSpark {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // storage-partitioned joins / key-grouped scans over fixed-split
+      // graft tables (KeyGroupedPartitioning is only honored with these)
+      .config("spark.sql.sources.v2.bucketing.enabled", "true")
+      .config("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
       .config("spark.sql.catalog.graft.warehouse",

@@ -1,0 +1,172 @@
+package graft.catalog
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.connector.catalog.Identifier
+import org.apache.spark.sql.execution.ExplainMode
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import graft.TestSpark
+
+/** Storage-partitioned plans over fixed-split (`regionSplits`) graft
+  * tables: exchange-free GROUP BY on the key prefix and exchange-free
+  * fact-fact joins between identically-split tables — the rebuild of
+  * the reference's exchange-free intent (`HBaseStrategies.scala:44-175`,
+  * asserts disabled at `HBaseAdditionalQuerySuite.scala:299-308`). */
+class StoragePartitionSpec extends AnyFunSuite with BeforeAndAfterAll {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sfDir
+
+  // sf0.001 orderkeys span 0..1499
+  private val Splits = "300;600;900"
+
+  override def beforeAll(): Unit = {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.spj")
+    spark.sql("DROP TABLE IF EXISTS graft.spj.orders_s")
+    spark.sql("DROP TABLE IF EXISTS graft.spj.li_s")
+    spark.sql(
+      s"""CREATE TABLE graft.spj.orders_s (
+         |  o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE)
+         |TBLPROPERTIES('keyCols'='o_orderkey',
+         |              'regionSplits'='$Splits')""".stripMargin)
+    spark.sql(
+      s"""CREATE TABLE graft.spj.li_s (
+         |  l_orderkey BIGINT, l_linenumber INT, l_extendedprice DOUBLE)
+         |TBLPROPERTIES('keyCols'='l_orderkey;l_linenumber',
+         |              'regionSplits'='$Splits')""".stripMargin)
+    spark.read.parquet(s"$sf/orders.parquet")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .createOrReplaceTempView("spj_orders_src")
+    spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_orderkey", "l_linenumber", "l_extendedprice")
+      .createOrReplaceTempView("spj_li_src")
+    spark.sql("INSERT INTO graft.spj.orders_s SELECT * FROM spj_orders_src")
+    spark.sql("INSERT INTO graft.spj.li_s SELECT * FROM spj_li_src")
+  }
+
+  /** Final (post-AQE) plan, one line per operator. */
+  private def finalPlan(df: DataFrame): String = {
+    df.collect()
+    df.queryExecution.explainString(ExplainMode.fromString("simple"))
+  }
+
+  private def shuffles(p: String): Int =
+    p.linesIterator.count(l =>
+      l.contains("Exchange") && !l.contains("BroadcastExchange"))
+
+  private def sortedRows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  test("every region file of a fixed-split table carries its bucket") {
+    val cat = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[GraftCatalog]
+    val dir = cat.loadTable(Identifier.of(Array("spj"), "li_s"))
+      .asInstanceOf[GraftTable].tableDir
+    val regions = TableMeta.loadRegions(dir)
+    assert(regions.nonEmpty && regions.forall(_.bucket >= 0))
+    assert(regions.map(_.bucket).distinct.sorted == Seq(0, 1, 2, 3))
+    // bucket ranges respected: max key of bucket b < split point b
+    val splits = TableMeta.load(dir).splits.get
+    regions.foreach { r =>
+      val lo = graft.codec.KeyCodec.fromHex(r.mins.head)
+      val hi = graft.codec.KeyCodec.fromHex(r.maxs.head)
+      assert(splits.bucketOf(lo) == r.bucket && splits.bucketOf(hi) == r.bucket)
+    }
+  }
+
+  test("GROUP BY on the key prefix plans with no Exchange") {
+    val df = spark.sql(
+      """SELECT l_orderkey, count(*) AS n,
+        |       round(sum(l_extendedprice), 2) AS s
+        |FROM graft.spj.li_s GROUP BY l_orderkey""".stripMargin)
+    val p = finalPlan(df)
+    assert(shuffles(p) == 0, s"expected exchange-free group-by:\n$p")
+    val want = sortedRows(spark.sql(
+      """SELECT l_orderkey, count(*) AS n,
+        |       round(sum(l_extendedprice), 2) AS s
+        |FROM spj_li_src GROUP BY l_orderkey""".stripMargin))
+    assert(sortedRows(df) == want)
+  }
+
+  /** Run `body` with broadcast joins disabled — at test scale every
+    * dimension fits a broadcast, which is the plan we want in prod for
+    * SMALL sides; these tests prove the big-big (both sides too large
+    * to broadcast) path needs no Exchange either. */
+  private def noBroadcast[T](body: => T): T = {
+    val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> spark.conf.getOption(k))
+    keys.foreach(spark.conf.set(_, "-1"))
+    try body finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("co-partitioned fact-fact join plans with no Exchange") { noBroadcast {
+    // integer aggregates: double sums vary in the last ulp with
+    // partition layout, which is noise, not a correctness signal
+    val df = spark.sql(
+      """SELECT o.o_orderkey, count(*) AS n, sum(l.l_linenumber) AS sl
+        |FROM graft.spj.orders_s o
+        |JOIN graft.spj.li_s l ON o.o_orderkey = l.l_orderkey
+        |GROUP BY o.o_orderkey""".stripMargin)
+    val p = finalPlan(df)
+    assert(shuffles(p) == 0,
+      s"expected storage-partitioned join, got shuffles:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
+    val want = sortedRows(spark.sql(
+      """SELECT o.o_orderkey, count(*) AS n, sum(l.l_linenumber) AS sl
+        |FROM spj_orders_src o
+        |JOIN spj_li_src l ON o.o_orderkey = l.l_orderkey
+        |GROUP BY o.o_orderkey""".stripMargin))
+    assert(sortedRows(df) == want)
+  } }
+
+  test("key-pruned co-partitioned join stays exchange-free and correct") { noBroadcast {
+    val df = spark.sql(
+      """SELECT o.o_orderkey, count(*) AS n
+        |FROM graft.spj.orders_s o
+        |JOIN graft.spj.li_s l ON o.o_orderkey = l.l_orderkey
+        |WHERE o.o_orderkey BETWEEN 250 AND 700
+        |GROUP BY o.o_orderkey""".stripMargin)
+    val p = finalPlan(df)
+    assert(shuffles(p) == 0, s"pruned SPJ should stay exchange-free:\n$p")
+    val want = sortedRows(spark.sql(
+      """SELECT o.o_orderkey, count(*) AS n
+        |FROM spj_orders_src o
+        |JOIN spj_li_src l ON o.o_orderkey = l.l_orderkey
+        |WHERE o.o_orderkey BETWEEN 250 AND 700
+        |GROUP BY o.o_orderkey""".stripMargin))
+    assert(sortedRows(df) == want)
+  } }
+
+  test("differently-split tables do not claim co-partitioning") {
+    spark.sql("DROP TABLE IF EXISTS graft.spj.other_s")
+    spark.sql(
+      """CREATE TABLE graft.spj.other_s (
+        |  o_orderkey BIGINT, o_custkey BIGINT)
+        |TBLPROPERTIES('keyCols'='o_orderkey',
+        |              'regionSplits'='500;1000')""".stripMargin)
+    spark.sql("INSERT INTO graft.spj.other_s " +
+      "SELECT o_orderkey, o_custkey FROM spj_orders_src")
+    val df = spark.sql(
+      """SELECT count(*) AS n
+        |FROM graft.spj.other_s a
+        |JOIN graft.spj.li_s l ON a.o_orderkey = l.l_orderkey""".stripMargin)
+    // correctness over plan shape: Spark must fall back to shuffling
+    val want = spark.sql(
+      """SELECT count(*) AS n FROM spj_orders_src a
+        |JOIN spj_li_src l ON a.o_orderkey = l.l_orderkey""".stripMargin)
+      .collect().head.getLong(0)
+    assert(df.collect().head.getLong(0) == want)
+    spark.sql("DROP TABLE graft.spj.other_s")
+  }
+
+  test("regionSplits cannot be altered after creation") {
+    val e = intercept[Exception] {
+      spark.sql("ALTER TABLE graft.spj.orders_s " +
+        "SET TBLPROPERTIES('regionSplits'='1;2')")
+    }
+    assert(e.getMessage.contains("fixed at CREATE"))
+  }
+}

@@ -67,7 +67,7 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("regions=1"), s"expected 1-region scan:\n$p")
   }
 
-  test("catalog Q5: fact-fact join shuffles, dims broadcast, stats flow") {
+  test("catalog Q5: no fact-side shuffle, dims broadcast, stats flow") {
     val df = CatalogQueries.tpchQ5(spark, sf)
     df.collect()
     val p = plan(df)
@@ -76,6 +76,20 @@ class PlanShapeSpec extends AnyFunSuite {
     // the three small dimensions broadcast (manifest row statistics make
     // the planner see the graft sides as large)
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p)
+    // the lineitem⋈orders fact join never shuffles on the orderkey:
+    // either the smaller fact broadcasts, or the co-partitioned
+    // (regionSplits) scans join storage-partitioned
+    assert(!p.contains("hashpartitioning(l_orderkey") &&
+      !p.contains("hashpartitioning(o_orderkey"),
+      s"fact join shuffled on the orderkey:\n$p")
+  }
+
+  test("catalog key-prefix GROUP BY plans with zero Exchange") {
+    val df = CatalogQueries.keyGroupBy(spark, sf)
+    df.collect()
+    val pf = plan(df)
+    assert(!pf.contains("Exchange"),
+      s"key-prefix aggregation should be exchange-free:\n$pf")
   }
 
   test("catalog full scan reads all regions; key IS NULL reads none") {
