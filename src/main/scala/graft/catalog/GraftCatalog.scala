@@ -232,11 +232,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         require(set.property != TableMeta.RegionSplitsProp,
           "regionSplits is fixed at CREATE TABLE (existing region files " +
             "are bucketed by the original splits)")
+        require(set.property != DroppedColsProp,
+          s"$DroppedColsProp is maintained internally by ALTER TABLE " +
+            "ADD/DROP COLUMN and cannot be set directly")
         meta = meta.copy(properties =
           meta.properties + (set.property -> set.value))
       case rm: TableChange.RemoveProperty =>
         require(rm.property != TableMeta.RegionSplitsProp,
           "regionSplits is fixed at CREATE TABLE")
+        require(rm.property != DroppedColsProp,
+          s"$DroppedColsProp is maintained internally by ALTER TABLE " +
+            "ADD/DROP COLUMN and cannot be unset (old region files still " +
+            "hold the dropped columns)")
         meta = meta.copy(properties = meta.properties - rm.property)
       case other => throw new UnsupportedOperationException(
         s"graft alterTable does not support $other")

@@ -84,8 +84,12 @@ object RegionSplits {
     case StringType => s
     case DateType => java.time.LocalDate.parse(s).toEpochDay.toInt
     case TimestampType =>
-      val t = java.sql.Timestamp.valueOf(s)
-      t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+      // Timezone-independent parse: split boundaries must hash identically
+      // on every JVM regardless of its default zone (the codec stores UTC
+      // epoch micros), so never go through java.sql.Timestamp.valueOf.
+      val ldt = java.time.LocalDateTime.parse(s.replace(' ', 'T'))
+      val inst = ldt.toInstant(java.time.ZoneOffset.UTC)
+      inst.getEpochSecond * 1000000L + inst.getNano / 1000L
     case other => throw new IllegalArgumentException(
       s"regionSplits unsupported for first-key type ${other.simpleString}")
   }

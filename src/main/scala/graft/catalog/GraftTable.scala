@@ -434,8 +434,13 @@ final class GraftMicroBatchStream(tableDir: File, required: StructType,
   }
 
   override def initialOffset(): Offset = RegionCountOffset(generation, 0)
-  override def latestOffset(): Offset =
-    RegionCountOffset(generation, TableMeta.loadRegions(tableDir).size)
+  override def latestOffset(): Offset = {
+    // generation + region count from ONE manifest parse: two separate
+    // reads can straddle a compaction commit and produce an offset that
+    // pairs the old generation with the new region count.
+    val (gen, regions) = TableMeta.loadManifest(tableDir)
+    RegionCountOffset(gen, regions.size)
+  }
   override def deserializeOffset(json: String): Offset =
     RegionCountOffset.parse(json)
   override def commit(end: Offset): Unit = ()

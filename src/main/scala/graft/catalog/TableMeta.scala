@@ -123,12 +123,21 @@ object TableMeta {
     if (g == null) 0L else g.asLong
   }
 
-  def loadRegions(tableDir: File): Seq[RegionMeta] = {
+  def loadRegions(tableDir: File): Seq[RegionMeta] =
+    loadManifest(tableDir)._2
+
+  /** Generation + regions from ONE parse of the manifest file. Streaming
+    * offsets must use this: reading generation and region list in two
+    * separate file reads can straddle a compaction commit and pair the
+    * old generation with the new region count (spurious stream failure). */
+  def loadManifest(tableDir: File): (Long, Seq[RegionMeta]) = {
     val f = new File(tableDir, RegionsFile)
-    if (!f.isFile) return Nil
+    if (!f.isFile) return (0L, Nil)
     val root = mapper.readTree(f)
+    val g = root.get("generation")
+    val gen = if (g == null) 0L else g.asLong
     val arr = root.get("regions").asInstanceOf[ArrayNode]
-    (0 until arr.size).map { i =>
+    val regions = (0 until arr.size).map { i =>
       val o = arr.get(i)
       def strs(field: String): Seq[String] = {
         val a = o.get(field).asInstanceOf[ArrayNode]
@@ -138,6 +147,7 @@ object TableMeta {
         strs("mins"), strs("maxs"),
         if (o.has("bucket")) o.get("bucket").asInt else -1)
     }
+    (gen, regions)
   }
 
   /** Append newly committed regions (write-commit protocol). The
@@ -173,7 +183,7 @@ object TableMeta {
 
   def appendRegions(tableDir: File, added: Seq[RegionMeta]): Unit =
     withManifestLock(tableDir) {
-      saveRegions(tableDir, loadRegions(tableDir) ++ added,
-        loadGeneration(tableDir))
+      val (gen, regions) = loadManifest(tableDir)
+      saveRegions(tableDir, regions ++ added, gen)
     }
 }

@@ -88,18 +88,24 @@ object RegionStore {
     }
 
     val keyTypes = keyCols.map(schema(_).dataType)
-    val files = Option(new java.io.File(dir).listFiles())
-      .getOrElse(Array.empty)
-      .filter(f => f.getName.startsWith("part-") &&
-        f.getName.endsWith(".parquet"))
-      .sortBy(_.getName)
-    val rows = files.toSeq.flatMap { f =>
-      val (n, minsMaxs) = footerStats(f.getPath, keyCols, keyTypes)
+    // Enumerate through the Hadoop FileSystem API, not java.io.File —
+    // the region dir may be hdfs:// or s3a:// at cluster scale.
+    val hadoopConf = spark.sparkContext.hadoopConfiguration
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    val fs = dirPath.getFileSystem(hadoopConf)
+    val files = fs.listStatus(dirPath)
+      .filter(st => st.isFile &&
+        st.getPath.getName.startsWith("part-") &&
+        st.getPath.getName.endsWith(".parquet"))
+      .sortBy(_.getPath.getName)
+    val rows = files.toSeq.flatMap { st =>
+      val (n, minsMaxs) = footerStats(st.getPath, hadoopConf,
+        keyCols, keyTypes)
       if (n == 0) None
       else {
-        val (mins, maxs) = minsMaxs.getOrElse(fileAgg(spark, f.getPath,
-          keyCols, keyTypes))
-        Some((f.getName, n, mins, maxs,
+        val (mins, maxs) = minsMaxs.getOrElse(fileAgg(spark,
+          st.getPath.toString, keyCols, keyTypes))
+        Some((st.getPath.getName, n, mins, maxs,
           keyCols.zip(keyTypes).map { case (k, dt) => s"$k:${dt.json}" },
           schema.json))
       }
@@ -113,14 +119,13 @@ object RegionStore {
 
   /** Footer read: (row count, per-key (minHex, maxHex)) — None for the
     * stats when any key column lacks exact-enough footer statistics. */
-  private def footerStats(path: String, keyCols: Seq[String],
+  private def footerStats(path: org.apache.hadoop.fs.Path,
+      hadoopConf: org.apache.hadoop.conf.Configuration, keyCols: Seq[String],
       keyTypes: Seq[DataType]): (Long, Option[(Seq[String], Seq[String])]) = {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
     import scala.jdk.CollectionConverters._
-    val in = HadoopInputFile.fromPath(
-      new org.apache.hadoop.fs.Path(path),
-      new org.apache.hadoop.conf.Configuration())
+    val in = HadoopInputFile.fromPath(path, hadoopConf)
     val r = ParquetFileReader.open(in)
     try {
       val blocks = r.getFooter.getBlocks.asScala.toSeq

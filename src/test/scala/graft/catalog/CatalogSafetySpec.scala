@@ -147,4 +147,75 @@ class CatalogSafetySpec extends AnyFunSuite {
     assert(got.toSeq == Seq(10, 20))
     spark.sql("DROP TABLE graft.safety.tomb")
   }
+
+  test("SET/UNSET TBLPROPERTIES cannot touch the tombstone property") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.safety")
+    spark.sql("DROP TABLE IF EXISTS graft.safety.tomb_prop")
+    spark.sql(
+      """CREATE TABLE graft.safety.tomb_prop (k INT, v INT)
+        |TBLPROPERTIES('keyCols'='k')""".stripMargin)
+    spark.sql("ALTER TABLE graft.safety.tomb_prop DROP COLUMN v")
+
+    val eSet = intercept[Exception] {
+      spark.sql("ALTER TABLE graft.safety.tomb_prop " +
+        "SET TBLPROPERTIES('graft.droppedColumns'='v:string')")
+    }
+    assert(eSet.getMessage.contains("maintained internally"))
+    val eUnset = intercept[Exception] {
+      spark.sql("ALTER TABLE graft.safety.tomb_prop " +
+        "UNSET TBLPROPERTIES('graft.droppedColumns')")
+    }
+    assert(eUnset.getMessage.contains("maintained internally"))
+
+    // the guard still protects: re-add with a different type rejected
+    val e = intercept[Exception] {
+      spark.sql("ALTER TABLE graft.safety.tomb_prop ADD COLUMN v STRING")
+    }
+    assert(e.getMessage.contains("previously dropped"))
+    // unrelated properties still settable
+    spark.sql(
+      "ALTER TABLE graft.safety.tomb_prop SET TBLPROPERTIES('note'='x')")
+    spark.sql("DROP TABLE graft.safety.tomb_prop")
+  }
+
+  test("timestamp regionSplits parse timezone-independently (UTC)") {
+    val saved = java.util.TimeZone.getDefault
+    try {
+      // derive splits under two different JVM default zones; boundaries
+      // (and the split-set hash) must be identical
+      java.util.TimeZone.setDefault(
+        java.util.TimeZone.getTimeZone("America/Los_Angeles"))
+      val la = RegionSplits.parse(
+        org.apache.spark.sql.types.TimestampType, "2024-01-01 00:00:00")
+      java.util.TimeZone.setDefault(
+        java.util.TimeZone.getTimeZone("Asia/Tokyo"))
+      val tokyo = RegionSplits.parse(
+        org.apache.spark.sql.types.TimestampType, "2024-01-01 00:00:00")
+      assert(la.id == tokyo.id)
+      assert(la.points.head.sameElements(tokyo.points.head))
+      // and they equal the UTC epoch-micros encoding of the literal
+      val utcMicros = java.time.LocalDateTime.of(2024, 1, 1, 0, 0, 0)
+        .toInstant(java.time.ZoneOffset.UTC).getEpochSecond * 1000000L
+      val expected = graft.codec.KeyCodec.encode(
+        org.apache.spark.sql.types.TimestampType, utcMicros)
+      assert(la.points.head.sameElements(expected))
+    } finally java.util.TimeZone.setDefault(saved)
+  }
+
+  test("loadManifest returns generation and regions from one parse") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.safety")
+    spark.sql("DROP TABLE IF EXISTS graft.safety.manifest_one")
+    spark.sql(
+      """CREATE TABLE graft.safety.manifest_one (k INT, v INT)
+        |TBLPROPERTIES('keyCols'='k')""".stripMargin)
+    spark.sql("INSERT INTO graft.safety.manifest_one VALUES (1, 1)")
+    spark.sql("INSERT INTO graft.safety.manifest_one VALUES (2, 2)")
+    val dir = tableDir("safety", "manifest_one")
+    val (gen0, regions0) = TableMeta.loadManifest(dir)
+    assert(gen0 == 0L && regions0.size == 2)
+    GraftCompact.compact(spark, "graft", "safety", "manifest_one", 1)
+    val (gen1, regions1) = TableMeta.loadManifest(dir)
+    assert(gen1 == 1L && regions1.size == 1)
+    spark.sql("DROP TABLE graft.safety.manifest_one")
+  }
 }
