@@ -461,15 +461,37 @@ final class GraftMicroBatchStream(tableDir: File, required: StructType,
 
 final case class GraftReaderFactory(requiredJson: String,
     filters: Array[sources.Filter]) extends PartitionReaderFactory {
+
+  private def fileOf(partition: InputPartition): String = partition match {
+    case p: GraftInputPartition => p.file
+    case p: GraftKeyedInputPartition => p.file
+    case other => throw new IllegalStateException(other.toString)
+  }
+
   override def createReader(partition: InputPartition)
       : PartitionReader[InternalRow] = {
-    val file = partition match {
-      case p: GraftInputPartition => p.file
-      case p: GraftKeyedInputPartition => p.file
-      case other => throw new IllegalStateException(other.toString)
-    }
     val required = DataType.fromJson(requiredJson).asInstanceOf[StructType]
-    new GraftPartitionReader(file, required, filters)
+    new GraftPartitionReader(fileOf(partition), required, filters)
+  }
+
+  /** Region scans are columnar: Spark's vectorized parquet decoder
+    * fills `ColumnarBatch`es that flow into whole-stage codegen through
+    * one `ColumnarToRow` boundary — the plan every stock parquet table
+    * gets, now reachable from graft storage too. The row reader above
+    * remains as the universal fallback. */
+  override def supportColumnarReads(partition: InputPartition): Boolean = true
+
+  override def createColumnarReader(partition: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val required = DataType.fromJson(requiredJson).asInstanceOf[StructType]
+    val reader = new ParquetColumnarIO.ColumnarReader(
+      fileOf(partition), required, filters.toSeq)
+    new PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+      override def next(): Boolean = reader.nextBatch()
+      override def get(): org.apache.spark.sql.vectorized.ColumnarBatch =
+        reader.batch()
+      override def close(): Unit = reader.close()
+    }
   }
 }
 

@@ -92,6 +92,19 @@ class PlanShapeSpec extends AnyFunSuite {
       s"key-prefix aggregation should be exchange-free:\n$pf")
   }
 
+  test("catalog scans are columnar: batches feed codegen via ColumnarToRow") {
+    val t = s"graft.sf_${math.abs(sf.hashCode)}.orders_t"
+    CatalogQueries.pointLookup(spark, sf).collect() // builds table on demand
+    val df = spark.sql(
+      s"SELECT o_orderstatus, sum(o_totalprice) AS s FROM $t GROUP BY 1")
+    df.collect()
+    val p = plan(df)
+    assert(p.contains("ColumnarToRow"),
+      s"catalog scan should be vectorized (ColumnarBatch):\n$p")
+    assert(p.contains("codegen id"),
+      s"scan output should feed whole-stage codegen:\n$p")
+  }
+
   test("catalog full scan reads all regions; key IS NULL reads none") {
     val t = s"graft.sf_${math.abs(sf.hashCode)}.orders_t"
     CatalogQueries.pointLookup(spark, sf).collect()
