@@ -42,7 +42,7 @@ import graft.codec.KeyCodec
   * (`HBaseCatalog.scala:257-259,288-290,434-444`).
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
-    with FunctionCatalog {
+    with FunctionCatalog with ProcedureCatalog {
 
   private var catalogName: String = _
   private var warehouse: File = _
@@ -73,6 +73,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def functionExists(ident: Identifier): Boolean =
     regionFns.contains(ident.name)
+
+  // ------------------------------------------------- procedures (CALL …)
+
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    GraftProcedures.load(catalogName, ident)
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty ||
+      namespace.map(_.toLowerCase).sameElements(GraftProcedures.Namespace))
+      GraftProcedures.Names
+        .map(Identifier.of(GraftProcedures.Namespace, _)).toArray
+    else Array.empty
 
   override def initialize(name: String,
       options: CaseInsensitiveStringMap): Unit = {

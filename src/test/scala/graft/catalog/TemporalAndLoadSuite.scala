@@ -175,4 +175,79 @@ class TemporalAndLoadSuite extends AnyFunSuite {
       "WHERE col2 IS NULL").collect().head.getLong(0) == 2)
     spark.sql("DROP TABLE graft.op.tb_null")
   }
+
+  test("CALL graft.sys.load_csv replays the reference bulk-load golden") {
+    // the reference's `LOAD DATA LOCAL INPATH ... INTO TABLE testblk`
+    // (HBaseBulkLoadIntoTableSuite "load data into hbase"), via the
+    // SQL-visible procedure form
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.op")
+    spark.sql("DROP TABLE IF EXISTS graft.op.testblk")
+    spark.sql(
+      """CREATE TABLE graft.op.testblk (col1 STRING, col2 STRING, col3 STRING)
+        |TBLPROPERTIES('keyCols'='col1',
+        |              'nonKeyCols'='col2,cf1,a;col3,cf1,b')""".stripMargin)
+    spark.sql("CALL graft.sys.load_csv(table => 'op.testblk', " +
+      "path => '/root/reference/src/test/resources/loadData.txt')")
+    // graft loads append (documented divergence from HBase Put-upsert:
+    // SURVEY §; the fixture carries row5 twice) — golden answer on read
+    val rows = spark.sql(
+      "SELECT DISTINCT * FROM graft.op.testblk ORDER BY col1").collect()
+    assert(rows.map(r => (r.getString(0), r.getString(1), r.getString(2)))
+      .toSeq == Seq(("row4", "4", "8"), ("row5", "5", "10"),
+        ("row6", "6", "12")))
+    spark.sql("DROP TABLE graft.op.testblk")
+  }
+
+  test("CALL load_csv honors the delimiter argument") {
+    val f = java.io.File.createTempFile("graft_load_delim", ".txt")
+    f.deleteOnExit()
+    java.nio.file.Files.write(f.toPath,
+      "a|1\nb|2\n".getBytes("UTF-8"))
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.op")
+    spark.sql("DROP TABLE IF EXISTS graft.op.delim_t")
+    spark.sql(
+      """CREATE TABLE graft.op.delim_t (k STRING, v INT)
+        |TBLPROPERTIES('keyCols'='k')""".stripMargin)
+    spark.sql("CALL graft.sys.load_csv(table => 'op.delim_t', " +
+      s"path => '${f.getPath}', delimiter => '|')")
+    val rows = spark.sql("SELECT * FROM graft.op.delim_t ORDER BY k")
+      .collect()
+    assert(rows.map(r => (r.getString(0), r.getInt(1))).toSeq ==
+      Seq(("a", 1), ("b", 2)))
+    spark.sql("DROP TABLE graft.op.delim_t")
+  }
+
+  test("CALL graft.sys.compact rewrites regions via SQL") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.op")
+    spark.sql("DROP TABLE IF EXISTS graft.op.compact_sql")
+    spark.sql(
+      """CREATE TABLE graft.op.compact_sql (k INT, v INT)
+        |TBLPROPERTIES('keyCols'='k')""".stripMargin)
+    spark.sql("INSERT INTO graft.op.compact_sql VALUES (1, 1), (2, 2)")
+    spark.sql("INSERT INTO graft.op.compact_sql VALUES (3, 3), (4, 4)")
+    val cat = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[GraftCatalog]
+    val dir = cat.loadTable(org.apache.spark.sql.connector.catalog
+      .Identifier.of(Array("op"), "compact_sql"))
+      .asInstanceOf[GraftTable].tableDir
+    assert(TableMeta.loadRegions(dir).size == 2)
+    spark.sql("CALL graft.sys.compact(table => 'op.compact_sql', " +
+      "target_regions => 1)")
+    assert(TableMeta.loadRegions(dir).size == 1)
+    assert(spark.sql("SELECT sum(v) FROM graft.op.compact_sql")
+      .collect().head.getLong(0) == 10L)
+    spark.sql("DROP TABLE graft.op.compact_sql")
+  }
+
+  test("unknown procedure fails with the available list") {
+    val e = intercept[Exception] {
+      spark.sql("CALL graft.sys.nope()")
+    }
+    // Spark wraps the catalog error in FAILED_TO_LOAD_ROUTINE; our
+    // message (with the available procedure list) is in the cause chain
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(_.getMessage).mkString("\n")
+    assert(msgs.contains("nope") &&
+      (msgs.contains("load_csv") || msgs.contains("FAILED_TO_LOAD")))
+  }
 }
