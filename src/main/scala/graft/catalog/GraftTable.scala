@@ -349,11 +349,12 @@ class GraftScan(tableDir: File, meta: TableMeta, required: StructType,
   override def planInputPartitions(): Array[InputPartition] =
     if (keyGrouped)
       selectedRegions.map(r => GraftKeyedInputPartition(
-        new File(tableDir, r.file).getPath, r.rows, r.bucket)
-        : InputPartition).toArray
+        new File(tableDir, r.file).getPath, r.rows, r.bucket,
+        GraftInputPartition.hosts(r)): InputPartition).toArray
     else
       selectedRegions.map(r => GraftInputPartition(
-        new File(tableDir, r.file).getPath, r.rows): InputPartition).toArray
+        new File(tableDir, r.file).getPath, r.rows,
+        GraftInputPartition.hosts(r)): InputPartition).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
     GraftReaderFactory(required.json, filters)
@@ -385,13 +386,25 @@ class GraftScan(tableDir: File, meta: TableMeta, required: StructType,
       s"filters=${filters.mkString(", ")}"
 }
 
-final case class GraftInputPartition(file: String, rows: Long)
-    extends InputPartition
+object GraftInputPartition {
+  /** Locality hint of a region (the reference's
+    * `getPreferredLocations`): the manifest-carried host, empty for
+    * location-less filesystems. */
+  def hosts(r: RegionMeta): Array[String] =
+    if (r.host.nonEmpty) Array(r.host) else Array.empty
+}
+
+final case class GraftInputPartition(file: String, rows: Long,
+    locations: Array[String] = Array.empty) extends InputPartition {
+  override def preferredLocations(): Array[String] = locations
+}
 
 /** Region file of a fixed-split table: every row maps to `bucket` under
   * the table's region transform, so the partition key is the bucket. */
 final case class GraftKeyedInputPartition(file: String, rows: Long,
-    bucket: Int) extends InputPartition with HasPartitionKey {
+    bucket: Int, locations: Array[String] = Array.empty)
+    extends InputPartition with HasPartitionKey {
+  override def preferredLocations(): Array[String] = locations
   override def partitionKey(): InternalRow =
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
       Array[Any](bucket))
@@ -451,8 +464,8 @@ final class GraftMicroBatchStream(tableDir: File, required: StructType,
     val s = checkGeneration(start.asInstanceOf[RegionCountOffset]).n
     val e = checkGeneration(end.asInstanceOf[RegionCountOffset]).n
     TableMeta.loadRegions(tableDir).slice(s, e).map(r =>
-      GraftInputPartition(new File(tableDir, r.file).getPath, r.rows)
-        : InputPartition).toArray
+      GraftInputPartition(new File(tableDir, r.file).getPath, r.rows,
+        GraftInputPartition.hosts(r)): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

@@ -64,7 +64,9 @@ class GraftBatchWrite(tableDir: File, meta: TableMeta) extends BatchWrite {
       : DataWriterFactory =
     GraftWriterFactory(tableDir.getPath, meta.schema.json,
       meta.keyCols.toArray,
-      meta.splits.map(_.points.map(KeyCodec.toHex)).getOrElse(Array.empty))
+      meta.splits.map(_.points.map(KeyCodec.toHex)).getOrElse(Array.empty),
+      meta.properties.get(TableMeta.PageRowLimitProp)
+        .map(_.toInt).getOrElse(0))
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val regions = messages.flatMap {
@@ -86,12 +88,12 @@ class GraftBatchWrite(tableDir: File, meta: TableMeta) extends BatchWrite {
 }
 
 final case class GraftWriterFactory(dir: String, schemaJson: String,
-    keyCols: Array[String], splitsHex: Array[String])
-    extends DataWriterFactory {
+    keyCols: Array[String], splitsHex: Array[String],
+    pageRowLimit: Int) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : DataWriter[InternalRow] =
     new GraftDataWriter(dir, schemaJson, keyCols, splitsHex, partitionId,
-      taskId)
+      taskId, pageRowLimit)
 }
 
 /** Writes one region file per (task, region bucket). Input arrives
@@ -100,7 +102,8 @@ final case class GraftWriterFactory(dir: String, schemaJson: String,
   * `numBuckets` times per task and each file covers a single bucket. */
 final class GraftDataWriter(dir: String, schemaJson: String,
     keyCols: Array[String], splitsHex: Array[String], partitionId: Int,
-    taskId: Long) extends DataWriter[InternalRow] {
+    taskId: Long, pageRowLimit: Int = 0)
+    extends DataWriter[InternalRow] {
 
   private val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
   private val keyIdx = keyCols.map(schema.fieldIndex)
@@ -110,8 +113,8 @@ final class GraftDataWriter(dir: String, schemaJson: String,
   private final class FileState(val bucket: Int) {
     val fileName =
       f"part-$partitionId%05d-$taskId-${UUID.randomUUID()}.parquet"
-    val writer =
-      new ParquetRowIO.RowWriter(new File(dir, fileName).getPath, schema)
+    val writer = new ParquetRowIO.RowWriter(
+      new File(dir, fileName).getPath, schema, pageRowLimit)
     var rows = 0L
     val mins = Array.fill[Array[Byte]](keyCols.length)(null)
     val maxs = Array.fill[Array[Byte]](keyCols.length)(null)

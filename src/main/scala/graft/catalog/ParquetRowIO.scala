@@ -64,16 +64,21 @@ object ParquetRowIO {
 
   // ------------------------------------------------------------- writer
 
-  final class RowWriter(file: String, schema: StructType) {
+  final class RowWriter(file: String, schema: StructType,
+      pageRowLimit: Int = 0) {
     private val conf = new Configuration()
     private val messageType = toParquetSchema(schema)
     GroupWriteSupport.setSchema(messageType, conf)
     private val factory = new SimpleGroupFactory(messageType)
-    private val writer: ParquetWriter[Group] =
-      ExampleParquetWriter.builder(new Path(file))
+    private val writer: ParquetWriter[Group] = {
+      val b = ExampleParquetWriter.builder(new Path(file))
         .withConf(conf)
         .withCompressionCodec(CompressionCodecName.SNAPPY)
-        .build()
+      // bounded pages give the column index seek points inside the
+      // region (see TableMeta.PageRowLimitProp)
+      if (pageRowLimit > 0) b.withPageRowCountLimit(pageRowLimit)
+      b.build()
+    }
     private val types = schema.fields.map(_.dataType)
 
     /** Write one Catalyst internal row (dates = days, timestamps = µs). */

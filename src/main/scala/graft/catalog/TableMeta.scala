@@ -29,9 +29,14 @@ import org.apache.spark.sql.types.{DataType, StructType}
   */
 /** `bucket` = fixed-region index when the table declares `regionSplits`
   * (-1 otherwise): the value of the table's region transform for every
-  * row in the file, enabling key-grouped (storage-partitioned) plans. */
+  * row in the file, enabling key-grouped (storage-partitioned) plans.
+  * `host` = optional locality hint (the node holding the region's
+  * blocks — the rebuild of the reference's
+  * `HBaseSQLReaderRDD.getPreferredLocations:115-119`); empty for
+  * location-less filesystems (file://, s3://). */
 final case class RegionMeta(file: String, rows: Long,
-    mins: Seq[String], maxs: Seq[String], bucket: Int = -1)
+    mins: Seq[String], maxs: Seq[String], bucket: Int = -1,
+    host: String = "")
 
 final case class TableMeta(schema: StructType, keyCols: Seq[String],
     properties: Map[String, String]) {
@@ -54,6 +59,15 @@ object TableMeta {
   val EncodingProp = "encodingFormat"
   val NumRegionsProp = "numRegions"
   val RegionSplitsProp = "regionSplits"
+
+  /** Max rows per parquet page in region files (0 = parquet default).
+    * Smaller pages give the column-index (page-stats) skip finer
+    * seek granularity inside a region — the rebuild of the reference's
+    * in-region `SEEK_NEXT_USING_HINT` skip-scan
+    * (`HBaseCustomFilter.findNextHint:353-404`) — at the cost of more
+    * page headers. Set it on tables whose trailing key dimensions get
+    * point predicates over wide leading-dimension runs. */
+  val PageRowLimitProp = "graft.pageRowLimit"
 
   private def mapper = new ObjectMapper()
 
@@ -106,6 +120,7 @@ object TableMeta {
       o.put("file", r.file)
       o.put("rows", r.rows)
       if (r.bucket >= 0) o.put("bucket", r.bucket)
+      if (r.host.nonEmpty) o.put("host", r.host)
       val mins = o.putArray("mins"); r.mins.foreach(mins.add)
       val maxs = o.putArray("maxs"); r.maxs.foreach(maxs.add)
     }
@@ -145,7 +160,8 @@ object TableMeta {
       }
       RegionMeta(o.get("file").asText, o.get("rows").asLong,
         strs("mins"), strs("maxs"),
-        if (o.has("bucket")) o.get("bucket").asInt else -1)
+        if (o.has("bucket")) o.get("bucket").asInt else -1,
+        if (o.has("host")) o.get("host").asText else "")
     }
     (gen, regions)
   }

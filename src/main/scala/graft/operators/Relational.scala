@@ -479,10 +479,37 @@ object Relational {
         r2(lead(col("o_totalprice"), 1).over(w)).as("next_price"))
   }
 
+  /** Global ntile WITHOUT a single-task global sort. `Window.orderBy`
+    * with no partition key funnels every row through one task — fine
+    * semantics, scale-killer shape. Instead: range-repartition on the
+    * sort key (the same shuffle any global sort needs), sort within
+    * partitions, and let `zipWithIndex` turn local positions into
+    * exact global ranks via its O(partitions) count pass — every phase
+    * is O(rows) distributed work. Tile boundaries then follow SQL
+    * ntile semantics exactly (first n%k tiles get one extra row), so
+    * the DuckDB oracle hash is unchanged. */
   val windowNtile: Q = (s, d) => {
-    val w = Window.orderBy(col("c_acctbal").asc, col("c_custkey").asc)
-    cust(s, d)
-      .select(col("c_custkey"), ntile(4).over(w).as("tile"))
+    val k = 4
+    val sortCols = Seq(col("c_acctbal").asc, col("c_custkey").asc)
+    val base = cust(s, d).select(col("c_custkey"), col("c_acctbal"))
+      .repartitionByRange(32, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+    val n = base.count()
+    val keyField = base.schema.fields.head
+    val rows = base.rdd.zipWithIndex().map { case (r, idx) =>
+      val rn = idx + 1
+      val quot = n / k
+      val rem = n % k
+      val big = quot + 1
+      val tile =
+        if (rn <= rem * big) (rn - 1) / big + 1
+        else rem + (rn - rem * big - 1) / quot + 1
+      org.apache.spark.sql.Row(r.get(0), tile.toInt)
+    }
+    s.createDataFrame(rows, org.apache.spark.sql.types.StructType(Seq(
+      keyField,
+      org.apache.spark.sql.types.StructField("tile",
+        org.apache.spark.sql.types.IntegerType, nullable = false))))
   }
 
   // ------------------------------------------------- event-time windows

@@ -202,6 +202,34 @@ class CatalogSafetySpec extends AnyFunSuite {
     } finally java.util.TimeZone.setDefault(saved)
   }
 
+  test("manifest host field flows to InputPartition.preferredLocations") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.safety")
+    spark.sql("DROP TABLE IF EXISTS graft.safety.locality")
+    spark.sql(
+      """CREATE TABLE graft.safety.locality (k INT, v INT)
+        |TBLPROPERTIES('keyCols'='k')""".stripMargin)
+    spark.sql("INSERT INTO graft.safety.locality VALUES (1, 1), (2, 2)")
+    val dir = tableDir("safety", "locality")
+    // stamp a locality hint the way an HDFS-aware loader would
+    val (gen, regions) = TableMeta.loadManifest(dir)
+    TableMeta.saveRegions(dir,
+      regions.map(_.copy(host = "datanode-7.example")), gen)
+    assert(TableMeta.loadRegions(dir).forall(_.host == "datanode-7.example"))
+
+    val table = cat.loadTable(Identifier.of(Array("safety"), "locality"))
+      .asInstanceOf[GraftTable]
+    val scan = table.newScanBuilder(
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Collections.emptyMap())).build()
+    val parts = scan.toBatch.planInputPartitions()
+    assert(parts.nonEmpty)
+    assert(parts.forall(_.preferredLocations()
+      .sameElements(Array("datanode-7.example"))))
+    // empty host (file://) → no hint, Spark schedules anywhere
+    TableMeta.saveRegions(dir, regions, gen)
+    spark.sql("DROP TABLE graft.safety.locality")
+  }
+
   test("loadManifest returns generation and regions from one parse") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.safety")
     spark.sql("DROP TABLE IF EXISTS graft.safety.manifest_one")

@@ -59,6 +59,13 @@ class PlanShapeSpec extends AnyFunSuite {
       p.contains("hashpartitioning"), p)
   }
 
+  test("window_ntile carries no single-task global sort") {
+    val p = plan(Relational.windowNtile(spark, sf))
+    assert(!p.contains("Exchange SinglePartition"), p)
+    assert(!p.contains("Window"), p) // rank comes from zipWithIndex,
+    // not an unpartitioned Window.orderBy
+  }
+
   test("catalog point query scans exactly one pruned region") {
     CatalogQueries.pointLookup(spark, sf).collect() // builds table on demand
     val p = plan(spark.sql(

@@ -72,6 +72,18 @@ class TextOpsSpec extends AnyFunSuite {
     assert(topk.map(_.getLong(0)).toSeq == expTop)
   }
 
+  test("IVF (multi-probe LSH) top-10 recall >= 0.9 vs brute force") {
+    val ivf = TextOps.annIvfTopk(spark, TestSpark.sfDir).collect()
+      .map(_.getLong(0)).toSet
+    assert(ivf.size == 10)
+    val exact = TextOps.annCosineTopk(spark, TestSpark.sfDir).collect()
+      .take(10).map(_.getLong(0)).toSet
+    val recall = ivf.intersect(exact).size / 10.0
+    info(f"recall@10 = $recall%.2f")
+    assert(recall >= 0.9,
+      s"IVF recall@10 $recall < 0.9 (ivf=$ivf exact=$exact)")
+  }
+
   test("identical vectors always share an LSH bucket") {
     val buckets = TextOps.annLshBuckets(spark, TestSpark.sfDir)
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
