@@ -10,4 +10,11 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnExpr {
   def expr(c: Column): Expression = ExpressionUtils.expression(c)
   def column(e: Expression): Column = ExpressionUtils.column(e)
+
+  /** `Dataset.showString` is `private[sql]`; the shell needs the same
+    * bounded tabular rendering `df.show()` prints. */
+  def showString(df: org.apache.spark.sql.DataFrame, numRows: Int,
+      truncate: Int): String =
+    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .showString(numRows, truncate, vertical = false)
 }
