@@ -494,17 +494,29 @@ object Relational {
     val base = cust(s, d).select(col("c_custkey"), col("c_acctbal"))
       .repartitionByRange(32, sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
-    val n = base.count()
     val keyField = base.schema.fields.head
-    val rows = base.rdd.zipWithIndex().map { case (r, idx) =>
-      val rn = idx + 1
-      val quot = n / k
-      val rem = n % k
-      val big = quot + 1
-      val tile =
-        if (rn <= rem * big) (rn - 1) / big + 1
-        else rem + (rn - rem * big - 1) / quot + 1
-      org.apache.spark.sql.Row(r.get(0), tile.toInt)
+    // one count job over the SAME RDD instance (recomputation of a
+    // fixed RDD is deterministic, incl. its range boundaries) yields
+    // both the global total and the per-partition offsets — what
+    // zipWithIndex does internally, fused with the ntile total
+    val rdd = base.rdd
+    val counts = rdd.mapPartitionsWithIndex((i, it) =>
+      Iterator((i, it.size.toLong))).collect().sortBy(_._1).map(_._2)
+    val n = counts.sum
+    val offsets = counts.scanLeft(0L)(_ + _)
+    val rows = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var idx = offsets(pid)
+      it.map { r =>
+        idx += 1
+        val rn = idx
+        val quot = n / k
+        val rem = n % k
+        val big = quot + 1
+        val tile =
+          if (rn <= rem * big) (rn - 1) / big + 1
+          else rem + (rn - rem * big - 1) / quot + 1
+        org.apache.spark.sql.Row(r.get(0), tile.toInt)
+      }
     }
     s.createDataFrame(rows, org.apache.spark.sql.types.StructType(Seq(
       keyField,
