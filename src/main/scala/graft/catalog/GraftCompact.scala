@@ -58,15 +58,17 @@ object GraftCompact {
     // swap under the manifest lock: keep regions committed after the
     // snapshot (lost-update-free vs concurrent INSERT / streaming sink)
     TableMeta.withManifestLock(t.tableDir) {
-      val tail = TableMeta.loadRegions(t.tableDir)
-        .filterNot(r => snapFiles.contains(r.file))
+      val state = TableMeta.loadState(t.tableDir)
+      val tail = state.regions.filterNot(r => snapFiles.contains(r.file))
       newRegions.foreach { r =>
         Files.move(new File(staging.tableDir, r.file).toPath,
           new File(t.tableDir, r.file).toPath,
           StandardCopyOption.REPLACE_EXISTING)
       }
+      // epochs carried forward: streaming-sink replay dedup must
+      // survive compaction (only stream READERS key on the generation)
       TableMeta.saveRegions(t.tableDir, newRegions ++ tail,
-        TableMeta.loadGeneration(t.tableDir) + 1)
+        state.gen + 1, state.epochs)
     }
     snapshot.foreach(r => new File(t.tableDir, r.file).delete())
     cat.dropTable(stagingIdent)

@@ -43,7 +43,8 @@ class GraftTable(tableName: String, val tableDir: File, val meta: TableMeta)
     meta.properties.asJava
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.BATCH_WRITE, TableCapability.MICRO_BATCH_READ)
+      TableCapability.BATCH_WRITE, TableCapability.MICRO_BATCH_READ,
+      TableCapability.STREAMING_WRITE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(tableDir, meta)

@@ -29,10 +29,10 @@ import graft.codec.KeyCodec
   */
 class GraftWriteBuilder(tableDir: File, meta: TableMeta,
     info: LogicalWriteInfo) extends WriteBuilder {
-  override def build(): Write = new GraftWrite(tableDir, meta)
+  override def build(): Write = new GraftWrite(tableDir, meta, info.queryId)
 }
 
-class GraftWrite(tableDir: File, meta: TableMeta)
+class GraftWrite(tableDir: File, meta: TableMeta, queryId: String)
     extends Write with RequiresDistributionAndOrdering {
 
   private def sortOrders: Array[SortOrder] =
@@ -47,6 +47,16 @@ class GraftWrite(tableDir: File, meta: TableMeta)
 
   override def toBatch: BatchWrite =
     new GraftBatchWrite(tableDir, meta)
+
+  /** Native streaming sink (`df.writeStream.toTable("graft.ns.t")`):
+    * each micro-batch runs the same range-shuffled sorted region write,
+    * and the epoch commit is deduplicated through the manifest's
+    * per-query epoch ledger, so a replayed micro-batch after a failure
+    * commits nothing twice (effectively exactly-once). This supersedes
+    * the foreachBatch recipe (which remains valid). */
+  override def toStreaming
+      : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+    new GraftStreamingWrite(tableDir, meta, queryId)
 }
 
 final case class RegionCommit(file: String, rows: Long,
@@ -89,11 +99,55 @@ class GraftBatchWrite(tableDir: File, meta: TableMeta) extends BatchWrite {
 
 final case class GraftWriterFactory(dir: String, schemaJson: String,
     keyCols: Array[String], splitsHex: Array[String],
-    pageRowLimit: Int) extends DataWriterFactory {
+    pageRowLimit: Int) extends DataWriterFactory
+    with org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : DataWriter[InternalRow] =
     new GraftDataWriter(dir, schemaJson, keyCols, splitsHex, partitionId,
       taskId, pageRowLimit)
+  // streaming face: same sorted region writer per micro-batch task
+  override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
+      : DataWriter[InternalRow] =
+    createWriter(partitionId, taskId)
+}
+
+/** Micro-batch streaming sink: every epoch is a normal sorted bulk
+  * load; the commit goes through [[TableMeta.commitEpoch]], whose
+  * per-query ledger rejects replays (post-failure re-execution of a
+  * committed epoch deletes its files instead of double-appending). */
+class GraftStreamingWrite(tableDir: File, meta: TableMeta, queryId: String)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+  import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo)
+      : StreamingDataWriterFactory =
+    GraftWriterFactory(tableDir.getPath, meta.schema.json,
+      meta.keyCols.toArray,
+      meta.splits.map(_.points.map(KeyCodec.toHex)).getOrElse(Array.empty),
+      meta.properties.get(TableMeta.PageRowLimitProp)
+        .map(_.toInt).getOrElse(0))
+
+  override def commit(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = {
+    val commits = messages.flatMap {
+      case RegionCommits(files) => files
+      case other => throw new IllegalStateException(other.toString)
+    }.filter(_.rows > 0)
+    val regions = commits.map(r =>
+      RegionMeta(r.file, r.rows, r.mins, r.maxs, r.bucket)).toSeq
+    val committed =
+      TableMeta.commitEpoch(tableDir, regions, queryId, epochId)
+    if (!committed) // duplicate replay: drop the rewritten files
+      commits.foreach(r => new File(tableDir, r.file).delete())
+  }
+
+  override def abort(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case RegionCommits(files) =>
+        files.foreach(r => new File(tableDir, r.file).delete())
+      case _ =>
+    }
 }
 
 /** Writes one region file per (task, region bucket). Input arrives

@@ -110,10 +110,15 @@ object TableMeta {
   }
 
   def saveRegions(tableDir: File, regions: Seq[RegionMeta],
-      generation: Long = 0L): Unit = {
+      generation: Long = 0L,
+      epochs: Map[String, Long] = Map.empty): Unit = {
     val m = mapper
     val root = m.createObjectNode()
     root.put("generation", generation)
+    if (epochs.nonEmpty) {
+      val e = root.putObject("epochs")
+      epochs.foreach { case (q, ep) => e.put(q, ep) }
+    }
     val arr = root.putArray("regions")
     regions.foreach { r =>
       val o = arr.addObject()
@@ -146,11 +151,31 @@ object TableMeta {
     * separate file reads can straddle a compaction commit and pair the
     * old generation with the new region count (spurious stream failure). */
   def loadManifest(tableDir: File): (Long, Seq[RegionMeta]) = {
+    val s = loadState(tableDir)
+    (s.gen, s.regions)
+  }
+
+  /** Full manifest state. `epochs` = per-streaming-query last committed
+    * epoch id, the dedup ledger that makes the native streaming sink
+    * effectively exactly-once (a replayed epoch after a restart is
+    * recognized and skipped). */
+  final case class ManifestState(gen: Long, regions: Seq[RegionMeta],
+      epochs: Map[String, Long])
+
+  def loadState(tableDir: File): ManifestState = {
     val f = new File(tableDir, RegionsFile)
-    if (!f.isFile) return (0L, Nil)
+    if (!f.isFile) return ManifestState(0L, Nil, Map.empty)
     val root = mapper.readTree(f)
     val g = root.get("generation")
     val gen = if (g == null) 0L else g.asLong
+    val epochs = Option(root.get("epochs")).map { e =>
+      val it = e.fields()
+      val b = Map.newBuilder[String, Long]
+      while (it.hasNext) {
+        val kv = it.next(); b += kv.getKey -> kv.getValue.asLong
+      }
+      b.result()
+    }.getOrElse(Map.empty)
     val arr = root.get("regions").asInstanceOf[ArrayNode]
     val regions = (0 until arr.size).map { i =>
       val o = arr.get(i)
@@ -163,7 +188,7 @@ object TableMeta {
         if (o.has("bucket")) o.get("bucket").asInt else -1,
         if (o.has("host")) o.get("host").asText else "")
     }
-    (gen, regions)
+    ManifestState(gen, regions, epochs)
   }
 
   /** Append newly committed regions (write-commit protocol). The
@@ -199,7 +224,24 @@ object TableMeta {
 
   def appendRegions(tableDir: File, added: Seq[RegionMeta]): Unit =
     withManifestLock(tableDir) {
-      val (gen, regions) = loadManifest(tableDir)
-      saveRegions(tableDir, regions ++ added, gen)
+      val s = loadState(tableDir)
+      saveRegions(tableDir, s.regions ++ added, s.gen, s.epochs)
+    }
+
+  /** Epoch-deduplicated append for the streaming sink: commits `added`
+    * only if `epochId` is newer than the query's last committed epoch,
+    * making micro-batch replays after failures idempotent. Returns
+    * whether the regions were committed (false = duplicate replay; the
+    * caller should discard its files). */
+  def commitEpoch(tableDir: File, added: Seq[RegionMeta],
+      queryId: String, epochId: Long): Boolean =
+    withManifestLock(tableDir) {
+      val s = loadState(tableDir)
+      if (s.epochs.get(queryId).exists(_ >= epochId)) false
+      else {
+        saveRegions(tableDir, s.regions ++ added, s.gen,
+          s.epochs + (queryId -> epochId))
+        true
+      }
     }
 }

@@ -307,14 +307,34 @@ object Extended {
 
   /** Batch session windows (30-min gap) per user — the batch face of
     * the streaming session_window (EventStreams.sessionCounts). */
-  val eventsSession: Q = (s, d) =>
+  /** Sessionization as gap-detection windows: lag over (user_id, ts)
+    * marks session breaks (gap ≥ 30 min), a running sum assigns session
+    * ids, then an ordinary partial+final aggregation per (user,
+    * session). Same answers as `session_window` (which the streaming
+    * face still uses — EventStreams.sessionCounts) at a fraction of
+    * the cost: one hash shuffle on user_id, one per-partition sort
+    * feeding both window functions, codegen'd aggregation — none of
+    * the session-merge state machinery batch mode doesn't need. */
+  val eventsSession: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    val wRun = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Relational.events(s, d)
-      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
-      .agg(count(lit(1)).as("n_events"), r2(sum(col("value"))).as("sum_value"))
+      .select(col("user_id"), col("ts"), col("value"))
+      .withColumn("brk",
+        when(col("ts").cast("long") -
+          lag(col("ts"), 1).over(w).cast("long") >= 1800L, 1)
+          .when(lag(col("ts"), 1).over(w).isNull, 1)
+          .otherwise(0))
+      .withColumn("sid", sum(col("brk")).over(wRun))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(min(col("ts")).as("start_ts"),
+        count(lit(1)).as("n_events"), r2(sum(col("value"))).as("sum_value"))
       .select(
-        date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss")
+        date_format(col("start_ts"), "yyyy-MM-dd HH:mm:ss")
           .as("session_start"),
         col("user_id"), col("n_events"), col("sum_value"))
+  }
 
   // ------------------------------------------------------------ registry
 

@@ -119,6 +119,63 @@ class EventStreamsSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.stream.events_t")
   }
 
+  test("native streaming sink: writeStream.toTable into a graft table") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.stream")
+    spark.sql("DROP TABLE IF EXISTS graft.stream.native_sink")
+    spark.sql(
+      """CREATE TABLE graft.stream.native_sink (
+        |  event_id BIGINT, ts TIMESTAMP, user_id BIGINT,
+        |  event_type STRING, value DOUBLE)
+        |TBLPROPERTIES('keyCols'='event_id', 'numRegions'='4')""".stripMargin)
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_native_sink_ckpt").toString
+    val stream = EventStreams.asStream(spark, TestSpark.sfDir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val q = stream.writeStream
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .toTable("graft.stream.native_sink")
+    try q.processAllAvailable() finally q.stop()
+    assert(spark.table("graft.stream.native_sink").count() ==
+      batchEvents.count())
+    // streamed regions prune like bulk-loaded ones
+    val one = spark.sql("SELECT event_type FROM graft.stream.native_sink " +
+      "WHERE event_id = 10").collect()
+    assert(one.length == 1)
+    spark.sql("DROP TABLE graft.stream.native_sink")
+  }
+
+  test("epoch ledger rejects replayed micro-batch commits") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.stream")
+    spark.sql("DROP TABLE IF EXISTS graft.stream.epoch_t")
+    spark.sql(
+      """CREATE TABLE graft.stream.epoch_t (k INT, v INT)
+        |TBLPROPERTIES('keyCols'='k')""".stripMargin)
+    val dir = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[graft.catalog.GraftCatalog]
+      .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array("stream"), "epoch_t"))
+      .asInstanceOf[graft.catalog.GraftTable].tableDir
+    import graft.catalog.{RegionMeta, TableMeta}
+    val r1 = RegionMeta("e1.parquet", 5, Seq("00"), Seq("01"))
+    assert(TableMeta.commitEpoch(dir, Seq(r1), "q1", 0L))
+    // same query, same epoch → duplicate replay, rejected
+    assert(!TableMeta.commitEpoch(dir, Seq(r1), "q1", 0L))
+    // next epoch commits; other queries have independent ledgers
+    assert(TableMeta.commitEpoch(dir,
+      Seq(r1.copy(file = "e2.parquet")), "q1", 1L))
+    assert(TableMeta.commitEpoch(dir,
+      Seq(r1.copy(file = "e3.parquet")), "q2", 0L))
+    assert(TableMeta.loadRegions(dir).map(_.file).toSet ==
+      Set("e1.parquet", "e2.parquet", "e3.parquet"))
+    // plain appends and epoch state coexist
+    TableMeta.appendRegions(dir, Seq(r1.copy(file = "a1.parquet")))
+    assert(!TableMeta.commitEpoch(dir, Seq(r1), "q1", 1L))
+    assert(TableMeta.loadState(dir).epochs ==
+      Map("q1" -> 1L, "q2" -> 0L))
+    spark.sql("DROP TABLE graft.stream.epoch_t")
+  }
+
   test("readStream tails a graft table as regions are appended") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.stream")
     spark.sql("DROP TABLE IF EXISTS graft.stream.tail_t")
