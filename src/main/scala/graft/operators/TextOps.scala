@@ -110,21 +110,30 @@ object TextOps {
   // -------------------------------------------------------- n-gram Jaccard
 
   /** Exact word-set Jaccard similarity for near-dup pairs ≥ 0.9.
-    * Verification path: bounded to doc_id < 1000 so the word-level
-    * self-join stays small; at scale the MinHash/LSH path below replaces
-    * it (this is the oracle for that approximation). */
+    * Verification path: bounded to doc_id < 1000; at scale the
+    * MinHash/LSH path below replaces it (this is the oracle for that
+    * approximation). Shape: instead of a word-level self-join (which
+    * blows up on common words — every stopword pairs most of the
+    * corpus), broadcast the word SETS and prune pairs by the size
+    * bound J ≤ min(|A|,|B|)/max(|A|,|B|) — a two-integer test that
+    * eliminates almost all pairs before any set intersection runs,
+    * with a margin (0.89 < 0.9) so post-rounding boundary pairs are
+    * never lost. The surviving pairs intersect inside one
+    * whole-stage-codegen span. */
   val jaccardPairs: Q = (s, d) => {
     val w = docs(s, d)
       .filter(col("doc_id") < 1000)
-      .select(col("doc_id"), explode(array_distinct(wordsCol)).as("wd"))
-    val sz = w.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val shared = w.select(col("doc_id").as("da"), col("wd"))
-      .join(w.select(col("doc_id").as("db"), col("wd")), "wd")
-      .filter(col("da") < col("db"))
-      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("shared"))
-    shared
-      .join(sz.select(col("doc_id").as("da"), col("n").as("na")), "da")
-      .join(sz.select(col("doc_id").as("db"), col("n").as("nb")), "db")
+      .select(col("doc_id"), array_distinct(wordsCol).as("ws"))
+      .withColumn("n", size(col("ws")))
+    val a = w.select(col("doc_id").as("da"), col("ws").as("wsa"),
+      col("n").as("na"))
+    val b = w.select(col("doc_id").as("db"), col("ws").as("wsb"),
+      col("n").as("nb"))
+    a.crossJoin(broadcast(b))
+      .filter(col("da") < col("db") &&
+        least(col("na"), col("nb")) * 100 >=
+          greatest(col("na"), col("nb")) * 89)
+      .withColumn("shared", size(array_intersect(col("wsa"), col("wsb"))))
       .withColumn("jaccard",
         round(col("shared") / (col("na") + col("nb") - col("shared")), 4))
       .filter(col("jaccard") >= 0.9)
