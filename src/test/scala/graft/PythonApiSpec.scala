@@ -22,20 +22,35 @@ class PythonApiSpec extends AnyFunSuite {
       Seq("python3", "-c", "import pyspark").!(ProcessLogger(_ => ())) == 0
     } catch { case _: Exception => false }
 
-  test("pyspark reaches the graft catalog end-to-end") {
-    assume(havePyspark, "python3 with pyspark not available")
+  private def runPy(script: String, arg2: String): String = {
     val repo = new java.io.File(".").getCanonicalPath
     val classes = s"$repo/target/scala-2.13/classes"
-    val warehouse =
-      java.nio.file.Files.createTempDirectory("graft_py_wh").toString
     val out = new StringBuilder
     val code = Process(
-      Seq("python3", s"$repo/python/graft_smoke.py", classes, warehouse),
+      Seq("python3", s"$repo/python/$script", classes, arg2),
       new java.io.File(repo),
       "PYTHONPATH" -> s"$repo/python")
       .!(ProcessLogger(l => out.append(l).append('\n'),
         l => out.append(l).append('\n')))
-    assert(code == 0, s"python smoke exited $code:\n$out")
-    assert(out.toString.contains("GRAFT_PY_OK"), out.toString)
+    assert(code == 0, s"$script exited $code:\n$out")
+    out.toString
+  }
+
+  test("pyspark reaches the graft catalog end-to-end") {
+    assume(havePyspark, "python3 with pyspark not available")
+    val warehouse =
+      java.nio.file.Files.createTempDirectory("graft_py_wh").toString
+    assert(runPy("graft_smoke.py", warehouse).contains("GRAFT_PY_OK"))
+  }
+
+  test("multimodal mapInPandas plumbing (decode/frames/resize stubs)") {
+    assume(havePyspark, "python3 with pyspark not available")
+    assume(
+      try Seq("python3", "-c", "import pandas, pyarrow")
+        .!(ProcessLogger(_ => ())) == 0
+      catch { case _: Exception => false },
+      "pandas/pyarrow not available")
+    assert(runPy("graft_multimodal_smoke.py", graft.TestSpark.sfDir)
+      .contains("GRAFT_MM_OK"))
   }
 }
