@@ -218,7 +218,51 @@ object CatalogQueries {
        |FROM ${lineitemTable(s, d)}
        |GROUP BY l_orderkey""".stripMargin)
 
+  /** Wide-region table for the in-region skip-scan: leading key
+    * o_orderstatus has 3 values (runs of tens of thousands of rows),
+    * `graft.pageRowLimit`=1000 bounds pages, so a point predicate on
+    * the trailing key (o_orderkey) skips all pages whose orderkey band
+    * misses — the parquet column index doing the reference
+    * `HBaseCustomFilter.findNextHint` seek (SkipScanSpec asserts the
+    * row-count effect; this query gates the answers). */
+  private val builtWide = scala.collection.concurrent.TrieMap[String, String]()
+  private def wideTable(s: SparkSession, d: String): String =
+    builtWide.getOrElseUpdate(d, {
+      ordersTable(s, d)
+      val ns = s"sf_${math.abs(d.hashCode)}"
+      val fqn = s"graft.$ns.orders_wide_t"
+      val srcCount = s.read.parquet(s"$d/orders.parquet").count()
+      val exists = s.sql(s"SHOW TABLES IN graft.$ns").collect()
+        .exists(_.getString(1) == "orders_wide_t") && {
+        val ok = s.table(fqn).count() == srcCount
+        if (!ok) s.sql(s"DROP TABLE $fqn")
+        ok
+      }
+      if (!exists) {
+        s.sql(
+          s"""CREATE TABLE $fqn (
+             |  o_orderstatus STRING, o_orderkey BIGINT, o_custkey BIGINT,
+             |  o_totalprice DOUBLE)
+             |TBLPROPERTIES('keyCols'='o_orderstatus;o_orderkey',
+             |              'numRegions'='2', 'graft.pageRowLimit'='1000')"""
+            .stripMargin)
+        val v = s"wide_cat_src_${math.abs(d.hashCode)}"
+        s.read.parquet(s"$d/orders.parquet")
+          .select("o_orderstatus", "o_orderkey", "o_custkey", "o_totalprice")
+          .createOrReplaceTempView(v)
+        s.sql(s"INSERT INTO $fqn SELECT * FROM $v")
+      }
+      fqn
+    })
+
+  /** Trailing-dimension point predicate over wide leading-key runs. */
+  val skipScan: Q = (s, d) => s.sql(
+    s"""SELECT o_orderstatus, o_orderkey, o_custkey,
+       |       round(o_totalprice, 2) AS price
+       |FROM ${wideTable(s, d)} WHERE o_orderkey = 1000""".stripMargin)
+
   val queries: Map[String, Q] = Map(
+    "catalog_skipscan" -> skipScan,
     "catalog_dedup_exact" -> dedupOnStore,
     "catalog_point_lookup" -> pointLookup,
     "catalog_range_scan" -> rangeScan,
@@ -230,6 +274,11 @@ object CatalogQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "catalog_skipscan" ->
+      """SELECT o_orderstatus, o_orderkey, o_custkey,
+        |       round(o_totalprice, 2) AS price
+        |FROM orders WHERE o_orderkey = 1000""".stripMargin,
+
     "catalog_dedup_exact" ->
       """SELECT source, count(*) AS n_docs,
         |       count(DISTINCT md5(text)) AS n_unique
