@@ -162,6 +162,42 @@ class StoragePartitionSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("DROP TABLE graft.spj.other_s")
   }
 
+  test("compaction preserves buckets and exchange-free plans") {
+    spark.sql("DROP TABLE IF EXISTS graft.spj.compact_s")
+    spark.sql(
+      s"""CREATE TABLE graft.spj.compact_s (
+         |  o_orderkey BIGINT, o_totalprice DOUBLE)
+         |TBLPROPERTIES('keyCols'='o_orderkey',
+         |              'regionSplits'='$Splits')""".stripMargin)
+    // two appends -> overlapping small regions per bucket
+    spark.sql("INSERT INTO graft.spj.compact_s " +
+      "SELECT o_orderkey, o_totalprice FROM spj_orders_src " +
+      "WHERE o_orderkey % 2 = 0")
+    spark.sql("INSERT INTO graft.spj.compact_s " +
+      "SELECT o_orderkey, o_totalprice FROM spj_orders_src " +
+      "WHERE o_orderkey % 2 = 1")
+    GraftCompact.compact(spark, "graft", "spj", "compact_s", 4)
+    val cat = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[GraftCatalog]
+    val dir = cat.loadTable(Identifier.of(Array("spj"), "compact_s"))
+      .asInstanceOf[GraftTable].tableDir
+    val regions = TableMeta.loadRegions(dir)
+    // compacted regions are written through the same bucket-stamping
+    // writer, so key-grouped plans survive compaction
+    assert(regions.nonEmpty && regions.forall(_.bucket >= 0), regions)
+    val df = spark.sql(
+      """SELECT o_orderkey, round(sum(o_totalprice), 2) AS s
+        |FROM graft.spj.compact_s GROUP BY o_orderkey""".stripMargin)
+    val p = finalPlan(df)
+    assert(shuffles(p) == 0,
+      s"post-compaction group-by should stay exchange-free:\n$p")
+    val want = sortedRows(spark.sql(
+      """SELECT o_orderkey, round(sum(o_totalprice), 2) AS s
+        |FROM spj_orders_src GROUP BY o_orderkey""".stripMargin))
+    assert(sortedRows(df) == want)
+    spark.sql("DROP TABLE graft.spj.compact_s")
+  }
+
   test("regionSplits cannot be altered after creation") {
     val e = intercept[Exception] {
       spark.sql("ALTER TABLE graft.spj.orders_s " +

@@ -145,6 +145,43 @@ class EventStreamsSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.stream.native_sink")
   }
 
+  test("table-to-table streaming pipe: tail one graft table into another") {
+    // the full storage+streaming composition: a graft table as SOURCE
+    // (manifest tail) feeding a transform into a graft table as native
+    // SINK — the shape of an incremental cleaning/derivation pipeline
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.stream")
+    spark.sql("DROP TABLE IF EXISTS graft.stream.pipe_src")
+    spark.sql("DROP TABLE IF EXISTS graft.stream.pipe_dst")
+    spark.sql(
+      """CREATE TABLE graft.stream.pipe_src (k INT, v INT)
+        |TBLPROPERTIES('keyCols'='k')""".stripMargin)
+    spark.sql(
+      """CREATE TABLE graft.stream.pipe_dst (k INT, v2 INT)
+        |TBLPROPERTIES('keyCols'='k')""".stripMargin)
+    spark.sql("INSERT INTO graft.stream.pipe_src VALUES (1, 10), (2, 20)")
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_pipe_ckpt").toString
+    val q = spark.readStream.table("graft.stream.pipe_src")
+      .selectExpr("k", "v * 2 AS v2")
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .toTable("graft.stream.pipe_dst")
+    try {
+      q.processAllAvailable()
+      assert(spark.table("graft.stream.pipe_dst").collect()
+        .map(r => (r.getInt(0), r.getInt(1))).toSet == Set((1, 20), (2, 40)))
+      // new commits on the source flow through incrementally
+      spark.sql("INSERT INTO graft.stream.pipe_src VALUES (3, 30)")
+      q.processAllAvailable()
+      assert(spark.table("graft.stream.pipe_dst").collect()
+        .map(r => (r.getInt(0), r.getInt(1))).toSet ==
+        Set((1, 20), (2, 40), (3, 60)))
+    } finally q.stop()
+    spark.sql("DROP TABLE graft.stream.pipe_src")
+    spark.sql("DROP TABLE graft.stream.pipe_dst")
+  }
+
   test("epoch ledger rejects replayed micro-batch commits") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.stream")
     spark.sql("DROP TABLE IF EXISTS graft.stream.epoch_t")
