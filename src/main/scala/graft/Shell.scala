@@ -52,17 +52,34 @@ object Shell {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
 
-  /** Split a chunk of text into `;`-terminated statements (quotes
-    * respected; a trailing unterminated fragment is returned last). */
+  /** Split a chunk of text into `;`-terminated statements. Respects
+    * quoted strings (with Spark's backslash escapes), backtick
+    * identifiers, and `--` line comments, so a `;` inside any of those
+    * never splits; a trailing unterminated fragment is returned last. */
   private[graft] def splitStatements(text: String): (Seq[String], String) = {
     val out = Seq.newBuilder[String]
     val cur = new StringBuilder
     var quote: Char = 0
-    text.foreach { c =>
-      if (quote != 0) { cur.append(c); if (c == quote) quote = 0 }
-      else if (c == '\'' || c == '"') { quote = c; cur.append(c) }
-      else if (c == ';') { out += cur.toString; cur.clear() }
-      else cur.append(c)
+    var comment = false
+    var i = 0
+    while (i < text.length) {
+      val c = text.charAt(i)
+      if (comment) {
+        cur.append(c)
+        if (c == '\n') comment = false
+      } else if (quote != 0) {
+        cur.append(c)
+        if (c == '\\' && quote != '`' && i + 1 < text.length) {
+          cur.append(text.charAt(i + 1)); i += 1 // escaped char
+        } else if (c == quote) quote = 0
+      } else c match {
+        case '\'' | '"' | '`' => quote = c; cur.append(c)
+        case '-' if i + 1 < text.length && text.charAt(i + 1) == '-' =>
+          comment = true; cur.append(c)
+        case ';' => out += cur.toString; cur.clear()
+        case _ => cur.append(c)
+      }
+      i += 1
     }
     (out.result().map(_.trim).filter(_.nonEmpty), cur.toString)
   }

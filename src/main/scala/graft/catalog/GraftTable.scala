@@ -438,15 +438,6 @@ final class GraftMicroBatchStream(tableDir: File, required: StructType,
 
   private def generation: Long = TableMeta.loadGeneration(tableDir)
 
-  private def checkGeneration(o: RegionCountOffset): RegionCountOffset = {
-    val g = generation
-    if (o.gen != g) throw new IllegalStateException(
-      s"graft stream offset generation ${o.gen} does not match manifest " +
-        s"generation $g for ${tableDir.getName}: the table was compacted " +
-        "since the checkpoint. Restart the stream with a fresh checkpoint.")
-    o
-  }
-
   override def initialOffset(): Offset = RegionCountOffset(generation, 0)
   override def latestOffset(): Offset = {
     // generation + region count from ONE manifest parse: two separate
@@ -462,9 +453,20 @@ final class GraftMicroBatchStream(tableDir: File, required: StructType,
 
   override def planInputPartitions(start: Offset, end: Offset)
       : Array[InputPartition] = {
-    val s = checkGeneration(start.asInstanceOf[RegionCountOffset]).n
-    val e = checkGeneration(end.asInstanceOf[RegionCountOffset]).n
-    TableMeta.loadRegions(tableDir).slice(s, e).map(r =>
+    val so = start.asInstanceOf[RegionCountOffset]
+    val eo = end.asInstanceOf[RegionCountOffset]
+    // ONE manifest parse for both the generation check and the region
+    // list: separate reads could straddle a compaction commit and
+    // slice the rewritten list with pre-compaction indices.
+    val (gen, regions) = TableMeta.loadManifest(tableDir)
+    Seq(so, eo).foreach { o =>
+      if (o.gen != gen) throw new IllegalStateException(
+        s"graft stream offset generation ${o.gen} does not match " +
+          s"manifest generation $gen for ${tableDir.getName}: the table " +
+          "was compacted since the checkpoint. Restart the stream with " +
+          "a fresh checkpoint.")
+    }
+    regions.slice(so.n, eo.n).map(r =>
       GraftInputPartition(new File(tableDir, r.file).getPath, r.rows,
         GraftInputPartition.hosts(r)): InputPartition).toArray
   }

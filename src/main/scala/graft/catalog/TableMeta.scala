@@ -109,15 +109,21 @@ object TableMeta {
     TableMeta(schema, keyCols, props)
   }
 
+  /** `epochs = null` (the default) preserves the file's existing
+    * streaming-epoch ledger — callers rewriting the region list without
+    * threading epoch state through cannot accidentally wipe the
+    * replay-dedup record. Pass a map (possibly empty) to set it. */
   def saveRegions(tableDir: File, regions: Seq[RegionMeta],
       generation: Long = 0L,
-      epochs: Map[String, Long] = Map.empty): Unit = {
+      epochs: Map[String, Long] = null): Unit = {
+    val effEpochs =
+      if (epochs != null) epochs else loadState(tableDir).epochs
     val m = mapper
     val root = m.createObjectNode()
     root.put("generation", generation)
-    if (epochs.nonEmpty) {
+    if (effEpochs.nonEmpty) {
       val e = root.putObject("epochs")
-      epochs.foreach { case (q, ep) => e.put(q, ep) }
+      effEpochs.foreach { case (q, ep) => e.put(q, ep) }
     }
     val arr = root.putArray("regions")
     regions.foreach { r =>

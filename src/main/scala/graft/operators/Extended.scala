@@ -322,8 +322,11 @@ object Extended {
     Relational.events(s, d)
       .select(col("user_id"), col("ts"), col("value"))
       .withColumn("brk",
-        when(col("ts").cast("long") -
-          lag(col("ts"), 1).over(w).cast("long") >= 1800L, 1)
+        // full-precision gap: cast("long") would truncate to whole
+        // seconds and mis-break sessions whose gap straddles 30 min by
+        // sub-second amounts (ts is micros precision)
+        when(unix_micros(col("ts")) -
+          unix_micros(lag(col("ts"), 1).over(w)) >= 1800L * 1000000L, 1)
           .when(lag(col("ts"), 1).over(w).isNull, 1)
           .otherwise(0))
       .withColumn("sid", sum(col("brk")).over(wRun))

@@ -26,6 +26,23 @@ class ShellSpec extends AnyFunSuite {
     assert(rest == "SELECT 3")
   }
 
+  test("splitting survives escapes, backticks, and -- comments") {
+    // backslash-escaped quote inside a literal
+    val (s1, r1) = Shell.splitStatements(
+      "SELECT 'it\\'s; done' AS x;SELECT 1")
+    assert(s1 == Seq("SELECT 'it\\'s; done' AS x") && r1 == "SELECT 1")
+    // ';' inside a -- comment does not split; the newline ends it
+    val (s2, r2) = Shell.splitStatements(
+      "SELECT 1 -- note; not a split\n + 2;")
+    assert(s2 == Seq("SELECT 1 -- note; not a split\n + 2") && r2.isEmpty)
+    // backtick identifiers may carry ';'
+    val (s3, _) = Shell.splitStatements("SELECT `a;b` FROM t;")
+    assert(s3 == Seq("SELECT `a;b` FROM t"))
+    // and the escaped-literal statement actually runs
+    val outText = runScript("SELECT 'it\\'s; done' AS x;\n")
+    assert(outText.contains("it's; done"), outText)
+  }
+
   test("DDL, insert, select round trip through the shell") {
     val outText = runScript(
       """CREATE NAMESPACE IF NOT EXISTS graft.shell;

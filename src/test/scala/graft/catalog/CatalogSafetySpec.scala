@@ -202,6 +202,52 @@ class CatalogSafetySpec extends AnyFunSuite {
     } finally java.util.TimeZone.setDefault(saved)
   }
 
+  test("filter on an ALTER-added column over pre-ALTER region files") {
+    // old files lack the column; the pushed parquet predicate must not
+    // crash the scan and the rows must null-backfill correctly
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.safety")
+    spark.sql("DROP TABLE IF EXISTS graft.safety.altf")
+    spark.sql(
+      """CREATE TABLE graft.safety.altf (k INT, v INT)
+        |TBLPROPERTIES('keyCols'='k')""".stripMargin)
+    spark.sql("INSERT INTO graft.safety.altf VALUES (1, 10), (2, 20)")
+    spark.sql("ALTER TABLE graft.safety.altf ADD COLUMN c INT")
+    spark.sql("INSERT INTO graft.safety.altf VALUES (3, 30, 7), (4, 40, 3)")
+    val rows = spark.sql(
+      "SELECT k, c FROM graft.safety.altf WHERE c > 5").collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(3))
+    assert(spark.sql("SELECT count(*) FROM graft.safety.altf " +
+      "WHERE c IS NULL").collect().head.getLong(0) == 2)
+    spark.sql("DROP TABLE graft.safety.altf")
+  }
+
+  test("streaming micro-batch slice uses one manifest parse") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.safety")
+    spark.sql("DROP TABLE IF EXISTS graft.safety.slice_one")
+    spark.sql(
+      """CREATE TABLE graft.safety.slice_one (k INT, v INT)
+        |TBLPROPERTIES('keyCols'='k')""".stripMargin)
+    spark.sql("INSERT INTO graft.safety.slice_one VALUES (1, 1)")
+    spark.sql("INSERT INTO graft.safety.slice_one VALUES (2, 2)")
+    val dir = tableDir("safety", "slice_one")
+    val stream = new GraftMicroBatchStream(dir,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.IntegerType))), Array.empty)
+    // offsets from the current generation plan fine
+    val latest = stream.latestOffset().asInstanceOf[RegionCountOffset]
+    assert(stream.planInputPartitions(
+      RegionCountOffset(latest.gen, 0), latest).length == 2)
+    // after compaction, BOTH offsets are checked against the single
+    // re-parsed generation → loud failure, never a silent mis-slice
+    GraftCompact.compact(spark, "graft", "safety", "slice_one", 1)
+    val e = intercept[IllegalStateException] {
+      stream.planInputPartitions(RegionCountOffset(latest.gen, 0), latest)
+    }
+    assert(e.getMessage.contains("compacted"))
+    spark.sql("DROP TABLE graft.safety.slice_one")
+  }
+
   test("manifest host field flows to InputPartition.preferredLocations") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.safety")
     spark.sql("DROP TABLE IF EXISTS graft.safety.locality")
