@@ -514,7 +514,7 @@ final case class GraftReaderFactory(requiredJson: String,
 final class GraftPartitionReader(file: String, required: StructType,
     filters: Array[sources.Filter]) extends PartitionReader[InternalRow] {
   private val reader = new ParquetRowIO.RowReader(file, required,
-    ParquetRowIO.toParquetFilter(filters.toSeq, required))
+    filters.toSeq)
   private var current: InternalRow = _
   override def next(): Boolean = { current = reader.next(); current != null }
   override def get(): InternalRow = current

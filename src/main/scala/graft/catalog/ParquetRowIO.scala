@@ -110,9 +110,13 @@ object ParquetRowIO {
 
   /** Reader producing InternalRows in `requested` field order; fields
     * absent from the file (added later via ALTER TABLE ADD COLUMN) read
-    * as null. */
+    * as null. The pushed filter is rebuilt per file against the fields
+    * the file actually has: parquet-mr's record-level filter REJECTS
+    * predicates on columns missing from the file schema
+    * (SchemaCompatibilityValidator), and dropping those atoms is sound
+    * because Spark re-applies every filter above the scan. */
   final class RowReader(file: String, requested: StructType,
-      filter: Option[FilterPredicate]) {
+      filters: Seq[sources.Filter]) {
     private val conf = new Configuration()
     private val hPath = new Path(file)
     private val fileSchema: MessageType = {
@@ -120,6 +124,9 @@ object ParquetRowIO {
       val r = ParquetFileReader.open(in)
       try r.getFooter.getFileMetaData.getSchema finally r.close()
     }
+    private val filter: Option[FilterPredicate] = toParquetFilter(filters,
+      StructType(requested.fields.filter(f =>
+        fileSchema.containsField(f.name))))
     private val present: Array[Boolean] =
       requested.fields.map(f => fileSchema.containsField(f.name))
     private val projection: MessageType = {

@@ -67,7 +67,7 @@ class ColumnarPerfProbe extends AnyFunSuite {
     def rowPass(): Long = {
       var n = 0L
       files.foreach { f =>
-        val r = new ParquetRowIO.RowReader(f, schema, None)
+        val r = new ParquetRowIO.RowReader(f, schema, Nil)
         try { while (r.next() != null) n += 1 } finally r.close()
       }
       n
