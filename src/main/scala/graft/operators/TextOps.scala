@@ -61,6 +61,13 @@ object TextOps {
 
   // ----------------------------------------------------------- token counts
 
+  /** GPT-2-style pre-tokenizer pattern (contractions, letter runs,
+    * digit runs, punctuation runs, whitespace runs — the lookahead-free
+    * subset, expressible in both Java regex and DuckDB's RE2 so the
+    * oracle can count the identical tokens). */
+  private val BpeTokenRe =
+    "'(?:s|t|re|ve|m|ll|d)| ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
   val tokenCount: Q = (s, d) =>
     docs(s, d)
       .withColumn("tt", trim(col("text")))
@@ -69,6 +76,8 @@ object TextOps {
         col("n_chars"),
         (length(col("tt")) - length(regexp_replace(col("tt"), " ", "")) + 1)
           .as("n_words"),
+        regexp_count(col("text"), lit(BpeTokenRe)).cast("long")
+          .as("n_tokens_bpe"),
         ceil(length(col("text")) / lit(4.0)).cast("long")
           .as("n_tokens_bpe_est"))
 
@@ -438,6 +447,9 @@ object TextOps {
         |       cast(length(trim(text))
         |            - length(replace(trim(text), ' ', '')) + 1 AS INT)
         |         AS n_words,
+        |       cast(length(regexp_extract_all(text,
+        |         '''(?:s|t|re|ve|m|ll|d)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+|\s+'))
+        |         AS BIGINT) AS n_tokens_bpe,
         |       cast(ceil(length(text) / 4.0) AS BIGINT) AS n_tokens_bpe_est
         |FROM documents""".stripMargin,
 
