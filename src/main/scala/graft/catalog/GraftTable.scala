@@ -341,21 +341,65 @@ class GraftScan(tableDir: File, meta: TableMeta, required: StructType,
       new connector.read.partitioning.KeyGroupedPartitioning(
         Array(connector.expressions.Expressions.apply(sp.functionName,
           connector.expressions.Expressions.column(meta.keyCols.head))),
-        selectedRegions.map(_.bucket).distinct.size)
+        packedGroups.size)
     } else {
       new connector.read.partitioning.UnknownPartitioning(
-        selectedRegions.size)
+        packedGroups.size)
     }
 
-  override def planInputPartitions(): Array[InputPartition] =
+  /** Spark's small-file packing applied to regions: a streaming-ingest
+    * table accumulates thousands of tiny regions between compactions,
+    * and one task per tiny region is a scheduler flood at scale. Pack
+    * greedily to the same target Spark's file source uses
+    * (min(maxPartitionBytes, max(openCost, total/defaultParallelism)))
+    * — large compacted regions stay one-per-task, tiny append regions
+    * coalesce. Key-grouped scans pack only within a bucket, so
+    * storage-partitioned plans survive packing. */
+  private def packRegions(regions: Seq[RegionMeta]): Seq[Seq[RegionMeta]] = {
+    if (regions.isEmpty) return Nil
+    val conf = org.apache.spark.sql.internal.SQLConf.get
+    val openCost = conf.filesOpenCostInBytes
+    val minParts = conf.filesMinPartitionNum.map(_.toString.toInt)
+      .getOrElse(math.max(1, org.apache.spark.sql.SparkSession.active
+        .sparkContext.defaultParallelism))
+    def weight(r: RegionMeta): Long =
+      new File(tableDir, r.file).length() + openCost
+    val total = regions.map(weight).sum
+    val target = math.min(conf.filesMaxPartitionBytes,
+      math.max(openCost, total / math.max(1, minParts)))
+    val out = Seq.newBuilder[Seq[RegionMeta]]
+    var cur = List.empty[RegionMeta]
+    var curBytes = 0L
+    regions.foreach { r =>
+      val w = weight(r)
+      if (cur.nonEmpty && curBytes + w > target) {
+        out += cur.reverse; cur = Nil; curBytes = 0L
+      }
+      cur ::= r; curBytes += w
+    }
+    if (cur.nonEmpty) out += cur.reverse
+    out.result()
+  }
+
+  private def packedGroups: Seq[Seq[RegionMeta]] =
     if (keyGrouped)
-      selectedRegions.map(r => GraftKeyedInputPartition(
-        new File(tableDir, r.file).getPath, r.rows, r.bucket,
-        GraftInputPartition.hosts(r)): InputPartition).toArray
+      selectedRegions.groupBy(_.bucket).toSeq.sortBy(_._1)
+        .flatMap { case (_, rs) => packRegions(rs) }
+    else packRegions(selectedRegions)
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    def files(rs: Seq[RegionMeta]): Array[String] =
+      rs.map(r => new File(tableDir, r.file).getPath).toArray
+    def hosts(rs: Seq[RegionMeta]): Array[String] =
+      rs.flatMap(GraftInputPartition.hosts).distinct.toArray
+    if (keyGrouped)
+      packedGroups.map(rs => GraftKeyedInputPartition(
+        files(rs), rs.map(_.rows).sum, rs.head.bucket, hosts(rs))
+        : InputPartition).toArray
     else
-      selectedRegions.map(r => GraftInputPartition(
-        new File(tableDir, r.file).getPath, r.rows,
-        GraftInputPartition.hosts(r)): InputPartition).toArray
+      packedGroups.map(rs => GraftInputPartition(
+        files(rs), rs.map(_.rows).sum, hosts(rs)): InputPartition).toArray
+  }
 
   override def createReaderFactory(): PartitionReaderFactory =
     GraftReaderFactory(required.json, filters)
@@ -372,10 +416,13 @@ class GraftScan(tableDir: File, meta: TableMeta, required: StructType,
     * on the write side), so each partition reads in composite-key order —
     * reported so Spark elides local sorts on key prefixes (the rebuild of
     * the reference's declared scan ordering, HBaseSQLTableScan.scala:41-47).
-    * Only reported when every key column survives column pruning. */
+    * Only reported when every key column survives column pruning AND no
+    * read partition packs multiple (possibly overlapping) region files —
+    * a packed partition concatenates files, which is not key-ordered. */
   override def outputOrdering(): Array[connector.expressions.SortOrder] = {
     val have = required.fieldNames.map(_.toLowerCase).toSet
-    if (meta.keyCols.forall(k => have.contains(k.toLowerCase)))
+    if (meta.keyCols.forall(k => have.contains(k.toLowerCase)) &&
+      packedGroups.forall(_.size == 1))
       meta.keyCols.map(k => connector.expressions.Expressions.sort(
         connector.expressions.Expressions.column(k),
         connector.expressions.SortDirection.ASCENDING)).toArray
@@ -395,14 +442,16 @@ object GraftInputPartition {
     if (r.host.nonEmpty) Array(r.host) else Array.empty
 }
 
-final case class GraftInputPartition(file: String, rows: Long,
+/** One read task over one-or-more region files (small regions pack). */
+final case class GraftInputPartition(files: Array[String], rows: Long,
     locations: Array[String] = Array.empty) extends InputPartition {
   override def preferredLocations(): Array[String] = locations
 }
 
-/** Region file of a fixed-split table: every row maps to `bucket` under
-  * the table's region transform, so the partition key is the bucket. */
-final case class GraftKeyedInputPartition(file: String, rows: Long,
+/** Region files of one fixed-split bucket: every row maps to `bucket`
+  * under the table's region transform, so the partition key is the
+  * bucket. */
+final case class GraftKeyedInputPartition(files: Array[String], rows: Long,
     bucket: Int, locations: Array[String] = Array.empty)
     extends InputPartition with HasPartitionKey {
   override def preferredLocations(): Array[String] = locations
@@ -467,8 +516,8 @@ final class GraftMicroBatchStream(tableDir: File, required: StructType,
           "a fresh checkpoint.")
     }
     regions.slice(so.n, eo.n).map(r =>
-      GraftInputPartition(new File(tableDir, r.file).getPath, r.rows,
-        GraftInputPartition.hosts(r)): InputPartition).toArray
+      GraftInputPartition(Array(new File(tableDir, r.file).getPath),
+        r.rows, GraftInputPartition.hosts(r)): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -478,35 +527,69 @@ final class GraftMicroBatchStream(tableDir: File, required: StructType,
 final case class GraftReaderFactory(requiredJson: String,
     filters: Array[sources.Filter]) extends PartitionReaderFactory {
 
-  private def fileOf(partition: InputPartition): String = partition match {
-    case p: GraftInputPartition => p.file
-    case p: GraftKeyedInputPartition => p.file
-    case other => throw new IllegalStateException(other.toString)
-  }
+  private def filesOf(partition: InputPartition): Array[String] =
+    partition match {
+      case p: GraftInputPartition => p.files
+      case p: GraftKeyedInputPartition => p.files
+      case other => throw new IllegalStateException(other.toString)
+    }
 
   override def createReader(partition: InputPartition)
       : PartitionReader[InternalRow] = {
     val required = DataType.fromJson(requiredJson).asInstanceOf[StructType]
-    new GraftPartitionReader(fileOf(partition), required, filters)
+    val files = filesOf(partition)
+    new PartitionReader[InternalRow] {
+      private var idx = 0
+      private var cur: GraftPartitionReader = _
+      private var row: InternalRow = _
+      override def next(): Boolean = {
+        while (true) {
+          if (cur == null) {
+            if (idx >= files.length) return false
+            cur = new GraftPartitionReader(files(idx), required, filters)
+            idx += 1
+          }
+          if (cur.next()) { row = cur.get(); return true }
+          cur.close(); cur = null
+        }
+        false
+      }
+      override def get(): InternalRow = row
+      override def close(): Unit = if (cur != null) cur.close()
+    }
   }
 
   /** Region scans are columnar: Spark's vectorized parquet decoder
     * fills `ColumnarBatch`es that flow into whole-stage codegen through
     * one `ColumnarToRow` boundary — the plan every stock parquet table
     * gets, now reachable from graft storage too. The row reader above
-    * remains as the universal fallback. */
+    * remains as the universal fallback. A packed partition chains its
+    * files through one reader. */
   override def supportColumnarReads(partition: InputPartition): Boolean = true
 
   override def createColumnarReader(partition: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
     val required = DataType.fromJson(requiredJson).asInstanceOf[StructType]
-    val reader = new ParquetColumnarIO.ColumnarReader(
-      fileOf(partition), required, filters.toSeq)
+    val files = filesOf(partition)
     new PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
-      override def next(): Boolean = reader.nextBatch()
+      private var idx = 0
+      private var cur: ParquetColumnarIO.ColumnarReader = _
+      override def next(): Boolean = {
+        while (true) {
+          if (cur == null) {
+            if (idx >= files.length) return false
+            cur = new ParquetColumnarIO.ColumnarReader(files(idx),
+              required, filters.toSeq)
+            idx += 1
+          }
+          if (cur.nextBatch()) return true
+          cur.close(); cur = null
+        }
+        false
+      }
       override def get(): org.apache.spark.sql.vectorized.ColumnarBatch =
-        reader.batch()
-      override def close(): Unit = reader.close()
+        cur.batch()
+      override def close(): Unit = if (cur != null) cur.close()
     }
   }
 }

@@ -248,6 +248,50 @@ class CatalogSafetySpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.safety.slice_one")
   }
 
+  test("tiny append regions pack into few read partitions") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.safety")
+    spark.sql("DROP TABLE IF EXISTS graft.safety.packed")
+    spark.sql(
+      """CREATE TABLE graft.safety.packed (k INT, v INT)
+        |TBLPROPERTIES('keyCols'='k')""".stripMargin)
+    // 12 single-row inserts = 12 tiny regions (the streaming-ingest
+    // accumulation pattern before compaction)
+    (1 to 12).foreach { i =>
+      spark.sql(s"INSERT INTO graft.safety.packed VALUES ($i, ${i * 10})")
+    }
+    val dir = tableDir("safety", "packed")
+    assert(TableMeta.loadRegions(dir).size == 12)
+    val table = cat.loadTable(Identifier.of(Array("safety"), "packed"))
+      .asInstanceOf[GraftTable]
+    def plannedParts() = table.newScanBuilder(
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Collections.emptyMap())).build()
+      .toBatch.planInputPartitions()
+    // with cores >= files the target stays at openCost and nothing
+    // packs — Spark's own small-file formula; force the
+    // many-files-per-slot regime via minPartitionNum
+    assert(plannedParts().length == 12)
+    val key = "spark.sql.files.minPartitionNum"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key, "2")
+    try {
+      val parts = plannedParts()
+      assert(parts.length < 12 && parts.length >= 2,
+        s"12 tiny regions should pack, got ${parts.length} partitions")
+      // every file still read exactly once; answers exact
+      assert(parts.map(_.asInstanceOf[GraftInputPartition].files.length)
+        .sum == 12)
+      val got = spark.sql(
+        "SELECT k, v FROM graft.safety.packed ORDER BY k").collect()
+      assert(got.map(r => (r.getInt(0), r.getInt(1))).toSeq ==
+        (1 to 12).map(i => (i, i * 10)))
+    } finally saved match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+    spark.sql("DROP TABLE graft.safety.packed")
+  }
+
   test("manifest host field flows to InputPartition.preferredLocations") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.safety")
     spark.sql("DROP TABLE IF EXISTS graft.safety.locality")
