@@ -149,6 +149,9 @@ class GraftScanBuilder(tableDir: File, meta: TableMeta)
     }
     val specs = agg.aggregateExpressions.toSeq.map {
       case _: CountStar => Some(GraftAggScan.CountAll)
+      // COUNT(keyCol) = COUNT(*): key columns reject nulls at write time
+      case c: Count if !c.isDistinct && dimOf(c.column).isDefined =>
+        Some(GraftAggScan.CountAll)
       case m: Min => dimOf(m.column).map(GraftAggScan.KeyMin)
       case m: Max => dimOf(m.column).map(GraftAggScan.KeyMax)
       case _ => None

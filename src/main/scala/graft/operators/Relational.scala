@@ -343,6 +343,16 @@ object Relational {
       .orderBy(col("l_returnflag").asc, col("l_orderkey").desc,
         col("l_linenumber").asc)
 
+  /** SORT BY (partition-local sort, the reference's `SORT BY` surface,
+    * Hive dialect): no range exchange, each partition sorts locally —
+    * global order is unspecified, so the oracle checks the row SET
+    * (the driver compare sorts rows before hashing). */
+  val sortBy: Q = (s, d) =>
+    li(s, d)
+      .filter(col("l_quantity") > 49)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"))
+      .sortWithinPartitions(col("l_orderkey").asc, col("l_linenumber").asc)
+
   /** Top-k: ORDER BY + LIMIT plans as TakeOrderedAndProject (no global
     * sort of the full table — per-partition heap then merge). */
   val topK: Q = (s, d) =>
@@ -583,6 +593,7 @@ object Relational {
     "agg_stats" -> aggStats,
     "agg_approx_distinct" -> aggApproxDistinct,
     "sort_multi" -> sortMulti,
+    "sort_by" -> sortBy,
     "topk" -> topK,
     "distinct_pairs" -> distinctPairs,
     "union_all" -> unionAll,

@@ -218,6 +218,12 @@ object RelationalOracles {
         |ORDER BY l_returnflag ASC, l_orderkey DESC, l_linenumber ASC"""
         .stripMargin,
 
+    // SORT BY is partition-local: same row set, unspecified order (the
+    // driver compare is order-independent)
+    "sort_by" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag
+        |FROM lineitem WHERE l_quantity > 49""".stripMargin,
+
     "topk" ->
       """SELECT o_orderkey, round(o_totalprice, 2) AS price
         |FROM orders

@@ -170,6 +170,22 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("DROP TABLE graft.t1.comp")
   }
 
+  test("count(keycol) answered from the manifest (non-null keys)") {
+    val df = spark.sql(
+      "SELECT count(o_orderkey) AS c FROM graft.t1.orders_t")
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("simple"))
+    assert(p.contains("GraftAggScan"), s"count(key) not pushed:\n$p")
+    assert(df.collect().head.getLong(0) ==
+      spark.table("orders_src").count())
+    // count on a NULLABLE non-key column must NOT push (nulls excluded)
+    val nk = spark.sql(
+      "SELECT count(o_custkey) AS c FROM graft.t1.orders_t")
+    assert(!nk.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("simple"))
+      .contains("GraftAggScan"))
+  }
+
   test("count/min/max on keys answered from the manifest (agg pushdown)") {
     val df = spark.sql("SELECT count(*) AS c, min(o_orderkey) AS mn, " +
       "max(o_orderkey) AS mx FROM graft.t1.orders_t")
