@@ -208,6 +208,58 @@ object TextOps {
 
   val dedupMinhashPairs: Q = (s, d) => minhashCandidates(s, d, 0.2)
 
+  // ------------------------------------------------- near-dup clusters
+
+  /** Connected components over a candidate-pair edge list, by iterative
+    * min-label propagation in plain DataFrame ops: every vertex adopts
+    * the smallest doc_id reachable through its edges; fixpoint after
+    * O(component diameter) rounds. Near-dup graphs are unions of small
+    * dense clusters (diameter 2-3), so `maxIters` bounds work; each
+    * round is one hash join + one aggregation — the standard
+    * shuffle-parallel CC that scales where driver-side union-find
+    * cannot. Convergence is checked per round (an O(1) count) and the
+    * loop exits early once labels stop moving. */
+  def connectedComponents(edges: DataFrame, maxIters: Int = 10)
+      : DataFrame = {
+    // undirected: both directions
+    val sym = edges.select(col("da").as("src"), col("db").as("dst"))
+      .unionAll(edges.select(col("db").as("src"), col("da").as("dst")))
+    var labels = sym.select(col("src").as("doc"))
+      .distinct().withColumn("label", col("doc"))
+    var iter = 0
+    var converged = false
+    while (iter < maxIters && !converged) {
+      val viaEdges = sym
+        .join(labels.withColumnRenamed("doc", "src"), "src")
+        .select(col("dst").as("doc"), col("label"))
+      val next = labels.unionAll(viaEdges)
+        .groupBy("doc").agg(min("label").as("label"))
+      // checkpoint the iteration's result to keep the plan bounded
+      val materialized = next.localCheckpoint(eager = true)
+      converged = materialized
+        .join(labels.withColumnRenamed("label", "old"), "doc")
+        .filter(col("label") =!= col("old")).isEmpty
+      labels = materialized
+      iter += 1
+    }
+    labels
+  }
+
+  /** Near-dup cluster inventory: components over the MinHash-LSH
+    * candidate pairs (est jaccard ≥ 0.5), one row per multi-doc
+    * cluster: (cluster_id = min doc_id, n_docs, member min/max). The
+    * keep-one-per-cluster step of a dedup pipeline follows by joining
+    * docs to labels and keeping doc_id = cluster_id. Rows-only check
+    * (graph reachability has no tractable SQL oracle); semantic gate
+    * vs brute-force union-find in TextOpsSpec. */
+  val dedupClusters: Q = (s, d) => {
+    val labels = connectedComponents(minhashCandidates(s, d, 0.5))
+    labels.groupBy(col("label").as("cluster_id"))
+      .agg(count(lit(1)).as("n_docs"), max(col("doc")).as("max_doc"))
+      .filter(col("n_docs") >= 2)
+      .select(col("cluster_id"), col("n_docs"), col("max_doc"))
+  }
+
   // ---------------------------------------------------------------- SimHash
 
   /** 64-bit SimHash per doc from word-level xxhash64: majority vote per
@@ -414,6 +466,7 @@ object TextOps {
     "text_jaccard_pairs" -> jaccardPairs,
     "dedup_minhash" -> dedupMinhash,
     "dedup_minhash_pairs" -> dedupMinhashPairs,
+    "dedup_clusters" -> dedupClusters,
     "dedup_simhash" -> dedupSimhash,
     "ann_cosine_topk" -> annCosineTopk,
     "ann_cosine_pairs" -> annCosinePairs,

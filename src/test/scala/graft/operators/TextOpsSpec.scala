@@ -72,6 +72,32 @@ class TextOpsSpec extends AnyFunSuite {
     assert(topk.map(_.getLong(0)).toSeq == expTop)
   }
 
+  test("connected components equal brute-force union-find on the pairs") {
+    val pairs = TextOps.minhashCandidatesOn(
+      TextOps.minhashSignaturesOn(withDups), minEst = 0.5)
+    val edges = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(edges.nonEmpty)
+    // driver-side union-find ground truth
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = parent.keys.map(x => x -> find(x)).toMap
+    val got = TextOps.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected,
+      s"diff=${(expected.toSet -- got.toSet) ++ (got.toSet -- expected.toSet)}")
+    // every cluster id is its own minimum member
+    got.groupBy(_._2).foreach { case (label, members) =>
+      assert(members.keys.min == label)
+    }
+  }
+
   test("IVF (multi-probe LSH) top-10 recall >= 0.9 vs brute force") {
     val ivf = TextOps.annIvfTopk(spark, TestSpark.sfDir).collect()
       .map(_.getLong(0)).toSet
