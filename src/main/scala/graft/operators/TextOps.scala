@@ -116,6 +116,35 @@ object TextOps {
         when(col("stop_ratio") >= 0.04, "en").otherwise("und")
           .as("pred_lang"))
 
+  // ------------------------------------------------- cleaning pipeline
+
+  /** The composed cleaning pipeline a training-data run executes:
+    * language gate (stop-ratio heuristic) → quality gate (length +
+    * lexical diversity) → exact dedup keeping the lowest doc_id per
+    * fingerprint → per-source corpus accounting. One narrow shuffle
+    * (fingerprint window) plus the final aggregation; everything
+    * upstream is map-side. Exact DuckDB oracle (same rules in SQL). */
+  val pipelineClean: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val scored = docs(s, d)
+      .withColumn("ws", wordsCol)
+      .withColumn("stop_ratio",
+        round(expr("size(filter(ws, w -> w IN ('the', 'a')))")
+          / size(col("ws")).cast("double"), 4))
+      .withColumn("lex_div",
+        round(size(array_distinct(col("ws")))
+          / size(col("ws")).cast("double"), 4))
+      .filter(col("stop_ratio") >= 0.04 && size(col("ws")) >= 5)
+    scored
+      .withColumn("fp", md5(lower(trim(col("text")))))
+      .withColumn("keep_id",
+        min(col("doc_id")).over(Window.partitionBy(col("fp"))))
+      .filter(col("doc_id") === col("keep_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"),
+        round(avg(col("lex_div")), 4).as("avg_lex_div"))
+  }
+
   // -------------------------------------------------------- n-gram Jaccard
 
   /** Exact word-set Jaccard similarity for near-dup pairs ≥ 0.9.
@@ -467,6 +496,7 @@ object TextOps {
     "dedup_minhash" -> dedupMinhash,
     "dedup_minhash_pairs" -> dedupMinhashPairs,
     "dedup_clusters" -> dedupClusters,
+    "pipeline_clean" -> pipelineClean,
     "dedup_simhash" -> dedupSimhash,
     "ann_cosine_topk" -> annCosineTopk,
     "ann_cosine_pairs" -> annCosinePairs,
@@ -494,6 +524,26 @@ object TextOps {
     "text_fingerprint" ->
       """SELECT doc_id, substring(md5(lower(trim(text))), 1, 16) AS fp
         |FROM documents""".stripMargin,
+
+    "pipeline_clean" ->
+      """WITH scored AS (
+        |  SELECT doc_id, source, text,
+        |    round(len(list_filter(string_split(text, ' '),
+        |                          w -> w IN ('the', 'a')))
+        |          / cast(len(string_split(text, ' ')) AS DOUBLE), 4)
+        |      AS stop_ratio,
+        |    round(len(list_distinct(string_split(text, ' ')))
+        |          / cast(len(string_split(text, ' ')) AS DOUBLE), 4)
+        |      AS lex_div,
+        |    len(string_split(text, ' ')) AS n_words
+        |  FROM documents),
+        |keepers AS (
+        |  SELECT *, min(doc_id) OVER (PARTITION BY md5(lower(trim(text))))
+        |           AS keep_id
+        |  FROM scored WHERE stop_ratio >= 0.04 AND n_words >= 5)
+        |SELECT source, count(*) AS n_kept,
+        |       round(avg(lex_div), 4) AS avg_lex_div
+        |FROM keepers WHERE doc_id = keep_id GROUP BY source""".stripMargin,
 
     "text_token_count" ->
       """SELECT doc_id, n_chars,
