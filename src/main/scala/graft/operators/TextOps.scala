@@ -250,11 +250,18 @@ object TextOps {
     * loop exits early once labels stop moving. */
   def connectedComponents(edges: DataFrame, maxIters: Int = 10)
       : DataFrame = {
-    // undirected: both directions
+    // undirected: both directions. Materialized once — the candidate
+    // generation upstream (MinHash + banding + join) must not be
+    // recomputed by every round's lineage.
     val sym = edges.select(col("da").as("src"), col("db").as("dst"))
       .unionAll(edges.select(col("db").as("src"), col("da").as("dst")))
-    var labels = sym.select(col("src").as("doc"))
-      .distinct().withColumn("label", col("doc"))
+      .localCheckpoint(true)
+    // seed labels at min(self, direct neighbors) — one aggregation, no
+    // join. Near-dup components are clique-like (every member shares
+    // LSH bands with most others), so the seed is usually already the
+    // fixpoint and the loop exits after a single confirming round.
+    var labels = sym.groupBy(col("src").as("doc"))
+      .agg(min(least(col("src"), col("dst"))).as("label"))
     var iter = 0
     var converged = false
     while (iter < maxIters && !converged) {
