@@ -294,6 +294,7 @@ class GraftScan(tableDir: File, meta: TableMeta, required: StructType,
   override def filter(runtime: Array[sources.Filter]): Unit = {
     runtimeFilters = runtime
     selectedRegionsCache = null // re-prune with the tighter set
+    packedGroupsCache = null
   }
 
   /** Regions surviving interval pruning (driver-side, O(regions)). */
@@ -384,11 +385,21 @@ class GraftScan(tableDir: File, meta: TableMeta, required: StructType,
     out.result()
   }
 
-  private def packedGroups: Seq[Seq[RegionMeta]] =
-    if (keyGrouped)
-      selectedRegions.groupBy(_.bucket).toSeq.sortBy(_._1)
-        .flatMap { case (_, rs) => packRegions(rs) }
-    else packRegions(selectedRegions)
+  /** Cached: consulted by partitioning, ordering, and partition
+    * planning in one scan — each recomputation stats every region
+    * file. Invalidated together with the pruned-region cache. */
+  @volatile private var packedGroupsCache: Seq[Seq[RegionMeta]] = _
+  private def packedGroups: Seq[Seq[RegionMeta]] = {
+    var c = packedGroupsCache
+    if (c == null) {
+      c = if (keyGrouped)
+        selectedRegions.groupBy(_.bucket).toSeq.sortBy(_._1)
+          .flatMap { case (_, rs) => packRegions(rs) }
+      else packRegions(selectedRegions)
+      packedGroupsCache = c
+    }
+    c
+  }
 
   override def planInputPartitions(): Array[InputPartition] = {
     def files(rs: Seq[RegionMeta]): Array[String] =

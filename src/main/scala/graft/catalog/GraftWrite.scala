@@ -68,33 +68,43 @@ final case class RegionCommit(file: String, rows: Long,
 final case class RegionCommits(files: Seq[RegionCommit])
     extends WriterCommitMessage
 
-class GraftBatchWrite(tableDir: File, meta: TableMeta) extends BatchWrite {
-
-  override def createBatchWriterFactory(info: PhysicalWriteInfo)
-      : DataWriterFactory =
+/** Commit-message plumbing shared by the batch and streaming writes. */
+private[catalog] object GraftCommits {
+  def factory(tableDir: File, meta: TableMeta): GraftWriterFactory =
     GraftWriterFactory(tableDir.getPath, meta.schema.json,
       meta.keyCols.toArray,
       meta.splits.map(_.points.map(KeyCodec.toHex)).getOrElse(Array.empty),
       meta.properties.get(TableMeta.PageRowLimitProp)
         .map(_.toInt).getOrElse(0))
 
-  override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val regions = messages.flatMap {
+  def commits(messages: Array[WriterCommitMessage]): Seq[RegionCommit] =
+    messages.toSeq.flatMap {
       case RegionCommits(files) => files
       case other => throw new IllegalStateException(other.toString)
-    }.collect {
-      case r: RegionCommit if r.rows > 0 =>
-        RegionMeta(r.file, r.rows, r.mins, r.maxs, r.bucket)
-    }
-    TableMeta.appendRegions(tableDir, regions.toSeq)
-  }
+    }.filter(_.rows > 0)
 
-  override def abort(messages: Array[WriterCommitMessage]): Unit =
+  def toRegions(cs: Seq[RegionCommit]): Seq[RegionMeta] =
+    cs.map(r => RegionMeta(r.file, r.rows, r.mins, r.maxs, r.bucket))
+
+  def deleteFiles(tableDir: File, messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
       case RegionCommits(files) =>
         files.foreach(r => new File(tableDir, r.file).delete())
       case _ =>
     }
+}
+
+class GraftBatchWrite(tableDir: File, meta: TableMeta) extends BatchWrite {
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo)
+      : DataWriterFactory = GraftCommits.factory(tableDir, meta)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit =
+    TableMeta.appendRegions(tableDir,
+      GraftCommits.toRegions(GraftCommits.commits(messages)))
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    GraftCommits.deleteFiles(tableDir, messages)
 }
 
 final case class GraftWriterFactory(dir: String, schemaJson: String,
@@ -120,34 +130,20 @@ class GraftStreamingWrite(tableDir: File, meta: TableMeta, queryId: String)
   import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo)
-      : StreamingDataWriterFactory =
-    GraftWriterFactory(tableDir.getPath, meta.schema.json,
-      meta.keyCols.toArray,
-      meta.splits.map(_.points.map(KeyCodec.toHex)).getOrElse(Array.empty),
-      meta.properties.get(TableMeta.PageRowLimitProp)
-        .map(_.toInt).getOrElse(0))
+      : StreamingDataWriterFactory = GraftCommits.factory(tableDir, meta)
 
   override def commit(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit = {
-    val commits = messages.flatMap {
-      case RegionCommits(files) => files
-      case other => throw new IllegalStateException(other.toString)
-    }.filter(_.rows > 0)
-    val regions = commits.map(r =>
-      RegionMeta(r.file, r.rows, r.mins, r.maxs, r.bucket)).toSeq
-    val committed =
-      TableMeta.commitEpoch(tableDir, regions, queryId, epochId)
+    val commits = GraftCommits.commits(messages)
+    val committed = TableMeta.commitEpoch(tableDir,
+      GraftCommits.toRegions(commits), queryId, epochId)
     if (!committed) // duplicate replay: drop the rewritten files
       commits.foreach(r => new File(tableDir, r.file).delete())
   }
 
   override def abort(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit =
-    messages.foreach {
-      case RegionCommits(files) =>
-        files.foreach(r => new File(tableDir, r.file).delete())
-      case _ =>
-    }
+    GraftCommits.deleteFiles(tableDir, messages)
 }
 
 /** Writes one region file per (task, region bucket). Input arrives
