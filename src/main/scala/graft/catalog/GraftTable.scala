@@ -371,18 +371,7 @@ class GraftScan(tableDir: File, meta: TableMeta, required: StructType,
     val total = regions.map(weight).sum
     val target = math.min(conf.filesMaxPartitionBytes,
       math.max(openCost, total / math.max(1, minParts)))
-    val out = Seq.newBuilder[Seq[RegionMeta]]
-    var cur = List.empty[RegionMeta]
-    var curBytes = 0L
-    regions.foreach { r =>
-      val w = weight(r)
-      if (cur.nonEmpty && curBytes + w > target) {
-        out += cur.reverse; cur = Nil; curBytes = 0L
-      }
-      cur ::= r; curBytes += w
-    }
-    if (cur.nonEmpty) out += cur.reverse
-    out.result()
+    GraftPacking.pack(regions, weight, target)
   }
 
   /** Cached: consulted by partitioning, ordering, and partition
@@ -454,6 +443,28 @@ object GraftInputPartition {
     * location-less filesystems. */
   def hosts(r: RegionMeta): Array[String] =
     if (r.host.nonEmpty) Array(r.host) else Array.empty
+}
+
+/** Order-preserving greedy bin packing (the same shape Spark's file
+  * source uses for small-file coalescing). Pure so it can be
+  * property-tested: every item appears exactly once, order preserved,
+  * and no group except singletons exceeds the target. */
+object GraftPacking {
+  def pack[T](items: Seq[T], weight: T => Long, target: Long)
+      : Seq[Seq[T]] = {
+    val out = Seq.newBuilder[Seq[T]]
+    var cur = List.empty[T]
+    var curBytes = 0L
+    items.foreach { r =>
+      val w = weight(r)
+      if (cur.nonEmpty && curBytes + w > target) {
+        out += cur.reverse; cur = Nil; curBytes = 0L
+      }
+      cur ::= r; curBytes += w
+    }
+    if (cur.nonEmpty) out += cur.reverse
+    out.result()
+  }
 }
 
 /** One read task over one-or-more region files (small regions pack). */
