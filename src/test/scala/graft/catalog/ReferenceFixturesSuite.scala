@@ -196,4 +196,100 @@ class ReferenceFixturesSuite extends AnyFunSuite with BeforeAndAfterAll {
       "SELECT doublecol FROM test_table " +
         "WHERE doublecol IN (5678912.345682, 5678912.345683)") == 2)
   }
+
+  // ------------------------------- HBaseAggregateQueriesSuite goldens
+
+  /** The reference's three group-by goldens (HBaseAggregateQueriesSuite
+    * .scala:23-97): banded multi-predicate WHERE, grouped max over
+    * every measure type, HAVING, ORDER BY DESC — with its exact
+    * expected rows. (bytecol is a STRING column in the fixture; the
+    * reference compares it as a char.) */
+  private def aggGolden(rows: Array[org.apache.spark.sql.Row]): Unit = {
+    assert(rows.length == 2)
+    assert(rows(0).getLong(0) == 1 && rows(0).getInt(1) == 23456783 &&
+      rows(0).getFloat(2) == 45657.83f && rows(0).getString(3) == "Row3" &&
+      rows(0).getString(4) == "c" && rows(0).getShort(5) == 12343 &&
+      rows(0).getFloat(6) == 45657.83f &&
+      rows(0).getDouble(7) == 5678912.345683 &&
+      rows(0).getLong(8) == 3456789012343L)
+    assert(rows(1).getString(3) == "Row2" && rows(1).getString(4) == "b" &&
+      rows(1).getDouble(7) == 5678912.345682 &&
+      rows(1).getLong(8) == 3456789012342L)
+  }
+
+  test("aggregate golden: group by with order by") {
+    aggGolden(spark.sql(
+      """SELECT count(1) as cnt, intcol, floatcol, strcol,
+        |  max(bytecol) bytecol, max(shortcol) shortcol,
+        |  max(floatcol) floatcolmax, max(doublecol) doublecol,
+        |  max(longcol) FROM test_table
+        |WHERE strcol LIKE '%Row%' AND shortcol < 12345
+        |  AND doublecol > 5678912.345681 AND doublecol < 5678912.345684
+        |GROUP BY intcol, floatcol, strcol ORDER BY strcol DESC"""
+        .stripMargin).collect())
+  }
+
+  test("aggregate golden: group by with having and order by") {
+    aggGolden(spark.sql(
+      """SELECT count(1) as cnt, intcol, floatcol, strcol,
+        |  max(bytecol) bytecolmax, max(shortcol) shortcolmax,
+        |  max(floatcol) floatcolmax, max(doublecol) doublecolmax,
+        |  max(longcol) longcolmax FROM test_table
+        |WHERE strcol like '%Row%' AND shortcol < 12345
+        |  AND doublecol > 5678912.345681 AND doublecol < 5678912.345685
+        |GROUP BY intcol, floatcol, strcol
+        |HAVING max(doublecol) < 5678912.345684
+        |ORDER BY strcol DESC""".stripMargin).collect())
+  }
+
+  // ----------------------------------- HBaseInsertTableSuite goldens
+
+  test("insert goldens: from table (all/filtered/column-subset), VALUES with nulls") {
+    spark.sql("DROP TABLE IF EXISTS graft.ref.insert_t")
+    spark.sql(
+      """CREATE TABLE graft.ref.insert_t (
+        |  strcol STRING, bytecol STRING, shortcol SMALLINT, intcol INT,
+        |  longcol BIGINT, floatcol FLOAT, doublecol DOUBLE)
+        |TBLPROPERTIES('keyCols'='doublecol;strcol;intcol')""".stripMargin)
+    // all rows from the source table
+    spark.sql("INSERT INTO graft.ref.insert_t SELECT * FROM test_table")
+    assert(count("SELECT * FROM graft.ref.insert_t") ==
+      count("SELECT * FROM test_table"))
+    // filtered insert (HBaseInsertTableSuite:49-78)
+    spark.sql("DROP TABLE IF EXISTS graft.ref.insert_f")
+    spark.sql(
+      """CREATE TABLE graft.ref.insert_f (
+        |  strcol STRING, intcol INT, doublecol DOUBLE)
+        |TBLPROPERTIES('keyCols'='doublecol;strcol;intcol')""".stripMargin)
+    spark.sql("INSERT INTO graft.ref.insert_f " +
+      "SELECT strcol, intcol, doublecol FROM test_table " +
+      "WHERE doublecol > 5678912.345684")
+    assert(count("SELECT * FROM graft.ref.insert_f") ==
+      count("SELECT * FROM test_table WHERE doublecol > 5678912.345684"))
+
+    // INSERT VALUES incl. explicit NULLs (HBaseInsertTableSuite:109-205)
+    spark.sql("DROP TABLE IF EXISTS graft.ref.insert_n")
+    spark.sql(
+      """CREATE TABLE graft.ref.insert_n (
+        |  strcol STRING, bytecol STRING, shortcol SMALLINT, intcol INT)
+        |TBLPROPERTIES('keyCols'='strcol')""".stripMargin)
+    spark.sql("INSERT INTO graft.ref.insert_n VALUES " +
+      "('Row0', null, 12340, 23456780), " +
+      "('Row1', 'b', null, 23456789), " +
+      "('Row2', 'c', 12342, null)")
+    val all = spark.sql(
+      "SELECT * FROM graft.ref.insert_n ORDER BY strcol").collect()
+    assert(all.length == 3)
+    assert(all(0).getString(0) == "Row0" && all(0).isNullAt(1) &&
+      all(0).getShort(2) == 12340 && all(0).getInt(3) == 23456780)
+    assert(all(1).getString(0) == "Row1" && all(1).getString(1) == "b" &&
+      all(1).isNullAt(2) && all(1).getInt(3) == 23456789)
+    assert(all(2).getString(0) == "Row2" && all(2).getString(1) == "c" &&
+      all(2).getShort(2) == 12342 && all(2).isNullAt(3))
+    // IS NOT NULL over inserted nulls (reference asserts 2 rows)
+    assert(count("SELECT * FROM graft.ref.insert_n " +
+      "WHERE shortcol IS NOT NULL") == 2)
+    Seq("insert_t", "insert_f", "insert_n").foreach(t =>
+      spark.sql(s"DROP TABLE graft.ref.$t"))
+  }
 }
