@@ -32,4 +32,21 @@ class QueriesSpec extends AnyFunSuite {
     val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"oracles without queries: $missing")
   }
+
+  test("approx_count_distinct lands within its rsd of exact counts") {
+    // the one sketch query has no SQL oracle; gate its error bound
+    // semantically instead (default rsd 0.05, explicit 0.01 — allow 4
+    // standard deviations so the gate is deterministic-data tight but
+    // not flaky on re-generated corpora)
+    val r = Relational.aggApproxDistinct(spark, TestSpark.sfDir)
+      .collect().head
+    val exact = spark.read.parquet(s"${TestSpark.sfDir}/lineitem.parquet")
+      .selectExpr("count(DISTINCT l_partkey)", "count(DISTINCT l_orderkey)")
+      .collect().head
+    def within(approx: Long, truth: Long, rsd: Double): Unit =
+      assert(math.abs(approx - truth) <= truth * rsd * 4 + 1,
+        s"approx=$approx exact=$truth rsd=$rsd")
+    within(r.getLong(0), exact.getLong(0), 0.05)
+    within(r.getLong(1), exact.getLong(1), 0.01)
+  }
 }
