@@ -178,6 +178,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     props.get(TableMeta.RegionSplitsProp).foreach { spec =>
       RegionSplits.parse(byName(keyCols.head.toLowerCase).dataType, spec)
     }
+    // numeric properties fail the CREATE, not the first INSERT
+    Seq(TableMeta.NumRegionsProp, TableMeta.PageRowLimitProp).foreach { p =>
+      props.get(p).foreach { v =>
+        require(scala.util.Try(v.toInt).toOption.exists(_ > 0),
+          s"$p must be a positive integer, got '$v'")
+      }
+    }
     // optional family/qualifier mapping — validated, kept as metadata
     props.get(TableMeta.NonKeyColsProp).foreach { spec =>
       val keySet = keyCols.map(_.toLowerCase).toSet

@@ -320,6 +320,19 @@ class CatalogSafetySpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.safety.locality")
   }
 
+  test("bad numeric table properties fail at CREATE, not first INSERT") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.safety")
+    Seq("numRegions" -> "abc", "numRegions" -> "0",
+      "graft.pageRowLimit" -> "-5").foreach { case (p, v) =>
+      spark.sql("DROP TABLE IF EXISTS graft.safety.badprop")
+      val e = intercept[Exception] {
+        spark.sql("CREATE TABLE graft.safety.badprop (k INT, v INT) " +
+          s"TBLPROPERTIES('keyCols'='k', '$p'='$v')")
+      }
+      assert(e.getMessage.contains("positive integer"), s"$p=$v: $e")
+    }
+  }
+
   test("loadManifest returns generation and regions from one parse") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.safety")
     spark.sql("DROP TABLE IF EXISTS graft.safety.manifest_one")
