@@ -179,12 +179,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       RegionSplits.parse(byName(keyCols.head.toLowerCase).dataType, spec)
     }
     // numeric properties fail the CREATE, not the first INSERT
-    Seq(TableMeta.NumRegionsProp, TableMeta.PageRowLimitProp).foreach { p =>
-      props.get(p).foreach { v =>
-        require(scala.util.Try(v.toInt).toOption.exists(_ > 0),
-          s"$p must be a positive integer, got '$v'")
-      }
-    }
+    validateNumericProps(props)
     // optional family/qualifier mapping — validated, kept as metadata
     props.get(TableMeta.NonKeyColsProp).foreach { spec =>
       val keySet = keyCols.map(_.toLowerCase).toSet
@@ -255,6 +250,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         require(set.property != DroppedColsProp,
           s"$DroppedColsProp is maintained internally by ALTER TABLE " +
             "ADD/DROP COLUMN and cannot be set directly")
+        validateNumericProps(Map(set.property -> set.value))
         meta = meta.copy(properties =
           meta.properties + (set.property -> set.value))
       case rm: TableChange.RemoveProperty =>
@@ -276,6 +272,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   /** Dropped-column tombstones ("name:type;…" in table properties):
     * names of physical columns still present in pre-ALTER region files. */
   private val DroppedColsProp = "graft.droppedColumns"
+
+  /** Shared by CREATE and ALTER SET: numeric properties must parse
+    * here, not at the next INSERT. */
+  private def validateNumericProps(props: Map[String, String]): Unit =
+    Seq(TableMeta.NumRegionsProp, TableMeta.PageRowLimitProp).foreach { p =>
+      props.get(p).foreach { v =>
+        require(scala.util.Try(v.toInt).toOption.exists(_ > 0),
+          s"$p must be a positive integer, got '$v'")
+      }
+    }
 
   private def tombstones(meta: TableMeta): Map[String, String] =
     meta.properties.get(DroppedColsProp).toSeq

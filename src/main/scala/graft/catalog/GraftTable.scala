@@ -359,32 +359,34 @@ class GraftScan(tableDir: File, meta: TableMeta, required: StructType,
     * — large compacted regions stay one-per-task, tiny append regions
     * coalesce. Key-grouped scans pack only within a bucket, so
     * storage-partitioned plans survive packing. */
-  private def packRegions(regions: Seq[RegionMeta]): Seq[Seq[RegionMeta]] = {
-    if (regions.isEmpty) return Nil
-    val conf = org.apache.spark.sql.internal.SQLConf.get
-    val openCost = conf.filesOpenCostInBytes
-    val minParts = conf.filesMinPartitionNum.map(_.toString.toInt)
-      .getOrElse(math.max(1, org.apache.spark.sql.SparkSession.active
-        .sparkContext.defaultParallelism))
-    def weight(r: RegionMeta): Long =
-      new File(tableDir, r.file).length() + openCost
-    val total = regions.map(weight).sum
-    val target = math.min(conf.filesMaxPartitionBytes,
-      math.max(openCost, total / math.max(1, minParts)))
-    GraftPacking.pack(regions, weight, target)
-  }
-
   /** Cached: consulted by partitioning, ordering, and partition
     * planning in one scan — each recomputation stats every region
-    * file. Invalidated together with the pruned-region cache. */
+    * file. Invalidated together with the pruned-region cache. The pack
+    * target comes from the WHOLE scan's bytes (Spark's maxSplitBytes
+    * formula) and is shared across buckets — a per-bucket total would
+    * clamp the target to openCost on bucketed streaming-ingest tables
+    * and defeat packing exactly where it matters most. */
   @volatile private var packedGroupsCache: Seq[Seq[RegionMeta]] = _
   private def packedGroups: Seq[Seq[RegionMeta]] = {
     var c = packedGroupsCache
     if (c == null) {
-      c = if (keyGrouped)
-        selectedRegions.groupBy(_.bucket).toSeq.sortBy(_._1)
-          .flatMap { case (_, rs) => packRegions(rs) }
-      else packRegions(selectedRegions)
+      val regions = selectedRegions
+      c = if (regions.isEmpty) Nil else {
+        val conf = org.apache.spark.sql.internal.SQLConf.get
+        val openCost = conf.filesOpenCostInBytes
+        val minParts = conf.filesMinPartitionNum
+          .getOrElse(math.max(1, org.apache.spark.sql.SparkSession.active
+            .sparkContext.defaultParallelism))
+        val weights: Map[String, Long] = regions.map(r =>
+          r.file -> (new File(tableDir, r.file).length() + openCost)).toMap
+        val weight = (r: RegionMeta) => weights(r.file)
+        val target = math.min(conf.filesMaxPartitionBytes,
+          math.max(openCost, weights.values.sum / math.max(1, minParts)))
+        if (keyGrouped)
+          regions.groupBy(_.bucket).toSeq.sortBy(_._1)
+            .flatMap { case (_, rs) => GraftPacking.pack(rs, weight, target) }
+        else GraftPacking.pack(regions, weight, target)
+      }
       packedGroupsCache = c
     }
     c

@@ -30,6 +30,14 @@ object Skew {
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
       saltFactor: Int, joinType: String = "inner"): DataFrame = {
     require(saltFactor > 0, "saltFactor must be positive")
+    // only fact-preserving join types: an unmatched DIM row exists once
+    // per salt replica, so right/full outer would emit it saltFactor
+    // times — for those, salt the other side
+    require(Set("inner", "left", "leftouter", "left_outer", "cross")
+      .contains(joinType.toLowerCase),
+      "saltedJoin preserves semantics only for fact-preserving join " +
+        s"types (inner/left/cross); got $joinType — salt the other " +
+        "side for right/full outer")
     val saltCol = "__graft_salt"
     val saltedFact = fact.withColumn(saltCol,
       (rand(seed = 42) * saltFactor).cast("int"))

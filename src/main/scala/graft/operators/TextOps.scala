@@ -278,6 +278,11 @@ object TextOps {
       labels = materialized
       iter += 1
     }
+    // silent truncation would split components (a keep-one dedup built
+    // on it would keep extra duplicates) — fail loudly instead
+    require(converged || maxIters == 0,
+      s"connected components did not converge within $maxIters rounds " +
+        "(component diameter exceeds the bound); raise maxIters")
     labels
   }
 

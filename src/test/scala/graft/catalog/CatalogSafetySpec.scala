@@ -331,6 +331,16 @@ class CatalogSafetySpec extends AnyFunSuite {
       }
       assert(e.getMessage.contains("positive integer"), s"$p=$v: $e")
     }
+    // ...and at ALTER SET, the other route into table properties
+    spark.sql("DROP TABLE IF EXISTS graft.safety.badprop")
+    spark.sql("CREATE TABLE graft.safety.badprop (k INT, v INT) " +
+      "TBLPROPERTIES('keyCols'='k')")
+    val e = intercept[Exception] {
+      spark.sql("ALTER TABLE graft.safety.badprop " +
+        "SET TBLPROPERTIES('numRegions'='abc')")
+    }
+    assert(e.getMessage.contains("positive integer"), e.getMessage)
+    spark.sql("DROP TABLE graft.safety.badprop")
   }
 
   test("loadManifest returns generation and regions from one parse") {

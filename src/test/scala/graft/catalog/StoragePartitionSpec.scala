@@ -198,6 +198,47 @@ class StoragePartitionSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("DROP TABLE graft.spj.compact_s")
   }
 
+  test("bucketed tiny regions pack per bucket with the scan-wide target") {
+    spark.sql("DROP TABLE IF EXISTS graft.spj.pack_s")
+    spark.sql(
+      s"""CREATE TABLE graft.spj.pack_s (o_orderkey BIGINT, v INT)
+         |TBLPROPERTIES('keyCols'='o_orderkey',
+         |              'regionSplits'='$Splits')""".stripMargin)
+    (0 until 3).foreach { i =>
+      spark.sql("INSERT INTO graft.spj.pack_s " +
+        s"SELECT o_orderkey, $i FROM spj_orders_src")
+    }
+    val cat = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[GraftCatalog]
+    val table = cat.loadTable(Identifier.of(Array("spj"), "pack_s"))
+      .asInstanceOf[GraftTable]
+    assert(TableMeta.loadRegions(table.tableDir).size == 12) // 3×4 buckets
+    val key = "spark.sql.files.minPartitionNum"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key, "2")
+    try {
+      val parts = table.newScanBuilder(
+        new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+          java.util.Collections.emptyMap())).build()
+        .toBatch.planInputPartitions()
+      // the scan-wide target lets each bucket's 3 tiny files merge —
+      // 4 partitions (one per bucket), never mixing buckets
+      assert(parts.length == 4, s"got ${parts.length}")
+      val keyed = parts.map(_.asInstanceOf[GraftKeyedInputPartition])
+      assert(keyed.map(_.bucket).sorted.toSeq == Seq(0, 1, 2, 3))
+      assert(keyed.forall(_.files.length == 3))
+      // key-grouped group-by stays exchange-free over packed partitions
+      val df = spark.sql(
+        """SELECT o_orderkey, count(*) AS n FROM graft.spj.pack_s
+          |GROUP BY o_orderkey""".stripMargin)
+      assert(shuffles(finalPlan(df)) == 0)
+    } finally saved match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+    spark.sql("DROP TABLE graft.spj.pack_s")
+  }
+
   test("regionSplits cannot be altered after creation") {
     val e = intercept[Exception] {
       spark.sql("ALTER TABLE graft.spj.orders_s " +
