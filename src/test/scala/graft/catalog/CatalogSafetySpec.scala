@@ -343,6 +343,46 @@ class CatalogSafetySpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.safety.badprop")
   }
 
+  test("epoch commits race plain appends without lost updates") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.safety")
+    spark.sql("DROP TABLE IF EXISTS graft.safety.race_mix")
+    spark.sql(
+      """CREATE TABLE graft.safety.race_mix (k INT, v INT)
+        |TBLPROPERTIES('keyCols'='k')""".stripMargin)
+    val dir = tableDir("safety", "race_mix")
+    val pool = Executors.newFixedThreadPool(8)
+    val start = new CountDownLatch(1)
+    def region(name: String) =
+      RegionMeta(name, 1, Seq("00"), Seq("01"))
+    val tasks = (0 until 20).map { i =>
+      pool.submit(new Runnable {
+        override def run(): Unit = {
+          start.await()
+          if (i % 2 == 0)
+            TableMeta.appendRegions(dir, Seq(region(s"a$i.parquet")))
+          else // each stream commits its own epochs 0..?
+            TableMeta.commitEpoch(dir, Seq(region(s"e$i.parquet")),
+              s"q${i % 3}", i.toLong)
+        }
+      })
+    }
+    start.countDown()
+    tasks.foreach(_.get(60, TimeUnit.SECONDS))
+    pool.shutdown()
+    val state = TableMeta.loadState(dir)
+    // every append present; every epoch commit with the highest epoch
+    // per query present (lower epochs of the same query may have been
+    // rejected as stale — that is the ledger working, not a loss)
+    val files = state.regions.map(_.file).toSet
+    (0 until 20 by 2).foreach(i => assert(files.contains(s"a$i.parquet")))
+    assert(state.epochs.keySet == Set("q0", "q1", "q2"))
+    state.epochs.foreach { case (q, ep) =>
+      assert(files.contains(s"e${ep}.parquet"),
+        s"$q ledger says epoch $ep committed but its region is missing")
+    }
+    spark.sql("DROP TABLE graft.safety.race_mix")
+  }
+
   test("loadManifest returns generation and regions from one parse") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.safety")
     spark.sql("DROP TABLE IF EXISTS graft.safety.manifest_one")
