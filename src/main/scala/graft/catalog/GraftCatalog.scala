@@ -160,9 +160,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         s"key column $k has unsupported type ${f.dataType.simpleString}")
     }
     schema.fields.foreach { f =>
-      require(KeyCodec.supportedTypes.contains(f.dataType),
+      require(ParquetRowIO.isStorable(f.dataType),
         s"column ${f.name}: type ${f.dataType.simpleString} is not storable " +
-          "(ten atomic types only)")
+          "(atomic types, BINARY, or ARRAY of an atomic type)")
     }
     // reference's two physical encodings (SURVEY §1.3). Our storage is
     // typed parquet, so the choice is metadata-only: values never lose
@@ -213,7 +213,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         require(add.fieldNames.length == 1,
           "graft supports top-level columns only")
         val name = add.fieldNames.head
-        require(KeyCodec.supportedTypes.contains(add.dataType),
+        require(ParquetRowIO.isStorable(add.dataType),
           s"column $name: unsupported type ${add.dataType.simpleString}")
         require(!meta.schema.fieldNames.exists(_.equalsIgnoreCase(name)),
           s"column $name already exists")

@@ -33,29 +33,49 @@ object ParquetRowIO {
 
   // -------------------------------------------------- schema conversion
 
+  /** Storable column types: the reference's ten atomic types (SURVEY
+    * §1.2), plus the LLM-extension columns (SURVEY §1.5) — opaque media
+    * payloads (`BINARY`) and embeddings (`ARRAY` of an atomic type).
+    * Key columns stay atomic: [[graft.codec.KeyCodec]] defines ordered
+    * encodings for atomic values only. */
+  def isStorable(dt: DataType): Boolean = dt match {
+    case BinaryType => true
+    case ArrayType(e, _) => graft.codec.KeyCodec.supportedTypes.contains(e)
+    case other => graft.codec.KeyCodec.supportedTypes.contains(other)
+  }
+
+  private def atomicType(dt: DataType, name: String)
+      : org.apache.parquet.schema.Type = dt match {
+    case BooleanType => Types.optional(BOOLEAN).named(name)
+    case ByteType => Types.optional(INT32)
+      .as(LogicalTypeAnnotation.intType(8, true)).named(name)
+    case ShortType => Types.optional(INT32)
+      .as(LogicalTypeAnnotation.intType(16, true)).named(name)
+    case IntegerType => Types.optional(INT32).named(name)
+    case LongType => Types.optional(INT64).named(name)
+    case FloatType => Types.optional(FLOAT).named(name)
+    case DoubleType => Types.optional(DOUBLE).named(name)
+    case StringType => Types.optional(BINARY)
+      .as(LogicalTypeAnnotation.stringType()).named(name)
+    case DateType => Types.optional(INT32)
+      .as(LogicalTypeAnnotation.dateType()).named(name)
+    case TimestampType => Types.optional(INT64)
+      .as(LogicalTypeAnnotation.timestampType(true,
+        LogicalTypeAnnotation.TimeUnit.MICROS)).named(name)
+    case other => throw new IllegalArgumentException(
+      s"graft tables cannot store type $other in column $name")
+  }
+
   def toParquetSchema(schema: StructType): MessageType = {
     val b = Types.buildMessage()
     schema.fields.foreach { f =>
       val t = f.dataType match {
-        case BooleanType => Types.optional(BOOLEAN).named(f.name)
-        case ByteType => Types.optional(INT32)
-          .as(LogicalTypeAnnotation.intType(8, true)).named(f.name)
-        case ShortType => Types.optional(INT32)
-          .as(LogicalTypeAnnotation.intType(16, true)).named(f.name)
-        case IntegerType => Types.optional(INT32).named(f.name)
-        case LongType => Types.optional(INT64).named(f.name)
-        case FloatType => Types.optional(FLOAT).named(f.name)
-        case DoubleType => Types.optional(DOUBLE).named(f.name)
-        case StringType => Types.optional(BINARY)
-          .as(LogicalTypeAnnotation.stringType()).named(f.name)
-        case DateType => Types.optional(INT32)
-          .as(LogicalTypeAnnotation.dateType()).named(f.name)
-        case TimestampType => Types.optional(INT64)
-          .as(LogicalTypeAnnotation.timestampType(true,
-            LogicalTypeAnnotation.TimeUnit.MICROS)).named(f.name)
-        case other => throw new IllegalArgumentException(
-          s"graft tables store the ten atomic types only; got $other " +
-            s"for column ${f.name}")
+        case BinaryType => Types.optional(BINARY).named(f.name)
+        // standard 3-level LIST layout — what Spark's own parquet
+        // writer emits, so the vectorized reader decodes it natively
+        case ArrayType(et, _) => Types.optionalList()
+          .setElementType(atomicType(et, "element")).named(f.name)
+        case other => atomicType(other, f.name)
       }
       b.addField(t)
     }
@@ -96,6 +116,28 @@ object ParquetRowIO {
           case DoubleType => g.add(i, row.getDouble(i))
           case StringType =>
             g.add(i, Binary.fromConstantByteArray(row.getUTF8String(i).getBytes))
+          case BinaryType =>
+            g.add(i, Binary.fromConstantByteArray(row.getBinary(i)))
+          case ArrayType(et, _) =>
+            val arr = row.getArray(i)
+            val lg = g.addGroup(i) // empty group = empty (non-null) list
+            var j = 0
+            while (j < arr.numElements()) {
+              val eg = lg.addGroup(0) // repeated "list" entry
+              if (!arr.isNullAt(j)) et match {
+                case BooleanType => eg.add(0, arr.getBoolean(j))
+                case ByteType => eg.add(0, arr.getByte(j).toInt)
+                case ShortType => eg.add(0, arr.getShort(j).toInt)
+                case IntegerType | DateType => eg.add(0, arr.getInt(j))
+                case LongType | TimestampType => eg.add(0, arr.getLong(j))
+                case FloatType => eg.add(0, arr.getFloat(j))
+                case DoubleType => eg.add(0, arr.getDouble(j))
+                case StringType => eg.add(0,
+                  Binary.fromConstantByteArray(arr.getUTF8String(j).getBytes))
+                case other => throw new IllegalStateException(other.toString)
+              }
+              j += 1
+            }
           case other => throw new IllegalStateException(other.toString)
         }
         i += 1
@@ -172,6 +214,31 @@ object ParquetRowIO {
           case DoubleType => row.setDouble(i, g.getDouble(p, 0))
           case StringType =>
             row.update(i, UTF8String.fromBytes(g.getBinary(p, 0).getBytes))
+          case BinaryType => row.update(i, g.getBinary(p, 0).getBytes)
+          case ArrayType(et, _) =>
+            val lg = g.getGroup(p, 0)
+            val n = lg.getFieldRepetitionCount(0)
+            val out = new Array[Any](n)
+            var j = 0
+            while (j < n) {
+              val eg = lg.getGroup(0, j)
+              out(j) = if (eg.getFieldRepetitionCount(0) == 0) null
+              else et match {
+                case BooleanType => eg.getBoolean(0, 0)
+                case ByteType => eg.getInteger(0, 0).toByte
+                case ShortType => eg.getInteger(0, 0).toShort
+                case IntegerType | DateType => eg.getInteger(0, 0)
+                case LongType | TimestampType => eg.getLong(0, 0)
+                case FloatType => eg.getFloat(0, 0)
+                case DoubleType => eg.getDouble(0, 0)
+                case StringType =>
+                  UTF8String.fromBytes(eg.getBinary(0, 0).getBytes)
+                case other => throw new IllegalStateException(other.toString)
+              }
+              j += 1
+            }
+            row.update(i,
+              new org.apache.spark.sql.catalyst.util.GenericArrayData(out))
           case other => throw new IllegalStateException(other.toString)
         }
         i += 1

@@ -261,7 +261,110 @@ object CatalogQueries {
        |       round(o_totalprice, 2) AS price
        |FROM ${wideTable(s, d)} WHERE o_orderkey = 1000""".stripMargin)
 
+  /** Embeddings stored IN the catalog (ARRAY<FLOAT> non-key column,
+    * SURVEY §1.5): the ANN pipeline runs over the key-sorted store,
+    * not raw parquet. */
+  private val builtEmb = scala.collection.concurrent.TrieMap[String, String]()
+  def embeddingsTable(s: SparkSession, d: String): String =
+    builtEmb.getOrElseUpdate(d, {
+      ordersTable(s, d)
+      val ns = s"sf_${math.abs(d.hashCode)}"
+      val fqn = s"graft.$ns.embeddings_t"
+      val srcCount = s.read.parquet(s"$d/embeddings.parquet").count()
+      val exists = s.sql(s"SHOW TABLES IN graft.$ns").collect()
+        .exists(_.getString(1) == "embeddings_t") && {
+        val ok = s.table(fqn).count() == srcCount
+        if (!ok) s.sql(s"DROP TABLE $fqn")
+        ok
+      }
+      if (!exists) {
+        s.sql(
+          s"""CREATE TABLE $fqn (
+             |  vec_id BIGINT, embedding ARRAY<FLOAT>, label INT)
+             |TBLPROPERTIES('keyCols'='vec_id', 'numRegions'='4')"""
+            .stripMargin)
+        val v = s"emb_cat_src_${math.abs(d.hashCode)}"
+        s.read.parquet(s"$d/embeddings.parquet").createOrReplaceTempView(v)
+        s.sql(s"INSERT INTO $fqn SELECT vec_id, embedding, label FROM $v")
+      }
+      fqn
+    })
+
+  /** Brute-force cosine top-k over CATALOG-stored embeddings — the
+    * exact DuckDB oracle proves the float arrays round-trip the store
+    * byte-exactly (same query shape as ann_cosine_topk). */
+  val annTopkOnStore: Q = (s, d) => {
+    import org.apache.spark.sql.functions._
+    val e = s.table(embeddingsTable(s, d))
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .withColumn("sim",
+        round(graft.functions.VectorOps.cosine(col("embedding"), col("qv")), 4))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+      .limit(20)
+      .select(col("vec_id"), col("sim"))
+  }
+
+  /** LSH bucket histogram over catalog-stored embeddings (scale path of
+    * the ANN stack composed with the store; rows-only — xxhash buckets
+    * have no DuckDB equivalent; CatalogVectorSpec gates it ≡ the
+    * parquet-backed ann_lsh). */
+  val annLshOnStore: Q = (s, d) => {
+    import org.apache.spark.sql.functions._
+    s.table(embeddingsTable(s, d))
+      .withColumn("bucket",
+        graft.functions.VectorOps.lshBucket(col("embedding"), 16))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_vectors"),
+        countDistinct(col("label")).as("n_labels"))
+  }
+
+  /** Media payloads stored IN the catalog (BINARY non-key column):
+    * metadata queries prune the payload out of IO entirely
+    * (ReadSchema asserted in CatalogVectorSpec). */
+  private val builtMedia = scala.collection.concurrent.TrieMap[String, String]()
+  def mediaTable(s: SparkSession, d: String): String =
+    builtMedia.getOrElseUpdate(d, {
+      ordersTable(s, d)
+      val ns = s"sf_${math.abs(d.hashCode)}"
+      val fqn = s"graft.$ns.media_t"
+      val srcCount = s.read.parquet(s"$d/documents.parquet").count()
+      val exists = s.sql(s"SHOW TABLES IN graft.$ns").collect()
+        .exists(_.getString(1) == "media_t") && {
+        val ok = s.table(fqn).count() == srcCount
+        if (!ok) s.sql(s"DROP TABLE $fqn")
+        ok
+      }
+      if (!exists) {
+        s.sql(
+          s"""CREATE TABLE $fqn (
+             |  media_id BIGINT, kind STRING, payload BINARY,
+             |  width INT, height INT)
+             |TBLPROPERTIES('keyCols'='media_id', 'numRegions'='4')"""
+            .stripMargin)
+        val v = s"media_cat_src_${math.abs(d.hashCode)}"
+        Multimodal.mediaTable(s, d).createOrReplaceTempView(v)
+        s.sql(s"INSERT INTO $fqn SELECT * FROM $v")
+      }
+      fqn
+    })
+
+  /** Metadata-only stats over the catalog media table: binary payload
+    * never read (column pruning reaches the region scan). */
+  val multimodalMetaOnStore: Q = (s, d) => {
+    import org.apache.spark.sql.functions._
+    s.table(mediaTable(s, d))
+      .groupBy(col("kind"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("width")), 4).as("avg_w"),
+        round(avg(col("height")), 4).as("avg_h"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "catalog_ann_topk" -> annTopkOnStore,
+    "catalog_ann_lsh" -> annLshOnStore,
+    "catalog_multimodal_meta" -> multimodalMetaOnStore,
     "catalog_skipscan" -> skipScan,
     "catalog_dedup_exact" -> dedupOnStore,
     "catalog_point_lookup" -> pointLookup,
@@ -274,6 +377,25 @@ object CatalogQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // identical to ann_cosine_topk's oracle: a hash match here proves
+    // the ARRAY<FLOAT> column round-trips the graft store byte-exactly
+    "catalog_ann_topk" ->
+      """SELECT vec_id,
+        |       round(list_cosine_similarity(
+        |         cast(embedding AS DOUBLE[]),
+        |         (SELECT cast(embedding AS DOUBLE[]) FROM embeddings
+        |          WHERE vec_id = 0)), 4) AS sim
+        |FROM embeddings WHERE vec_id <> 0
+        |ORDER BY sim DESC, vec_id ASC LIMIT 20""".stripMargin,
+
+    "catalog_multimodal_meta" ->
+      """SELECT CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END
+        |         AS kind,
+        |       count(*) AS n,
+        |       round(avg(n_chars % 64 + 16), 4) AS avg_w,
+        |       round(avg(n_chars % 48 + 16), 4) AS avg_h
+        |FROM documents GROUP BY 1""".stripMargin,
+
     "catalog_skipscan" ->
       """SELECT o_orderstatus, o_orderkey, o_custkey,
         |       round(o_totalprice, 2) AS price

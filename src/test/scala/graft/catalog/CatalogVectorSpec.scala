@@ -1,0 +1,161 @@
+package graft.catalog
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Embedding (ARRAY<FLOAT>) and media-payload (BINARY) columns stored
+  * IN graft tables — the SURVEY §1.5 extension goal: the LLM pipeline's
+  * own storage holds its vectors and payloads, not just raw parquet
+  * sidecars. Key columns stay atomic (KeyCodec orders atomic encodings
+  * only); the new types are non-key cells.
+  */
+class CatalogVectorSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def ns(): Unit =
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.vec")
+
+  test("ARRAY<FLOAT> + BINARY columns round-trip the store exactly") {
+    ns()
+    spark.sql("DROP TABLE IF EXISTS graft.vec.t")
+    spark.sql(
+      """CREATE TABLE graft.vec.t (
+        |  id BIGINT, emb ARRAY<FLOAT>, payload BINARY, note STRING)
+        |TBLPROPERTIES('keyCols'='id', 'numRegions'='2')""".stripMargin)
+    // nulls at every level: null array, empty array, null element,
+    // null binary, empty binary
+    spark.sql(
+      """INSERT INTO graft.vec.t VALUES
+        |  (1, array(CAST(1.5 AS FLOAT), CAST(-2.25 AS FLOAT)),
+        |      CAST('ab' AS BINARY), 'plain'),
+        |  (2, array(), CAST('' AS BINARY), 'empty'),
+        |  (3, NULL, NULL, 'nulls'),
+        |  (4, array(CAST(NULL AS FLOAT), CAST(7.0 AS FLOAT)),
+        |      CAST('xyz' AS BINARY), 'null-elem')""".stripMargin)
+
+    val got = spark.table("graft.vec.t").collect()
+      .map(r => (r.getLong(0),
+        Option(r.get(1)).map(_.asInstanceOf[scala.collection.Seq[Any]].toList),
+        Option(r.get(2)).map(_.asInstanceOf[Array[Byte]].toList),
+        r.getString(3))).sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (1L, Some(List(1.5f, -2.25f)), Some("ab".getBytes.toList), "plain"),
+      (2L, Some(Nil), Some(Nil), "empty"),
+      (3L, None, None, "nulls"),
+      (4L, Some(List(null, 7.0f)), Some("xyz".getBytes.toList), "null-elem")))
+    // null element really is null (not 0.0): check via SQL
+    val nullElem = spark.sql(
+      "SELECT emb[0] IS NULL, emb[1] FROM graft.vec.t WHERE id = 4").head()
+    assert(nullElem.getBoolean(0) && nullElem.getFloat(1) == 7.0f)
+    spark.sql("DROP TABLE graft.vec.t")
+  }
+
+  test("array/binary key columns are rejected; atomic-only keys hold") {
+    ns()
+    val e1 = intercept[Exception] {
+      spark.sql(
+        """CREATE TABLE graft.vec.badkey (k ARRAY<FLOAT>, v INT)
+          |TBLPROPERTIES('keyCols'='k')""".stripMargin)
+    }
+    assert(e1.getMessage.contains("unsupported type"))
+    val e2 = intercept[Exception] {
+      spark.sql(
+        """CREATE TABLE graft.vec.badkey2 (k BINARY, v INT)
+          |TBLPROPERTIES('keyCols'='k')""".stripMargin)
+    }
+    assert(e2.getMessage.contains("unsupported type"))
+    // nested arrays stay unsupported even as non-key columns
+    val e3 = intercept[Exception] {
+      spark.sql(
+        """CREATE TABLE graft.vec.badcol (k INT, v ARRAY<ARRAY<FLOAT>>)
+          |TBLPROPERTIES('keyCols'='k')""".stripMargin)
+    }
+    assert(e3.getMessage.contains("not storable"))
+  }
+
+  test("metadata query prunes the payload/embedding columns from the scan") {
+    ns()
+    spark.sql("DROP TABLE IF EXISTS graft.vec.media")
+    spark.sql(
+      """CREATE TABLE graft.vec.media (
+        |  id BIGINT, kind STRING, payload BINARY, width INT)
+        |TBLPROPERTIES('keyCols'='id', 'numRegions'='2')""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft.vec.media
+        |SELECT id, CASE WHEN id % 2 = 0 THEN 'image' ELSE 'audio' END,
+        |       CAST(repeat('x', 100) AS BINARY), CAST(id % 64 AS INT)
+        |FROM range(0, 1000)""".stripMargin)
+    val df = spark.sql(
+      "SELECT kind, count(*) AS n, avg(width) AS w FROM graft.vec.media " +
+        "GROUP BY kind")
+    df.collect()
+    // the scan hides under AQE query-stage leaves — recurse through them
+    def findScan(p: org.apache.spark.sql.execution.SparkPlan)
+        : Option[org.apache.spark.sql.connector.read.Scan] = p match {
+      case b: BatchScanExec => Some(b.scan)
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        findScan(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        findScan(q.plan)
+      case other => other.children.iterator.flatMap(findScan(_)).nextOption()
+    }
+    val scan = findScan(df.queryExecution.executedPlan).get
+    val read = scan.readSchema().fieldNames.map(_.toLowerCase).toSet
+    assert(!read.contains("payload"),
+      s"metadata query read the binary payload column: $read")
+    assert(read == Set("kind", "width"))
+    spark.sql("DROP TABLE graft.vec.media")
+  }
+
+  test("store-backed ANN queries match their parquet-backed twins") {
+    val d = TestSpark.sfDir
+    val fromStore = graft.operators.CatalogQueries
+      .annLshOnStore(spark, d).collect().map(r => r.toSeq).toSet
+    val fromParquet = graft.operators.TextOps
+      .queries("ann_lsh")(spark, d).collect().map(r => r.toSeq).toSet
+    assert(fromStore == fromParquet)
+
+    val topkStore = graft.operators.CatalogQueries
+      .annTopkOnStore(spark, d).collect().map(_.toSeq)
+    val topkParquet = graft.operators.TextOps
+      .queries("ann_cosine_topk")(spark, d).collect().map(_.toSeq)
+    assert(topkStore.toSeq == topkParquet.toSeq)
+  }
+
+  test("catalog media metadata matches the parquet-derived stats") {
+    val d = TestSpark.sfDir
+    val fromStore = graft.operators.CatalogQueries
+      .multimodalMetaOnStore(spark, d).collect()
+      .map((r: Row) => r.toSeq).toSet
+    val fromParquet = graft.operators.Multimodal
+      .queries("multimodal_meta")(spark, d).collect()
+      .map((r: Row) => r.toSeq).toSet
+    assert(fromStore == fromParquet)
+  }
+
+  test("compaction preserves array/binary cells") {
+    ns()
+    spark.sql("DROP TABLE IF EXISTS graft.vec.c")
+    spark.sql(
+      """CREATE TABLE graft.vec.c (id BIGINT, emb ARRAY<FLOAT>, p BINARY)
+        |TBLPROPERTIES('keyCols'='id', 'numRegions'='2')""".stripMargin)
+    (0 until 3).foreach { i =>
+      spark.sql(
+        s"""INSERT INTO graft.vec.c
+           |SELECT id, array(CAST(id AS FLOAT), CAST($i AS FLOAT)),
+           |       CAST(concat('p', id) AS BINARY)
+           |FROM range(${i * 100}, ${i * 100 + 100})""".stripMargin)
+    }
+    val before = spark.table("graft.vec.c").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toList,
+        new String(r.get(2).asInstanceOf[Array[Byte]]))).sortBy(_._1)
+    spark.sql("CALL graft.sys.compact('vec.c', 1)")
+    val after = spark.table("graft.vec.c").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toList,
+        new String(r.get(2).asInstanceOf[Array[Byte]]))).sortBy(_._1)
+    assert(after.toSeq == before.toSeq)
+    spark.sql("DROP TABLE graft.vec.c")
+  }
+}
