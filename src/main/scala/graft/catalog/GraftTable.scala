@@ -104,8 +104,82 @@ object GraftFilters {
     case sources.IsNull(n) =>
       dim(n, dims).map { case (d, _) => Map(d -> (Nil: IvSet)) }
         .getOrElse(Map.empty)
+    // keys are non-null, so <=> v behaves exactly like = v (and <=> NULL
+    // is provably false) — the reference's null-safe coverage
+    // (ScanPredClassifier.scala:27-143)
+    case sources.EqualNullSafe(n, null) =>
+      dim(n, dims).map { case (d, _) => Map(d -> (Nil: IvSet)) }
+        .getOrElse(Map.empty)
+    case sources.EqualNullSafe(n, v) => one(sources.EqualTo(n, v), dims)
+    // LIKE 'p%' on a string key → the prefix byte interval
+    case sources.StringStartsWith(n, p) => prefixIv(n, p, dims)
+    case sources.Not(g) => negOne(g, dims)
     case _ => Map.empty
   }
+
+  /** [utf8(p), successor(utf8(p))) covers exactly the strings with
+    * prefix p in unsigned-lex (= encoded-key) order; successor=null
+    * (all 0xFF) → unbounded above. */
+  private def prefixIv(n: String, p: String,
+      dims: Map[String, (Int, DataType)]): Map[Int, IvSet] =
+    dim(n, dims).collect { case (d, StringType) =>
+      val lo = p.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val hi = Option(KeyCodec.successor(lo))
+      Map(d -> List(Iv(Some(lo), true, hi, false)))
+    }.getOrElse(Map.empty)
+
+  /** Sound over-approximation of ¬f. `one` over-approximates f, so
+    * negating its output would be UNsound — negation must recurse
+    * structurally and widen to ⊤ on anything unrecognized. */
+  private def negOne(f: sources.Filter, dims: Map[String, (Int, DataType)])
+      : Map[Int, IvSet] = f match {
+    case sources.Not(g) => one(g, dims)
+    // ¬(l ∧ r) = ¬l ∨ ¬r — same both-sides-constrained rule as Or
+    case sources.And(l, r) =>
+      val (a, b) = (negOne(l, dims), negOne(r, dims))
+      (a.keySet intersect b.keySet).map(d => d -> (a(d) ++ b(d))).toMap
+    case sources.Or(l, r) => merge(negOne(l, dims), negOne(r, dims))
+    case sources.EqualTo(n, v) => excludePoint(n, v, dims)
+    // keys non-null: ¬(k <=> v) ≡ k ≠ v; ¬(k <=> NULL) ≡ true (⊤)
+    case sources.EqualNullSafe(_, null) => Map.empty
+    case sources.EqualNullSafe(n, v) => excludePoint(n, v, dims)
+    case sources.GreaterThan(n, v) =>
+      one(sources.LessThanOrEqual(n, v), dims)
+    case sources.GreaterThanOrEqual(n, v) =>
+      one(sources.LessThan(n, v), dims)
+    case sources.LessThan(n, v) =>
+      one(sources.GreaterThanOrEqual(n, v), dims)
+    case sources.LessThanOrEqual(n, v) =>
+      one(sources.GreaterThan(n, v), dims)
+    // ¬(k IN (v…)) = ∧ of the per-value exclusions
+    case sources.In(n, vs) if vs.nonEmpty =>
+      vs.map(v => excludePoint(n, v, dims))
+        .reduce((a, b) => merge(a, b))
+    // keys non-null: ¬(k IS NULL) is always true (⊤); ¬(k IS NOT NULL)
+    // is provably false
+    case sources.IsNull(_) => Map.empty
+    case sources.IsNotNull(n) =>
+      dim(n, dims).map { case (d, _) => Map(d -> (Nil: IvSet)) }
+        .getOrElse(Map.empty)
+    case sources.StringStartsWith(n, p) =>
+      dim(n, dims).collect { case (d, StringType) =>
+        val lo = p.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val hi = Option(KeyCodec.successor(lo))
+        Map(d -> (Iv(None, false, Some(lo), false) ::
+          hi.map(h => Iv(Some(h), true, None, false)).toList))
+      }.getOrElse(Map.empty)
+    case _ => Map.empty // unknown under ¬ → no constraint (sound)
+  }
+
+  /** k ≠ v as the two open intervals around v (the reference's NOT
+    * two-interval split, PartialPredicateOperations.scala:116-384). */
+  private def excludePoint(n: String, v: Any,
+      dims: Map[String, (Int, DataType)]): Map[Int, IvSet] =
+    dim(n, dims).flatMap { case (d, dt) =>
+      enc(dt, v).map(b => Map(d -> List(
+        Iv(None, false, Some(b), false),
+        Iv(Some(b), false, None, false))))
+    }.getOrElse(Map.empty)
 
   private def dim(name: String, dims: Map[String, (Int, DataType)])
       : Option[(Int, DataType)] = dims.get(name.toLowerCase)

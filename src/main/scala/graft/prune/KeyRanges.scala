@@ -84,7 +84,71 @@ object KeyRanges {
       val (a, b) = (analyze(l, dims), analyze(r, dims))
       // only dims constrained on BOTH branches stay constrained
       (a.keySet intersect b.keySet).map { d => d -> (a(d) ++ b(d)) }.toMap
+    case Not(g) => negAnalyze(g, dims)
     case e => analyzeLeaf(e, dims)
+  }
+
+  /** Sound over-approximation of ¬pred: recurse structurally (negating
+    * `analyze`'s over-approximate output would be unsound); anything
+    * unrecognized widens to ⊤. Keys are non-null, which resolves the
+    * 3-valued cases (¬IsNull ≡ true, ¬IsNotNull ≡ false, <=> ≡ =). */
+  private def negAnalyze(pred: Expression,
+      dims0: Map[String, (Int, DataType)]): Map[Int, IvSet] = {
+    implicit val dims: Map[String, (Int, DataType)] = dims0
+    def excludePoint(d: Int, dt: DataType, v: Any): Map[Int, IvSet] =
+      enc(dt, v).map(b => Map(d -> List(
+        Iv(None, false, Some(b), false),
+        Iv(Some(b), false, None, false)))).getOrElse(Map.empty)
+    pred match {
+      case Not(g) => analyze(g, dims0)
+      case And(l, r) => // ¬(l∧r) = ¬l ∨ ¬r
+        val (a, b) = (negAnalyze(l, dims0), negAnalyze(r, dims0))
+        (a.keySet intersect b.keySet).map(d => d -> (a(d) ++ b(d))).toMap
+      case Or(l, r) => // ¬(l∨r) = ¬l ∧ ¬r
+        val (a, b) = (negAnalyze(l, dims0), negAnalyze(r, dims0))
+        (a.keySet ++ b.keySet).map { d =>
+          d -> intersectSets(a.getOrElse(d, List(full)),
+            b.getOrElse(d, List(full)))
+        }.toMap
+      case eq @ EqualTo(_, _) => eq match {
+        case KeyLit(d, dt, v, _) => excludePoint(d, dt, v)
+        case _ => Map.empty
+      }
+      case ens @ EqualNullSafe(_, _) => ens match {
+        case KeyLit(d, dt, v, _) => excludePoint(d, dt, v)
+        case _ => Map.empty // ¬(k <=> NULL) ≡ k IS NOT NULL ≡ true
+      }
+      // operator-level negation; analyzeLeaf handles either orientation
+      case GreaterThan(l, r) => analyzeLeaf(LessThanOrEqual(l, r), dims0)
+      case GreaterThanOrEqual(l, r) => analyzeLeaf(LessThan(l, r), dims0)
+      case LessThan(l, r) => analyzeLeaf(GreaterThanOrEqual(l, r), dims0)
+      case LessThanOrEqual(l, r) => analyzeLeaf(GreaterThan(l, r), dims0)
+      case In(KeyAttr(a), list) if list.forall {
+            case FoldableLit(_) => true; case _ => false } =>
+        dims0.get(a.name.toLowerCase).map { case (d, dt) =>
+          list.map { case FoldableLit(v) => excludePoint(d, dt, v)
+                     case _ => Map.empty[Int, IvSet] }
+            .reduceOption { (x, y) =>
+              (x.keySet ++ y.keySet).map { dd =>
+                dd -> intersectSets(x.getOrElse(dd, List(full)),
+                  y.getOrElse(dd, List(full)))
+              }.toMap
+            }.getOrElse(Map.empty)
+        }.getOrElse(Map.empty)
+      case IsNull(a: Attribute) if dims0.contains(a.name.toLowerCase) =>
+        Map.empty // keys non-null → ¬IsNull always true
+      case IsNotNull(a: Attribute) if dims0.contains(a.name.toLowerCase) =>
+        Map(dims0(a.name.toLowerCase)._1 -> Nil) // provably false
+      case StartsWith(KeyAttr(a), FoldableLit(p)) =>
+        dims0.get(a.name.toLowerCase).collect { case (d, StringType) =>
+          val lo = p.toString
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          Map(d -> (Iv(None, false, Some(lo), false) ::
+            Option(KeyCodec.successor(lo))
+              .map(h => Iv(Some(h), true, None, false)).toList))
+        }.getOrElse(Map.empty)
+      case _ => Map.empty
+    }
   }
 
   /** Convert a literal (in its own Catalyst type) to the key column's
@@ -217,6 +281,28 @@ object KeyRanges {
       // key columns are declared non-null → IS NULL proves empty
       case IsNull(a: Attribute) if dims0.contains(a.name.toLowerCase) =>
         Map(dims0(a.name.toLowerCase)._1 -> Nil)
+      // keys non-null → <=> v ≡ = v; <=> NULL is provably false
+      case EqualNullSafe(KeyAttr(a), Literal(null, _)) =>
+        dims0.get(a.name.toLowerCase)
+          .map { case (d, _) => Map(d -> (Nil: IvSet)) }.getOrElse(Map.empty)
+      case EqualNullSafe(Literal(null, _), KeyAttr(a)) =>
+        dims0.get(a.name.toLowerCase)
+          .map { case (d, _) => Map(d -> (Nil: IvSet)) }.getOrElse(Map.empty)
+      case ens @ EqualNullSafe(_, _) => ens match {
+        case KeyLit(d, dt, v, _) =>
+          enc(dt, v).map(b =>
+            Map(d -> List(Iv(Some(b), true, Some(b), true))))
+            .getOrElse(Map.empty)
+        case _ => Map.empty
+      }
+      // LIKE 'p%' on a string key → [utf8(p), successor(utf8(p)))
+      case StartsWith(KeyAttr(a), FoldableLit(p)) =>
+        dims0.get(a.name.toLowerCase).collect { case (d, StringType) =>
+          val lo = p.toString
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          Map(d -> List(Iv(Some(lo), true,
+            Option(KeyCodec.successor(lo)), false)))
+        }.getOrElse(Map.empty)
       case _ => Map.empty // unanalyzable → no constraint (sound)
     }
   }
