@@ -54,17 +54,24 @@ object Shell {
 
   /** Split a chunk of text into `;`-terminated statements. Respects
     * quoted strings (with Spark's backslash escapes), backtick
-    * identifiers, and `--` line comments, so a `;` inside any of those
-    * never splits; a trailing unterminated fragment is returned last. */
+    * identifiers, `--` line comments, and bracketed `/* … */` comments,
+    * so a `;` inside any of those never splits; a trailing unterminated
+    * fragment is returned last. */
   private[graft] def splitStatements(text: String): (Seq[String], String) = {
     val out = Seq.newBuilder[String]
     val cur = new StringBuilder
     var quote: Char = 0
     var comment = false
+    var bracketed = false
     var i = 0
     while (i < text.length) {
       val c = text.charAt(i)
-      if (comment) {
+      if (bracketed) {
+        cur.append(c)
+        if (c == '*' && i + 1 < text.length && text.charAt(i + 1) == '/') {
+          cur.append('/'); i += 1; bracketed = false
+        }
+      } else if (comment) {
         cur.append(c)
         if (c == '\n') comment = false
       } else if (quote != 0) {
@@ -76,6 +83,8 @@ object Shell {
         case '\'' | '"' | '`' => quote = c; cur.append(c)
         case '-' if i + 1 < text.length && text.charAt(i + 1) == '-' =>
           comment = true; cur.append(c)
+        case '/' if i + 1 < text.length && text.charAt(i + 1) == '*' =>
+          bracketed = true; cur.append(c)
         case ';' => out += cur.toString; cur.clear()
         case _ => cur.append(c)
       }

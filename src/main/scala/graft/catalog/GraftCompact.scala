@@ -21,11 +21,18 @@ import org.apache.spark.sql.connector.catalog.Identifier
   * compaction started (the snapshot), and the final swap happens inside
   * [[TableMeta.withManifestLock]], carrying forward any regions other
   * writers committed after the snapshot. A concurrent INSERT or
-  * streaming sink therefore never loses its commit. The manifest
-  * generation is bumped so streams resumed from pre-compaction
-  * checkpoints fail loudly instead of mis-slicing.
+  * streaming sink therefore never loses its commit. The snapshot moves
+  * to the manifest's retired list (files retained for one compaction
+  * cycle), so a stream resumed from a pre-compaction checkpoint keeps
+  * reading the original regions it had not yet consumed — offsets
+  * reference stable region ids, not list positions. Only checkpoints
+  * more than one compaction cycle behind fail loudly.
   */
 object GraftCompact {
+
+  /** Epoch-ledger entries untouched for this many manifest generations
+    * (= compaction cycles) are dropped at compaction. */
+  val EpochRetainProp = "graft.epochRetainGenerations"
 
   def compact(spark: SparkSession, catalogName: String, namespace: String,
       table: String, numRegions: Int): Unit = {
@@ -57,20 +64,41 @@ object GraftCompact {
     val newRegions = TableMeta.loadRegions(staging.tableDir)
     // swap under the manifest lock: keep regions committed after the
     // snapshot (lost-update-free vs concurrent INSERT / streaming sink)
-    TableMeta.withManifestLock(t.tableDir) {
+    val agedOut = TableMeta.withManifestLock(t.tableDir) {
       val state = TableMeta.loadState(t.tableDir)
       val tail = state.regions.filterNot(r => snapFiles.contains(r.file))
+      val snapLive = state.regions.filter(r => snapFiles.contains(r.file))
       newRegions.foreach { r =>
         Files.move(new File(staging.tableDir, r.file).toPath,
           new File(t.tableDir, r.file).toPath,
           StandardCopyOption.REPLACE_EXISTING)
       }
-      // epochs carried forward: streaming-sink replay dedup must
-      // survive compaction (only stream READERS key on the generation)
-      TableMeta.saveRegions(t.tableDir, newRegions ++ tail,
-        state.gen + 1, state.epochs)
+      // the rewrite covers exactly the original data of every region
+      // id ≤ srcMax: included rewrites contribute their own coverage,
+      // originals their id (tail ids are all higher — the id counter is
+      // monotonic and tail regions committed after the snapshot)
+      val srcMax = snapLive
+        .map(r => if (r.srcMaxId >= 0) r.srcMaxId else r.id).max
+      var next = state.nextId
+      val outputs = newRegions.map { r =>
+        val o = r.copy(id = next, srcMaxId = srcMax); next += 1; o
+      }
+      val newGen = state.gen + 1
+      // epochs carried forward so streaming-sink replay dedup survives
+      // compaction, but entries untouched for epochRetainGenerations
+      // compaction cycles belong to long-terminated queries — age them
+      // out so the ledger cannot grow without bound
+      val retain = t.meta.properties
+        .get(GraftCompact.EpochRetainProp).map(_.toLong).getOrElse(8L)
+      val keptEpochs = state.epochs.filter { case (_, e) =>
+        e.touchedGen >= newGen - retain }
+      // the snapshot becomes the retired set (files kept one cycle for
+      // tailing streams); the previous retired set ages out now
+      TableMeta.saveState(t.tableDir, TableMeta.ManifestState(
+        newGen, outputs ++ tail, keptEpochs, snapLive, next))
+      state.retired
     }
-    snapshot.foreach(r => new File(t.tableDir, r.file).delete())
+    agedOut.foreach(r => new File(t.tableDir, r.file).delete())
     cat.dropTable(stagingIdent)
     cat.invalidateTable(ident)
   }

@@ -481,7 +481,9 @@ class GraftScan(tableDir: File, meta: TableMeta, required: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    GraftReaderFactory(required.json, filters)
+    GraftReaderFactory(required.json, filters,
+      org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone,
+      org.apache.spark.sql.internal.SQLConf.get.caseSensitiveAnalysis)
 
   override def estimateStatistics(): Statistics = new Statistics {
     override def sizeInBytes(): OptionalLong = OptionalLong.of(
@@ -561,14 +563,15 @@ final case class GraftKeyedInputPartition(files: Array[String], rows: Long,
       Array[Any](bucket))
 }
 
-/** Offset = count of committed regions in the manifest, qualified by the
-  * manifest generation (bumped by compaction). A checkpoint taken
-  * before a compaction no longer indexes the same region list, so a
-  * generation mismatch fails the stream with a clear error instead of
-  * silently re-reading or mis-slicing rewritten regions. */
-final case class RegionCountOffset(gen: Long, n: Int)
+/** Offset = "all original data in regions with stable id ≤ `id` has
+  * been consumed", qualified by the manifest generation current when
+  * the offset was taken. Ids survive compaction (the rewritten regions
+  * move to the manifest's retired list with their ids), so an offset
+  * stays meaningful across manifest rewrites; `n` ≥ 0 marks a legacy
+  * count-based checkpoint, translated to an id on first use. */
+final case class RegionCountOffset(gen: Long, id: Long, n: Int = -1)
     extends org.apache.spark.sql.connector.read.streaming.Offset {
-  override def json(): String = s"""{"gen":$gen,"n":$n}"""
+  override def json(): String = s"""{"gen":$gen,"id":$id}"""
 }
 
 object RegionCountOffset {
@@ -576,8 +579,10 @@ object RegionCountOffset {
     val t = json.trim
     if (t.startsWith("{")) {
       val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(t)
-      RegionCountOffset(node.get("gen").asLong, node.get("n").asInt)
-    } else RegionCountOffset(0L, t.toInt) // pre-generation checkpoint
+      val gen = node.get("gen").asLong
+      if (node.has("id")) RegionCountOffset(gen, node.get("id").asLong)
+      else RegionCountOffset(gen, -1L, node.get("n").asInt)
+    } else RegionCountOffset(0L, -1L, t.toInt) // pre-generation checkpoint
   }
 }
 
@@ -588,45 +593,80 @@ final class GraftMicroBatchStream(tableDir: File, required: StructType,
 
   private def generation: Long = TableMeta.loadGeneration(tableDir)
 
-  override def initialOffset(): Offset = RegionCountOffset(generation, 0)
+  override def initialOffset(): Offset = RegionCountOffset(generation, 0L)
   override def latestOffset(): Offset = {
-    // generation + region count from ONE manifest parse: two separate
-    // reads can straddle a compaction commit and produce an offset that
-    // pairs the old generation with the new region count.
+    // generation + max id from ONE manifest parse: two separate reads
+    // can straddle a compaction commit and produce a torn offset.
     val (gen, regions) = TableMeta.loadManifest(tableDir)
-    RegionCountOffset(gen, regions.size)
+    RegionCountOffset(gen, regions.map(_.id).maxOption.getOrElse(0L))
   }
   override def deserializeOffset(json: String): Offset =
     RegionCountOffset.parse(json)
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 
+  /** Legacy count-based checkpoints index the live list by position,
+    * which only stays meaningful while the manifest generation is
+    * unchanged — the pre-id contract, preserved for old checkpoints. */
+  private def toId(o: RegionCountOffset, gen: Long,
+      regions: Seq[RegionMeta]): Long =
+    if (o.n < 0) o.id
+    else if (o.gen == gen) {
+      if (o.n == 0) 0L else regions(o.n - 1).id
+    } else throw new IllegalStateException(
+      s"graft stream checkpoint of ${tableDir.getName} predates both " +
+        "the stable-id manifest format and a compaction; restart the " +
+        "stream with a fresh checkpoint.")
+
+  /** Serve original data with id ∈ (start, end]. Live originals cover
+    * everything after the last compaction; the retired list covers one
+    * compaction cycle further back; compaction REWRITES (srcMaxId ≥ 0)
+    * are only read by streams starting from scratch whose original
+    * regions have already aged out — their data is otherwise a
+    * duplicate of what the stream consumed or is consuming from
+    * originals. A checkpoint more than one cycle behind fails loudly. */
   override def planInputPartitions(start: Offset, end: Offset)
       : Array[InputPartition] = {
-    val so = start.asInstanceOf[RegionCountOffset]
-    val eo = end.asInstanceOf[RegionCountOffset]
-    // ONE manifest parse for both the generation check and the region
-    // list: separate reads could straddle a compaction commit and
-    // slice the rewritten list with pre-compaction indices.
-    val (gen, regions) = TableMeta.loadManifest(tableDir)
-    Seq(so, eo).foreach { o =>
-      if (o.gen != gen) throw new IllegalStateException(
-        s"graft stream offset generation ${o.gen} does not match " +
-          s"manifest generation $gen for ${tableDir.getName}: the table " +
-          "was compacted since the checkpoint. Restart the stream with " +
-          "a fresh checkpoint.")
-    }
-    regions.slice(so.n, eo.n).map(r =>
+    val state = TableMeta.loadState(tableDir)
+    val (so, eo) = (start.asInstanceOf[RegionCountOffset],
+      end.asInstanceOf[RegionCountOffset])
+    val a = toId(so, state.gen, state.regions)
+    val b = toId(eo, state.gen, state.regions)
+    val liveOriginals = state.regions.filter(_.srcMaxId < 0)
+    // highest original id covered by live rewrites / by retired rewrites
+    val covered = state.regions.map(_.srcMaxId).maxOption.getOrElse(-1L)
+    val coveredPrev = state.retired.map(_.srcMaxId).maxOption.getOrElse(-1L)
+    val picked: Seq[RegionMeta] =
+      if (a >= covered)
+        liveOriginals.filter(r => r.id > a && r.id <= b)
+      else if (a >= coveredPrev)
+        // across one compaction: retired originals fill (a, covered]
+        (state.retired.filter(r => r.srcMaxId < 0 && r.id > a) ++
+          liveOriginals.filter(_.id > a)).filter(_.id <= b)
+      else if (a == 0L)
+        // fresh stream, originals aged out: rewrites carry the history
+        state.regions.filter(r => r.id > 0 && r.id <= b)
+      else throw new IllegalStateException(
+        s"graft stream checkpoint (region id $a) of ${tableDir.getName} " +
+          "is more than one compaction cycle behind: the original " +
+          "regions it still needed have been aged out. Restart the " +
+          "stream with a fresh checkpoint, or compact less often than " +
+          "the stream checkpoints.")
+    picked.sortBy(_.id).map(r =>
       GraftInputPartition(Array(new File(tableDir, r.file).getPath),
         r.rows, GraftInputPartition.hosts(r)): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    GraftReaderFactory(required.json, filters)
+    GraftReaderFactory(required.json, filters,
+      org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone,
+      org.apache.spark.sql.internal.SQLConf.get.caseSensitiveAnalysis)
 }
 
 final case class GraftReaderFactory(requiredJson: String,
-    filters: Array[sources.Filter]) extends PartitionReaderFactory {
+    filters: Array[sources.Filter],
+    sessionZone: String, caseSensitive: Boolean)
+    extends PartitionReaderFactory {
 
   private def filesOf(partition: InputPartition): Array[String] =
     partition match {
@@ -680,7 +720,7 @@ final case class GraftReaderFactory(requiredJson: String,
           if (cur == null) {
             if (idx >= files.length) return false
             cur = new ParquetColumnarIO.ColumnarReader(files(idx),
-              required, filters.toSeq)
+              required, filters.toSeq, sessionZone, caseSensitive)
             idx += 1
           }
           if (cur.nextBatch()) return true

@@ -47,15 +47,17 @@ object ParquetColumnarIO {
   private val Capacity = 4096
 
   final class ColumnarReader(file: String, required: StructType,
-      filters: Seq[sources.Filter]) {
+      filters: Seq[sources.Filter], sessionZone: String = "UTC",
+      caseSensitive: Boolean = false) {
 
     private val conf = new Configuration()
     conf.set(ParquetInputFormat.READ_SUPPORT_CLASS, ReadSupportClass)
     conf.set(RowRequestedSchemaKey, required.json)
-    // fixed read-time semantics for graft tables: UTC session zone,
-    // case-insensitive resolution, typed (non-legacy) parquet values
-    conf.set("spark.sql.session.timeZone", "UTC")
-    conf.setBoolean("spark.sql.caseSensitive", false)
+    // read-time semantics captured from the live session conf on the
+    // driver (GraftReaderFactory) so the columnar path resolves names
+    // and zones exactly like the row fallback and plain parquet scans
+    conf.set("spark.sql.session.timeZone", sessionZone)
+    conf.setBoolean("spark.sql.caseSensitive", caseSensitive)
     // ParquetToSparkSchemaConverter(conf) reads these with no default —
     // every one must be present
     conf.setBoolean("spark.sql.parquet.binaryAsString", false)
@@ -63,11 +65,22 @@ object ParquetColumnarIO {
     conf.setBoolean("spark.sql.parquet.inferTimestampNTZ.enabled", true)
     conf.setBoolean("spark.sql.legacy.parquet.nanosAsLong", false)
     conf.setBoolean("spark.sql.parquet.fieldId.read.enabled", false)
-    ParquetRowIO.toParquetFilter(filters, required)
-      .foreach(p => ParquetInputFormat.setFilterPredicate(conf, p))
 
     private val path = new Path(file)
     private val length = path.getFileSystem(conf).getFileStatus(path).getLen
+    // pushed predicate rebuilt per file against the columns the file
+    // actually has (ALTER-added columns are absent from older regions) —
+    // same soundness contract as the row path (ParquetRowIO.toFileFilter)
+    locally {
+      val footer = {
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(path, conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getFooter.getFileMetaData.getSchema finally r.close()
+      }
+      ParquetRowIO.toFileFilter(filters, required, footer)
+        .foreach(p => ParquetInputFormat.setFilterPredicate(conf, p))
+    }
     // graft region files are written whole by modern writers: no legacy
     // calendar rebase (CORRECTED = read stored values as-is), no INT96
     private val reader = new VectorizedParquetRecordReader(

@@ -166,9 +166,8 @@ object ParquetRowIO {
       val r = ParquetFileReader.open(in)
       try r.getFooter.getFileMetaData.getSchema finally r.close()
     }
-    private val filter: Option[FilterPredicate] = toParquetFilter(filters,
-      StructType(requested.fields.filter(f =>
-        fileSchema.containsField(f.name))))
+    private val filter: Option[FilterPredicate] =
+      toFileFilter(filters, requested, fileSchema)
     private val present: Array[Boolean] =
       requested.fields.map(f => fileSchema.containsField(f.name))
     private val projection: MessageType = {
@@ -262,6 +261,18 @@ object ParquetRowIO {
     val converted = filters.flatMap(f => convert(f, schema))
     converted.reduceOption(FilterApi.and)
   }
+
+  /** Per-file variant: build the pushed predicate only over the columns
+    * the file actually has. parquet-mr REJECTS predicates naming columns
+    * missing from the file schema (SchemaCompatibilityValidator), and a
+    * column added by ALTER TABLE is absent from pre-ALTER region files —
+    * dropping those atoms is sound because Spark re-applies every pushed
+    * filter above the scan. Shared by the row and columnar readers. */
+  def toFileFilter(filters: Seq[sources.Filter], requested: StructType,
+      fileSchema: MessageType): Option[FilterPredicate] =
+    toParquetFilter(filters,
+      StructType(requested.fields.filter(f =>
+        fileSchema.containsField(f.name))))
 
   private def convert(f: sources.Filter, schema: StructType)
       : Option[FilterPredicate] = f match {

@@ -34,9 +34,16 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * blocks — the rebuild of the reference's
   * `HBaseSQLReaderRDD.getPreferredLocations:115-119`); empty for
   * location-less filesystems (file://, s3://). */
+/** `id` = stable region identity, assigned monotonically at manifest
+  * commit time and never reused; streaming offsets reference ids, so a
+  * checkpoint stays meaningful across manifest rewrites. `srcMaxId` ≥ 0
+  * marks a compaction REWRITE that contains exactly the original data
+  * of every region with id ≤ srcMaxId (a rewrite carries no new data —
+  * the analogue of Delta's dataChange=false files); -1 = an original
+  * append. */
 final case class RegionMeta(file: String, rows: Long,
     mins: Seq[String], maxs: Seq[String], bucket: Int = -1,
-    host: String = "")
+    host: String = "", id: Long = 0L, srcMaxId: Long = -1L)
 
 final case class TableMeta(schema: StructType, keyCols: Seq[String],
     properties: Map[String, String]) {
@@ -112,29 +119,61 @@ object TableMeta {
   /** `epochs = null` (the default) preserves the file's existing
     * streaming-epoch ledger — callers rewriting the region list without
     * threading epoch state through cannot accidentally wipe the
-    * replay-dedup record. Pass a map (possibly empty) to set it. */
+    * replay-dedup record. Pass a map (possibly empty) to set it.
+    * Retired regions and the id counter are always preserved; regions
+    * without an id get one stamped. */
   def saveRegions(tableDir: File, regions: Seq[RegionMeta],
       generation: Long = 0L,
       epochs: Map[String, Long] = null): Unit = {
+    val s = loadState(tableDir)
     val effEpochs =
-      if (epochs != null) epochs else loadState(tableDir).epochs
-    val m = mapper
-    val root = m.createObjectNode()
-    root.put("generation", generation)
-    if (effEpochs.nonEmpty) {
-      val e = root.putObject("epochs")
-      effEpochs.foreach { case (q, ep) => e.put(q, ep) }
+      if (epochs != null)
+        epochs.map { case (q, e) => q -> EpochEntry(e, generation) }
+      else s.epochs
+    val (rs, next) = stamped(regions, s.nextId)
+    saveState(tableDir, ManifestState(generation, rs, effEpochs,
+      s.retired, next))
+  }
+
+  /** Assign stable ids (from `from`) to regions that lack one. */
+  private def stamped(regions: Seq[RegionMeta], from: Long)
+      : (Seq[RegionMeta], Long) = {
+    var next = from
+    val rs = regions.map { r =>
+      if (r.id > 0) r else { val r2 = r.copy(id = next); next += 1; r2 }
     }
-    val arr = root.putArray("regions")
+    (rs, next max (rs.map(_.id).maxOption.getOrElse(0L) + 1))
+  }
+
+  private def regionsJson(arr: ArrayNode, regions: Seq[RegionMeta]): Unit =
     regions.foreach { r =>
       val o = arr.addObject()
       o.put("file", r.file)
       o.put("rows", r.rows)
+      o.put("id", r.id)
+      if (r.srcMaxId >= 0) o.put("srcMaxId", r.srcMaxId)
       if (r.bucket >= 0) o.put("bucket", r.bucket)
       if (r.host.nonEmpty) o.put("host", r.host)
       val mins = o.putArray("mins"); r.mins.foreach(mins.add)
       val maxs = o.putArray("maxs"); r.maxs.foreach(maxs.add)
     }
+
+  /** Write the complete manifest. Callers own locking. */
+  def saveState(tableDir: File, state: ManifestState): Unit = {
+    val m = mapper
+    val root = m.createObjectNode()
+    root.put("generation", state.gen)
+    root.put("nextId", state.nextId)
+    if (state.epochs.nonEmpty) {
+      val e = root.putObject("epochs")
+      state.epochs.foreach { case (q, ent) =>
+        val o = e.putObject(q)
+        o.put("ep", ent.epoch); o.put("gen", ent.touchedGen)
+      }
+    }
+    regionsJson(root.putArray("regions"), state.regions)
+    if (state.retired.nonEmpty)
+      regionsJson(root.putArray("retired"), state.retired)
     writeAtomic(new File(tableDir, RegionsFile), root.toString)
   }
 
@@ -161,12 +200,23 @@ object TableMeta {
     (s.gen, s.regions)
   }
 
+  /** One streaming query's ledger entry: last committed epoch id plus
+    * the manifest generation current at that commit. `touchedGen` lets
+    * compaction age out entries of long-terminated queries instead of
+    * growing the ledger forever. */
+  final case class EpochEntry(epoch: Long, touchedGen: Long)
+
   /** Full manifest state. `epochs` = per-streaming-query last committed
-    * epoch id, the dedup ledger that makes the native streaming sink
+    * epoch, the dedup ledger that makes the native streaming sink
     * effectively exactly-once (a replayed epoch after a restart is
-    * recognized and skipped). */
+    * recognized and skipped). `retired` = regions rewritten by the most
+    * recent compaction, files retained on disk for one compaction cycle
+    * so a tailing stream checkpointed before the compaction can still
+    * read the original data it had not yet consumed. `nextId` = the
+    * next stable region id to assign. */
   final case class ManifestState(gen: Long, regions: Seq[RegionMeta],
-      epochs: Map[String, Long])
+      epochs: Map[String, EpochEntry],
+      retired: Seq[RegionMeta] = Nil, nextId: Long = 1L)
 
   def loadState(tableDir: File): ManifestState = {
     val f = new File(tableDir, RegionsFile)
@@ -176,25 +226,48 @@ object TableMeta {
     val gen = if (g == null) 0L else g.asLong
     val epochs = Option(root.get("epochs")).map { e =>
       val it = e.fields()
-      val b = Map.newBuilder[String, Long]
+      val b = Map.newBuilder[String, EpochEntry]
       while (it.hasNext) {
-        val kv = it.next(); b += kv.getKey -> kv.getValue.asLong
+        val kv = it.next()
+        val v = kv.getValue
+        // pre-upgrade ledgers stored a bare epoch number
+        b += kv.getKey -> (if (v.isNumber) EpochEntry(v.asLong, gen)
+          else EpochEntry(v.get("ep").asLong, v.get("gen").asLong))
       }
       b.result()
     }.getOrElse(Map.empty)
-    val arr = root.get("regions").asInstanceOf[ArrayNode]
-    val regions = (0 until arr.size).map { i =>
-      val o = arr.get(i)
-      def strs(field: String): Seq[String] = {
-        val a = o.get(field).asInstanceOf[ArrayNode]
-        (0 until a.size).map(a.get(_).asText)
+    def regionList(field: String): Seq[RegionMeta] = {
+      val arr = root.get(field).asInstanceOf[ArrayNode]
+      if (arr == null) return Nil
+      (0 until arr.size).map { i =>
+        val o = arr.get(i)
+        def strs(f2: String): Seq[String] = {
+          val a = o.get(f2).asInstanceOf[ArrayNode]
+          (0 until a.size).map(a.get(_).asText)
+        }
+        RegionMeta(o.get("file").asText, o.get("rows").asLong,
+          strs("mins"), strs("maxs"),
+          if (o.has("bucket")) o.get("bucket").asInt else -1,
+          if (o.has("host")) o.get("host").asText else "",
+          if (o.has("id")) o.get("id").asLong else 0L,
+          if (o.has("srcMaxId")) o.get("srcMaxId").asLong else -1L)
       }
-      RegionMeta(o.get("file").asText, o.get("rows").asLong,
-        strs("mins"), strs("maxs"),
-        if (o.has("bucket")) o.get("bucket").asInt else -1,
-        if (o.has("host")) o.get("host").asText else "")
     }
-    ManifestState(gen, regions, epochs)
+    var regions = regionList("regions")
+    val retired = regionList("retired")
+    // pre-upgrade manifests carry no ids: the live list is append-
+    // ordered, so positions are stable identities — synthesize ids
+    // from them once; subsequent saves persist the assignment
+    if (regions.exists(_.id == 0L))
+      regions = regions.zipWithIndex.map { case (r, i) =>
+        if (r.id > 0) r else r.copy(id = i + 1L)
+      }
+    val maxSeen = (regions ++ retired).map(_.id).maxOption.getOrElse(0L)
+    val nextId = {
+      val n = root.get("nextId")
+      if (n == null) maxSeen + 1 else n.asLong max (maxSeen + 1)
+    }
+    ManifestState(gen, regions, epochs, retired, nextId)
   }
 
   /** Append newly committed regions (write-commit protocol). The
@@ -231,7 +304,8 @@ object TableMeta {
   def appendRegions(tableDir: File, added: Seq[RegionMeta]): Unit =
     withManifestLock(tableDir) {
       val s = loadState(tableDir)
-      saveRegions(tableDir, s.regions ++ added, s.gen, s.epochs)
+      val (rs, next) = stamped(added.map(_.copy(id = 0L)), s.nextId)
+      saveState(tableDir, s.copy(regions = s.regions ++ rs, nextId = next))
     }
 
   /** Epoch-deduplicated append for the streaming sink: commits `added`
@@ -243,10 +317,12 @@ object TableMeta {
       queryId: String, epochId: Long): Boolean =
     withManifestLock(tableDir) {
       val s = loadState(tableDir)
-      if (s.epochs.get(queryId).exists(_ >= epochId)) false
+      if (s.epochs.get(queryId).exists(_.epoch >= epochId)) false
       else {
-        saveRegions(tableDir, s.regions ++ added, s.gen,
-          s.epochs + (queryId -> epochId))
+        val (rs, next) = stamped(added.map(_.copy(id = 0L)), s.nextId)
+        saveState(tableDir, s.copy(regions = s.regions ++ rs,
+          epochs = s.epochs + (queryId -> EpochEntry(epochId, s.gen)),
+          nextId = next))
         true
       }
     }

@@ -505,11 +505,14 @@ object Relational {
       .repartitionByRange(32, sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
     val keyField = base.schema.fields.head
-    // one count job over the SAME RDD instance (recomputation of a
-    // fixed RDD is deterministic, incl. its range boundaries) yields
-    // both the global total and the per-partition offsets — what
-    // zipWithIndex does internally, fused with the ntile total
-    val rdd = base.rdd
+    // one count job over the SAME RDD instance yields both the global
+    // total and the per-partition offsets — what zipWithIndex does
+    // internally, fused with the ntile total. The RDD is persisted so
+    // the emit pass reads the cached sorted partitions instead of
+    // re-running the range shuffle + sort; ContextCleaner unpersists
+    // it once the plan is unreachable.
+    val rdd = base.rdd.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val counts = rdd.mapPartitionsWithIndex((i, it) =>
       Iterator((i, it.size.toLong))).collect().sortBy(_._1).map(_._2)
     val n = counts.sum

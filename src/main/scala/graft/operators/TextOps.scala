@@ -250,6 +250,7 @@ object TextOps {
     * loop exits early once labels stop moving. */
   def connectedComponents(edges: DataFrame, maxIters: Int = 10)
       : DataFrame = {
+    require(maxIters > 0, s"maxIters must be positive, got $maxIters")
     // undirected: both directions. Materialized once — the candidate
     // generation upstream (MinHash + banding + join) must not be
     // recomputed by every round's lineage.
@@ -280,7 +281,7 @@ object TextOps {
     }
     // silent truncation would split components (a keep-one dedup built
     // on it would keep extra duplicates) — fail loudly instead
-    require(converged || maxIters == 0,
+    require(converged,
       s"connected components did not converge within $maxIters rounds " +
         "(component diameter exceeds the bound); raise maxIters")
     labels

@@ -41,6 +41,16 @@ class ShellSpec extends AnyFunSuite {
     // and the escaped-literal statement actually runs
     val outText = runScript("SELECT 'it\\'s; done' AS x;\n")
     assert(outText.contains("it's; done"), outText)
+    // ';' inside a bracketed /* */ comment does not split (Hive-style
+    // input accepts bracketed comments), across lines too
+    val (s4, r4) = Shell.splitStatements(
+      "SELECT 1 /* note; still\nthe same; statement */ + 2;SELECT 9")
+    assert(s4 ==
+      Seq("SELECT 1 /* note; still\nthe same; statement */ + 2"))
+    assert(r4 == "SELECT 9")
+    // '/*' inside a string literal is not a comment opener
+    val (s5, _) = Shell.splitStatements("SELECT '/*' AS x; SELECT 2;")
+    assert(s5 == Seq("SELECT '/*' AS x", "SELECT 2"))
   }
 
   test("DDL, insert, select round trip through the shell") {

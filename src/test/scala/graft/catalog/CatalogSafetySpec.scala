@@ -76,7 +76,7 @@ class CatalogSafetySpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.safety.gen_t")
   }
 
-  test("stream offset from before a compaction fails loudly") {
+  test("stream offsets survive one compaction; two cycles fails loudly") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.safety")
     spark.sql("DROP TABLE IF EXISTS graft.safety.stream_gen")
     spark.sql(
@@ -88,25 +88,34 @@ class CatalogSafetySpec extends AnyFunSuite {
     val stream = new GraftMicroBatchStream(dir,
       TableMeta.load(dir).schema, Array.empty)
     val before = stream.latestOffset().asInstanceOf[RegionCountOffset]
-    assert(before.gen == 0L && before.n == 2)
+    assert(before.gen == 0L && before.id == 2L)
 
+    // one compaction: the retired originals still serve the offset
+    GraftCompact.compact(spark, "graft", "safety", "stream_gen", 1)
+    assert(stream.planInputPartitions(
+      RegionCountOffset(before.gen, 0L), before).length == 2)
+    // a second cycle ages the originals out -> loud failure for a
+    // mid-stream checkpoint...
+    spark.sql("INSERT INTO graft.safety.stream_gen VALUES (3, 'c')")
     GraftCompact.compact(spark, "graft", "safety", "stream_gen", 1)
     val e = intercept[IllegalStateException] {
-      stream.planInputPartitions(RegionCountOffset(before.gen, 0), before)
+      stream.planInputPartitions(RegionCountOffset(0L, 1L), before)
     }
-    assert(e.getMessage.contains("compacted"))
-    // fresh offsets at the new generation slice correctly
+    assert(e.getMessage.contains("compaction cycle behind"))
+    // ...while a fresh stream reads history from the rewrite regions
     val after = stream.latestOffset().asInstanceOf[RegionCountOffset]
-    assert(after.gen == 1L && after.n == 1)
-    assert(stream.planInputPartitions(
-      RegionCountOffset(after.gen, 0), after).length == 1)
+    val fresh = stream.planInputPartitions(
+      RegionCountOffset(after.gen, 0L), after)
+    assert(fresh.nonEmpty)
     spark.sql("DROP TABLE graft.safety.stream_gen")
   }
 
   test("offset json round-trips; legacy bare-int offsets parse as gen 0") {
-    val o = RegionCountOffset(3L, 17)
+    val o = RegionCountOffset(3L, 17L)
     assert(RegionCountOffset.parse(o.json()) == o)
-    assert(RegionCountOffset.parse("42") == RegionCountOffset(0L, 42))
+    assert(RegionCountOffset.parse("42") == RegionCountOffset(0L, -1L, 42))
+    assert(RegionCountOffset.parse("""{"gen":1,"n":5}""") ==
+      RegionCountOffset(1L, -1L, 5))
   }
 
   test("MIN/MAX agg pushdown honors empty-string keys") {
@@ -237,14 +246,19 @@ class CatalogSafetySpec extends AnyFunSuite {
     // offsets from the current generation plan fine
     val latest = stream.latestOffset().asInstanceOf[RegionCountOffset]
     assert(stream.planInputPartitions(
-      RegionCountOffset(latest.gen, 0), latest).length == 2)
-    // after compaction, BOTH offsets are checked against the single
-    // re-parsed generation → loud failure, never a silent mis-slice
+      RegionCountOffset(latest.gen, 0L), latest).length == 2)
+    // mid-stream resume across a compaction: the stream consumed region
+    // id 1, the table compacts, a third row arrives — the next batch
+    // serves id 2 from the retired originals plus id of the new append,
+    // never the rewrite (whose data would duplicate id 1)
     GraftCompact.compact(spark, "graft", "safety", "slice_one", 1)
-    val e = intercept[IllegalStateException] {
-      stream.planInputPartitions(RegionCountOffset(latest.gen, 0), latest)
-    }
-    assert(e.getMessage.contains("compacted"))
+    spark.sql("INSERT INTO graft.safety.slice_one VALUES (3, 3)")
+    val end = stream.latestOffset().asInstanceOf[RegionCountOffset]
+    val parts = stream.planInputPartitions(
+      RegionCountOffset(latest.gen, 1L), end)
+    assert(parts.length == 2)
+    val rows = parts.map(_.asInstanceOf[GraftInputPartition].rows).sum
+    assert(rows == 2, s"expected rows of regions 2+3 only, got $rows")
     spark.sql("DROP TABLE graft.safety.slice_one")
   }
 
@@ -377,10 +391,37 @@ class CatalogSafetySpec extends AnyFunSuite {
     (0 until 20 by 2).foreach(i => assert(files.contains(s"a$i.parquet")))
     assert(state.epochs.keySet == Set("q0", "q1", "q2"))
     state.epochs.foreach { case (q, ep) =>
-      assert(files.contains(s"e${ep}.parquet"),
-        s"$q ledger says epoch $ep committed but its region is missing")
+      assert(files.contains(s"e${ep.epoch}.parquet"),
+        s"$q ledger says epoch ${ep.epoch} committed but its region " +
+          "is missing")
     }
     spark.sql("DROP TABLE graft.safety.race_mix")
+  }
+
+  test("compaction ages out epoch-ledger entries of dead queries") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.safety")
+    spark.sql("DROP TABLE IF EXISTS graft.safety.ledger_age")
+    spark.sql(
+      """CREATE TABLE graft.safety.ledger_age (k INT, v INT)
+        |TBLPROPERTIES('keyCols'='k',
+        |  'graft.epochRetainGenerations'='2')""".stripMargin)
+    val dir = tableDir("safety", "ledger_age")
+    spark.sql("INSERT INTO graft.safety.ledger_age VALUES (1, 1)")
+    // a sink query commits once at gen 0, then terminates forever
+    val r = RegionMeta("eq.parquet", 1, Seq("00"), Seq("01"))
+    val src = new java.io.File(dir, TableMeta.loadRegions(dir).head.file)
+    java.nio.file.Files.copy(src.toPath,
+      new java.io.File(dir, "eq.parquet").toPath)
+    assert(TableMeta.commitEpoch(dir, Seq(r), "dead_query", 7L))
+    assert(TableMeta.loadState(dir).epochs.contains("dead_query"))
+    // entry survives the retention window, then ages out
+    GraftCompact.compact(spark, "graft", "safety", "ledger_age", 1)
+    assert(TableMeta.loadState(dir).epochs.contains("dead_query"))
+    GraftCompact.compact(spark, "graft", "safety", "ledger_age", 1)
+    GraftCompact.compact(spark, "graft", "safety", "ledger_age", 1)
+    assert(!TableMeta.loadState(dir).epochs.contains("dead_query"),
+      "ledger entry of a long-terminated query should age out")
+    spark.sql("DROP TABLE graft.safety.ledger_age")
   }
 
   test("loadManifest returns generation and regions from one parse") {

@@ -68,6 +68,32 @@ class TemporalAndLoadSuite extends AnyFunSuite {
     spark.sql("DROP TABLE graft.op.ts_table")
   }
 
+  test("non-UTC session zone: columnar catalog scan keeps the instant") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.op")
+    spark.sql("DROP TABLE IF EXISTS graft.op.ts_zone")
+    spark.sql(
+      """CREATE TABLE graft.op.ts_zone (k INT, t TIMESTAMP)
+        |TBLPROPERTIES('keyCols'='k', 'nonKeyCols'='t,f,c')""".stripMargin)
+    // instant fixed under UTC, then re-read under a half-hour-offset
+    // zone: TIMESTAMP is instant-typed, so a read-path zone bug in the
+    // columnar reader shifts unix_micros / the rendered wall clock
+    spark.sql("INSERT INTO graft.op.ts_zone VALUES " +
+      "(1, TIMESTAMP'2020-06-01 00:00:00')")
+    val utcMicros = spark.sql(
+      "SELECT unix_micros(t) FROM graft.op.ts_zone").collect()(0).getLong(0)
+    val prevZone = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "Asia/Kolkata")
+      val r = spark.sql(
+        "SELECT unix_micros(t) AS us, " +
+          "date_format(t, 'yyyy-MM-dd HH:mm:ss') AS w " +
+          "FROM graft.op.ts_zone").collect()(0)
+      assert(r.getLong(0) == utcMicros) // same instant
+      assert(r.getString(1) == "2020-06-01 05:30:00") // +05:30 wall clock
+    } finally spark.conf.set("spark.sql.session.timeZone", prevZone)
+    spark.sql("DROP TABLE graft.op.ts_zone")
+  }
+
   test("compaction rewrites many small appends into few sorted regions") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.op")
     spark.sql("DROP TABLE IF EXISTS graft.op.many_appends")

@@ -208,8 +208,8 @@ class EventStreamsSpec extends AnyFunSuite {
     // plain appends and epoch state coexist
     TableMeta.appendRegions(dir, Seq(r1.copy(file = "a1.parquet")))
     assert(!TableMeta.commitEpoch(dir, Seq(r1), "q1", 1L))
-    assert(TableMeta.loadState(dir).epochs ==
-      Map("q1" -> 1L, "q2" -> 0L))
+    assert(TableMeta.loadState(dir).epochs.view
+      .mapValues(_.epoch).toMap == Map("q1" -> 1L, "q2" -> 0L))
     spark.sql("DROP TABLE graft.stream.epoch_t")
   }
 
@@ -234,6 +234,36 @@ class EventStreamsSpec extends AnyFunSuite {
         .map(_.getInt(0)).toSet == Set(1, 2, 3))
     } finally q.stop()
     spark.sql("DROP TABLE graft.stream.tail_t")
+  }
+
+  test("tailing stream survives a mid-stream compaction: no loss, no dups") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.stream")
+    spark.sql("DROP TABLE IF EXISTS graft.stream.tail_compact")
+    spark.sql(
+      """CREATE TABLE graft.stream.tail_compact (k INT, v STRING)
+        |TBLPROPERTIES('keyCols'='k')""".stripMargin)
+    spark.sql("INSERT INTO graft.stream.tail_compact VALUES (1, 'a')")
+    spark.sql("INSERT INTO graft.stream.tail_compact VALUES (2, 'b')")
+    val q = spark.readStream.table("graft.stream.tail_compact")
+      .writeStream.format("memory").queryName("t_tail_compact")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("t_tail_compact").count() == 2)
+      // compaction rewrites both consumed regions; the stream's offset
+      // references stable ids, so the rewrite is recognized as already-
+      // consumed data and appends after it flow through exactly once
+      graft.catalog.GraftCompact.compact(
+        spark, "graft", "stream", "tail_compact", 1)
+      spark.sql("INSERT INTO graft.stream.tail_compact VALUES (3, 'c')")
+      spark.sql("INSERT INTO graft.stream.tail_compact VALUES (4, 'd')")
+      q.processAllAvailable()
+      val got = spark.table("t_tail_compact").select("k").collect()
+        .map(_.getInt(0)).toSeq
+      assert(got.sorted == Seq(1, 2, 3, 4),
+        s"lost or duplicated rows across compaction: $got")
+    } finally q.stop()
+    spark.sql("DROP TABLE graft.stream.tail_compact")
   }
 
   test("flatMapGroupsWithState running totals match batch group-by") {
