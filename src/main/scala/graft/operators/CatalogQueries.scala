@@ -350,6 +350,75 @@ object CatalogQueries {
       fqn
     })
 
+  /** MinHash-LSH candidate pairs over CATALOG-stored documents: the
+    * near-dup scale path (signatures → banded join → estimate) composed
+    * with the key-sorted store the way catalog_dedup_exact composes the
+    * exact path. Rows-only for the driver (xxhash bands have no DuckDB
+    * equivalent); CatalogVectorSpec gates it ≡ the parquet-backed
+    * dedup_minhash_pairs. */
+  val dedupMinhashOnStore: Q = (s, d) =>
+    TextOps.minhashCandidatesOn(
+      TextOps.minhashSignaturesOn(s.table(documentsTable(s, d))), 0.2)
+
+  /** Events keyed (user_id, ts) with fixed user_id splits: the scan
+    * reports KeyGroupedPartitioning(bucket(user_id)) AND ascending
+    * (user_id, ts) ordering, so sessionization needs neither an
+    * Exchange nor a Sort — the reference's exchange-free intent
+    * (`HBaseStrategies.scala:44-175`) applied to a window workload. */
+  private val builtEv = scala.collection.concurrent.TrieMap[String, String]()
+  private def eventsTable(s: SparkSession, d: String): String =
+    builtEv.getOrElseUpdate(d, {
+      ordersTable(s, d)
+      val ns = s"sf_${math.abs(d.hashCode)}"
+      val fqn = s"graft.$ns.events_t"
+      val src = Relational.events(s, d)
+        .select("user_id", "ts", "value")
+      val srcCount = src.count()
+      val exists = s.sql(s"SHOW TABLES IN graft.$ns").collect()
+        .exists(_.getString(1) == "events_t") && usable(s, fqn, srcCount)
+      if (!exists) {
+        val splits = src.stat
+          .approxQuantile("user_id", (1 until 8).map(_ / 8.0).toArray, 0.001)
+          .map(_.toLong).distinct.sorted.mkString(";")
+        s.sql(
+          s"""CREATE TABLE $fqn (
+             |  user_id BIGINT, ts TIMESTAMP, value DOUBLE)
+             |TBLPROPERTIES('keyCols'='user_id;ts',
+             |              'regionSplits'='$splits')""".stripMargin)
+        val v = s"events_cat_src_${math.abs(d.hashCode)}"
+        src.createOrReplaceTempView(v)
+        s.sql(s"INSERT INTO $fqn SELECT * FROM $v")
+      }
+      fqn
+    })
+
+  /** Sessionization (30-min gap) straight off the key-sorted store:
+    * same answers as events_session, but the scan's reported
+    * partitioning + ordering replace the hash Exchange and the sort
+    * (zero-Exchange/zero-Sort asserted in StoragePartitionSpec). */
+  val sessionOnStore: Q = (s, d) => {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    val wRun = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    s.table(eventsTable(s, d))
+      .withColumn("brk",
+        when(unix_micros(col("ts")) -
+          unix_micros(lag(col("ts"), 1).over(w)) >= 1800L * 1000000L, 1)
+          .when(lag(col("ts"), 1).over(w).isNull, 1)
+          .otherwise(0))
+      .withColumn("sid", sum(col("brk")).over(wRun))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(min(col("ts")).as("start_ts"),
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .select(
+        date_format(col("start_ts"), "yyyy-MM-dd HH:mm:ss")
+          .as("session_start"),
+        col("user_id"), col("n_events"), col("sum_value"))
+  }
+
   /** Metadata-only stats over the catalog media table: binary payload
     * never read (column pruning reaches the region scan). */
   val multimodalMetaOnStore: Q = (s, d) => {
@@ -364,6 +433,8 @@ object CatalogQueries {
   val queries: Map[String, Q] = Map(
     "catalog_ann_topk" -> annTopkOnStore,
     "catalog_ann_lsh" -> annLshOnStore,
+    "catalog_dedup_minhash" -> dedupMinhashOnStore,
+    "catalog_session" -> sessionOnStore,
     "catalog_multimodal_meta" -> multimodalMetaOnStore,
     "catalog_skipscan" -> skipScan,
     "catalog_dedup_exact" -> dedupOnStore,
@@ -377,6 +448,24 @@ object CatalogQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // identical to events_session's oracle: the key-sorted store must
+    // hold exactly the source events (and the exchange-free plan must
+    // not change any answer)
+    "catalog_session" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+        |           FROM events),
+        |m AS (SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+        |                       OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+        |                     THEN 1 ELSE 0 END AS brk
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |ses AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |          ROWS UNBOUNDED PRECEDING) AS sid
+        |        FROM m)
+        |SELECT strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |       user_id, count(*) AS n_events,
+        |       round(sum(value), 2) AS sum_value
+        |FROM ses GROUP BY user_id, sid""".stripMargin,
+
     // identical to ann_cosine_topk's oracle: a hash match here proves
     // the ARRAY<FLOAT> column round-trips the graft store byte-exactly
     "catalog_ann_topk" ->

@@ -124,6 +124,16 @@ class CatalogVectorSpec extends AnyFunSuite {
     assert(topkStore.toSeq == topkParquet.toSeq)
   }
 
+  test("store-backed MinHash candidate pairs match the parquet twin") {
+    val d = TestSpark.sfDir
+    val fromStore = graft.operators.CatalogQueries
+      .dedupMinhashOnStore(spark, d).collect().map(_.toSeq).toSet
+    val fromParquet = graft.operators.TextOps
+      .queries("dedup_minhash_pairs")(spark, d).collect().map(_.toSeq).toSet
+    assert(fromStore == fromParquet)
+    assert(fromStore.nonEmpty, "no candidate pairs at test scale")
+  }
+
   test("catalog media metadata matches the parquet-derived stats") {
     val d = TestSpark.sfDir
     val fromStore = graft.operators.CatalogQueries

@@ -140,6 +140,55 @@ class StoragePartitionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sortedRows(df) == want)
   } }
 
+  test("sessionization over a (user_id, ts)-keyed table: no Exchange, no Sort") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    spark.sql("DROP TABLE IF EXISTS graft.spj.events_s")
+    val raw = spark.read.parquet(s"$sf/events.parquet")
+    val src = (raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case _ => raw
+    }).select("user_id", "ts", "value")
+    val splits = src.stat
+      .approxQuantile("user_id", (1 until 4).map(_ / 4.0).toArray, 0.001)
+      .map(_.toLong).distinct.sorted.mkString(";")
+    spark.sql(
+      s"""CREATE TABLE graft.spj.events_s (
+         |  user_id BIGINT, ts TIMESTAMP, value DOUBLE)
+         |TBLPROPERTIES('keyCols'='user_id;ts',
+         |              'regionSplits'='$splits')""".stripMargin)
+    src.createOrReplaceTempView("spj_events_src")
+    spark.sql("INSERT INTO graft.spj.events_s SELECT * FROM spj_events_src")
+
+    def sessions(table: String) = {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+      val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spark.table(table)
+        .withColumn("brk",
+          when(unix_micros(col("ts")) -
+            unix_micros(lag(col("ts"), 1).over(w)) >= 1800L * 1000000L, 1)
+            .when(lag(col("ts"), 1).over(w).isNull, 1)
+            .otherwise(0))
+        .withColumn("sid", sum(col("brk")).over(wRun))
+        .groupBy(col("user_id"), col("sid"))
+        .agg(min(col("ts")).as("start_ts"), count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("sum_value"))
+    }
+    val df = sessions("graft.spj.events_s")
+    val p = finalPlan(df)
+    assert(shuffles(p) == 0,
+      s"expected exchange-free sessionization:\n$p")
+    // the scan's reported (user_id, ts) ordering must also elide the
+    // window sort — no Sort operator anywhere in the final plan
+    // ("Sort [" is the Sort exec node; SortAggregate/SortMergeJoin
+    // would print differently)
+    assert(!p.linesIterator.exists(_.contains("Sort [")),
+      s"expected sort-free sessionization:\n$p")
+    assert(sortedRows(df) == sortedRows(sessions("spj_events_src")))
+    spark.sql("DROP TABLE graft.spj.events_s")
+  }
+
   test("differently-split tables do not claim co-partitioning") {
     spark.sql("DROP TABLE IF EXISTS graft.spj.other_s")
     spark.sql(
