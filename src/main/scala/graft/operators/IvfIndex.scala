@@ -1,0 +1,168 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.VectorOps
+
+/** Seeded-centroid IVF index over the `embeddings` table — the real
+  * inverted-file ANN layout (train centroids, probe nearest cells),
+  * replacing the earlier multi-probe-LSH stand-in.
+  *
+  * Training is deterministic spherical k-means, no RNG anywhere:
+  *  - seeds = the `K` vectors with the smallest multiplicative hash of
+  *    `vec_id` (Knuth 2654435761 mod 2^32) — stable across runs,
+  *    partitionings, and scale factors;
+  *  - `Iters` Lloyd rounds: assign every vector to its max-dot centroid
+  *    (one broadcast of K×dim floats + a per-row argmax — the same
+  *    shape MLlib KMeans uses), then recompute each centroid as the
+  *    renormalized mean of its members' unit vectors. Means reduce
+  *    K×dim cells per round; the centroid matrix itself lives on the
+  *    driver (K ≤ a few thousand at any realistic scale).
+  *
+  * The trained centroids are persisted to a graft catalog table
+  * (`ann_centroids_t`) — the durable index artifact a 100 TB ANN
+  * deployment ships from its indexing pipeline to query time.
+  *
+  * Query: read the centroid table, pick the `NProbe` cells nearest the
+  * query vector, exact cosine only on vectors assigned to those cells.
+  * Cell assignment is recomputed at query time here (K dots per vector,
+  * map-side); a production layout would write `cell` out as the
+  * partition key of an inverted list so probing prunes IO too. On the
+  * near-isotropic synthetic embeddings the probed cells hold ~25-40% of
+  * the corpus for recall@10 ≥ 0.9 (gated, with a < 50% probe-fraction
+  * assert, in TextOpsSpec — down from ~64% with the LSH stand-in);
+  * clustered real corpora probe far less for the same recall.
+  */
+object IvfIndex {
+  val K = 16
+  val Iters = 5
+  val NProbe = 6
+
+  /** Unit-normalize the float vector (double accumulation, cast back —
+    * cosine becomes a plain dot product downstream). */
+  private def normalized(c: String): Column = expr(
+    s"""transform($c, x -> CAST(x / sqrt(aggregate($c, CAST(0 AS DOUBLE),
+       |  (a, y) -> a + CAST(y AS DOUBLE) * CAST(y AS DOUBLE))) AS FLOAT))"""
+      .stripMargin)
+
+  private def vecs(s: SparkSession, d: String): DataFrame =
+    T(s, d, "embeddings")
+      .select(col("vec_id"), normalized("embedding").as("vn"))
+
+  /** One assignment pass: vec → nearest centroid id (ties → larger id,
+    * measure-zero on real data). `cents` is broadcast (K×dim floats). */
+  private def assign(vn: DataFrame, cents: DataFrame): DataFrame =
+    vn.crossJoin(broadcast(cents))
+      .withColumn("dot", VectorOps.dot(col("vn"), col("cvec")))
+      .groupBy(col("vec_id"), col("vn"))
+      .agg(max(struct(col("dot"), col("cid"))).getField("cid").as("cid"))
+
+  private def centroidFrame(s: SparkSession,
+      cents: Seq[(Int, Seq[Float])]): DataFrame = {
+    import s.implicits._
+    cents.toDF("cid", "cvec")
+  }
+
+  /** Deterministic spherical k-means over the normalized embeddings.
+    * Returns the K (cid, unit-centroid) rows. */
+  private def train(s: SparkSession, d: String): Seq[(Int, Seq[Float])] = {
+    val vn = vecs(s, d).persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val seeds = vn
+        .withColumn("h", pmod(col("vec_id") * lit(2654435761L),
+          lit(4294967296L)))
+        .orderBy(col("h"), col("vec_id"))
+        .limit(K).select(col("vn")).collect()
+        .map(_.getSeq[Float](0))
+      var cents: Seq[(Int, Seq[Float])] =
+        seeds.zipWithIndex.map { case (v, i) => (i, v) }.toSeq
+      for (_ <- 0 until Iters) {
+        val assigned = assign(vn, centroidFrame(s, cents))
+        // per-cell per-dimension means: K×dim cells, collected to the
+        // driver and renormalized in double precision
+        val sums = assigned
+          .select(col("cid"), posexplode(col("vn")).as(Seq("pos", "v")))
+          .groupBy(col("cid"), col("pos"))
+          .agg(avg(col("v")).as("m"))
+          .collect()
+          .groupBy(_.getInt(0))
+        cents = cents.map { case (cid, old) =>
+          sums.get(cid) match {
+            case Some(rows) =>
+              val m = rows.sortBy(_.getInt(1)).map(_.getDouble(2))
+              val n = math.sqrt(m.map(x => x * x).sum)
+              // an emptied cell keeps its previous centroid
+              if (n == 0.0) (cid, old)
+              else (cid, m.map(x => (x / n).toFloat).toSeq)
+            case None => (cid, old)
+          }
+        }
+      }
+      cents
+    } finally vn.unpersist()
+  }
+
+  private val builtCent =
+    scala.collection.concurrent.TrieMap[String, String]()
+
+  /** Centroids as a graft catalog table (built once per sf dir, trusted
+    * only at the full row count — same rebuild discipline as the other
+    * catalog-backed queries). */
+  def centroidsTable(s: SparkSession, d: String): String =
+    builtCent.getOrElseUpdate(d, {
+      if (s.conf.getOption("spark.sql.catalog.graft").isEmpty) {
+        s.conf.set("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft.warehouse",
+          "/tmp/graft_catalog_warehouse")
+      }
+      val ns = s"sf_${math.abs(d.hashCode)}"
+      val fqn = s"graft.$ns.ann_centroids_t"
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS graft.$ns")
+      val exists = s.sql(s"SHOW TABLES IN graft.$ns").collect()
+        .exists(_.getString(1) == "ann_centroids_t") && {
+        val ok = s.table(fqn).count() == K
+        if (!ok) s.sql(s"DROP TABLE $fqn")
+        ok
+      }
+      if (!exists) {
+        s.sql(
+          s"""CREATE TABLE $fqn (cid INT, cvec ARRAY<FLOAT>)
+             |TBLPROPERTIES('keyCols'='cid')""".stripMargin)
+        centroidFrame(s, train(s, d))
+          .createOrReplaceTempView(s"ivf_cent_src_${math.abs(d.hashCode)}")
+        s.sql(s"INSERT INTO $fqn SELECT * FROM " +
+          s"ivf_cent_src_${math.abs(d.hashCode)}")
+      }
+      fqn
+    })
+
+  /** Vectors in the probed cells (candidate set), with the query vector
+    * attached — shared by the top-k query and the probe-fraction gate. */
+  def candidates(s: SparkSession, d: String,
+      nProbe: Int = NProbe): DataFrame = {
+    val cents = s.table(centroidsTable(s, d))
+      .select(col("cid"), col("cvec"))
+    val vn = vecs(s, d)
+    val q = vn.filter(col("vec_id") === 0).select(col("vn").as("qv"))
+      .collect().head.getSeq[Float](0)
+    // probe selection on the driver: K dots against the catalog-stored
+    // centroid rows (the "index lookup" of a real IVF)
+    val probed = cents.collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1)))
+      .sortBy { case (cid, cv) =>
+        (-cv.zip(q).map { case (a, b) => a.toDouble * b }.sum, cid) }
+      .take(nProbe).map(_._1).toSet
+    assign(vn.filter(col("vec_id") =!= 0), cents)
+      .filter(col("cid").isin(probed.toSeq: _*))
+      .withColumn("qv", lit(q.toArray).cast("array<float>"))
+  }
+
+  /** IVF top-10 by exact cosine over the probed cells only. */
+  def topk(s: SparkSession, d: String): DataFrame =
+    candidates(s, d)
+      .withColumn("sim", round(VectorOps.cosine(col("vn"), col("qv")), 4))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+      .limit(10)
+      .select(col("vec_id"), col("sim"))
+}

@@ -455,40 +455,11 @@ object TextOps {
       .withColumn("bucket", VectorOps.lshBucket(col("embedding"), nPlanes))
       .select(col("vec_id"), col("label"), col("bucket"))
 
-  /** Multi-probe LSH ANN: coarse-quantize with 8 hyperplanes, probe all
-    * buckets within Hamming distance 2 of the query's bucket, exact
-    * cosine only on the probed candidates — the IVF-style scale path
-    * (probe set bounds work at ~14% of buckets vs the brute-force scan
-    * of [[annCosineTopk]], which is its accuracy oracle). */
-  val annIvfTopk: Q = (s, d) => annIvfTopkTuned(s, d, 8, 4)
-
-  /** Parameterized multi-probe body; `maxDist` is the recall knob. At
-    * (8, 4) the probe set is Σ C(8,0..4)=163 of 256 bucket patterns and
-    * recall@10 vs the brute-force oracle is 1.0 on the test embeddings
-    * (gated ≥0.9 in TextOpsSpec). The synthetic embeddings are near-
-    * isotropic — top-10 neighbors sit at wide angles, so high recall
-    * costs a wide probe radius (~64% of candidates here; measured
-    * recall at radius 3 is only 0.7). On real clustered embeddings the
-    * same machinery probes far less for the same recall; tighten
-    * `maxDist` (or raise `nPlanes`) per-corpus against the
-    * [[annCosineTopk]] oracle. */
-  def annIvfTopkTuned(s: SparkSession, d: String, nPlanes: Int,
-      maxDist: Int): DataFrame = {
-    val b = annLshBuckets(s, d, nPlanes)
-    val qb = b.filter(col("vec_id") === 0)
-      .select(col("bucket").as("qbucket"))
-    val q = emb(s, d).filter(col("vec_id") === 0)
-      .select(col("embedding").as("qv"))
-    b.filter(col("vec_id") =!= 0)
-      .crossJoin(broadcast(qb))
-      .filter(expr(s"bit_count(bucket ^ qbucket) <= $maxDist"))
-      .join(emb(s, d), "vec_id")
-      .crossJoin(broadcast(q))
-      .withColumn("sim", round(VectorOps.cosine(col("embedding"), col("qv")), 4))
-      .orderBy(col("sim").desc, col("vec_id").asc)
-      .limit(10)
-      .select(col("vec_id"), col("sim"))
-  }
+  /** IVF ANN: exact cosine over the cells of a trained seeded-centroid
+    * index nearest the query — see [[IvfIndex]] (deterministic spherical
+    * k-means, centroids persisted as a graft catalog table, probe
+    * fraction + recall gated in TextOpsSpec vs [[annCosineTopk]]). */
+  val annIvfTopk: Q = (s, d) => IvfIndex.topk(s, d)
 
   val annLsh: Q = (s, d) =>
     annLshBuckets(s, d)

@@ -98,16 +98,31 @@ class TextOpsSpec extends AnyFunSuite {
     }
   }
 
-  test("IVF (multi-probe LSH) top-10 recall >= 0.9 vs brute force") {
+  test("IVF (seeded centroids) recall@10 >= 0.9 probing < 50% of vectors") {
     val ivf = TextOps.annIvfTopk(spark, TestSpark.sfDir).collect()
       .map(_.getLong(0)).toSet
     assert(ivf.size == 10)
     val exact = TextOps.annCosineTopk(spark, TestSpark.sfDir).collect()
       .take(10).map(_.getLong(0)).toSet
     val recall = ivf.intersect(exact).size / 10.0
-    info(f"recall@10 = $recall%.2f")
+    val nCand = IvfIndex.candidates(spark, TestSpark.sfDir).count()
+    val total = spark.read
+      .parquet(s"${TestSpark.sfDir}/embeddings.parquet").count() - 1
+    val frac = nCand.toDouble / total
+    info(f"recall@10 = $recall%.2f, probe fraction = $frac%.2f")
     assert(recall >= 0.9,
       s"IVF recall@10 $recall < 0.9 (ivf=$ivf exact=$exact)")
+    assert(frac < 0.5,
+      f"IVF probed $frac%.2f of the corpus — the index is not pruning")
+    // the index artifact is a catalog table with exactly K unit centroids
+    val cents = spark.table(
+      IvfIndex.centroidsTable(spark, TestSpark.sfDir)).collect()
+    assert(cents.length == IvfIndex.K)
+    cents.foreach { r =>
+      val n = math.sqrt(
+        r.getSeq[Float](1).map(x => x.toDouble * x).sum)
+      assert(math.abs(n - 1.0) < 1e-3, s"centroid ${r.getInt(0)} norm $n")
+    }
   }
 
   test("identical vectors always share an LSH bucket") {
