@@ -162,7 +162,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     schema.fields.foreach { f =>
       require(ParquetRowIO.isStorable(f.dataType),
         s"column ${f.name}: type ${f.dataType.simpleString} is not storable " +
-          "(atomic types, BINARY, or ARRAY of an atomic type)")
+          "(atomic types, DECIMAL, BINARY, or ARRAY of an atomic type)")
     }
     // reference's two physical encodings (SURVEY §1.3). Our storage is
     // typed parquet, so the choice is metadata-only: values never lose

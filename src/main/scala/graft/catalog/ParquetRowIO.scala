@@ -35,14 +35,23 @@ object ParquetRowIO {
 
   /** Storable column types: the reference's ten atomic types (SURVEY
     * §1.2), plus the LLM-extension columns (SURVEY §1.5) — opaque media
-    * payloads (`BINARY`) and embeddings (`ARRAY` of an atomic type).
-    * Key columns stay atomic: [[graft.codec.KeyCodec]] defines ordered
-    * encodings for atomic values only. */
+    * payloads (`BINARY`), embeddings (`ARRAY` of an atomic type), and
+    * `DECIMAL(p,s)` (the reference stored doubles only; a Spark-4 TPC-H
+    * schema expects decimals). Key columns stay atomic:
+    * [[graft.codec.KeyCodec]] defines ordered encodings for atomic
+    * values only. */
   def isStorable(dt: DataType): Boolean = dt match {
     case BinaryType => true
+    case _: DecimalType => true
     case ArrayType(e, _) => graft.codec.KeyCodec.supportedTypes.contains(e)
     case other => graft.codec.KeyCodec.supportedTypes.contains(other)
   }
+
+  /** Bytes of the FIXED_LEN_BYTE_ARRAY that holds an unscaled decimal
+    * of the given precision (same table Spark's writer uses). */
+  def decimalFixedLen(precision: Int): Int =
+    (math.ceil((math.log(math.pow(10, precision) - 1) /
+      math.log(2) + 1) / 8)).toInt max 1
 
   private def atomicType(dt: DataType, name: String)
       : org.apache.parquet.schema.Type = dt match {
@@ -62,6 +71,21 @@ object ParquetRowIO {
     case TimestampType => Types.optional(INT64)
       .as(LogicalTypeAnnotation.timestampType(true,
         LogicalTypeAnnotation.TimeUnit.MICROS)).named(name)
+    // same physical layout split as Spark's parquet writer: int32 /
+    // int64 for precisions they can hold, fixed-len binary above —
+    // all three decoded natively by the vectorized reader
+    case dt: DecimalType if dt.precision <= 9 => Types.optional(INT32)
+      .as(LogicalTypeAnnotation.decimalType(dt.scale, dt.precision))
+      .named(name)
+    case dt: DecimalType if dt.precision <= 18 => Types.optional(INT64)
+      .as(LogicalTypeAnnotation.decimalType(dt.scale, dt.precision))
+      .named(name)
+    case dt: DecimalType => Types
+      .optional(org.apache.parquet.schema.PrimitiveType
+        .PrimitiveTypeName.FIXED_LEN_BYTE_ARRAY)
+      .length(decimalFixedLen(dt.precision))
+      .as(LogicalTypeAnnotation.decimalType(dt.scale, dt.precision))
+      .named(name)
     case other => throw new IllegalArgumentException(
       s"graft tables cannot store type $other in column $name")
   }
@@ -118,6 +142,21 @@ object ParquetRowIO {
             g.add(i, Binary.fromConstantByteArray(row.getUTF8String(i).getBytes))
           case BinaryType =>
             g.add(i, Binary.fromConstantByteArray(row.getBinary(i)))
+          case dt: DecimalType =>
+            val dec = row.getDecimal(i, dt.precision, dt.scale)
+            if (dt.precision <= 9) g.add(i, dec.toUnscaledLong.toInt)
+            else if (dt.precision <= 18) g.add(i, dec.toUnscaledLong)
+            else {
+              // two's-complement unscaled value, sign-extended to the
+              // fixed length the schema declares
+              val unscaled = dec.toJavaBigDecimal.unscaledValue.toByteArray
+              val len = decimalFixedLen(dt.precision)
+              val out = new Array[Byte](len)
+              if (unscaled(0) < 0) java.util.Arrays.fill(out, 0xFF.toByte)
+              System.arraycopy(unscaled, 0, out, len - unscaled.length,
+                unscaled.length)
+              g.add(i, Binary.fromConstantByteArray(out))
+            }
           case ArrayType(et, _) =>
             val arr = row.getArray(i)
             val lg = g.addGroup(i) // empty group = empty (non-null) list
@@ -214,6 +253,19 @@ object ParquetRowIO {
           case StringType =>
             row.update(i, UTF8String.fromBytes(g.getBinary(p, 0).getBytes))
           case BinaryType => row.update(i, g.getBinary(p, 0).getBytes)
+          case dt: DecimalType =>
+            val dec =
+              if (dt.precision <= 9)
+                org.apache.spark.sql.types.Decimal(
+                  g.getInteger(p, 0).toLong, dt.precision, dt.scale)
+              else if (dt.precision <= 18)
+                org.apache.spark.sql.types.Decimal(
+                  g.getLong(p, 0), dt.precision, dt.scale)
+              else org.apache.spark.sql.types.Decimal(
+                BigDecimal(new java.math.BigDecimal(
+                  new java.math.BigInteger(g.getBinary(p, 0).getBytes),
+                  dt.scale)), dt.precision, dt.scale)
+            row.setDecimal(i, dec, dt.precision)
           case ArrayType(et, _) =>
             val lg = g.getGroup(p, 0)
             val n = lg.getFieldRepetitionCount(0)

@@ -419,6 +419,45 @@ object CatalogQueries {
         col("user_id"), col("n_events"), col("sum_value"))
   }
 
+  /** Orders with a DECIMAL(12,2) price stored IN the catalog: exact
+    * decimal aggregation over the store, hash-matched against DuckDB's
+    * own decimal arithmetic (no double-rounding fudge anywhere — the
+    * divergence the reference's doubles-only type system forced). */
+  private val builtDec = scala.collection.concurrent.TrieMap[String, String]()
+  private def decimalTable(s: SparkSession, d: String): String =
+    builtDec.getOrElseUpdate(d, {
+      ordersTable(s, d)
+      val ns = s"sf_${math.abs(d.hashCode)}"
+      val fqn = s"graft.$ns.orders_dec_t"
+      val srcCount = s.read.parquet(s"$d/orders.parquet").count()
+      val exists = s.sql(s"SHOW TABLES IN graft.$ns").collect()
+        .exists(_.getString(1) == "orders_dec_t") && {
+        val ok = s.table(fqn).count() == srcCount
+        if (!ok) s.sql(s"DROP TABLE $fqn")
+        ok
+      }
+      if (!exists) {
+        s.sql(
+          s"""CREATE TABLE $fqn (
+             |  o_orderkey BIGINT, o_orderstatus STRING,
+             |  o_totalprice DECIMAL(12,2))
+             |TBLPROPERTIES('keyCols'='o_orderkey', 'numRegions'='4')"""
+            .stripMargin)
+        val v = s"dec_cat_src_${math.abs(d.hashCode)}"
+        s.read.parquet(s"$d/orders.parquet").createOrReplaceTempView(v)
+        s.sql(s"""INSERT INTO $fqn
+          SELECT o_orderkey, o_orderstatus,
+                 CAST(o_totalprice AS DECIMAL(12,2)) FROM $v""")
+      }
+      fqn
+    })
+
+  val decimalAgg: Q = (s, d) => s.sql(
+    s"""SELECT o_orderstatus, count(*) AS cnt,
+       |       sum(o_totalprice) AS total,
+       |       min(o_totalprice) AS lo, max(o_totalprice) AS hi
+       |FROM ${decimalTable(s, d)} GROUP BY o_orderstatus""".stripMargin)
+
   /** Metadata-only stats over the catalog media table: binary payload
     * never read (column pruning reaches the region scan). */
   val multimodalMetaOnStore: Q = (s, d) => {
@@ -435,6 +474,7 @@ object CatalogQueries {
     "catalog_ann_lsh" -> annLshOnStore,
     "catalog_dedup_minhash" -> dedupMinhashOnStore,
     "catalog_session" -> sessionOnStore,
+    "catalog_decimal" -> decimalAgg,
     "catalog_multimodal_meta" -> multimodalMetaOnStore,
     "catalog_skipscan" -> skipScan,
     "catalog_dedup_exact" -> dedupOnStore,
@@ -448,6 +488,15 @@ object CatalogQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // both engines aggregate true decimals — values must match exactly,
+    // no round() anywhere (scale-2 results on both sides)
+    "catalog_decimal" ->
+      """SELECT o_orderstatus, count(*) AS cnt,
+        |       sum(CAST(o_totalprice AS DECIMAL(12,2))) AS total,
+        |       min(CAST(o_totalprice AS DECIMAL(12,2))) AS lo,
+        |       max(CAST(o_totalprice AS DECIMAL(12,2))) AS hi
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
+
     // identical to events_session's oracle: the key-sorted store must
     // hold exactly the source events (and the exchange-free plan must
     // not change any answer)

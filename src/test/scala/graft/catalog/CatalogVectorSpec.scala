@@ -52,6 +52,51 @@ class CatalogVectorSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.vec.t")
   }
 
+  test("DECIMAL columns round-trip the store in all three layouts") {
+    ns()
+    spark.sql("DROP TABLE IF EXISTS graft.vec.dec")
+    // precision 9 → int32, 18 → int64, 38 → fixed-len binary
+    spark.sql(
+      """CREATE TABLE graft.vec.dec (
+        |  id BIGINT, d9 DECIMAL(9,2), d18 DECIMAL(18,6), d38 DECIMAL(38,10))
+        |TBLPROPERTIES('keyCols'='id', 'numRegions'='2')""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft.vec.dec VALUES
+        |  (1, 1234567.89, 123456789012.345678,
+        |      CAST('1234567890123456789012345678.0123456789' AS
+        |        DECIMAL(38,10))),
+        |  (2, -0.01, -0.000001,
+        |      CAST('-1234567890123456789012345678.0123456789' AS
+        |        DECIMAL(38,10))),
+        |  (3, NULL, NULL, NULL),
+        |  (4, 0.00, 0.000000, 0.0)""".stripMargin)
+    val got = spark.sql(
+      """SELECT id, CAST(d9 AS STRING), CAST(d18 AS STRING),
+        |       CAST(d38 AS STRING)
+        |FROM graft.vec.dec ORDER BY id""".stripMargin).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3)))
+    assert(got.toSeq == Seq(
+      (1L, "1234567.89", "123456789012.345678",
+        "1234567890123456789012345678.0123456789"),
+      (2L, "-0.01", "-0.000001",
+        "-1234567890123456789012345678.0123456789"),
+      (3L, null, null, null),
+      (4L, "0.00", "0.000000", "0.0000000000")))
+    // decimal aggregates behave (exact arithmetic, no double rounding)
+    val s9 = spark.sql(
+      "SELECT CAST(sum(d9) AS STRING) FROM graft.vec.dec").head.getString(0)
+    assert(s9 == "1234567.88")
+    // decimal keys stay rejected: KeyCodec orders atomic encodings only
+    val e = intercept[Exception] {
+      spark.sql(
+        """CREATE TABLE graft.vec.deckey (k DECIMAL(10,2), v INT)
+          |TBLPROPERTIES('keyCols'='k')""".stripMargin)
+    }
+    assert(e.getMessage.contains("unsupported type"), e.getMessage)
+    spark.sql("DROP TABLE graft.vec.dec")
+  }
+
   test("array/binary key columns are rejected; atomic-only keys hold") {
     ns()
     val e1 = intercept[Exception] {
