@@ -68,37 +68,48 @@ object GraftCompact {
       val state = TableMeta.loadState(t.tableDir)
       val tail = state.regions.filterNot(r => snapFiles.contains(r.file))
       val snapLive = state.regions.filter(r => snapFiles.contains(r.file))
-      newRegions.foreach { r =>
-        Files.move(new File(staging.tableDir, r.file).toPath,
-          new File(t.tableDir, r.file).toPath,
-          StandardCopyOption.REPLACE_EXISTING)
+      if (snapLive.isEmpty) {
+        // a racing compactor already rewrote this snapshot — abandon
+        // cleanly before touching the live table dir (staging outputs
+        // are dropped with the staging table below)
+        None
+      } else {
+        newRegions.foreach { r =>
+          Files.move(new File(staging.tableDir, r.file).toPath,
+            new File(t.tableDir, r.file).toPath,
+            StandardCopyOption.REPLACE_EXISTING)
+        }
+        // the rewrite covers exactly the original data of every region
+        // id ≤ srcMax: included rewrites contribute their own coverage,
+        // originals their id (tail ids are all higher — the id counter
+        // is monotonic and tail regions committed after the snapshot)
+        val srcMax = snapLive
+          .map(r => if (r.srcMaxId >= 0) r.srcMaxId else r.id).max
+        var next = state.nextId
+        val outputs = newRegions.map { r =>
+          val o = r.copy(id = next, srcMaxId = srcMax); next += 1; o
+        }
+        val newGen = state.gen + 1
+        // epochs carried forward so streaming-sink replay dedup survives
+        // compaction; entries untouched for epochRetainGenerations
+        // compaction cycles are aged out so the ledger cannot grow
+        // without bound. The window trades ledger size against idle
+        // sinks: a query that commits (or even replays) within the
+        // window stays; one idle across the whole window loses replay
+        // dedup for its next restart. Size it to cover the longest
+        // plausible idle stretch of a live sink.
+        val retain = t.meta.properties
+          .get(GraftCompact.EpochRetainProp).map(_.toLong).getOrElse(64L)
+        val keptEpochs = state.epochs.filter { case (_, e) =>
+          e.touchedGen >= newGen - retain }
+        // the snapshot becomes the retired set (files kept one cycle for
+        // tailing streams); the previous retired set ages out now
+        TableMeta.saveState(t.tableDir, TableMeta.ManifestState(
+          newGen, outputs ++ tail, keptEpochs, snapLive, next))
+        Some(state.retired)
       }
-      // the rewrite covers exactly the original data of every region
-      // id ≤ srcMax: included rewrites contribute their own coverage,
-      // originals their id (tail ids are all higher — the id counter is
-      // monotonic and tail regions committed after the snapshot)
-      val srcMax = snapLive
-        .map(r => if (r.srcMaxId >= 0) r.srcMaxId else r.id).max
-      var next = state.nextId
-      val outputs = newRegions.map { r =>
-        val o = r.copy(id = next, srcMaxId = srcMax); next += 1; o
-      }
-      val newGen = state.gen + 1
-      // epochs carried forward so streaming-sink replay dedup survives
-      // compaction, but entries untouched for epochRetainGenerations
-      // compaction cycles belong to long-terminated queries — age them
-      // out so the ledger cannot grow without bound
-      val retain = t.meta.properties
-        .get(GraftCompact.EpochRetainProp).map(_.toLong).getOrElse(8L)
-      val keptEpochs = state.epochs.filter { case (_, e) =>
-        e.touchedGen >= newGen - retain }
-      // the snapshot becomes the retired set (files kept one cycle for
-      // tailing streams); the previous retired set ages out now
-      TableMeta.saveState(t.tableDir, TableMeta.ManifestState(
-        newGen, outputs ++ tail, keptEpochs, snapLive, next))
-      state.retired
     }
-    agedOut.foreach(r => new File(t.tableDir, r.file).delete())
+    agedOut.foreach(_.foreach(r => new File(t.tableDir, r.file).delete()))
     cat.dropTable(stagingIdent)
     cat.invalidateTable(ident)
   }

@@ -571,7 +571,10 @@ final case class GraftKeyedInputPartition(files: Array[String], rows: Long,
   * count-based checkpoint, translated to an id on first use. */
 final case class RegionCountOffset(gen: Long, id: Long, n: Int = -1)
     extends org.apache.spark.sql.connector.read.streaming.Offset {
-  override def json(): String = s"""{"gen":$gen,"id":$id}"""
+  // a deserialized legacy offset must re-serialize as itself — dropping
+  // `n` here would corrupt a count-based checkpoint into id=-1
+  override def json(): String =
+    if (n >= 0) s"""{"gen":$gen,"n":$n}""" else s"""{"gen":$gen,"id":$id}"""
 }
 
 object RegionCountOffset {
@@ -643,9 +646,22 @@ final class GraftMicroBatchStream(tableDir: File, required: StructType,
         // across one compaction: retired originals fill (a, covered]
         (state.retired.filter(r => r.srcMaxId < 0 && r.id > a) ++
           liveOriginals.filter(_.id > a)).filter(_.id <= b)
-      else if (a == 0L)
-        // fresh stream, originals aged out: rewrites carry the history
+      else if (a == 0L) {
+        // fresh stream, originals aged out: rewrites carry the history.
+        // A WAL-replayed end offset that predates the rewrites (b below
+        // the last rewrite id) cannot be served — the originals it
+        // referenced are gone and a partial rewrite set would silently
+        // drop rows; fail as loudly as the a > 0 path does.
+        val maxRw = state.regions.filter(_.srcMaxId >= 0)
+          .map(_.id).maxOption.getOrElse(0L)
+        if (b < maxRw) throw new IllegalStateException(
+          s"graft stream batch end offset (region id $b) of " +
+            s"${tableDir.getName} predates the compaction rewrites that " +
+            "now carry the table's history; the original regions it " +
+            "referenced have been aged out. Restart the stream with a " +
+            "fresh checkpoint.")
         state.regions.filter(r => r.id > 0 && r.id <= b)
+      }
       else throw new IllegalStateException(
         s"graft stream checkpoint (region id $a) of ${tableDir.getName} " +
           "is more than one compaction cycle behind: the original " +

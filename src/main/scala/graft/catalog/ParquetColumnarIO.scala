@@ -70,8 +70,9 @@ object ParquetColumnarIO {
     private val length = path.getFileSystem(conf).getFileStatus(path).getLen
     // pushed predicate rebuilt per file against the columns the file
     // actually has (ALTER-added columns are absent from older regions) —
-    // same soundness contract as the row path (ParquetRowIO.toFileFilter)
-    locally {
+    // same soundness contract as the row path (ParquetRowIO.toFileFilter).
+    // The extra footer read only happens when there is a filter to build.
+    if (filters.nonEmpty) {
       val footer = {
         val in = org.apache.parquet.hadoop.util.HadoopInputFile
           .fromPath(path, conf)

@@ -124,6 +124,13 @@ object ParquetRowIO {
       b.build()
     }
     private val types = schema.fields.map(_.dataType)
+    // per-column fixed-len-binary width for precision>18 decimals,
+    // hoisted out of the per-row loop (0 = not a wide decimal column)
+    private val decLens: Array[Int] = types.map {
+      case dt: DecimalType if dt.precision > 18 =>
+        decimalFixedLen(dt.precision)
+      case _ => 0
+    }
 
     /** Write one Catalyst internal row (dates = days, timestamps = µs). */
     def write(row: InternalRow): Unit = {
@@ -150,7 +157,7 @@ object ParquetRowIO {
               // two's-complement unscaled value, sign-extended to the
               // fixed length the schema declares
               val unscaled = dec.toJavaBigDecimal.unscaledValue.toByteArray
-              val len = decimalFixedLen(dt.precision)
+              val len = decLens(i)
               val out = new Array[Byte](len)
               if (unscaled(0) < 0) java.util.Arrays.fill(out, 0xFF.toByte)
               System.arraycopy(unscaled, 0, out, len - unscaled.length,

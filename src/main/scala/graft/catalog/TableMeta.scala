@@ -317,13 +317,21 @@ object TableMeta {
       queryId: String, epochId: Long): Boolean =
     withManifestLock(tableDir) {
       val s = loadState(tableDir)
-      if (s.epochs.get(queryId).exists(_.epoch >= epochId)) false
-      else {
-        val (rs, next) = stamped(added.map(_.copy(id = 0L)), s.nextId)
-        saveState(tableDir, s.copy(regions = s.regions ++ rs,
-          epochs = s.epochs + (queryId -> EpochEntry(epochId, s.gen)),
-          nextId = next))
-        true
+      s.epochs.get(queryId) match {
+        case Some(e) if e.epoch >= epochId =>
+          // duplicate replay — but the query is demonstrably alive, so
+          // refresh its ledger entry's generation: a replaying-but-not-
+          // advancing query must not look dead to compaction's aging
+          if (e.touchedGen < s.gen)
+            saveState(tableDir, s.copy(epochs =
+              s.epochs + (queryId -> e.copy(touchedGen = s.gen))))
+          false
+        case _ =>
+          val (rs, next) = stamped(added.map(_.copy(id = 0L)), s.nextId)
+          saveState(tableDir, s.copy(regions = s.regions ++ rs,
+            epochs = s.epochs + (queryId -> EpochEntry(epochId, s.gen)),
+            nextId = next))
+          true
       }
     }
 }

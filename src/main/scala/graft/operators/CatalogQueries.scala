@@ -26,6 +26,35 @@ object CatalogQueries {
         .map(_.toLong).distinct.sorted.mkString(";")
     })
 
+  /** Register the graft catalog on the session (idempotent) — the ONE
+    * place the warehouse location lives. Also used by [[IvfIndex]]. */
+  private[operators] def ensureGraftCatalog(s: SparkSession): Unit =
+    if (s.conf.getOption("spark.sql.catalog.graft").isEmpty) {
+      s.conf.set("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft.warehouse",
+        "/tmp/graft_catalog_warehouse")
+    }
+
+  /** Namespace for one sf dir (created if missing). */
+  private[operators] def sfNamespace(s: SparkSession, d: String): String = {
+    ensureGraftCatalog(s)
+    val ns = s"sf_${math.abs(d.hashCode)}"
+    s.sql(s"CREATE NAMESPACE IF NOT EXISTS graft.$ns")
+    ns
+  }
+
+  /** Build-once discipline shared by every catalog-backed fixture:
+    * trust an existing table only at the expected row count (a killed
+    * prior run leaves a half-loaded table), else drop and rebuild. */
+  private[operators] def trusted(s: SparkSession, ns: String,
+      table: String, srcCount: Long): Boolean =
+    s.sql(s"SHOW TABLES IN graft.$ns").collect()
+      .exists(_.getString(1) == table) && {
+      val ok = s.table(s"graft.$ns.$table").count() == srcCount
+      if (!ok) s.sql(s"DROP TABLE graft.$ns.$table")
+      ok
+    }
+
   /** Half-loaded or pre-regionSplits tables from a killed prior run are
     * rebuilt: trust only a table whose row count matches the source AND
     * that already carries the co-partitioning splits. */
@@ -41,18 +70,12 @@ object CatalogQueries {
     * this sf dir is created+loaded; returns its fully qualified name. */
   private def ordersTable(s: SparkSession, d: String): String =
     built.getOrElseUpdate(d, {
-      if (s.conf.getOption("spark.sql.catalog.graft").isEmpty) {
-        s.conf.set("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
-        s.conf.set("spark.sql.catalog.graft.warehouse",
-          "/tmp/graft_catalog_warehouse")
-      }
+      val ns = sfNamespace(s, d)
       // key-grouped scans are only honored under these (safe defaults)
       s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
       s.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled",
         "true")
-      val ns = s"sf_${math.abs(d.hashCode)}"
       val fqn = s"graft.$ns.orders_t"
-      s.sql(s"CREATE NAMESPACE IF NOT EXISTS graft.$ns")
       val srcCount = s.read.parquet(s"$d/orders.parquet").count()
       val exists = s.sql(s"SHOW TABLES IN graft.$ns").collect()
         .exists(_.getString(1) == "orders_t") && usable(s, fqn, srcCount)
@@ -180,12 +203,7 @@ object CatalogQueries {
       val ns = s"sf_${math.abs(d.hashCode)}"
       val fqn = s"graft.$ns.documents_t"
       val srcCount = s.read.parquet(s"$d/documents.parquet").count()
-      val exists = s.sql(s"SHOW TABLES IN graft.$ns").collect()
-        .exists(_.getString(1) == "documents_t") && {
-        val ok = s.table(fqn).count() == srcCount
-        if (!ok) s.sql(s"DROP TABLE $fqn")
-        ok
-      }
+      val exists = trusted(s, ns, "documents_t", srcCount)
       if (!exists) {
         s.sql(
           s"""CREATE TABLE $fqn (
@@ -232,12 +250,7 @@ object CatalogQueries {
       val ns = s"sf_${math.abs(d.hashCode)}"
       val fqn = s"graft.$ns.orders_wide_t"
       val srcCount = s.read.parquet(s"$d/orders.parquet").count()
-      val exists = s.sql(s"SHOW TABLES IN graft.$ns").collect()
-        .exists(_.getString(1) == "orders_wide_t") && {
-        val ok = s.table(fqn).count() == srcCount
-        if (!ok) s.sql(s"DROP TABLE $fqn")
-        ok
-      }
+      val exists = trusted(s, ns, "orders_wide_t", srcCount)
       if (!exists) {
         s.sql(
           s"""CREATE TABLE $fqn (
@@ -271,12 +284,7 @@ object CatalogQueries {
       val ns = s"sf_${math.abs(d.hashCode)}"
       val fqn = s"graft.$ns.embeddings_t"
       val srcCount = s.read.parquet(s"$d/embeddings.parquet").count()
-      val exists = s.sql(s"SHOW TABLES IN graft.$ns").collect()
-        .exists(_.getString(1) == "embeddings_t") && {
-        val ok = s.table(fqn).count() == srcCount
-        if (!ok) s.sql(s"DROP TABLE $fqn")
-        ok
-      }
+      val exists = trusted(s, ns, "embeddings_t", srcCount)
       if (!exists) {
         s.sql(
           s"""CREATE TABLE $fqn (
@@ -330,12 +338,7 @@ object CatalogQueries {
       val ns = s"sf_${math.abs(d.hashCode)}"
       val fqn = s"graft.$ns.media_t"
       val srcCount = s.read.parquet(s"$d/documents.parquet").count()
-      val exists = s.sql(s"SHOW TABLES IN graft.$ns").collect()
-        .exists(_.getString(1) == "media_t") && {
-        val ok = s.table(fqn).count() == srcCount
-        if (!ok) s.sql(s"DROP TABLE $fqn")
-        ok
-      }
+      val exists = trusted(s, ns, "media_t", srcCount)
       if (!exists) {
         s.sql(
           s"""CREATE TABLE $fqn (
@@ -393,31 +396,12 @@ object CatalogQueries {
     })
 
   /** Sessionization (30-min gap) straight off the key-sorted store:
-    * same answers as events_session, but the scan's reported
+    * same pipeline (and therefore same answers) as events_session —
+    * [[Extended.sessionize]] is shared — but the scan's reported
     * partitioning + ordering replace the hash Exchange and the sort
     * (zero-Exchange/zero-Sort asserted in StoragePartitionSpec). */
-  val sessionOnStore: Q = (s, d) => {
-    import org.apache.spark.sql.functions._
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
-    val wRun = Window.partitionBy(col("user_id")).orderBy(col("ts"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    s.table(eventsTable(s, d))
-      .withColumn("brk",
-        when(unix_micros(col("ts")) -
-          unix_micros(lag(col("ts"), 1).over(w)) >= 1800L * 1000000L, 1)
-          .when(lag(col("ts"), 1).over(w).isNull, 1)
-          .otherwise(0))
-      .withColumn("sid", sum(col("brk")).over(wRun))
-      .groupBy(col("user_id"), col("sid"))
-      .agg(min(col("ts")).as("start_ts"),
-        count(lit(1)).as("n_events"),
-        round(sum(col("value")), 2).as("sum_value"))
-      .select(
-        date_format(col("start_ts"), "yyyy-MM-dd HH:mm:ss")
-          .as("session_start"),
-        col("user_id"), col("n_events"), col("sum_value"))
-  }
+  val sessionOnStore: Q = (s, d) =>
+    Extended.sessionize(s.table(eventsTable(s, d)))
 
   /** Orders with a DECIMAL(12,2) price stored IN the catalog: exact
     * decimal aggregation over the store, hash-matched against DuckDB's
@@ -430,12 +414,7 @@ object CatalogQueries {
       val ns = s"sf_${math.abs(d.hashCode)}"
       val fqn = s"graft.$ns.orders_dec_t"
       val srcCount = s.read.parquet(s"$d/orders.parquet").count()
-      val exists = s.sql(s"SHOW TABLES IN graft.$ns").collect()
-        .exists(_.getString(1) == "orders_dec_t") && {
-        val ok = s.table(fqn).count() == srcCount
-        if (!ok) s.sql(s"DROP TABLE $fqn")
-        ok
-      }
+      val exists = trusted(s, ns, "orders_dec_t", srcCount)
       if (!exists) {
         s.sql(
           s"""CREATE TABLE $fqn (

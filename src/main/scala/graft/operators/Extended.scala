@@ -315,12 +315,21 @@ object Extended {
     * the cost: one hash shuffle on user_id, one per-partition sort
     * feeding both window functions, codegen'd aggregation — none of
     * the session-merge state machinery batch mode doesn't need. */
-  val eventsSession: Q = (s, d) => {
+  val eventsSession: Q = (s, d) =>
+    sessionize(Relational.events(s, d)
+      .select(col("user_id"), col("ts"), col("value")))
+
+  /** Shared sessionization core over any (user_id, ts, value) frame —
+    * the parquet query face ([[eventsSession]]), the catalog store face
+    * (CatalogQueries.sessionOnStore, where the scan's reported
+    * partitioning/ordering make it exchange- and sort-free), and the
+    * plan-shape spec all run THIS pipeline, so a change to the gap rule
+    * or its precision cannot diverge them. */
+  def sessionize(src: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
     val wRun = Window.partitionBy(col("user_id")).orderBy(col("ts"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Relational.events(s, d)
-      .select(col("user_id"), col("ts"), col("value"))
+    src
       .withColumn("brk",
         // full-precision gap: cast("long") would truncate to whole
         // seconds and mis-break sessions whose gap straddles 30 min by

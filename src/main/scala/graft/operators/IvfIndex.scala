@@ -49,13 +49,20 @@ object IvfIndex {
     T(s, d, "embeddings")
       .select(col("vec_id"), normalized("embedding").as("vn"))
 
-  /** One assignment pass: vec → nearest centroid id (ties → larger id,
-    * measure-zero on real data). `cents` is broadcast (K×dim floats). */
-  private def assign(vn: DataFrame, cents: DataFrame): DataFrame =
-    vn.crossJoin(broadcast(cents))
-      .withColumn("dot", VectorOps.dot(col("vn"), col("cvec")))
-      .groupBy(col("vec_id"), col("vn"))
-      .agg(max(struct(col("dot"), col("cid"))).getField("cid").as("cid"))
+  /** Nearest-centroid id as a pure map-side expression: K codegen'd
+    * dot products + an array_max argmax per row — no join, no row
+    * blowup, no shuffle (ties → larger id, measure-zero on real data).
+    * The centroid matrix rides along as literals (K×dim floats). */
+  private def argmaxCid(cents: Seq[(Int, Seq[Float])]): Column =
+    array_max(array(cents.map { case (cid, cv) =>
+      struct(VectorOps.dot(col("vn"), lit(cv.toArray)).as("d"),
+        lit(cid).as("c"))
+    }: _*)).getField("c")
+
+  /** One assignment pass: vec → nearest centroid id. */
+  private def assign(vn: DataFrame,
+      cents: Seq[(Int, Seq[Float])]): DataFrame =
+    vn.withColumn("cid", argmaxCid(cents))
 
   private def centroidFrame(s: SparkSession,
       cents: Seq[(Int, Seq[Float])]): DataFrame = {
@@ -78,7 +85,7 @@ object IvfIndex {
       var cents: Seq[(Int, Seq[Float])] =
         seeds.zipWithIndex.map { case (v, i) => (i, v) }.toSeq
       for (_ <- 0 until Iters) {
-        val assigned = assign(vn, centroidFrame(s, cents))
+        val assigned = assign(vn, cents)
         // per-cell per-dimension means: K×dim cells, collected to the
         // driver and renormalized in double precision
         val sums = assigned
@@ -111,20 +118,9 @@ object IvfIndex {
     * catalog-backed queries). */
   def centroidsTable(s: SparkSession, d: String): String =
     builtCent.getOrElseUpdate(d, {
-      if (s.conf.getOption("spark.sql.catalog.graft").isEmpty) {
-        s.conf.set("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
-        s.conf.set("spark.sql.catalog.graft.warehouse",
-          "/tmp/graft_catalog_warehouse")
-      }
-      val ns = s"sf_${math.abs(d.hashCode)}"
+      val ns = CatalogQueries.sfNamespace(s, d)
       val fqn = s"graft.$ns.ann_centroids_t"
-      s.sql(s"CREATE NAMESPACE IF NOT EXISTS graft.$ns")
-      val exists = s.sql(s"SHOW TABLES IN graft.$ns").collect()
-        .exists(_.getString(1) == "ann_centroids_t") && {
-        val ok = s.table(fqn).count() == K
-        if (!ok) s.sql(s"DROP TABLE $fqn")
-        ok
-      }
+      val exists = CatalogQueries.trusted(s, ns, "ann_centroids_t", K)
       if (!exists) {
         s.sql(
           s"""CREATE TABLE $fqn (cid INT, cvec ARRAY<FLOAT>)
@@ -141,15 +137,14 @@ object IvfIndex {
     * attached — shared by the top-k query and the probe-fraction gate. */
   def candidates(s: SparkSession, d: String,
       nProbe: Int = NProbe): DataFrame = {
-    val cents = s.table(centroidsTable(s, d))
-      .select(col("cid"), col("cvec"))
+    val cents = s.table(centroidsTable(s, d)).collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1))).toSeq
     val vn = vecs(s, d)
     val q = vn.filter(col("vec_id") === 0).select(col("vn").as("qv"))
       .collect().head.getSeq[Float](0)
     // probe selection on the driver: K dots against the catalog-stored
     // centroid rows (the "index lookup" of a real IVF)
-    val probed = cents.collect()
-      .map(r => (r.getInt(0), r.getSeq[Float](1)))
+    val probed = cents
       .sortBy { case (cid, cv) =>
         (-cv.zip(q).map { case (a, b) => a.toDouble * b }.sum, cid) }
       .take(nProbe).map(_._1).toSet

@@ -102,6 +102,12 @@ class CatalogSafetySpec extends AnyFunSuite {
       stream.planInputPartitions(RegionCountOffset(0L, 1L), before)
     }
     assert(e.getMessage.contains("compaction cycle behind"))
+    // a WAL-replayed (0, stale-end) batch whose originals aged out must
+    // also fail loudly — a partial rewrite set would silently drop rows
+    val e2 = intercept[IllegalStateException] {
+      stream.planInputPartitions(RegionCountOffset(0L, 0L), before)
+    }
+    assert(e2.getMessage.contains("predates the compaction rewrites"))
     // ...while a fresh stream reads history from the rewrite regions
     val after = stream.latestOffset().asInstanceOf[RegionCountOffset]
     val fresh = stream.planInputPartitions(
@@ -421,6 +427,19 @@ class CatalogSafetySpec extends AnyFunSuite {
     GraftCompact.compact(spark, "graft", "safety", "ledger_age", 1)
     assert(!TableMeta.loadState(dir).epochs.contains("dead_query"),
       "ledger entry of a long-terminated query should age out")
+    // a REPLAYING query is alive even though its epoch never advances:
+    // the rejected duplicate refreshes touchedGen so aging can't drop it
+    val src2 = new java.io.File(dir, TableMeta.loadRegions(dir).head.file)
+    java.nio.file.Files.copy(src2.toPath,
+      new java.io.File(dir, "eq2.parquet").toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    assert(TableMeta.commitEpoch(dir, Seq(r.copy(file = "eq2.parquet")),
+      "replayer", 3L))
+    GraftCompact.compact(spark, "graft", "safety", "ledger_age", 1)
+    assert(!TableMeta.commitEpoch(dir, Nil, "replayer", 3L)) // replay
+    val ent = TableMeta.loadState(dir).epochs("replayer")
+    assert(ent.touchedGen == TableMeta.loadGeneration(dir),
+      s"rejected replay should refresh touchedGen, got $ent")
     spark.sql("DROP TABLE graft.safety.ledger_age")
   }
 

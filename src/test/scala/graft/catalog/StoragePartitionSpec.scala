@@ -161,20 +161,8 @@ class StoragePartitionSpec extends AnyFunSuite with BeforeAndAfterAll {
     src.createOrReplaceTempView("spj_events_src")
     spark.sql("INSERT INTO graft.spj.events_s SELECT * FROM spj_events_src")
 
-    def sessions(table: String) = {
-      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
-      val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      spark.table(table)
-        .withColumn("brk",
-          when(unix_micros(col("ts")) -
-            unix_micros(lag(col("ts"), 1).over(w)) >= 1800L * 1000000L, 1)
-            .when(lag(col("ts"), 1).over(w).isNull, 1)
-            .otherwise(0))
-        .withColumn("sid", sum(col("brk")).over(wRun))
-        .groupBy(col("user_id"), col("sid"))
-        .agg(min(col("ts")).as("start_ts"), count(lit(1)).as("n_events"),
-          round(sum(col("value")), 2).as("sum_value"))
-    }
+    def sessions(table: String) =
+      graft.operators.Extended.sessionize(spark.table(table))
     val df = sessions("graft.spj.events_s")
     val p = finalPlan(df)
     assert(shuffles(p) == 0,
