@@ -454,6 +454,8 @@ object CatalogQueries {
     "catalog_dedup_minhash" -> dedupMinhashOnStore,
     "catalog_session" -> sessionOnStore,
     "catalog_decimal" -> decimalAgg,
+    // inverted-list IVF: probe = region pruning (IvfIndex.topkStored)
+    "catalog_ann_ivf" -> ((s, d) => IvfIndex.topkStored(s, d)),
     "catalog_multimodal_meta" -> multimodalMetaOnStore,
     "catalog_skipscan" -> skipScan,
     "catalog_dedup_exact" -> dedupOnStore,

@@ -160,4 +160,65 @@ object IvfIndex {
       .orderBy(col("sim").desc, col("vec_id").asc)
       .limit(10)
       .select(col("vec_id"), col("sim"))
+
+  // --------------------------------------------- inverted-list storage
+
+  private val builtInv =
+    scala.collection.concurrent.TrieMap[String, String]()
+
+  /** The production IVF layout: vectors stored in a graft table KEYED
+    * on (cell, vec_id) with one fixed region per cell, so probing a
+    * cell IS region pruning — the scan never opens the files of
+    * unprobed cells. This is what "inverted lists" mean in a
+    * key-organized store: the index lookup becomes storage-level IO
+    * elimination, the property that carries a 100 TB corpus
+    * (recomputing assignments at query time, as [[candidates]] does,
+    * reads everything and only saves compute). */
+  def invertedTable(s: SparkSession, d: String): String =
+    builtInv.getOrElseUpdate(d, {
+      val ns = CatalogQueries.sfNamespace(s, d)
+      val fqn = s"graft.$ns.ann_ivf_t"
+      val srcCount = T(s, d, "embeddings").count()
+      val exists = CatalogQueries.trusted(s, ns, "ann_ivf_t", srcCount)
+      if (!exists) {
+        val cents = s.table(centroidsTable(s, d)).collect()
+          .map(r => (r.getInt(0), r.getSeq[Float](1))).toSeq
+        // one region per cell: fixed splits at every cid boundary
+        val splits = (1 until K).mkString(";")
+        s.sql(
+          s"""CREATE TABLE $fqn (
+             |  cid INT, vec_id BIGINT, vn ARRAY<FLOAT>)
+             |TBLPROPERTIES('keyCols'='cid;vec_id',
+             |              'regionSplits'='$splits')""".stripMargin)
+        val v = s"ivf_inv_src_${math.abs(d.hashCode)}"
+        assign(vecs(s, d), cents)
+          .select(col("cid"), col("vec_id"), col("vn"))
+          .createOrReplaceTempView(v)
+        s.sql(s"INSERT INTO $fqn SELECT * FROM $v")
+      }
+      fqn
+    })
+
+  /** Same probe + exact-cosine as [[topk]], but candidates come from
+    * the inverted-list table: `cid IN (probed)` prunes to the probed
+    * regions (asserted in CatalogVectorSpec), `vec_id != 0` prunes via
+    * the two-interval split on the trailing key dimension. */
+  def topkStored(s: SparkSession, d: String): DataFrame = {
+    val inv = invertedTable(s, d)
+    val cents = s.table(centroidsTable(s, d)).collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1))).toSeq
+    val q = vecs(s, d).filter(col("vec_id") === 0)
+      .collect().head.getSeq[Float](1)
+    val probed = cents
+      .sortBy { case (cid, cv) =>
+        (-cv.zip(q).map { case (a, b) => a.toDouble * b }.sum, cid) }
+      .take(NProbe).map(_._1)
+    s.table(inv)
+      .filter(col("cid").isin(probed: _*) && col("vec_id") =!= 0)
+      .withColumn("sim", round(VectorOps.cosine(col("vn"),
+        lit(q.toArray)), 4))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+      .limit(10)
+      .select(col("vec_id"), col("sim"))
+  }
 }

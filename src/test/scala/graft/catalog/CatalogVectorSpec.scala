@@ -169,6 +169,30 @@ class CatalogVectorSpec extends AnyFunSuite {
     assert(topkStore.toSeq == topkParquet.toSeq)
   }
 
+  test("inverted-list IVF: probe prunes regions; answers match compute path") {
+    val d = TestSpark.sfDir
+    val stored = graft.operators.IvfIndex.topkStored(spark, d)
+    val fromCompute = graft.operators.IvfIndex.topk(spark, d)
+      .collect().map(_.toSeq).toSeq
+    // same probed cells, same exact-cosine ranking
+    assert(stored.collect().map(_.toSeq).toSeq == fromCompute)
+    // probing IS region pruning: the scan of the (cid, vec_id)-keyed
+    // table opens at most NProbe of the K one-region cells
+    stored.collect()
+    def findScan(p: org.apache.spark.sql.execution.SparkPlan)
+        : Option[BatchScanExec] = p match {
+      case b: BatchScanExec => Some(b)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        findScan(q.plan)
+      case other => other.children.iterator.flatMap(findScan(_)).nextOption()
+    }
+    val scan = findScan(stored.queryExecution.executedPlan).get
+    val nParts = scan.inputRDD.getNumPartitions
+    assert(nParts <= graft.operators.IvfIndex.NProbe,
+      s"expected <= ${graft.operators.IvfIndex.NProbe} probed regions, " +
+        s"scan has $nParts partitions")
+  }
+
   test("store-backed MinHash candidate pairs match the parquet twin") {
     val d = TestSpark.sfDir
     val fromStore = graft.operators.CatalogQueries
