@@ -86,6 +86,33 @@ private[catalog] object GraftCommits {
   def toRegions(cs: Seq[RegionCommit]): Seq[RegionMeta] =
     cs.map(r => RegionMeta(r.file, r.rows, r.mins, r.maxs, r.bucket))
 
+  /** Locality hints for freshly committed regions (the reference's
+    * `getPreferredLocations` source, `HBaseSQLReaderRDD:115-119`): on a
+    * block-located filesystem (HDFS), record each region file's
+    * majority block host in the manifest so scans schedule node-local.
+    * Location-less filesystems (file://, s3://) report no real hosts —
+    * the hint stays empty there, which `preferredLocations` treats as
+    * "schedule anywhere". */
+  def withBlockHosts(tableDir: File, regions: Seq[RegionMeta])
+      : Seq[RegionMeta] = {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val base = new org.apache.hadoop.fs.Path(tableDir.getPath)
+    val fs = base.getFileSystem(conf)
+    if (fs.getScheme != "hdfs") return regions
+    regions.map { r =>
+      try {
+        val p = new org.apache.hadoop.fs.Path(base, r.file)
+        val st = fs.getFileStatus(p)
+        val host = fs.getFileBlockLocations(st, 0L, st.getLen)
+          .flatMap(_.getHosts)
+          .groupBy(identity).view.mapValues(_.length).toSeq
+          .sortBy { case (h, n) => (-n, h) }
+          .headOption.map(_._1).getOrElse("")
+        r.copy(host = host)
+      } catch { case _: java.io.IOException => r } // hint only
+    }
+  }
+
   def deleteFiles(tableDir: File, messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
       case RegionCommits(files) =>
@@ -100,8 +127,8 @@ class GraftBatchWrite(tableDir: File, meta: TableMeta) extends BatchWrite {
       : DataWriterFactory = GraftCommits.factory(tableDir, meta)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit =
-    TableMeta.appendRegions(tableDir,
-      GraftCommits.toRegions(GraftCommits.commits(messages)))
+    TableMeta.appendRegions(tableDir, GraftCommits.withBlockHosts(tableDir,
+      GraftCommits.toRegions(GraftCommits.commits(messages))))
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     GraftCommits.deleteFiles(tableDir, messages)
@@ -136,7 +163,8 @@ class GraftStreamingWrite(tableDir: File, meta: TableMeta, queryId: String)
       messages: Array[WriterCommitMessage]): Unit = {
     val commits = GraftCommits.commits(messages)
     val committed = TableMeta.commitEpoch(tableDir,
-      GraftCommits.toRegions(commits), queryId, epochId)
+      GraftCommits.withBlockHosts(tableDir,
+        GraftCommits.toRegions(commits)), queryId, epochId)
     if (!committed) // duplicate replay: drop the rewritten files
       commits.foreach(r => new File(tableDir, r.file).delete())
   }

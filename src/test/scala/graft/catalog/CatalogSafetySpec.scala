@@ -320,8 +320,11 @@ class CatalogSafetySpec extends AnyFunSuite {
         |TBLPROPERTIES('keyCols'='k')""".stripMargin)
     spark.sql("INSERT INTO graft.safety.locality VALUES (1, 1), (2, 2)")
     val dir = tableDir("safety", "locality")
-    // stamp a locality hint the way an HDFS-aware loader would
     val (gen, regions) = TableMeta.loadManifest(dir)
+    // file:// is location-less: the commit-time block-host stamping
+    // (GraftCommits.withBlockHosts) must leave the hint empty here
+    assert(regions.forall(_.host == ""))
+    // stamp a locality hint the way HDFS block locations would
     TableMeta.saveRegions(dir,
       regions.map(_.copy(host = "datanode-7.example")), gen)
     assert(TableMeta.loadRegions(dir).forall(_.host == "datanode-7.example"))
