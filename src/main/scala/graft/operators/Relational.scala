@@ -493,48 +493,52 @@ object Relational {
     * with no partition key funnels every row through one task — fine
     * semantics, scale-killer shape. Instead: range-repartition on the
     * sort key (the same shuffle any global sort needs), sort within
-    * partitions, and let `zipWithIndex` turn local positions into
-    * exact global ranks via its O(partitions) count pass — every phase
-    * is O(rows) distributed work. Tile boundaries then follow SQL
-    * ntile semantics exactly (first n%k tiles get one extra row), so
-    * the DuckDB oracle hash is unchanged. */
+    * partitions, and turn partition-local positions into exact global
+    * ranks. `monotonically_increasing_id` IS (partitionId << 33 |
+    * local row number), assigned in partition order — a codegen'd
+    * expression, so both passes stay columnar with no Row conversion:
+    * one tiny aggregation recovers the per-partition counts (and thus
+    * offsets + the global total), then the emit pass computes
+    * rank = offset(pid) + local + 1 and the SQL ntile boundary formula
+    * (first n%k tiles get one extra row) as plain expressions over the
+    * cached sorted partitions. DuckDB oracle hash unchanged.
+    * Cost floor: three jobs by construction (range-boundary sampling,
+    * count aggregation, emit) — ~0.8 s of scheduling at bench scale
+    * regardless of data size; at cluster scale that floor amortizes and
+    * every phase is O(rows) distributed codegen'd work. */
   val windowNtile: Q = (s, d) => {
-    val k = 4
+    val k = 4L
     val sortCols = Seq(col("c_acctbal").asc, col("c_custkey").asc)
-    val base = cust(s, d).select(col("c_custkey"), col("c_acctbal"))
+    val sorted = cust(s, d).select(col("c_custkey"), col("c_acctbal"))
       .repartitionByRange(32, sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
-    val keyField = base.schema.fields.head
-    // one count job over the SAME RDD instance yields both the global
-    // total and the per-partition offsets — what zipWithIndex does
-    // internally, fused with the ntile total. The RDD is persisted so
-    // the emit pass reads the cached sorted partitions instead of
-    // re-running the range shuffle + sort; ContextCleaner unpersists
-    // it once the plan is unreachable.
-    val rdd = base.rdd.persist(
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val counts = rdd.mapPartitionsWithIndex((i, it) =>
-      Iterator((i, it.size.toLong))).collect().sortBy(_._1).map(_._2)
-    val n = counts.sum
-    val offsets = counts.scanLeft(0L)(_ + _)
-    val rows = rdd.mapPartitionsWithIndex { (pid, it) =>
-      var idx = offsets(pid)
-      it.map { r =>
-        idx += 1
-        val rn = idx
-        val quot = n / k
-        val rem = n % k
-        val big = quot + 1
-        val tile =
-          if (rn <= rem * big) (rn - 1) / big + 1
-          else rem + (rn - rem * big - 1) / quot + 1
-        org.apache.spark.sql.Row(r.get(0), tile.toInt)
-      }
+      .withColumn("mid", monotonically_increasing_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = sorted
+      .groupBy(shiftright(col("mid"), 33).as("pid")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    val n = counts.map(_._2).sum
+    if (n == 0) sorted.select(col("c_custkey"), lit(1).as("tile")).limit(0)
+    else {
+      val offsets = counts.map(_._1)
+        .zip(counts.map(_._2).scanLeft(0L)(_ + _))
+      val offExpr = element_at(
+        map(offsets.flatMap { case (p, o) => Seq(lit(p), lit(o)) }: _*),
+        shiftright(col("mid"), 33))
+      val rn = offExpr + col("mid").bitwiseAND(lit((1L << 33) - 1)) + lit(1L)
+      val (quot, rem) = (n / k, n % k)
+      val big = quot + 1
+      // floor(a / b) = integer division here (all operands positive;
+      // doubles are exact below 2^53 rows)
+      val tile =
+        if (quot == 0) rn.cast("int") // n < k: one row per tile
+        else when(rn <= lit(rem * big),
+            floor((rn - 1) / lit(big)) + 1)
+          .otherwise(lit(rem) +
+            floor((rn - lit(rem * big) - 1) / lit(quot)) + 1)
+          .cast("int")
+      sorted.select(col("c_custkey"), tile.as("tile"))
     }
-    s.createDataFrame(rows, org.apache.spark.sql.types.StructType(Seq(
-      keyField,
-      org.apache.spark.sql.types.StructField("tile",
-        org.apache.spark.sql.types.IntegerType, nullable = false))))
   }
 
   // ------------------------------------------------- event-time windows
