@@ -266,6 +266,67 @@ class EventStreamsSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.stream.tail_compact")
   }
 
+  test("offset chains lose and duplicate nothing under random compaction") {
+    // randomized invariant: for any interleaving of appends and
+    // compactions, a stream consuming via successive (prev, latest)
+    // offset pairs sees every inserted key exactly once — the
+    // no-loss/no-dup contract of the stable-id offset machinery
+    import graft.catalog._
+    val rnd = new scala.util.Random(20260812)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.stream")
+    for (scenario <- 1 to 5) {
+      val t = s"chain_$scenario"
+      spark.sql(s"DROP TABLE IF EXISTS graft.stream.$t")
+      spark.sql(s"CREATE TABLE graft.stream.$t (k INT, v INT) " +
+        "TBLPROPERTIES('keyCols'='k')")
+      val dir = spark.sessionState.catalogManager.catalog("graft")
+        .asInstanceOf[GraftCatalog]
+        .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(
+          Array("stream"), t))
+        .asInstanceOf[GraftTable].tableDir
+      val stream = new GraftMicroBatchStream(dir,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.IntegerType))), Array.empty)
+      var nextKey = 0
+      val seen = scala.collection.mutable.ArrayBuffer[Int]()
+      var prev = stream.initialOffset()
+      for (step <- 1 to 8) {
+        val compacted = rnd.nextInt(3) match {
+          case 0 | 1 => // append 1-3 rows
+            val ks = (0 until 1 + rnd.nextInt(3)).map(_ => {
+              nextKey += 1; nextKey })
+            spark.sql(s"INSERT INTO graft.stream.$t VALUES " +
+              ks.map(k => s"($k, $k)").mkString(", "))
+            false
+          case 2 =>
+            GraftCompact.compact(spark, "graft", "stream", t,
+              1 + rnd.nextInt(2))
+            true
+        }
+        // the retention contract is ONE compaction cycle: read after
+        // every compaction (prev is then pre-compaction, served from
+        // the retired originals) and periodically otherwise
+        if (compacted || step % 2 == 0 || step == 8) {
+          val latest = stream.latestOffset()
+          val parts = stream.planInputPartitions(prev, latest)
+          parts.foreach { p =>
+            val files = p.asInstanceOf[GraftInputPartition].files
+            if (files.nonEmpty)
+              seen ++= spark.read
+                .schema("k INT, v INT")
+                .parquet(files: _*).select("k").collect().map(_.getInt(0))
+          }
+          prev = latest
+        }
+      }
+      assert(seen.sorted == (1 to nextKey).toSeq,
+        s"scenario $scenario: lost or duplicated keys — " +
+          s"expected 1..$nextKey, saw ${seen.sorted}")
+      spark.sql(s"DROP TABLE graft.stream.$t")
+    }
+  }
+
   test("flatMapGroupsWithState running totals match batch group-by") {
     val stream = EventStreams.asStream(spark, TestSpark.sfDir)
     val got = EventStreams.runToBatch(spark,
