@@ -387,10 +387,56 @@ object ParquetRowIO {
       case _ => None
     }
 
+  /** Decimal predicates push as unscaled int32/int64 compares (the
+    * physical layout for precision ≤ 18). FLBA decimals (p > 18) are
+    * not pushed: parquet's binary comparator orders the two's-complement
+    * bytes unsigned-lexicographically, which breaks on negatives. A
+    * literal that cannot be represented at the column's scale exactly
+    * is not pushed either (sound: Spark re-applies the filter). */
+  private def decimalCmp(name: String, dt: DecimalType, value: Any,
+      op: Cmp.Value): Option[FilterPredicate] = {
+    if (dt.precision > 18) return None
+    val bd = value match {
+      case x: java.math.BigDecimal => x
+      case x: BigDecimal => x.bigDecimal
+      case _ => return None
+    }
+    val scaled =
+      try bd.setScale(dt.scale)
+      catch { case _: ArithmeticException => return None }
+    val unscaled = scaled.unscaledValue
+    // an out-of-range literal (wider than the column's physical type)
+    // is not pushed — e.g. `d9 < 1e12` compares fine in Spark but has
+    // no int32 representation
+    if (unscaled.bitLength > (if (dt.precision <= 9) 31 else 62))
+      return None
+    if (dt.precision <= 9) {
+      val c = FilterApi.intColumn(name)
+      val i = Int.box(unscaled.intValueExact)
+      Some(op match {
+        case Cmp.Eq => FilterApi.eq(c, i); case Cmp.Gt => FilterApi.gt(c, i)
+        case Cmp.GtEq => FilterApi.gtEq(c, i); case Cmp.Lt => FilterApi.lt(c, i)
+        case Cmp.LtEq => FilterApi.ltEq(c, i)
+      })
+    } else {
+      val c = FilterApi.longColumn(name)
+      val l = Long.box(unscaled.longValueExact)
+      Some(op match {
+        case Cmp.Eq => FilterApi.eq(c, l); case Cmp.Gt => FilterApi.gt(c, l)
+        case Cmp.GtEq => FilterApi.gtEq(c, l); case Cmp.Lt => FilterApi.lt(c, l)
+        case Cmp.LtEq => FilterApi.ltEq(c, l)
+      })
+    }
+  }
+
   private def cmp(attr: String, value: Any, schema: StructType,
       op: Cmp.Value): Option[FilterPredicate] = {
     val field = schema.fields.find(_.name.equalsIgnoreCase(attr))
       .getOrElse(return None)
+    field.dataType match {
+      case dt: DecimalType => return decimalCmp(field.name, dt, value, op)
+      case _ =>
+    }
     toInternal(field.dataType, value).flatMap { v =>
       field.dataType match {
         case ByteType | ShortType | IntegerType | DateType =>

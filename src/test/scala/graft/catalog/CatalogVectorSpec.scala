@@ -87,6 +87,28 @@ class CatalogVectorSpec extends AnyFunSuite {
     val s9 = spark.sql(
       "SELECT CAST(sum(d9) AS STRING) FROM graft.vec.dec").head.getString(0)
     assert(s9 == "1234567.88")
+    // decimal predicates (pushed as unscaled compares for p<=18; the
+    // out-of-range and FLBA forms fall back to residual evaluation)
+    assert(spark.sql("SELECT id FROM graft.vec.dec WHERE d9 > 0.5")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L))
+    assert(spark.sql(
+      "SELECT id FROM graft.vec.dec WHERE d18 <= -0.000001 " +
+        "ORDER BY id").collect().map(_.getLong(0)).toSeq == Seq(2L))
+    assert(spark.sql(
+      "SELECT count(*) FROM graft.vec.dec WHERE d9 < 99999999999.0")
+      .head.getLong(0) == 3L) // literal wider than int32: residual only
+    assert(spark.sql(
+      "SELECT id FROM graft.vec.dec WHERE d38 = 0.0").collect()
+      .map(_.getLong(0)).toSeq == Seq(4L))
+    // compaction rewrites decimal cells losslessly through the writer
+    GraftCompact.compact(spark, "graft", "vec", "dec", 1)
+    val afterCompact = spark.sql(
+      """SELECT CAST(sum(d9) AS STRING), CAST(sum(d18) AS STRING),
+        |       CAST(sum(d38) AS STRING) FROM graft.vec.dec"""
+        .stripMargin).head
+    assert(afterCompact.getString(0) == "1234567.88")
+    assert(afterCompact.getString(1) == "123456789012.345677")
+    assert(afterCompact.getString(2) == "0.0000000000")
     // decimal keys stay rejected: KeyCodec orders atomic encodings only
     val e = intercept[Exception] {
       spark.sql(
