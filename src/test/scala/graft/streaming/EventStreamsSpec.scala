@@ -145,6 +145,45 @@ class EventStreamsSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.stream.native_sink")
   }
 
+  test("streaming sink handles embedding and payload columns") {
+    // an embedding-ingest pipeline: vectors arrive on a stream and land
+    // in a graft table with ARRAY<FLOAT> + BINARY cells, then serve
+    // point lookups and vector functions from the store
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.stream")
+    spark.sql("DROP TABLE IF EXISTS graft.stream.vec_sink")
+    spark.sql(
+      """CREATE TABLE graft.stream.vec_sink (
+        |  vec_id BIGINT, emb ARRAY<FLOAT>, payload BINARY)
+        |TBLPROPERTIES('keyCols'='vec_id')""".stripMargin)
+    graft.functions.VectorOps.register(spark)
+    val in = MemoryStream[(Long, Array[Float], Array[Byte])]
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_vec_sink_ckpt").toString
+    val q = in.toDF().toDF("vec_id", "emb", "payload").writeStream
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .toTable("graft.stream.vec_sink")
+    try {
+      in.addData((1L, Array(1f, 0f), "a".getBytes),
+        (2L, Array(0f, 1f), "b".getBytes))
+      q.processAllAvailable()
+      in.addData((3L, Array(0.6f, 0.8f), "c".getBytes))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.sql(
+      """SELECT vec_id,
+        |       round(vec_cosine(emb, array(CAST(0.6 AS FLOAT),
+        |                                   CAST(0.8 AS FLOAT))), 4) AS sim,
+        |       CAST(payload AS STRING) AS p
+        |FROM graft.stream.vec_sink ORDER BY vec_id""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+    assert(got.toSeq == Seq((1L, 0.6, "a"), (2L, 0.8, "b"), (3L, 1.0, "c")))
+    spark.sql("DROP TABLE graft.stream.vec_sink")
+  }
+
   test("table-to-table streaming pipe: tail one graft table into another") {
     // the full storage+streaming composition: a graft table as SOURCE
     // (manifest tail) feeding a transform into a graft table as native
