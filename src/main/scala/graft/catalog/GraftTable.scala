@@ -350,6 +350,18 @@ class GraftScan(tableDir: File, meta: TableMeta, required: StructType,
       k.toLowerCase -> (i, meta.schema(k).dataType)
     }.toMap
 
+  /** Non-key columns with manifest stats: drive region skipping on
+    * non-key predicates ([[ColStats]]) — the manifest-level analogue of
+    * parquet row-group stats, one level up, so the driver never even
+    * schedules a task for a region the predicate provably misses. */
+  private val statTypes: Map[String, DataType] = {
+    val keySet = meta.keyCols.map(_.toLowerCase).toSet
+    meta.schema.fields.iterator
+      .filterNot(f => keySet(f.name.toLowerCase))
+      .filter(f => ColStats.trackable(f.dataType))
+      .map(f => f.name.toLowerCase -> f.dataType).toMap
+  }
+
   /** Runtime (dynamic) filters Spark injects at execution time — e.g.
     * the build-side key set of a broadcast join. They prune regions
     * exactly like planning-time filters; the V2-native realization of
@@ -358,10 +370,13 @@ class GraftScan(tableDir: File, meta: TableMeta, required: StructType,
 
   override def filterAttributes()
       : Array[connector.expressions.NamedReference] = {
-    // only key columns that survived column pruning — Spark resolves
-    // these against the scan output
+    // only columns that survived column pruning — Spark resolves these
+    // against the scan output. Key columns prune via intervals; stat-
+    // tracked non-key columns prune via manifest min/max (a broadcast
+    // join on ANY stat-covered column re-prunes regions at runtime).
     val have = required.fieldNames.map(_.toLowerCase).toSet
-    meta.keyCols.filter(k => have.contains(k.toLowerCase))
+    (meta.keyCols.filter(k => have.contains(k.toLowerCase)) ++
+      required.fieldNames.filter(n => statTypes.contains(n.toLowerCase)))
       .map(connector.expressions.Expressions.column).toArray
   }
 
@@ -376,11 +391,12 @@ class GraftScan(tableDir: File, meta: TableMeta, required: StructType,
   def selectedRegions: Seq[RegionMeta] = {
     var c = selectedRegionsCache
     if (c == null) {
-      val constraints =
-        GraftFilters.intervals(filters.toSeq ++ runtimeFilters, dims)
+      val all = filters.toSeq ++ runtimeFilters
+      val constraints = GraftFilters.intervals(all, dims)
       c = TableMeta.loadRegions(tableDir).filter { r =>
         KeyRanges.survives(constraints,
-          r.mins.map(KeyCodec.fromHex), r.maxs.map(KeyCodec.fromHex))
+          r.mins.map(KeyCodec.fromHex), r.maxs.map(KeyCodec.fromHex)) &&
+          ColStats.survives(all, r.stats, statTypes)
       }
       selectedRegionsCache = c
     }
@@ -491,6 +507,72 @@ class GraftScan(tableDir: File, meta: TableMeta, required: StructType,
         .sum.max(1L))
     override def numRows(): OptionalLong =
       OptionalLong.of(selectedRegions.map(_.rows).sum)
+    /** Table-level column stats aggregated from the manifest (key
+      * min/max per dimension; non-key ColStats min/max/null-count) —
+      * feeds Spark's CBO (join reordering, filter selectivity) with no
+      * data IO. Strings report null counts only: CBO's min/max
+      * estimation is numeric, and string bounds may be truncated. */
+    override def columnStats(): java.util.Map[
+        connector.expressions.NamedReference,
+        connector.read.colstats.ColumnStatistics] = {
+      val out = new java.util.HashMap[connector.expressions.NamedReference,
+        connector.read.colstats.ColumnStatistics]()
+      val regions = selectedRegions
+      if (regions.isEmpty) return out
+      def colStat(mn: Option[Any], mx: Option[Any], nulls: Long)
+          : connector.read.colstats.ColumnStatistics =
+        new connector.read.colstats.ColumnStatistics {
+          override def min(): java.util.Optional[Object] = mn match {
+            case Some(v) => java.util.Optional.of(v.asInstanceOf[Object])
+            case None => java.util.Optional.empty()
+          }
+          override def max(): java.util.Optional[Object] = mx match {
+            case Some(v) => java.util.Optional.of(v.asInstanceOf[Object])
+            case None => java.util.Optional.empty()
+          }
+          override def nullCount(): OptionalLong = OptionalLong.of(nulls)
+        }
+      val byteOrd = Ordering.fromLessThan((a: Array[Byte], b: Array[Byte]) =>
+        KeyCodec.compare(a, b) < 0)
+      def decoded(dt: DataType, hex: String): Any = {
+        val b = KeyCodec.fromHex(hex)
+        KeyCodec.decode(dt, b, 0, b.length)
+      }
+      meta.keyCols.zipWithIndex.foreach { case (k, d) =>
+        val dt = meta.schema(k).dataType
+        if (dt != StringType)
+          out.put(connector.expressions.Expressions.column(k),
+            colStat(
+              Some(decoded(dt,
+                regions.map(_.mins(d)).minBy(KeyCodec.fromHex)(byteOrd))),
+              Some(decoded(dt,
+                regions.map(_.maxs(d)).maxBy(KeyCodec.fromHex)(byteOrd))),
+              0L)) // keys reject nulls at write time
+      }
+      statTypes.foreach { case (lc, dt) =>
+        val perRegion = regions.map(r =>
+          r.stats.collectFirst { case (n, s) if n.toLowerCase == lc => s })
+        if (perRegion.forall(_.isDefined)) { // else unknown: skip column
+          val sts = perRegion.map(_.get)
+          val nulls = sts.map(_.nulls).sum
+          val mns = sts.flatMap(_.min).map(KeyCodec.fromHex)
+          val mxs = sts.flatMap(_.max).map(KeyCodec.fromHex)
+          val (mn, mx) =
+            if (dt == StringType || mns.isEmpty) (None, None)
+            else {
+              val lo = mns.min(byteOrd)
+              val hi = mxs.max(byteOrd)
+              (Some(KeyCodec.decode(dt, lo, 0, lo.length)),
+                Some(KeyCodec.decode(dt, hi, 0, hi.length)))
+            }
+          val name = meta.schema.fields
+            .find(_.name.toLowerCase == lc).get.name
+          out.put(connector.expressions.Expressions.column(name),
+            colStat(mn, mx, nulls))
+        }
+      }
+      out
+    }
   }
 
   /** Region files are written key-sorted (RequiresDistributionAndOrdering
@@ -596,6 +678,21 @@ final class GraftMicroBatchStream(tableDir: File, required: StructType,
 
   private def generation: Long = TableMeta.loadGeneration(tableDir)
 
+  // same pruning machinery as the batch scan: a filtered tail skips
+  // regions the pushed predicates provably miss (offsets still advance
+  // past them — their rows match nothing)
+  private lazy val (dims, statTypes) = {
+    val meta = TableMeta.load(tableDir)
+    val keySet = meta.keyCols.map(_.toLowerCase).toSet
+    (meta.keyCols.zipWithIndex.map { case (k, i) =>
+      k.toLowerCase -> (i, meta.schema(k).dataType)
+    }.toMap,
+      meta.schema.fields.iterator
+        .filterNot(f => keySet(f.name.toLowerCase))
+        .filter(f => ColStats.trackable(f.dataType))
+        .map(f => f.name.toLowerCase -> f.dataType).toMap)
+  }
+
   override def initialOffset(): Offset = RegionCountOffset(generation, 0L)
   override def latestOffset(): Offset = {
     // generation + max id from ONE manifest parse: two separate reads
@@ -668,9 +765,14 @@ final class GraftMicroBatchStream(tableDir: File, required: StructType,
           "regions it still needed have been aged out. Restart the " +
           "stream with a fresh checkpoint, or compact less often than " +
           "the stream checkpoints.")
-    picked.sortBy(_.id).map(r =>
-      GraftInputPartition(Array(new File(tableDir, r.file).getPath),
-        r.rows, GraftInputPartition.hosts(r)): InputPartition).toArray
+    val constraints = GraftFilters.intervals(filters.toSeq, dims)
+    picked.sortBy(_.id)
+      .filter(r => KeyRanges.survives(constraints,
+        r.mins.map(KeyCodec.fromHex), r.maxs.map(KeyCodec.fromHex)) &&
+        ColStats.survives(filters.toSeq, r.stats, statTypes))
+      .map(r =>
+        GraftInputPartition(Array(new File(tableDir, r.file).getPath),
+          r.rows, GraftInputPartition.hosts(r)): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

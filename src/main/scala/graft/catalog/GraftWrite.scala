@@ -60,7 +60,8 @@ class GraftWrite(tableDir: File, meta: TableMeta, queryId: String)
 }
 
 final case class RegionCommit(file: String, rows: Long,
-    mins: Seq[String], maxs: Seq[String], bucket: Int = -1)
+    mins: Seq[String], maxs: Seq[String], bucket: Int = -1,
+    stats: Map[String, ColStat] = Map.empty)
     extends WriterCommitMessage
 
 /** One task may emit several region files (one per fixed region bucket
@@ -84,7 +85,8 @@ private[catalog] object GraftCommits {
     }.filter(_.rows > 0)
 
   def toRegions(cs: Seq[RegionCommit]): Seq[RegionMeta] =
-    cs.map(r => RegionMeta(r.file, r.rows, r.mins, r.maxs, r.bucket))
+    cs.map(r => RegionMeta(r.file, r.rows, r.mins, r.maxs, r.bucket,
+      stats = r.stats))
 
   /** Locality hints for freshly committed regions (the reference's
     * `getPreferredLocations` source, `HBaseSQLReaderRDD:115-119`): on a
@@ -187,6 +189,12 @@ final class GraftDataWriter(dir: String, schemaJson: String,
   private val keyIdx = keyCols.map(schema.fieldIndex)
   private val keyTypes = keyIdx.map(schema.fields(_).dataType)
   private val splits: Array[Array[Byte]] = splitsHex.map(KeyCodec.fromHex)
+  // non-key columns whose min/max/null-count ride the manifest for
+  // driver-side region skipping (ColStats); collected inline — the
+  // writer walks every row for key encoding anyway
+  private val statCols: Array[Int] = schema.fields.indices
+    .filterNot(keyIdx.contains(_))
+    .filter(i => ColStats.trackable(schema.fields(i).dataType)).toArray
 
   private final class FileState(val bucket: Int) {
     val fileName =
@@ -196,9 +204,12 @@ final class GraftDataWriter(dir: String, schemaJson: String,
     var rows = 0L
     val mins = Array.fill[Array[Byte]](keyCols.length)(null)
     val maxs = Array.fill[Array[Byte]](keyCols.length)(null)
+    val trackers: Array[ColStats.Tracker] =
+      statCols.map(i => ColStats.tracker(schema.fields(i)))
     def toCommit: RegionCommit = RegionCommit(fileName, rows,
       mins.map(b => if (b == null) "" else KeyCodec.toHex(b)).toSeq,
-      maxs.map(b => if (b == null) "" else KeyCodec.toHex(b)).toSeq, bucket)
+      maxs.map(b => if (b == null) "" else KeyCodec.toHex(b)).toSeq, bucket,
+      trackers.map(t => t.name -> t.stat).toMap)
   }
 
   private var current: FileState = _
@@ -252,6 +263,13 @@ final class GraftDataWriter(dir: String, schemaJson: String,
         KeyCodec.compare(encs(d), current.maxs(d)) > 0)
         current.maxs(d) = encs(d)
       d += 1
+    }
+    var c = 0
+    while (c < statCols.length) {
+      val i = statCols(c)
+      if (row.isNullAt(i)) current.trackers(c).nulls += 1
+      else current.trackers(c).observe(row, i)
+      c += 1
     }
     current.writer.write(row)
     current.rows += 1

@@ -41,9 +41,15 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * of every region with id ≤ srcMaxId (a rewrite carries no new data —
   * the analogue of Delta's dataChange=false files); -1 = an original
   * append. */
+/** `stats` = per-NON-KEY-column min/max/null-count ([[ColStat]]; hex of
+  * the order-preserving encoding, string bounds truncated), collected by
+  * the region writer — lets the driver skip regions on non-key
+  * predicates before scheduling any task ([[ColStats]]). Empty on
+  * pre-upgrade manifests (→ no pruning, sound). */
 final case class RegionMeta(file: String, rows: Long,
     mins: Seq[String], maxs: Seq[String], bucket: Int = -1,
-    host: String = "", id: Long = 0L, srcMaxId: Long = -1L)
+    host: String = "", id: Long = 0L, srcMaxId: Long = -1L,
+    stats: Map[String, ColStat] = Map.empty)
 
 final case class TableMeta(schema: StructType, keyCols: Seq[String],
     properties: Map[String, String]) {
@@ -156,6 +162,15 @@ object TableMeta {
       if (r.host.nonEmpty) o.put("host", r.host)
       val mins = o.putArray("mins"); r.mins.foreach(mins.add)
       val maxs = o.putArray("maxs"); r.maxs.foreach(maxs.add)
+      if (r.stats.nonEmpty) {
+        val so = o.putObject("stats")
+        r.stats.foreach { case (c, st) =>
+          val e = so.putObject(c)
+          st.min.foreach(e.put("mn", _))
+          st.max.foreach(e.put("mx", _))
+          e.put("nc", st.nulls)
+        }
+      }
     }
 
   /** Write the complete manifest. Callers own locking. */
@@ -245,12 +260,28 @@ object TableMeta {
           val a = o.get(f2).asInstanceOf[ArrayNode]
           (0 until a.size).map(a.get(_).asText)
         }
+        val stats: Map[String, ColStat] = if (!o.has("stats")) Map.empty
+        else {
+          val so = o.get("stats")
+          val it = so.fields()
+          val b = Map.newBuilder[String, ColStat]
+          while (it.hasNext) {
+            val kv = it.next()
+            val e = kv.getValue
+            b += kv.getKey -> ColStat(
+              Option(e.get("mn")).map(_.asText),
+              Option(e.get("mx")).map(_.asText),
+              if (e.has("nc")) e.get("nc").asLong else 0L)
+          }
+          b.result()
+        }
         RegionMeta(o.get("file").asText, o.get("rows").asLong,
           strs("mins"), strs("maxs"),
           if (o.has("bucket")) o.get("bucket").asInt else -1,
           if (o.has("host")) o.get("host").asText else "",
           if (o.has("id")) o.get("id").asLong else 0L,
-          if (o.has("srcMaxId")) o.get("srcMaxId").asLong else -1L)
+          if (o.has("srcMaxId")) o.get("srcMaxId").asLong else -1L,
+          stats)
       }
     }
     var regions = regionList("regions")

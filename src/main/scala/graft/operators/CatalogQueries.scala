@@ -431,6 +431,53 @@ object CatalogQueries {
       fqn
     })
 
+  /** Log-style orders table: the key is an ingest id assigned in
+    * o_orderdate order (the classic time-correlated auto-increment),
+    * so each region covers a contiguous date span and the manifest's
+    * NON-KEY column stats (ColStats: per-region min/max/null-count)
+    * let the driver skip regions on a date predicate before any task
+    * is scheduled — Iceberg/Delta-style data skipping one level above
+    * parquet row-group stats. */
+  private val builtLog = scala.collection.concurrent.TrieMap[String, String]()
+  private def ordersLogTable(s: SparkSession, d: String): String =
+    builtLog.getOrElseUpdate(d, {
+      ordersTable(s, d)
+      val ns = s"sf_${math.abs(d.hashCode)}"
+      val fqn = s"graft.$ns.orders_log_t"
+      val srcCount = s.read.parquet(s"$d/orders.parquet").count()
+      val exists = trusted(s, ns, "orders_log_t", srcCount)
+      if (!exists) {
+        s.sql(
+          s"""CREATE TABLE $fqn (
+             |  log_id BIGINT, o_orderdate DATE, o_orderstatus STRING,
+             |  o_totalprice DOUBLE)
+             |TBLPROPERTIES('keyCols'='log_id', 'numRegions'='8')"""
+            .stripMargin)
+        val v = s"log_cat_src_${math.abs(d.hashCode)}"
+        s.read.parquet(s"$d/orders.parquet").createOrReplaceTempView(v)
+        // monotone-in-(date, orderkey) ingest id WITHOUT a global
+        // window sort: epoch-day * 10^10 + orderkey builds fully
+        // parallel and still gives every region a contiguous date span
+        s.sql(
+          s"""INSERT INTO $fqn
+             |SELECT datediff(o_orderdate, DATE'1970-01-01')
+             |         * 10000000000L + o_orderkey AS log_id,
+             |       o_orderdate, o_orderstatus, o_totalprice
+             |FROM $v""".stripMargin)
+      }
+      fqn
+    })
+
+  /** Date-window aggregation over the log table: regions outside the
+    * window are skipped from the manifest stats (ColStatsSpec asserts
+    * the partition-count effect; this query gates the answers). */
+  val statsSkip: Q = (s, d) => s.sql(
+    s"""SELECT o_orderstatus, count(*) AS cnt,
+       |       round(sum(o_totalprice), 2) AS total
+       |FROM ${ordersLogTable(s, d)}
+       |WHERE o_orderdate BETWEEN DATE'1996-03-01' AND DATE'1996-04-30'
+       |GROUP BY o_orderstatus""".stripMargin)
+
   val decimalAgg: Q = (s, d) => s.sql(
     s"""SELECT o_orderstatus, count(*) AS cnt,
        |       sum(o_totalprice) AS total,
@@ -458,6 +505,7 @@ object CatalogQueries {
     "catalog_ann_ivf" -> ((s, d) => IvfIndex.topkStored(s, d)),
     "catalog_multimodal_meta" -> multimodalMetaOnStore,
     "catalog_skipscan" -> skipScan,
+    "catalog_stats_skip" -> statsSkip,
     "catalog_dedup_exact" -> dedupOnStore,
     "catalog_point_lookup" -> pointLookup,
     "catalog_range_scan" -> rangeScan,
@@ -514,6 +562,15 @@ object CatalogQueries {
         |       round(avg(n_chars % 64 + 16), 4) AS avg_w,
         |       round(avg(n_chars % 48 + 16), 4) AS avg_h
         |FROM documents GROUP BY 1""".stripMargin,
+
+    // the log table holds exactly the orders rows (plus a synthetic
+    // ingest id), so the date-window aggregate matches orders directly
+    "catalog_stats_skip" ->
+      """SELECT o_orderstatus, count(*) AS cnt,
+        |       round(sum(o_totalprice), 2) AS total
+        |FROM orders
+        |WHERE o_orderdate BETWEEN DATE'1996-03-01' AND DATE'1996-04-30'
+        |GROUP BY o_orderstatus""".stripMargin,
 
     "catalog_skipscan" ->
       """SELECT o_orderstatus, o_orderkey, o_custkey,

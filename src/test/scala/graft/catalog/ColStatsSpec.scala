@@ -1,0 +1,326 @@
+package graft.catalog
+
+import scala.util.Random
+
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.sources
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+import graft.codec.KeyCodec
+
+/** Non-key column statistics (per-region min/max/null-count in the
+  * manifest) and the region skipping they drive.
+  *
+  * Soundness is the invariant that must never break: a region pruned by
+  * [[ColStats.survives]] must contain NO row on which the predicate
+  * evaluates TRUE — verified property-style against a brute-force
+  * 3-valued evaluator over random nullable data (the key-path analogue
+  * is PruneSoundnessSpec, whose rows are non-null and classical).
+  */
+class ColStatsSpec extends AnyFunSuite {
+
+  private val rnd = new Random(20260812)
+
+  // ---- brute force: Kleene 3VL; a filter passes a row iff TRUE -------
+
+  private type Row2 = (Option[Int], Option[String])
+
+  private def eval3(f: sources.Filter, row: Row2): Option[Boolean] = {
+    def v(c: String): Option[Any] = if (c == "a") row._1 else row._2
+    // raw UTF-8 byte order — the order both the stats and Spark's
+    // UTF8String comparison use
+    def strCmp(x: String, y: String): Int =
+      KeyCodec.compare(x.getBytes("UTF-8"), y.getBytes("UTF-8"))
+    def cmp(c: String, lit: Any): Option[Int] = v(c).map {
+      case i: Int => Integer.compare(i, lit.asInstanceOf[Int])
+      case s: String => strCmp(s, lit.asInstanceOf[String])
+    }
+    f match {
+      case sources.And(l, r) => (eval3(l, row), eval3(r, row)) match {
+        case (Some(false), _) | (_, Some(false)) => Some(false)
+        case (Some(true), Some(true)) => Some(true)
+        case _ => None
+      }
+      case sources.Or(l, r) => (eval3(l, row), eval3(r, row)) match {
+        case (Some(true), _) | (_, Some(true)) => Some(true)
+        case (Some(false), Some(false)) => Some(false)
+        case _ => None
+      }
+      case sources.Not(g) => eval3(g, row).map(!_)
+      case sources.EqualTo(c, x) => cmp(c, x).map(_ == 0)
+      case sources.EqualNullSafe(c, null) => Some(v(c).isEmpty)
+      case sources.EqualNullSafe(c, x) =>
+        Some(cmp(c, x).contains(0))
+      case sources.GreaterThan(c, x) => cmp(c, x).map(_ > 0)
+      case sources.GreaterThanOrEqual(c, x) => cmp(c, x).map(_ >= 0)
+      case sources.LessThan(c, x) => cmp(c, x).map(_ < 0)
+      case sources.LessThanOrEqual(c, x) => cmp(c, x).map(_ <= 0)
+      case sources.In(c, xs) => v(c).map(x => xs.contains(x))
+      case sources.IsNull(c) => Some(v(c).isEmpty)
+      case sources.IsNotNull(c) => Some(v(c).isDefined)
+      case sources.StringStartsWith(c, p) =>
+        v(c).map(_.asInstanceOf[String].startsWith(p))
+      case other => fail(s"unexpected $other")
+    }
+  }
+
+  // ---- random predicates over one int + one string column ------------
+
+  private def randStr(max: Int): String = {
+    val alphabet = "abAB0é￮"
+    (0 until rnd.nextInt(max + 1)).map(_ =>
+      alphabet(rnd.nextInt(alphabet.length))).mkString
+  }
+
+  private def randLeaf(): sources.Filter = {
+    val useInt = rnd.nextBoolean()
+    val c = if (useInt) "a" else "s"
+    def lit: Any = if (useInt) rnd.nextInt(40) - 20 else randStr(3)
+    rnd.nextInt(11) match {
+      case 0 => sources.EqualTo(c, lit)
+      case 1 => sources.GreaterThan(c, lit)
+      case 2 => sources.GreaterThanOrEqual(c, lit)
+      case 3 => sources.LessThan(c, lit)
+      case 4 => sources.LessThanOrEqual(c, lit)
+      case 5 => sources.In(c, Array.fill(1 + rnd.nextInt(3))(lit))
+      case 6 => sources.EqualNullSafe(c, if (rnd.nextInt(4) == 0) null else lit)
+      case 7 => sources.IsNull(c)
+      case 8 => sources.IsNotNull(c)
+      case 9 => sources.StringStartsWith("s", randStr(2))
+      case 10 => sources.Not(randLeaf())
+    }
+  }
+
+  private def randPred(depth: Int): sources.Filter =
+    if (depth == 0 || rnd.nextInt(3) == 0) randLeaf()
+    else rnd.nextInt(5) match {
+      case 0 | 1 => sources.And(randPred(depth - 1), randPred(depth - 1))
+      case 2 | 3 => sources.Or(randPred(depth - 1), randPred(depth - 1))
+      case 4 => sources.Not(randPred(depth - 1))
+    }
+
+  /** Region stats built through the real writer-side trackers. */
+  private def statsOf(rows: Seq[Row2]): Map[String, ColStat] = {
+    val fa = StructField("a", IntegerType)
+    val fs = StructField("s", StringType)
+    val (ta, ts) = (ColStats.tracker(fa), ColStats.tracker(fs))
+    rows.foreach { case (a, s) =>
+      val ir = new GenericInternalRow(Array[Any](
+        a.map(Int.box).orNull, s.map(UTF8String.fromString).orNull))
+      if (a.isEmpty) ta.nulls += 1 else ta.observe(ir, 0)
+      if (s.isEmpty) ts.nulls += 1 else ts.observe(ir, 1)
+    }
+    Map("a" -> ta.stat, "s" -> ts.stat)
+  }
+
+  private val types: Map[String, DataType] =
+    Map("a" -> IntegerType, "s" -> StringType)
+
+  test("pruned regions have no TRUE rows (2000 random 3VL scenarios)") {
+    (1 to 2000).foreach { i =>
+      val rows: Seq[Row2] = Seq.fill(10 + rnd.nextInt(40))((
+        if (rnd.nextInt(5) == 0) None else Some(rnd.nextInt(40) - 20),
+        if (rnd.nextInt(5) == 0) None else Some(randStr(4))))
+      val regions = rows.grouped(1 + rnd.nextInt(8)).toSeq
+      val pred = randPred(3)
+      regions.foreach { rg =>
+        if (!ColStats.survives(Seq(pred), statsOf(rg), types)) {
+          val matching = rg.filter(eval3(pred, _).contains(true))
+          assert(matching.isEmpty,
+            s"scenario $i: pruned region $rg has TRUE rows $matching " +
+              s"under $pred (stats ${statsOf(rg)})")
+        }
+      }
+    }
+  }
+
+  test("long string bounds truncate but stay sound") {
+    val base = "x" * (ColStats.MaxStringStatBytes + 30)
+    val rows: Seq[Row2] = Seq(
+      (Some(1), Some(base + "aaa")), (Some(2), Some(base + "zzz")))
+    val st = statsOf(rows)
+    val s = st("s")
+    assert(s.min.get.length / 2 <= ColStats.MaxStringStatBytes)
+    assert(s.max.get.length / 2 <= ColStats.MaxStringStatBytes)
+    // equality inside the truncated range must survive
+    assert(ColStats.survives(
+      Seq(sources.EqualTo("s", base + "mmm")), st, types))
+    // far outside must prune
+    assert(!ColStats.survives(Seq(sources.EqualTo("s", "a")), st, types))
+    assert(!ColStats.survives(Seq(sources.EqualTo("s", "zzz")), st, types))
+    // prefix of the shared run must survive
+    assert(ColStats.survives(
+      Seq(sources.StringStartsWith("s", "x" * 10)), st, types))
+  }
+
+  test("zero bounds cover both signed zeros") {
+    val f = StructField("d", DoubleType)
+    val t = ColStats.tracker(f)
+    val ir = new GenericInternalRow(Array[Any](-0.0))
+    t.observe(ir, 0)
+    val st = Map("d" -> t.stat)
+    val ty = Map("d" -> (DoubleType: DataType))
+    // a region holding only -0.0 must survive "= 0.0" (SQL: -0.0 = 0.0)
+    assert(ColStats.survives(Seq(sources.EqualTo("d", 0.0)), st, ty))
+    assert(ColStats.survives(Seq(sources.EqualTo("d", -0.0)), st, ty))
+  }
+
+  // ---- catalog integration -------------------------------------------
+
+  private lazy val spark = TestSpark.spark
+
+  private def findScan(p: org.apache.spark.sql.execution.SparkPlan)
+      : Option[BatchScanExec] = p match {
+    case b: BatchScanExec => Some(b)
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      findScan(a.executedPlan)
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      findScan(q.plan)
+    case other => other.children.iterator.flatMap(findScan(_)).nextOption()
+  }
+
+  test("non-key predicate skips regions through manifest stats") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.cstats")
+    spark.sql("DROP TABLE IF EXISTS graft.cstats.logt")
+    // log-style table: the key is an ingest id, the timestamp rides
+    // along monotonically — the classic time-correlated-key layout
+    spark.sql(
+      """CREATE TABLE graft.cstats.logt (
+        |  log_id BIGINT, event_day DATE, tag STRING, val DOUBLE)
+        |TBLPROPERTIES('keyCols'='log_id', 'numRegions'='8')""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft.cstats.logt
+        |SELECT id AS log_id,
+        |       date_add(DATE'2024-01-01', CAST(id / 100 AS INT))
+        |         AS event_day,
+        |       CASE WHEN id % 97 = 0 THEN NULL
+        |            ELSE concat('t', id % 5) END AS tag,
+        |       id * 1.5 AS val
+        |FROM range(8000)""".stripMargin)
+
+    val q = spark.sql(
+      """SELECT count(*) AS cnt, round(sum(val), 2) AS s
+        |FROM graft.cstats.logt
+        |WHERE event_day BETWEEN DATE'2024-01-21' AND DATE'2024-01-25'"""
+        .stripMargin)
+    val expect = spark.sql(
+      """SELECT count(*) AS cnt,
+        |       round(sum(CAST(id AS DOUBLE) * 1.5d), 2) AS s
+        |FROM range(8000)
+        |WHERE date_add(DATE'2024-01-01', CAST(id / 100 AS INT))
+        |      BETWEEN DATE'2024-01-21' AND DATE'2024-01-25'""".stripMargin)
+    assert(q.collect().toSeq == expect.collect().toSeq)
+    q.collect()
+    val parts = findScan(q.queryExecution.executedPlan)
+      .get.inputRDD.getNumPartitions
+    // 5 of 80 days → 1 region (plus at most one boundary straddle)
+    assert(parts <= 2, s"expected <=2 surviving regions, got $parts")
+
+    // IS NULL hits every region (nulls every 97th id): no false prune
+    val nulls = spark.sql(
+      "SELECT count(*) AS c FROM graft.cstats.logt WHERE tag IS NULL")
+    assert(nulls.head().getLong(0) ==
+      (0 until 8000).count(_ % 97 == 0))
+
+    // a tag outside the stored domain prunes EVERY region
+    val none = spark.sql(
+      "SELECT count(*) AS c FROM graft.cstats.logt WHERE tag = 'zzz'")
+    assert(none.head().getLong(0) == 0L)
+    none.collect()
+    val noneParts = findScan(none.queryExecution.executedPlan)
+      .get.inputRDD.getNumPartitions
+    assert(noneParts == 0, s"expected 0 surviving regions, got $noneParts")
+    spark.sql("DROP TABLE graft.cstats.logt")
+  }
+
+  test("table-level column stats aggregate from the manifest (CBO feed)") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.cstats")
+    spark.sql("DROP TABLE IF EXISTS graft.cstats.cbo")
+    spark.sql(
+      """CREATE TABLE graft.cstats.cbo (k BIGINT, d DATE, v DOUBLE, s STRING)
+        |TBLPROPERTIES('keyCols'='k', 'numRegions'='4')""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft.cstats.cbo
+        |SELECT id, date_add(DATE'2024-01-01', CAST(id AS INT)),
+        |       CASE WHEN id % 10 = 0 THEN NULL ELSE id * 0.5 END,
+        |       concat('s', id)
+        |FROM range(400)""".stripMargin)
+    val df = spark.table("graft.cstats.cbo")
+    df.collect()
+    val scan = findScan(df.queryExecution.executedPlan).get.scan
+    val stats = scan.asInstanceOf[GraftScan].estimateStatistics()
+    assert(stats.numRows().getAsLong == 400L)
+    val cs = stats.columnStats()
+    import scala.jdk.CollectionConverters._
+    val byName = cs.asScala.map { case (ref, st) =>
+      ref.fieldNames().mkString(".") -> st }
+    // key column: exact min/max, zero nulls
+    assert(byName("k").min.get == 0L && byName("k").max.get == 399L)
+    assert(byName("k").nullCount.getAsLong == 0L)
+    // date column in internal days-since-epoch form
+    val day0 = java.time.LocalDate.parse("2024-01-01").toEpochDay.toInt
+    assert(byName("d").min.get == day0 && byName("d").max.get == day0 + 399)
+    // nullable double: null count summed across regions
+    assert(byName("v").nullCount.getAsLong == 40L)
+    assert(byName("v").min.get == 0.5 && byName("v").max.get == 199.5)
+    // strings: no min/max (possibly truncated bounds), nulls only
+    assert(!byName("s").min.isPresent && byName("s").nullCount.getAsLong == 0L)
+    spark.sql("DROP TABLE graft.cstats.cbo")
+  }
+
+  test("filtered streaming tail skips regions via manifest stats") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.cstats")
+    spark.sql("DROP TABLE IF EXISTS graft.cstats.tail")
+    spark.sql(
+      """CREATE TABLE graft.cstats.tail (k BIGINT, day INT, v DOUBLE)
+        |TBLPROPERTIES('keyCols'='k', 'numRegions'='4')""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft.cstats.tail
+        |SELECT id, CAST(id / 500 AS INT), id * 1.0 FROM range(2000)"""
+        .stripMargin)
+    val cat = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[GraftCatalog]
+    val t = cat.loadTable(org.apache.spark.sql.connector.catalog.Identifier
+      .of(Array("cstats"), "tail")).asInstanceOf[GraftTable]
+    val total = TableMeta.loadRegions(t.tableDir).size
+    assert(total >= 3, s"need multiple regions, got $total")
+    def partsFor(fs: Array[sources.Filter]): Int = {
+      val stream = new GraftMicroBatchStream(t.tableDir, t.meta.schema, fs)
+      stream.planInputPartitions(stream.initialOffset(),
+        stream.latestOffset()).length
+    }
+    assert(partsFor(Array.empty) == total)
+    // day is monotone in the key → one region band matches
+    val skipped = partsFor(Array(sources.EqualTo("day", 3)))
+    assert(skipped < total, s"expected skipping, got $skipped of $total")
+    // key-interval pruning works on the stream too
+    assert(partsFor(Array(sources.LessThan("k", 10L))) <= 2)
+    spark.sql("DROP TABLE graft.cstats.tail")
+  }
+
+  test("ALTER-added column without stats never prunes old regions") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.cstats")
+    spark.sql("DROP TABLE IF EXISTS graft.cstats.alt")
+    spark.sql(
+      """CREATE TABLE graft.cstats.alt (k BIGINT, v STRING)
+        |TBLPROPERTIES('keyCols'='k', 'numRegions'='2')""".stripMargin)
+    spark.sql(
+      "INSERT INTO graft.cstats.alt SELECT id, concat('v', id) FROM range(100)")
+    spark.sql("ALTER TABLE graft.cstats.alt ADD COLUMN extra INT")
+    spark.sql(
+      """INSERT INTO graft.cstats.alt
+        |SELECT id, concat('w', id), CAST(id AS INT) FROM range(100, 150)"""
+        .stripMargin)
+    // old regions have no 'extra' stats → must survive both polarities
+    assert(spark.sql(
+      "SELECT count(*) FROM graft.cstats.alt WHERE extra IS NULL")
+      .head().getLong(0) == 100L)
+    assert(spark.sql(
+      "SELECT count(*) FROM graft.cstats.alt WHERE extra >= 120")
+      .head().getLong(0) == 30L)
+    spark.sql("DROP TABLE graft.cstats.alt")
+  }
+}

@@ -264,8 +264,12 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     val scan = b.build().asInstanceOf[GraftScan]
     val total = scan.planInputPartitions().length
     assert(total > 1)
-    assert(scan.filterAttributes().map(_.fieldNames.head) ===
-      Array("o_orderkey"))
+    // the key column leads; stat-covered non-key columns are runtime-
+    // filterable too (ColStats region skipping on broadcast key sets)
+    val attrs = scan.filterAttributes().map(_.fieldNames.head)
+    assert(attrs.head == "o_orderkey")
+    assert(attrs.toSet == Set("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_totalprice", "o_orderdate"))
     // Spark injects the broadcast build side's key set at runtime
     scan.filter(Array[sources.Filter](sources.In("o_orderkey",
       Array(100L, 101L, 102L): Array[Any])))
