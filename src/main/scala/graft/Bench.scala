@@ -15,14 +15,16 @@ object Bench {
       .config("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Untimed warmup: JVM/codegen warm, parquet footers cached, and the
-    // region store built once (its bulk load is ingest, not query time).
-    try {
-      SparkEntry.entry(spark).count()
-      SparkEntry.queries("store_point_lookup")(spark, sfDir).count()
-      SparkEntry.queries("catalog_point_lookup")(spark, sfDir).count()
-      SparkEntry.queries("catalog_tpch_q5")(spark, sfDir).count()
-    } catch { case _: Throwable => }
+    // Untimed warmup: one full pass over every query. This builds the
+    // region store and all catalog tables (bulk load is ingest, not
+    // query time), JIT-compiles the generated code, and caches parquet
+    // footers — so the timed pass below measures steady-state query
+    // latency, the same regime the DuckDB oracle timings are taken in.
+    // Failures are ignored here; the timed pass reports them loudly.
+    try SparkEntry.entry(spark).count() catch { case _: Throwable => }
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+      try fn(spark, sfDir).count() catch { case _: Throwable => }
+    }
     // a failing query reports -1 s, loudly: silent swallowing would let a
     // broken query keep "benchmarking"
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

@@ -145,6 +145,49 @@ object TextOps {
         round(avg(col("lex_div")), 4).as("avg_lex_div"))
   }
 
+  /** Sequence packing: assign documents to fixed-token-budget training
+    * bins. Each shard (source) orders its docs by doc_id, takes the
+    * running token total, and a doc goes to the bin its prefix sum
+    * starts in — the standard approximate first-fit used when packing
+    * corpora into fixed-length training sequences. One shuffle on the
+    * shard key + a per-partition sort; at real scale the shard key is
+    * finer than `source` (e.g. source × id-range) so no shard outgrows
+    * an executor. Token proxy = n_chars/4 + 1 (chars-per-token
+    * estimate), making the assignment pure arithmetic — exact DuckDB
+    * oracle. */
+  val seqPack: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val budget = 256
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    docs(s, d)
+      .withColumn("tok", (col("n_chars") / 4).cast("long") + 1)
+      .withColumn("cum", sum(col("tok")).over(w))
+      .withColumn("bin", floor((col("cum") - col("tok")) / budget))
+      .groupBy(col("source"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("tok")).as("bin_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+  }
+
+  /** Deterministic stratified sampling for a training mixture: each
+    * language stratum keeps a fixed quota of docs, chosen by a
+    * multiplicative hash of doc_id — reproducible across engines and
+    * runs (no RNG), embarrassingly parallel (pure map + one
+    * aggregation), and exactly DuckDB-checkable. The mixture-weighting
+    * step every corpus build runs before tokenization. */
+  val stratSample: Q = (s, d) =>
+    docs(s, d)
+      .withColumn("quota",
+        when(col("lang") === "en", 60)
+          .when(col("lang").isin("fr", "de"), 30)
+          .otherwise(10))
+      .filter(pmod(col("doc_id") * lit(2654435761L), lit(100))
+        < col("quota"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_sampled"),
+        sum(col("n_chars")).as("sampled_chars"))
+
   // -------------------------------------------------------- n-gram Jaccard
 
   /** Exact word-set Jaccard similarity for near-dup pairs ≥ 0.9.
@@ -481,6 +524,8 @@ object TextOps {
     "dedup_minhash_pairs" -> dedupMinhashPairs,
     "dedup_clusters" -> dedupClusters,
     "pipeline_clean" -> pipelineClean,
+    "pipeline_pack" -> seqPack,
+    "pipeline_sample" -> stratSample,
     "dedup_simhash" -> dedupSimhash,
     "ann_cosine_topk" -> annCosineTopk,
     "ann_cosine_pairs" -> annCosinePairs,
@@ -508,6 +553,29 @@ object TextOps {
     "text_fingerprint" ->
       """SELECT doc_id, substring(md5(lower(trim(text))), 1, 16) AS fp
         |FROM documents""".stripMargin,
+
+    // same prefix-sum bin assignment; DuckDB's // is integer division
+    "pipeline_pack" ->
+      """WITH t AS (
+        |  SELECT source, doc_id, n_chars // 4 + 1 AS tok,
+        |         sum(n_chars // 4 + 1) OVER (
+        |           PARTITION BY source ORDER BY doc_id
+        |           ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM documents)
+        |SELECT source, (cum - tok) // 256 AS bin,
+        |       count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS bin_tokens,
+        |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM t GROUP BY source, bin""".stripMargin,
+
+    "pipeline_sample" ->
+      """SELECT lang, count(*) AS n_sampled,
+        |       CAST(sum(n_chars) AS BIGINT) AS sampled_chars
+        |FROM documents
+        |WHERE (doc_id * 2654435761) % 100 <
+        |      CASE WHEN lang = 'en' THEN 60
+        |           WHEN lang IN ('fr', 'de') THEN 30
+        |           ELSE 10 END
+        |GROUP BY lang""".stripMargin,
 
     "pipeline_clean" ->
       """WITH scored AS (
