@@ -301,6 +301,75 @@ class ColStatsSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.cstats.tail")
   }
 
+  test("broadcast join on a non-key column re-prunes regions at runtime") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.cstats")
+    spark.sql("DROP TABLE IF EXISTS graft.cstats.rt")
+    spark.sql(
+      """CREATE TABLE graft.cstats.rt (k BIGINT, day INT, v DOUBLE)
+        |TBLPROPERTIES('keyCols'='k', 'numRegions'='8')""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft.cstats.rt
+        |SELECT id, CAST(id / 1000 AS INT), id * 1.0 FROM range(8000)"""
+        .stripMargin)
+    import spark.implicits._
+    // dim must come from a V1/V2 relation with a selective predicate —
+    // Spark only plans dynamic pruning against a filtered build side
+    (0 to 7).map(d => (d, s"tag$d")).toDF("day", "tag")
+      .write.mode("overwrite").parquet("/tmp/graft_dim_rt")
+    spark.read.parquet("/tmp/graft_dim_rt")
+      .createOrReplaceTempView("dim_rt")
+    val q = spark.sql(
+      """SELECT count(*) AS c FROM graft.cstats.rt t
+        |JOIN dim_rt d ON t.day = d.day WHERE d.tag = 'tag3'""".stripMargin)
+    // collect() (not head()) so the inspected plan is the one that ran —
+    // inputRDD on an unexecuted plan has no dynamic-subquery results
+    val res = q.collect()
+    assert(res(0).getLong(0) == 1000L)
+    val scan = findScan(q.queryExecution.executedPlan).get
+    assert(scan.runtimeFilters.nonEmpty,
+      "expected a dynamic-pruning runtime filter on the non-key column")
+    // day=3 covers one region band (+ at most one boundary straddle);
+    // without runtime stats pruning all 8 regions would scan
+    val parts = scan.inputRDD.getNumPartitions
+    assert(parts <= 3, s"expected runtime skip to <=3 of 8 regions, got $parts")
+    spark.sql("DROP TABLE graft.cstats.rt")
+  }
+
+  test("compaction rewrites carry column stats") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.cstats")
+    spark.sql("DROP TABLE IF EXISTS graft.cstats.cmp")
+    spark.sql(
+      """CREATE TABLE graft.cstats.cmp (k BIGINT, day INT, v DOUBLE)
+        |TBLPROPERTIES('keyCols'='k', 'numRegions'='4')""".stripMargin)
+    // two appends -> small overlapping regions, then compact
+    spark.sql(
+      """INSERT INTO graft.cstats.cmp
+        |SELECT id, CAST(id / 500 AS INT), id * 1.0 FROM range(2000)"""
+        .stripMargin)
+    spark.sql(
+      """INSERT INTO graft.cstats.cmp
+        |SELECT id, CAST(id / 500 AS INT), id * 1.0 FROM range(2000, 4000)"""
+        .stripMargin)
+    GraftCompact.compact(spark, "graft", "cstats", "cmp", 4)
+    val cat = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[GraftCatalog]
+    val t = cat.loadTable(org.apache.spark.sql.connector.catalog.Identifier
+      .of(Array("cstats"), "cmp")).asInstanceOf[GraftTable]
+    val regions = TableMeta.loadRegions(t.tableDir)
+    assert(regions.nonEmpty && regions.forall(_.stats.nonEmpty),
+      "compacted regions must carry column stats")
+    // stats still prune after the rewrite (day monotone in k)
+    val q = spark.sql(
+      "SELECT count(*) AS c FROM graft.cstats.cmp WHERE day = 7")
+    assert(q.head().getLong(0) == 500L)
+    q.collect()
+    val parts = findScan(q.queryExecution.executedPlan)
+      .get.inputRDD.getNumPartitions
+    assert(parts < regions.size,
+      s"expected stat skip after compaction: $parts of ${regions.size}")
+    spark.sql("DROP TABLE graft.cstats.cmp")
+  }
+
   test("ALTER-added column without stats never prunes old regions") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.cstats")
     spark.sql("DROP TABLE IF EXISTS graft.cstats.alt")
