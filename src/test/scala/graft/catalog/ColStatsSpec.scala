@@ -370,6 +370,36 @@ class ColStatsSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.cstats.cmp")
   }
 
+  test("CALL graft.sys.stats exposes per-region manifest statistics") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.cstats")
+    spark.sql("DROP TABLE IF EXISTS graft.cstats.proc")
+    spark.sql(
+      """CREATE TABLE graft.cstats.proc (k BIGINT, day INT, note STRING)
+        |TBLPROPERTIES('keyCols'='k', 'numRegions'='2')""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft.cstats.proc
+        |SELECT id, CAST(id AS INT),
+        |       CASE WHEN id % 3 = 0 THEN NULL ELSE concat('n', id) END
+        |FROM range(100)""".stripMargin)
+    val rows = spark.sql("CALL graft.sys.stats(table => 'cstats.proc')")
+      .collect()
+    assert(rows.length >= 2) // one row per region
+    assert(rows.map(_.getAs[String]("rows").toLong).sum == 100L)
+    // decoded key range of the whole table spans 0..99
+    assert(rows.map(_.getAs[String]("key_min").toLong).min == 0L)
+    assert(rows.map(_.getAs[String]("key_max").toLong).max == 99L)
+    // non-key stats rendered with decoded bounds and null counts
+    val stats = rows.map(_.getAs[String]("column_stats")).mkString(" | ")
+    assert(stats.contains("day:[") && stats.contains("note:["))
+    val totalNoteNulls = rows.map { r =>
+      val s = r.getAs[String]("column_stats")
+      val m = "note:\\[[^\\]]*\\] nulls=(\\d+)".r.findFirstMatchIn(s)
+      m.map(_.group(1).toLong).getOrElse(0L)
+    }.sum
+    assert(totalNoteNulls == (0 until 100).count(_ % 3 == 0))
+    spark.sql("DROP TABLE graft.cstats.proc")
+  }
+
   test("ALTER-added column without stats never prunes old regions") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.cstats")
     spark.sql("DROP TABLE IF EXISTS graft.cstats.alt")
