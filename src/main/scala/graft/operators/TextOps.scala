@@ -435,21 +435,22 @@ object TextOps {
     * bounded to doc_id < 200; the MinHash/LSH band join is the scale
     * path for both. */
   val ngramJaccardPairs: Q = (s, d) => {
+    // bounded oracle path (200 docs regardless of sf): per-doc distinct
+    // 3-gram ARRAYS cross-joined via broadcast — one codegen stage with
+    // array_intersect per pair, no gram-explosion shuffle chain. The
+    // scale path for unbounded corpora is the banded MinHash join.
     val g = docs(s, d)
       .filter(col("doc_id") < 200)
-      .select(col("doc_id"), explode(array_distinct(expr(
+      .select(col("doc_id"), array_distinct(expr(
         """transform(sequence(1, greatest(length(text) - 2, 1)),
-          |          i -> substring(text, i, 3))""".stripMargin))).as("gram"))
-    val sz = g.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val shared = g.select(col("doc_id").as("da"), col("gram"))
-      .join(g.select(col("doc_id").as("db"), col("gram")), "gram")
+          |          i -> substring(text, i, 3))""".stripMargin)).as("grams"))
+    g.select(col("doc_id").as("da"), col("grams").as("ga"))
+      .crossJoin(broadcast(
+        g.select(col("doc_id").as("db"), col("grams").as("gb"))))
       .filter(col("da") < col("db"))
-      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("shared"))
-    shared
-      .join(sz.select(col("doc_id").as("da"), col("n").as("na")), "da")
-      .join(sz.select(col("doc_id").as("db"), col("n").as("nb")), "db")
-      .withColumn("jaccard",
-        round(col("shared") / (col("na") + col("nb") - col("shared")), 4))
+      .withColumn("shared", size(array_intersect(col("ga"), col("gb"))))
+      .withColumn("jaccard", round(col("shared") /
+        (size(col("ga")) + size(col("gb")) - col("shared")), 4))
       .filter(col("jaccard") >= 0.8)
       .select(col("da"), col("db"), col("jaccard"))
   }
