@@ -58,7 +58,12 @@ class ColStatsSpec extends AnyFunSuite {
       case sources.GreaterThanOrEqual(c, x) => cmp(c, x).map(_ >= 0)
       case sources.LessThan(c, x) => cmp(c, x).map(_ < 0)
       case sources.LessThanOrEqual(c, x) => cmp(c, x).map(_ <= 0)
-      case sources.In(c, xs) => v(c).map(x => xs.contains(x))
+      // SQL IN: null element → match is TRUE or NULL, never FALSE
+      case sources.In(c, xs) => v(c).flatMap { x =>
+        if (xs.filter(_ != null).contains(x)) Some(true)
+        else if (xs.contains(null)) None
+        else Some(false)
+      }
       case sources.IsNull(c) => Some(v(c).isEmpty)
       case sources.IsNotNull(c) => Some(v(c).isDefined)
       case sources.StringStartsWith(c, p) =>
@@ -85,7 +90,8 @@ class ColStatsSpec extends AnyFunSuite {
       case 2 => sources.GreaterThanOrEqual(c, lit)
       case 3 => sources.LessThan(c, lit)
       case 4 => sources.LessThanOrEqual(c, lit)
-      case 5 => sources.In(c, Array.fill(1 + rnd.nextInt(3))(lit))
+      case 5 => sources.In(c, Array.fill(1 + rnd.nextInt(3))(
+        if (rnd.nextInt(6) == 0) null else lit))
       case 6 => sources.EqualNullSafe(c, if (rnd.nextInt(4) == 0) null else lit)
       case 7 => sources.IsNull(c)
       case 8 => sources.IsNotNull(c)
