@@ -50,12 +50,16 @@ object ColStats {
   /** String stat bounds are truncated to this many UTF-8 bytes. */
   val MaxStringStatBytes = 64
 
-  /** Types whose stats we can track and compare in encoded-byte order
-    * (the ten atomic types; DECIMAL/ARRAY/BINARY columns are untracked —
-    * unknown, never pruned). */
+  /** Types whose stats we can track and compare in encoded-byte order:
+    * the ten atomic types plus DECIMAL(p≤18), whose unscaled long at
+    * the column's fixed scale orders exactly like the value (the same
+    * representation the parquet predicate pushdown compares). FLBA
+    * decimals (p>18) and ARRAY/BINARY columns are untracked — unknown,
+    * never pruned. */
   def trackable(dt: DataType): Boolean = dt match {
     case BooleanType | ByteType | ShortType | IntegerType | DateType |
         LongType | TimestampType | FloatType | DoubleType | StringType => true
+    case d: DecimalType => d.precision <= 18
     case _ => false
   }
 
@@ -73,6 +77,7 @@ object ColStats {
   def tracker(field: StructField): Tracker = field.dataType match {
     case StringType => new StringTracker(field.name)
     case FloatType | DoubleType => new FpTracker(field.name, field.dataType)
+    case d: DecimalType => new DecimalTracker(field.name, d)
     case dt => new IntegralTracker(field.name, dt)
   }
 
@@ -134,6 +139,25 @@ object ColStats {
         Some(enc(if (mx == 0.0) 0.0 else mx)), nulls)
   }
 
+  /** DECIMAL(p≤18): min/max of the unscaled long, encoded like a LONG
+    * stat — value order at the column's fixed scale. */
+  private final class DecimalTracker(name: String, dt: DecimalType)
+      extends Tracker(name) {
+    private var has = false
+    private var mn = 0L
+    private var mx = 0L
+    override def observe(row: InternalRow, i: Int): Unit = {
+      val v = row.getDecimal(i, dt.precision, dt.scale).toUnscaledLong
+      if (!has) { has = true; mn = v; mx = v }
+      else { if (v < mn) mn = v; if (v > mx) mx = v }
+    }
+    private def enc(v: Long): String =
+      KeyCodec.toHex(KeyCodec.encode(LongType, v))
+    override def stat: ColStat =
+      if (!has) ColStat(None, None, nulls)
+      else ColStat(Some(enc(mn)), Some(enc(mx)), nulls)
+  }
+
   private final class StringTracker(name: String) extends Tracker(name) {
     private var mn: UTF8String = _
     private var mx: UTF8String = _
@@ -172,15 +196,31 @@ object ColStats {
       filters.forall(mayMatch(_, st, types))
     }
 
-  private def enc(dt: DataType, v: Any): Option[Array[Byte]] =
-    ParquetRowIO.toInternal(dt, v).flatMap { cv =>
-      try Some(dt match {
-        // bypass KeyCodec's NUL-delimiter rejection: stats are not
-        // composite keys, any string content is comparable
-        case StringType => cv.toString.getBytes(StandardCharsets.UTF_8)
-        case _ => KeyCodec.encode(dt, cv)
-      }) catch { case _: Exception => None }
-    }
+  private def enc(dt: DataType, v: Any): Option[Array[Byte]] = dt match {
+    // decimal literal → unscaled long at the column's scale, exactly;
+    // inexact or long-overflowing literals widen to unknown (sound —
+    // same contract as the parquet unscaled-compare pushdown)
+    case d: DecimalType =>
+      val bd = v match {
+        case x: java.math.BigDecimal => x
+        case x: BigDecimal => x.bigDecimal
+        case x: org.apache.spark.sql.types.Decimal => x.toJavaBigDecimal
+        case _ => return None
+      }
+      val scaled =
+        try bd.setScale(d.scale) catch { case _: ArithmeticException => return None }
+      if (scaled.unscaledValue.bitLength > 62) None
+      else Some(KeyCodec.encode(LongType, scaled.unscaledValue.longValueExact))
+    case _ =>
+      ParquetRowIO.toInternal(dt, v).flatMap { cv =>
+        try Some(dt match {
+          // bypass KeyCodec's NUL-delimiter rejection: stats are not
+          // composite keys, any string content is comparable
+          case StringType => cv.toString.getBytes(StandardCharsets.UTF_8)
+          case _ => KeyCodec.encode(dt, cv)
+        }) catch { case _: Exception => None }
+      }
+  }
 
   /** May any row of the region satisfy f? Unknown → true (sound). */
   private def mayMatch(f: sources.Filter, st: Map[String, ColStat],

@@ -139,9 +139,17 @@ object GraftProcedures {
           def decodeStat(col: String, hex: String): String = {
             val dt = gt.meta.schema(col).dataType
             val b = graft.codec.KeyCodec.fromHex(hex)
-            if (dt == org.apache.spark.sql.types.StringType)
-              new String(b, java.nio.charset.StandardCharsets.UTF_8)
-            else String.valueOf(graft.codec.KeyCodec.decode(dt, b, 0, b.length))
+            dt match {
+              case org.apache.spark.sql.types.StringType =>
+                new String(b, java.nio.charset.StandardCharsets.UTF_8)
+              case d: org.apache.spark.sql.types.DecimalType =>
+                java.math.BigDecimal.valueOf(
+                  graft.codec.KeyCodec.decode(
+                    org.apache.spark.sql.types.LongType, b, 0, b.length)
+                    .asInstanceOf[Long], d.scale).toPlainString
+              case _ => String.valueOf(
+                graft.codec.KeyCodec.decode(dt, b, 0, b.length))
+            }
           }
           val rows = TableMeta.loadRegions(gt.tableDir).map { r =>
             val stats = r.stats.toSeq.sortBy(_._1).map { case (c, st) =>

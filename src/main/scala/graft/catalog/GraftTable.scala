@@ -557,14 +557,17 @@ class GraftScan(tableDir: File, meta: TableMeta, required: StructType,
           val nulls = sts.map(_.nulls).sum
           val mns = sts.flatMap(_.min).map(KeyCodec.fromHex)
           val mxs = sts.flatMap(_.max).map(KeyCodec.fromHex)
+          def dec(b: Array[Byte]): Any = dt match {
+            // decimal stats store the unscaled long; CBO wants the
+            // Catalyst Decimal
+            case d: DecimalType => org.apache.spark.sql.types.Decimal(
+              KeyCodec.decode(LongType, b, 0, b.length).asInstanceOf[Long],
+              d.precision, d.scale)
+            case _ => KeyCodec.decode(dt, b, 0, b.length)
+          }
           val (mn, mx) =
             if (dt == StringType || mns.isEmpty) (None, None)
-            else {
-              val lo = mns.min(byteOrd)
-              val hi = mxs.max(byteOrd)
-              (Some(KeyCodec.decode(dt, lo, 0, lo.length)),
-                Some(KeyCodec.decode(dt, hi, 0, hi.length)))
-            }
+            else (Some(dec(mns.min(byteOrd))), Some(dec(mxs.max(byteOrd))))
           val name = meta.schema.fields
             .find(_.name.toLowerCase == lc).get.name
           out.put(connector.expressions.Expressions.column(name),

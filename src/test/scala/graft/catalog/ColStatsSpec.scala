@@ -406,6 +406,32 @@ class ColStatsSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.cstats.proc")
   }
 
+  test("DECIMAL column stats skip regions; inexact literals never prune") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.cstats")
+    spark.sql("DROP TABLE IF EXISTS graft.cstats.decs")
+    spark.sql(
+      """CREATE TABLE graft.cstats.decs (k BIGINT, price DECIMAL(12,2))
+        |TBLPROPERTIES('keyCols'='k', 'numRegions'='8')""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft.cstats.decs
+        |SELECT id, CAST(id AS DECIMAL(12,2)) / 100 FROM range(8000)"""
+        .stripMargin)
+    val q = spark.sql(
+      """SELECT count(*) AS c FROM graft.cstats.decs
+        |WHERE price BETWEEN 30.00 AND 34.99""".stripMargin)
+    assert(q.head().getLong(0) == 500L)
+    q.collect()
+    val parts = findScan(q.queryExecution.executedPlan)
+      .get.inputRDD.getNumPartitions
+    assert(parts <= 2, s"expected decimal stat skip to <=2 regions, got $parts")
+    // a literal with more scale than the column cannot round-trip the
+    // unscaled compare — it must widen to "unknown", never prune wrong
+    val q2 = spark.sql(
+      "SELECT count(*) AS c FROM graft.cstats.decs WHERE price > 30.005")
+    assert(q2.head().getLong(0) == 4999L)
+    spark.sql("DROP TABLE graft.cstats.decs")
+  }
+
   test("ALTER-added column without stats never prunes old regions") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.cstats")
     spark.sql("DROP TABLE IF EXISTS graft.cstats.alt")
