@@ -683,7 +683,10 @@ final class GraftMicroBatchStream(tableDir: File, required: StructType,
 
   // same pruning machinery as the batch scan: a filtered tail skips
   // regions the pushed predicates provably miss (offsets still advance
-  // past them — their rows match nothing)
+  // past them — their rows match nothing). Spark's pushdown rule is
+  // batch-only today, so SQL-level stream filters stay above the scan;
+  // the skip engages for filters handed to the stream directly and is
+  // ready the day streaming pushdown lands.
   private lazy val (dims, statTypes) = {
     val meta = TableMeta.load(tableDir)
     val keySet = meta.keyCols.map(_.toLowerCase).toSet
