@@ -47,7 +47,8 @@ class GraftTable(tableName: String, val tableDir: File, val meta: TableMeta)
       TableCapability.STREAMING_WRITE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(tableDir, meta)
+    new GraftScanBuilder(tableDir, meta,
+      Option(options.get(FilterHint.OptionKey)))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftWriteBuilder(tableDir, meta, info)
@@ -185,7 +186,8 @@ object GraftFilters {
       : Option[(Int, DataType)] = dims.get(name.toLowerCase)
 }
 
-class GraftScanBuilder(tableDir: File, meta: TableMeta)
+class GraftScanBuilder(tableDir: File, meta: TableMeta,
+    filterHint: Option[String] = None)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
 
@@ -244,7 +246,7 @@ class GraftScanBuilder(tableDir: File, meta: TableMeta)
 
   override def build(): Scan = aggPlan match {
     case Some(specs) => new GraftAggScan(tableDir, meta, specs)
-    case None => new GraftScan(tableDir, meta, required, pushed)
+    case None => new GraftScan(tableDir, meta, required, pushed, filterHint)
   }
 }
 
@@ -340,7 +342,7 @@ final case class GraftAggReaderFactory() extends PartitionReaderFactory {
 }
 
 class GraftScan(tableDir: File, meta: TableMeta, required: StructType,
-    filters: Array[sources.Filter])
+    filters: Array[sources.Filter], filterHint: Option[String] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsReportOrdering with SupportsRuntimeFiltering
     with SupportsReportPartitioning {
@@ -412,8 +414,12 @@ class GraftScan(tableDir: File, meta: TableMeta, required: StructType,
     * table while it is being tailed; compaction rewrites the manifest.)
     * The reference has no streaming surface at all (SURVEY §2.8). */
   override def toMicroBatchStream(checkpointLocation: String)
-      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new GraftMicroBatchStream(tableDir, required, filters)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    // graft.filterHint: user-asserted skipping predicate (FilterHint) —
+    // the streaming stand-in for batch-only filter pushdown
+    val hinted = filterHint.map(FilterHint.parse).getOrElse(Array.empty)
+    new GraftMicroBatchStream(tableDir, required, filters ++ hinted)
+  }
 
   /** Key-grouped partitioning over the fixed region buckets, when the
     * table declares `regionSplits` and every region file carries its

@@ -432,6 +432,62 @@ class ColStatsSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.cstats.decs")
   }
 
+  test("e2e: graft.filterHint skips regions in a filtered stream tail") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.cstats")
+    spark.sql("DROP TABLE IF EXISTS graft.cstats.ftail")
+    spark.sql(
+      """CREATE TABLE graft.cstats.ftail (k BIGINT, day INT, v DOUBLE)
+        |TBLPROPERTIES('keyCols'='k', 'numRegions'='4')""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft.cstats.ftail
+        |SELECT id, CAST(id / 500 AS INT), id * 1.0 FROM range(2000)"""
+        .stripMargin)
+    // Spark's pushdown rule is batch-only, so .where alone feeds every
+    // region into the stream; the hint lets the source skip them
+    val q = spark.readStream
+      .option("graft.filterHint", "day = 3")
+      .table("graft.cstats.ftail")
+      .where("day = 3")
+      .writeStream.format("memory").queryName("ftail_mem")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("ftail_mem").count() == 500L)
+      // skipped regions never became input rows (one region band holds
+      // day=3, + at most one boundary straddle)
+      val progress = q.recentProgress.map(_.numInputRows).sum
+      assert(progress <= 1000L,
+        s"expected region skip to bound input rows, got $progress")
+    } finally q.stop()
+    spark.sql("DROP TABLE graft.cstats.ftail")
+  }
+
+  test("filter-hint translation: supported nodes convert, others drop") {
+    spark // parser needs an active session
+    val fs = FilterHint.parse(
+      "k >= 10 AND day IN (1, 2) AND upper(tag) = 'X' AND " +
+        "name LIKE 'ab%' AND d >= DATE'2024-01-01' AND NOT (v = 5.0)")
+    assert(fs.contains(sources.GreaterThanOrEqual("k", 10)))
+    assert(fs.exists {
+      case sources.In("day", vs) => vs.toSet == Set(1, 2)
+      case _ => false
+    })
+    assert(fs.contains(sources.StringStartsWith("name", "ab")))
+    assert(fs.exists {
+      case sources.GreaterThanOrEqual("d", dte: java.sql.Date) =>
+        dte.toString == "2024-01-01"
+      case _ => false
+    })
+    // SQL literal 5.0 parses as DECIMAL → BigDecimal value
+    assert(fs.exists {
+      case sources.Not(sources.EqualTo("v", x)) =>
+        x.toString.toDouble == 5.0
+      case _ => false
+    })
+    // upper(tag) = 'X' has no translation → dropped, not mis-translated
+    assert(fs.length == 5)
+  }
+
   test("ALTER-added column without stats never prunes old regions") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.cstats")
     spark.sql("DROP TABLE IF EXISTS graft.cstats.alt")
