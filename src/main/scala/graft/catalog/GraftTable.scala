@@ -35,7 +35,8 @@ import graft.prune.KeyRanges.{Iv, IvSet}
   *    `HBasePartition`), with row-count statistics for the planner.
   */
 class GraftTable(tableName: String, val tableDir: File, val meta: TableMeta)
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite
+    with connector.catalog.SupportsDelete {
 
   override def name(): String = tableName
   override def schema(): StructType = meta.schema
@@ -52,6 +53,15 @@ class GraftTable(tableName: String, val tableDir: File, val meta: TableMeta)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftWriteBuilder(tableDir, meta, info)
+
+  /** Region-aligned metadata-only DELETE/TRUNCATE ([[GraftDelete]]):
+    * whole regions drop from the manifest with zero data IO when the
+    * predicate is exactly a leading-key interval set. */
+  override def canDeleteWhere(filters: Array[sources.Filter]): Boolean =
+    GraftDelete.exactIntervals(filters.toSeq, meta).isDefined
+
+  override def deleteWhere(filters: Array[sources.Filter]): Unit =
+    GraftDelete.deleteWhere(tableDir, meta, filters)
 }
 
 /** V1 `sources.Filter` → per-key-dimension interval sets, for region

@@ -1,0 +1,108 @@
+package graft.catalog
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Region-aligned metadata-only DELETE ([[GraftDelete]]): whole
+  * regions drop from the manifest with zero data IO; anything that
+  * would partially match a region refuses loudly. */
+class GraftDeleteSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def build(name: String): String = {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.del")
+    val fqn = s"graft.del.$name"
+    spark.sql(s"DROP TABLE IF EXISTS $fqn")
+    // fixed splits → regions at exactly 100/200/300
+    spark.sql(
+      s"""CREATE TABLE $fqn (k BIGINT, v DOUBLE)
+         |TBLPROPERTIES('keyCols'='k', 'regionSplits'='100;200;300')"""
+        .stripMargin)
+    spark.sql(
+      s"INSERT INTO $fqn SELECT id, id * 1.0 FROM range(400)")
+    fqn
+  }
+
+  private def tableDir(name: String): java.io.File = {
+    val cat = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[GraftCatalog]
+    cat.loadTable(org.apache.spark.sql.connector.catalog.Identifier
+      .of(Array("del"), name)).asInstanceOf[GraftTable].tableDir
+  }
+
+  test("split-aligned DELETE drops whole regions, no data IO") {
+    val fqn = build("aligned")
+    val before = TableMeta.loadRegions(tableDir("aligned"))
+    assert(before.size == 4)
+    val files = before.map(_.file).toSet
+    spark.sql(s"DELETE FROM $fqn WHERE k < 100")
+    assert(spark.table(fqn).count() == 300L)
+    assert(spark.sql(s"SELECT min(k) FROM $fqn").head().getLong(0) == 100L)
+    val after = TableMeta.loadRegions(tableDir("aligned"))
+    assert(after.size == 3)
+    // surviving region files are the ORIGINAL files — nothing rewritten
+    assert(after.map(_.file).toSet.subsetOf(files))
+    // deleted region retires (file kept one compaction cycle)
+    val st = TableMeta.loadState(tableDir("aligned"))
+    assert(st.retired.size == 1)
+    spark.sql(s"DROP TABLE $fqn")
+  }
+
+  test("DELETE with IN on split points and compound ranges") {
+    val fqn = build("ranges")
+    // two whole regions via an exact interval union
+    spark.sql(s"DELETE FROM $fqn WHERE k >= 100 AND k < 200 OR k >= 300")
+    assert(spark.table(fqn).count() == 200L)
+    assert(spark.sql(s"SELECT collect_set(CAST(k / 100 AS INT)) FROM $fqn")
+      .head().getSeq[Int](0).toSet == Set(0, 2))
+    spark.sql(s"DROP TABLE $fqn")
+  }
+
+  test("misaligned DELETE refuses and changes nothing") {
+    val fqn = build("misaligned")
+    val e = intercept[Exception] {
+      spark.sql(s"DELETE FROM $fqn WHERE k < 150")
+    }
+    assert(e.getMessage.contains("align") ||
+      e.getCause != null && e.getCause.getMessage.contains("align"))
+    assert(spark.table(fqn).count() == 400L)
+    spark.sql(s"DROP TABLE $fqn")
+  }
+
+  test("non-key / inexact predicates are rejected at analysis") {
+    val fqn = build("nonkey")
+    intercept[Exception] {
+      spark.sql(s"DELETE FROM $fqn WHERE v > 50.0")
+    }
+    assert(spark.table(fqn).count() == 400L)
+    spark.sql(s"DROP TABLE $fqn")
+  }
+
+  test("TRUNCATE via DELETE-all empties the table, files retire") {
+    val fqn = build("trunc")
+    spark.sql(s"DELETE FROM $fqn")
+    assert(spark.table(fqn).count() == 0L)
+    assert(TableMeta.loadRegions(tableDir("trunc")).isEmpty)
+    assert(TableMeta.loadState(tableDir("trunc")).retired.size == 4)
+    // table stays writable after truncate
+    spark.sql(s"INSERT INTO $fqn VALUES (5, 5.0)")
+    assert(spark.table(fqn).count() == 1L)
+    spark.sql(s"DROP TABLE $fqn")
+  }
+
+  test("tailing stream skips deleted region ids without failing") {
+    val fqn = build("stream")
+    val q = spark.readStream.table(fqn)
+      .writeStream.format("memory").queryName("del_tail")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("del_tail").count() == 400L)
+      spark.sql(s"DELETE FROM $fqn WHERE k < 100")
+      spark.sql(s"INSERT INTO $fqn SELECT id, id * 1.0 FROM range(400, 450)")
+      q.processAllAvailable() // deleted ids just vanish from the log
+      assert(spark.table("del_tail").count() == 450L)
+    } finally q.stop()
+    spark.sql(s"DROP TABLE $fqn")
+  }
+}
