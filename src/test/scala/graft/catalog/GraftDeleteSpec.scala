@@ -90,6 +90,14 @@ class GraftDeleteSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE $fqn")
   }
 
+  test("TRUNCATE TABLE statement routes through the metadata delete") {
+    val fqn = build("trunc_sql")
+    spark.sql(s"TRUNCATE TABLE $fqn")
+    assert(spark.table(fqn).count() == 0L)
+    assert(TableMeta.loadRegions(tableDir("trunc_sql")).isEmpty)
+    spark.sql(s"DROP TABLE $fqn")
+  }
+
   test("tailing stream skips deleted region ids without failing") {
     val fqn = build("stream")
     val q = spark.readStream.table(fqn)
