@@ -614,6 +614,42 @@ class GraftScan(tableDir: File, meta: TableMeta, required: StructType,
   override def description(): String =
     s"GraftScan ${tableDir.getName} regions=${selectedRegions.size} " +
       s"filters=${filters.mkString(", ")}"
+
+  /** Driver-side pruning metrics, surfaced on the scan node in the
+    * Spark UI: how many manifest regions existed, how many survived
+    * pruning (key intervals + column stats + runtime filters), and how
+    * many read tasks they packed into — the numbers an operator checks
+    * to see whether skipping is doing its job on a big table. */
+  override def supportedCustomMetrics()
+      : Array[connector.metric.CustomMetric] =
+    Array(GraftScan.metric("regionsTotal", "manifest regions (total)"),
+      GraftScan.metric("regionsScanned", "regions after pruning"),
+      GraftScan.metric("readPartitions", "packed read tasks"))
+
+  override def reportDriverMetrics()
+      : Array[connector.metric.CustomTaskMetric] = {
+    val total = TableMeta.loadRegions(tableDir).size
+    Array(GraftScan.taskMetric("regionsTotal", total),
+      GraftScan.taskMetric("regionsScanned", selectedRegions.size),
+      GraftScan.taskMetric("readPartitions", packedGroups.size))
+  }
+}
+
+object GraftScan {
+  private[catalog] def metric(n: String, desc: String)
+      : connector.metric.CustomMetric =
+    new connector.metric.CustomMetric {
+      override def name(): String = n
+      override def description(): String = desc
+      override def aggregateTaskMetrics(values: Array[Long]): String =
+        values.sum.toString
+    }
+  private[catalog] def taskMetric(n: String, v: Long)
+      : connector.metric.CustomTaskMetric =
+    new connector.metric.CustomTaskMetric {
+      override def name(): String = n
+      override def value(): Long = v
+    }
 }
 
 object GraftInputPartition {

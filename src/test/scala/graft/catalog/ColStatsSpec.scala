@@ -488,6 +488,28 @@ class ColStatsSpec extends AnyFunSuite {
     assert(fs.length == 5)
   }
 
+  test("scan reports pruning metrics (total/scanned/read tasks)") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.cstats")
+    spark.sql("DROP TABLE IF EXISTS graft.cstats.met")
+    spark.sql(
+      """CREATE TABLE graft.cstats.met (k BIGINT, day INT)
+        |TBLPROPERTIES('keyCols'='k', 'numRegions'='4')""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft.cstats.met
+        |SELECT id, CAST(id / 500 AS INT) FROM range(2000)""".stripMargin)
+    val q = spark.sql("SELECT count(*) FROM graft.cstats.met WHERE day = 3")
+    q.collect()
+    val scan = findScan(q.queryExecution.executedPlan).get.scan
+      .asInstanceOf[GraftScan]
+    val m = scan.reportDriverMetrics().map(t => t.name -> t.value).toMap
+    assert(m("regionsTotal") >= 4)
+    assert(m("regionsScanned") < m("regionsTotal"))
+    assert(m("readPartitions") <= m("regionsScanned"))
+    assert(scan.supportedCustomMetrics().map(_.name).toSet ==
+      Set("regionsTotal", "regionsScanned", "readPartitions"))
+    spark.sql("DROP TABLE graft.cstats.met")
+  }
+
   test("ALTER-added column without stats never prunes old regions") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.cstats")
     spark.sql("DROP TABLE IF EXISTS graft.cstats.alt")
