@@ -180,6 +180,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     }
     // numeric properties fail the CREATE, not the first INSERT
     validateNumericProps(props)
+    // bloom-filter columns must exist (typo'd names fail the CREATE,
+    // not silently write bloom-less regions)
+    TableMeta.bloomCols(props).foreach { c =>
+      require(byName.contains(c.toLowerCase),
+        s"${TableMeta.BloomColsProp} column $c not in schema")
+    }
     // optional family/qualifier mapping — validated, kept as metadata
     props.get(TableMeta.NonKeyColsProp).foreach { spec =>
       val keySet = keyCols.map(_.toLowerCase).toSet

@@ -76,7 +76,8 @@ private[catalog] object GraftCommits {
       meta.keyCols.toArray,
       meta.splits.map(_.points.map(KeyCodec.toHex)).getOrElse(Array.empty),
       meta.properties.get(TableMeta.PageRowLimitProp)
-        .map(_.toInt).getOrElse(0))
+        .map(_.toInt).getOrElse(0),
+      TableMeta.bloomCols(meta.properties).toArray)
 
   def commits(messages: Array[WriterCommitMessage]): Seq[RegionCommit] =
     messages.toSeq.flatMap {
@@ -138,12 +139,13 @@ class GraftBatchWrite(tableDir: File, meta: TableMeta) extends BatchWrite {
 
 final case class GraftWriterFactory(dir: String, schemaJson: String,
     keyCols: Array[String], splitsHex: Array[String],
-    pageRowLimit: Int) extends DataWriterFactory
+    pageRowLimit: Int, bloomCols: Array[String] = Array.empty)
+    extends DataWriterFactory
     with org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : DataWriter[InternalRow] =
     new GraftDataWriter(dir, schemaJson, keyCols, splitsHex, partitionId,
-      taskId, pageRowLimit)
+      taskId, pageRowLimit, bloomCols)
   // streaming face: same sorted region writer per micro-batch task
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
       : DataWriter[InternalRow] =
@@ -182,7 +184,8 @@ class GraftStreamingWrite(tableDir: File, meta: TableMeta, queryId: String)
   * `numBuckets` times per task and each file covers a single bucket. */
 final class GraftDataWriter(dir: String, schemaJson: String,
     keyCols: Array[String], splitsHex: Array[String], partitionId: Int,
-    taskId: Long, pageRowLimit: Int = 0)
+    taskId: Long, pageRowLimit: Int = 0,
+    bloomCols: Array[String] = Array.empty)
     extends DataWriter[InternalRow] {
 
   private val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
@@ -200,7 +203,8 @@ final class GraftDataWriter(dir: String, schemaJson: String,
     val fileName =
       f"part-$partitionId%05d-$taskId-${UUID.randomUUID()}.parquet"
     val writer = new ParquetRowIO.RowWriter(
-      new File(dir, fileName).getPath, schema, pageRowLimit)
+      new File(dir, fileName).getPath, schema, pageRowLimit,
+      bloomCols.toSeq)
     var rows = 0L
     val mins = Array.fill[Array[Byte]](keyCols.length)(null)
     val maxs = Array.fill[Array[Byte]](keyCols.length)(null)

@@ -109,7 +109,7 @@ object ParquetRowIO {
   // ------------------------------------------------------------- writer
 
   final class RowWriter(file: String, schema: StructType,
-      pageRowLimit: Int = 0) {
+      pageRowLimit: Int = 0, bloomCols: Seq[String] = Nil) {
     private val conf = new Configuration()
     private val messageType = toParquetSchema(schema)
     GroupWriteSupport.setSchema(messageType, conf)
@@ -121,6 +121,15 @@ object ParquetRowIO {
       // bounded pages give the column index seek points inside the
       // region (see TableMeta.PageRowLimitProp)
       if (pageRowLimit > 0) b.withPageRowCountLimit(pageRowLimit)
+      // per-column bloom filters (TableMeta.BloomColsProp): row-group
+      // point-predicate skipping for scattered high-cardinality
+      // columns; adaptive sizing, bounded so manifest-scale region
+      // counts stay cheap
+      if (bloomCols.nonEmpty) {
+        b.withAdaptiveBloomFilterEnabled(true)
+        b.withMaxBloomFilterBytes(128 * 1024)
+        bloomCols.foreach(c => b.withBloomFilterEnabled(c, true))
+      }
       b.build()
     }
     private val types = schema.fields.map(_.dataType)

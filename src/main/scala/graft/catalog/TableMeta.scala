@@ -82,6 +82,19 @@ object TableMeta {
     * point predicates over wide leading-dimension runs. */
   val PageRowLimitProp = "graft.pageRowLimit"
 
+  /** `;`-separated columns to write parquet BLOOM FILTERS for (the
+    * HBase column-family BLOOMFILTER option reborn storage-native).
+    * Min/max stats skip RANGE predicates on clustered columns; blooms
+    * skip POINT predicates on scattered high-cardinality columns —
+    * uuid/fingerprint lookups — where a region's [min,max] spans
+    * everything. Row-group level, consulted automatically by the
+    * pushed-predicate filter in both readers; adaptively sized. */
+  val BloomColsProp = "graft.bloomCols"
+
+  def bloomCols(properties: Map[String, String]): Seq[String] =
+    properties.get(BloomColsProp).toSeq
+      .flatMap(_.split(";")).map(_.trim).filter(_.nonEmpty)
+
   private def mapper = new ObjectMapper()
 
   private def writeAtomic(path: File, content: String): Unit = {
