@@ -478,6 +478,41 @@ object CatalogQueries {
        |WHERE o_orderdate BETWEEN DATE'1996-03-01' AND DATE'1996-04-30'
        |GROUP BY o_orderstatus""".stripMargin)
 
+  /** Documents keyed by doc_id with a BLOOM-FILTERED fingerprint
+    * column (graft.bloomCols): point lookups on the scattered md5
+    * skip row groups that min/max stats cannot (BloomSkipSpec proves
+    * the skip; this query gates the answers). */
+  private val builtFp = scala.collection.concurrent.TrieMap[String, String]()
+  private def docsFpTable(s: SparkSession, d: String): String =
+    builtFp.getOrElseUpdate(d, {
+      ordersTable(s, d)
+      val ns = s"sf_${math.abs(d.hashCode)}"
+      val fqn = s"graft.$ns.docs_fp_t"
+      val srcCount = s.read.parquet(s"$d/documents.parquet").count()
+      val exists = trusted(s, ns, "docs_fp_t", srcCount)
+      if (!exists) {
+        s.sql(
+          s"""CREATE TABLE $fqn (
+             |  doc_id BIGINT, fp STRING, source STRING, n_chars BIGINT)
+             |TBLPROPERTIES('keyCols'='doc_id', 'numRegions'='4',
+             |              'graft.bloomCols'='fp')""".stripMargin)
+        val v = s"fp_cat_src_${math.abs(d.hashCode)}"
+        s.read.parquet(s"$d/documents.parquet").createOrReplaceTempView(v)
+        s.sql(
+          s"""INSERT INTO $fqn
+             |SELECT doc_id, md5(text), source, n_chars FROM $v""".stripMargin)
+      }
+      fqn
+    })
+
+  /** Fingerprint point lookup through the bloom-filtered store: every
+    * doc sharing doc 42's content hash (exact-dup cluster membership,
+    * the reverse-lookup a dedup pipeline runs). */
+  val bloomLookup: Q = (s, d) => s.sql(
+    s"""SELECT doc_id, source, n_chars FROM ${docsFpTable(s, d)}
+       |WHERE fp = (SELECT fp FROM ${docsFpTable(s, d)} WHERE doc_id = 42)
+       |ORDER BY doc_id""".stripMargin)
+
   val decimalAgg: Q = (s, d) => s.sql(
     s"""SELECT o_orderstatus, count(*) AS cnt,
        |       sum(o_totalprice) AS total,
@@ -506,6 +541,7 @@ object CatalogQueries {
     "catalog_multimodal_meta" -> multimodalMetaOnStore,
     "catalog_skipscan" -> skipScan,
     "catalog_stats_skip" -> statsSkip,
+    "catalog_bloom_lookup" -> bloomLookup,
     "catalog_dedup_exact" -> dedupOnStore,
     "catalog_point_lookup" -> pointLookup,
     "catalog_range_scan" -> rangeScan,
@@ -562,6 +598,12 @@ object CatalogQueries {
         |       round(avg(n_chars % 64 + 16), 4) AS avg_w,
         |       round(avg(n_chars % 48 + 16), 4) AS avg_h
         |FROM documents GROUP BY 1""".stripMargin,
+
+    "catalog_bloom_lookup" ->
+      """SELECT doc_id, source, n_chars FROM documents
+        |WHERE md5(text) = (SELECT md5(text) FROM documents
+        |                   WHERE doc_id = 42)
+        |ORDER BY doc_id""".stripMargin,
 
     // the log table holds exactly the orders rows (plus a synthetic
     // ingest id), so the date-window aggregate matches orders directly
