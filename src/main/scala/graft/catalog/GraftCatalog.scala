@@ -180,11 +180,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     }
     // numeric properties fail the CREATE, not the first INSERT
     validateNumericProps(props)
-    // bloom-filter columns must exist (typo'd names fail the CREATE,
-    // not silently write bloom-less regions)
+    // bloom-filter columns must exist and be primitive (typo'd names
+    // or nested types fail the CREATE, not silently write bloom-less
+    // regions)
     TableMeta.bloomCols(props).foreach { c =>
       require(byName.contains(c.toLowerCase),
         s"${TableMeta.BloomColsProp} column $c not in schema")
+      byName(c.toLowerCase).dataType match {
+        case _: org.apache.spark.sql.types.ArrayType |
+            _: org.apache.spark.sql.types.MapType |
+            _: org.apache.spark.sql.types.StructType =>
+          throw new IllegalArgumentException(
+            s"${TableMeta.BloomColsProp} column $c has a nested type; " +
+              "parquet bloom filters apply to primitive columns only")
+        case _ =>
+      }
     }
     // optional family/qualifier mapping — validated, kept as metadata
     props.get(TableMeta.NonKeyColsProp).foreach { spec =>

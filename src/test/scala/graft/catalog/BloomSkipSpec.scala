@@ -83,4 +83,17 @@ class BloomSkipSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("nope"))
   }
+
+  test("bloomCols on a nested column fails the CREATE") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.bloom")
+    spark.sql("DROP TABLE IF EXISTS graft.bloom.nested")
+    val e = intercept[Exception] {
+      spark.sql(
+        """CREATE TABLE graft.bloom.nested (k BIGINT, emb ARRAY<FLOAT>)
+          |TBLPROPERTIES('keyCols'='k', 'graft.bloomCols'='emb')"""
+          .stripMargin)
+    }
+    assert(e.getMessage.contains("nested") ||
+      e.getCause != null && e.getCause.getMessage.contains("nested"))
+  }
 }
