@@ -183,19 +183,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // bloom-filter columns must exist and be primitive (typo'd names
     // or nested types fail the CREATE, not silently write bloom-less
     // regions)
-    TableMeta.bloomCols(props).foreach { c =>
-      require(byName.contains(c.toLowerCase),
-        s"${TableMeta.BloomColsProp} column $c not in schema")
-      byName(c.toLowerCase).dataType match {
-        case _: org.apache.spark.sql.types.ArrayType |
-            _: org.apache.spark.sql.types.MapType |
-            _: org.apache.spark.sql.types.StructType =>
-          throw new IllegalArgumentException(
-            s"${TableMeta.BloomColsProp} column $c has a nested type; " +
-              "parquet bloom filters apply to primitive columns only")
-        case _ =>
-      }
-    }
+    validateBloomCols(schema, props)
     // optional family/qualifier mapping — validated, kept as metadata
     props.get(TableMeta.NonKeyColsProp).foreach { spec =>
       val keySet = keyCols.map(_.toLowerCase).toSet
@@ -267,6 +255,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           s"$DroppedColsProp is maintained internally by ALTER TABLE " +
             "ADD/DROP COLUMN and cannot be set directly")
         validateNumericProps(Map(set.property -> set.value))
+        // bloomCols via ALTER applies to FUTURE region writes; same
+        // existence/primitiveness validation as CREATE
+        if (set.property.equalsIgnoreCase(TableMeta.BloomColsProp))
+          validateBloomCols(meta.schema,
+            Map(TableMeta.BloomColsProp -> set.value))
         meta = meta.copy(properties =
           meta.properties + (set.property -> set.value))
       case rm: TableChange.RemoveProperty =>
@@ -291,6 +284,26 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   /** Shared by CREATE and ALTER SET: numeric properties must parse
     * here, not at the next INSERT. */
+  /** bloomCols entries must name existing PRIMITIVE columns (parquet
+    * bloom filters apply to primitive leaves only). */
+  private def validateBloomCols(schema: StructType,
+      props: Map[String, String]): Unit = {
+    val byName = schema.fields.map(f => f.name.toLowerCase -> f).toMap
+    TableMeta.bloomCols(props).foreach { c =>
+      require(byName.contains(c.toLowerCase),
+        s"${TableMeta.BloomColsProp} column $c not in schema")
+      byName(c.toLowerCase).dataType match {
+        case _: org.apache.spark.sql.types.ArrayType |
+            _: org.apache.spark.sql.types.MapType |
+            _: org.apache.spark.sql.types.StructType =>
+          throw new IllegalArgumentException(
+            s"${TableMeta.BloomColsProp} column $c has a nested type; " +
+              "parquet bloom filters apply to primitive columns only")
+        case _ =>
+      }
+    }
+  }
+
   private def validateNumericProps(props: Map[String, String]): Unit =
     Seq(TableMeta.NumRegionsProp, TableMeta.PageRowLimitProp).foreach { p =>
       props.get(p).foreach { v =>

@@ -513,6 +513,15 @@ object CatalogQueries {
        |WHERE fp = (SELECT fp FROM ${docsFpTable(s, d)} WHERE doc_id = 42)
        |ORDER BY doc_id""".stripMargin)
 
+  /** Filter-free COUNT(*) + key MIN/MAX answered ENTIRELY from the
+    * region manifest (GraftAggScan, V2 complete agg pushdown — zero
+    * data file reads; the reference's coprocessor
+    * partial-aggregation-in-storage, SURVEY §2.7). */
+  val manifestAgg: Q = (s, d) => s.sql(
+    s"""SELECT count(*) AS cnt, min(o_orderkey) AS lo,
+       |       max(o_orderkey) AS hi
+       |FROM ${ordersTable(s, d)}""".stripMargin)
+
   val decimalAgg: Q = (s, d) => s.sql(
     s"""SELECT o_orderstatus, count(*) AS cnt,
        |       sum(o_totalprice) AS total,
@@ -542,6 +551,7 @@ object CatalogQueries {
     "catalog_skipscan" -> skipScan,
     "catalog_stats_skip" -> statsSkip,
     "catalog_bloom_lookup" -> bloomLookup,
+    "catalog_manifest_agg" -> manifestAgg,
     "catalog_dedup_exact" -> dedupOnStore,
     "catalog_point_lookup" -> pointLookup,
     "catalog_range_scan" -> rangeScan,
@@ -598,6 +608,11 @@ object CatalogQueries {
         |       round(avg(n_chars % 64 + 16), 4) AS avg_w,
         |       round(avg(n_chars % 48 + 16), 4) AS avg_h
         |FROM documents GROUP BY 1""".stripMargin,
+
+    "catalog_manifest_agg" ->
+      """SELECT count(*) AS cnt, min(o_orderkey) AS lo,
+        |       max(o_orderkey) AS hi
+        |FROM orders""".stripMargin,
 
     "catalog_bloom_lookup" ->
       """SELECT doc_id, source, n_chars FROM documents
