@@ -513,6 +513,26 @@ object CatalogQueries {
        |WHERE fp = (SELECT fp FROM ${docsFpTable(s, d)} WHERE doc_id = 42)
        |ORDER BY doc_id""".stripMargin)
 
+  /** Sequence packing composed with the store: same per-shard
+    * prefix-sum bin assignment as pipeline_pack, but reading the
+    * key-sorted documents_t — the scan's reported doc_id ordering
+    * means the window sort inside each source partition starts from
+    * ordered runs. Same oracle as the parquet twin. */
+  val packOnStore: Q = (s, d) => {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    s.table(documentsTable(s, d))
+      .withColumn("tok", (col("n_chars") / 4).cast("long") + 1)
+      .withColumn("cum", sum(col("tok")).over(w))
+      .withColumn("bin", floor((col("cum") - col("tok")) / 256))
+      .groupBy(col("source"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("tok")).as("bin_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+  }
+
   /** Filter-free COUNT(*) + key MIN/MAX answered ENTIRELY from the
     * region manifest (GraftAggScan, V2 complete agg pushdown — zero
     * data file reads; the reference's coprocessor
@@ -552,6 +572,7 @@ object CatalogQueries {
     "catalog_stats_skip" -> statsSkip,
     "catalog_bloom_lookup" -> bloomLookup,
     "catalog_manifest_agg" -> manifestAgg,
+    "catalog_pipeline_pack" -> packOnStore,
     "catalog_dedup_exact" -> dedupOnStore,
     "catalog_point_lookup" -> pointLookup,
     "catalog_range_scan" -> rangeScan,
@@ -613,6 +634,20 @@ object CatalogQueries {
       """SELECT count(*) AS cnt, min(o_orderkey) AS lo,
         |       max(o_orderkey) AS hi
         |FROM orders""".stripMargin,
+
+    // identical to pipeline_pack's oracle: the store must hold exactly
+    // the source documents
+    "catalog_pipeline_pack" ->
+      """WITH t AS (
+        |  SELECT source, doc_id, n_chars // 4 + 1 AS tok,
+        |         sum(n_chars // 4 + 1) OVER (
+        |           PARTITION BY source ORDER BY doc_id
+        |           ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM documents)
+        |SELECT source, (cum - tok) // 256 AS bin,
+        |       count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS bin_tokens,
+        |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM t GROUP BY source, bin""".stripMargin,
 
     "catalog_bloom_lookup" ->
       """SELECT doc_id, source, n_chars FROM documents
