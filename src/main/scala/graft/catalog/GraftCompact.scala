@@ -68,10 +68,12 @@ object GraftCompact {
       val state = TableMeta.loadState(t.tableDir)
       val tail = state.regions.filterNot(r => snapFiles.contains(r.file))
       val snapLive = state.regions.filter(r => snapFiles.contains(r.file))
-      if (snapLive.isEmpty) {
-        // a racing compactor already rewrote this snapshot — abandon
-        // cleanly before touching the live table dir (staging outputs
-        // are dropped with the staging table below)
+      if (snapLive.size != snapFiles.size) {
+        // the snapshot changed under us — a racing compactor rewrote it
+        // (all gone) or a concurrent DELETE dropped part of it; swapping
+        // the rewrite in would resurrect deleted rows. Abandon cleanly
+        // before touching the live table dir (staging outputs are
+        // dropped with the staging table below).
         None
       } else {
         newRegions.foreach { r =>

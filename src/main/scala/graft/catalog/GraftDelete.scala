@@ -16,17 +16,18 @@ import graft.prune.KeyRanges.{Iv, IvSet}
   * regions drop with zero data IO (the Iceberg/Delta metadata-delete,
   * and the retention primitive every log-keyed table needs).
   *
-  * Anything else is refused: `canDeleteWhere` rejects predicates that
-  * are not exactly representable (Spark then raises its standard
-  * "cannot delete" analysis error), and `deleteWhere` throws if a
-  * region straddles the predicate boundary rather than silently
-  * rewriting (compact to aligned boundaries first, or delete on the
-  * region split points). Refusing partial matches is the V2 contract.
+  * Regions the predicate only PARTIALLY covers — the ≤2 boundary
+  * regions of a contiguous range, regardless of table size — are
+  * rewritten locally without the matching rows (copy-on-write), so the
+  * total work of `DELETE WHERE k < cutoff` is two region files, not a
+  * table scan. Predicates that are not exactly representable as
+  * leading-key intervals are refused by `canDeleteWhere` (Spark then
+  * raises its standard "cannot delete" analysis error) — an
+  * over-approximation here would delete kept rows.
   *
   * Unlike the PRUNING translators ([[GraftFilters]]/[[graft.prune.KeyRanges]]),
   * which may over-approximate (⊤ on anything unknown, sound for
-  * skipping), this translator must be exact — an over-approximation
-  * here would delete rows the predicate kept.
+  * skipping), this translator must be exact.
   *
   * Deleted regions move to the manifest's retired list (files kept one
   * compaction cycle), so a tailing stream that already planned a batch
@@ -108,29 +109,141 @@ object GraftDelete {
         s"graft DELETE requires a predicate exactly expressible as " +
           s"${meta.keyCols.head} intervals; got " +
           filters.mkString(", ")))
+    // phase 1 (under the lock): classify regions; if nothing straddles,
+    // the whole delete is a metadata swap and we finish here
+    val straddlers: Seq[RegionMeta] = TableMeta.withManifestLock(tableDir) {
+      val state = TableMeta.loadState(tableDir)
+      val (in, out) = partitionRegions(state.regions, ivs)
+      val strad = straddlersOf(out, ivs)
+      if (strad.isEmpty) {
+        if (in.nonEmpty)
+          // deleted regions retire (files kept one compaction cycle
+          // for in-flight readers); generation bump invalidates
+          // pre-upgrade position-based stream checkpoints
+          TableMeta.saveState(tableDir, state.copy(
+            gen = state.gen + 1,
+            regions = out,
+            retired = state.retired ++ in))
+        return
+      }
+      strad
+    }
+    // phase 2 (no lock): rewrite the boundary regions, dropping rows
+    // inside the interval set. Straddlers of a contiguous range are
+    // the <=2 boundary regions REGARDLESS of table size, so a
+    // row-at-a-time local rewrite is the right cost model — the same
+    // region-local work the reference's region server would do.
+    val rewritten = straddlers.flatMap(r => rewriteRegion(tableDir, meta, r, ivs))
+    // phase 3 (under the lock): re-classify against the CURRENT state
+    // (concurrent appends are carried forward untouched) and swap.
     TableMeta.withManifestLock(tableDir) {
       val state = TableMeta.loadState(tableDir)
-      val (in, out) = state.regions.partition { r =>
-        contained(ivs, KeyCodec.fromHex(r.mins.head),
-          KeyCodec.fromHex(r.maxs.head))
+      val present = state.regions.map(_.file).toSet
+      if (!straddlers.forall(r => present.contains(r.file))) {
+        // a concurrent compaction/delete replaced a region we rewrote —
+        // our rewrite is stale; give up loudly rather than guess
+        rewritten.foreach(r => new File(tableDir, r.file).delete())
+        throw new IllegalStateException(
+          "graft DELETE lost a race with a concurrent compaction or " +
+            "delete on the same regions; retry the DELETE")
       }
-      val straddlers = out.filter(r =>
-        ivs.exists(_.overlaps(KeyCodec.fromHex(r.mins.head),
-          KeyCodec.fromHex(r.maxs.head))))
-      if (straddlers.nonEmpty)
-        throw new IllegalArgumentException(
-          "graft DELETE predicate does not align with region " +
-            s"boundaries: ${straddlers.size} region(s) match only " +
-            "partially (e.g. " + straddlers.head.file + "). Delete on " +
-            "the region split points, or compact so boundaries align.")
-      if (in.isEmpty) return
-      // deleted regions retire (files kept one compaction cycle for
-      // in-flight readers); generation bump invalidates pre-upgrade
-      // position-based stream checkpoints
+      val (in, out) = partitionRegions(state.regions, ivs)
+      val strad = straddlersOf(out, ivs).map(_.file).toSet
+      val untouched = out.filterNot(r => strad.contains(r.file))
+      val dropped = in ++ out.filter(r => strad.contains(r.file))
       TableMeta.saveState(tableDir, state.copy(
         gen = state.gen + 1,
-        regions = out,
-        retired = state.retired ++ in))
+        regions = untouched ++ rewritten,
+        retired = state.retired ++ dropped))
     }
+  }
+
+  private def partitionRegions(regions: Seq[RegionMeta], ivs: IvSet)
+      : (Seq[RegionMeta], Seq[RegionMeta]) =
+    regions.partition { r =>
+      contained(ivs, KeyCodec.fromHex(r.mins.head),
+        KeyCodec.fromHex(r.maxs.head))
+    }
+
+  private def straddlersOf(out: Seq[RegionMeta], ivs: IvSet)
+      : Seq[RegionMeta] =
+    out.filter(r =>
+      ivs.exists(_.overlaps(KeyCodec.fromHex(r.mins.head),
+        KeyCodec.fromHex(r.maxs.head))))
+
+  /** Rewrite one boundary region without the rows whose leading key
+    * falls in `ivs`; None if every row matched (region vanishes). The
+    * new file keeps the region's sort (filtering preserves order), its
+    * bucket, and recomputed key bounds + column stats. */
+  private def rewriteRegion(tableDir: File, meta: TableMeta,
+      r: RegionMeta, ivs: IvSet): Option[RegionMeta] = {
+    val schema = meta.schema
+    val keyIdx = meta.keyCols.map(schema.fieldIndex).toArray
+    val keyTypes = meta.keyTypes.toArray
+    val fileName =
+      s"delete-rw-${r.id}-${java.util.UUID.randomUUID()}.parquet"
+    val reader = new ParquetRowIO.RowReader(
+      new File(tableDir, r.file).getPath, schema, Nil)
+    val writer = new ParquetRowIO.RowWriter(
+      new File(tableDir, fileName).getPath, schema,
+      meta.properties.get(TableMeta.PageRowLimitProp)
+        .map(_.toInt).getOrElse(0),
+      TableMeta.bloomCols(meta.properties))
+    val statCols = schema.fields.indices
+      .filterNot(keyIdx.contains(_))
+      .filter(i => ColStats.trackable(schema.fields(i).dataType)).toArray
+    val trackers = statCols.map(i => ColStats.tracker(schema.fields(i)))
+    val mins = Array.fill[Array[Byte]](keyIdx.length)(null)
+    val maxs = Array.fill[Array[Byte]](keyIdx.length)(null)
+    var rows = 0L
+    def keyEnc(row: org.apache.spark.sql.catalyst.InternalRow, d: Int)
+        : Array[Byte] = {
+      import org.apache.spark.sql.types._
+      val v: Any = keyTypes(d) match {
+        case BooleanType => row.getBoolean(keyIdx(d))
+        case ByteType => row.getByte(keyIdx(d))
+        case ShortType => row.getShort(keyIdx(d))
+        case IntegerType | DateType => row.getInt(keyIdx(d))
+        case LongType | TimestampType => row.getLong(keyIdx(d))
+        case FloatType => row.getFloat(keyIdx(d))
+        case DoubleType => row.getDouble(keyIdx(d))
+        case StringType => row.getUTF8String(keyIdx(d)).toString
+        case other => throw new IllegalStateException(other.toString)
+      }
+      KeyCodec.encode(keyTypes(d), v)
+    }
+    try {
+      var row = reader.next()
+      while (row != null) {
+        val e0 = keyEnc(row, 0)
+        val matches = ivs.exists(_.overlaps(e0, e0)) // point membership
+        if (!matches) {
+          var d = 0
+          while (d < keyIdx.length) {
+            val e = if (d == 0) e0 else keyEnc(row, d)
+            if (mins(d) == null || KeyCodec.compare(e, mins(d)) < 0)
+              mins(d) = e
+            if (maxs(d) == null || KeyCodec.compare(e, maxs(d)) > 0)
+              maxs(d) = e
+            d += 1
+          }
+          var c = 0
+          while (c < statCols.length) {
+            if (row.isNullAt(statCols(c))) trackers(c).nulls += 1
+            else trackers(c).observe(row, statCols(c))
+            c += 1
+          }
+          writer.write(row)
+          rows += 1
+        }
+        row = reader.next()
+      }
+    } finally { reader.close(); writer.close() }
+    if (rows == 0) { new File(tableDir, fileName).delete(); None }
+    else Some(RegionMeta(fileName, rows,
+      mins.map(KeyCodec.toHex).toSeq, maxs.map(KeyCodec.toHex).toSeq,
+      r.bucket,
+      stats = statCols.zip(trackers)
+        .map { case (i, t) => schema.fields(i).name -> t.stat }.toMap))
   }
 }

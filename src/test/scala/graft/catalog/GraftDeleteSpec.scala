@@ -58,14 +58,39 @@ class GraftDeleteSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE $fqn")
   }
 
-  test("misaligned DELETE refuses and changes nothing") {
-    val fqn = build("misaligned")
-    val e = intercept[Exception] {
-      spark.sql(s"DELETE FROM $fqn WHERE k < 150")
-    }
-    assert(e.getMessage.contains("align") ||
-      e.getCause != null && e.getCause.getMessage.contains("align"))
-    assert(spark.table(fqn).count() == 400L)
+  test("boundary-straddling DELETE rewrites only the boundary region") {
+    val fqn = build("straddle")
+    val before = TableMeta.loadRegions(tableDir("straddle"))
+    val untouchedFiles = before.filter(_.mins.head.nonEmpty)
+      .map(_.file).toSet
+    spark.sql(s"DELETE FROM $fqn WHERE k < 150")
+    assert(spark.table(fqn).count() == 250L)
+    assert(spark.sql(s"SELECT min(k) FROM $fqn").head().getLong(0) == 150L)
+    val after = TableMeta.loadRegions(tableDir("straddle"))
+    // region [0,100) dropped by metadata; [100,200) rewritten; the two
+    // upper regions keep their ORIGINAL files — no table-wide rewrite
+    assert(after.size == 3)
+    val rewritten = after.filterNot(r => untouchedFiles.contains(r.file))
+    assert(rewritten.size == 1 &&
+      rewritten.head.file.startsWith("delete-rw-"))
+    assert(rewritten.head.rows == 50L)
+    // rewritten region carries fresh column stats
+    assert(rewritten.head.stats.nonEmpty)
+    // originals (dropped + replaced) retire for one cycle
+    assert(TableMeta.loadState(tableDir("straddle")).retired.size == 2)
+    spark.sql(s"DROP TABLE $fqn")
+  }
+
+  test("DELETE strictly inside one region rewrites just that region") {
+    val fqn = build("inside")
+    spark.sql(s"DELETE FROM $fqn WHERE k >= 120 AND k < 130")
+    assert(spark.table(fqn).count() == 390L)
+    assert(spark.sql(
+      s"SELECT count(*) FROM $fqn WHERE k BETWEEN 100 AND 199")
+      .head().getLong(0) == 90L)
+    val after = TableMeta.loadRegions(tableDir("inside"))
+    assert(after.size == 4)
+    assert(after.count(_.file.startsWith("delete-rw-")) == 1)
     spark.sql(s"DROP TABLE $fqn")
   }
 
