@@ -123,6 +123,42 @@ class GraftDeleteSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE $fqn")
   }
 
+  test("randomized delete sequence matches a set model (rewrites of rewrites)") {
+    val rnd = new scala.util.Random(20260813)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.del")
+    spark.sql("DROP TABLE IF EXISTS graft.del.rand")
+    spark.sql(
+      """CREATE TABLE graft.del.rand (k BIGINT, v DOUBLE)
+        |TBLPROPERTIES('keyCols'='k', 'numRegions'='4')""".stripMargin)
+    spark.sql(
+      "INSERT INTO graft.del.rand SELECT id, id * 1.0 FROM range(2000)")
+    var model = (0L until 2000L).toSet
+    (1 to 6).foreach { i =>
+      val (whereSql, pred): (String, Long => Boolean) = rnd.nextInt(4) match {
+        case 0 =>
+          val c = rnd.nextInt(2000); (s"k < $c", _ < c)
+        case 1 =>
+          val c = rnd.nextInt(2000); (s"k >= $c", _ >= c)
+        case 2 =>
+          val a = rnd.nextInt(2000); val b = a + rnd.nextInt(500)
+          (s"k >= $a AND k <= $b", k => k >= a && k <= b)
+        case 3 =>
+          val vs = Seq.fill(5)(rnd.nextInt(2000).toLong)
+          (s"k IN (${vs.mkString(",")})", vs.toSet.contains)
+      }
+      spark.sql(s"DELETE FROM graft.del.rand WHERE $whereSql")
+      model = model.filterNot(pred)
+      val got = spark.sql(
+        "SELECT count(*) AS c, coalesce(sum(k), 0) AS s FROM graft.del.rand")
+        .head()
+      assert(got.getLong(0) == model.size.toLong,
+        s"round $i ($whereSql): count ${got.getLong(0)} != ${model.size}")
+      assert(got.getLong(1) == model.sum,
+        s"round $i ($whereSql): sum mismatch")
+    }
+    spark.sql("DROP TABLE graft.del.rand")
+  }
+
   test("tailing stream skips deleted region ids without failing") {
     val fqn = build("stream")
     val q = spark.readStream.table(fqn)
