@@ -159,6 +159,31 @@ class GraftDeleteSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.del.rand")
   }
 
+  test("DELETE racing a concurrent INSERT loses neither (manifest lock)") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.del")
+    spark.sql("DROP TABLE IF EXISTS graft.del.race")
+    spark.sql(
+      """CREATE TABLE graft.del.race (k BIGINT, v DOUBLE)
+        |TBLPROPERTIES('keyCols'='k', 'regionSplits'='250;500;750')"""
+        .stripMargin)
+    spark.sql(
+      "INSERT INTO graft.del.race SELECT id, id * 1.0 FROM range(1000)")
+    val inserter = new Thread(() => {
+      spark.sql(
+        """INSERT INTO graft.del.race
+          |SELECT id, id * 1.0 FROM range(2000, 2100)""".stripMargin)
+    })
+    inserter.start()
+    spark.sql("DELETE FROM graft.del.race WHERE k < 250")
+    inserter.join()
+    // neither the delete nor the concurrent append lost its commit
+    assert(spark.table("graft.del.race").count() == 750L + 100L)
+    val mm = spark.sql(
+      "SELECT min(k), max(k) FROM graft.del.race").head()
+    assert(mm.getLong(0) == 250L && mm.getLong(1) == 2099L)
+    spark.sql("DROP TABLE graft.del.race")
+  }
+
   test("tailing stream skips deleted region ids without failing") {
     val fqn = build("stream")
     val q = spark.readStream.table(fqn)
