@@ -188,13 +188,33 @@ object ColStats {
   /** Keep the region iff every pushed conjunct may have a satisfying
     * row, judging by the region's column stats. `types` maps lowercase
     * non-key column names to their types; `stats` is the region's stat
-    * map as stored (schema-cased). */
+    * map as stored (schema-cased). One-shot convenience face of
+    * [[compile]]. */
   def survives(filters: Seq[sources.Filter], stats: Map[String, ColStat],
       types: Map[String, DataType]): Boolean =
-    stats.isEmpty || {
-      val st = stats.map { case (k, v) => k.toLowerCase -> v }
-      filters.forall(mayMatch(_, st, types))
-    }
+    compile(filters, types).survives(stats)
+
+  /** Compile the pushed filters once per scan: literal encodings are
+    * memoized across regions, so evaluating thousands of regions
+    * against a runtime `In` set of thousands of join keys encodes each
+    * literal once, not per region. */
+  def compile(filters: Seq[sources.Filter],
+      types: Map[String, DataType]): Compiled =
+    new Compiled(filters, types)
+
+  final class Compiled(filters: Seq[sources.Filter],
+      types: Map[String, DataType]) {
+    private val memo =
+      new java.util.HashMap[(DataType, Any), Option[Array[Byte]]]()
+    private val encM: (DataType, Any) => Option[Array[Byte]] =
+      (dt, v) => memo.computeIfAbsent((dt, v),
+        _ => ColStats.enc(dt, v))
+    def survives(stats: Map[String, ColStat]): Boolean =
+      stats.isEmpty || {
+        val st = stats.map { case (k, v) => k.toLowerCase -> v }
+        filters.forall(mayMatch(_, st, types, encM))
+      }
+  }
 
   private def enc(dt: DataType, v: Any): Option[Array[Byte]] = dt match {
     // decimal literal → unscaled long at the column's scale, exactly;
@@ -224,7 +244,8 @@ object ColStats {
 
   /** May any row of the region satisfy f? Unknown → true (sound). */
   private def mayMatch(f: sources.Filter, st: Map[String, ColStat],
-      types: Map[String, DataType]): Boolean = {
+      types: Map[String, DataType],
+      encF: (DataType, Any) => Option[Array[Byte]]): Boolean = {
     def stat(c: String): Option[(ColStat, DataType)] = {
       val lc = c.toLowerCase
       for (s <- st.get(lc); dt <- types.get(lc)) yield (s, dt)
@@ -241,15 +262,15 @@ object ColStats {
         may: (Array[Byte], Array[Byte], Array[Byte]) => Boolean): Boolean =
       if (allNull(c)) false
       else bounds(c) match {
-        case Some((mn, mx, dt)) => enc(dt, v).forall(b => may(mn, mx, b))
+        case Some((mn, mx, dt)) => encF(dt, v).forall(b => may(mn, mx, b))
         case None => true
       }
     f match {
       case sources.And(l, r) =>
-        mayMatch(l, st, types) && mayMatch(r, st, types)
+        mayMatch(l, st, types, encF) && mayMatch(r, st, types, encF)
       case sources.Or(l, r) =>
-        mayMatch(l, st, types) || mayMatch(r, st, types)
-      case sources.Not(g) => negMayMatch(g, st, types)
+        mayMatch(l, st, types, encF) || mayMatch(r, st, types, encF)
+      case sources.Not(g) => negMayMatch(g, st, types, encF)
       case sources.EqualTo(c, v) => cmpPred(c, v)((mn, mx, b) =>
         KeyCodec.compare(mn, b) <= 0 && KeyCodec.compare(mx, b) >= 0)
       case sources.EqualNullSafe(c, null) =>
@@ -267,7 +288,7 @@ object ColStats {
       case sources.In(c, vs) =>
         if (allNull(c)) false
         else bounds(c) match {
-          case Some((mn, mx, dt)) => vs.exists(v => enc(dt, v).forall(b =>
+          case Some((mn, mx, dt)) => vs.exists(v => encF(dt, v).forall(b =>
             KeyCodec.compare(mn, b) <= 0 && KeyCodec.compare(mx, b) >= 0))
           case None => true
         }
@@ -294,7 +315,8 @@ object ColStats {
     * rejects — so value cases require a non-null witness. Unknown →
     * true (sound). */
   private def negMayMatch(g: sources.Filter, st: Map[String, ColStat],
-      types: Map[String, DataType]): Boolean = {
+      types: Map[String, DataType],
+      encF: (DataType, Any) => Option[Array[Byte]]): Boolean = {
     def stat(c: String): Option[(ColStat, DataType)] = {
       val lc = c.toLowerCase
       for (s <- st.get(lc); dt <- types.get(lc)) yield (s, dt)
@@ -315,15 +337,15 @@ object ColStats {
         may: (Array[Byte], Array[Byte], Array[Byte]) => Boolean): Boolean =
       if (noValues(c)) false
       else bounds(c) match {
-        case Some((mn, mx, dt)) => enc(dt, v).forall(b => may(mn, mx, b))
+        case Some((mn, mx, dt)) => encF(dt, v).forall(b => may(mn, mx, b))
         case None => true
       }
     g match {
-      case sources.Not(h) => mayMatch(h, st, types)
+      case sources.Not(h) => mayMatch(h, st, types, encF)
       case sources.And(l, r) => // ¬(l∧r) = ¬l ∨ ¬r
-        negMayMatch(l, st, types) || negMayMatch(r, st, types)
+        negMayMatch(l, st, types, encF) || negMayMatch(r, st, types, encF)
       case sources.Or(l, r) => // ¬(l∨r) = ¬l ∧ ¬r
-        negMayMatch(l, st, types) && negMayMatch(r, st, types)
+        negMayMatch(l, st, types, encF) && negMayMatch(r, st, types, encF)
       // ∃ non-null ≠ v: only disprovable when bounds are exact and
       // pinned to v (truncated string bounds can never pin — min is a
       // prefix, max a successor, so they differ and we stay sound)
@@ -350,7 +372,7 @@ object ColStats {
         else bounds(c) match {
           case Some((mn, mx, dt)) =>
             !(KeyCodec.compare(mn, mx) == 0 && vs.exists(v =>
-              enc(dt, v).exists(KeyCodec.compare(_, mn) == 0)))
+              encF(dt, v).exists(KeyCodec.compare(_, mn) == 0)))
           case None => true
         }
       case sources.IsNull(c) => hasNonNull(c)

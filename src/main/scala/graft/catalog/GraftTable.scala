@@ -405,10 +405,11 @@ class GraftScan(tableDir: File, meta: TableMeta, required: StructType,
     if (c == null) {
       val all = filters.toSeq ++ runtimeFilters
       val constraints = GraftFilters.intervals(all, dims)
+      val colPred = ColStats.compile(all, statTypes) // literals enc'd once
       c = TableMeta.loadRegions(tableDir).filter { r =>
         KeyRanges.survives(constraints,
           r.mins.map(KeyCodec.fromHex), r.maxs.map(KeyCodec.fromHex)) &&
-          ColStats.survives(all, r.stats, statTypes)
+          colPred.survives(r.stats)
       }
       selectedRegionsCache = c
     }
@@ -824,10 +825,11 @@ final class GraftMicroBatchStream(tableDir: File, required: StructType,
           "stream with a fresh checkpoint, or compact less often than " +
           "the stream checkpoints.")
     val constraints = GraftFilters.intervals(filters.toSeq, dims)
+    val colPred = ColStats.compile(filters.toSeq, statTypes)
     picked.sortBy(_.id)
       .filter(r => KeyRanges.survives(constraints,
         r.mins.map(KeyCodec.fromHex), r.maxs.map(KeyCodec.fromHex)) &&
-        ColStats.survives(filters.toSeq, r.stats, statTypes))
+        colPred.survives(r.stats))
       .map(r =>
         GraftInputPartition(Array(new File(tableDir, r.file).getPath),
           r.rows, GraftInputPartition.hosts(r)): InputPartition).toArray

@@ -216,6 +216,15 @@ class EventStreamsSpec extends AnyFunSuite {
       assert(spark.table("graft.stream.pipe_dst").collect()
         .map(r => (r.getInt(0), r.getInt(1))).toSet ==
         Set((1, 20), (2, 40), (3, 60)))
+      // sink-written regions carry column stats like batch writes
+      val cat = spark.sessionState.catalogManager.catalog("graft")
+        .asInstanceOf[graft.catalog.GraftCatalog]
+      val dst = cat.loadTable(
+        org.apache.spark.sql.connector.catalog.Identifier
+          .of(Array("stream"), "pipe_dst"))
+        .asInstanceOf[graft.catalog.GraftTable]
+      val regions = graft.catalog.TableMeta.loadRegions(dst.tableDir)
+      assert(regions.nonEmpty && regions.forall(_.stats.contains("v2")))
     } finally q.stop()
     spark.sql("DROP TABLE graft.stream.pipe_src")
     spark.sql("DROP TABLE graft.stream.pipe_dst")
