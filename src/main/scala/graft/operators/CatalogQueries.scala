@@ -194,6 +194,32 @@ object CatalogQueries {
          |GROUP BY n.n_name""".stripMargin)
   }
 
+  /** TPC-H Q3 (shipping priority) over the SAME co-partitioned
+    * orders_t/lineitem_t pair as Q5: the fact-fact join is
+    * storage-partitioned (no Exchange on either side), customer
+    * broadcasts, and the top-10 plans as TakeOrderedAndProject —
+    * the classic interactive-BI plan shape over graft storage. */
+  val tpchQ3: Q = (s, d) => {
+    val li = lineitemTable(s, d)
+    val o = ordersTable(s, d)
+    val h = math.abs(d.hashCode)
+    s.read.parquet(s"$d/customer.parquet")
+      .createOrReplaceTempView(s"customer_cat_dim_$h")
+    s.sql(
+      s"""SELECT l.l_orderkey,
+         |       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
+         |         AS revenue,
+         |       date_format(o.o_orderdate, 'yyyy-MM-dd') AS odate
+         |FROM $li l
+         |JOIN $o o ON l.l_orderkey = o.o_orderkey
+         |JOIN customer_cat_dim_$h c ON o.o_custkey = c.c_custkey
+         |WHERE c.c_mktsegment = 'BUILDING'
+         |  AND o.o_orderdate < DATE'1995-03-15'
+         |  AND l.l_shipdate > DATE'1995-03-15'
+         |GROUP BY l.l_orderkey, o.o_orderdate
+         |ORDER BY revenue DESC, l.l_orderkey ASC LIMIT 10""".stripMargin)
+  }
+
   /** Documents in the catalog too — LLM-pipeline ops composed over the
     * key-sorted store rather than raw parquet. */
   private val builtDocs = scala.collection.concurrent.TrieMap[String, String]()
@@ -580,6 +606,7 @@ object CatalogQueries {
     "catalog_cell_filter" -> cellFilter,
     "catalog_join_parquet" -> joinParquet,
     "catalog_tpch_q5" -> tpchQ5,
+    "catalog_tpch_q3" -> tpchQ3,
     "catalog_key_groupby" -> keyGroupBy,
   )
 
@@ -701,6 +728,20 @@ object CatalogQueries {
         |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         |WHERE o.o_orderkey <= 3000
         |GROUP BY c.c_mktsegment""".stripMargin,
+
+    "catalog_tpch_q3" ->
+      """SELECT l.l_orderkey,
+        |       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
+        |         AS revenue,
+        |       strftime(o.o_orderdate, '%Y-%m-%d') AS odate
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |  AND o.o_orderdate < DATE'1995-03-15'
+        |  AND l.l_shipdate > DATE'1995-03-15'
+        |GROUP BY l.l_orderkey, o.o_orderdate
+        |ORDER BY revenue DESC, l.l_orderkey ASC LIMIT 10""".stripMargin,
 
     "catalog_tpch_q5" ->
       """SELECT n.n_name AS nation,
