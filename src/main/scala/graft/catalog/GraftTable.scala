@@ -218,28 +218,64 @@ class GraftScanBuilder(tableDir: File, meta: TableMeta,
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  /** Metadata-answerable aggregation: COUNT(*) and MIN/MAX over key
-    * columns with no filter and no grouping come straight from the
-    * region manifest (per-region rows + per-dimension min/max) — zero
-    * data IO. This is the V2-sanctioned face of the reference's
-    * partial-aggregation-in-storage coprocessor (SURVEY §2.7), without
-    * a server process. */
+  /** Metadata-answerable aggregation: COUNT(*), COUNT(col), and
+    * MIN/MAX with no filter and no grouping come straight from the
+    * region manifest — zero data IO. Key columns use the per-dimension
+    * key bounds; NON-KEY columns use the ColStats entries when every
+    * region carries one and the bounds are exact for the type
+    * (integral/date/timestamp/decimal≤18 — string bounds may be
+    * truncated and float/double zero bounds are sign-widened, so those
+    * answer COUNT only). This is the V2-sanctioned face of the
+    * reference's partial-aggregation-in-storage coprocessor
+    * (SURVEY §2.7), without a server process. */
   private def analyzeAgg(agg: Aggregation): Option[Seq[GraftAggScan.Spec]] = {
     if (pushed.nonEmpty || agg.groupByExpressions.nonEmpty) return None
     val keyDim = meta.keyCols.map(_.toLowerCase).zipWithIndex.toMap
+    val keySet = keyDim.keySet
     def dimOf(e: org.apache.spark.sql.connector.expressions.Expression)
         : Option[Int] = e match {
       case r: NamedReference if r.fieldNames.length == 1 =>
         keyDim.get(r.fieldNames.head.toLowerCase)
       case _ => None
     }
+    def colOf(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[StructField] = e match {
+      case r: NamedReference if r.fieldNames.length == 1 =>
+        meta.schema.fields.find(
+          _.name.equalsIgnoreCase(r.fieldNames.head))
+          .filterNot(f => keySet(f.name.toLowerCase))
+      case _ => None
+    }
+    // every region must carry a stat entry for the column (pre-upgrade
+    // manifests fall back to a real scan); empty table answers anything
+    lazy val regions = TableMeta.loadRegions(tableDir)
+    def covered(f: StructField): Boolean =
+      ColStats.trackable(f.dataType) && regions.forall(
+        _.stats.exists(_._1.equalsIgnoreCase(f.name)))
+    // min/max are only exact where the stored bounds are exact values
+    def exactBounds(dt: DataType): Boolean = dt match {
+      case ByteType | ShortType | IntegerType | DateType | LongType |
+          TimestampType | BooleanType => true
+      case d: DecimalType => d.precision <= 18
+      case _ => false // strings truncate; fp zeros sign-widen
+    }
     val specs = agg.aggregateExpressions.toSeq.map {
       case _: CountStar => Some(GraftAggScan.CountAll)
       // COUNT(keyCol) = COUNT(*): key columns reject nulls at write time
       case c: Count if !c.isDistinct && dimOf(c.column).isDefined =>
         Some(GraftAggScan.CountAll)
-      case m: Min => dimOf(m.column).map(GraftAggScan.KeyMin)
-      case m: Max => dimOf(m.column).map(GraftAggScan.KeyMax)
+      // COUNT(nonKeyCol): total rows minus the stat null counts
+      case c: Count if !c.isDistinct =>
+        colOf(c.column).filter(covered)
+          .map(f => GraftAggScan.ColCountNonNull(f.name))
+      case m: Min => dimOf(m.column).map(GraftAggScan.KeyMin).orElse(
+        colOf(m.column).filter(covered)
+          .filter(f => exactBounds(f.dataType))
+          .map(f => GraftAggScan.ColMin(f.name)))
+      case m: Max => dimOf(m.column).map(GraftAggScan.KeyMax).orElse(
+        colOf(m.column).filter(covered)
+          .filter(f => exactBounds(f.dataType))
+          .map(f => GraftAggScan.ColMax(f.name)))
       case _ => None
     }
     if (specs.forall(_.isDefined)) Some(specs.flatten) else None
@@ -268,6 +304,9 @@ object GraftAggScan {
   case object CountAll extends Spec
   final case class KeyMin(dim: Int) extends Spec
   final case class KeyMax(dim: Int) extends Spec
+  final case class ColMin(name: String) extends Spec
+  final case class ColMax(name: String) extends Spec
+  final case class ColCountNonNull(name: String) extends Spec
 }
 
 class GraftAggScan(tableDir: File, meta: TableMeta,
@@ -276,10 +315,17 @@ class GraftAggScan(tableDir: File, meta: TableMeta,
 
   private val keyTypes = meta.keyTypes
 
+  private def colType(name: String): DataType =
+    meta.schema.fields.find(_.name.equalsIgnoreCase(name)).get.dataType
+
   override def readSchema(): StructType = StructType(specs.zipWithIndex.map {
     case (CountAll, i) => StructField(s"agg_$i", LongType, nullable = false)
     case (KeyMin(d), i) => StructField(s"agg_$i", keyTypes(d), nullable = true)
     case (KeyMax(d), i) => StructField(s"agg_$i", keyTypes(d), nullable = true)
+    case (ColMin(c), i) => StructField(s"agg_$i", colType(c), nullable = true)
+    case (ColMax(c), i) => StructField(s"agg_$i", colType(c), nullable = true)
+    case (ColCountNonNull(_), i) =>
+      StructField(s"agg_$i", LongType, nullable = false)
   })
 
   override def toBatch: Batch = this
@@ -291,18 +337,32 @@ class GraftAggScan(tableDir: File, meta: TableMeta,
     // so every manifest min/max is a real value — including "" (hex of
     // the empty-string key, which KeyCodec encodes to zero bytes); only
     // an empty manifest means NULL.
+    val byteOrd = Ordering.fromLessThan((a: Array[Byte], b: Array[Byte]) =>
+      KeyCodec.compare(a, b) < 0)
+    def statsOf(c: String): Seq[ColStat] =
+      regions.flatMap(_.stats.collectFirst {
+        case (n, s) if n.equalsIgnoreCase(c) => s })
     val cells: Seq[(String, String)] = specs.map {
       case CountAll => (regions.map(_.rows).sum.toString, "")
       case KeyMin(d) =>
         (if (regions.isEmpty) null else regions.map(_.mins(d))
-          .minBy(KeyCodec.fromHex)(
-            Ordering.fromLessThan((a: Array[Byte], b: Array[Byte]) =>
-              KeyCodec.compare(a, b) < 0)), keyTypes(d).json)
+          .minBy(KeyCodec.fromHex)(byteOrd), keyTypes(d).json)
       case KeyMax(d) =>
         (if (regions.isEmpty) null else regions.map(_.maxs(d))
-          .maxBy(KeyCodec.fromHex)(
-            Ordering.fromLessThan((a: Array[Byte], b: Array[Byte]) =>
-              KeyCodec.compare(a, b) < 0)), keyTypes(d).json)
+          .maxBy(KeyCodec.fromHex)(byteOrd), keyTypes(d).json)
+      // non-key bounds: encoded hex of non-null values only; an
+      // all-null column answers SQL NULL
+      case ColMin(c) =>
+        val vs = statsOf(c).flatMap(_.min)
+        (if (vs.isEmpty) null else vs.minBy(KeyCodec.fromHex)(byteOrd),
+          colType(c).json)
+      case ColMax(c) =>
+        val vs = statsOf(c).flatMap(_.max)
+        (if (vs.isEmpty) null else vs.maxBy(KeyCodec.fromHex)(byteOrd),
+          colType(c).json)
+      case ColCountNonNull(c) =>
+        val nulls = statsOf(c).map(_.nulls).sum
+        ((regions.map(_.rows).sum - nulls).toString, "")
     }
     Array(GraftAggInputPartition(cells.map(_._1).toArray,
       cells.map(_._2).toArray))
@@ -336,7 +396,14 @@ final case class GraftAggReaderFactory() extends PartitionReaderFactory {
           } else {
             val dt = DataType.fromJson(p.typeJsons(i))
             val bytes = KeyCodec.fromHex(p.cells(i))
-            val v = KeyCodec.decode(dt, bytes, 0, bytes.length)
+            val v = dt match {
+              // decimal stats carry the unscaled long
+              case d: DecimalType =>
+                org.apache.spark.sql.types.Decimal(
+                  KeyCodec.decode(LongType, bytes, 0, bytes.length)
+                    .asInstanceOf[Long], d.precision, d.scale)
+              case _ => KeyCodec.decode(dt, bytes, 0, bytes.length)
+            }
             row.update(i, v match {
               case s: String =>
                 org.apache.spark.unsafe.types.UTF8String.fromString(s)

@@ -178,12 +178,50 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("GraftAggScan"), s"count(key) not pushed:\n$p")
     assert(df.collect().head.getLong(0) ==
       spark.table("orders_src").count())
-    // count on a NULLABLE non-key column must NOT push (nulls excluded)
+    // count on a NULLABLE non-key column pushes too: the manifest's
+    // per-region null counts (ColStats) make totalRows - nulls exact
     val nk = spark.sql(
       "SELECT count(o_custkey) AS c FROM graft.t1.orders_t")
-    assert(!nk.queryExecution.explainString(
+    assert(nk.queryExecution.explainString(
       org.apache.spark.sql.execution.ExplainMode.fromString("simple"))
       .contains("GraftAggScan"))
+    assert(nk.collect().head.getLong(0) ==
+      spark.sql("SELECT count(o_custkey) FROM orders_src")
+        .collect().head.getLong(0))
+  }
+
+  test("min/max/count on non-key columns answered from column stats") {
+    // exact for integral/date types; nulls excluded from min/max
+    spark.sql("DROP TABLE IF EXISTS graft.t1.nkagg")
+    spark.sql(
+      """CREATE TABLE graft.t1.nkagg (k BIGINT, d DATE, n INT, s STRING)
+        |TBLPROPERTIES('keyCols'='k', 'numRegions'='4')""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft.t1.nkagg
+        |SELECT id, date_add(DATE'2024-01-01', CAST(id % 50 AS INT)),
+        |       CASE WHEN id % 7 = 0 THEN NULL ELSE CAST(id * 3 AS INT) END,
+        |       concat('s', id)
+        |FROM range(700)""".stripMargin)
+    val df = spark.sql(
+      """SELECT min(d) AS dlo, max(d) AS dhi, min(n) AS nlo,
+        |       max(n) AS nhi, count(n) AS nc, count(s) AS sc
+        |FROM graft.t1.nkagg""".stripMargin)
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("simple"))
+    assert(p.contains("GraftAggScan"), s"non-key agg not pushed:\n$p")
+    val r = df.collect().head
+    assert(r.getDate(0).toString == "2024-01-01" &&
+      r.getDate(1).toString == "2024-02-19")
+    assert(r.getInt(2) == 3 && r.getInt(3) == 699 * 3) // id=0 -> null
+    assert(r.getLong(4) == 700L - 100L) // 100 multiples of 7 under 700
+    assert(r.getLong(5) == 700L) // strings: count pushes, bounds don't
+    // min/max on a STRING column must NOT push (bounds may truncate)
+    val sm = spark.sql("SELECT min(s) FROM graft.t1.nkagg")
+    assert(!sm.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("simple"))
+      .contains("GraftAggScan"))
+    assert(sm.collect().head.getString(0) == "s0")
+    spark.sql("DROP TABLE graft.t1.nkagg")
   }
 
   test("count/min/max on keys answered from the manifest (agg pushdown)") {
