@@ -170,6 +170,22 @@ object TextOps {
         max(col("doc_id")).as("last_doc"))
   }
 
+  /** Document chunking: split every document into overlapping
+    * fixed-size character windows (stride 384, width 512 → 128-char
+    * overlap) — the retrieval/training preprocessing step that feeds
+    * embedding models. Pure per-row generate (map-side, no shuffle
+    * until the accounting agg); emits chunk fingerprints + lengths so
+    * the output stays bounded. Exact DuckDB oracle. */
+  val chunkDocs: Q = (s, d) =>
+    docs(s, d)
+      .select(col("doc_id"), posexplode(expr(
+        """transform(
+          |  sequence(0, CAST(greatest(n_chars - 1, 0) AS INT) DIV 384),
+          |  i -> substring(text, i * 384 + 1, 512))""".stripMargin)))
+      .select(col("doc_id"), col("pos").as("chunk_no"),
+        md5(col("col")).as("chunk_fp"),
+        length(col("col")).as("chunk_len"))
+
   /** Deterministic stratified sampling for a training mixture: each
     * language stratum keeps a fixed quota of docs, chosen by a
     * multiplicative hash of doc_id — reproducible across engines and
@@ -527,6 +543,7 @@ object TextOps {
     "pipeline_clean" -> pipelineClean,
     "pipeline_pack" -> seqPack,
     "pipeline_sample" -> stratSample,
+    "pipeline_chunk" -> chunkDocs,
     "dedup_simhash" -> dedupSimhash,
     "ann_cosine_topk" -> annCosineTopk,
     "ann_cosine_pairs" -> annCosinePairs,
@@ -567,6 +584,16 @@ object TextOps {
         |       count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS bin_tokens,
         |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
         |FROM t GROUP BY source, bin""".stripMargin,
+
+    "pipeline_chunk" ->
+      """SELECT doc_id, CAST(i AS INT) AS chunk_no,
+        |       md5(substring(text, CAST(i * 384 + 1 AS INT), 512))
+        |         AS chunk_fp,
+        |       CAST(length(substring(text, CAST(i * 384 + 1 AS INT), 512))
+        |         AS INT) AS chunk_len
+        |FROM documents,
+        |     UNNEST(range(0, greatest(n_chars - 1, 0) // 384 + 1))
+        |       AS t(i)""".stripMargin,
 
     "pipeline_sample" ->
       """SELECT lang, count(*) AS n_sampled,
