@@ -133,7 +133,8 @@ object GraftDelete {
     // the <=2 boundary regions REGARDLESS of table size, so a
     // row-at-a-time local rewrite is the right cost model — the same
     // region-local work the reference's region server would do.
-    val rewritten = straddlers.flatMap(r => rewriteRegion(tableDir, meta, r, ivs))
+    val rewritten: Seq[(RegionMeta, RegionMeta)] = straddlers.flatMap(r =>
+      rewriteRegion(tableDir, meta, r, ivs).map(r -> _))
     // phase 3 (under the lock): re-classify against the CURRENT state
     // (concurrent appends are carried forward untouched) and swap.
     TableMeta.withManifestLock(tableDir) {
@@ -142,7 +143,8 @@ object GraftDelete {
       if (!straddlers.forall(r => present.contains(r.file))) {
         // a concurrent compaction/delete replaced a region we rewrote —
         // our rewrite is stale; give up loudly rather than guess
-        rewritten.foreach(r => new File(tableDir, r.file).delete())
+        rewritten.foreach { case (_, rw) =>
+          new File(tableDir, rw.file).delete() }
         throw new IllegalStateException(
           "graft DELETE lost a race with a concurrent compaction or " +
             "delete on the same regions; retry the DELETE")
@@ -151,10 +153,21 @@ object GraftDelete {
       val strad = straddlersOf(out, ivs).map(_.file).toSet
       val untouched = out.filterNot(r => strad.contains(r.file))
       val dropped = in ++ out.filter(r => strad.contains(r.file))
+      // stamp fresh stable ids and mark each rewrite with its source id
+      // (srcMaxId, like compaction rewrites): a tailing stream that
+      // already consumed the original skips the rewrite instead of
+      // re-reading the kept rows as new data, and the id counter stays
+      // collision-free (an id-0 region would collide through the
+      // legacy position-based id synthesis on the next manifest load)
+      var next = state.nextId
+      val outs = rewritten.map { case (src, rw) =>
+        val o = rw.copy(id = next, srcMaxId = src.id); next += 1; o
+      }
       TableMeta.saveState(tableDir, state.copy(
         gen = state.gen + 1,
-        regions = untouched ++ rewritten,
-        retired = state.retired ++ dropped))
+        regions = untouched ++ outs,
+        retired = state.retired ++ dropped,
+        nextId = next))
     }
   }
 

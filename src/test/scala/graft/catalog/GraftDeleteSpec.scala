@@ -159,6 +159,25 @@ class GraftDeleteSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.del.rand")
   }
 
+  test("tailing stream does not re-read rows kept by a boundary rewrite") {
+    val fqn = build("stream_rw")
+    val q = spark.readStream.table(fqn)
+      .writeStream.format("memory").queryName("del_rw_tail")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("del_rw_tail").count() == 400L)
+      // straddling delete: region [100,200) rewritten with 50 kept rows
+      spark.sql(s"DELETE FROM $fqn WHERE k < 150")
+      spark.sql(s"INSERT INTO $fqn SELECT id, id * 1.0 FROM range(400, 420)")
+      q.processAllAvailable()
+      // only the 20 new rows arrive — the rewrite (srcMaxId-marked) is
+      // NOT re-served to a stream that already consumed its original
+      assert(spark.table("del_rw_tail").count() == 420L)
+    } finally q.stop()
+    spark.sql(s"DROP TABLE $fqn")
+  }
+
   test("DELETE racing a concurrent INSERT loses neither (manifest lock)") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.del")
     spark.sql("DROP TABLE IF EXISTS graft.del.race")

@@ -1,0 +1,72 @@
+package graft.catalog
+
+import scala.util.Random
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Randomized table-lifecycle property: arbitrary interleavings of
+  * INSERT batches, range DELETEs (metadata drops + boundary rewrites),
+  * and compactions against an in-memory set model. This is the op mix
+  * a long-lived 100 TB table actually sees; the invariants are that
+  * contents always equal the model and that the manifest stays
+  * self-consistent (unique stable ids, live files on disk, stats on
+  * every region). */
+class LifecycleSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("random insert/delete/compact sequence matches the set model") {
+    val rnd = new Random(20260813L)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.life")
+    spark.sql("DROP TABLE IF EXISTS graft.life.t")
+    spark.sql(
+      """CREATE TABLE graft.life.t (k BIGINT, v DOUBLE)
+        |TBLPROPERTIES('keyCols'='k', 'numRegions'='3')""".stripMargin)
+    var model = Set.empty[Long]
+    var nextBase = 0L
+    val cat = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[GraftCatalog]
+    def tdir = cat.loadTable(
+      org.apache.spark.sql.connector.catalog.Identifier
+        .of(Array("life"), "t")).asInstanceOf[GraftTable].tableDir
+
+    (1 to 15).foreach { step =>
+      rnd.nextInt(4) match {
+        case 0 | 1 => // append a fresh batch (disjoint keys)
+          val n = 100 + rnd.nextInt(300)
+          spark.sql(s"""INSERT INTO graft.life.t
+            SELECT id, id * 1.0 FROM range($nextBase, ${nextBase + n})""")
+          model ++= (nextBase until nextBase + n)
+          nextBase += n + rnd.nextInt(50)
+        case 2 => // delete a random range (may straddle regions)
+          if (model.nonEmpty) {
+            val lo = model.toSeq(rnd.nextInt(model.size))
+            val hi = lo + rnd.nextInt(400)
+            spark.sql(
+              s"DELETE FROM graft.life.t WHERE k >= $lo AND k <= $hi")
+            model = model.filterNot(k => k >= lo && k <= hi)
+          }
+        case 3 => // compact into a few regions
+          GraftCompact.compact(spark, "graft", "life", "t",
+            1 + rnd.nextInt(3))
+      }
+      // contents == model
+      val got = spark.sql(
+        "SELECT count(*) AS c, coalesce(sum(k), 0) AS s FROM graft.life.t")
+        .head()
+      assert(got.getLong(0) == model.size.toLong,
+        s"step $step: count ${got.getLong(0)} != ${model.size}")
+      assert(got.getLong(1) == model.sum, s"step $step: sum mismatch")
+      // manifest self-consistency
+      val st = TableMeta.loadState(tdir)
+      val ids = (st.regions ++ st.retired).map(_.id)
+      assert(ids.distinct.size == ids.size, s"step $step: duplicate ids")
+      assert(st.regions.forall(r =>
+        new java.io.File(tdir, r.file).isFile),
+        s"step $step: missing live region file")
+      assert(st.regions.forall(r => r.rows > 0 && r.stats.nonEmpty),
+        s"step $step: empty or stat-less live region")
+    }
+    spark.sql("DROP TABLE graft.life.t")
+  }
+}
