@@ -53,6 +53,19 @@ def main(classpath, warehouse):
             "FROM graft.pysmoke.t").collect()[0]
         assert (agg["n"], agg["lo"], agg["hi"]) == (100, 0, 99), agg
 
+        # per-region manifest statistics procedure
+        stats = spark.sql(
+            "CALL graft.sys.stats(table => 'pysmoke.t')").collect()
+        assert len(stats) >= 2, stats
+        assert sum(int(r["rows"]) for r in stats) == 100, stats
+
+        # region-aligned metadata delete
+        spark.sql("DELETE FROM graft.pysmoke.t WHERE k < 50")
+        left = spark.sql(
+            "SELECT count(*) AS n, min(k) AS lo FROM graft.pysmoke.t"
+        ).collect()[0]
+        assert (left["n"], left["lo"]) == (50, 50), left
+
         spark.sql("DROP TABLE graft.pysmoke.t")
         print("GRAFT_PY_OK")
     finally:
