@@ -596,13 +596,21 @@ class GraftScan(tableDir: File, meta: TableMeta, required: StructType,
       * feeds Spark's CBO (join reordering, filter selectivity) with no
       * data IO. Strings report null counts only: CBO's min/max
       * estimation is numeric, and string bounds may be truncated. */
-    override def columnStats(): java.util.Map[
+    // computed on demand (CBO-only consumer), once per Statistics
+    private lazy val colStatsMemo: java.util.Map[
         connector.expressions.NamedReference,
         connector.read.colstats.ColumnStatistics] = {
       val out = new java.util.HashMap[connector.expressions.NamedReference,
         connector.read.colstats.ColumnStatistics]()
       val regions = selectedRegions
-      if (regions.isEmpty) return out
+      if (regions.nonEmpty) fill(out, regions)
+      out
+    }
+
+    private def fill(out: java.util.HashMap[
+          connector.expressions.NamedReference,
+          connector.read.colstats.ColumnStatistics],
+        regions: Seq[RegionMeta]): Unit = {
       def colStat(mn: Option[Any], mx: Option[Any], nulls: Long)
           : connector.read.colstats.ColumnStatistics =
         new connector.read.colstats.ColumnStatistics {
@@ -658,8 +666,11 @@ class GraftScan(tableDir: File, meta: TableMeta, required: StructType,
             colStat(mn, mx, nulls))
         }
       }
-      out
     }
+
+    override def columnStats(): java.util.Map[
+        connector.expressions.NamedReference,
+        connector.read.colstats.ColumnStatistics] = colStatsMemo
   }
 
   /** Region files are written key-sorted (RequiresDistributionAndOrdering
