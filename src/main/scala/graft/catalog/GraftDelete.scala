@@ -150,7 +150,21 @@ object GraftDelete {
             "delete on the same regions; retry the DELETE")
       }
       val (in, out) = partitionRegions(state.regions, ivs)
-      val strad = straddlersOf(out, ivs).map(_.file).toSet
+      val stradNow = straddlersOf(out, ivs)
+      // a region appended BETWEEN our phases may straddle the delete
+      // range; we hold no rewrite for it, and retiring it unrewritten
+      // would lose its kept rows — fail loudly instead. (A concurrent
+      // append fully INSIDE the range is safe to drop: all its rows
+      // match the predicate, the delete just ordered after the insert.)
+      val processed = straddlers.map(_.file).toSet
+      if (stradNow.exists(r => !processed.contains(r.file))) {
+        rewritten.foreach { case (_, rw) =>
+          new File(tableDir, rw.file).delete() }
+        throw new IllegalStateException(
+          "graft DELETE lost a race with a concurrent append into the " +
+            "deleted key range; retry the DELETE")
+      }
+      val strad = stradNow.map(_.file).toSet
       val untouched = out.filterNot(r => strad.contains(r.file))
       val dropped = in ++ out.filter(r => strad.contains(r.file))
       // stamp fresh stable ids and mark each rewrite with its source id
