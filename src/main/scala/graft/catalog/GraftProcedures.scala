@@ -32,7 +32,7 @@ object GraftProcedures {
   /** Namespace the procedures live in: `CALL graft.sys.<name>(...)`. */
   val Namespace: Array[String] = Array("sys")
 
-  val Names: Seq[String] = Seq("load_csv", "compact", "stats")
+  val Names: Seq[String] = Seq("load_csv", "compact", "stats", "vacuum")
 
   def load(catalogName: String, ident: Identifier): UnboundProcedure = {
     require(ident.namespace.isEmpty ||
@@ -43,6 +43,7 @@ object GraftProcedures {
       case "load_csv" => new LoadCsvProcedure(catalogName)
       case "compact" => new CompactProcedure(catalogName)
       case "stats" => new StatsProcedure(catalogName)
+      case "vacuum" => new VacuumProcedure(catalogName)
       case other => throw new IllegalArgumentException(
         s"unknown graft procedure $other; available: ${Names.mkString(", ")}")
     }
@@ -164,6 +165,49 @@ object GraftProcedures {
           Collections.singletonList(LocalRowsScan(Array("region_file",
             "region_id", "rows", "bucket", "key_min", "key_max",
             "column_stats"), rows): Scan).iterator()
+        }
+      }
+  }
+
+  /** `CALL graft.sys.vacuum(table => 'ns.t')` — drop the retired
+    * region files (kept by DELETE/compaction for in-flight readers and
+    * tailing streams) and clear the retired list. Compaction does this
+    * automatically each cycle; vacuum is for delete-heavy tables that
+    * never compact. Run it only when no tailing stream still needs the
+    * previous cycle — a stream checkpointed before the last
+    * delete/compaction fails loudly afterwards (same contract as
+    * falling more than one compaction cycle behind). Returns the
+    * number of files removed. */
+  final class VacuumProcedure(catalogName: String)
+      extends UnboundProcedure {
+    override def name(): String = "vacuum"
+    override def description(): String =
+      "remove retired region files of a graft table (files kept for " +
+        "in-flight readers by DELETE/compaction)"
+    override def bind(inputType: StructType): BoundProcedure =
+      new BoundProcedure {
+        override def name(): String = "vacuum"
+        override def description(): String = VacuumProcedure.this.description()
+        override def isDeterministic: Boolean = false
+        override def parameters(): Array[ProcedureParameter] = Array(
+          ProcedureParameter.in("table", StringType)
+            .comment("'<namespace>.<table>' within this catalog").build())
+        override def call(input: InternalRow): java.util.Iterator[Scan] = {
+          val (ns, t) = splitNsTable(input.getUTF8String(0).toString)
+          val spark = SparkSession.active
+          val cat = spark.sessionState.catalogManager.catalog(catalogName)
+            .asInstanceOf[GraftCatalog]
+          val gt = cat.loadTable(Identifier.of(Array(ns), t))
+            .asInstanceOf[GraftTable]
+          val removed = TableMeta.withManifestLock(gt.tableDir) {
+            val state = TableMeta.loadState(gt.tableDir)
+            state.retired.foreach(r =>
+              new java.io.File(gt.tableDir, r.file).delete())
+            TableMeta.saveState(gt.tableDir, state.copy(retired = Nil))
+            state.retired.size
+          }
+          Collections.singletonList(LocalRowsScan(Array("removed_files"),
+            Seq(Seq(removed.toString))): Scan).iterator()
         }
       }
   }

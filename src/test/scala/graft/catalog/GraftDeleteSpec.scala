@@ -203,6 +203,22 @@ class GraftDeleteSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.del.race")
   }
 
+  test("CALL graft.sys.vacuum purges retired files after a delete") {
+    val fqn = build("vac")
+    spark.sql(s"DELETE FROM $fqn WHERE k < 100")
+    val st = TableMeta.loadState(tableDir("vac"))
+    assert(st.retired.size == 1)
+    val retiredFile = new java.io.File(tableDir("vac"), st.retired.head.file)
+    assert(retiredFile.isFile)
+    val out = spark.sql("CALL graft.sys.vacuum(table => 'del.vac')")
+      .collect()
+    assert(out.head.getString(0) == "1")
+    assert(!retiredFile.isFile)
+    assert(TableMeta.loadState(tableDir("vac")).retired.isEmpty)
+    assert(spark.table(fqn).count() == 300L) // live data untouched
+    spark.sql(s"DROP TABLE $fqn")
+  }
+
   test("tailing stream skips deleted region ids without failing") {
     val fqn = build("stream")
     val q = spark.readStream.table(fqn)

@@ -16,7 +16,11 @@ class LifecycleSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
   test("random insert/delete/compact sequence matches the set model") {
-    val rnd = new Random(20260813L)
+    Seq(20260813L, 4242L).foreach(run)
+  }
+
+  private def run(seed: Long): Unit = {
+    val rnd = new Random(seed)
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.life")
     spark.sql("DROP TABLE IF EXISTS graft.life.t")
     spark.sql(
