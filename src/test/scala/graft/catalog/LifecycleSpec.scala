@@ -19,6 +19,54 @@ class LifecycleSpec extends AnyFunSuite {
     Seq(20260813L, 4242L).foreach(run)
   }
 
+  test("caught-up tailing stream sees every appended row exactly once " +
+      "across random deletes and compactions") {
+    val rnd = new Random(777L)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.life")
+    spark.sql("DROP TABLE IF EXISTS graft.life.s")
+    spark.sql(
+      """CREATE TABLE graft.life.s (k BIGINT, v DOUBLE)
+        |TBLPROPERTIES('keyCols'='k', 'numRegions'='3')""".stripMargin)
+    var appended = Set.empty[Long]
+    var nextBase = 0L
+    val q = spark.readStream.table("graft.life.s")
+      .writeStream.format("memory").queryName("life_tail")
+      .outputMode("append").start()
+    try {
+      (1 to 10).foreach { step =>
+        rnd.nextInt(4) match {
+          case 0 | 1 =>
+            val n = 50 + rnd.nextInt(150)
+            spark.sql(s"""INSERT INTO graft.life.s
+              SELECT id, id * 1.0 FROM range($nextBase, ${nextBase + n})""")
+            appended ++= (nextBase until nextBase + n)
+            nextBase += n
+          case 2 =>
+            if (appended.nonEmpty) {
+              val lo = rnd.nextInt(nextBase.toInt.max(1)).toLong
+              spark.sql(s"DELETE FROM graft.life.s " +
+                s"WHERE k >= $lo AND k <= ${lo + rnd.nextInt(200)}")
+            }
+          case 3 =>
+            GraftCompact.compact(spark, "graft", "life", "s",
+              1 + rnd.nextInt(2))
+        }
+        // the stream stays caught up, so it reads live originals only:
+        // each appended key exactly once — deletes never retract from
+        // the log, rewrites (srcMaxId-marked) never re-emit
+        q.processAllAvailable()
+        val seen = spark.table("life_tail").select("k").collect()
+          .map(_.getLong(0))
+        assert(seen.length == seen.distinct.length,
+          s"step $step: stream emitted duplicates")
+        assert(seen.toSet == appended,
+          s"step $step: stream saw ${seen.length} keys, " +
+            s"appended ${appended.size}")
+      }
+    } finally q.stop()
+    spark.sql("DROP TABLE graft.life.s")
+  }
+
   private def run(seed: Long): Unit = {
     val rnd = new Random(seed)
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.life")
