@@ -68,6 +68,15 @@ object GraftDelete {
         if (encs.forall(_.isDefined))
           Some(encs.flatten.map(b => Iv(Some(b), true, Some(b), true)))
         else None
+      // {s : s startsWith p} IS [p, successor(p)) in byte order —
+      // exact, so `DELETE WHERE key LIKE '2023-%'` retention works
+      case sources.StringStartsWith(c, p)
+          if c.toLowerCase == k0 &&
+            dt0 == org.apache.spark.sql.types.StringType =>
+        val lo = p.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        Some(List(Iv(Some(lo), true, Option(KeyCodec.successor(lo)), false)))
+      // keys reject nulls: IS NULL on the key matches nothing, exactly
+      case sources.IsNull(c) if c.toLowerCase == k0 => Some(Nil)
       case sources.And(l, r) =>
         for (a <- one(l); b <- one(r))
           yield (for (x <- a; y <- b) yield x.intersect(y))

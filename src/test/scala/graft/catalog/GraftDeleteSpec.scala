@@ -203,6 +203,30 @@ class GraftDeleteSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.del.race")
   }
 
+  test("prefix DELETE on a string key (LIKE 'p%') is exact") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.del")
+    spark.sql("DROP TABLE IF EXISTS graft.del.pfx")
+    spark.sql(
+      """CREATE TABLE graft.del.pfx (day STRING, n BIGINT)
+        |TBLPROPERTIES('keyCols'='day', 'numRegions'='4')""".stripMargin)
+    // date-prefixed string keys, the classic log layout
+    spark.sql(
+      """INSERT INTO graft.del.pfx
+        |SELECT concat('2023-', lpad(CAST(id % 12 + 1 AS STRING), 2, '0'),
+        |              '-', lpad(CAST(id AS STRING), 4, '0')), id
+        |FROM range(1200)""".stripMargin)
+    spark.sql("DELETE FROM graft.del.pfx WHERE day LIKE '2023-01%'")
+    assert(spark.table("graft.del.pfx").count() == 1100L)
+    assert(spark.sql(
+      "SELECT count(*) FROM graft.del.pfx WHERE day LIKE '2023-01%'")
+      .head().getLong(0) == 0L)
+    // other months intact
+    assert(spark.sql(
+      "SELECT count(*) FROM graft.del.pfx WHERE day LIKE '2023-02%'")
+      .head().getLong(0) == 100L)
+    spark.sql("DROP TABLE graft.del.pfx")
+  }
+
   test("CALL graft.sys.vacuum purges retired files after a delete") {
     val fqn = build("vac")
     spark.sql(s"DELETE FROM $fqn WHERE k < 100")
