@@ -203,6 +203,62 @@ class GraftDeleteSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.del.race")
   }
 
+  test("exactIntervals is EXACT: interval membership == predicate truth " +
+      "(2000 random scenarios)") {
+    // the catastrophic direction for DELETE is over-approximation
+    // (dropping kept rows), so unlike the pruning property this checks
+    // EQUIVALENCE, not one-sided soundness
+    import org.apache.spark.sql.sources
+    import org.apache.spark.sql.types._
+    import graft.codec.KeyCodec
+    val rnd = new scala.util.Random(99L)
+    val meta = TableMeta(
+      StructType(Seq(StructField("k", LongType), StructField("v", DoubleType))),
+      Seq("k"), Map.empty)
+    def leaf(): sources.Filter = {
+      val v = rnd.nextInt(100).toLong - 50
+      rnd.nextInt(6) match {
+        case 0 => sources.EqualTo("k", v)
+        case 1 => sources.GreaterThan("k", v)
+        case 2 => sources.GreaterThanOrEqual("k", v)
+        case 3 => sources.LessThan("k", v)
+        case 4 => sources.LessThanOrEqual("k", v)
+        case 5 => sources.In("k",
+          Array.fill(1 + rnd.nextInt(3))(rnd.nextInt(100).toLong - 50: Any))
+      }
+    }
+    def pred(depth: Int): sources.Filter =
+      if (depth == 0 || rnd.nextInt(3) == 0) leaf()
+      else if (rnd.nextBoolean()) sources.And(pred(depth - 1), pred(depth - 1))
+      else sources.Or(pred(depth - 1), pred(depth - 1))
+    def eval(f: sources.Filter, k: Long): Boolean = f match {
+      case sources.And(l, r) => eval(l, k) && eval(r, k)
+      case sources.Or(l, r) => eval(l, k) || eval(r, k)
+      case sources.EqualTo(_, v) => k == v.asInstanceOf[Long]
+      case sources.GreaterThan(_, v) => k > v.asInstanceOf[Long]
+      case sources.GreaterThanOrEqual(_, v) => k >= v.asInstanceOf[Long]
+      case sources.LessThan(_, v) => k < v.asInstanceOf[Long]
+      case sources.LessThanOrEqual(_, v) => k <= v.asInstanceOf[Long]
+      case sources.In(_, vs) => vs.contains(k)
+      case other => fail(s"unexpected $other")
+    }
+    (1 to 2000).foreach { i =>
+      val p = pred(3)
+      val conjuncts: Seq[sources.Filter] =
+        if (rnd.nextBoolean()) Seq(p) else Seq(p, leaf())
+      GraftDelete.exactIntervals(conjuncts, meta).foreach { ivs =>
+        (-60L to 60L).foreach { k =>
+          val enc = KeyCodec.encode(LongType, k)
+          val inSet = ivs.exists(_.overlaps(enc, enc))
+          val truth = conjuncts.forall(eval(_, k))
+          assert(inSet == truth,
+            s"scenario $i: k=$k inSet=$inSet truth=$truth under " +
+              s"$conjuncts (ivs=$ivs)")
+        }
+      }
+    }
+  }
+
   test("prefix DELETE on a string key (LIKE 'p%') is exact") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.del")
     spark.sql("DROP TABLE IF EXISTS graft.del.pfx")
