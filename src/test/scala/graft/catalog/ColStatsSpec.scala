@@ -406,6 +406,33 @@ class ColStatsSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.cstats.proc")
   }
 
+  test("negative DECIMAL stats order and prune correctly") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.cstats")
+    spark.sql("DROP TABLE IF EXISTS graft.cstats.negd")
+    spark.sql(
+      """CREATE TABLE graft.cstats.negd (k BIGINT, bal DECIMAL(10,2))
+        |TBLPROPERTIES('keyCols'='k', 'numRegions'='4')""".stripMargin)
+    // balances from -1000.00 up to +999.50, monotone in k
+    spark.sql(
+      """INSERT INTO graft.cstats.negd
+        |SELECT id, CAST((id - 2000) AS DECIMAL(10,2)) / 2
+        |FROM range(4000)""".stripMargin)
+    val q = spark.sql(
+      """SELECT count(*) AS c FROM graft.cstats.negd
+        |WHERE bal BETWEEN -600.00 AND -500.50""".stripMargin)
+    assert(q.head().getLong(0) == 200L)
+    q.collect()
+    val parts = findScan(q.queryExecution.executedPlan)
+      .get.inputRDD.getNumPartitions
+    assert(parts <= 2, s"negative-decimal skip: got $parts of 4")
+    // manifest-answered min/max decode the sign correctly
+    val mm = spark.sql(
+      "SELECT min(bal), max(bal) FROM graft.cstats.negd").head()
+    assert(mm.getDecimal(0).toPlainString == "-1000.00" &&
+      mm.getDecimal(1).toPlainString == "999.50")
+    spark.sql("DROP TABLE graft.cstats.negd")
+  }
+
   test("DECIMAL column stats skip regions; inexact literals never prune") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.cstats")
     spark.sql("DROP TABLE IF EXISTS graft.cstats.decs")
