@@ -162,6 +162,19 @@ class ColStatsSpec extends AnyFunSuite {
       Seq(sources.StringStartsWith("s", "x" * 10)), st, types))
   }
 
+  test("NaN regions follow Spark's NaN-greatest comparison semantics") {
+    val f = StructField("d", DoubleType)
+    val t = ColStats.tracker(f)
+    t.observe(new GenericInternalRow(Array[Any](Double.NaN)), 0)
+    val st = Map("d" -> t.stat)
+    val ty = Map("d" -> (DoubleType: DataType))
+    // Spark: NaN > x is TRUE, NaN < x is FALSE, NaN = NaN is TRUE
+    assert(ColStats.survives(Seq(sources.GreaterThan("d", 5.0)), st, ty))
+    assert(!ColStats.survives(Seq(sources.LessThan("d", 5.0)), st, ty))
+    assert(ColStats.survives(Seq(sources.EqualTo("d", Double.NaN)), st, ty))
+    assert(!ColStats.survives(Seq(sources.EqualTo("d", 5.0)), st, ty))
+  }
+
   test("zero bounds cover both signed zeros") {
     val f = StructField("d", DoubleType)
     val t = ColStats.tracker(f)

@@ -283,6 +283,20 @@ class GraftDeleteSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.del.pfx")
   }
 
+  test("key-grouped exchange-free plans survive a boundary rewrite") {
+    val fqn = build("kg")
+    spark.sql(s"DELETE FROM $fqn WHERE k < 150") // rewrites [100,200)
+    val q = spark.sql(
+      s"SELECT k, count(*) AS c FROM $fqn GROUP BY k")
+    assert(q.collect().length == 250)
+    val plan = q.queryExecution.executedPlan.toString
+    // the rewritten region keeps its bucket, so the scan still reports
+    // KeyGroupedPartitioning and the GROUP BY needs no shuffle
+    assert(!plan.contains("Exchange"),
+      s"expected exchange-free key groupBy after rewrite:\n$plan")
+    spark.sql(s"DROP TABLE $fqn")
+  }
+
   test("CALL graft.sys.vacuum purges retired files after a delete") {
     val fqn = build("vac")
     spark.sql(s"DELETE FROM $fqn WHERE k < 100")
