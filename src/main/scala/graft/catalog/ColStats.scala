@@ -187,8 +187,8 @@ object ColStats {
 
   /** Keep the region iff every pushed conjunct may have a satisfying
     * row, judging by the region's column stats. `types` maps lowercase
-    * non-key column names to their types; `stats` is the region's stat
-    * map as stored (schema-cased). One-shot convenience face of
+    * non-key column names to their types; `stats` keys are lowercase
+    * (normalized at manifest load). One-shot convenience face of
     * [[compile]]. */
   def survives(filters: Seq[sources.Filter], stats: Map[String, ColStat],
       types: Map[String, DataType]): Boolean =
@@ -210,10 +210,9 @@ object ColStats {
       (dt, v) => memo.computeIfAbsent((dt, v),
         _ => ColStats.enc(dt, v))
     def survives(stats: Map[String, ColStat]): Boolean =
-      stats.isEmpty || {
-        val st = stats.map { case (k, v) => k.toLowerCase -> v }
-        filters.forall(mayMatch(_, st, types, encM))
-      }
+      // stat keys are lowercase from manifest load (TableMeta) — no
+      // per-region map rebuild on manifest-scale region counts
+      stats.isEmpty || filters.forall(mayMatch(_, stats, types, encM))
   }
 
   private def enc(dt: DataType, v: Any): Option[Array[Byte]] = dt match {

@@ -43,7 +43,10 @@ object FilterHint {
   private object Col {
     def unapply(e: Expression): Option[String] = e match {
       case a: Attribute => Some(a.name)
-      case Cast(a: Attribute, _, _, _) => Some(a.name)
+      // No Cast-stripping: `CAST(c AS INT) = 5` on a BIGINT c admits
+      // values the bare-column filter would skip (4294967301 wraps to
+      // 5), so translating it would skip rows the hint admits. The
+      // conjunct is dropped instead — less skipping, never wrong rows.
       case _ => None
     }
   }
@@ -89,8 +92,11 @@ object FilterHint {
       Some(sources.StringStartsWith(c, p))
     // the parser yields Like (LikeSimplification runs later); translate
     // the pure-prefix form
+    // the escape char is rejected along with %/_ — an escaped
+    // wildcard (`a\%b%`) or escaped backslash (`a\\b%`) would need
+    // unescaping before it could become a literal prefix
     case Like(Col(c), Lit(p: String), '\\')
-        if p.endsWith("%") && !p.dropRight(1).exists("%_".contains(_)) =>
+        if p.endsWith("%") && !p.dropRight(1).exists("%_\\".contains(_)) =>
       Some(sources.StringStartsWith(c, p.dropRight(1)))
     case Not(g) => toSource(g).map(sources.Not)
     case Or(l, r) =>

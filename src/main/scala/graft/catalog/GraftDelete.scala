@@ -48,26 +48,59 @@ object GraftDelete {
       ParquetRowIO.toInternal(dt0, v).flatMap { cv =>
         try Some(KeyCodec.encode(dt0, cv)) catch { case _: Exception => None }
       }
+    // Signed-zero exactness: KeyCodec orders enc(-0.0) < enc(0.0) but
+    // SQL comparison treats them equal, so a zero literal on a FLOAT/
+    // DOUBLE key must map to the two-point byte range [enc(-0.0),
+    // enc(0.0)], not the single encoding of whichever zero was written.
+    import org.apache.spark.sql.types.{DoubleType, FloatType}
+    def isFpZero(v: Any): Boolean = (dt0, v) match {
+      case (FloatType, f: java.lang.Float) => f.floatValue == 0.0f
+      case (DoubleType, d: java.lang.Double) => d.doubleValue == 0.0d
+      // an unfolded DECIMAL zero literal against an fp key also means
+      // "both zeros" (BigDecimal cannot carry the sign bit)
+      case (FloatType | DoubleType, bd: java.math.BigDecimal) =>
+        bd.signum == 0
+      case (FloatType | DoubleType, bd: BigDecimal) => bd.signum == 0
+      case _ => false
+    }
+    def negZero: Option[Array[Byte]] =
+      enc(if (dt0 == FloatType) java.lang.Float.valueOf(-0.0f)
+          else java.lang.Double.valueOf(-0.0d))
+    def posZero: Option[Array[Byte]] =
+      enc(if (dt0 == FloatType) java.lang.Float.valueOf(0.0f)
+          else java.lang.Double.valueOf(0.0d))
+    def zeroPointIv: Option[IvSet] =
+      for (lo <- negZero; hi <- posZero) yield List(Iv(Some(lo), true, Some(hi), true))
     def one(f: sources.Filter): Option[IvSet] = f match {
       case sources.AlwaysTrue() => Some(List(graft.prune.KeyRanges.full))
       case sources.AlwaysFalse() => Some(Nil)
       case sources.IsNotNull(c) if c.toLowerCase == k0 =>
         Some(List(graft.prune.KeyRanges.full)) // keys reject nulls
       case sources.EqualTo(c, v) if c.toLowerCase == k0 =>
-        enc(v).map(b => List(Iv(Some(b), true, Some(b), true)))
+        if (isFpZero(v)) zeroPointIv
+        else enc(v).map(b => List(Iv(Some(b), true, Some(b), true)))
       case sources.GreaterThan(c, v) if c.toLowerCase == k0 =>
-        enc(v).map(b => List(Iv(Some(b), false, None, false)))
+        // > 0.0 excludes BOTH zeros → open bound at the larger enc(+0.0)
+        if (isFpZero(v)) posZero.map(b => List(Iv(Some(b), false, None, false)))
+        else enc(v).map(b => List(Iv(Some(b), false, None, false)))
       case sources.GreaterThanOrEqual(c, v) if c.toLowerCase == k0 =>
-        enc(v).map(b => List(Iv(Some(b), true, None, false)))
+        // >= 0.0 includes BOTH zeros → closed bound at enc(-0.0)
+        if (isFpZero(v)) negZero.map(b => List(Iv(Some(b), true, None, false)))
+        else enc(v).map(b => List(Iv(Some(b), true, None, false)))
       case sources.LessThan(c, v) if c.toLowerCase == k0 =>
-        enc(v).map(b => List(Iv(None, false, Some(b), false)))
+        // < 0.0 excludes BOTH zeros → open bound at the smaller enc(-0.0)
+        if (isFpZero(v)) negZero.map(b => List(Iv(None, false, Some(b), false)))
+        else enc(v).map(b => List(Iv(None, false, Some(b), false)))
       case sources.LessThanOrEqual(c, v) if c.toLowerCase == k0 =>
-        enc(v).map(b => List(Iv(None, false, Some(b), true)))
+        // <= 0.0 includes BOTH zeros → closed bound at enc(+0.0)
+        if (isFpZero(v)) posZero.map(b => List(Iv(None, false, Some(b), true)))
+        else enc(v).map(b => List(Iv(None, false, Some(b), true)))
       case sources.In(c, vs) if c.toLowerCase == k0 =>
-        val encs = vs.toList.map(enc)
-        if (encs.forall(_.isDefined))
-          Some(encs.flatten.map(b => Iv(Some(b), true, Some(b), true)))
-        else None
+        val encs = vs.toList.map { v =>
+          if (isFpZero(v)) zeroPointIv.map(_.head)
+          else enc(v).map(b => Iv(Some(b), true, Some(b), true))
+        }
+        if (encs.forall(_.isDefined)) Some(encs.flatten) else None
       // {s : s startsWith p} IS [p, successor(p)) in byte order —
       // exact, so `DELETE WHERE key LIKE '2023-%'` retention works
       case sources.StringStartsWith(c, p)

@@ -177,8 +177,10 @@ object TableMeta {
       val maxs = o.putArray("maxs"); r.maxs.foreach(maxs.add)
       if (r.stats.nonEmpty) {
         val so = o.putObject("stats")
+        // stat keys persist lowercase so pruning ([[ColStats.Compiled]])
+        // never re-cases the map per region on manifest-scale scans
         r.stats.foreach { case (c, st) =>
-          val e = so.putObject(c)
+          val e = so.putObject(c.toLowerCase)
           st.min.foreach(e.put("mn", _))
           st.max.foreach(e.put("mx", _))
           e.put("nc", st.nulls)
@@ -281,7 +283,9 @@ object TableMeta {
           while (it.hasNext) {
             val kv = it.next()
             val e = kv.getValue
-            b += kv.getKey -> ColStat(
+            // lowercase on load too: manifests written before the
+            // lowercase-at-save change stay schema-cased on disk
+            b += kv.getKey.toLowerCase -> ColStat(
               Option(e.get("mn")).map(_.asText),
               Option(e.get("mx")).map(_.asText),
               if (e.has("nc")) e.get("nc").asLong else 0L)

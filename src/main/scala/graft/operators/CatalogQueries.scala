@@ -612,10 +612,12 @@ object CatalogQueries {
 
   val oracles: Map[String, String] = Map(
     // both engines aggregate true decimals — values must match exactly,
-    // no round() anywhere (scale-2 results on both sides)
+    // no round() anywhere (scale-2 results on both sides); sum widened
+    // to Spark's result width DECIMAL(22,2) (DuckDB's is DECIMAL(38,2))
     "catalog_decimal" ->
       """SELECT o_orderstatus, count(*) AS cnt,
-        |       sum(CAST(o_totalprice AS DECIMAL(12,2))) AS total,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(12,2)))
+        |            AS DECIMAL(22,2)) AS total,
         |       min(CAST(o_totalprice AS DECIMAL(12,2))) AS lo,
         |       max(CAST(o_totalprice AS DECIMAL(12,2))) AS hi
         |FROM orders GROUP BY o_orderstatus""".stripMargin,
@@ -671,7 +673,7 @@ object CatalogQueries {
         |           PARTITION BY source ORDER BY doc_id
         |           ROWS UNBOUNDED PRECEDING) AS cum
         |  FROM documents)
-        |SELECT source, (cum - tok) // 256 AS bin,
+        |SELECT source, CAST((cum - tok) // 256 AS BIGINT) AS bin,
         |       count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS bin_tokens,
         |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
         |FROM t GROUP BY source, bin""".stripMargin,

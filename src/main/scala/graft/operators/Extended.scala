@@ -453,7 +453,7 @@ object Extended {
         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin,
 
     "window_range_frame" ->
-      """WITH a AS (SELECT o_custkey, year(o_orderdate) AS yr,
+      """WITH a AS (SELECT o_custkey, CAST(year(o_orderdate) AS INT) AS yr,
         |                  round(sum(o_totalprice), 2) AS yr_total
         |           FROM orders GROUP BY 1, 2)
         |SELECT o_custkey, yr,
@@ -494,7 +494,7 @@ object Extended {
         |       rpad(p_brand, 12, '_') AS rp,
         |       reverse(p_brand) AS rev,
         |       repeat(p_brand, 2) AS rep,
-        |       strpos(p_name, 'a') AS pos_a,
+        |       CAST(strpos(p_name, 'a') AS INT) AS pos_a,
         |       left(p_name, 4) AS l4,
         |       right(p_name, 4) AS r4
         |FROM part WHERE p_partkey <= 500""".stripMargin,

@@ -256,7 +256,8 @@ object RelationalOracles {
 
     "fn_string" ->
       """SELECT p_partkey, upper(p_name) AS up, lower(p_brand) AS lo,
-        |       substring(p_name, 1, 5) AS sub, length(p_name) AS len,
+        |       substring(p_name, 1, 5) AS sub,
+        |       CAST(length(p_name) AS INT) AS len,
         |       concat(p_brand, '-', p_type) AS cat,
         |       regexp_replace(p_type, ' ', '_', 'g') AS rep
         |FROM part""".stripMargin,

@@ -580,7 +580,7 @@ object TextOps {
         |           PARTITION BY source ORDER BY doc_id
         |           ROWS UNBOUNDED PRECEDING) AS cum
         |  FROM documents)
-        |SELECT source, (cum - tok) // 256 AS bin,
+        |SELECT source, CAST((cum - tok) // 256 AS BIGINT) AS bin,
         |       count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS bin_tokens,
         |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
         |FROM t GROUP BY source, bin""".stripMargin,

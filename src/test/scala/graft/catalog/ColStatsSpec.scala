@@ -528,6 +528,26 @@ class ColStatsSpec extends AnyFunSuite {
     assert(fs.length == 5)
   }
 
+  test("filter-hint refuses narrowing translations (casts, escaped LIKE)") {
+    spark // parser needs an active session
+    // CAST(k AS INT) = 5 on a BIGINT k also admits 4294967301 — the
+    // bare-column EqualTo would skip regions the hint admits, so the
+    // conjunct must DROP, not translate
+    val fs = FilterHint.parse(
+      "CAST(k AS INT) = 5 AND day = 2 AND CAST(k AS INT) > 3")
+    assert(fs.toSeq == Seq(sources.EqualTo("day", 2)))
+    // escaped backslash in a LIKE prefix ('a\b%' after SQL unescaping):
+    // emitting the raw prefix would skip matching rows; must drop
+    val fs2 = FilterHint.parse("name LIKE 'a\\\\b%' AND day = 2")
+    assert(fs2.toSeq == Seq(sources.EqualTo("day", 2)))
+    // escaped wildcard 'a\%b%' (literal percent inside) must also drop
+    val fs3 = FilterHint.parse("name LIKE 'a\\\\%b%' AND day = 2")
+    assert(fs3.toSeq == Seq(sources.EqualTo("day", 2)))
+    // plain prefix still translates
+    val fs4 = FilterHint.parse("name LIKE 'ab%'")
+    assert(fs4.toSeq == Seq(sources.StringStartsWith("name", "ab")))
+  }
+
   test("scan reports pruning metrics (total/scanned/read tasks)") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.cstats")
     spark.sql("DROP TABLE IF EXISTS graft.cstats.met")

@@ -283,6 +283,56 @@ class GraftDeleteSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.del.pfx")
   }
 
+  test("signed zeros on an fp key: DELETE treats -0.0 = 0.0 like SQL") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.del")
+    spark.sql("DROP TABLE IF EXISTS graft.del.fpz")
+    spark.sql(
+      """CREATE TABLE graft.del.fpz (k DOUBLE, n BIGINT)
+        |TBLPROPERTIES('keyCols'='k', 'numRegions'='2')""".stripMargin)
+    // KeyCodec orders enc(-0.0) < enc(0.0); SQL says they are equal
+    spark.sql(
+      """INSERT INTO graft.del.fpz VALUES
+        |(-2.0D, 1), (-1.0D, 2), (CAST('-0.0' AS DOUBLE), 3),
+        |(0.0D, 4), (1.0D, 5), (2.0D, 6)""".stripMargin)
+    // k < 0.0 must KEEP the -0.0 row (SQL: -0.0 < 0.0 is false)
+    spark.sql("DELETE FROM graft.del.fpz WHERE k < 0.0D")
+    assert(spark.table("graft.del.fpz").count() == 4L)
+    assert(spark.sql(
+      "SELECT count(*) FROM graft.del.fpz WHERE CAST(k AS STRING) = '-0.0'")
+      .head().getLong(0) == 1L, "-0.0 row was wrongly deleted by k < 0.0")
+    // k = 0.0 must delete BOTH zeros
+    spark.sql("DELETE FROM graft.del.fpz WHERE k = 0.0D")
+    val left = spark.table("graft.del.fpz").orderBy("k").collect()
+    assert(left.map(_.getDouble(0)).toSeq == Seq(1.0, 2.0))
+    spark.sql("DROP TABLE graft.del.fpz")
+  }
+
+  test("signed-zero translator cases cover every comparison operator") {
+    import org.apache.spark.sql.sources
+    import org.apache.spark.sql.types._
+    import graft.codec.KeyCodec
+    val meta = TableMeta(
+      StructType(Seq(StructField("k", DoubleType), StructField("v", LongType))),
+      Seq("k"), Map.empty)
+    val nz = KeyCodec.encode(DoubleType, -0.0d)
+    val pz = KeyCodec.encode(DoubleType, 0.0d)
+    def members(f: sources.Filter): (Boolean, Boolean) = {
+      val ivs = GraftDelete.exactIntervals(Seq(f), meta).get
+      (ivs.exists(_.overlaps(nz, nz)), ivs.exists(_.overlaps(pz, pz)))
+    }
+    // (in(-0.0), in(+0.0)) per operator — SQL treats the zeros equal
+    assert(members(sources.EqualTo("k", 0.0d)) == ((true, true)))
+    assert(members(sources.EqualTo("k", -0.0d)) == ((true, true)))
+    assert(members(sources.LessThan("k", 0.0d)) == ((false, false)))
+    assert(members(sources.LessThanOrEqual("k", -0.0d)) == ((true, true)))
+    assert(members(sources.GreaterThan("k", -0.0d)) == ((false, false)))
+    assert(members(sources.GreaterThanOrEqual("k", 0.0d)) == ((true, true)))
+    assert(members(sources.In("k", Array(0.0d, 5.0d))) == ((true, true)))
+    // non-zero bounds keep the zeros on the right side of the fence
+    assert(members(sources.LessThan("k", 1.0d)) == ((true, true)))
+    assert(members(sources.GreaterThan("k", -1.0d)) == ((true, true)))
+  }
+
   test("key-grouped exchange-free plans survive a boundary rewrite") {
     val fqn = build("kg")
     spark.sql(s"DELETE FROM $fqn WHERE k < 150") // rewrites [100,200)

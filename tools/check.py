@@ -54,6 +54,7 @@ def main():
             nfail += 1
             continue
         rel = con.sql(f"SELECT * FROM read_parquet('{outdir}/{name}/*.parquet')")
+        got_types = dict(zip(rel.columns, (str(t) for t in rel.types)))
         got_cols, got = canon(rel.columns, rel.fetchall())
         if name not in oracles:
             print(f"SKIP   {name} rows={len(got)} (no oracle, rows-only)")
@@ -63,6 +64,7 @@ def main():
             continue
         try:
             orel = con.sql(oracles[name])
+            exp_types = dict(zip(orel.columns, (str(t) for t in orel.types)))
             exp_cols, exp = canon(orel.columns, orel.fetchall())
         except Exception as e:
             print(f"ORAERR {name}: {e}")
@@ -70,6 +72,14 @@ def main():
             continue
         if got_cols != exp_cols:
             print(f"FAIL   {name}: cols {got_cols} != {exp_cols}")
+            nfail += 1
+            continue
+        # driver's hasher is type-sensitive: mirror that here so a
+        # value-equal / type-unequal result fails locally too
+        tdiff = {c: (got_types[c], exp_types[c]) for c in got_cols
+                 if got_types.get(c) != exp_types.get(c)}
+        if tdiff:
+            print(f"FAIL   {name}: result types differ {tdiff}")
             nfail += 1
             continue
         if got == exp:
