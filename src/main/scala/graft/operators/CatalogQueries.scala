@@ -379,15 +379,15 @@ object CatalogQueries {
       fqn
     })
 
-  /** MinHash-LSH candidate pairs over CATALOG-stored documents: the
-    * near-dup scale path (signatures → banded join → estimate) composed
-    * with the key-sorted store the way catalog_dedup_exact composes the
-    * exact path. Rows-only for the driver (xxhash bands have no DuckDB
-    * equivalent); CatalogVectorSpec gates it ≡ the parquet-backed
-    * dedup_minhash_pairs. */
+  /** MinHash-LSH verified near-dup pairs over CATALOG-stored documents:
+    * the near-dup scale path (signatures → banded join → exact-Jaccard
+    * verify) composed with the key-sorted store the way
+    * catalog_dedup_exact composes the exact path. A hash match proves
+    * the store holds exactly the source documents AND the LSH pipeline
+    * emits exactly the true ≥0.9 pair set; CatalogVectorSpec gates it
+    * ≡ the parquet-backed dedup_minhash_pairs. */
   val dedupMinhashOnStore: Q = (s, d) =>
-    TextOps.minhashCandidatesOn(
-      TextOps.minhashSignaturesOn(s.table(documentsTable(s, d))), 0.2)
+    TextOps.minhashVerifiedPairs(s.table(documentsTable(s, d)))
 
   /** Events keyed (user_id, ts) with fixed user_id splits: the scan
     * reports KeyGroupedPartitioning(bucket(user_id)) AND ascending
@@ -683,6 +683,26 @@ object CatalogQueries {
         |WHERE md5(text) = (SELECT md5(text) FROM documents
         |                   WHERE doc_id = 42)
         |ORDER BY doc_id""".stripMargin,
+
+    // identical to dedup_minhash_pairs' oracle: the catalog store must
+    // hold exactly the source documents, and the LSH+verify pipeline
+    // must emit exactly the true >=0.9 Jaccard pair set
+    "catalog_dedup_minhash" ->
+      """WITH w AS (SELECT doc_id,
+        |                  unnest(list_distinct(string_split(text, ' '))) AS wd
+        |           FROM documents WHERE doc_id < 1000),
+        |sz AS (SELECT doc_id, count(*) AS n FROM w GROUP BY 1),
+        |sh AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS shared
+        |       FROM w a JOIN w b ON a.wd = b.wd AND a.doc_id < b.doc_id
+        |       GROUP BY 1, 2)
+        |SELECT da, db,
+        |       round(shared / cast(sa.n + sb.n - shared AS DOUBLE), 4)
+        |         AS jaccard
+        |FROM sh
+        |JOIN sz sa ON da = sa.doc_id
+        |JOIN sz sb ON db = sb.doc_id
+        |WHERE round(shared / cast(sa.n + sb.n - shared AS DOUBLE), 4) >= 0.9"""
+        .stripMargin,
 
     // the log table holds exactly the orders rows (plus a synthetic
     // ingest id), so the date-window aggregate matches orders directly

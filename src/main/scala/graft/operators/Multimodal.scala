@@ -42,19 +42,15 @@ object Multimodal {
   }
 
   /** STUB image decode: a real implementation would decode the payload
-    * with an image codec and pool pixels; this deterministic fake hashes
-    * byte windows so the plumbing (batch shape, fixed width, ordering
-    * independence) is exercised end-to-end. */
+    * with an image codec and pool pixels; this deterministic fake
+    * derives the feature vector from the payload's MD5 digest —
+    * component j = digestByte(j mod 16) / 256, an exact dyadic value
+    * (no float-vs-double rounding divergence) that an external SQL
+    * engine reproduces from the same bytes, so the mapPartitions
+    * plumbing is hash-verifiable end-to-end, not just row-counted. */
   private def decodeAndPoolStub(payload: Array[Byte], dim: Int): Array[Float] = {
-    val out = new Array[Float](dim)
-    if (payload.nonEmpty) {
-      var i = 0
-      while (i < payload.length) {
-        out(i % dim) += (payload(i) & 0xFF) / 255.0f
-        i += 1
-      }
-    }
-    out
+    val md = java.security.MessageDigest.getInstance("MD5").digest(payload)
+    Array.tabulate(dim)(j => (md(j % 16) & 0xFF) / 256.0f)
   }
 
   /** Partition-parallel feature extraction (the mapInPandas analogue):
@@ -115,12 +111,13 @@ object Multimodal {
         .select(col("kind"), col("n"),
           round(col("avg_w"), 4).as("avg_w"),
           round(col("avg_h"), 4).as("avg_h"))),
-    // stubbed decode+pool over mapPartitions — deterministic fake,
-    // no SQL equivalent → rows-only check
+    // stubbed decode+pool over mapPartitions — the digest-derived fake
+    // is exactly reproducible in SQL, so the driver hash-checks it
     "multimodal_features" -> ((s, d) =>
       extractFeatures(mediaTable(s, d)).toDF()
         .select(col("media_id"), col("kind"), col("n_bytes"),
-          round(element_at(col("features"), 1), 4).as("f0"))),
+          round(element_at(col("features"), 1).cast("double"), 4)
+            .as("f0"))),
     // frame sampling count contract is SQL-expressible
     "multimodal_frames" -> ((s, d) =>
       sampleFrames(mediaTable(s, d), 16)
@@ -141,6 +138,17 @@ object Multimodal {
       """SELECT CAST(sum(least(8, (n_chars - 1) // 16 + 1)) AS BIGINT)
         |         AS n_frames,
         |       count(*) AS n_media
+        |FROM documents""".stripMargin,
+
+    // payload is the text's UTF-8 bytes, so md5(text) = md5(payload);
+    // f0 = first digest byte / 256, an exact dyadic in both engines
+    "multimodal_features" ->
+      """SELECT doc_id AS media_id,
+        |       CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END
+        |         AS kind,
+        |       CAST(strlen(text) AS INT) AS n_bytes,
+        |       round(('0x' || substr(md5(text), 1, 2))::INT / 256.0, 4)
+        |         AS f0
         |FROM documents""".stripMargin,
   )
 }

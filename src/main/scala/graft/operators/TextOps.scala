@@ -273,13 +273,17 @@ object TextOps {
       minEst: Double = 0.5): DataFrame =
     minhashCandidatesOn(minhashSignaturesOn(docs(s, d)), minEst)
 
-  def minhashCandidatesOn(sigsDf: DataFrame, minEst: Double): DataFrame = {
+  def minhashCandidatesOn(sigsDf: DataFrame, minEst: Double,
+      numBands: Int = 16): DataFrame = {
+    require(NumPerm % numBands == 0, s"bands $numBands must divide $NumPerm")
+    val rowsPer = NumPerm / numBands
+    val comps = (0 until rowsPer).map(r => s"sig[$rowsPer*b+$r]")
+      .mkString(", ")
     val sigs = sigsDf.select(col("doc_id"), col("sig"))
     val bands = sigs.select(col("doc_id"),
         explode(expr(
-          """transform(sequence(0, 15),
-            |  b -> xxhash64(sig[4*b], sig[4*b+1], sig[4*b+2], sig[4*b+3], b))"""
-            .stripMargin)).as("bh"))
+          s"transform(sequence(0, ${numBands - 1}), " +
+            s"b -> xxhash64($comps, b))")).as("bh"))
     val a = bands.select(col("bh"), col("doc_id").as("da"))
     val b = bands.select(col("bh"), col("doc_id").as("db"))
     val cands = a.join(b, Seq("bh")).filter(col("da") < col("db"))
@@ -294,7 +298,46 @@ object TextOps {
       .select(col("da"), col("db"), col("est_jaccard"))
   }
 
-  val dedupMinhashPairs: Q = (s, d) => minhashCandidates(s, d, 0.2)
+  /** Near-dup pairs the way a production pipeline emits them: LSH
+    * candidates (the recall path — 32 bands × 2 rows, so a pair with
+    * shingle-agreement ≥0.5 is missed with probability < 1e-9) then
+    * EXACT word-set Jaccard verification (the precision path). The
+    * emitted set is therefore exactly "all pairs with word Jaccard
+    * ≥ 0.9" — which DuckDB recomputes from scratch, making the whole
+    * LSH pipeline oracle-checkable instead of rows-only. Bounded to
+    * doc_id < 1000 so the oracle's all-pairs recompute stays tractable;
+    * at scale the same plan runs unbounded (candidates are bounded by
+    * band-bucket collisions, verification touches only candidates). */
+  def minhashVerifiedPairs(docsDf: DataFrame): DataFrame = {
+    val bounded = docsDf.filter(col("doc_id") < 1000)
+    // signatures over the WORD SET (not 3-word shingles): the recall
+    // path must approximate the same similarity the verifier computes
+    // exactly — word-order edits tank shingle jaccard while leaving
+    // word-set jaccard at 0.9+, so shingle LSH would miss true pairs.
+    // At j=0.9 a 2-row band agrees w.p. 0.81; missing all 32 bands
+    // happens w.p. (1-0.81)^32 < 1e-22.
+    val sigs = bounded.withColumn(
+      "sig", graft.functions.VectorOps.minhashSig(
+        array_distinct(wordsCol), NumPerm))
+    // est ≥ 0.2 trims verification work only: a true j≥0.9 pair's
+    // 64-perm estimate sits ~10 sigma above 0.2
+    val cands = minhashCandidatesOn(sigs, 0.2, numBands = 32)
+    val w = bounded
+      .select(col("doc_id"), array_distinct(wordsCol).as("ws"))
+      .withColumn("n", size(col("ws")))
+    cands.select(col("da"), col("db"))
+      .join(w.select(col("doc_id").as("da"), col("ws").as("wsa"),
+        col("n").as("na")), "da")
+      .join(w.select(col("doc_id").as("db"), col("ws").as("wsb"),
+        col("n").as("nb")), "db")
+      .withColumn("shared", size(array_intersect(col("wsa"), col("wsb"))))
+      .withColumn("jaccard",
+        round(col("shared") / (col("na") + col("nb") - col("shared")), 4))
+      .filter(col("jaccard") >= 0.9)
+      .select(col("da"), col("db"), col("jaccard"))
+  }
+
+  val dedupMinhashPairs: Q = (s, d) => minhashVerifiedPairs(docs(s, d))
 
   // ------------------------------------------------- near-dup clusters
 
@@ -346,15 +389,17 @@ object TextOps {
     labels
   }
 
-  /** Near-dup cluster inventory: components over the MinHash-LSH
-    * candidate pairs (est jaccard ≥ 0.5), one row per multi-doc
-    * cluster: (cluster_id = min doc_id, n_docs, member min/max). The
+  /** Near-dup cluster inventory: components over the EXACT-verified
+    * near-dup pairs ([[minhashVerifiedPairs]]), one row per multi-doc
+    * cluster: (cluster_id = min doc_id, n_docs, max member). The
     * keep-one-per-cluster step of a dedup pipeline follows by joining
-    * docs to labels and keeping doc_id = cluster_id. Rows-only check
-    * (graph reachability has no tractable SQL oracle); semantic gate
-    * vs brute-force union-find in TextOpsSpec. */
+    * docs to labels and keeping doc_id = cluster_id. Because the edge
+    * list is exactly recomputable in SQL, the oracle rebuilds the
+    * same components with a recursive-CTE transitive closure —
+    * reachability itself is hash-checked, not just row-counted.
+    * Semantic gate vs brute-force union-find stays in TextOpsSpec. */
   val dedupClusters: Q = (s, d) => {
-    val labels = connectedComponents(minhashCandidates(s, d, 0.5))
+    val labels = connectedComponents(minhashVerifiedPairs(docs(s, d)))
     labels.groupBy(col("label").as("cluster_id"))
       .agg(count(lit(1)).as("n_docs"), max(col("doc")).as("max_doc"))
       .filter(col("n_docs") >= 2)
@@ -682,6 +727,51 @@ object TextOps {
         |JOIN sz sb ON db = sb.doc_id
         |WHERE round(shared / cast(sa.n + sb.n - shared AS DOUBLE), 4) >= 0.9"""
         .stripMargin,
+
+    // identical recompute to text_jaccard_pairs: the LSH pipeline's
+    // verified output IS "all pairs at word Jaccard >= 0.9"
+    "dedup_minhash_pairs" ->
+      """WITH w AS (SELECT doc_id,
+        |                  unnest(list_distinct(string_split(text, ' '))) AS wd
+        |           FROM documents WHERE doc_id < 1000),
+        |sz AS (SELECT doc_id, count(*) AS n FROM w GROUP BY 1),
+        |sh AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS shared
+        |       FROM w a JOIN w b ON a.wd = b.wd AND a.doc_id < b.doc_id
+        |       GROUP BY 1, 2)
+        |SELECT da, db,
+        |       round(shared / cast(sa.n + sb.n - shared AS DOUBLE), 4)
+        |         AS jaccard
+        |FROM sh
+        |JOIN sz sa ON da = sa.doc_id
+        |JOIN sz sb ON db = sb.doc_id
+        |WHERE round(shared / cast(sa.n + sb.n - shared AS DOUBLE), 4) >= 0.9"""
+        .stripMargin,
+
+    // connected components rebuilt from scratch: exact edge list via
+    // all-pairs Jaccard, reachability via recursive-CTE closure
+    "dedup_clusters" ->
+      """WITH RECURSIVE
+        |w AS (SELECT doc_id,
+        |             unnest(list_distinct(string_split(text, ' '))) AS wd
+        |      FROM documents WHERE doc_id < 1000),
+        |sz AS (SELECT doc_id, count(*) AS n FROM w GROUP BY 1),
+        |sh AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS shared
+        |       FROM w a JOIN w b ON a.wd = b.wd AND a.doc_id < b.doc_id
+        |       GROUP BY 1, 2),
+        |p AS (SELECT da, db FROM sh
+        |      JOIN sz sa ON da = sa.doc_id
+        |      JOIN sz sb ON db = sb.doc_id
+        |      WHERE round(shared / cast(sa.n + sb.n - shared AS DOUBLE), 4)
+        |              >= 0.9),
+        |sym AS (SELECT da AS s, db AS t FROM p
+        |        UNION SELECT db, da FROM p),
+        |reach(s, t) AS (SELECT s, t FROM sym
+        |                UNION
+        |                SELECT r.s, y.t FROM reach r JOIN sym y ON r.t = y.s),
+        |lab AS (SELECT s AS doc, least(min(t), s) AS label
+        |        FROM reach GROUP BY s)
+        |SELECT label AS cluster_id, count(*) AS n_docs, max(doc) AS max_doc
+        |FROM lab GROUP BY label HAVING count(*) >= 2""".stripMargin,
 
     "ann_cosine_topk" ->
       """SELECT vec_id,

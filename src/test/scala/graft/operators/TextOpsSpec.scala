@@ -72,6 +72,27 @@ class TextOpsSpec extends AnyFunSuite {
     assert(topk.map(_.getLong(0)).toSeq == expTop)
   }
 
+  test("LSH+verify emits exactly the brute-force >=0.9 Jaccard pair set") {
+    val got = TextOps.minhashVerifiedPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val ws = docs.filter(col("doc_id") < 1000)
+      .select(col("doc_id"),
+        array_distinct(split(col("text"), " ")).as("ws"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet)
+    val exp = (for {
+      (a, wa) <- ws
+      (b, wb) <- ws
+      if a < b
+      sh = (wa & wb).size
+      j = BigDecimal(sh.toDouble / (wa.size + wb.size - sh))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if j >= 0.9
+    } yield (a, b, j)).toSet
+    // equality, not subset: LSH recall AND exact-verify precision
+    assert(got == exp,
+      s"missing=${(exp -- got).take(5)} extra=${(got -- exp).take(5)}")
+  }
+
   test("connected components equal brute-force union-find on the pairs") {
     val pairs = TextOps.minhashCandidatesOn(
       TextOps.minhashSignaturesOn(withDups), minEst = 0.5)
