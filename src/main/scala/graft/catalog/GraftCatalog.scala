@@ -304,13 +304,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     }
   }
 
-  private def validateNumericProps(props: Map[String, String]): Unit =
+  private def validateNumericProps(props: Map[String, String]): Unit = {
     Seq(TableMeta.NumRegionsProp, TableMeta.PageRowLimitProp).foreach { p =>
       props.get(p).foreach { v =>
         require(scala.util.Try(v.toInt).toOption.exists(_ > 0),
           s"$p must be a positive integer, got '$v'")
       }
     }
+    props.get(TableMeta.DedupKeysProp).foreach { v =>
+      require(Set("true", "false").contains(v.trim.toLowerCase),
+        s"${TableMeta.DedupKeysProp} must be true or false, got '$v'")
+    }
+  }
 
   private def tombstones(meta: TableMeta): Map[String, String] =
     meta.properties.get(DroppedColsProp).toSeq

@@ -56,9 +56,34 @@ object GraftCompact {
     // read exactly the snapshot files (not the live table) so rows
     // committed mid-compaction are rewritten by nobody and carried
     // forward as-is below; files lacking later-ALTERed columns read null
-    spark.read.schema(t.meta.schema)
+    val snapDf = spark.read.schema(t.meta.schema)
       .parquet(snapshot.map(r => new File(t.tableDir, r.file).getPath): _*)
-      .writeTo(s"$catalogName.$namespace.$stagingName").append()
+    // upsert fold ([[TableMeta.DedupKeysProp]]): keep the row from the
+    // highest source region id per key. Provenance comes from a
+    // broadcast (file basename -> region id) join — O(regions) driver
+    // metadata, no giant literal in the plan — and the keep-latest is
+    // one row_number window keyed like the range shuffle that follows,
+    // so at 100 TB the fold costs one extra key-partitioned exchange,
+    // the same order of work the reference's region server spends
+    // folding HFile cells at its own compaction.
+    val folded = if (!TableMeta.dedupKeys(t.meta.properties)) snapDf else {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      val ids = snapshot.map(r => (r.file, r.id))
+      val idDf = spark.createDataFrame(ids).toDF("_graft_file", "_graft_src")
+      val keyed = snapDf
+        .withColumn("_graft_file",
+          element_at(split(input_file_name(), "/"), -1))
+        .join(broadcast(idDf), "_graft_file")
+      val w = Window
+        .partitionBy(t.meta.keyCols.map(col): _*)
+        .orderBy(col("_graft_src").desc)
+      keyed
+        .withColumn("_graft_rn", row_number().over(w))
+        .filter(col("_graft_rn") === 1)
+        .drop("_graft_file", "_graft_src", "_graft_rn")
+    }
+    folded.writeTo(s"$catalogName.$namespace.$stagingName").append()
 
     val staging = cat.loadTable(stagingIdent).asInstanceOf[GraftTable]
     val newRegions = TableMeta.loadRegions(staging.tableDir)

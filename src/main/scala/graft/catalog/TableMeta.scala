@@ -95,6 +95,23 @@ object TableMeta {
     properties.get(BloomColsProp).toSeq
       .flatMap(_.split(";")).map(_.trim).filter(_.nonEmpty)
 
+  /** `'graft.dedupKeys'='true'`: compaction keeps the LATEST row per
+    * key — the row from the highest source region id wins (region ids
+    * are monotone in commit order, so this is commit order). Restores
+    * the reference's Put-upsert semantics (`HBaseRelation.scala:
+    * 659-723`, latest cell wins on key collision) for its
+    * insert-twice workloads: appends stay cheap and append-only, the
+    * fold to one-row-per-key happens at compaction, exactly where the
+    * reference's region server folds HFile cells. Until a compaction
+    * runs, reads see both versions (the reference shows one
+    * immediately) — documented divergence, same end state. Duplicate
+    * keys INSIDE one insert batch have no defined winner, matching
+    * HBase's same-timestamp ambiguity. */
+  val DedupKeysProp = "graft.dedupKeys"
+
+  def dedupKeys(properties: Map[String, String]): Boolean =
+    properties.get(DedupKeysProp).exists(_.trim.equalsIgnoreCase("true"))
+
   private def mapper = new ObjectMapper()
 
   private def writeAtomic(path: File, content: String): Unit = {

@@ -559,6 +559,45 @@ object CatalogQueries {
         max(col("doc_id")).as("last_doc"))
   }
 
+  /** Put-upsert parity ([[TableMeta.DedupKeysProp]]; the reference's
+    * `HBaseRelation` upserts on key collision, latest Put wins): base
+    * orders are inserted, then every key ≡ 0 (mod 10) is inserted
+    * AGAIN with status 'U' and price+1000 — the insert-twice pattern
+    * of the reference's insert suite — and compaction folds to the
+    * latest row per key. A hash match proves the update batch won,
+    * row count did not inflate, and untouched rows are intact. */
+  private val builtUps = scala.collection.concurrent.TrieMap[String, String]()
+  private def upsertTable(s: SparkSession, d: String): String =
+    builtUps.getOrElseUpdate(d, {
+      val ns = sfNamespace(s, d)
+      val fqn = s"graft.$ns.orders_ups_t"
+      val srcCount = s.read.parquet(s"$d/orders.parquet").count()
+      val exists = trusted(s, ns, "orders_ups_t", srcCount)
+      if (!exists) {
+        s.sql(
+          s"""CREATE TABLE $fqn (
+             |  o_orderkey BIGINT, o_orderstatus STRING,
+             |  o_totalprice DOUBLE)
+             |TBLPROPERTIES('keyCols'='o_orderkey', 'numRegions'='4',
+             |              'graft.dedupKeys'='true')""".stripMargin)
+        val v = s"ups_cat_src_${math.abs(d.hashCode)}"
+        s.read.parquet(s"$d/orders.parquet").createOrReplaceTempView(v)
+        s.sql(s"""INSERT INTO $fqn
+          SELECT o_orderkey, o_orderstatus, o_totalprice FROM $v""")
+        s.sql(s"""INSERT INTO $fqn
+          SELECT o_orderkey, 'U', o_totalprice + 1000
+          FROM $v WHERE o_orderkey % 10 = 0""")
+        s.sql(s"CALL graft.sys.compact(table => '$ns.orders_ups_t', " +
+          "target_regions => 4)")
+      }
+      fqn
+    })
+
+  val upsertAgg: Q = (s, d) => s.sql(
+    s"""SELECT o_orderstatus, count(*) AS cnt,
+       |       round(sum(o_totalprice), 2) AS total
+       |FROM ${upsertTable(s, d)} GROUP BY o_orderstatus""".stripMargin)
+
   /** Filter-free COUNT(*) + key MIN/MAX answered ENTIRELY from the
     * region manifest (GraftAggScan, V2 complete agg pushdown — zero
     * data file reads; the reference's coprocessor
@@ -598,6 +637,7 @@ object CatalogQueries {
     "catalog_stats_skip" -> statsSkip,
     "catalog_bloom_lookup" -> bloomLookup,
     "catalog_manifest_agg" -> manifestAgg,
+    "catalog_upsert" -> upsertAgg,
     "catalog_pipeline_pack" -> packOnStore,
     "catalog_dedup_exact" -> dedupOnStore,
     "catalog_point_lookup" -> pointLookup,
@@ -663,6 +703,17 @@ object CatalogQueries {
       """SELECT count(*) AS cnt, min(o_orderkey) AS lo,
         |       max(o_orderkey) AS hi
         |FROM orders""".stripMargin,
+
+    // the upsert table must equal orders WITH the update batch applied:
+    // latest row per key, no row-count inflation
+    "catalog_upsert" ->
+      """SELECT CASE WHEN o_orderkey % 10 = 0 THEN 'U'
+        |            ELSE o_orderstatus END AS o_orderstatus,
+        |       count(*) AS cnt,
+        |       round(sum(CASE WHEN o_orderkey % 10 = 0
+        |                      THEN o_totalprice + 1000
+        |                      ELSE o_totalprice END), 2) AS total
+        |FROM orders GROUP BY 1""".stripMargin,
 
     // identical to pipeline_pack's oracle: the store must hold exactly
     // the source documents

@@ -265,6 +265,59 @@ class TemporalAndLoadSuite extends AnyFunSuite {
     spark.sql("DROP TABLE graft.op.compact_sql")
   }
 
+  test("dedupKeys: insert-twice folds to latest row per key at compaction") {
+    // the reference's HBaseInsertTableSuite pattern: INSERT the same
+    // keys twice, expect the second write to win (Put upsert)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.op")
+    spark.sql("DROP TABLE IF EXISTS graft.op.ups")
+    spark.sql(
+      """CREATE TABLE graft.op.ups (k INT, v INT, tag STRING)
+        |TBLPROPERTIES('keyCols'='k', 'numRegions'='2',
+        |              'graft.dedupKeys'='true')""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft.op.ups
+        |SELECT id, CAST(id AS INT), 'base' FROM range(100)""".stripMargin)
+    // second batch updates the even keys and adds two new ones
+    spark.sql(
+      """INSERT INTO graft.op.ups
+        |SELECT id, CAST(id * 10 AS INT), 'upd' FROM range(0, 104, 2)"""
+        .stripMargin)
+    // pre-compaction: appends visible as-is (documented divergence)
+    assert(spark.table("graft.op.ups").count() == 152L)
+    spark.sql("CALL graft.sys.compact(table => 'op.ups', " +
+      "target_regions => 2)")
+    val rows = spark.table("graft.op.ups").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getString(2))).sortBy(_._1)
+    assert(rows.length == 102, "one row per key after the fold")
+    rows.foreach { case (k, v, tag) =>
+      if (k % 2 == 0) assert(v == k * 10 && tag == "upd", s"key $k")
+      else assert(v == k && tag == "base", s"key $k")
+    }
+    // a third write + compact folds again (updates of updates)
+    spark.sql("INSERT INTO graft.op.ups VALUES (0, -1, 'final')")
+    spark.sql("CALL graft.sys.compact(table => 'op.ups', " +
+      "target_regions => 1)")
+    val k0 = spark.sql("SELECT v, tag FROM graft.op.ups WHERE k = 0")
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(k0 == Seq((-1, "final")))
+    assert(spark.table("graft.op.ups").count() == 102L)
+    spark.sql("DROP TABLE graft.op.ups")
+  }
+
+  test("compaction without dedupKeys keeps duplicate keys (append model)") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.op")
+    spark.sql("DROP TABLE IF EXISTS graft.op.nups")
+    spark.sql(
+      """CREATE TABLE graft.op.nups (k INT, v INT)
+        |TBLPROPERTIES('keyCols'='k')""".stripMargin)
+    spark.sql("INSERT INTO graft.op.nups VALUES (1, 1), (2, 2)")
+    spark.sql("INSERT INTO graft.op.nups VALUES (1, 10)")
+    spark.sql("CALL graft.sys.compact(table => 'op.nups', " +
+      "target_regions => 1)")
+    assert(spark.table("graft.op.nups").count() == 3L)
+    spark.sql("DROP TABLE graft.op.nups")
+  }
+
   test("unknown procedure fails with the available list") {
     val e = intercept[Exception] {
       spark.sql("CALL graft.sys.nope()")
