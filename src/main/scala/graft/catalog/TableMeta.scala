@@ -221,19 +221,20 @@ object TableMeta {
     regionsJson(root.putArray("regions"), state.regions)
     if (state.retired.nonEmpty)
       regionsJson(root.putArray("retired"), state.retired)
-    writeAtomic(new File(tableDir, RegionsFile), root.toString)
+    val f = new File(tableDir, RegionsFile)
+    writeAtomic(f, root.toString)
+    // invalidate rather than write through: the next load re-parses
+    // (once per commit) and re-applies load-side normalizations
+    // (lowercase stat keys, id synthesis) uniformly
+    stateCache.remove(f.getCanonicalPath)
   }
 
   /** Manifest generation: bumped by compaction (which rewrites the
     * region set), preserved by appends. Streaming offsets carry it so a
     * checkpoint taken before a compaction fails loudly instead of
     * re-reading or mis-slicing rewritten regions. */
-  def loadGeneration(tableDir: File): Long = {
-    val f = new File(tableDir, RegionsFile)
-    if (!f.isFile) return 0L
-    val g = mapper.readTree(f).get("generation")
-    if (g == null) 0L else g.asLong
-  }
+  def loadGeneration(tableDir: File): Long =
+    loadState(tableDir).gen // cache hit on repeated polls
 
   def loadRegions(tableDir: File): Seq[RegionMeta] =
     loadManifest(tableDir)._2
@@ -265,9 +266,47 @@ object TableMeta {
       epochs: Map[String, EpochEntry],
       retired: Seq[RegionMeta] = Nil, nextId: Long = 1L)
 
+  /** Parsed-manifest cache, keyed by canonical path and invalidated by
+    * the file's identity (inode via BasicFileAttributes.fileKey — every
+    * [[saveState]] is an atomic tmp+move, so each commit is a new
+    * inode), size, and nanosecond mtime. The reference caches region
+    * info with a 600 s TTL (`HBaseRelation.fetchPartitions:203-235`);
+    * stat-based invalidation gives the same O(1) repeated-scan cost
+    * WITHOUT the staleness window — a 100k-region manifest parses once
+    * per commit instead of once per scan, and a commit from another
+    * process is picked up on the next stat. Same-JVM commits
+    * invalidate eagerly in [[saveState]]. */
+  private val stateCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Any, ManifestState)]()
+
+  /** Parse count, exposed for the cache-behavior spec. */
+  private[catalog] val manifestParses =
+    new java.util.concurrent.atomic.AtomicLong
+
+  private def manifestKey(f: File): Any =
+    try {
+      val a = Files.readAttributes(f.toPath,
+        classOf[java.nio.file.attribute.BasicFileAttributes])
+      (a.fileKey, a.size, a.lastModifiedTime)
+    } catch { case _: Exception => null }
+
   def loadState(tableDir: File): ManifestState = {
     val f = new File(tableDir, RegionsFile)
     if (!f.isFile) return ManifestState(0L, Nil, Map.empty)
+    val path = f.getCanonicalPath
+    val key = manifestKey(f)
+    val cached = stateCache.get(path)
+    if (cached != null && key != null && cached._1 == key) return cached._2
+    val st = parseState(f)
+    // cache only if the file did not change mid-parse (a concurrent
+    // commit between stat and parse would otherwise pin stale content)
+    if (key != null && manifestKey(f) == key)
+      stateCache.put(path, (key, st))
+    st
+  }
+
+  private def parseState(f: File): ManifestState = {
+    manifestParses.incrementAndGet()
     val root = mapper.readTree(f)
     val g = root.get("generation")
     val gen = if (g == null) 0L else g.asLong
