@@ -196,6 +196,33 @@ object GraftFilters {
       : Option[(Int, DataType)] = dims.get(name.toLowerCase)
 }
 
+/** Session-level kill switches for every pure ACCELERATION, mirroring
+  * the reference's config matrix (`HBaseSQLConf`: coprocessor /
+  * customfilter / codegen toggles, exercised answer-identical in
+  * `HBaseAdditionalQuerySuite.scala:172-260`). Every pushed predicate
+  * stays residual in the Spark plan, so turning any of these off may
+  * only read MORE data, never change an answer — the config-matrix
+  * parity suite asserts exactly that over the whole catalog query set.
+  * Defaults are all-on; the switches exist for that proof and as the
+  * operator's escape hatch when chasing a suspected skipping bug. */
+object GraftAccel {
+  /** region-level non-key min/max/null skipping + runtime re-prune */
+  val StatsSkip = "spark.graft.accel.statsSkip"
+  /** storage-side parquet predicates: row-group stats, blooms, page skip */
+  val ParquetFilters = "spark.graft.accel.parquetFilters"
+  /** manifest-answered COUNT/MIN/MAX (zero data IO) */
+  val AggPushdown = "spark.graft.accel.aggPushdown"
+  /** tiny-region bin-packing into read tasks */
+  val Packing = "spark.graft.accel.packing"
+
+  val All: Seq[String] = Seq(StatsSkip, ParquetFilters, AggPushdown, Packing)
+
+  def on(key: String): Boolean =
+    try org.apache.spark.sql.internal.SQLConf.get
+      .getConfString(key, "true").toBoolean
+    catch { case _: Exception => true }
+}
+
 class GraftScanBuilder(tableDir: File, meta: TableMeta,
     filterHint: Option[String] = None)
     extends ScanBuilder with SupportsPushDownFilters
@@ -285,10 +312,10 @@ class GraftScanBuilder(tableDir: File, meta: TableMeta,
     analyzeAgg(agg).isDefined
 
   override def pushAggregation(agg: Aggregation): Boolean =
-    analyzeAgg(agg) match {
+    GraftAccel.on(GraftAccel.AggPushdown) && (analyzeAgg(agg) match {
       case Some(s) => aggPlan = Some(s); true
       case None => false
-    }
+    })
 
   override def build(): Scan = aggPlan match {
     case Some(specs) => new GraftAggScan(tableDir, meta, specs)
@@ -472,11 +499,12 @@ class GraftScan(tableDir: File, meta: TableMeta, required: StructType,
     if (c == null) {
       val all = filters.toSeq ++ runtimeFilters
       val constraints = GraftFilters.intervals(all, dims)
+      val statsOn = GraftAccel.on(GraftAccel.StatsSkip)
       val colPred = ColStats.compile(all, statTypes) // literals enc'd once
       c = TableMeta.loadRegions(tableDir).filter { r =>
         KeyRanges.survives(constraints,
           r.mins.map(KeyCodec.fromHex), r.maxs.map(KeyCodec.fromHex)) &&
-          colPred.survives(r.stats)
+          (!statsOn || colPred.survives(r.stats))
       }
       selectedRegionsCache = c
     }
@@ -545,7 +573,9 @@ class GraftScan(tableDir: File, meta: TableMeta, required: StructType,
     var c = packedGroupsCache
     if (c == null) {
       val regions = selectedRegions
-      c = if (regions.isEmpty) Nil else {
+      c = if (regions.isEmpty) Nil
+      else if (!GraftAccel.on(GraftAccel.Packing)) regions.map(Seq(_))
+      else {
         val conf = org.apache.spark.sql.internal.SQLConf.get
         val openCost = conf.filesOpenCostInBytes
         val minParts = conf.filesMinPartitionNum
@@ -581,7 +611,11 @@ class GraftScan(tableDir: File, meta: TableMeta, required: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    GraftReaderFactory(required.json, filters,
+    // with parquet-side filtering off, readers emit every row and the
+    // (always-residual) Spark filter does all the work — answers equal
+    GraftReaderFactory(required.json,
+      if (GraftAccel.on(GraftAccel.ParquetFilters)) filters
+      else Array.empty,
       org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone,
       org.apache.spark.sql.internal.SQLConf.get.caseSensitiveAnalysis)
 
@@ -903,18 +937,21 @@ final class GraftMicroBatchStream(tableDir: File, required: StructType,
           "stream with a fresh checkpoint, or compact less often than " +
           "the stream checkpoints.")
     val constraints = GraftFilters.intervals(filters.toSeq, dims)
+    val statsOn = GraftAccel.on(GraftAccel.StatsSkip)
     val colPred = ColStats.compile(filters.toSeq, statTypes)
     picked.sortBy(_.id)
       .filter(r => KeyRanges.survives(constraints,
         r.mins.map(KeyCodec.fromHex), r.maxs.map(KeyCodec.fromHex)) &&
-        colPred.survives(r.stats))
+        (!statsOn || colPred.survives(r.stats)))
       .map(r =>
         GraftInputPartition(Array(new File(tableDir, r.file).getPath),
           r.rows, GraftInputPartition.hosts(r)): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    GraftReaderFactory(required.json, filters,
+    GraftReaderFactory(required.json,
+      if (GraftAccel.on(GraftAccel.ParquetFilters)) filters
+      else Array.empty,
       org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone,
       org.apache.spark.sql.internal.SQLConf.get.caseSensitiveAnalysis)
 }
