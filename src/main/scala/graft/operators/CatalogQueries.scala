@@ -220,6 +220,100 @@ object CatalogQueries {
          |ORDER BY revenue DESC, l.l_orderkey ASC LIMIT 10""".stripMargin)
   }
 
+  /** Wide lineitem twin carrying l_suppkey + l_quantity for the heavy
+    * TPC-H shapes (Q18/Q21); same orderkey splits as orders_t /
+    * lineitem_t so every fact-fact (and fact-self) join over
+    * l_orderkey is storage-partitioned. A separate table rather than
+    * a wider lineitem_t: the build-once trust check is row-count
+    * based, so changing an existing table's schema in place could
+    * trust a stale narrow build. */
+  private val builtLiW = scala.collection.concurrent.TrieMap[String, String]()
+  private def lineitemWideTable(s: SparkSession, d: String): String =
+    builtLiW.getOrElseUpdate(d, {
+      ordersTable(s, d)
+      val ns = s"sf_${math.abs(d.hashCode)}"
+      val fqn = s"graft.$ns.lineitem_w_t"
+      val srcCount = s.read.parquet(s"$d/lineitem.parquet").count()
+      val exists = s.sql(s"SHOW TABLES IN graft.$ns").collect()
+        .exists(_.getString(1) == "lineitem_w_t") && usable(s, fqn, srcCount)
+      if (!exists) {
+        s.sql(
+          s"""CREATE TABLE $fqn (
+             |  l_orderkey BIGINT, l_linenumber INT, l_suppkey BIGINT,
+             |  l_quantity DOUBLE, l_extendedprice DOUBLE, l_shipdate DATE)
+             |TBLPROPERTIES('keyCols'='l_orderkey;l_linenumber',
+             |              'regionSplits'='${orderKeySplits(s, d)}')"""
+            .stripMargin)
+        val v = s"liw_cat_src_${math.abs(d.hashCode)}"
+        s.read.parquet(s"$d/lineitem.parquet")
+          .select("l_orderkey", "l_linenumber", "l_suppkey",
+            "l_quantity", "l_extendedprice", "l_shipdate")
+          .createOrReplaceTempView(v)
+        s.sql(s"INSERT INTO $fqn SELECT * FROM $v")
+      }
+      fqn
+    })
+
+  /** TPC-H Q18 (large-volume customers) over the co-partitioned store:
+    * the IN subquery is a big self-semi-join on the fact's leading key
+    * — both the semi join and the orders join run storage-partitioned
+    * (no fact-side Exchange), customer broadcasts, top-100 plans as
+    * TakeOrderedAndProject. */
+  val tpchQ18: Q = (s, d) => {
+    val li = lineitemWideTable(s, d)
+    val o = ordersTable(s, d)
+    val h = math.abs(d.hashCode)
+    s.read.parquet(s"$d/customer.parquet")
+      .createOrReplaceTempView(s"customer_cat_dim_$h")
+    s.sql(
+      s"""SELECT c.c_name, c.c_custkey, o.o_orderkey,
+         |       date_format(o.o_orderdate, 'yyyy-MM-dd') AS odate,
+         |       round(o.o_totalprice, 2) AS total_price,
+         |       round(sum(l.l_quantity), 2) AS total_qty
+         |FROM $o o
+         |JOIN $li l ON o.o_orderkey = l.l_orderkey
+         |JOIN customer_cat_dim_$h c ON o.o_custkey = c.c_custkey
+         |WHERE o.o_orderkey IN (
+         |  SELECT l_orderkey FROM $li GROUP BY l_orderkey
+         |  HAVING sum(l_quantity) > 200)
+         |GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+         |         o.o_totalprice
+         |ORDER BY total_qty DESC, o.o_orderkey ASC LIMIT 100""".stripMargin)
+  }
+
+  /** TPC-H Q21-shaped (suppliers who kept waiting orders): the classic
+    * EXISTS + NOT EXISTS double correlation — a semi join AND an anti
+    * join of the fact against itself on its leading key, both
+    * storage-partitioned. The synthetic lineitem has no receipt/commit
+    * dates, so "late" is a fixed ship-date horizon; the join/anti-join
+    * shape is exactly Q21's. */
+  val tpchQ21: Q = (s, d) => {
+    val li = lineitemWideTable(s, d)
+    val o = ordersTable(s, d)
+    val h = math.abs(d.hashCode)
+    s.read.parquet(s"$d/supplier.parquet")
+      .createOrReplaceTempView(s"supplier_cat_dim_$h")
+    // fact-fact first (storage-partitioned on the orderkey), dim last:
+    // keeps the key-grouped distribution alive through both
+    // correlations even when the dim join cannot broadcast
+    s.sql(
+      s"""SELECT s.s_name, count(*) AS numwait
+         |FROM $li l1
+         |JOIN $o o ON o.o_orderkey = l1.l_orderkey
+         |JOIN supplier_cat_dim_$h s ON s.s_suppkey = l1.l_suppkey
+         |WHERE o.o_orderstatus = 'F'
+         |  AND l1.l_shipdate > DATE'1995-06-30'
+         |  AND EXISTS (SELECT 1 FROM $li l2
+         |              WHERE l2.l_orderkey = l1.l_orderkey
+         |                AND l2.l_suppkey <> l1.l_suppkey)
+         |  AND NOT EXISTS (SELECT 1 FROM $li l3
+         |                  WHERE l3.l_orderkey = l1.l_orderkey
+         |                    AND l3.l_suppkey <> l1.l_suppkey
+         |                    AND l3.l_shipdate > DATE'1995-06-30')
+         |GROUP BY s.s_name
+         |ORDER BY numwait DESC, s.s_name ASC LIMIT 25""".stripMargin)
+  }
+
   /** Documents in the catalog too — LLM-pipeline ops composed over the
     * key-sorted store rather than raw parquet. */
   private val builtDocs = scala.collection.concurrent.TrieMap[String, String]()
@@ -647,6 +741,8 @@ object CatalogQueries {
     "catalog_join_parquet" -> joinParquet,
     "catalog_tpch_q5" -> tpchQ5,
     "catalog_tpch_q3" -> tpchQ3,
+    "catalog_tpch_q18" -> tpchQ18,
+    "catalog_tpch_q21" -> tpchQ21,
     "catalog_key_groupby" -> keyGroupBy,
   )
 
@@ -828,6 +924,38 @@ object CatalogQueries {
         |JOIN region r ON n.n_regionkey = r.r_regionkey
         |WHERE r.r_name = 'ASIA' AND o.o_orderdate >= DATE'1996-01-01'
         |GROUP BY n.n_name""".stripMargin,
+
+    "catalog_tpch_q18" ->
+      """SELECT c.c_name, c.c_custkey, o.o_orderkey,
+        |       strftime(o.o_orderdate, '%Y-%m-%d') AS odate,
+        |       round(o.o_totalprice, 2) AS total_price,
+        |       round(sum(l.l_quantity), 2) AS total_qty
+        |FROM orders o
+        |JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE o.o_orderkey IN (
+        |  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+        |  HAVING sum(l_quantity) > 200)
+        |GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+        |         o.o_totalprice
+        |ORDER BY total_qty DESC, o.o_orderkey ASC LIMIT 100""".stripMargin,
+
+    "catalog_tpch_q21" ->
+      """SELECT s.s_name, count(*) AS numwait
+        |FROM supplier s
+        |JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+        |JOIN orders o ON o.o_orderkey = l1.l_orderkey
+        |WHERE o.o_orderstatus = 'F'
+        |  AND l1.l_shipdate > DATE'1995-06-30'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_shipdate > DATE'1995-06-30')
+        |GROUP BY s.s_name
+        |ORDER BY numwait DESC, s.s_name ASC LIMIT 25""".stripMargin,
 
     "catalog_key_groupby" ->
       """SELECT l_orderkey, count(*) AS n_items,

@@ -1,0 +1,57 @@
+package graft.catalog
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.operators.CatalogQueries
+
+/** Plan-shape evidence for the heavy TPC-H shapes (Q18 semi-join +
+  * agg, Q21 exists/not-exists double self-correlation).
+  *
+  * At test scale AQE broadcasts everything (the right call); to prove
+  * the 100-TB plan — where no fact side fits in memory — broadcasts
+  * are disabled and the asserts pin the storage-partitioned property:
+  * orders_t and lineitem_w_t share byte-identical orderkey splits, so
+  * every join on the leading key (fact-fact, fact-self semi, fact-self
+  * anti) must plan with NO shuffle Exchange on the orderkey. Only the
+  * dim join (non-key column) and the final aggregation may shuffle. */
+class TpchHeavyPlanSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def planNoBroadcast(name: String): String = {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(
+      "spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = CatalogQueries.queries(name)(spark, TestSpark.sfDir)
+      df.collect()
+      df.queryExecution.executedPlan.toString
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
+  }
+
+  private def orderkeyShuffles(plan: String): Seq[String] =
+    plan.linesIterator.filter(l =>
+      l.contains("Exchange hashpartitioning") &&
+        (l.contains("l_orderkey") || l.contains("o_orderkey"))).toSeq
+
+  test("q18: no shuffle on the orderkey — fact joins and the semi " +
+      "join ride the storage partitioning") {
+    val plan = planNoBroadcast("catalog_tpch_q18")
+    assert(plan.contains("TakeOrderedAndProject"), "top-100 shape")
+    val bad = orderkeyShuffles(plan)
+    assert(bad.isEmpty,
+      s"orderkey shuffles present:\n${bad.mkString("\n")}\n\nplan:\n$plan")
+  }
+
+  test("q21: exists/not-exists self joins shuffle-free on the orderkey") {
+    val plan = planNoBroadcast("catalog_tpch_q21")
+    val bad = orderkeyShuffles(plan)
+    assert(bad.isEmpty,
+      s"orderkey shuffles present:\n${bad.mkString("\n")}\n\nplan:\n$plan")
+    // both correlations became joins (no nested-loop fallback)
+    assert(plan.contains("LeftSemi") && plan.contains("LeftAnti"))
+  }
+}
