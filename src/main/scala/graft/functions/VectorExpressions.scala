@@ -19,6 +19,44 @@ import org.apache.spark.sql.types._
   * step 10); the design follows the prompt's preference order: native
   * `Expression` with `doGenCode` over UDFs.
   */
+/** Deterministic pseudo-random hyperplane components for sign LSH,
+  * derived from MD5 so any SQL engine reproduces them: the integer
+  * seed for plane p, dimension i is the first 4 bytes (big-endian,
+  * unsigned) of md5("p_i") mod 1000, and the component is
+  * (seed - 500) / 1000.0 ∈ [-0.5, 0.5). The component VALUES are
+  * emitted as literals into the generated oracle SQL, so the oracle
+  * needs only identical-order double arithmetic, not md5. */
+object LshPlanes {
+  @volatile private var grid: Array[Array[Double]] = Array.empty
+
+  def seedInt(p: Int, i: Int): Int = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"${p}_${i}".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val v = ((md(0) & 0xffL) << 24) | ((md(1) & 0xffL) << 16) |
+      ((md(2) & 0xffL) << 8) | (md(3) & 0xffL)
+    (v % 1000L).toInt
+  }
+
+  def coef(p: Int, i: Int): Double = (seedInt(p, i) - 500) / 1000.0
+
+  /** Grow the memoized grid to cover [0,planes) × [0,dim). */
+  def ensure(planes: Int, dim: Int): Unit = {
+    val g = grid
+    if (g.length >= planes && (planes == 0 || g(0).length >= dim)) return
+    synchronized {
+      val cur = grid
+      if (cur.length >= planes && (planes == 0 || cur(0).length >= dim))
+        return
+      val np = math.max(planes, cur.length)
+      val nd = math.max(dim, if (cur.isEmpty) 0 else cur(0).length)
+      grid = Array.tabulate(np, nd)(coef)
+    }
+  }
+
+  /** Row for plane p; call [[ensure]] first. */
+  def row(p: Int): Array[Double] = grid(p)
+}
+
 object VectorKernels {
 
   /** Fused cosine kernel: one pass accumulating x·y, ‖x‖², ‖y‖² in
@@ -71,19 +109,24 @@ object VectorKernels {
   }
 
   /** Random-hyperplane LSH bucket: bit p is the sign of the projection
-    * of the vector onto pseudo-random plane p (components derived from
-    * seeded xxhash of (p, i)). One fused pass, no per-plane array
-    * allocation. */
+    * of the vector onto pseudo-random plane p. One fused pass, no
+    * per-plane array allocation. Plane components are MD5-derived
+    * ([[LshPlanes]]) so an external SQL engine can regenerate the
+    * exact projection arithmetic and hash-check bucket assignments —
+    * the summation is i-ascending left-associated double adds, the
+    * order the generated oracle SQL spells out. */
   def lshBucket(x: ArrayData, nPlanes: Int, lf: Boolean): Long = {
     val n = x.numElements()
+    LshPlanes.ensure(nPlanes, n)
     var bucket = 0L
     var p = 0
     while (p < nPlanes) {
+      val row = LshPlanes.row(p)
       var acc = 0.0
       var i = 0
       while (i < n) {
         val xi = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
-        acc += xi * ((XXH64.hashInt(p * 1024 + i, 42L) % 1000L).toDouble / 1000.0)
+        acc += xi * row(i)
         i += 1
       }
       if (acc > 0.0) bucket |= (1L << p)
@@ -92,15 +135,37 @@ object VectorKernels {
     bucket
   }
 
+  private val md5Local =
+    new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
+
+  /** First 8 bytes (big-endian) of md5(token's UTF-8 bytes) as a long —
+    * the same value `('0x' || substr(md5(t), 1, 16))::UBIGINT` yields
+    * in external SQL, making SimHash oracle-reproducible. MD5 costs
+    * ~10x an xxhash but the pass stays map-side and codegen'd; the
+    * determinism across engines is what buys the hash-checked gate. */
+  def md5Hash64(s: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val md = md5Local.get()
+    md.reset()
+    val d = md.digest(s.getBytes)
+    ((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) |
+      ((d(2) & 0xffL) << 40) | ((d(3) & 0xffL) << 32) |
+      ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+      ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
+  }
+
   /** 64-bit SimHash over token hashes: majority vote per bit using a
-    * count array, one pass over the tokens. */
+    * count array, one pass over the tokens. Token hash is MD5-derived
+    * ([[md5Hash64]]) so the whole SimHash is recomputable in SQL. */
   def simhash64(tokens: ArrayData): Long = {
     val votes = new Array[Int](64)
     val n = tokens.numElements()
     var j = 0
     while (j < n) {
       if (!tokens.isNullAt(j)) {
-        val h = XXH64.hashUTF8String(tokens.getUTF8String(j), 42L)
+        val h = md5Hash64(tokens.getUTF8String(j))
         var b = 0
         while (b < 64) {
           if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1

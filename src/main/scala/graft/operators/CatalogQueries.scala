@@ -831,6 +831,11 @@ object CatalogQueries {
         |                   WHERE doc_id = 42)
         |ORDER BY doc_id""".stripMargin,
 
+    // identical to ann_lsh's generated oracle: a hash match proves the
+    // md5-derived bucketing function AND the ARRAY<FLOAT> store
+    // round-trip at once
+    "catalog_ann_lsh" -> TextOps.lshBucketOracleSql(),
+
     // identical to dedup_minhash_pairs' oracle: the catalog store must
     // hold exactly the source documents, and the LSH+verify pipeline
     // must emit exactly the true >=0.9 Jaccard pair set

@@ -600,9 +600,68 @@ object TextOps {
       simhashPairsBlocked(docs(s, d), 3)),
   )
 
-  /** DuckDB oracles for the SQL-expressible subset. MinHash/SimHash/LSH
-    * signatures use xxhash64 (no DuckDB equivalent) → rows-only. */
+  /** Shared oracle CTE chain recomputing the MD5-derived SimHash:
+    * token hash = first 8 md5 bytes as UBIGINT, per-bit majority vote,
+    * bits reassembled. Matches [[graft.functions.VectorKernels.simhash64]]
+    * exactly. */
+  private val simhashOracleCte =
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+      |             FROM documents),
+      |th AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 16))::UBIGINT AS h
+      |       FROM tok),
+      |votes AS (SELECT doc_id, b,
+      |            sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      |          FROM th, range(64) r(b) GROUP BY 1, 2),
+      |sim AS (SELECT doc_id,
+      |          CAST(sum(CASE WHEN v > 0 THEN (1::UBIGINT << b)
+      |                        ELSE 0::UBIGINT END) AS UBIGINT) AS u
+      |        FROM votes GROUP BY doc_id)""".stripMargin
+
+  /** DuckDB oracles for the SQL-expressible subset. The remaining
+    * rows-only faces are the xxhash64 MinHash signature dump and the
+    * inherently approximate sketches (HLL, IVF probing). */
+  /** Oracle SQL for the sign-LSH bucket inventory: regenerates every
+    * projection with the SAME md5-derived plane components
+    * ([[graft.functions.LshPlanes]]) as explicit literals, summed in
+    * the same i-ascending left-associated order the kernel uses —
+    * IEEE double arithmetic then agrees bit-for-bit, so the bucket
+    * function itself (not just row counts) is hash-checked. */
+  private[operators] def lshBucketOracleSql(
+      planes: Int = 16, dim: Int = 64): String = {
+    import graft.functions.LshPlanes
+    val projs = (0 until planes).map { p =>
+      (0 until dim).map { i =>
+        s"CAST(embedding[${i + 1}] AS DOUBLE) * " +
+          s"((${LshPlanes.seedInt(p, i)} - 500) / 1000.0)"
+      }.mkString(" + ")
+    }
+    val bucket = projs.zipWithIndex.map { case (pr, p) =>
+      s"(CASE WHEN ($pr) > 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH b AS (SELECT CAST($bucket AS BIGINT) AS bucket, label
+       |           FROM embeddings)
+       |SELECT bucket, count(*) AS n_vectors,
+       |       count(DISTINCT label) AS n_labels
+       |FROM b GROUP BY bucket""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "ann_lsh" -> lshBucketOracleSql(),
+
+    // hex of the recomputed SimHash; to_hex(UBIGINT) matches Spark's
+    // hex(BIGINT) (uppercase, no padding, two's-complement bytes)
+    "dedup_simhash" ->
+      s"""$simhashOracleCte
+         |SELECT doc_id, to_hex(u) AS simhash_hex FROM sim""".stripMargin,
+
+    // the blocked (pigeonhole) pairs are recall-exact for dist <= 3,
+    // so they must EQUAL the all-pairs recompute
+    "dedup_simhash_pairs" ->
+      s"""$simhashOracleCte
+         |SELECT a.doc_id AS da, b.doc_id AS db,
+         |       CAST(bit_count(xor(a.u, b.u)) AS INT) AS dist
+         |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.u, b.u)) <= 3""".stripMargin,
     "dedup_exact" ->
       """SELECT source, count(*) AS n_docs,
         |       count(DISTINCT md5(text)) AS n_unique
