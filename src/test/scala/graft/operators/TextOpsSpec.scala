@@ -113,6 +113,12 @@ class TextOpsSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == expected,
       s"diff=${(expected.toSet -- got.toSet) ++ (got.toSet -- expected.toSet)}")
+    // force the DISTRIBUTED path (smallGraphLimit=0) — must agree with
+    // the driver union-find fast path on the same edges
+    val gotDist = TextOps
+      .connectedComponents(pairs, smallGraphLimit = 0L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotDist == expected)
     // every cluster id is its own minimum member
     got.groupBy(_._2).foreach { case (label, members) =>
       assert(members.keys.min == label)
