@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftshim.ColumnExpr
@@ -88,6 +88,10 @@ object VectorKernels {
     * h1(t) + i·h2(t), so each shingle is hashed twice instead of
     * `numPerm` times. One pass over the shingle array, no allocation
     * beyond the signature itself. */
+  /** MinHash signature by double hashing: component k is the minimum
+    * (signed compare) of h1 + k*h2 over the shingles, h1/h2 MD5-derived
+    * ([[md5Hash64]]/[[md5Hash64Salted]]) so external SQL regenerates
+    * the exact signature with 128-bit modular arithmetic. */
   def minhashSig(shingles: ArrayData, numPerm: Int): ArrayData = {
     val sig = Array.fill(numPerm)(Long.MaxValue)
     val n = shingles.numElements()
@@ -95,8 +99,8 @@ object VectorKernels {
     while (j < n) {
       if (!shingles.isNullAt(j)) {
         val s = shingles.getUTF8String(j)
-        val h1 = XXH64.hashUTF8String(s, 42L)
-        val h2 = XXH64.hashUTF8String(s, 77L) | 1L
+        val h1 = md5Hash64(s)
+        val h2 = md5Hash64Salted(s) | 1L
         var v = h1; var i = 0
         while (i < numPerm) {
           if (v < sig(i)) sig(i) = v
@@ -149,12 +153,28 @@ object VectorKernels {
   def md5Hash64(s: org.apache.spark.unsafe.types.UTF8String): Long = {
     val md = md5Local.get()
     md.reset()
-    val d = md.digest(s.getBytes)
+    bigEndianLong(md.digest(s.getBytes))
+  }
+
+  private val Hash2Salt =
+    "#2".getBytes(java.nio.charset.StandardCharsets.UTF_8)
+
+  /** md5Hash64 of (s ++ "#2") — the independent second hash for the
+    * MinHash double-hash scheme, reproducible in SQL as
+    * `md5(s || '#2')`. */
+  def md5Hash64Salted(s: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val md = md5Local.get()
+    md.reset()
+    md.update(s.getBytes)
+    md.update(Hash2Salt)
+    bigEndianLong(md.digest())
+  }
+
+  private def bigEndianLong(d: Array[Byte]): Long =
     ((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) |
       ((d(2) & 0xffL) << 40) | ((d(3) & 0xffL) << 32) |
       ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
       ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
-  }
 
   /** 64-bit SimHash over token hashes: majority vote per bit using a
     * count array, one pass over the tokens. Token hash is MD5-derived

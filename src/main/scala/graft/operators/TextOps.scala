@@ -666,9 +666,9 @@ object TextOps {
       |                        ELSE 0::UBIGINT END) AS UBIGINT) AS u
       |        FROM votes GROUP BY doc_id)""".stripMargin
 
-  /** DuckDB oracles for the SQL-expressible subset. The remaining
-    * rows-only faces are the xxhash64 MinHash signature dump and the
-    * inherently approximate sketches (HLL, IVF probing). */
+  /** DuckDB oracles for the SQL-expressible subset. The only remaining
+    * rows-only faces are the inherently approximate sketches (HLL
+    * estimate, IVF probing). */
   /** Oracle SQL for the sign-LSH bucket inventory: regenerates every
     * projection with the SAME md5-derived plane components
     * ([[graft.functions.LshPlanes]]) as explicit literals, summed in
@@ -696,6 +696,41 @@ object TextOps {
 
   val oracles: Map[String, String] = Map(
     "ann_lsh" -> lshBucketOracleSql(),
+
+    // full MinHash signature recompute: shingles rebuilt 1-based,
+    // h1/h2 from md5 / md5(s || '#2'), component k = SIGNED min of
+    // (h1 + k*h2) mod 2^64 via HUGEINT arithmetic — dumps the first
+    // four components as hex exactly like the Spark face
+    "dedup_minhash" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |           FROM documents),
+        |sh AS (SELECT doc_id, unnest(CASE WHEN len(ws) >= 3
+        |         THEN list_transform(range(1, len(ws) - 1),
+        |                j -> ws[j] || ' ' || ws[j+1] || ' ' || ws[j+2])
+        |         ELSE [array_to_string(ws, ' ')] END) AS s
+        |       FROM w),
+        |hh AS (SELECT doc_id,
+        |         ('0x' || substr(md5(s), 1, 16))::UBIGINT::HUGEINT AS h1,
+        |         (('0x' || substr(md5(s || '#2'), 1, 16))::UBIGINT
+        |            | 1::UBIGINT)::HUGEINT AS h2
+        |       FROM sh),
+        |vals AS (SELECT doc_id, k,
+        |           ((h1 + k * h2) % 18446744073709551616) AS u
+        |         FROM hh, range(4) r(k)),
+        |comp AS (SELECT doc_id, k,
+        |           min(CASE WHEN u >= 9223372036854775808
+        |                    THEN u - 18446744073709551616 ELSE u END) AS sv
+        |         FROM vals GROUP BY 1, 2),
+        |uns AS (SELECT doc_id, k,
+        |          CAST(CASE WHEN sv < 0 THEN sv + 18446744073709551616
+        |               ELSE sv END AS UBIGINT) AS u
+        |        FROM comp)
+        |SELECT doc_id,
+        |  max(CASE WHEN k = 0 THEN to_hex(u) END) AS mh0,
+        |  max(CASE WHEN k = 1 THEN to_hex(u) END) AS mh1,
+        |  max(CASE WHEN k = 2 THEN to_hex(u) END) AS mh2,
+        |  max(CASE WHEN k = 3 THEN to_hex(u) END) AS mh3
+        |FROM uns GROUP BY doc_id""".stripMargin,
 
     // hex of the recomputed SimHash; to_hex(UBIGINT) matches Spark's
     // hex(BIGINT) (uppercase, no padding, two's-complement bytes)
