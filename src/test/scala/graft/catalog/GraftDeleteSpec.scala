@@ -331,6 +331,25 @@ class GraftDeleteSpec extends AnyFunSuite {
     // non-zero bounds keep the zeros on the right side of the fence
     assert(members(sources.LessThan("k", 1.0d)) == ((true, true)))
     assert(members(sources.GreaterThan("k", -1.0d)) == ((true, true)))
+    // NaN is exact WITHOUT special-casing: doubleToLongBits
+    // canonicalizes every NaN at write AND in the translator, and the
+    // canonical NaN encodes above +Infinity — matching Spark's
+    // ordering (NaN largest, NaN = NaN)
+    val nan = KeyCodec.encode(DoubleType, Double.NaN)
+    val inf = KeyCodec.encode(DoubleType, Double.PositiveInfinity)
+    def in(f: sources.Filter, enc: Array[Byte]): Boolean =
+      GraftDelete.exactIntervals(Seq(f), meta).get
+        .exists(_.overlaps(enc, enc))
+    assert(in(sources.EqualTo("k", Double.NaN), nan))
+    assert(!in(sources.EqualTo("k", Double.NaN), inf))
+    // NaN > 5.0 is TRUE in Spark SQL: the open (5.0, inf) interval
+    // must include the NaN encoding
+    assert(in(sources.GreaterThan("k", 5.0d), nan))
+    // nothing sorts above NaN
+    assert(!in(sources.GreaterThan("k", Double.NaN), nan))
+    // every non-NaN is < NaN; NaN itself is not
+    assert(in(sources.LessThan("k", Double.NaN), inf))
+    assert(!in(sources.LessThan("k", Double.NaN), nan))
   }
 
   test("key-grouped exchange-free plans survive a boundary rewrite") {
