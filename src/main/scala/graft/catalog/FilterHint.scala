@@ -4,6 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.CatalystTypeConverters
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.sources
+import org.apache.spark.sql.types._
 
 /** `option("graft.filterHint", "<sql predicate>")` — a user-asserted
   * skipping predicate for streaming reads.
@@ -28,11 +29,88 @@ object FilterHint {
   /** Option key, matched case-insensitively by the options map. */
   val OptionKey = "graft.filterHint"
 
-  /** Parse the hint into V1 filters; unconvertible conjuncts drop. */
-  def parse(hint: String): Array[sources.Filter] = {
+  /** Parse the hint into V1 filters; unconvertible conjuncts drop.
+    * With a schema, provably-safe integral-widening casts are first
+    * narrowed away (see [[narrowWideningCasts]]) so hints like
+    * `CAST(day AS BIGINT) = 20240101` still skip. */
+  def parse(hint: String, schema: Option[StructType] = None)
+      : Array[sources.Filter] = {
     val expr = SparkSession.active.sessionState.sqlParser
       .parseExpression(hint)
-    splitConjuncts(expr).flatMap(toSource).toArray
+    splitConjuncts(expr)
+      .map(c => schema.fold(c)(narrowWideningCasts(c, _)))
+      .flatMap(toSource).toArray
+  }
+
+  private val intRank: Map[DataType, Int] = Map(
+    ByteType -> 1, ShortType -> 2, IntegerType -> 3, LongType -> 4)
+
+  private def fits(v: Long, dt: DataType): Boolean = dt match {
+    case ByteType => v == v.toByte
+    case ShortType => v == v.toShort
+    case IntegerType => v == v.toInt
+    case LongType => true
+    case _ => false
+  }
+
+  private def narrowLit(v: Long, dt: DataType): Literal = dt match {
+    case ByteType => Literal(v.toByte, ByteType)
+    case ShortType => Literal(v.toShort, ShortType)
+    case IntegerType => Literal(v.toInt, IntegerType)
+    case _ => Literal(v, LongType)
+  }
+
+  /** Rewrite `CAST(c AS wider-integral) cmp lit` to `c cmp lit'` when
+    * the cast is a pure integral widening (order- AND
+    * equality-preserving, unlike the narrowing casts [[Col]] refuses)
+    * and the literal converts to the column's type exactly. A literal
+    * outside the narrow type's range leaves the conjunct untranslated
+    * (dropped — sound, merely less skipping). */
+  private def narrowWideningCasts(e: Expression, schema: StructType)
+      : Expression = {
+    def colType(a: Attribute): Option[DataType] =
+      schema.fields.collectFirst {
+        case f if f.name.equalsIgnoreCase(a.name) => f.dataType
+      }
+    def widens(from: DataType, to: DataType): Boolean =
+      (intRank.get(from), intRank.get(to)) match {
+        case (Some(a), Some(b)) => a <= b
+        case _ => false
+      }
+    def litLong(l: Expression): Option[Long] =
+      if (!l.foldable) None
+      else l.eval(null) match {
+        case b: Byte => Some(b.toLong)
+        case s: Short => Some(s.toLong)
+        case i: Int => Some(i.toLong)
+        case v: Long => Some(v)
+        case _ => None
+      }
+    e transform {
+      case cmp @ BinaryComparison(Cast(a: Attribute, wide, _, _), rhs) =>
+        (colType(a), litLong(rhs)) match {
+          case (Some(narrow), Some(v))
+              if widens(narrow, wide) && fits(v, narrow) =>
+            cmp.withNewChildren(Seq(a, narrowLit(v, narrow)))
+          case _ => cmp
+        }
+      case cmp @ BinaryComparison(lhs, Cast(a: Attribute, wide, _, _)) =>
+        (colType(a), litLong(lhs)) match {
+          case (Some(narrow), Some(v))
+              if widens(narrow, wide) && fits(v, narrow) =>
+            cmp.withNewChildren(Seq(narrowLit(v, narrow), a))
+          case _ => cmp
+        }
+      case in @ In(Cast(a: Attribute, wide, _, _), list) =>
+        colType(a) match {
+          case Some(narrow) if widens(narrow, wide) =>
+            val vs = list.map(litLong)
+            if (vs.forall(_.exists(fits(_, narrow))))
+              In(a, vs.map(v => narrowLit(v.get, narrow)))
+            else in
+          case _ => in
+        }
+    }
   }
 
   private def splitConjuncts(e: Expression): Seq[Expression] = e match {

@@ -163,6 +163,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       require(ParquetRowIO.isStorable(f.dataType),
         s"column ${f.name}: type ${f.dataType.simpleString} is not storable " +
           "(atomic types, DECIMAL, BINARY, or ARRAY of an atomic type)")
+      // internal working columns (compaction's dedup fold provenance)
+      // would be clobbered by withColumn/drop on a name collision
+      require(!f.name.toLowerCase.startsWith("_graft"),
+        s"column ${f.name}: the _graft prefix is reserved for internal use")
     }
     // reference's two physical encodings (SURVEY §1.3). Our storage is
     // typed parquet, so the choice is metadata-only: values never lose
@@ -334,6 +338,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val dir = tableDir(ident)
     if (!TableMeta.exists(dir)) return false
     cache.remove(dir.getPath)
+    TableMeta.evictManifestCache(dir) // parsed-state entry would leak
     deleteRecursively(dir)
     true
   }

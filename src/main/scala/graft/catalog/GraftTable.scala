@@ -217,10 +217,19 @@ object GraftAccel {
 
   val All: Seq[String] = Seq(StatsSkip, ParquetFilters, AggPushdown, Packing)
 
-  def on(key: String): Boolean =
-    try org.apache.spark.sql.internal.SQLConf.get
-      .getConfString(key, "true").toBoolean
-    catch { case _: Exception => true }
+  def on(key: String): Boolean = {
+    val raw = try org.apache.spark.sql.internal.SQLConf.get
+      .getConfString(key, "true")
+    catch { case _: Exception => return true } // no active session
+    // a malformed value must fail LOUDLY: silently defaulting a typo'd
+    // kill switch to ON defeats its whole debugging purpose
+    raw.trim.toLowerCase match {
+      case "true" => true
+      case "false" => false
+      case other => throw new IllegalArgumentException(
+        s"$key must be true or false, got '$other'")
+    }
+  }
 }
 
 class GraftScanBuilder(tableDir: File, meta: TableMeta,
@@ -523,7 +532,8 @@ class GraftScan(tableDir: File, meta: TableMeta, required: StructType,
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
     // graft.filterHint: user-asserted skipping predicate (FilterHint) —
     // the streaming stand-in for batch-only filter pushdown
-    val hinted = filterHint.map(FilterHint.parse).getOrElse(Array.empty)
+    val hinted = filterHint
+      .map(FilterHint.parse(_, Some(meta.schema))).getOrElse(Array.empty)
     new GraftMicroBatchStream(tableDir, required, filters ++ hinted)
   }
 

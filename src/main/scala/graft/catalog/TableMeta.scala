@@ -283,6 +283,12 @@ object TableMeta {
   private[catalog] val manifestParses =
     new java.util.concurrent.atomic.AtomicLong
 
+  /** Drop a table's parsed-state entry (called by dropTable — the
+    * directory is going away, so the entry would otherwise pin a full
+    * ManifestState on the driver heap forever). */
+  def evictManifestCache(tableDir: File): Unit =
+    stateCache.remove(new File(tableDir, RegionsFile).getCanonicalPath)
+
   private def manifestKey(f: File): Any =
     try {
       val a = Files.readAttributes(f.toPath,

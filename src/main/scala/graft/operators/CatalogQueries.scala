@@ -666,7 +666,15 @@ object CatalogQueries {
       val ns = sfNamespace(s, d)
       val fqn = s"graft.$ns.orders_ups_t"
       val srcCount = s.read.parquet(s"$d/orders.parquet").count()
-      val exists = trusted(s, ns, "orders_ups_t", srcCount)
+      // row count alone cannot tell a finished build from one killed
+      // between the base INSERT and the update INSERT (both hold
+      // exactly srcCount rows after the fold) — require the update
+      // batch's 'U' rows to be present too
+      val exists = trusted(s, ns, "orders_ups_t", srcCount) &&
+        (s.sql(s"SELECT count(*) FROM graft.$ns.orders_ups_t " +
+          "WHERE o_orderstatus = 'U'").head().getLong(0) > 0L || {
+          s.sql(s"DROP TABLE graft.$ns.orders_ups_t"); false
+        })
       if (!exists) {
         s.sql(
           s"""CREATE TABLE $fqn (

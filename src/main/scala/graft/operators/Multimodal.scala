@@ -48,8 +48,15 @@ object Multimodal {
     * (no float-vs-double rounding divergence) that an external SQL
     * engine reproduces from the same bytes, so the mapPartitions
     * plumbing is hash-verifiable end-to-end, not just row-counted. */
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
   private def decodeAndPoolStub(payload: Array[Byte], dim: Int): Array[Float] = {
-    val md = java.security.MessageDigest.getInstance("MD5").digest(payload)
+    val digest = md5Local.get()
+    digest.reset()
+    val md = digest.digest(payload)
     Array.tabulate(dim)(j => (md(j % 16) & 0xFF) / 256.0f)
   }
 

@@ -308,8 +308,12 @@ object TextOps {
     * doc_id < 1000 so the oracle's all-pairs recompute stays tractable;
     * at scale the same plan runs unbounded (candidates are bounded by
     * band-bucket collisions, verification touches only candidates). */
-  def minhashVerifiedPairs(docsDf: DataFrame): DataFrame = {
-    val bounded = docsDf.filter(col("doc_id") < 1000)
+  def minhashVerifiedPairs(docsDf: DataFrame,
+      idBound: Option[Long] = Some(1000L)): DataFrame = {
+    // the bound exists for the ORACLE's sake (its all-pairs recompute
+    // must stay tractable) and is a parameter, not pipeline semantics:
+    // production callers pass None and dedup the whole corpus
+    val bounded = idBound.fold(docsDf)(b => docsDf.filter(col("doc_id") < b))
     // signatures over the WORD SET (not 3-word shingles): the recall
     // path must approximate the same similarity the verifier computes
     // exactly — word-order edits tank shingle jaccard while leaving
@@ -357,11 +361,13 @@ object TextOps {
     * reuse one persisted computation per (session, sf dir). The
     * catalog twin deliberately does NOT share it — its point is to
     * recompute through the store. */
+  // keyed by sf dir like every other build-once fixture in this
+  // package (one session per harness JVM); holding the session itself
+  // in the key would pin stopped sessions, and identity hashes recycle
   private val vpCache =
-    scala.collection.concurrent.TrieMap[(Int, String), DataFrame]()
+    scala.collection.concurrent.TrieMap[String, DataFrame]()
   private def verifiedPairsShared(s: SparkSession, d: String): DataFrame =
-    vpCache.getOrElseUpdate((System.identityHashCode(s), d),
-      minhashVerifiedPairs(docs(s, d)).persist())
+    vpCache.getOrElseUpdate(d, minhashVerifiedPairs(docs(s, d)).persist())
 
   val dedupMinhashPairs: Q = (s, d) => verifiedPairsShared(s, d)
 
@@ -385,14 +391,27 @@ object TextOps {
     // the iterative path's per-round scheduling floor (3-4 Spark jobs
     // a round). The distributed path below engages automatically past
     // the limit — it is the 100 TB shape, this is the latency shape.
-    if (smallGraphLimit > 0 && edges.count() <= smallGraphLimit) {
+    // take(limit+1) both decides smallness AND delivers the edges in
+    // one pipeline execution (a count-then-collect would run the
+    // upstream LSH+verify twice on unpersisted inputs)
+    val head = if (smallGraphLimit > 0)
+      edges.select(col("da"), col("db"))
+        .take(if (smallGraphLimit < Int.MaxValue - 1)
+          smallGraphLimit.toInt + 1 else Int.MaxValue)
+    else Array.empty[org.apache.spark.sql.Row]
+    if (smallGraphLimit > 0 && head.length <= smallGraphLimit) {
       val spark = edges.sparkSession
-      val es = edges.select(col("da"), col("db")).collect()
-        .map(r => (r.getLong(0), r.getLong(1)))
+      val es = head.map(r => (r.getLong(0), r.getLong(1)))
       val parent = scala.collection.mutable.Map[Long, Long]()
+      // iterative find with path compression: chain-shaped graphs
+      // would blow the stack on a recursive version long before the
+      // edge limit
       def find(x: Long): Long = {
-        val p = parent.getOrElseUpdate(x, x)
-        if (p == x) x else { val r = find(p); parent(x) = r; r }
+        var r = x
+        while (parent.getOrElseUpdate(r, r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != r) { val nxt = parent(c); parent(c) = r; c = nxt }
+        r
       }
       es.foreach { case (x, y) =>
         val (rx, ry) = (find(x), find(y))

@@ -548,6 +548,34 @@ class ColStatsSpec extends AnyFunSuite {
     assert(fs4.toSeq == Seq(sources.StringStartsWith("name", "ab")))
   }
 
+  test("filter-hint: schema-verified WIDENING casts translate exactly") {
+    import org.apache.spark.sql.types._
+    spark // parser needs an active session
+    val schema = StructType(Seq(
+      StructField("day", IntegerType), StructField("k", LongType)))
+    // INT day widened to BIGINT: safe, literal fits INT → narrows
+    val fs = FilterHint.parse(
+      "CAST(day AS BIGINT) = 20240101 AND CAST(day AS BIGINT) > 5",
+      Some(schema))
+    assert(fs.toSet == Set[sources.Filter](
+      sources.EqualTo("day", 20240101), sources.GreaterThan("day", 5)))
+    // literal outside INT range can never equal an INT column → drop
+    val fs2 = FilterHint.parse(
+      "CAST(day AS BIGINT) = 4294967301 AND day = 2", Some(schema))
+    assert(fs2.toSeq == Seq(sources.EqualTo("day", 2)))
+    // NARROWING cast (BIGINT k to INT) stays refused even with schema
+    val fs3 = FilterHint.parse(
+      "CAST(k AS INT) = 5 AND day = 2", Some(schema))
+    assert(fs3.toSeq == Seq(sources.EqualTo("day", 2)))
+    // IN list narrows element-wise
+    val fs4 = FilterHint.parse(
+      "CAST(day AS BIGINT) IN (1, 2, 3)", Some(schema))
+    assert(fs4.exists {
+      case sources.In("day", vs) => vs.toSet == Set(1, 2, 3)
+      case _ => false
+    })
+  }
+
   test("scan reports pruning metrics (total/scanned/read tasks)") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.cstats")
     spark.sql("DROP TABLE IF EXISTS graft.cstats.met")
