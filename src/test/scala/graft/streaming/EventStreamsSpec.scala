@@ -314,6 +314,43 @@ class EventStreamsSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.stream.tail_compact")
   }
 
+  test("tailing stream survives a dedupKeys FOLD compaction") {
+    // upsert tables rewrite to FEWER rows at compaction (latest per
+    // key): the stream must treat the fold like any rewrite — already-
+    // consumed data — and keep its append-log view (it legitimately
+    // saw both versions, in commit order), while the TABLE reads fold
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.stream")
+    spark.sql("DROP TABLE IF EXISTS graft.stream.tail_fold")
+    spark.sql(
+      """CREATE TABLE graft.stream.tail_fold (k INT, v STRING)
+        |TBLPROPERTIES('keyCols'='k', 'graft.dedupKeys'='true')"""
+        .stripMargin)
+    spark.sql("INSERT INTO graft.stream.tail_fold VALUES (1, 'a'), (2, 'b')")
+    spark.sql("INSERT INTO graft.stream.tail_fold VALUES (1, 'a2')")
+    val q = spark.readStream.table("graft.stream.tail_fold")
+      .writeStream.format("memory").queryName("t_tail_fold")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("t_tail_fold").count() == 3) // append history
+      graft.catalog.GraftCompact.compact(
+        spark, "graft", "stream", "tail_fold", 1)
+      // table folded to latest-per-key …
+      val tbl = spark.table("graft.stream.tail_fold").collect()
+        .map(r => r.getInt(0) -> r.getString(1)).toMap
+      assert(tbl == Map(1 -> "a2", 2 -> "b"))
+      // … and the stream neither re-reads the fold output nor breaks
+      // on appends after it
+      spark.sql("INSERT INTO graft.stream.tail_fold VALUES (3, 'c')")
+      q.processAllAvailable()
+      val got = spark.table("t_tail_fold").collect()
+        .map(r => (r.getInt(0), r.getString(1))).toSet
+      assert(got == Set((1, "a"), (2, "b"), (1, "a2"), (3, "c")),
+        s"stream view wrong after fold: $got")
+    } finally q.stop()
+    spark.sql("DROP TABLE graft.stream.tail_fold")
+  }
+
   test("offset chains lose and duplicate nothing under random compaction") {
     // randomized invariant: for any interleaving of appends and
     // compactions, a stream consuming via successive (prev, latest)
