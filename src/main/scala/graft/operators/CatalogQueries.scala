@@ -265,19 +265,22 @@ object CatalogQueries {
     val h = math.abs(d.hashCode)
     s.read.parquet(s"$d/customer.parquet")
       .createOrReplaceTempView(s"customer_cat_dim_$h")
+    // one lineitem aggregation serves both the big-order predicate and
+    // the reported quantity (the IN-subquery form scans and aggregates
+    // the fact twice for the same sums); the agg itself is
+    // exchange-free on the key-grouped store, and the orders join
+    // stays storage-partitioned
     s.sql(
-      s"""SELECT c.c_name, c.c_custkey, o.o_orderkey,
+      s"""WITH big AS (
+         |  SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
+         |  FROM $li GROUP BY l_orderkey HAVING sum(l_quantity) > 200)
+         |SELECT c.c_name, c.c_custkey, o.o_orderkey,
          |       date_format(o.o_orderdate, 'yyyy-MM-dd') AS odate,
          |       round(o.o_totalprice, 2) AS total_price,
-         |       round(sum(l.l_quantity), 2) AS total_qty
-         |FROM $o o
-         |JOIN $li l ON o.o_orderkey = l.l_orderkey
+         |       b.total_qty
+         |FROM big b
+         |JOIN $o o ON o.o_orderkey = b.l_orderkey
          |JOIN customer_cat_dim_$h c ON o.o_custkey = c.c_custkey
-         |WHERE o.o_orderkey IN (
-         |  SELECT l_orderkey FROM $li GROUP BY l_orderkey
-         |  HAVING sum(l_quantity) > 200)
-         |GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
-         |         o.o_totalprice
          |ORDER BY total_qty DESC, o.o_orderkey ASC LIMIT 100""".stripMargin)
   }
 
@@ -939,18 +942,16 @@ object CatalogQueries {
         |GROUP BY n.n_name""".stripMargin,
 
     "catalog_tpch_q18" ->
-      """SELECT c.c_name, c.c_custkey, o.o_orderkey,
+      """WITH big AS (
+        |  SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
+        |  FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 200)
+        |SELECT c.c_name, c.c_custkey, o.o_orderkey,
         |       strftime(o.o_orderdate, '%Y-%m-%d') AS odate,
         |       round(o.o_totalprice, 2) AS total_price,
-        |       round(sum(l.l_quantity), 2) AS total_qty
-        |FROM orders o
-        |JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |       b.total_qty
+        |FROM big b
+        |JOIN orders o ON o.o_orderkey = b.l_orderkey
         |JOIN customer c ON o.o_custkey = c.c_custkey
-        |WHERE o.o_orderkey IN (
-        |  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
-        |  HAVING sum(l_quantity) > 200)
-        |GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
-        |         o.o_totalprice
         |ORDER BY total_qty DESC, o.o_orderkey ASC LIMIT 100""".stripMargin,
 
     "catalog_tpch_q21" ->
