@@ -18,8 +18,10 @@ import graft.TestSpark
   *    ORDER BY, LIKE, IN/InSet, mixed AND/OR.
   *
   * Deviations from the reference, both deliberate:
-  *  - duplicate-key CSV rows collapse via dropDuplicates on the key
-  *    (HBase Put upsert semantics; testTable.txt carries Row9 twice);
+  *  - duplicate-key CSV rows (testTable.txt carries Row9 twice) are
+  *    loaded AS-IS into a `graft.dedupKeys` table and folded by
+  *    compaction — the reference's HBase Put upsert end state,
+  *    replayed through graft's own machinery instead of a pre-dedup;
   *  - bytecol is stored as STRING — the reference's letter→byte CSV
   *    parsing produces sign-flipped artifacts (its golden -29 for 'c'
   *    is 99^0x80), an encoding bug SURVEY §5 flags, not a semantic.
@@ -50,7 +52,7 @@ class ReferenceFixturesSuite extends AnyFunSuite with BeforeAndAfterAll {
         |  strcol STRING, bytecol STRING, shortcol SHORT, intcol INT,
         |  longcol LONG, floatcol FLOAT, doublecol DOUBLE)
         |TBLPROPERTIES('keyCols'='doublecol;strcol;intcol',
-        |              'numRegions'='1',
+        |              'numRegions'='1', 'graft.dedupKeys'='true',
         |              'nonKeyCols'='bytecol,cf1,hbytecol;shortcol,cf1,hshortcol;longcol,cf2,hlongcol;floatcol,cf2,hfloatcol')"""
         .stripMargin)
     val ttSchema = StructType(Seq(
@@ -59,9 +61,12 @@ class ReferenceFixturesSuite extends AnyFunSuite with BeforeAndAfterAll {
       StructField("longcol", LongType), StructField("floatcol", FloatType),
       StructField("doublecol", DoubleType)))
     spark.read.schema(ttSchema).csv(s"$res/testTable.txt")
-      .dropDuplicates("doublecol", "strcol", "intcol") // Put upsert semantics
-      .createOrReplaceTempView("tt_src")
+      .createOrReplaceTempView("tt_src") // duplicates included, as HBase saw
     spark.sql("INSERT INTO graft.ref.test_table SELECT * FROM tt_src")
+    // the Put-upsert end state comes from the dedupKeys fold, not a
+    // pre-dedup of the input
+    spark.sql("CALL graft.sys.compact(table => 'ref.test_table', " +
+      "target_regions => 1)")
     spark.sql("SELECT * FROM graft.ref.test_table")
       .createOrReplaceTempView("test_table")
   }
