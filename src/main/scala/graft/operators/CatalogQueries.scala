@@ -850,22 +850,7 @@ object CatalogQueries {
     // identical to dedup_minhash_pairs' oracle: the catalog store must
     // hold exactly the source documents, and the LSH+verify pipeline
     // must emit exactly the true >=0.9 Jaccard pair set
-    "catalog_dedup_minhash" ->
-      """WITH w AS (SELECT doc_id,
-        |                  unnest(list_distinct(string_split(text, ' '))) AS wd
-        |           FROM documents WHERE doc_id < 1000),
-        |sz AS (SELECT doc_id, count(*) AS n FROM w GROUP BY 1),
-        |sh AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS shared
-        |       FROM w a JOIN w b ON a.wd = b.wd AND a.doc_id < b.doc_id
-        |       GROUP BY 1, 2)
-        |SELECT da, db,
-        |       round(shared / cast(sa.n + sb.n - shared AS DOUBLE), 4)
-        |         AS jaccard
-        |FROM sh
-        |JOIN sz sa ON da = sa.doc_id
-        |JOIN sz sb ON db = sb.doc_id
-        |WHERE round(shared / cast(sa.n + sb.n - shared AS DOUBLE), 4) >= 0.9"""
-        .stripMargin,
+    "catalog_dedup_minhash" -> TextOps.jaccardPairsOracleSql,
 
     // the log table holds exactly the orders rows (plus a synthetic
     // ingest id), so the date-window aggregate matches orders directly

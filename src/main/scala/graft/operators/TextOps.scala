@@ -668,6 +668,31 @@ object TextOps {
       simhashPairsBlocked(docs(s, d), 3)),
   )
 
+  /** Shared CTE chain for the exact word-Jaccard all-pairs recompute
+    * (bounded to doc_id < 1000 like the faces it checks). */
+  private val jaccardCte =
+    """w AS (SELECT doc_id,
+      |             unnest(list_distinct(string_split(text, ' '))) AS wd
+      |      FROM documents WHERE doc_id < 1000),
+      |sz AS (SELECT doc_id, count(*) AS n FROM w GROUP BY 1),
+      |sh AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS shared
+      |       FROM w a JOIN w b ON a.wd = b.wd AND a.doc_id < b.doc_id
+      |       GROUP BY 1, 2)""".stripMargin
+
+  /** All pairs at word Jaccard >= 0.9 — the oracle for both the
+    * brute-force face (text_jaccard_pairs) and the LSH-verified faces
+    * (dedup_minhash_pairs, catalog_dedup_minhash). */
+  private[operators] val jaccardPairsOracleSql: String =
+    s"""WITH $jaccardCte
+       |SELECT da, db,
+       |       round(shared / cast(sa.n + sb.n - shared AS DOUBLE), 4)
+       |         AS jaccard
+       |FROM sh
+       |JOIN sz sa ON da = sa.doc_id
+       |JOIN sz sb ON db = sb.doc_id
+       |WHERE round(shared / cast(sa.n + sb.n - shared AS DOUBLE), 4) >= 0.9"""
+      .stripMargin
+
   /** Shared oracle CTE chain recomputing the MD5-derived SimHash:
     * token hash = first 8 md5 bytes as UBIGINT, per-bit majority vote,
     * bits reassembled. Matches [[graft.functions.VectorKernels.simhash64]]
@@ -873,53 +898,17 @@ object TextOps {
         |            THEN 'en' ELSE 'und' END AS pred_lang
         |FROM documents""".stripMargin,
 
-    "text_jaccard_pairs" ->
-      """WITH w AS (SELECT doc_id,
-        |                  unnest(list_distinct(string_split(text, ' '))) AS wd
-        |           FROM documents WHERE doc_id < 1000),
-        |sz AS (SELECT doc_id, count(*) AS n FROM w GROUP BY 1),
-        |sh AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS shared
-        |       FROM w a JOIN w b ON a.wd = b.wd AND a.doc_id < b.doc_id
-        |       GROUP BY 1, 2)
-        |SELECT da, db,
-        |       round(shared / cast(sa.n + sb.n - shared AS DOUBLE), 4)
-        |         AS jaccard
-        |FROM sh
-        |JOIN sz sa ON da = sa.doc_id
-        |JOIN sz sb ON db = sb.doc_id
-        |WHERE round(shared / cast(sa.n + sb.n - shared AS DOUBLE), 4) >= 0.9"""
-        .stripMargin,
+    "text_jaccard_pairs" -> jaccardPairsOracleSql,
 
     // identical recompute to text_jaccard_pairs: the LSH pipeline's
     // verified output IS "all pairs at word Jaccard >= 0.9"
-    "dedup_minhash_pairs" ->
-      """WITH w AS (SELECT doc_id,
-        |                  unnest(list_distinct(string_split(text, ' '))) AS wd
-        |           FROM documents WHERE doc_id < 1000),
-        |sz AS (SELECT doc_id, count(*) AS n FROM w GROUP BY 1),
-        |sh AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS shared
-        |       FROM w a JOIN w b ON a.wd = b.wd AND a.doc_id < b.doc_id
-        |       GROUP BY 1, 2)
-        |SELECT da, db,
-        |       round(shared / cast(sa.n + sb.n - shared AS DOUBLE), 4)
-        |         AS jaccard
-        |FROM sh
-        |JOIN sz sa ON da = sa.doc_id
-        |JOIN sz sb ON db = sb.doc_id
-        |WHERE round(shared / cast(sa.n + sb.n - shared AS DOUBLE), 4) >= 0.9"""
-        .stripMargin,
+    "dedup_minhash_pairs" -> jaccardPairsOracleSql,
 
     // connected components rebuilt from scratch: exact edge list via
     // all-pairs Jaccard, reachability via recursive-CTE closure
     "dedup_clusters" ->
-      """WITH RECURSIVE
-        |w AS (SELECT doc_id,
-        |             unnest(list_distinct(string_split(text, ' '))) AS wd
-        |      FROM documents WHERE doc_id < 1000),
-        |sz AS (SELECT doc_id, count(*) AS n FROM w GROUP BY 1),
-        |sh AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS shared
-        |       FROM w a JOIN w b ON a.wd = b.wd AND a.doc_id < b.doc_id
-        |       GROUP BY 1, 2),
+      s"""WITH RECURSIVE
+        |$jaccardCte,
         |p AS (SELECT da, db FROM sh
         |      JOIN sz sa ON da = sa.doc_id
         |      JOIN sz sb ON db = sb.doc_id
