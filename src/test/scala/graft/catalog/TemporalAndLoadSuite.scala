@@ -304,6 +304,65 @@ class TemporalAndLoadSuite extends AnyFunSuite {
     spark.sql("DROP TABLE graft.op.ups")
   }
 
+  test("randomized upsert lifecycle matches a latest-per-key log model") {
+    // property: any interleaving of upsert batches (unique keys within
+    // a batch), range deletes, and fold compactions on a dedupKeys
+    // table matches a driver-side append-log model where compaction
+    // keeps the newest version per key (insert order = region id
+    // order) and DELETE removes every version of the keys in range
+    val rnd = new scala.util.Random(20260814L)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.op")
+    for (scenario <- 1 to 3) {
+      val t = s"upslife_$scenario"
+      spark.sql(s"DROP TABLE IF EXISTS graft.op.$t")
+      spark.sql(
+        s"""CREATE TABLE graft.op.$t (k BIGINT, v BIGINT)
+           |TBLPROPERTIES('keyCols'='k', 'numRegions'='2',
+           |              'graft.dedupKeys'='true')""".stripMargin)
+      // log of (key, value, seq); visible rows = whole log until a
+      // fold, which collapses to max-seq per key
+      var log = Vector.empty[(Long, Long, Int)]
+      var seq = 0
+      def check(tag: String): Unit = {
+        val got = spark.sql(
+          s"SELECT count(*), coalesce(sum(v), 0) FROM graft.op.$t").head()
+        assert(got.getLong(0) == log.size.toLong,
+          s"$tag: count ${got.getLong(0)} != model ${log.size}")
+        assert(got.getLong(1) == log.map(_._2).sum,
+          s"$tag: value sum mismatch")
+      }
+      (1 to 8).foreach { step =>
+        rnd.nextInt(3) match {
+          case 0 => // upsert batch: unique keys, values encode the seq
+            seq += 1
+            val keys = rnd.shuffle((0L until 50L).toList)
+              .take(5 + rnd.nextInt(10))
+            val vals = keys.map(k => (k, k * 1000 + seq))
+            spark.sql(s"INSERT INTO graft.op.$t VALUES " +
+              vals.map { case (k, v) => s"($k, $v)" }.mkString(", "))
+            log = log ++ vals.map { case (k, v) => (k, v, seq) }
+          case 1 => // range delete: every version of the keys in range
+            val a = rnd.nextInt(50); val b = a + rnd.nextInt(20)
+            spark.sql(s"DELETE FROM graft.op.$t WHERE k >= $a AND k <= $b")
+            log = log.filterNot { case (k, _, _) => k >= a && k <= b }
+          case 2 => // fold: newest version per key wins
+            GraftCompact.compact(spark, "graft", "op", t, 2)
+            log = log.groupBy(_._1).valuesIterator
+              .map(_.maxBy(_._3)).toVector
+        }
+        check(s"scenario $scenario step $step")
+      }
+      // end state after one final fold: exact map equality
+      GraftCompact.compact(spark, "graft", "op", t, 1)
+      log = log.groupBy(_._1).valuesIterator.map(_.maxBy(_._3)).toVector
+      val rows = spark.table(s"graft.op.$t").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(rows == log.map(e => e._1 -> e._2).toMap,
+        s"scenario $scenario final fold state diverged")
+      spark.sql(s"DROP TABLE graft.op.$t")
+    }
+  }
+
   test("compaction without dedupKeys keeps duplicate keys (append model)") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.op")
     spark.sql("DROP TABLE IF EXISTS graft.op.nups")
