@@ -65,6 +65,18 @@ object TableMeta {
   val MetaFile = "_graft_meta.json"
   val RegionsFile = "_graft_regions.json"
 
+  /** Commit-log directory: small sequential delta segments
+    * (`_graft_log/000000000042.json`) written by APPEND commits, folded
+    * into the full [[RegionsFile]] checkpoint every
+    * [[logCheckpointEvery]] commits (and by every full-state rewrite —
+    * compaction, DELETE, vacuum). Appending one region to a 100k-region
+    * table writes O(1) bytes, not an O(regions) manifest rewrite — the
+    * log-segment + checkpoint discipline Delta Lake uses for exactly
+    * this reason. The reference never hits the problem only because
+    * HBase owns its region metadata server-side; a file-backed manifest
+    * must solve it in the layout. */
+  val LogDirName = "_graft_log"
+
   /** Reference DDL property names (SURVEY §1.4): keyCols = `k1;k2;…`,
     * nonKeyCols = `col,family,qualifier;…`, encodingFormat. */
   val KeyColsProp = "keyCols"
@@ -205,24 +217,42 @@ object TableMeta {
       }
     }
 
-  /** Write the complete manifest. Callers own locking. */
-  def saveState(tableDir: File, state: ManifestState): Unit = {
-    val m = mapper
-    val root = m.createObjectNode()
-    root.put("generation", state.gen)
-    root.put("nextId", state.nextId)
-    if (state.epochs.nonEmpty) {
+  private def epochsJson(root: ObjectNode,
+      epochs: Map[String, EpochEntry]): Unit =
+    if (epochs.nonEmpty) {
       val e = root.putObject("epochs")
-      state.epochs.foreach { case (q, ent) =>
+      epochs.foreach { case (q, ent) =>
         val o = e.putObject(q)
         o.put("ep", ent.epoch); o.put("gen", ent.touchedGen)
       }
     }
+
+  /** Write the complete manifest as a CHECKPOINT, consuming (deleting)
+    * every log segment it folds in — the checkpoint records `lastSeq`
+    * so readers know which segments are already included. Callers own
+    * locking; `state` must derive from a [[loadState]] under the same
+    * lock (it is the merged checkpoint+segments view). */
+  def saveState(tableDir: File, state: ManifestState): Unit = {
+    // lastSeq stays monotone across checkpoints even when the log is
+    // empty: a later segment writer must never reuse a consumed seq
+    val lastSeq = loadLoaded(tableDir).lastSeq
+    val m = mapper
+    val root = m.createObjectNode()
+    root.put("generation", state.gen)
+    root.put("nextId", state.nextId)
+    if (lastSeq > 0L) root.put("lastSeq", lastSeq)
+    epochsJson(root, state.epochs)
     regionsJson(root.putArray("regions"), state.regions)
     if (state.retired.nonEmpty)
       regionsJson(root.putArray("retired"), state.retired)
     val f = new File(tableDir, RegionsFile)
     writeAtomic(f, root.toString)
+    // consume AFTER the atomic checkpoint move: a reader that listed
+    // the log before the move still holds a valid (pre-checkpoint)
+    // view; one that lists after sees the gap only alongside the new
+    // checkpoint, which its stat-recheck detects
+    listSegSeqs(tableDir).filter(_ <= lastSeq)
+      .foreach(q => segFile(tableDir, q).delete())
     // invalidate rather than write through: the next load re-parses
     // (once per commit) and re-applies load-side normalizations
     // (lowercase stat keys, id synthesis) uniformly
@@ -266,22 +296,38 @@ object TableMeta {
       epochs: Map[String, EpochEntry],
       retired: Seq[RegionMeta] = Nil, nextId: Long = 1L)
 
-  /** Parsed-manifest cache, keyed by canonical path and invalidated by
-    * the file's identity (inode via BasicFileAttributes.fileKey — every
-    * [[saveState]] is an atomic tmp+move, so each commit is a new
-    * inode), size, and nanosecond mtime. The reference caches region
-    * info with a 600 s TTL (`HBaseRelation.fetchPartitions:203-235`);
-    * stat-based invalidation gives the same O(1) repeated-scan cost
-    * WITHOUT the staleness window — a 100k-region manifest parses once
-    * per commit instead of once per scan, and a commit from another
-    * process is picked up on the next stat. Same-JVM commits
-    * invalidate eagerly in [[saveState]]. */
-  private val stateCache = new java.util.concurrent.ConcurrentHashMap[
-    String, (Any, ManifestState)]()
+  /** A merged manifest view: the checkpoint state with every log
+    * segment ≤ `lastSeq` applied, plus the checkpoint file's identity
+    * key the view was validated against. */
+  private final case class Loaded(cpKey: Any, lastSeq: Long,
+      state: ManifestState)
 
-  /** Parse count, exposed for the cache-behavior spec. */
+  /** Parsed-manifest cache, keyed by canonical path and invalidated by
+    * the checkpoint file's identity (inode via
+    * BasicFileAttributes.fileKey — every [[saveState]] is an atomic
+    * tmp+move, so each commit is a new inode), size, and nanosecond
+    * mtime. The reference caches region info with a 600 s TTL
+    * (`HBaseRelation.fetchPartitions:203-235`); stat-based invalidation
+    * gives the same O(1) repeated-scan cost WITHOUT the staleness
+    * window — a 100k-region checkpoint parses once per CHECKPOINT
+    * instead of once per scan, and loads after an append apply only
+    * the new O(1) log segments onto the cached view. Same-JVM
+    * checkpoints invalidate eagerly in [[saveState]]. */
+  private val stateCache = new java.util.concurrent.ConcurrentHashMap[
+    String, Loaded]()
+
+  /** Checkpoint parse count, exposed for the cache-behavior spec. */
   private[catalog] val manifestParses =
     new java.util.concurrent.atomic.AtomicLong
+
+  /** Log-segment parse count, exposed for the log-behavior spec. */
+  private[catalog] val segmentParses =
+    new java.util.concurrent.atomic.AtomicLong
+
+  /** Fold the log into a fresh checkpoint once it reaches this many
+    * segments (per-load cost is O(segments) stats of a bounded dir,
+    * so keep it small; overridden by tests). */
+  private[catalog] var logCheckpointEvery = 16
 
   /** Drop a table's parsed-state entry (called by dropTable — the
     * directory is going away, so the entry would otherwise pin a full
@@ -296,75 +342,125 @@ object TableMeta {
       (a.fileKey, a.size, a.lastModifiedTime)
     } catch { case _: Exception => null }
 
-  def loadState(tableDir: File): ManifestState = {
-    val f = new File(tableDir, RegionsFile)
-    if (!f.isFile) return ManifestState(0L, Nil, Map.empty)
-    val path = f.getCanonicalPath
-    val key = manifestKey(f)
-    val cached = stateCache.get(path)
-    if (cached != null && key != null && cached._1 == key) return cached._2
-    val st = parseState(f)
-    // cache only if the file did not change mid-parse (a concurrent
-    // commit between stat and parse would otherwise pin stale content)
-    if (key != null && manifestKey(f) == key)
-      stateCache.put(path, (key, st))
-    st
+  def loadState(tableDir: File): ManifestState = loadLoaded(tableDir).state
+
+  private def logDirOf(tableDir: File) = new File(tableDir, LogDirName)
+
+  private def segFile(tableDir: File, seq: Long): File =
+    new File(logDirOf(tableDir), f"$seq%012d.json")
+
+  private def listSegSeqs(tableDir: File): Seq[Long] = {
+    val names = logDirOf(tableDir).list()
+    if (names == null) Nil
+    else names.toSeq.filter(_.endsWith(".json"))
+      .flatMap(n => n.stripSuffix(".json").toLongOption).sorted
   }
 
-  private def parseState(f: File): ManifestState = {
-    manifestParses.incrementAndGet()
-    val root = mapper.readTree(f)
-    val g = root.get("generation")
-    val gen = if (g == null) 0L else g.asLong
-    val epochs = Option(root.get("epochs")).map { e =>
+  /** Lock-free reader protocol: stat the checkpoint, take the cached
+    * view if its identity matches (else parse), apply log segments
+    * newer than the view's `lastSeq` in seq order, then RE-stat the
+    * checkpoint. An unchanged stat proves no checkpoint landed before
+    * the segment listing, so no consumed segment was missed; a changed
+    * stat (concurrent checkpoint, which deletes folded segments)
+    * retries against the new checkpoint. Writers serialize on
+    * [[withManifestLock]], so seqs are contiguous and segments
+    * themselves are atomic tmp+move files. */
+  private def loadLoaded(tableDir: File): Loaded = {
+    val f = new File(tableDir, RegionsFile)
+    val path = f.getCanonicalPath
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val k0 = manifestKey(f)
+      val cached = stateCache.get(path)
+      val hit = cached != null && k0 != null && cached.cpKey == k0
+      try {
+        val (base, baseSeq) =
+          if (hit) (cached.state, cached.lastSeq)
+          else if (f.isFile) parseCheckpoint(f)
+          else (ManifestState(0L, Nil, Map.empty), 0L)
+        val segs = listSegSeqs(tableDir).filter(_ > baseSeq)
+        if (hit && segs.isEmpty) return cached
+        val merged = segs.foldLeft(base)((s, q) =>
+          applySegment(s, parseSegment(segFile(tableDir, q))))
+        val lastSeq = if (segs.nonEmpty) segs.max else baseSeq
+        val k1 = manifestKey(f)
+        val stable = if (k0 == null) k1 == null else k0 == k1
+        if (stable || attempt >= 5) {
+          val loaded = Loaded(k0, lastSeq, merged)
+          if (k0 != null && stable) stateCache.put(path, loaded)
+          return loaded
+        }
+      } catch {
+        // a concurrent checkpoint consumed a segment between listing
+        // and parse — the retry reads the new checkpoint instead
+        case e: java.io.IOException => if (attempt >= 5) throw e
+      }
+    }
+    sys.error("unreachable")
+  }
+
+  private def parseEpochs(root: com.fasterxml.jackson.databind.JsonNode,
+      defaultGen: Long): Map[String, EpochEntry] =
+    Option(root.get("epochs")).map { e =>
       val it = e.fields()
       val b = Map.newBuilder[String, EpochEntry]
       while (it.hasNext) {
         val kv = it.next()
         val v = kv.getValue
         // pre-upgrade ledgers stored a bare epoch number
-        b += kv.getKey -> (if (v.isNumber) EpochEntry(v.asLong, gen)
+        b += kv.getKey -> (if (v.isNumber) EpochEntry(v.asLong, defaultGen)
           else EpochEntry(v.get("ep").asLong, v.get("gen").asLong))
       }
       b.result()
     }.getOrElse(Map.empty)
-    def regionList(field: String): Seq[RegionMeta] = {
-      val arr = root.get(field).asInstanceOf[ArrayNode]
-      if (arr == null) return Nil
-      (0 until arr.size).map { i =>
-        val o = arr.get(i)
-        def strs(f2: String): Seq[String] = {
-          val a = o.get(f2).asInstanceOf[ArrayNode]
-          (0 until a.size).map(a.get(_).asText)
-        }
-        val stats: Map[String, ColStat] = if (!o.has("stats")) Map.empty
-        else {
-          val so = o.get("stats")
-          val it = so.fields()
-          val b = Map.newBuilder[String, ColStat]
-          while (it.hasNext) {
-            val kv = it.next()
-            val e = kv.getValue
-            // lowercase on load too: manifests written before the
-            // lowercase-at-save change stay schema-cased on disk
-            b += kv.getKey.toLowerCase -> ColStat(
-              Option(e.get("mn")).map(_.asText),
-              Option(e.get("mx")).map(_.asText),
-              if (e.has("nc")) e.get("nc").asLong else 0L)
-          }
-          b.result()
-        }
-        RegionMeta(o.get("file").asText, o.get("rows").asLong,
-          strs("mins"), strs("maxs"),
-          if (o.has("bucket")) o.get("bucket").asInt else -1,
-          if (o.has("host")) o.get("host").asText else "",
-          if (o.has("id")) o.get("id").asLong else 0L,
-          if (o.has("srcMaxId")) o.get("srcMaxId").asLong else -1L,
-          stats)
+
+  private def parseRegionList(
+      root: com.fasterxml.jackson.databind.JsonNode,
+      field: String): Seq[RegionMeta] = {
+    val arr = root.get(field).asInstanceOf[ArrayNode]
+    if (arr == null) return Nil
+    (0 until arr.size).map { i =>
+      val o = arr.get(i)
+      def strs(f2: String): Seq[String] = {
+        val a = o.get(f2).asInstanceOf[ArrayNode]
+        (0 until a.size).map(a.get(_).asText)
       }
+      val stats: Map[String, ColStat] = if (!o.has("stats")) Map.empty
+      else {
+        val so = o.get("stats")
+        val it = so.fields()
+        val b = Map.newBuilder[String, ColStat]
+        while (it.hasNext) {
+          val kv = it.next()
+          val e = kv.getValue
+          // lowercase on load too: manifests written before the
+          // lowercase-at-save change stay schema-cased on disk
+          b += kv.getKey.toLowerCase -> ColStat(
+            Option(e.get("mn")).map(_.asText),
+            Option(e.get("mx")).map(_.asText),
+            if (e.has("nc")) e.get("nc").asLong else 0L)
+        }
+        b.result()
+      }
+      RegionMeta(o.get("file").asText, o.get("rows").asLong,
+        strs("mins"), strs("maxs"),
+        if (o.has("bucket")) o.get("bucket").asInt else -1,
+        if (o.has("host")) o.get("host").asText else "",
+        if (o.has("id")) o.get("id").asLong else 0L,
+        if (o.has("srcMaxId")) o.get("srcMaxId").asLong else -1L,
+        stats)
     }
-    var regions = regionList("regions")
-    val retired = regionList("retired")
+  }
+
+  private def parseCheckpoint(f: File): (ManifestState, Long) = {
+    manifestParses.incrementAndGet()
+    val root = mapper.readTree(f)
+    val g = root.get("generation")
+    val gen = if (g == null) 0L else g.asLong
+    val epochs = parseEpochs(root, gen)
+    var regions = parseRegionList(root, "regions")
+    val retired = parseRegionList(root, "retired")
     // pre-upgrade manifests carry no ids: the live list is append-
     // ordered, so positions are stable identities — synthesize ids
     // from them once; subsequent saves persist the assignment
@@ -377,8 +473,47 @@ object TableMeta {
       val n = root.get("nextId")
       if (n == null) maxSeen + 1 else n.asLong max (maxSeen + 1)
     }
-    ManifestState(gen, regions, epochs, retired, nextId)
+    val lastSeq = Option(root.get("lastSeq")).map(_.asLong).getOrElse(0L)
+    (ManifestState(gen, regions, epochs, retired, nextId), lastSeq)
   }
+
+  /** One log segment: regions appended and/or epoch-ledger entries
+    * updated by a single commit. */
+  private final case class SegmentDelta(regions: Seq[RegionMeta],
+      epochs: Map[String, EpochEntry])
+
+  private def parseSegment(f: File): SegmentDelta = {
+    segmentParses.incrementAndGet()
+    val root = mapper.readTree(f)
+    SegmentDelta(parseRegionList(root, "regions"), parseEpochs(root, 0L))
+  }
+
+  private def applySegment(s: ManifestState, d: SegmentDelta)
+      : ManifestState = {
+    val maxId = d.regions.map(_.id).maxOption.getOrElse(0L)
+    s.copy(regions = s.regions ++ d.regions,
+      epochs = s.epochs ++ d.epochs,
+      nextId = s.nextId max (maxId + 1L))
+  }
+
+  /** Append one commit's delta to the log. Callers own locking (seq
+    * allocation assumes serialized writers). */
+  private def writeSegment(tableDir: File, seq: Long,
+      regions: Seq[RegionMeta], epochs: Map[String, EpochEntry]): Unit = {
+    val d = logDirOf(tableDir)
+    d.mkdirs()
+    val root = mapper.createObjectNode()
+    root.put("seq", seq)
+    epochsJson(root, epochs)
+    regionsJson(root.putArray("regions"), regions)
+    writeAtomic(segFile(tableDir, seq), root.toString)
+  }
+
+  /** Fold the log into a checkpoint once it is long enough. Callers own
+    * locking. */
+  private def maybeCheckpoint(tableDir: File): Unit =
+    if (listSegSeqs(tableDir).size >= logCheckpointEvery)
+      saveState(tableDir, loadState(tableDir))
 
   /** Append newly committed regions (write-commit protocol). The
     * read-modify-write is serialized through an OS file lock so
@@ -413,9 +548,10 @@ object TableMeta {
 
   def appendRegions(tableDir: File, added: Seq[RegionMeta]): Unit =
     withManifestLock(tableDir) {
-      val s = loadState(tableDir)
-      val (rs, next) = stamped(added.map(_.copy(id = 0L)), s.nextId)
-      saveState(tableDir, s.copy(regions = s.regions ++ rs, nextId = next))
+      val l = loadLoaded(tableDir)
+      val (rs, _) = stamped(added.map(_.copy(id = 0L)), l.state.nextId)
+      writeSegment(tableDir, l.lastSeq + 1L, rs, Map.empty)
+      maybeCheckpoint(tableDir)
     }
 
   /** Epoch-deduplicated append for the streaming sink: commits `added`
@@ -426,21 +562,22 @@ object TableMeta {
   def commitEpoch(tableDir: File, added: Seq[RegionMeta],
       queryId: String, epochId: Long): Boolean =
     withManifestLock(tableDir) {
-      val s = loadState(tableDir)
+      val l = loadLoaded(tableDir)
+      val s = l.state
       s.epochs.get(queryId) match {
         case Some(e) if e.epoch >= epochId =>
           // duplicate replay — but the query is demonstrably alive, so
           // refresh its ledger entry's generation: a replaying-but-not-
           // advancing query must not look dead to compaction's aging
           if (e.touchedGen < s.gen)
-            saveState(tableDir, s.copy(epochs =
-              s.epochs + (queryId -> e.copy(touchedGen = s.gen))))
+            writeSegment(tableDir, l.lastSeq + 1L, Nil,
+              Map(queryId -> e.copy(touchedGen = s.gen)))
           false
         case _ =>
-          val (rs, next) = stamped(added.map(_.copy(id = 0L)), s.nextId)
-          saveState(tableDir, s.copy(regions = s.regions ++ rs,
-            epochs = s.epochs + (queryId -> EpochEntry(epochId, s.gen)),
-            nextId = next))
+          val (rs, _) = stamped(added.map(_.copy(id = 0L)), s.nextId)
+          writeSegment(tableDir, l.lastSeq + 1L, rs,
+            Map(queryId -> EpochEntry(epochId, s.gen)))
+          maybeCheckpoint(tableDir)
           true
       }
     }
