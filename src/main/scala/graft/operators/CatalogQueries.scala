@@ -284,6 +284,109 @@ object CatalogQueries {
          |ORDER BY total_qty DESC, o.o_orderkey ASC LIMIT 100""".stripMargin)
   }
 
+  /** Shared fixed region splits on the PARTKEY domain — a second
+    * co-partitioning family: lineitem_p_t and part_t share these, so
+    * Q17's per-part aggregate, its threshold join, and even the
+    * part-dim join are ALL storage-partitioned (zero partkey
+    * Exchange), the layout a 100-TB deployment would choose for
+    * part-centric analytics. */
+  private val partSplitsCache =
+    scala.collection.concurrent.TrieMap[String, String]()
+  private def partKeySplits(s: SparkSession, d: String): String =
+    partSplitsCache.getOrElseUpdate(d, {
+      val probs = (1 until 16).map(_ / 16.0).toArray
+      s.read.parquet(s"$d/lineitem.parquet")
+        .stat.approxQuantile("l_partkey", probs, 0.001)
+        .map(_.toLong).distinct.sorted.mkString(";")
+    })
+
+  /** Partkey-leading lineitem twin for the part-centric shapes: keyed
+    * (l_partkey, l_orderkey, l_linenumber) so GROUP BY l_partkey and
+    * every partkey join ride the storage partitioning. */
+  private val builtLiP = scala.collection.concurrent.TrieMap[String, String]()
+  private def lineitemByPartTable(s: SparkSession, d: String): String =
+    builtLiP.getOrElseUpdate(d, {
+      ordersTable(s, d)
+      val ns = s"sf_${math.abs(d.hashCode)}"
+      val fqn = s"graft.$ns.lineitem_p_t"
+      val srcCount = s.read.parquet(s"$d/lineitem.parquet").count()
+      val exists = s.sql(s"SHOW TABLES IN graft.$ns").collect()
+        .exists(_.getString(1) == "lineitem_p_t") && usable(s, fqn, srcCount)
+      if (!exists) {
+        s.sql(
+          s"""CREATE TABLE $fqn (
+             |  l_partkey BIGINT, l_orderkey BIGINT, l_linenumber INT,
+             |  l_quantity DOUBLE, l_extendedprice DOUBLE)
+             |TBLPROPERTIES('keyCols'='l_partkey;l_orderkey;l_linenumber',
+             |              'regionSplits'='${partKeySplits(s, d)}')"""
+            .stripMargin)
+        val v = s"lip_cat_src_${math.abs(d.hashCode)}"
+        s.read.parquet(s"$d/lineitem.parquet")
+          .select("l_partkey", "l_orderkey", "l_linenumber",
+            "l_quantity", "l_extendedprice")
+          .createOrReplaceTempView(v)
+        s.sql(s"INSERT INTO $fqn SELECT * FROM $v")
+      }
+      fqn
+    })
+
+  /** Part dimension AS a graft table, co-partitioned with
+    * lineitem_p_t — so the dim join needs neither a broadcast nor a
+    * shuffle. */
+  private val builtPart = scala.collection.concurrent.TrieMap[String, String]()
+  private def partTable(s: SparkSession, d: String): String =
+    builtPart.getOrElseUpdate(d, {
+      ordersTable(s, d)
+      val ns = s"sf_${math.abs(d.hashCode)}"
+      val fqn = s"graft.$ns.part_t"
+      val srcCount = s.read.parquet(s"$d/part.parquet").count()
+      val exists = s.sql(s"SHOW TABLES IN graft.$ns").collect()
+        .exists(_.getString(1) == "part_t") && usable(s, fqn, srcCount)
+      if (!exists) {
+        s.sql(
+          s"""CREATE TABLE $fqn (
+             |  p_partkey BIGINT, p_name STRING, p_brand STRING,
+             |  p_type STRING, p_size INT)
+             |TBLPROPERTIES('keyCols'='p_partkey',
+             |              'regionSplits'='${partKeySplits(s, d)}')"""
+            .stripMargin)
+        val v = s"part_cat_src_${math.abs(d.hashCode)}"
+        s.read.parquet(s"$d/part.parquet")
+          .select("p_partkey", "p_name", "p_brand", "p_type", "p_size")
+          .createOrReplaceTempView(v)
+        s.sql(s"INSERT INTO $fqn SELECT * FROM $v")
+      }
+      fqn
+    })
+
+  /** TPC-H Q17-shaped (small-quantity-order revenue): the correlated
+    * per-part average, hand-decorrelated the way Catalyst would —
+    * aggregate once per part, join the threshold back, filter, and
+    * report per brand. Over the partkey-keyed store ALL of it is
+    * exchange-free until the final 25-group brand aggregation: the
+    * per-part avg needs no shuffle (key-grouped scan), and both joins
+    * are storage-partitioned against co-partitioned graft tables.
+    * Exact-hash discipline: l_quantity is integer-valued so avg is
+    * order-independent IEEE-exact on both engines, and revenue
+    * aggregates as DECIMAL (order-independent), not a rounded double
+    * sum. */
+  val tpchQ17: Q = (s, d) => {
+    val li = lineitemByPartTable(s, d)
+    val p = partTable(s, d)
+    s.sql(
+      s"""WITH thr AS (
+         |  SELECT l_partkey, avg(l_quantity) / 5 AS small
+         |  FROM $li GROUP BY l_partkey)
+         |SELECT p.p_brand, count(*) AS cnt,
+         |       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2)))
+         |            AS DECIMAL(22,2)) AS below_avg_revenue
+         |FROM $li l
+         |JOIN thr t ON t.l_partkey = l.l_partkey
+         |JOIN $p p ON p.p_partkey = l.l_partkey
+         |WHERE l.l_quantity < t.small
+         |GROUP BY p.p_brand""".stripMargin)
+  }
+
   /** TPC-H Q21-shaped (suppliers who kept waiting orders): the classic
     * EXISTS + NOT EXISTS double correlation — a semi join AND an anti
     * join of the fact against itself on its leading key, both
@@ -752,6 +855,7 @@ object CatalogQueries {
     "catalog_join_parquet" -> joinParquet,
     "catalog_tpch_q5" -> tpchQ5,
     "catalog_tpch_q3" -> tpchQ3,
+    "catalog_tpch_q17" -> tpchQ17,
     "catalog_tpch_q18" -> tpchQ18,
     "catalog_tpch_q21" -> tpchQ21,
     "catalog_key_groupby" -> keyGroupBy,
@@ -938,6 +1042,23 @@ object CatalogQueries {
         |JOIN orders o ON o.o_orderkey = b.l_orderkey
         |JOIN customer c ON o.o_custkey = c.c_custkey
         |ORDER BY total_qty DESC, o.o_orderkey ASC LIMIT 100""".stripMargin,
+
+    // avg(l_quantity) is IEEE-exact (integer-valued quantities), so
+    // the /5 threshold and the < compare agree bit-for-bit; revenue
+    // sums as DECIMAL (order-independent), widened to Spark's
+    // DECIMAL(22,2) result type
+    "catalog_tpch_q17" ->
+      """WITH thr AS (
+        |  SELECT l_partkey, avg(l_quantity) / 5 AS small
+        |  FROM lineitem GROUP BY l_partkey)
+        |SELECT p.p_brand, count(*) AS cnt,
+        |       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2)))
+        |            AS DECIMAL(22,2)) AS below_avg_revenue
+        |FROM lineitem l
+        |JOIN thr t ON t.l_partkey = l.l_partkey
+        |JOIN part p ON p.p_partkey = l.l_partkey
+        |WHERE l.l_quantity < t.small
+        |GROUP BY p.p_brand""".stripMargin,
 
     "catalog_tpch_q21" ->
       """SELECT s.s_name, count(*) AS numwait

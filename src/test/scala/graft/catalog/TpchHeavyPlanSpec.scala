@@ -46,6 +46,16 @@ class TpchHeavyPlanSpec extends AnyFunSuite {
       s"orderkey shuffles present:\n${bad.mkString("\n")}\n\nplan:\n$plan")
   }
 
+  test("q17: per-part avg, threshold join, AND the part-dim join all " +
+      "ride the partkey storage partitioning — zero partkey Exchange") {
+    val plan = planNoBroadcast("catalog_tpch_q17")
+    val bad = plan.linesIterator.filter(l =>
+      l.contains("Exchange hashpartitioning") &&
+        (l.contains("l_partkey") || l.contains("p_partkey"))).toSeq
+    assert(bad.isEmpty,
+      s"partkey shuffles present:\n${bad.mkString("\n")}\n\nplan:\n$plan")
+  }
+
   test("q21: exists/not-exists self joins shuffle-free on the orderkey") {
     val plan = planNoBroadcast("catalog_tpch_q21")
     val bad = orderkeyShuffles(plan)
