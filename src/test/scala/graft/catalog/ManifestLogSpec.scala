@@ -152,6 +152,29 @@ class ManifestLogSpec extends AnyFunSuite {
     assert(s2.nextId > ids.max)
   }
 
+  test("an orphan segment left by a crash mid-checkpoint is ignored " +
+      "and cleaned by the next fold") {
+    val dir = tmpDir()
+    TableMeta.saveState(dir, TableMeta.ManifestState(1L, Nil, Map.empty))
+    TableMeta.appendRegions(dir, Seq(region(0L)))
+    TableMeta.appendRegions(dir, Seq(region(1L)))
+    val seg1 = new File(new File(dir, TableMeta.LogDirName),
+      "000000000001.json")
+    val keep = Files.readAllBytes(seg1.toPath)
+    val folded = TableMeta.loadState(dir)
+    TableMeta.saveState(dir, folded) // checkpoint consumes both segments
+    // crash simulation: the checkpoint landed but a consumed segment's
+    // delete did not — resurrect segment 1 as the crash artifact
+    Files.write(seg1.toPath, keep)
+    TableMeta.evictManifestCache(dir)
+    val s = TableMeta.loadState(dir)
+    assert(s.regions.size == 2,
+      "a segment with seq <= the checkpoint's lastSeq must be ignored")
+    assert(s.regions.map(_.id) == Seq(1L, 2L), "no double-applied region")
+    TableMeta.saveState(dir, s) // the next checkpoint self-heals the log
+    assert(segCount(dir) == 0)
+  }
+
   test("100k regions: appends cost O(1), not an O(regions) rewrite") {
     val dir = tmpDir()
     val n = 100000L
