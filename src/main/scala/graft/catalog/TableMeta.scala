@@ -386,15 +386,23 @@ object TableMeta {
         val lastSeq = if (segs.nonEmpty) segs.max else baseSeq
         val k1 = manifestKey(f)
         val stable = if (k0 == null) k1 == null else k0 == k1
-        if (stable || attempt >= 5) {
+        if (stable) {
           val loaded = Loaded(k0, lastSeq, merged)
-          if (k0 != null && stable) stateCache.put(path, loaded)
+          if (k0 != null) stateCache.put(path, loaded)
           return loaded
         }
+        // unstable: a checkpoint landed mid-read, so `merged` may be
+        // MISSING regions the fold consumed — never return it; fail
+        // loudly if the manifest won't hold still (each retry needs a
+        // fresh fold to keep failing, so 8 in a row means something is
+        // pathologically rewriting the table)
+        if (attempt >= 8) throw new IllegalStateException(
+          s"manifest of $tableDir kept changing under $attempt read " +
+            "attempts; retry the query")
       } catch {
         // a concurrent checkpoint consumed a segment between listing
         // and parse — the retry reads the new checkpoint instead
-        case e: java.io.IOException => if (attempt >= 5) throw e
+        case e: java.io.IOException => if (attempt >= 8) throw e
       }
     }
     sys.error("unreachable")
@@ -569,9 +577,11 @@ object TableMeta {
           // duplicate replay — but the query is demonstrably alive, so
           // refresh its ledger entry's generation: a replaying-but-not-
           // advancing query must not look dead to compaction's aging
-          if (e.touchedGen < s.gen)
+          if (e.touchedGen < s.gen) {
             writeSegment(tableDir, l.lastSeq + 1L, Nil,
               Map(queryId -> e.copy(touchedGen = s.gen)))
+            maybeCheckpoint(tableDir) // same fold trigger as appends
+          }
           false
         case _ =>
           val (rs, _) = stamped(added.map(_.copy(id = 0L)), s.nextId)

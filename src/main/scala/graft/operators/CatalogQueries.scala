@@ -14,17 +14,55 @@ object CatalogQueries {
   private val built = scala.collection.concurrent.TrieMap[String, String]()
   private val splitsCache = scala.collection.concurrent.TrieMap[String, String]()
 
-  /** Shared fixed region splits on the orderkey domain, so orders_t and
-    * lineitem_t are co-partitioned: their fact-fact joins plan as
-    * storage-partitioned joins and GROUP BY on the orderkey prefix needs
-    * no Exchange. Deterministic for a given sf dir (approxQuantile is). */
-  private def orderKeySplits(s: SparkSession, d: String): String =
-    splitsCache.getOrElseUpdate(d, {
+  /** Fixed 16-way region splits from the quantiles of one source
+    * column. Tables sharing a splits string are co-partitioned: their
+    * joins plan as storage-partitioned joins and GROUP BY on the key
+    * prefix needs no Exchange. Deterministic for a given sf dir
+    * (approxQuantile is). */
+  private def quantileSplits(s: SparkSession, d: String,
+      file: String, column: String): String =
+    splitsCache.getOrElseUpdate(s"$d#$column", {
       val probs = (1 until 16).map(_ / 16.0).toArray
-      s.read.parquet(s"$d/orders.parquet")
-        .stat.approxQuantile("o_orderkey", probs, 0.001)
+      s.read.parquet(s"$d/$file.parquet")
+        .stat.approxQuantile(column, probs, 0.001)
         .map(_.toLong).distinct.sorted.mkString(";")
     })
+
+  /** The orderkey co-partitioning family (orders_t, lineitem_t,
+    * lineitem_w_t). */
+  private def orderKeySplits(s: SparkSession, d: String): String =
+    quantileSplits(s, d, "orders", "o_orderkey")
+
+  /** The partkey co-partitioning family (lineitem_p_t, part_t). */
+  private def partKeySplits(s: SparkSession, d: String): String =
+    quantileSplits(s, d, "lineitem", "l_partkey")
+
+  /** Build-once keyed catalog table loaded from one source parquet
+    * (columns = the DDL's column names, in order). Trusts an existing
+    * table only if it still carries regionSplits at the source row
+    * count ([[usable]]), else drops and rebuilds. */
+  private def buildKeyedTable(s: SparkSession, d: String, table: String,
+      ddlCols: String, keyCols: String, splits: String,
+      srcFile: String): String = {
+    val ns = s"sf_${math.abs(d.hashCode)}"
+    val fqn = s"graft.$ns.$table"
+    val srcCount = s.read.parquet(s"$d/$srcFile.parquet").count()
+    val exists = s.sql(s"SHOW TABLES IN graft.$ns").collect()
+      .exists(_.getString(1) == table) && usable(s, fqn, srcCount)
+    if (!exists) {
+      s.sql(
+        s"""CREATE TABLE $fqn ($ddlCols)
+           |TBLPROPERTIES('keyCols'='$keyCols',
+           |              'regionSplits'='$splits')""".stripMargin)
+      val cols = ddlCols.split(",").map(_.trim.split("\\s+").head)
+      val v = s"${table}_src_${math.abs(d.hashCode)}"
+      s.read.parquet(s"$d/$srcFile.parquet")
+        .select(cols.head, cols.tail: _*)
+        .createOrReplaceTempView(v)
+      s.sql(s"INSERT INTO $fqn SELECT * FROM $v")
+    }
+    fqn
+  }
 
   /** Register the graft catalog on the session (idempotent) — the ONE
     * place the warehouse location lives. Also used by [[IvfIndex]]. */
@@ -70,31 +108,16 @@ object CatalogQueries {
     * this sf dir is created+loaded; returns its fully qualified name. */
   private def ordersTable(s: SparkSession, d: String): String =
     built.getOrElseUpdate(d, {
-      val ns = sfNamespace(s, d)
+      sfNamespace(s, d)
       // key-grouped scans are only honored under these (safe defaults)
       s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
       s.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled",
         "true")
-      val fqn = s"graft.$ns.orders_t"
-      val srcCount = s.read.parquet(s"$d/orders.parquet").count()
-      val exists = s.sql(s"SHOW TABLES IN graft.$ns").collect()
-        .exists(_.getString(1) == "orders_t") && usable(s, fqn, srcCount)
-      if (!exists) {
-        s.sql(
-          s"""CREATE TABLE $fqn (
-             |  o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING,
-             |  o_orderpriority STRING, o_totalprice DOUBLE, o_orderdate DATE)
-             |TBLPROPERTIES('keyCols'='o_orderkey',
-             |              'regionSplits'='${orderKeySplits(s, d)}')"""
-            .stripMargin)
-        val v = s"orders_cat_src_${math.abs(d.hashCode)}"
-        s.read.parquet(s"$d/orders.parquet")
-          .select("o_orderkey", "o_custkey", "o_orderstatus",
-            "o_orderpriority", "o_totalprice", "o_orderdate")
-          .createOrReplaceTempView(v)
-        s.sql(s"INSERT INTO $fqn SELECT * FROM $v")
-      }
-      fqn
+      buildKeyedTable(s, d, "orders_t",
+        """o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING,
+          |o_orderpriority STRING, o_totalprice DOUBLE,
+          |o_orderdate DATE""".stripMargin,
+        "o_orderkey", orderKeySplits(s, d), "orders")
     })
 
   /** Point lookup: prunes to 1 of 16 regions (KeyRanges + manifest). */
@@ -145,28 +168,11 @@ object CatalogQueries {
   private def lineitemTable(s: SparkSession, d: String): String =
     builtLi.getOrElseUpdate(d, {
       ordersTable(s, d) // ensures catalog + namespace exist
-      val ns = s"sf_${math.abs(d.hashCode)}"
-      val fqn = s"graft.$ns.lineitem_t"
-      val srcCount = s.read.parquet(s"$d/lineitem.parquet").count()
-      val exists = s.sql(s"SHOW TABLES IN graft.$ns").collect()
-        .exists(_.getString(1) == "lineitem_t") && usable(s, fqn, srcCount)
-      if (!exists) {
-        // same splits as orders_t -> co-partitioned on the orderkey
-        s.sql(
-          s"""CREATE TABLE $fqn (
-             |  l_orderkey BIGINT, l_linenumber INT, l_extendedprice DOUBLE,
-             |  l_discount DOUBLE, l_shipdate DATE)
-             |TBLPROPERTIES('keyCols'='l_orderkey;l_linenumber',
-             |              'regionSplits'='${orderKeySplits(s, d)}')"""
-            .stripMargin)
-        val v = s"li_cat_src_${math.abs(d.hashCode)}"
-        s.read.parquet(s"$d/lineitem.parquet")
-          .select("l_orderkey", "l_linenumber", "l_extendedprice",
-            "l_discount", "l_shipdate")
-          .createOrReplaceTempView(v)
-        s.sql(s"INSERT INTO $fqn SELECT * FROM $v")
-      }
-      fqn
+      // same splits as orders_t -> co-partitioned on the orderkey
+      buildKeyedTable(s, d, "lineitem_t",
+        """l_orderkey BIGINT, l_linenumber INT, l_extendedprice DOUBLE,
+          |l_discount DOUBLE, l_shipdate DATE""".stripMargin,
+        "l_orderkey;l_linenumber", orderKeySplits(s, d), "lineitem")
     })
 
   /** TPC-H Q5-shaped flagship over graft-stored fact tables: both big
@@ -231,27 +237,11 @@ object CatalogQueries {
   private def lineitemWideTable(s: SparkSession, d: String): String =
     builtLiW.getOrElseUpdate(d, {
       ordersTable(s, d)
-      val ns = s"sf_${math.abs(d.hashCode)}"
-      val fqn = s"graft.$ns.lineitem_w_t"
-      val srcCount = s.read.parquet(s"$d/lineitem.parquet").count()
-      val exists = s.sql(s"SHOW TABLES IN graft.$ns").collect()
-        .exists(_.getString(1) == "lineitem_w_t") && usable(s, fqn, srcCount)
-      if (!exists) {
-        s.sql(
-          s"""CREATE TABLE $fqn (
-             |  l_orderkey BIGINT, l_linenumber INT, l_suppkey BIGINT,
-             |  l_quantity DOUBLE, l_extendedprice DOUBLE, l_shipdate DATE)
-             |TBLPROPERTIES('keyCols'='l_orderkey;l_linenumber',
-             |              'regionSplits'='${orderKeySplits(s, d)}')"""
-            .stripMargin)
-        val v = s"liw_cat_src_${math.abs(d.hashCode)}"
-        s.read.parquet(s"$d/lineitem.parquet")
-          .select("l_orderkey", "l_linenumber", "l_suppkey",
-            "l_quantity", "l_extendedprice", "l_shipdate")
-          .createOrReplaceTempView(v)
-        s.sql(s"INSERT INTO $fqn SELECT * FROM $v")
-      }
-      fqn
+      buildKeyedTable(s, d, "lineitem_w_t",
+        """l_orderkey BIGINT, l_linenumber INT, l_suppkey BIGINT,
+          |l_quantity DOUBLE, l_extendedprice DOUBLE,
+          |l_shipdate DATE""".stripMargin,
+        "l_orderkey;l_linenumber", orderKeySplits(s, d), "lineitem")
     })
 
   /** TPC-H Q18 (large-volume customers) over the co-partitioned store:
@@ -284,50 +274,20 @@ object CatalogQueries {
          |ORDER BY total_qty DESC, o.o_orderkey ASC LIMIT 100""".stripMargin)
   }
 
-  /** Shared fixed region splits on the PARTKEY domain — a second
-    * co-partitioning family: lineitem_p_t and part_t share these, so
-    * Q17's per-part aggregate, its threshold join, and even the
-    * part-dim join are ALL storage-partitioned (zero partkey
-    * Exchange), the layout a 100-TB deployment would choose for
-    * part-centric analytics. */
-  private val partSplitsCache =
-    scala.collection.concurrent.TrieMap[String, String]()
-  private def partKeySplits(s: SparkSession, d: String): String =
-    partSplitsCache.getOrElseUpdate(d, {
-      val probs = (1 until 16).map(_ / 16.0).toArray
-      s.read.parquet(s"$d/lineitem.parquet")
-        .stat.approxQuantile("l_partkey", probs, 0.001)
-        .map(_.toLong).distinct.sorted.mkString(";")
-    })
-
   /** Partkey-leading lineitem twin for the part-centric shapes: keyed
     * (l_partkey, l_orderkey, l_linenumber) so GROUP BY l_partkey and
-    * every partkey join ride the storage partitioning. */
+    * every partkey join ride the storage partitioning — the second
+    * co-partitioning family ([[partKeySplits]]), the layout a 100-TB
+    * deployment would choose for part-centric analytics. */
   private val builtLiP = scala.collection.concurrent.TrieMap[String, String]()
   private def lineitemByPartTable(s: SparkSession, d: String): String =
     builtLiP.getOrElseUpdate(d, {
       ordersTable(s, d)
-      val ns = s"sf_${math.abs(d.hashCode)}"
-      val fqn = s"graft.$ns.lineitem_p_t"
-      val srcCount = s.read.parquet(s"$d/lineitem.parquet").count()
-      val exists = s.sql(s"SHOW TABLES IN graft.$ns").collect()
-        .exists(_.getString(1) == "lineitem_p_t") && usable(s, fqn, srcCount)
-      if (!exists) {
-        s.sql(
-          s"""CREATE TABLE $fqn (
-             |  l_partkey BIGINT, l_orderkey BIGINT, l_linenumber INT,
-             |  l_quantity DOUBLE, l_extendedprice DOUBLE)
-             |TBLPROPERTIES('keyCols'='l_partkey;l_orderkey;l_linenumber',
-             |              'regionSplits'='${partKeySplits(s, d)}')"""
-            .stripMargin)
-        val v = s"lip_cat_src_${math.abs(d.hashCode)}"
-        s.read.parquet(s"$d/lineitem.parquet")
-          .select("l_partkey", "l_orderkey", "l_linenumber",
-            "l_quantity", "l_extendedprice")
-          .createOrReplaceTempView(v)
-        s.sql(s"INSERT INTO $fqn SELECT * FROM $v")
-      }
-      fqn
+      buildKeyedTable(s, d, "lineitem_p_t",
+        """l_partkey BIGINT, l_orderkey BIGINT, l_linenumber INT,
+          |l_quantity DOUBLE, l_extendedprice DOUBLE""".stripMargin,
+        "l_partkey;l_orderkey;l_linenumber", partKeySplits(s, d),
+        "lineitem")
     })
 
   /** Part dimension AS a graft table, co-partitioned with
@@ -337,26 +297,10 @@ object CatalogQueries {
   private def partTable(s: SparkSession, d: String): String =
     builtPart.getOrElseUpdate(d, {
       ordersTable(s, d)
-      val ns = s"sf_${math.abs(d.hashCode)}"
-      val fqn = s"graft.$ns.part_t"
-      val srcCount = s.read.parquet(s"$d/part.parquet").count()
-      val exists = s.sql(s"SHOW TABLES IN graft.$ns").collect()
-        .exists(_.getString(1) == "part_t") && usable(s, fqn, srcCount)
-      if (!exists) {
-        s.sql(
-          s"""CREATE TABLE $fqn (
-             |  p_partkey BIGINT, p_name STRING, p_brand STRING,
-             |  p_type STRING, p_size INT)
-             |TBLPROPERTIES('keyCols'='p_partkey',
-             |              'regionSplits'='${partKeySplits(s, d)}')"""
-            .stripMargin)
-        val v = s"part_cat_src_${math.abs(d.hashCode)}"
-        s.read.parquet(s"$d/part.parquet")
-          .select("p_partkey", "p_name", "p_brand", "p_type", "p_size")
-          .createOrReplaceTempView(v)
-        s.sql(s"INSERT INTO $fqn SELECT * FROM $v")
-      }
-      fqn
+      buildKeyedTable(s, d, "part_t",
+        """p_partkey BIGINT, p_name STRING, p_brand STRING,
+          |p_type STRING, p_size INT""".stripMargin,
+        "p_partkey", partKeySplits(s, d), "part")
     })
 
   /** TPC-H Q17-shaped (small-quantity-order revenue): the correlated
