@@ -203,8 +203,17 @@ object GraftProcedures {
             val state = TableMeta.loadState(gt.tableDir)
             state.retired.foreach(r =>
               new java.io.File(gt.tableDir, r.file).delete())
+            // also sweep .tmp leftovers of crashed atomic writes (a
+            // writeAtomic that died between write and move) — under
+            // the lock no live writer owns one
+            val dirs = Array(gt.tableDir,
+              new java.io.File(gt.tableDir, TableMeta.LogDirName))
+            val tmps = dirs.flatMap(d =>
+              Option(d.listFiles()).getOrElse(Array()))
+              .filter(f => f.isFile && f.getName.endsWith(".tmp"))
+            tmps.foreach(_.delete())
             TableMeta.saveState(gt.tableDir, state.copy(retired = Nil))
-            state.retired.size
+            state.retired.size + tmps.length
           }
           Collections.singletonList(LocalRowsScan(Array("removed_files"),
             Seq(Seq(removed.toString))): Scan).iterator()

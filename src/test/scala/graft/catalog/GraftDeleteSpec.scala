@@ -373,10 +373,15 @@ class GraftDeleteSpec extends AnyFunSuite {
     assert(st.retired.size == 1)
     val retiredFile = new java.io.File(tableDir("vac"), st.retired.head.file)
     assert(retiredFile.isFile)
+    // crash artifact: a writeAtomic that died between write and move
+    val orphanTmp = new java.io.File(tableDir("vac"),
+      TableMeta.RegionsFile + ".tmp")
+    java.nio.file.Files.write(orphanTmp.toPath, "{}".getBytes)
     val out = spark.sql("CALL graft.sys.vacuum(table => 'del.vac')")
       .collect()
-    assert(out.head.getString(0) == "1")
+    assert(out.head.getString(0) == "2") // retired file + orphan tmp
     assert(!retiredFile.isFile)
+    assert(!orphanTmp.isFile, "vacuum must sweep .tmp crash leftovers")
     assert(TableMeta.loadState(tableDir("vac")).retired.isEmpty)
     assert(spark.table(fqn).count() == 300L) // live data untouched
     spark.sql(s"DROP TABLE $fqn")
