@@ -36,7 +36,21 @@ import graft.prune.KeyRanges.{Iv, IvSet}
   */
 class GraftTable(tableName: String, val tableDir: File, val meta: TableMeta)
     extends Table with SupportsRead with SupportsWrite
-    with connector.catalog.SupportsDelete {
+    with connector.catalog.SupportsDelete
+    with connector.catalog.SupportsMetadataColumns {
+
+  /** Row provenance as V2 metadata columns (the analogue of HBase's
+    * cell timestamp/region provenance, which the reference's Put-upsert
+    * relies on): `_graft_region_id` = the stable manifest id of the
+    * row's region (monotone in commit order), `_graft_file` = the
+    * region file name. SELECT-able only when asked for by name; zero
+    * cost otherwise. `_graft_region_id` makes latest-wins readable
+    * BEFORE a dedupKeys compaction folds duplicates:
+    * `row_number() OVER (PARTITION BY key ORDER BY _graft_region_id
+    * DESC) = 1`. The `_graft` name prefix is already reserved at DDL
+    * time, so these can never collide with user columns. */
+  override def metadataColumns(): Array[connector.catalog.MetadataColumn] =
+    GraftMetaCols.all
 
   override def name(): String = tableName
   override def schema(): StructType = meta.schema
@@ -611,13 +625,15 @@ class GraftScan(tableDir: File, meta: TableMeta, required: StructType,
       rs.map(r => new File(tableDir, r.file).getPath).toArray
     def hosts(rs: Seq[RegionMeta]): Array[String] =
       rs.flatMap(GraftInputPartition.hosts).distinct.toArray
+    def ids(rs: Seq[RegionMeta]): Array[Long] = rs.map(_.id).toArray
     if (keyGrouped)
       packedGroups.map(rs => GraftKeyedInputPartition(
-        files(rs), rs.map(_.rows).sum, rs.head.bucket, hosts(rs))
+        files(rs), rs.map(_.rows).sum, rs.head.bucket, hosts(rs), ids(rs))
         : InputPartition).toArray
     else
       packedGroups.map(rs => GraftInputPartition(
-        files(rs), rs.map(_.rows).sum, hosts(rs)): InputPartition).toArray
+        files(rs), rs.map(_.rows).sum, hosts(rs), ids(rs))
+        : InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -775,6 +791,27 @@ object GraftScan {
     }
 }
 
+/** The provenance metadata columns ([[GraftTable.metadataColumns]]). */
+object GraftMetaCols {
+  val RegionId = "_graft_region_id"
+  val FileName = "_graft_file"
+  val names: Set[String] = Set(RegionId, FileName)
+
+  private def col(n: String, dt: DataType, c: String)
+      : connector.catalog.MetadataColumn =
+    new connector.catalog.MetadataColumn {
+      override def name(): String = n
+      override def dataType(): DataType = dt
+      override def isNullable: Boolean = false
+      override def comment(): String = c
+    }
+
+  val all: Array[connector.catalog.MetadataColumn] = Array(
+    col(RegionId, LongType,
+      "stable region id (monotone in commit order) of the row's region"),
+    col(FileName, StringType, "region file name inside the table dir"))
+}
+
 object GraftInputPartition {
   /** Locality hint of a region (the reference's
     * `getPreferredLocations`): the manifest-carried host, empty for
@@ -805,9 +842,12 @@ object GraftPacking {
   }
 }
 
-/** One read task over one-or-more region files (small regions pack). */
+/** One read task over one-or-more region files (small regions pack).
+  * `ids(i)` = stable region id of `files(i)`, for the metadata
+  * columns. */
 final case class GraftInputPartition(files: Array[String], rows: Long,
-    locations: Array[String] = Array.empty) extends InputPartition {
+    locations: Array[String] = Array.empty,
+    ids: Array[Long] = Array.empty) extends InputPartition {
   override def preferredLocations(): Array[String] = locations
 }
 
@@ -815,7 +855,8 @@ final case class GraftInputPartition(files: Array[String], rows: Long,
   * under the table's region transform, so the partition key is the
   * bucket. */
 final case class GraftKeyedInputPartition(files: Array[String], rows: Long,
-    bucket: Int, locations: Array[String] = Array.empty)
+    bucket: Int, locations: Array[String] = Array.empty,
+    ids: Array[Long] = Array.empty)
     extends InputPartition with HasPartitionKey {
   override def preferredLocations(): Array[String] = locations
   override def partitionKey(): InternalRow =
@@ -955,7 +996,8 @@ final class GraftMicroBatchStream(tableDir: File, required: StructType,
         (!statsOn || colPred.survives(r.stats)))
       .map(r =>
         GraftInputPartition(Array(new File(tableDir, r.file).getPath),
-          r.rows, GraftInputPartition.hosts(r)): InputPartition).toArray
+          r.rows, GraftInputPartition.hosts(r), Array(r.id))
+          : InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -971,32 +1013,73 @@ final case class GraftReaderFactory(requiredJson: String,
     sessionZone: String, caseSensitive: Boolean)
     extends PartitionReaderFactory {
 
-  private def filesOf(partition: InputPartition): Array[String] =
+  private def filesOf(partition: InputPartition)
+      : (Array[String], Array[Long]) =
     partition match {
-      case p: GraftInputPartition => p.files
-      case p: GraftKeyedInputPartition => p.files
+      case p: GraftInputPartition => (p.files, p.ids)
+      case p: GraftKeyedInputPartition => (p.files, p.ids)
       case other => throw new IllegalStateException(other.toString)
     }
+
+  /** Split the required schema into the parquet-readable data fields
+    * and a position map: entry ≥ 0 = index into the data schema,
+    * -1 = `_graft_region_id`, -2 = `_graft_file`. The metadata fields
+    * never reach the parquet readers; their per-FILE constants are
+    * appended around them. */
+  private def split(required: StructType): (StructType, Array[Int]) = {
+    var di = 0
+    val map = required.fields.map(_.name match {
+      case GraftMetaCols.RegionId => -1
+      case GraftMetaCols.FileName => -2
+      case _ => val i = di; di += 1; i
+    })
+    (StructType(required.fields.filterNot(f =>
+      GraftMetaCols.names(f.name))), map)
+  }
 
   override def createReader(partition: InputPartition)
       : PartitionReader[InternalRow] = {
     val required = DataType.fromJson(requiredJson).asInstanceOf[StructType]
-    val files = filesOf(partition)
+    val (dataSchema, posMap) = split(required)
+    val hasMeta = posMap.exists(_ < 0)
+    val (files, ids) = filesOf(partition)
     new PartitionReader[InternalRow] {
       private var idx = 0
       private var cur: GraftPartitionReader = _
       private var row: InternalRow = _
+      private var regionId = 0L
+      private var fileName: org.apache.spark.unsafe.types.UTF8String = _
       override def next(): Boolean = {
         while (true) {
           if (cur == null) {
             if (idx >= files.length) return false
-            cur = new GraftPartitionReader(files(idx), required, filters)
+            cur = new GraftPartitionReader(files(idx), dataSchema, filters)
+            regionId = if (idx < ids.length) ids(idx) else 0L
+            fileName = org.apache.spark.unsafe.types.UTF8String
+              .fromString(new File(files(idx)).getName)
             idx += 1
           }
-          if (cur.next()) { row = cur.get(); return true }
+          if (cur.next()) {
+            row = if (!hasMeta) cur.get() else project(cur.get())
+            return true
+          }
           cur.close(); cur = null
         }
         false
+      }
+      private def project(data: InternalRow): InternalRow = {
+        val out = new org.apache.spark.sql.catalyst.expressions
+          .GenericInternalRow(posMap.length)
+        var p = 0
+        while (p < posMap.length) {
+          posMap(p) match {
+            case -1 => out.update(p, regionId)
+            case -2 => out.update(p, fileName)
+            case i => out.update(p, data.get(i, dataSchema(i).dataType))
+          }
+          p += 1
+        }
+        out
       }
       override def get(): InternalRow = row
       override def close(): Unit = if (cur != null) cur.close()
@@ -1014,7 +1097,9 @@ final case class GraftReaderFactory(requiredJson: String,
   override def createColumnarReader(partition: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
     val required = DataType.fromJson(requiredJson).asInstanceOf[StructType]
-    val files = filesOf(partition)
+    val (dataSchema, posMap) = split(required)
+    val hasMeta = posMap.exists(_ < 0)
+    val (files, ids) = filesOf(partition)
     new PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
       private var idx = 0
       private var cur: ParquetColumnarIO.ColumnarReader = _
@@ -1023,7 +1108,7 @@ final case class GraftReaderFactory(requiredJson: String,
           if (cur == null) {
             if (idx >= files.length) return false
             cur = new ParquetColumnarIO.ColumnarReader(files(idx),
-              required, filters.toSeq, sessionZone, caseSensitive)
+              dataSchema, filters.toSeq, sessionZone, caseSensitive)
             idx += 1
           }
           if (cur.nextBatch()) return true
@@ -1031,8 +1116,36 @@ final case class GraftReaderFactory(requiredJson: String,
         }
         false
       }
-      override def get(): org.apache.spark.sql.vectorized.ColumnarBatch =
-        cur.batch()
+      override def get(): org.apache.spark.sql.vectorized.ColumnarBatch = {
+        val b = cur.batch()
+        if (!hasMeta) return b
+        // wrap: data vectors in required order + per-file constant
+        // vectors for the metadata columns (the same mechanism Spark's
+        // file source uses for partition values — constants never
+        // break vectorization)
+        val n = b.numRows()
+        val vecs = new Array[org.apache.spark.sql.vectorized.ColumnVector](
+          posMap.length)
+        var p = 0
+        while (p < posMap.length) {
+          posMap(p) match {
+            case -1 =>
+              val v = new org.apache.spark.sql.execution.vectorized
+                .ConstantColumnVector(n, LongType)
+              v.setLong(if (idx - 1 < ids.length) ids(idx - 1) else 0L)
+              vecs(p) = v
+            case -2 =>
+              val v = new org.apache.spark.sql.execution.vectorized
+                .ConstantColumnVector(n, StringType)
+              v.setUtf8String(org.apache.spark.unsafe.types.UTF8String
+                .fromString(new File(files(idx - 1)).getName))
+              vecs(p) = v
+            case i => vecs(p) = b.column(i)
+          }
+          p += 1
+        }
+        new org.apache.spark.sql.vectorized.ColumnarBatch(vecs, n)
+      }
       override def close(): Unit = if (cur != null) cur.close()
     }
   }

@@ -750,6 +750,55 @@ object CatalogQueries {
        |       round(sum(o_totalprice), 2) AS total
        |FROM ${upsertTable(s, d)} GROUP BY o_orderstatus""".stripMargin)
 
+  /** UNCOMPACTED dedupKeys twin of [[upsertTable]]: both versions of
+    * every updated key are still stored ([[upsertLatest]] reads
+    * latest-wins through the `_graft_region_id` metadata column
+    * without waiting for the fold). Trust = exact post-both-batches
+    * row count (base + update), so a build killed between the two
+    * INSERTs rebuilds. */
+  private val builtUpsL = scala.collection.concurrent.TrieMap[String, String]()
+  private def upsertLatestTable(s: SparkSession, d: String): String =
+    builtUpsL.getOrElseUpdate(d, {
+      val ns = sfNamespace(s, d)
+      val fqn = s"graft.$ns.orders_upsl_t"
+      val src = s.read.parquet(s"$d/orders.parquet")
+      val expected = src.count() +
+        src.filter("o_orderkey % 10 = 0").count()
+      if (!trusted(s, ns, "orders_upsl_t", expected)) {
+        s.sql(
+          s"""CREATE TABLE $fqn (
+             |  o_orderkey BIGINT, o_orderstatus STRING,
+             |  o_totalprice DOUBLE)
+             |TBLPROPERTIES('keyCols'='o_orderkey', 'numRegions'='4',
+             |              'graft.dedupKeys'='true')""".stripMargin)
+        val v = s"upsl_cat_src_${math.abs(d.hashCode)}"
+        src.createOrReplaceTempView(v)
+        s.sql(s"""INSERT INTO $fqn
+          SELECT o_orderkey, o_orderstatus, o_totalprice FROM $v""")
+        s.sql(s"""INSERT INTO $fqn
+          SELECT o_orderkey, 'U', o_totalprice + 1000
+          FROM $v WHERE o_orderkey % 10 = 0""")
+        // deliberately NOT compacted
+      }
+      fqn
+    })
+
+  /** Read-time latest-wins over the uncompacted upsert table: the
+    * region id is monotone in commit order, so the newest version of a
+    * key is its row from the highest `_graft_region_id` — the same
+    * answer [[upsertAgg]] gets AFTER its compaction fold, served
+    * before any fold runs (the reference's read path over HBase cell
+    * versions, `HBaseRelation.scala:659-723`). */
+  val upsertLatest: Q = (s, d) => s.sql(
+    s"""SELECT o_orderstatus, count(*) AS cnt,
+       |       round(sum(o_totalprice), 2) AS total
+       |FROM (
+       |  SELECT o_orderkey, o_orderstatus, o_totalprice,
+       |         row_number() OVER (PARTITION BY o_orderkey
+       |           ORDER BY _graft_region_id DESC) AS rn
+       |  FROM ${upsertLatestTable(s, d)})
+       |WHERE rn = 1 GROUP BY o_orderstatus""".stripMargin)
+
   /** Filter-free COUNT(*) + key MIN/MAX answered ENTIRELY from the
     * region manifest (GraftAggScan, V2 complete agg pushdown — zero
     * data file reads; the reference's coprocessor
@@ -790,6 +839,7 @@ object CatalogQueries {
     "catalog_bloom_lookup" -> bloomLookup,
     "catalog_manifest_agg" -> manifestAgg,
     "catalog_upsert" -> upsertAgg,
+    "catalog_upsert_latest" -> upsertLatest,
     "catalog_pipeline_pack" -> packOnStore,
     "catalog_dedup_exact" -> dedupOnStore,
     "catalog_point_lookup" -> pointLookup,
@@ -804,6 +854,15 @@ object CatalogQueries {
     "catalog_tpch_q21" -> tpchQ21,
     "catalog_key_groupby" -> keyGroupBy,
   )
+
+  private val UpsertOracle =
+    """SELECT CASE WHEN o_orderkey % 10 = 0 THEN 'U'
+      |            ELSE o_orderstatus END AS o_orderstatus,
+      |       count(*) AS cnt,
+      |       round(sum(CASE WHEN o_orderkey % 10 = 0
+      |                      THEN o_totalprice + 1000
+      |                      ELSE o_totalprice END), 2) AS total
+      |FROM orders GROUP BY 1""".stripMargin
 
   val oracles: Map[String, String] = Map(
     // both engines aggregate true decimals — values must match exactly,
@@ -859,16 +918,13 @@ object CatalogQueries {
         |       max(o_orderkey) AS hi
         |FROM orders""".stripMargin,
 
-    // the upsert table must equal orders WITH the update batch applied:
-    // latest row per key, no row-count inflation
-    "catalog_upsert" ->
-      """SELECT CASE WHEN o_orderkey % 10 = 0 THEN 'U'
-        |            ELSE o_orderstatus END AS o_orderstatus,
-        |       count(*) AS cnt,
-        |       round(sum(CASE WHEN o_orderkey % 10 = 0
-        |                      THEN o_totalprice + 1000
-        |                      ELSE o_totalprice END), 2) AS total
-        |FROM orders GROUP BY 1""".stripMargin,
+    // the upsert tables must equal orders WITH the update batch
+    // applied: latest row per key, no row-count inflation — one oracle
+    // for both the compaction fold (catalog_upsert) and the read-time
+    // metadata-column view over the UNCOMPACTED twin
+    // (catalog_upsert_latest)
+    "catalog_upsert" -> UpsertOracle,
+    "catalog_upsert_latest" -> UpsertOracle,
 
     // identical to pipeline_pack's oracle: the store must hold exactly
     // the source documents
