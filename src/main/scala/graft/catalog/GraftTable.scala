@@ -87,6 +87,47 @@ object GraftFilters {
       dims: Map[String, (Int, DataType)]): Map[Int, IvSet] =
     filters.map(one(_, dims)).foldLeft(Map.empty[Int, IvSet])(merge)
 
+  /** Conservative translation of one pushed predicate on the
+    * `_graft_region_id` metadata column into a region-id test. The id
+    * is CONSTANT per region, so this pruning is exact at region
+    * granularity — `WHERE _graft_region_id > last_seen` is the
+    * incremental-batch pattern (process only regions committed since
+    * the last run) served with zero data IO for the skipped regions.
+    * Unsupported shapes return None; the predicate always stays
+    * residual, so skipping is pure acceleration. */
+  def regionIdPred(f: sources.Filter): Option[Long => Boolean] = {
+    def lv(v: Any): Option[Long] = v match {
+      case l: Long => Some(l)
+      case i: Int => Some(i.toLong)
+      case s: Short => Some(s.toLong)
+      case b: Byte => Some(b.toLong)
+      case _ => None
+    }
+    val n = GraftMetaCols.RegionId
+    f match {
+      case sources.EqualTo(`n`, v) => lv(v).map(x => (id: Long) => id == x)
+      case sources.GreaterThan(`n`, v) => lv(v).map(x => (id: Long) => id > x)
+      case sources.GreaterThanOrEqual(`n`, v) =>
+        lv(v).map(x => (id: Long) => id >= x)
+      case sources.LessThan(`n`, v) => lv(v).map(x => (id: Long) => id < x)
+      case sources.LessThanOrEqual(`n`, v) =>
+        lv(v).map(x => (id: Long) => id <= x)
+      case sources.In(`n`, vs) =>
+        val xs = vs.toSeq.map(lv)
+        if (xs.nonEmpty && xs.forall(_.isDefined)) {
+          val set = xs.flatten.toSet
+          Some(id => set.contains(id))
+        } else None
+      case sources.And(l, r) =>
+        (regionIdPred(l), regionIdPred(r)) match {
+          case (Some(a), Some(b)) => Some(id => a(id) && b(id))
+          // half-translated AND keeps a superset of regions — sound
+          case (a, b) => a.orElse(b)
+        }
+      case _ => None
+    }
+  }
+
   private def merge(a: Map[Int, IvSet], b: Map[Int, IvSet]): Map[Int, IvSet] =
     (a.keySet ++ b.keySet).map { d =>
       val xs = a.getOrElse(d, List(KeyRanges.full))
@@ -524,9 +565,11 @@ class GraftScan(tableDir: File, meta: TableMeta, required: StructType,
       val constraints = GraftFilters.intervals(all, dims)
       val statsOn = GraftAccel.on(GraftAccel.StatsSkip)
       val colPred = ColStats.compile(all, statTypes) // literals enc'd once
+      val idPreds = all.flatMap(GraftFilters.regionIdPred)
       c = TableMeta.loadRegions(tableDir).filter { r =>
-        KeyRanges.survives(constraints,
-          r.mins.map(KeyCodec.fromHex), r.maxs.map(KeyCodec.fromHex)) &&
+        idPreds.forall(_(r.id)) &&
+          KeyRanges.survives(constraints,
+            r.mins.map(KeyCodec.fromHex), r.maxs.map(KeyCodec.fromHex)) &&
           (!statsOn || colPred.survives(r.stats))
       }
       selectedRegionsCache = c
@@ -1013,6 +1056,13 @@ final case class GraftReaderFactory(requiredJson: String,
     sessionZone: String, caseSensitive: Boolean)
     extends PartitionReaderFactory {
 
+  /** Predicates referencing metadata columns never reach the parquet
+    * readers (no such column in the files); they are pruned
+    * region-exactly on the driver and re-checked residually above the
+    * scan. */
+  private def dataFilters: Array[sources.Filter] =
+    filters.filterNot(_.references.exists(GraftMetaCols.names.contains))
+
   private def filesOf(partition: InputPartition)
       : (Array[String], Array[Long]) =
     partition match {
@@ -1053,7 +1103,8 @@ final case class GraftReaderFactory(requiredJson: String,
         while (true) {
           if (cur == null) {
             if (idx >= files.length) return false
-            cur = new GraftPartitionReader(files(idx), dataSchema, filters)
+            cur = new GraftPartitionReader(files(idx), dataSchema,
+              dataFilters)
             regionId = if (idx < ids.length) ids(idx) else 0L
             fileName = org.apache.spark.unsafe.types.UTF8String
               .fromString(new File(files(idx)).getName)
@@ -1108,7 +1159,7 @@ final case class GraftReaderFactory(requiredJson: String,
           if (cur == null) {
             if (idx >= files.length) return false
             cur = new ParquetColumnarIO.ColumnarReader(files(idx),
-              dataSchema, filters.toSeq, sessionZone, caseSensitive)
+              dataSchema, dataFilters.toSeq, sessionZone, caseSensitive)
             idx += 1
           }
           if (cur.nextBatch()) return true

@@ -77,6 +77,27 @@ class MetadataColumnSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE $fqn")
   }
 
+  test("a _graft_region_id predicate prunes regions exactly — the " +
+      "incremental-batch pattern reads only new regions") {
+    val fqn = build("incr")
+    // 4 regions with ids 1..4; consume "everything after id 2"
+    val ids = TableMeta.loadRegions(tableDir("incr")).map(_.id).sorted
+    assert(ids == Seq(1L, 2L, 3L, 4L))
+    val df = spark.sql(
+      s"SELECT k, _graft_region_id FROM $fqn WHERE _graft_region_id > 2")
+    val rows = df.collect()
+    assert(rows.map(_.getLong(1)).forall(_ > 2L))
+    assert(rows.map(_.getLong(0)).min == 200L,
+      "regions 3 and 4 hold keys 200..399")
+    assert(rows.length == 200)
+    assert(df.rdd.getNumPartitions == 2,
+      "two of four regions must be pruned by the id predicate alone")
+    // a half-translatable conjunction stays sound (superset pruning)
+    assert(spark.sql(s"SELECT count(*) FROM $fqn WHERE " +
+      "_graft_region_id > 2 AND v < 250").head().getLong(0) == 50L)
+    spark.sql(s"DROP TABLE $fqn")
+  }
+
   test("latest-wins is readable BEFORE a dedupKeys compaction folds " +
       "duplicates, and matches the folded result") {
     val fqn = build("upsert", ", 'graft.dedupKeys'='true'")
