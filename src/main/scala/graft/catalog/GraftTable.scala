@@ -37,7 +37,16 @@ import graft.prune.KeyRanges.{Iv, IvSet}
 class GraftTable(tableName: String, val tableDir: File, val meta: TableMeta)
     extends Table with SupportsRead with SupportsWrite
     with connector.catalog.SupportsDelete
+    with connector.catalog.SupportsRowLevelOperations
     with connector.catalog.SupportsMetadataColumns {
+
+  /** SQL UPDATE / MERGE INTO / non-interval DELETE: copy-on-write
+    * region rewrites ([[GraftRowLevelOperation]]). Interval-exact
+    * DELETEs still take the metadata-only path ([[canDeleteWhere]]). */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+    new GraftRowLevelBuilder(tableDir, meta, info)
 
   /** Row provenance as V2 metadata columns (the analogue of HBase's
     * cell timestamp/region provenance, which the reference's Put-upsert
@@ -122,6 +131,35 @@ object GraftFilters {
         (regionIdPred(l), regionIdPred(r)) match {
           case (Some(a), Some(b)) => Some(id => a(id) && b(id))
           // half-translated AND keeps a superset of regions — sound
+          case (a, b) => a.orElse(b)
+        }
+      case _ => None
+    }
+  }
+
+  /** Same idea for `_graft_file`: the file name is constant per
+    * region, so EqualTo/In predicates on it — notably the runtime
+    * GROUP filter Spark injects for group-based row-level operations
+    * (UPDATE/MERGE rewrites touch only groups that contain matches) —
+    * prune regions exactly. */
+  def regionFilePred(f: sources.Filter): Option[String => Boolean] = {
+    def sv(v: Any): Option[String] = v match {
+      case s: String => Some(s)
+      case u: org.apache.spark.unsafe.types.UTF8String => Some(u.toString)
+      case _ => None
+    }
+    val n = GraftMetaCols.FileName
+    f match {
+      case sources.EqualTo(`n`, v) => sv(v).map(x => (f2: String) => f2 == x)
+      case sources.In(`n`, vs) =>
+        val xs = vs.toSeq.map(sv)
+        if (xs.nonEmpty && xs.forall(_.isDefined)) {
+          val set = xs.flatten.toSet
+          Some(f2 => set.contains(f2))
+        } else None
+      case sources.And(l, r) =>
+        (regionFilePred(l), regionFilePred(r)) match {
+          case (Some(a), Some(b)) => Some(f2 => a(f2) && b(f2))
           case (a, b) => a.orElse(b)
         }
       case _ => None
@@ -287,8 +325,15 @@ object GraftAccel {
   }
 }
 
+/** `groupMode` (row-level operations): pushed filters prune REGIONS
+  * only — parquet row skipping is disabled so every row of a surviving
+  * region is produced (the group-based contract: a rewrite must carry
+  * a matched group's unmatched rows forward unchanged). `onBuild`
+  * hands the built scan back to the owning [[GraftRowLevelOperation]],
+  * whose commit replaces exactly the regions the scan selected. */
 class GraftScanBuilder(tableDir: File, meta: TableMeta,
-    filterHint: Option[String] = None)
+    filterHint: Option[String] = None, groupMode: Boolean = false,
+    onBuild: GraftScan => Unit = null)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
 
@@ -376,14 +421,19 @@ class GraftScanBuilder(tableDir: File, meta: TableMeta,
     analyzeAgg(agg).isDefined
 
   override def pushAggregation(agg: Aggregation): Boolean =
-    GraftAccel.on(GraftAccel.AggPushdown) && (analyzeAgg(agg) match {
-      case Some(s) => aggPlan = Some(s); true
-      case None => false
-    })
+    !groupMode && GraftAccel.on(GraftAccel.AggPushdown) &&
+      (analyzeAgg(agg) match {
+        case Some(s) => aggPlan = Some(s); true
+        case None => false
+      })
 
   override def build(): Scan = aggPlan match {
     case Some(specs) => new GraftAggScan(tableDir, meta, specs)
-    case None => new GraftScan(tableDir, meta, required, pushed, filterHint)
+    case None =>
+      val s = new GraftScan(tableDir, meta, required, pushed, filterHint,
+        groupMode)
+      if (onBuild != null) onBuild(s)
+      s
   }
 }
 
@@ -510,7 +560,8 @@ final case class GraftAggReaderFactory() extends PartitionReaderFactory {
 }
 
 class GraftScan(tableDir: File, meta: TableMeta, required: StructType,
-    filters: Array[sources.Filter], filterHint: Option[String] = None)
+    filters: Array[sources.Filter], filterHint: Option[String] = None,
+    groupMode: Boolean = false)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsReportOrdering with SupportsRuntimeFiltering
     with SupportsReportPartitioning {
@@ -545,8 +596,16 @@ class GraftScan(tableDir: File, meta: TableMeta, required: StructType,
     // tracked non-key columns prune via manifest min/max (a broadcast
     // join on ANY stat-covered column re-prunes regions at runtime).
     val have = required.fieldNames.map(_.toLowerCase).toSet
+    // in group mode the runtime GROUP filter arrives on _graft_file —
+    // accept it so an UPDATE/MERGE rewrite touches only the regions
+    // that actually contain matches
+    val metaAttrs =
+      if (groupMode && required.fieldNames.contains(GraftMetaCols.FileName))
+        Seq(GraftMetaCols.FileName)
+      else Nil
     (meta.keyCols.filter(k => have.contains(k.toLowerCase)) ++
-      required.fieldNames.filter(n => statTypes.contains(n.toLowerCase)))
+      required.fieldNames.filter(n => statTypes.contains(n.toLowerCase)) ++
+      metaAttrs)
       .map(connector.expressions.Expressions.column).toArray
   }
 
@@ -566,8 +625,9 @@ class GraftScan(tableDir: File, meta: TableMeta, required: StructType,
       val statsOn = GraftAccel.on(GraftAccel.StatsSkip)
       val colPred = ColStats.compile(all, statTypes) // literals enc'd once
       val idPreds = all.flatMap(GraftFilters.regionIdPred)
+      val filePreds = all.flatMap(GraftFilters.regionFilePred)
       c = TableMeta.loadRegions(tableDir).filter { r =>
-        idPreds.forall(_(r.id)) &&
+        idPreds.forall(_(r.id)) && filePreds.forall(_(r.file)) &&
           KeyRanges.survives(constraints,
             r.mins.map(KeyCodec.fromHex), r.maxs.map(KeyCodec.fromHex)) &&
           (!statsOn || colPred.survives(r.stats))
@@ -681,9 +741,11 @@ class GraftScan(tableDir: File, meta: TableMeta, required: StructType,
 
   override def createReaderFactory(): PartitionReaderFactory =
     // with parquet-side filtering off, readers emit every row and the
-    // (always-residual) Spark filter does all the work — answers equal
+    // (always-residual) Spark filter does all the work — answers equal.
+    // Group mode forces it off: a row-level rewrite must read EVERY
+    // row of a surviving region, matched or not.
     GraftReaderFactory(required.json,
-      if (GraftAccel.on(GraftAccel.ParquetFilters)) filters
+      if (!groupMode && GraftAccel.on(GraftAccel.ParquetFilters)) filters
       else Array.empty,
       org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone,
       org.apache.spark.sql.internal.SQLConf.get.caseSensitiveAnalysis)
@@ -804,9 +866,9 @@ class GraftScan(tableDir: File, meta: TableMeta, required: StructType,
     * to see whether skipping is doing its job on a big table. */
   override def supportedCustomMetrics()
       : Array[connector.metric.CustomMetric] =
-    Array(GraftScan.metric("regionsTotal", "manifest regions (total)"),
-      GraftScan.metric("regionsScanned", "regions after pruning"),
-      GraftScan.metric("readPartitions", "packed read tasks"))
+    Array(new GraftScan.RegionsTotalMetric,
+      new GraftScan.RegionsScannedMetric,
+      new GraftScan.ReadPartitionsMetric)
 
   override def reportDriverMetrics()
       : Array[connector.metric.CustomTaskMetric] = {
@@ -818,14 +880,23 @@ class GraftScan(tableDir: File, meta: TableMeta, required: StructType,
 }
 
 object GraftScan {
-  private[catalog] def metric(n: String, desc: String)
-      : connector.metric.CustomMetric =
-    new connector.metric.CustomMetric {
-      override def name(): String = n
-      override def description(): String = desc
-      override def aggregateTaskMetrics(values: Array[Long]): String =
-        values.sum.toString
-    }
+  // concrete zero-arg classes: Spark's SQL metrics listener
+  // re-instantiates CustomMetric implementations reflectively, so
+  // parameterized anonymous classes cannot aggregate in the UI
+  sealed abstract class SumMetric(n: String, desc: String)
+      extends connector.metric.CustomMetric {
+    override def name(): String = n
+    override def description(): String = desc
+    override def aggregateTaskMetrics(values: Array[Long]): String =
+      values.sum.toString
+  }
+  final class RegionsTotalMetric
+      extends SumMetric("regionsTotal", "manifest regions (total)")
+  final class RegionsScannedMetric
+      extends SumMetric("regionsScanned", "regions after pruning")
+  final class ReadPartitionsMetric
+      extends SumMetric("readPartitions", "packed read tasks")
+
   private[catalog] def taskMetric(n: String, v: Long)
       : connector.metric.CustomTaskMetric =
     new connector.metric.CustomTaskMetric {

@@ -94,12 +94,18 @@ class GraftDeleteSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE $fqn")
   }
 
-  test("non-key / inexact predicates are rejected at analysis") {
+  test("non-key / inexact predicates leave the metadata path and " +
+      "route to the row-level rewrite") {
     val fqn = build("nonkey")
-    intercept[Exception] {
-      spark.sql(s"DELETE FROM $fqn WHERE v > 50.0")
-    }
-    assert(spark.table(fqn).count() == 400L)
+    // canDeleteWhere refuses (not an exact key interval) — Spark falls
+    // back to the group-based rewrite ([[GraftRowLevelOperation]])
+    // instead of failing, and the answer is exact
+    assert(!GraftDelete.exactIntervals(
+      Seq(org.apache.spark.sql.sources.GreaterThan("v", 50.0)),
+      TableMeta.load(tableDir("nonkey"))).isDefined)
+    spark.sql(s"DELETE FROM $fqn WHERE v > 50.0")
+    assert(spark.table(fqn).count() == 51L)
+    assert(spark.sql(s"SELECT max(v) FROM $fqn").head().getDouble(0) <= 50.0)
     spark.sql(s"DROP TABLE $fqn")
   }
 
