@@ -783,6 +783,54 @@ object CatalogQueries {
       fqn
     })
 
+  /** MERGE INTO fixture: plain (non-dedupKeys) orders table, the same
+    * update batch applied through SQL MERGE — the group-based
+    * copy-on-write rewrite ([[graft.catalog.GraftRowLevelOperation]])
+    * rather than the compaction fold. The merge is idempotent (matched
+    * rows are set to the same values), so replays are safe; trust
+    * requires the 'U' rows to be present, since the row count alone
+    * cannot tell a merged table from a freshly loaded one. */
+  private val builtMrg = scala.collection.concurrent.TrieMap[String, String]()
+  private def mergeTable(s: SparkSession, d: String): String =
+    builtMrg.getOrElseUpdate(d, {
+      val ns = sfNamespace(s, d)
+      val fqn = s"graft.$ns.orders_mrg_t"
+      val srcCount = s.read.parquet(s"$d/orders.parquet").count()
+      val exists = trusted(s, ns, "orders_mrg_t", srcCount) &&
+        (s.sql(s"SELECT count(*) FROM graft.$ns.orders_mrg_t " +
+          "WHERE o_orderstatus = 'U'").head().getLong(0) > 0L || {
+          s.sql(s"DROP TABLE graft.$ns.orders_mrg_t"); false
+        })
+      if (!exists) {
+        s.sql(
+          s"""CREATE TABLE $fqn (
+             |  o_orderkey BIGINT, o_orderstatus STRING,
+             |  o_totalprice DOUBLE)
+             |TBLPROPERTIES('keyCols'='o_orderkey', 'numRegions'='4')"""
+            .stripMargin)
+        val v = s"mrg_cat_src_${math.abs(d.hashCode)}"
+        s.read.parquet(s"$d/orders.parquet").createOrReplaceTempView(v)
+        s.sql(s"""INSERT INTO $fqn
+          SELECT o_orderkey, o_orderstatus, o_totalprice FROM $v""")
+        s.sql(
+          s"""MERGE INTO $fqn t
+             |USING (SELECT o_orderkey, o_totalprice FROM $v
+             |       WHERE o_orderkey % 10 = 0) s
+             |ON t.o_orderkey = s.o_orderkey
+             |WHEN MATCHED THEN UPDATE SET
+             |  o_orderstatus = 'U',
+             |  o_totalprice = s.o_totalprice + 1000""".stripMargin)
+      }
+      fqn
+    })
+
+  /** Same aggregate face as [[upsertAgg]], same oracle: MERGE must
+    * land the identical end state by the rewrite path. */
+  val mergeAgg: Q = (s, d) => s.sql(
+    s"""SELECT o_orderstatus, count(*) AS cnt,
+       |       round(sum(o_totalprice), 2) AS total
+       |FROM ${mergeTable(s, d)} GROUP BY o_orderstatus""".stripMargin)
+
   /** Read-time latest-wins over the uncompacted upsert table: the
     * region id is monotone in commit order, so the newest version of a
     * key is its row from the highest `_graft_region_id` — the same
@@ -840,6 +888,7 @@ object CatalogQueries {
     "catalog_manifest_agg" -> manifestAgg,
     "catalog_upsert" -> upsertAgg,
     "catalog_upsert_latest" -> upsertLatest,
+    "catalog_merge" -> mergeAgg,
     "catalog_pipeline_pack" -> packOnStore,
     "catalog_dedup_exact" -> dedupOnStore,
     "catalog_point_lookup" -> pointLookup,
@@ -925,6 +974,7 @@ object CatalogQueries {
     // (catalog_upsert_latest)
     "catalog_upsert" -> UpsertOracle,
     "catalog_upsert_latest" -> UpsertOracle,
+    "catalog_merge" -> UpsertOracle,
 
     // identical to pipeline_pack's oracle: the store must hold exactly
     // the source documents
