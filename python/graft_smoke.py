@@ -66,6 +66,23 @@ def main(classpath, warehouse):
         ).collect()[0]
         assert (left["n"], left["lo"]) == (50, 50), left
 
+        # provenance metadata columns
+        prov = spark.sql(
+            "SELECT count(DISTINCT _graft_region_id) AS r, "
+            "count(DISTINCT _graft_file) AS f FROM graft.pysmoke.t"
+        ).collect()[0]
+        assert prov["r"] >= 1 and prov["r"] == prov["f"], prov
+
+        # row-level UPDATE (group-based copy-on-write rewrite)
+        spark.sql("UPDATE graft.pysmoke.t SET v = 'upd' WHERE k >= 90")
+        upd = spark.sql(
+            "SELECT count(*) AS n FROM graft.pysmoke.t WHERE v = 'upd'"
+        ).collect()[0]
+        assert upd["n"] == 10, upd
+        assert spark.sql(
+            "SELECT count(*) AS n FROM graft.pysmoke.t"
+        ).collect()[0]["n"] == 50
+
         spark.sql("DROP TABLE graft.pysmoke.t")
         print("GRAFT_PY_OK")
     finally:

@@ -152,6 +152,30 @@ class RowLevelOpsSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE $fqn")
   }
 
+  test("a tailing stream treats an UPDATE rewrite as new data: the " +
+      "rewritten region re-emits (changed rows included), no crash") {
+    val fqn = build("updstream")
+    val q = spark.readStream.table(fqn)
+      .writeStream.format("memory").queryName("upd_tail")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("upd_tail").count() == 400L)
+      // rewrite one region: its rows are CHANGED data at region grain,
+      // so the stream re-sees the whole rewritten region — unlike a
+      // DELETE boundary rewrite or a compaction (srcMaxId-marked, pure
+      // rewrites of consumed data, which streams skip)
+      spark.sql(s"UPDATE $fqn SET v = v + 1000 WHERE k >= 0 AND k < 100")
+      q.processAllAvailable()
+      assert(spark.table("upd_tail").count() == 500L,
+        "400 originals + the 100-row rewritten region")
+      assert(spark.sql(
+        "SELECT count(*) FROM upd_tail WHERE v >= 1000").head()
+        .getLong(0) == 100L)
+    } finally q.stop()
+    spark.sql(s"DROP TABLE $fqn")
+  }
+
   test("MERGE with NOT MATCHED BY SOURCE deletes the rest of a region") {
     val fqn = build("mergedel")
     spark.createDataFrame((0L until 50L).map(k => Tuple1(k)))
