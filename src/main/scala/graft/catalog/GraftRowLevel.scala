@@ -58,11 +58,29 @@ class GraftRowLevelOperation(tableDir: File, meta: TableMeta,
     new GraftScanBuilder(tableDir, meta, None, groupMode = true,
       onBuild = s => scan = s)
 
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    // versioned (dedupKeys) tables: a region rewrite would collapse
+    // every stored version of a key into ONE fresh region id,
+    // destroying the latest-wins order that both the read recipe and
+    // the compaction fold rely on (ORDER BY region id DESC ties, the
+    // stale version can win). Their update path IS the append-upsert.
+    // Guarded here and not in newRowLevelOperationBuilder: Spark
+    // constructs the row-level plan for every DELETE at analysis, and
+    // interval-exact DELETEs (sound on versioned tables — an interval
+    // drops ALL versions of its keys) must still reach the
+    // metadata-only path, which never builds this write.
+    if (TableMeta.dedupKeys(meta.properties))
+      throw new UnsupportedOperationException(
+        "UPDATE/MERGE/non-interval DELETE are not supported on a " +
+          "'graft.dedupKeys' table: the rewrite would collapse stored " +
+          "key versions and break latest-wins ordering. Upsert by " +
+          "INSERT (latest append wins at compaction), or DELETE by an " +
+          "exact leading-key interval.")
     new WriteBuilder {
       override def build(): Write =
         new GraftReplaceWrite(tableDir, meta, GraftRowLevelOperation.this)
     }
+  }
 
   /** Ask Spark to carry `_graft_file` through the row-level read: it
     * is the group identity the runtime group filter narrows on. */

@@ -96,75 +96,64 @@ object GraftFilters {
       dims: Map[String, (Int, DataType)]): Map[Int, IvSet] =
     filters.map(one(_, dims)).foldLeft(Map.empty[Int, IvSet])(merge)
 
-  /** Conservative translation of one pushed predicate on the
-    * `_graft_region_id` metadata column into a region-id test. The id
-    * is CONSTANT per region, so this pruning is exact at region
-    * granularity — `WHERE _graft_region_id > last_seen` is the
-    * incremental-batch pattern (process only regions committed since
-    * the last run) served with zero data IO for the skipped regions.
-    * Unsupported shapes return None; the predicate always stays
-    * residual, so skipping is pure acceleration. */
-  def regionIdPred(f: sources.Filter): Option[Long => Boolean] = {
-    def lv(v: Any): Option[Long] = v match {
-      case l: Long => Some(l)
-      case i: Int => Some(i.toLong)
-      case s: Short => Some(s.toLong)
-      case b: Byte => Some(b.toLong)
-      case _ => None
-    }
-    val n = GraftMetaCols.RegionId
-    f match {
-      case sources.EqualTo(`n`, v) => lv(v).map(x => (id: Long) => id == x)
-      case sources.GreaterThan(`n`, v) => lv(v).map(x => (id: Long) => id > x)
-      case sources.GreaterThanOrEqual(`n`, v) =>
-        lv(v).map(x => (id: Long) => id >= x)
-      case sources.LessThan(`n`, v) => lv(v).map(x => (id: Long) => id < x)
-      case sources.LessThanOrEqual(`n`, v) =>
-        lv(v).map(x => (id: Long) => id <= x)
-      case sources.In(`n`, vs) =>
-        val xs = vs.toSeq.map(lv)
+  /** Conservative translation of one pushed predicate on a
+    * constant-per-region metadata column (`colName`) into a per-region
+    * test. The value is CONSTANT per region, so this pruning is exact
+    * at region granularity. Range comparisons translate only when an
+    * ordering is given. Unsupported shapes return None; the predicate
+    * always stays residual, so skipping is pure acceleration. */
+  private def constPred[T](colName: String, lift: Any => Option[T],
+      ord: Option[Ordering[T]])(f: sources.Filter)
+      : Option[T => Boolean] = {
+    def rec(f: sources.Filter): Option[T => Boolean] = f match {
+      case sources.EqualTo(`colName`, v) => lift(v).map(x => (c: T) => c == x)
+      case sources.GreaterThan(`colName`, v) =>
+        ord.flatMap(o => lift(v).map(x => (c: T) => o.gt(c, x)))
+      case sources.GreaterThanOrEqual(`colName`, v) =>
+        ord.flatMap(o => lift(v).map(x => (c: T) => o.gteq(c, x)))
+      case sources.LessThan(`colName`, v) =>
+        ord.flatMap(o => lift(v).map(x => (c: T) => o.lt(c, x)))
+      case sources.LessThanOrEqual(`colName`, v) =>
+        ord.flatMap(o => lift(v).map(x => (c: T) => o.lteq(c, x)))
+      case sources.In(`colName`, vs) =>
+        val xs = vs.toSeq.map(lift)
         if (xs.nonEmpty && xs.forall(_.isDefined)) {
           val set = xs.flatten.toSet
-          Some(id => set.contains(id))
+          Some(c => set.contains(c))
         } else None
       case sources.And(l, r) =>
-        (regionIdPred(l), regionIdPred(r)) match {
-          case (Some(a), Some(b)) => Some(id => a(id) && b(id))
+        (rec(l), rec(r)) match {
+          case (Some(a), Some(b)) => Some(c => a(c) && b(c))
           // half-translated AND keeps a superset of regions — sound
           case (a, b) => a.orElse(b)
         }
       case _ => None
     }
+    rec(f)
   }
 
-  /** Same idea for `_graft_file`: the file name is constant per
-    * region, so EqualTo/In predicates on it — notably the runtime
-    * GROUP filter Spark injects for group-based row-level operations
-    * (UPDATE/MERGE rewrites touch only groups that contain matches) —
-    * prune regions exactly. */
-  def regionFilePred(f: sources.Filter): Option[String => Boolean] = {
-    def sv(v: Any): Option[String] = v match {
+  /** `_graft_region_id` pruning: `WHERE _graft_region_id > last_seen`
+    * is the incremental-batch pattern (process only regions committed
+    * since the last run) served with zero data IO for the skipped
+    * regions. */
+  def regionIdPred(f: sources.Filter): Option[Long => Boolean] =
+    constPred[Long](GraftMetaCols.RegionId, {
+      case l: Long => Some(l)
+      case i: Int => Some(i.toLong)
+      case s: Short => Some(s.toLong)
+      case b: Byte => Some(b.toLong)
+      case _ => None
+    }, Some(Ordering.Long))(f)
+
+  /** `_graft_file` pruning: notably the runtime GROUP filter Spark
+    * injects for group-based row-level operations (UPDATE/MERGE
+    * rewrites touch only groups that contain matches). */
+  def regionFilePred(f: sources.Filter): Option[String => Boolean] =
+    constPred[String](GraftMetaCols.FileName, {
       case s: String => Some(s)
       case u: org.apache.spark.unsafe.types.UTF8String => Some(u.toString)
       case _ => None
-    }
-    val n = GraftMetaCols.FileName
-    f match {
-      case sources.EqualTo(`n`, v) => sv(v).map(x => (f2: String) => f2 == x)
-      case sources.In(`n`, vs) =>
-        val xs = vs.toSeq.map(sv)
-        if (xs.nonEmpty && xs.forall(_.isDefined)) {
-          val set = xs.flatten.toSet
-          Some(f2 => set.contains(f2))
-        } else None
-      case sources.And(l, r) =>
-        (regionFilePred(l), regionFilePred(r)) match {
-          case (Some(a), Some(b)) => Some(f2 => a(f2) && b(f2))
-          case (a, b) => a.orElse(b)
-        }
-      case _ => None
-    }
-  }
+    }, None)(f)
 
   private def merge(a: Map[Int, IvSet], b: Map[Int, IvSet]): Map[Int, IvSet] =
     (a.keySet ++ b.keySet).map { d =>
@@ -1225,12 +1214,32 @@ final case class GraftReaderFactory(requiredJson: String,
     new PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
       private var idx = 0
       private var cur: ParquetColumnarIO.ColumnarReader = _
+      // per-FILE constant vectors for the metadata columns (the same
+      // mechanism Spark's file source uses for partition values —
+      // constants never break vectorization); built once per file
+      // open, reused across its batches. The capacity argument is
+      // irrelevant for scalar-typed constants (reads ignore the row
+      // id), so 1 suffices.
+      private var ridVec
+          : org.apache.spark.sql.execution.vectorized.ConstantColumnVector = _
+      private var fileVec
+          : org.apache.spark.sql.execution.vectorized.ConstantColumnVector = _
+      private def openConstants(): Unit = if (hasMeta) {
+        ridVec = new org.apache.spark.sql.execution.vectorized
+          .ConstantColumnVector(1, LongType)
+        ridVec.setLong(if (idx < ids.length) ids(idx) else 0L)
+        fileVec = new org.apache.spark.sql.execution.vectorized
+          .ConstantColumnVector(1, StringType)
+        fileVec.setUtf8String(org.apache.spark.unsafe.types.UTF8String
+          .fromString(new File(files(idx)).getName))
+      }
       override def next(): Boolean = {
         while (true) {
           if (cur == null) {
             if (idx >= files.length) return false
             cur = new ParquetColumnarIO.ColumnarReader(files(idx),
               dataSchema, dataFilters.toSeq, sessionZone, caseSensitive)
+            openConstants()
             idx += 1
           }
           if (cur.nextBatch()) return true
@@ -1241,27 +1250,14 @@ final case class GraftReaderFactory(requiredJson: String,
       override def get(): org.apache.spark.sql.vectorized.ColumnarBatch = {
         val b = cur.batch()
         if (!hasMeta) return b
-        // wrap: data vectors in required order + per-file constant
-        // vectors for the metadata columns (the same mechanism Spark's
-        // file source uses for partition values — constants never
-        // break vectorization)
         val n = b.numRows()
         val vecs = new Array[org.apache.spark.sql.vectorized.ColumnVector](
           posMap.length)
         var p = 0
         while (p < posMap.length) {
           posMap(p) match {
-            case -1 =>
-              val v = new org.apache.spark.sql.execution.vectorized
-                .ConstantColumnVector(n, LongType)
-              v.setLong(if (idx - 1 < ids.length) ids(idx - 1) else 0L)
-              vecs(p) = v
-            case -2 =>
-              val v = new org.apache.spark.sql.execution.vectorized
-                .ConstantColumnVector(n, StringType)
-              v.setUtf8String(org.apache.spark.unsafe.types.UTF8String
-                .fromString(new File(files(idx - 1)).getName))
-              vecs(p) = v
+            case -1 => vecs(p) = ridVec
+            case -2 => vecs(p) = fileVec
             case i => vecs(p) = b.column(i)
           }
           p += 1

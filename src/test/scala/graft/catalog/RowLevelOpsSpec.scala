@@ -176,6 +176,39 @@ class RowLevelOpsSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE $fqn")
   }
 
+  test("row-level ops refuse a dedupKeys table (the rewrite would " +
+      "collapse key versions); exact DELETE and append-upsert still work") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.rlo")
+    val fqn = "graft.rlo.vers"
+    spark.sql(s"DROP TABLE IF EXISTS $fqn")
+    spark.sql(
+      s"""CREATE TABLE $fqn (k BIGINT, v DOUBLE)
+         |TBLPROPERTIES('keyCols'='k', 'regionSplits'='100;200;300',
+         |              'graft.dedupKeys'='true')""".stripMargin)
+    spark.sql(s"INSERT INTO $fqn SELECT id, 1.0 FROM range(400)")
+    spark.sql(s"INSERT INTO $fqn SELECT id, 2.0 FROM range(400)") // upsert
+    val e = intercept[Exception] {
+      spark.sql(s"UPDATE $fqn SET v = 9.0 WHERE k < 10")
+    }
+    def rootMsg(t: Throwable): String =
+      (Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString(" | "))
+    assert(rootMsg(e).contains("dedupKeys"), rootMsg(e))
+    // both versions still stored, latest-wins recipe still correct
+    assert(spark.table(fqn).count() == 800L)
+    val latest = spark.sql(
+      s"""SELECT count(*) FROM (
+         |  SELECT k, v, row_number() OVER (
+         |    PARTITION BY k ORDER BY _graft_region_id DESC) rn
+         |  FROM $fqn) WHERE rn = 1 AND v = 2.0""".stripMargin)
+      .head().getLong(0)
+    assert(latest == 400L, "UPDATE refusal must leave version order intact")
+    // interval-exact DELETE drops ALL versions of its keys — sound
+    spark.sql(s"DELETE FROM $fqn WHERE k < 100")
+    assert(spark.table(fqn).count() == 600L)
+    spark.sql(s"DROP TABLE $fqn")
+  }
+
   test("MERGE with NOT MATCHED BY SOURCE deletes the rest of a region") {
     val fqn = build("mergedel")
     spark.createDataFrame((0L until 50L).map(k => Tuple1(k)))
