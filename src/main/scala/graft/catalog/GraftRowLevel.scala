@@ -31,8 +31,16 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * The reference reaches update semantics only through Put-upsert on
   * whole rows (`HBaseRelation.scala:659-723`); expression-level UPDATE
   * and MERGE are an extension the V2 API makes natural. At 100 TB the
-  * cost model is the right one: regions without matches are never
-  * read, never rewritten, and never shuffled.
+  * cost model is the right one for UPDATE/DELETE: regions without
+  * matches are never read, never rewritten, and never shuffled.
+  *
+  * MERGE caveat (Spark planning, not this source): the runtime group
+  * filter rule bails when the operation condition is the TrueLiteral,
+  * which is how MERGE is planned (matching lives in the join) — an
+  * unbounded MERGE therefore rewrites every statically-surviving
+  * region. The scale pattern is to bound the target side in the ON
+  * clause (`ON t.k = s.k AND t.k BETWEEN lo AND hi`): target-only
+  * conjuncts prune regions statically (asserted in RowLevelOpsSpec).
   */
 class GraftRowLevelBuilder(tableDir: File, meta: TableMeta,
     info: RowLevelOperationInfo) extends RowLevelOperationBuilder {
@@ -115,6 +123,9 @@ class GraftReplaceWrite(tableDir: File, meta: TableMeta,
       // the regions the (runtime-filtered) scan actually read — the
       // rewrite's output is exactly their replacement
       val replaced = op.scan.selectedRegions.map(_.file).toSet
+      // nothing scanned, nothing written: a no-match operation leaves
+      // the manifest (and generation) untouched
+      if (replaced.isEmpty && newRegions.isEmpty) return
       TableMeta.withManifestLock(tableDir) {
         val state = TableMeta.loadState(tableDir)
         val present = state.regions.map(_.file).toSet

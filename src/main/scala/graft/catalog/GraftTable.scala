@@ -116,11 +116,17 @@ object GraftFilters {
       case sources.LessThanOrEqual(`colName`, v) =>
         ord.flatMap(o => lift(v).map(x => (c: T) => o.lteq(c, x)))
       case sources.In(`colName`, vs) =>
-        val xs = vs.toSeq.map(lift)
-        if (xs.nonEmpty && xs.forall(_.isDefined)) {
-          val set = xs.flatten.toSet
-          Some(c => set.contains(c))
-        } else None
+        // empty IN is always-false (a runtime group filter with zero
+        // matches arrives this way — a no-match UPDATE/MERGE must
+        // prune EVERY region, not ignore the filter)
+        if (vs.isEmpty) Some(_ => false)
+        else {
+          val xs = vs.toSeq.map(lift)
+          if (xs.forall(_.isDefined)) {
+            val set = xs.flatten.toSet
+            Some(c => set.contains(c))
+          } else None
+        }
       case sources.And(l, r) =>
         (rec(l), rec(r)) match {
           case (Some(a), Some(b)) => Some(c => a(c) && b(c))

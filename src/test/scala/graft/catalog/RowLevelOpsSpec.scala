@@ -176,6 +176,50 @@ class RowLevelOpsSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE $fqn")
   }
 
+  test("UPDATE matching nothing leaves the table byte-identical (an " +
+      "empty runtime group filter prunes every region)") {
+    val fqn = build("noop")
+    val before = TableMeta.loadRegions(tableDir("noop")).map(_.file).toSet
+    spark.sql(s"UPDATE $fqn SET v = 0.0 WHERE k > 100000")
+    assert(spark.table(fqn).count() == 400L)
+    val after = TableMeta.loadRegions(tableDir("noop")).map(_.file).toSet
+    assert(after == before, "no region may be rewritten when nothing matches")
+    spark.sql(s"DROP TABLE $fqn")
+  }
+
+  test("MERGE scope is bounded by a target-side ON conjunct: only its " +
+      "regions rewrite; an unbounded merge preserves content exactly") {
+    val fqn = build("mrgbound")
+    val before = TableMeta.loadRegions(tableDir("mrgbound")).map(_.file).toSet
+    spark.createDataFrame((0L until 10L).map(k => (k, "m", 0.0)))
+      .toDF("k", "status", "v").createOrReplaceTempView("rlo_bsrc")
+    // Spark's runtime group filter skips MERGE (its rewrite condition
+    // is the TrueLiteral — matching lives in the join), so an
+    // UNbounded merge rewrites every statically-surviving region.
+    // The scale pattern: bound the target side in the ON clause — the
+    // conjunct prunes regions statically.
+    spark.sql(
+      s"""MERGE INTO $fqn t USING rlo_bsrc s
+         |ON t.k = s.k AND t.k < 100
+         |WHEN MATCHED THEN UPDATE SET v = s.v""".stripMargin)
+    val after = TableMeta.loadRegions(tableDir("mrgbound")).map(_.file).toSet
+    assert(after.intersect(before).size == 3,
+      "3 of 4 regions must keep their files under the bounded merge")
+    assert(spark.sql(s"SELECT count(*) FROM $fqn WHERE v = 0.0")
+      .head().getLong(0) == 10L)
+    // empty-source merge: content preserved exactly (files may churn
+    // on this Spark version — no group filter for MERGE)
+    spark.createDataFrame(Seq.empty[(Long, String, Double)])
+      .toDF("k", "status", "v").createOrReplaceTempView("rlo_empty")
+    spark.sql(
+      s"""MERGE INTO $fqn t USING rlo_empty s ON t.k = s.k
+         |WHEN MATCHED THEN UPDATE SET v = s.v""".stripMargin)
+    assert(spark.table(fqn).count() == 400L)
+    assert(spark.sql(s"SELECT count(*) FROM $fqn WHERE v = 0.0")
+      .head().getLong(0) == 10L)
+    spark.sql(s"DROP TABLE $fqn")
+  }
+
   test("row-level ops refuse a dedupKeys table (the rewrite would " +
       "collapse key versions); exact DELETE and append-upsert still work") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.rlo")
