@@ -7,7 +7,8 @@ import graft.TestSpark
 
 /** Randomized table-lifecycle property: arbitrary interleavings of
   * INSERT batches, range DELETEs (metadata drops + boundary rewrites),
-  * and compactions against an in-memory set model. This is the op mix
+  * compactions, row-level UPDATEs (group-based region rewrites), and
+  * bounded MERGEs against an in-memory map model. This is the op mix
   * a long-lived 100 TB table actually sees; the invariants are that
   * contents always equal the model and that the manifest stays
   * self-consistent (unique stable ids, live files on disk, stats on
@@ -15,7 +16,8 @@ import graft.TestSpark
 class LifecycleSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
-  test("random insert/delete/compact sequence matches the set model") {
+  test("random insert/delete/compact/update/merge sequence matches " +
+      "the map model") {
     Seq(20260813L, 4242L).foreach(run)
   }
 
@@ -74,7 +76,7 @@ class LifecycleSpec extends AnyFunSuite {
     spark.sql(
       """CREATE TABLE graft.life.t (k BIGINT, v DOUBLE)
         |TBLPROPERTIES('keyCols'='k', 'numRegions'='3')""".stripMargin)
-    var model = Set.empty[Long]
+    var model = Map.empty[Long, Double]
     var nextBase = 0L
     val cat = spark.sessionState.catalogManager.catalog("graft")
       .asInstanceOf[GraftCatalog]
@@ -82,33 +84,67 @@ class LifecycleSpec extends AnyFunSuite {
       org.apache.spark.sql.connector.catalog.Identifier
         .of(Array("life"), "t")).asInstanceOf[GraftTable].tableDir
 
-    (1 to 15).foreach { step =>
-      rnd.nextInt(4) match {
+    (1 to 18).foreach { step =>
+      rnd.nextInt(6) match {
         case 0 | 1 => // append a fresh batch (disjoint keys)
           val n = 100 + rnd.nextInt(300)
           spark.sql(s"""INSERT INTO graft.life.t
             SELECT id, id * 1.0 FROM range($nextBase, ${nextBase + n})""")
-          model ++= (nextBase until nextBase + n)
+          model ++= (nextBase until nextBase + n).map(k => k -> k.toDouble)
           nextBase += n + rnd.nextInt(50)
         case 2 => // delete a random range (may straddle regions)
           if (model.nonEmpty) {
-            val lo = model.toSeq(rnd.nextInt(model.size))
+            val lo = model.keys.toSeq(rnd.nextInt(model.size))
             val hi = lo + rnd.nextInt(400)
             spark.sql(
               s"DELETE FROM graft.life.t WHERE k >= $lo AND k <= $hi")
-            model = model.filterNot(k => k >= lo && k <= hi)
+            model = model.filterNot { case (k, _) => k >= lo && k <= hi }
           }
         case 3 => // compact into a few regions
           GraftCompact.compact(spark, "graft", "life", "t",
             1 + rnd.nextInt(3))
+        case 4 => // row-level UPDATE over a random range
+          if (model.nonEmpty) {
+            val lo = model.keys.toSeq(rnd.nextInt(model.size))
+            val hi = lo + rnd.nextInt(400)
+            spark.sql(s"UPDATE graft.life.t SET v = v + 1000 " +
+              s"WHERE k >= $lo AND k <= $hi")
+            model = model.map { case (k, v) =>
+              k -> (if (k >= lo && k <= hi) v + 1000 else v) }
+          }
+        case 5 => // bounded MERGE: matched update + not-matched insert
+          // half the merges start inside the live key space so both
+          // branches fire; model ++= is correct either way (matched
+          // rows update to s.v, unmatched insert s.v — same mapping)
+          val lo =
+            if (model.nonEmpty && rnd.nextBoolean())
+              model.keys.toSeq(rnd.nextInt(model.size))
+            else nextBase + rnd.nextInt(200)
+          val n = 50 + rnd.nextInt(100)
+          val hi = lo + n - 1
+          spark.sql(s"SELECT id AS k, -id * 1.0 AS v " +
+            s"FROM range($lo, ${lo + n})")
+            .createOrReplaceTempView("life_src")
+          spark.sql(
+            s"""MERGE INTO graft.life.t t USING life_src s
+               |ON t.k = s.k AND t.k >= $lo AND t.k <= $hi
+               |WHEN MATCHED THEN UPDATE SET v = s.v
+               |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)"""
+              .stripMargin)
+          model ++= (lo until lo + n).map(k => k -> -k.toDouble)
+          nextBase = (hi + 1) max nextBase
       }
-      // contents == model
+      // contents == model (all values are integer-valued doubles, so
+      // the sums are IEEE-exact in any order)
       val got = spark.sql(
-        "SELECT count(*) AS c, coalesce(sum(k), 0) AS s FROM graft.life.t")
+        """SELECT count(*) AS c, coalesce(sum(k), 0) AS s,
+          |coalesce(sum(v), 0.0) AS sv FROM graft.life.t""".stripMargin)
         .head()
       assert(got.getLong(0) == model.size.toLong,
         s"step $step: count ${got.getLong(0)} != ${model.size}")
-      assert(got.getLong(1) == model.sum, s"step $step: sum mismatch")
+      assert(got.getLong(1) == model.keys.sum, s"step $step: key sum")
+      assert(got.getDouble(2) == model.values.sum,
+        s"step $step: value sum ${got.getDouble(2)} != ${model.values.sum}")
       // manifest self-consistency
       val st = TableMeta.loadState(tdir)
       val ids = (st.regions ++ st.retired).map(_.id)
