@@ -32,7 +32,8 @@ object GraftProcedures {
   /** Namespace the procedures live in: `CALL graft.sys.<name>(...)`. */
   val Namespace: Array[String] = Array("sys")
 
-  val Names: Seq[String] = Seq("load_csv", "compact", "stats", "vacuum")
+  val Names: Seq[String] =
+    Seq("load_csv", "compact", "stats", "vacuum", "manifest")
 
   def load(catalogName: String, ident: Identifier): UnboundProcedure = {
     require(ident.namespace.isEmpty ||
@@ -44,6 +45,7 @@ object GraftProcedures {
       case "compact" => new CompactProcedure(catalogName)
       case "stats" => new StatsProcedure(catalogName)
       case "vacuum" => new VacuumProcedure(catalogName)
+      case "manifest" => new ManifestProcedure(catalogName)
       case other => throw new IllegalArgumentException(
         s"unknown graft procedure $other; available: ${Names.mkString(", ")}")
     }
@@ -165,6 +167,51 @@ object GraftProcedures {
           Collections.singletonList(LocalRowsScan(Array("region_file",
             "region_id", "rows", "bucket", "key_min", "key_max",
             "column_stats"), rows): Scan).iterator()
+        }
+      }
+  }
+
+  /** `CALL graft.sys.manifest(table => 'ns.t')` — one-row operational
+    * readout of the table's manifest/commit-log state: generation,
+    * live and retired region counts, pending log segments (appends not
+    * yet folded into the checkpoint), next stable region id, and
+    * streaming-epoch-ledger size. The numbers an operator checks to
+    * see whether the log is folding and compaction/vacuum are keeping
+    * up. */
+  final class ManifestProcedure(catalogName: String)
+      extends UnboundProcedure {
+    override def name(): String = "manifest"
+    override def description(): String =
+      "manifest + commit-log state of a graft table"
+    override def bind(inputType: StructType): BoundProcedure =
+      new BoundProcedure {
+        override def name(): String = "manifest"
+        override def description(): String =
+          ManifestProcedure.this.description()
+        override def isDeterministic: Boolean = false
+        override def parameters(): Array[ProcedureParameter] = Array(
+          ProcedureParameter.in("table", StringType)
+            .comment("'<namespace>.<table>' within this catalog").build())
+        override def call(input: InternalRow): java.util.Iterator[Scan] = {
+          val (ns, t) = splitNsTable(input.getUTF8String(0).toString)
+          val spark = SparkSession.active
+          val cat = spark.sessionState.catalogManager.catalog(catalogName)
+            .asInstanceOf[GraftCatalog]
+          val gt = cat.loadTable(Identifier.of(Array(ns), t))
+            .asInstanceOf[GraftTable]
+          val st = TableMeta.loadState(gt.tableDir)
+          val segs = Option(new java.io.File(gt.tableDir,
+            TableMeta.LogDirName).list()).map(_.count(_.endsWith(".json")))
+            .getOrElse(0)
+          Collections.singletonList(LocalRowsScan(
+            Array("generation", "live_regions", "live_rows",
+              "retired_regions", "log_segments", "next_region_id",
+              "stream_epochs"),
+            Seq(Seq(st.gen.toString, st.regions.size.toString,
+              st.regions.map(_.rows).sum.toString,
+              st.retired.size.toString, segs.toString,
+              st.nextId.toString, st.epochs.size.toString))): Scan)
+            .iterator()
         }
       }
   }

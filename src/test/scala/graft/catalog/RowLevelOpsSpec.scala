@@ -220,6 +220,30 @@ class RowLevelOpsSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE $fqn")
   }
 
+  test("CALL graft.sys.manifest reports log/manifest state through a " +
+      "DML lifecycle") {
+    val fqn = build("maniproc")
+    def state(): Map[String, String] = {
+      val r = spark.sql(
+        "CALL graft.sys.manifest(table => 'rlo.maniproc')").collect().head
+      r.schema.fieldNames.zipWithIndex
+        .map { case (n, i) => n -> r.getString(i) }.toMap
+    }
+    val s0 = state()
+    assert(s0("live_regions") == "4" && s0("live_rows") == "400")
+    assert(s0("log_segments").toInt >= 1, "the INSERT appended a segment")
+    spark.sql(s"UPDATE $fqn SET v = 0.0 WHERE k < 100")
+    val s1 = state()
+    assert(s1("generation").toLong == s0("generation").toLong + 1,
+      "a rewrite bumps the generation")
+    assert(s1("retired_regions").toInt >= 1)
+    assert(s1("log_segments") == "0",
+      "the rewrite checkpoint folds the log")
+    spark.sql("CALL graft.sys.vacuum(table => 'rlo.maniproc')")
+    assert(state()("retired_regions") == "0")
+    spark.sql(s"DROP TABLE $fqn")
+  }
+
   test("row-level ops refuse a dedupKeys table (the rewrite would " +
       "collapse key versions); exact DELETE and append-upsert still work") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.rlo")
