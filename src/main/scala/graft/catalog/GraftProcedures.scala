@@ -61,6 +61,15 @@ object GraftProcedures {
     (table.substring(0, i), table.substring(i + 1))
   }
 
+  /** Resolve 'ns.t' to its [[GraftTable]] through the active session's
+    * catalog manager (shared by stats/vacuum/manifest). */
+  private def graftTable(catalogName: String, table: String): GraftTable = {
+    val (ns, t) = splitNsTable(table)
+    SparkSession.active.sessionState.catalogManager.catalog(catalogName)
+      .asInstanceOf[GraftCatalog]
+      .loadTable(Identifier.of(Array(ns), t)).asInstanceOf[GraftTable]
+  }
+
   /** All-string driver-computed procedure result set (Spark executes
     * procedure output scans as [[org.apache.spark.sql.connector.read.LocalScan]]
     * local relations — no job, no data IO). */
@@ -127,12 +136,7 @@ object GraftProcedures {
           ProcedureParameter.in("table", StringType)
             .comment("'<namespace>.<table>' within this catalog").build())
         override def call(input: InternalRow): java.util.Iterator[Scan] = {
-          val (ns, t) = splitNsTable(input.getUTF8String(0).toString)
-          val spark = SparkSession.active
-          val cat = spark.sessionState.catalogManager.catalog(catalogName)
-            .asInstanceOf[GraftCatalog]
-          val gt = cat.loadTable(Identifier.of(Array(ns), t))
-            .asInstanceOf[GraftTable]
+          val gt = graftTable(catalogName, input.getUTF8String(0).toString)
           val keyTypes = gt.meta.keyTypes
           def decodeKey(hexes: Seq[String]): String =
             hexes.zip(keyTypes).map { case (h, dt) =>
@@ -193,16 +197,10 @@ object GraftProcedures {
           ProcedureParameter.in("table", StringType)
             .comment("'<namespace>.<table>' within this catalog").build())
         override def call(input: InternalRow): java.util.Iterator[Scan] = {
-          val (ns, t) = splitNsTable(input.getUTF8String(0).toString)
-          val spark = SparkSession.active
-          val cat = spark.sessionState.catalogManager.catalog(catalogName)
-            .asInstanceOf[GraftCatalog]
-          val gt = cat.loadTable(Identifier.of(Array(ns), t))
-            .asInstanceOf[GraftTable]
-          val st = TableMeta.loadState(gt.tableDir)
-          val segs = Option(new java.io.File(gt.tableDir,
-            TableMeta.LogDirName).list()).map(_.count(_.endsWith(".json")))
-            .getOrElse(0)
+          val gt = graftTable(catalogName, input.getUTF8String(0).toString)
+          // one consistent view: state and segment count must not
+          // straddle a concurrent commit
+          val (st, segs) = TableMeta.stateAndLogLength(gt.tableDir)
           Collections.singletonList(LocalRowsScan(
             Array("generation", "live_regions", "live_rows",
               "retired_regions", "log_segments", "next_region_id",
@@ -240,12 +238,7 @@ object GraftProcedures {
           ProcedureParameter.in("table", StringType)
             .comment("'<namespace>.<table>' within this catalog").build())
         override def call(input: InternalRow): java.util.Iterator[Scan] = {
-          val (ns, t) = splitNsTable(input.getUTF8String(0).toString)
-          val spark = SparkSession.active
-          val cat = spark.sessionState.catalogManager.catalog(catalogName)
-            .asInstanceOf[GraftCatalog]
-          val gt = cat.loadTable(Identifier.of(Array(ns), t))
-            .asInstanceOf[GraftTable]
+          val gt = graftTable(catalogName, input.getUTF8String(0).toString)
           val removed = TableMeta.withManifestLock(gt.tableDir) {
             val state = TableMeta.loadState(gt.tableDir)
             state.retired.foreach(r =>

@@ -135,16 +135,20 @@ object TableMeta {
 
   def exists(tableDir: File): Boolean = new File(tableDir, MetaFile).isFile
 
-  def save(tableDir: File, meta: TableMeta): Unit = {
-    val m = mapper
-    val root = m.createObjectNode()
-    root.put("schema", meta.schema.json)
-    val kc = root.putArray("keyCols")
-    meta.keyCols.foreach(kc.add)
-    val props = root.putObject("properties")
-    meta.properties.foreach { case (k, v) => props.put(k, v) }
-    writeAtomic(new File(tableDir, MetaFile), root.toString)
-  }
+  // under the manifest lock: vacuum sweeps *.tmp crash leftovers on
+  // the same lock, so a concurrent ALTER's in-flight tmp must not be
+  // observable outside it (and concurrent ALTERs serialize)
+  def save(tableDir: File, meta: TableMeta): Unit =
+    withManifestLock(tableDir) {
+      val m = mapper
+      val root = m.createObjectNode()
+      root.put("schema", meta.schema.json)
+      val kc = root.putArray("keyCols")
+      meta.keyCols.foreach(kc.add)
+      val props = root.putObject("properties")
+      meta.properties.foreach { case (k, v) => props.put(k, v) }
+      writeAtomic(new File(tableDir, MetaFile), root.toString)
+    }
 
   def load(tableDir: File): TableMeta = {
     val root = mapper.readTree(new File(tableDir, MetaFile))
@@ -522,6 +526,20 @@ object TableMeta {
   private def maybeCheckpoint(tableDir: File): Unit =
     if (listSegSeqs(tableDir).size >= logCheckpointEvery)
       saveState(tableDir, loadState(tableDir))
+
+  /** Merged state + LIVE (unfolded) log-segment count, from ONE
+    * consistent view under the manifest lock — for operational
+    * readouts; two unsynchronized reads could straddle a commit and
+    * report a segment whose regions the state view excludes. Orphan
+    * segments (≤ the checkpoint's lastSeq, crash leftovers) are not
+    * counted. */
+  private[catalog] def stateAndLogLength(tableDir: File)
+      : (ManifestState, Int) =
+    withManifestLock(tableDir) {
+      val f = new File(tableDir, RegionsFile)
+      val cpSeq = if (f.isFile) parseCheckpoint(f)._2 else 0L
+      (loadState(tableDir), listSegSeqs(tableDir).count(_ > cpSeq))
+    }
 
   /** Append newly committed regions (write-commit protocol). The
     * read-modify-write is serialized through an OS file lock so

@@ -176,14 +176,24 @@ class RowLevelOpsSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE $fqn")
   }
 
-  test("UPDATE matching nothing leaves the table byte-identical (an " +
-      "empty runtime group filter prunes every region)") {
+  test("no-match UPDATE: statically prunable predicates are true " +
+      "no-ops; unprunable ones preserve content exactly") {
     val fqn = build("noop")
     val before = TableMeta.loadRegions(tableDir("noop")).map(_.file).toSet
+    // key predicate outside every region: static pruning selects zero
+    // regions and the commit's no-op guard leaves manifest+generation
+    // untouched (without the guard this would still gen-bump)
     spark.sql(s"UPDATE $fqn SET v = 0.0 WHERE k > 100000")
+    assert(TableMeta.loadRegions(tableDir("noop")).map(_.file).toSet
+      == before, "statically-prunable no-match must not rewrite")
+    // non-key predicate INSIDE every region's stat bounds
+    // ('done' < 'meh' < 'open'): nothing static prunes it, and Spark
+    // does not deliver an empty runtime group filter on this version —
+    // the rewrite runs (files churn) but content must be exact
+    spark.sql(s"UPDATE $fqn SET v = 0.0 WHERE status = 'meh'")
     assert(spark.table(fqn).count() == 400L)
-    val after = TableMeta.loadRegions(tableDir("noop")).map(_.file).toSet
-    assert(after == before, "no region may be rewritten when nothing matches")
+    assert(spark.sql(s"SELECT count(*) FROM $fqn WHERE v = 0.0")
+      .head().getLong(0) == 1L, "only k=0 had v=0 before; none matched")
     spark.sql(s"DROP TABLE $fqn")
   }
 
