@@ -101,17 +101,13 @@ class GraftRowLevelOperation(tableDir: File, meta: TableMeta,
 class GraftReplaceWrite(tableDir: File, meta: TableMeta,
     op: GraftRowLevelOperation)
     extends Write with RequiresDistributionAndOrdering {
-  import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
-  import org.apache.spark.sql.connector.expressions.{SortDirection, SortOrder}
-
-  private def sortOrders: Array[SortOrder] =
-    meta.keyCols.map(k =>
-      Expressions.sort(Expressions.column(k),
-        SortDirection.ASCENDING)).toArray
+  import org.apache.spark.sql.connector.distributions.Distribution
+  import org.apache.spark.sql.connector.expressions.SortOrder
 
   override def requiredDistribution(): Distribution =
-    Distributions.ordered(sortOrders)
-  override def requiredOrdering(): Array[SortOrder] = sortOrders
+    GraftWriteOrdering.distribution(meta)
+  override def requiredOrdering(): Array[SortOrder] =
+    GraftWriteOrdering.sortOrders(meta)
 
   override def toBatch: BatchWrite = new BatchWrite {
     override def createBatchWriterFactory(info: PhysicalWriteInfo)

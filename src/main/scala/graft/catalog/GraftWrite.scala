@@ -32,16 +32,24 @@ class GraftWriteBuilder(tableDir: File, meta: TableMeta,
   override def build(): Write = new GraftWrite(tableDir, meta, info.queryId)
 }
 
+/** The ONE definition of the write-side key ordering: bulk loads and
+  * row-level rewrites ([[GraftReplaceWrite]]) must sort identically or
+  * rewritten regions would lose the key-grouped plan guarantees. */
+private[catalog] object GraftWriteOrdering {
+  def sortOrders(meta: TableMeta): Array[SortOrder] =
+    meta.keyCols.map(k =>
+      Expressions.sort(Expressions.column(k), SortDirection.ASCENDING)).toArray
+  def distribution(meta: TableMeta): Distribution =
+    Distributions.ordered(sortOrders(meta))
+}
+
 class GraftWrite(tableDir: File, meta: TableMeta, queryId: String)
     extends Write with RequiresDistributionAndOrdering {
 
-  private def sortOrders: Array[SortOrder] =
-    meta.keyCols.map(k =>
-      Expressions.sort(Expressions.column(k), SortDirection.ASCENDING)).toArray
-
   override def requiredDistribution(): Distribution =
-    Distributions.ordered(sortOrders)
-  override def requiredOrdering(): Array[SortOrder] = sortOrders
+    GraftWriteOrdering.distribution(meta)
+  override def requiredOrdering(): Array[SortOrder] =
+    GraftWriteOrdering.sortOrders(meta)
   override def requiredNumPartitions(): Int =
     meta.properties.get(TableMeta.NumRegionsProp).map(_.toInt).getOrElse(0)
 

@@ -302,9 +302,11 @@ object TableMeta {
 
   /** A merged manifest view: the checkpoint state with every log
     * segment ≤ `lastSeq` applied, plus the checkpoint file's identity
-    * key the view was validated against. */
+    * key the view was validated against. `cpSeq` = the checkpoint's
+    * OWN lastSeq (segments ≤ it are folded/orphaned) — kept so
+    * live-segment counts need no checkpoint re-parse. */
   private final case class Loaded(cpKey: Any, lastSeq: Long,
-      state: ManifestState)
+      state: ManifestState, cpSeq: Long = 0L)
 
   /** Parsed-manifest cache, keyed by canonical path and invalidated by
     * the checkpoint file's identity (inode via
@@ -379,10 +381,11 @@ object TableMeta {
       val cached = stateCache.get(path)
       val hit = cached != null && k0 != null && cached.cpKey == k0
       try {
-        val (base, baseSeq) =
-          if (hit) (cached.state, cached.lastSeq)
-          else if (f.isFile) parseCheckpoint(f)
-          else (ManifestState(0L, Nil, Map.empty), 0L)
+        val (base, baseSeq, cpSeq) =
+          if (hit) (cached.state, cached.lastSeq, cached.cpSeq)
+          else if (f.isFile) {
+            val (st, cp) = parseCheckpoint(f); (st, cp, cp)
+          } else (ManifestState(0L, Nil, Map.empty), 0L, 0L)
         val segs = listSegSeqs(tableDir).filter(_ > baseSeq)
         if (hit && segs.isEmpty) return cached
         val merged = segs.foldLeft(base)((s, q) =>
@@ -391,7 +394,7 @@ object TableMeta {
         val k1 = manifestKey(f)
         val stable = if (k0 == null) k1 == null else k0 == k1
         if (stable) {
-          val loaded = Loaded(k0, lastSeq, merged)
+          val loaded = Loaded(k0, lastSeq, merged, cpSeq)
           if (k0 != null) stateCache.put(path, loaded)
           return loaded
         }
@@ -536,9 +539,8 @@ object TableMeta {
   private[catalog] def stateAndLogLength(tableDir: File)
       : (ManifestState, Int) =
     withManifestLock(tableDir) {
-      val f = new File(tableDir, RegionsFile)
-      val cpSeq = if (f.isFile) parseCheckpoint(f)._2 else 0L
-      (loadState(tableDir), listSegSeqs(tableDir).count(_ > cpSeq))
+      val l = loadLoaded(tableDir) // cached — no O(regions) re-parse
+      (l.state, listSegSeqs(tableDir).count(_ > l.cpSeq))
     }
 
   /** Append newly committed regions (write-commit protocol). The
@@ -572,13 +574,17 @@ object TableMeta {
     }
   }
 
-  def appendRegions(tableDir: File, added: Seq[RegionMeta]): Unit =
+  def appendRegions(tableDir: File, added: Seq[RegionMeta]): Unit = {
+    // a zero-region commit (all-empty write tasks) must not grow the
+    // log or count toward the checkpoint fold
+    if (added.isEmpty) return
     withManifestLock(tableDir) {
       val l = loadLoaded(tableDir)
       val (rs, _) = stamped(added.map(_.copy(id = 0L)), l.state.nextId)
       writeSegment(tableDir, l.lastSeq + 1L, rs, Map.empty)
       maybeCheckpoint(tableDir)
     }
+  }
 
   /** Epoch-deduplicated append for the streaming sink: commits `added`
     * only if `epochId` is newer than the query's last committed epoch,

@@ -42,7 +42,7 @@ object CatalogQueries {
     * table only if it still carries regionSplits at the source row
     * count ([[usable]]), else drops and rebuilds. */
   private def buildKeyedTable(s: SparkSession, d: String, table: String,
-      ddlCols: String, keyCols: String, splits: String,
+      ddlCols: String, keyCols: String, splits: => String,
       srcFile: String): String = {
     val ns = s"sf_${math.abs(d.hashCode)}"
     val fqn = s"graft.$ns.$table"
@@ -50,11 +50,15 @@ object CatalogQueries {
     val exists = s.sql(s"SHOW TABLES IN graft.$ns").collect()
       .exists(_.getString(1) == table) && usable(s, fqn, srcCount)
     if (!exists) {
+      // splits is by-name: the approxQuantile scan behind it only runs
+      // when the table actually has to be (re)built
       s.sql(
         s"""CREATE TABLE $fqn ($ddlCols)
            |TBLPROPERTIES('keyCols'='$keyCols',
            |              'regionSplits'='$splits')""".stripMargin)
-      val cols = ddlCols.split(",").map(_.trim.split("\\s+").head)
+      // split on commas OUTSIDE parens so types like DECIMAL(12,2)
+      // don't shear the column list
+      val cols = ddlCols.split(",(?![^(]*\\))").map(_.trim.split("\\s+").head)
       val v = s"${table}_src_${math.abs(d.hashCode)}"
       s.read.parquet(s"$d/$srcFile.parquet")
         .select(cols.head, cols.tail: _*)
