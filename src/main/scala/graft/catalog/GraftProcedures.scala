@@ -33,7 +33,7 @@ object GraftProcedures {
   val Namespace: Array[String] = Array("sys")
 
   val Names: Seq[String] =
-    Seq("load_csv", "compact", "stats", "vacuum", "manifest")
+    Seq("load_csv", "compact", "stats", "vacuum", "manifest", "fold")
 
   def load(catalogName: String, ident: Identifier): UnboundProcedure = {
     require(ident.namespace.isEmpty ||
@@ -46,6 +46,7 @@ object GraftProcedures {
       case "stats" => new StatsProcedure(catalogName)
       case "vacuum" => new VacuumProcedure(catalogName)
       case "manifest" => new ManifestProcedure(catalogName)
+      case "fold" => new FoldProcedure(catalogName)
       case other => throw new IllegalArgumentException(
         s"unknown graft procedure $other; available: ${Names.mkString(", ")}")
     }
@@ -171,6 +172,35 @@ object GraftProcedures {
           Collections.singletonList(LocalRowsScan(Array("region_file",
             "region_id", "rows", "bucket", "key_min", "key_max",
             "column_stats"), rows): Scan).iterator()
+        }
+      }
+  }
+
+  /** `CALL graft.sys.fold(table => 'ns.t')` — fold the commit log into
+    * the checkpoint NOW, without waiting for the every-16-commits
+    * trigger or a compaction. For quiescing a table before a backup or
+    * manifest copy (the checkpoint file then carries the whole state).
+    * Returns the number of segments folded. */
+  final class FoldProcedure(catalogName: String)
+      extends UnboundProcedure {
+    override def name(): String = "fold"
+    override def description(): String =
+      "fold the commit log of a graft table into its checkpoint manifest"
+    override def bind(inputType: StructType): BoundProcedure =
+      new BoundProcedure {
+        override def name(): String = "fold"
+        override def description(): String =
+          FoldProcedure.this.description()
+        override def isDeterministic: Boolean = false
+        override def parameters(): Array[ProcedureParameter] = Array(
+          ProcedureParameter.in("table", StringType)
+            .comment("'<namespace>.<table>' within this catalog").build())
+        override def call(input: InternalRow): java.util.Iterator[Scan] = {
+          val gt = graftTable(catalogName, input.getUTF8String(0).toString)
+          val folded = TableMeta.foldLog(gt.tableDir)
+          Collections.singletonList(LocalRowsScan(
+            Array("folded_segments"),
+            Seq(Seq(folded.toString))): Scan).iterator()
         }
       }
   }

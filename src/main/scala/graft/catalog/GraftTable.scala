@@ -57,7 +57,10 @@ class GraftTable(tableName: String, val tableDir: File, val meta: TableMeta)
     * BEFORE a dedupKeys compaction folds duplicates:
     * `row_number() OVER (PARTITION BY key ORDER BY _graft_region_id
     * DESC) = 1`. The `_graft` name prefix is already reserved at DDL
-    * time, so these can never collide with user columns. */
+    * time, so these can never collide with user columns. BATCH-only:
+    * Spark's streaming relation does not resolve V2 metadata columns
+    * (a `readStream` selecting one fails at stream start) — a tailing
+    * stream's provenance is its offset (region ids) instead. */
   override def metadataColumns(): Array[connector.catalog.MetadataColumn] =
     GraftMetaCols.all
 

@@ -538,9 +538,23 @@ object TableMeta {
     * counted. */
   private[catalog] def stateAndLogLength(tableDir: File)
       : (ManifestState, Int) =
+    withManifestLock(tableDir)(stateAndLogLengthUnsafe(tableDir))
+
+  // callers own locking (the OS file lock is NOT same-JVM reentrant)
+  private def stateAndLogLengthUnsafe(tableDir: File)
+      : (ManifestState, Int) = {
+    val l = loadLoaded(tableDir) // cached — no O(regions) re-parse
+    (l.state, listSegSeqs(tableDir).count(_ > l.cpSeq))
+  }
+
+  /** Fold the commit log into the checkpoint NOW (the
+    * `graft.sys.fold` procedure); returns the number of live segments
+    * folded. A no-op on an already-folded log. */
+  private[catalog] def foldLog(tableDir: File): Int =
     withManifestLock(tableDir) {
-      val l = loadLoaded(tableDir) // cached — no O(regions) re-parse
-      (l.state, listSegSeqs(tableDir).count(_ > l.cpSeq))
+      val (st, live) = stateAndLogLengthUnsafe(tableDir)
+      if (live > 0) saveState(tableDir, st)
+      live
     }
 
   /** Append newly committed regions (write-commit protocol). The

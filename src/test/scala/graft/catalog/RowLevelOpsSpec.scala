@@ -242,6 +242,16 @@ class RowLevelOpsSpec extends AnyFunSuite {
     val s0 = state()
     assert(s0("live_regions") == "4" && s0("live_rows") == "400")
     assert(s0("log_segments").toInt >= 1, "the INSERT appended a segment")
+    // manual fold: checkpoint carries the whole state, log empties
+    val folded = spark.sql(
+      "CALL graft.sys.fold(table => 'rlo.maniproc')").collect().head
+    assert(folded.getString(0).toInt >= 1)
+    assert(state()("log_segments") == "0")
+    assert(spark.sql(
+      "CALL graft.sys.fold(table => 'rlo.maniproc')").collect()
+      .head.getString(0) == "0", "second fold is a no-op")
+    spark.sql(s"INSERT INTO $fqn SELECT id, 'open', id * 1.0 " +
+      "FROM range(400, 401)")
     spark.sql(s"UPDATE $fqn SET v = 0.0 WHERE k < 100")
     val s1 = state()
     assert(s1("generation").toLong == s0("generation").toLong + 1,
