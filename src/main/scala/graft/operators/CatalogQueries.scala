@@ -307,6 +307,47 @@ object CatalogQueries {
         "p_partkey", partKeySplits(s, d), "part")
     })
 
+  /** Returnflag-carrying lineitem twin for Q10 (same orderkey splits
+    * — co-partitioned with orders_t). */
+  private val builtLiR = scala.collection.concurrent.TrieMap[String, String]()
+  private def lineitemReturnsTable(s: SparkSession, d: String): String =
+    builtLiR.getOrElseUpdate(d, {
+      ordersTable(s, d)
+      buildKeyedTable(s, d, "lineitem_r_t",
+        """l_orderkey BIGINT, l_linenumber INT, l_extendedprice DOUBLE,
+          |l_discount DOUBLE, l_returnflag STRING""".stripMargin,
+        "l_orderkey;l_linenumber", orderKeySplits(s, d), "lineitem")
+    })
+
+  /** TPC-H Q10 (returned-item reporting): which customers returned the
+    * most revenue — fact-fact join storage-partitioned on the
+    * orderkey, customer + nation broadcast, top-20 as
+    * TakeOrderedAndProject. Completes the heavy-shape family
+    * (Q3 interactive-BI, Q5 star join, Q17 correlated avg, Q18
+    * semi-join+agg, Q21 double self-correlation). */
+  val tpchQ10: Q = (s, d) => {
+    val li = lineitemReturnsTable(s, d)
+    val o = ordersTable(s, d)
+    val h = math.abs(d.hashCode)
+    Seq("customer", "nation").foreach { t =>
+      s.read.parquet(s"$d/$t.parquet")
+        .createOrReplaceTempView(s"${t}_cat_dim_$h")
+    }
+    s.sql(
+      s"""SELECT c.c_custkey, c.c_name, n.n_name AS nation,
+         |       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
+         |         AS revenue,
+         |       count(*) AS items
+         |FROM $li l
+         |JOIN $o o ON l.l_orderkey = o.o_orderkey
+         |JOIN customer_cat_dim_$h c ON o.o_custkey = c.c_custkey
+         |JOIN nation_cat_dim_$h n ON c.c_nationkey = n.n_nationkey
+         |WHERE l.l_returnflag = 'R'
+         |  AND o.o_orderdate >= DATE'1995-01-01'
+         |GROUP BY c.c_custkey, c.c_name, n.n_name
+         |ORDER BY revenue DESC, c.c_custkey ASC LIMIT 20""".stripMargin)
+  }
+
   /** TPC-H Q17-shaped (small-quantity-order revenue): the correlated
     * per-part average, hand-decorrelated the way Catalyst would —
     * aggregate once per part, join the threshold back, filter, and
@@ -902,6 +943,7 @@ object CatalogQueries {
     "catalog_join_parquet" -> joinParquet,
     "catalog_tpch_q5" -> tpchQ5,
     "catalog_tpch_q3" -> tpchQ3,
+    "catalog_tpch_q10" -> tpchQ10,
     "catalog_tpch_q17" -> tpchQ17,
     "catalog_tpch_q18" -> tpchQ18,
     "catalog_tpch_q21" -> tpchQ21,
@@ -1096,6 +1138,20 @@ object CatalogQueries {
         |JOIN orders o ON o.o_orderkey = b.l_orderkey
         |JOIN customer c ON o.o_custkey = c.c_custkey
         |ORDER BY total_qty DESC, o.o_orderkey ASC LIMIT 100""".stripMargin,
+
+    "catalog_tpch_q10" ->
+      """SELECT c.c_custkey, c.c_name, n.n_name AS nation,
+        |       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
+        |         AS revenue,
+        |       count(*) AS items
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |WHERE l.l_returnflag = 'R'
+        |  AND o.o_orderdate >= DATE'1995-01-01'
+        |GROUP BY c.c_custkey, c.c_name, n.n_name
+        |ORDER BY revenue DESC, c.c_custkey ASC LIMIT 20""".stripMargin,
 
     // avg(l_quantity) is IEEE-exact (integer-valued quantities), so
     // the /5 threshold and the < compare agree bit-for-bit; revenue

@@ -46,6 +46,15 @@ class TpchHeavyPlanSpec extends AnyFunSuite {
       s"orderkey shuffles present:\n${bad.mkString("\n")}\n\nplan:\n$plan")
   }
 
+  test("q10: the fact-fact join rides the orderkey storage " +
+      "partitioning; top-20 plans as TakeOrderedAndProject") {
+    val plan = planNoBroadcast("catalog_tpch_q10")
+    assert(plan.contains("TakeOrderedAndProject"), "top-20 shape")
+    val bad = orderkeyShuffles(plan)
+    assert(bad.isEmpty,
+      s"orderkey shuffles present:\n${bad.mkString("\n")}\n\nplan:\n$plan")
+  }
+
   test("q17: per-part avg, threshold join, AND the part-dim join all " +
       "ride the partkey storage partitioning — zero partkey Exchange") {
     val plan = planNoBroadcast("catalog_tpch_q17")
