@@ -619,17 +619,23 @@ object CatalogQueries {
     Extended.sessionize(s.table(eventsTable(s, d)))
 
   /** Orders with a DECIMAL(12,2) price stored IN the catalog: exact
-    * decimal aggregation over the store, hash-matched against DuckDB's
-    * own decimal arithmetic (no double-rounding fudge anywhere — the
-    * divergence the reference's doubles-only type system forced). */
+    * decimal aggregation over the store. The price is derived from
+    * integer cents (`(o_orderkey * 7919 + 421) % 10^8`, then an exact
+    * decimal `* 0.01`) so NO double→decimal cast exists in either
+    * face — Spark and DuckDB disagree on tie-rounding the binary
+    * expansion of a double, which kept the old
+    * `CAST(o_totalprice AS DECIMAL)` variant hash-red at the driver
+    * even with rows and schema matching. Every step here (BIGINT
+    * modular arithmetic, DECIMAL(12,0)*DECIMAL(3,2), scale-2 cast of
+    * an exactly-scale-2 value) is exact in both engines. */
   private val builtDec = scala.collection.concurrent.TrieMap[String, String]()
   private def decimalTable(s: SparkSession, d: String): String =
     builtDec.getOrElseUpdate(d, {
       ordersTable(s, d)
       val ns = s"sf_${math.abs(d.hashCode)}"
-      val fqn = s"graft.$ns.orders_dec_t"
+      val fqn = s"graft.$ns.orders_cents_t"
       val srcCount = s.read.parquet(s"$d/orders.parquet").count()
-      val exists = trusted(s, ns, "orders_dec_t", srcCount)
+      val exists = trusted(s, ns, "orders_cents_t", srcCount)
       if (!exists) {
         s.sql(
           s"""CREATE TABLE $fqn (
@@ -641,7 +647,9 @@ object CatalogQueries {
         s.read.parquet(s"$d/orders.parquet").createOrReplaceTempView(v)
         s.sql(s"""INSERT INTO $fqn
           SELECT o_orderkey, o_orderstatus,
-                 CAST(o_totalprice AS DECIMAL(12,2)) FROM $v""")
+                 CAST(CAST((o_orderkey * 7919 + 421) % 100000000
+                           AS DECIMAL(12,0)) * 0.01 AS DECIMAL(12,2))
+          FROM $v""")
       }
       fqn
     })
@@ -962,14 +970,20 @@ object CatalogQueries {
   val oracles: Map[String, String] = Map(
     // both engines aggregate true decimals — values must match exactly,
     // no round() anywhere (scale-2 results on both sides); sum widened
-    // to Spark's result width DECIMAL(22,2) (DuckDB's is DECIMAL(38,2))
+    // to Spark's result width DECIMAL(22,2) (DuckDB's is DECIMAL(38,2)).
+    // The price is rebuilt from the SAME integer-cents formula as the
+    // catalog table (decimalTable): no double→decimal cast on either
+    // side, so the values are bit-identical decimals by construction.
     "catalog_decimal" ->
-      """SELECT o_orderstatus, count(*) AS cnt,
-        |       CAST(sum(CAST(o_totalprice AS DECIMAL(12,2)))
-        |            AS DECIMAL(22,2)) AS total,
-        |       min(CAST(o_totalprice AS DECIMAL(12,2))) AS lo,
-        |       max(CAST(o_totalprice AS DECIMAL(12,2))) AS hi
-        |FROM orders GROUP BY o_orderstatus""".stripMargin,
+      """WITH priced AS (
+        |  SELECT o_orderstatus,
+        |         CAST(CAST((o_orderkey * 7919 + 421) % 100000000
+        |                   AS DECIMAL(12,0)) * 0.01 AS DECIMAL(12,2)) AS p
+        |  FROM orders)
+        |SELECT o_orderstatus, count(*) AS cnt,
+        |       CAST(sum(p) AS DECIMAL(22,2)) AS total,
+        |       min(p) AS lo, max(p) AS hi
+        |FROM priced GROUP BY o_orderstatus""".stripMargin,
 
     // identical to events_session's oracle: the key-sorted store must
     // hold exactly the source events (and the exchange-free plan must
