@@ -92,6 +92,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     catalogName = name
     warehouse = new File(
       Option(options.get("warehouse")).getOrElse("/tmp/graft_warehouse"))
+    // spark.sql.catalog.graft.commitStore — refuses unknown names
+    // loudly (a lock that silently does not lock corrupts manifests)
+    TableMeta.commitStore = CommitStore.select(
+      Option(options.get("commitStore")).getOrElse("posix"))
     Files.createDirectories(Paths.get(warehouse.getPath, "default"))
   }
 

@@ -1,8 +1,7 @@
 package graft.catalog
 
 import java.io.File
-import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.nio.file.Files
 
 import com.fasterxml.jackson.databind.ObjectMapper
 import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
@@ -126,12 +125,14 @@ object TableMeta {
 
   private def mapper = new ObjectMapper()
 
-  private def writeAtomic(path: File, content: String): Unit = {
-    val tmp = Paths.get(path.getPath + ".tmp")
-    Files.write(tmp, content.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, path.toPath, StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
-  }
+  /** The storage seam every manifest write goes through ([[CommitStore]]).
+    * Selected once per catalog initialization; `@volatile` because the
+    * catalog may be initialized on a different thread than committers. */
+  @volatile private[catalog] var commitStore: CommitStore =
+    CommitStore.LockedPosix
+
+  private def writeAtomic(path: File, content: String): Unit =
+    commitStore.putReplace(path, content)
 
   def exists(tableDir: File): Boolean = new File(tableDir, MetaFile).isFile
 
@@ -512,7 +513,13 @@ object TableMeta {
   }
 
   /** Append one commit's delta to the log. Callers own locking (seq
-    * allocation assumes serialized writers). */
+    * allocation assumes serialized writers). Published if-absent as a
+    * tripwire: under a working manifest lock a seq collision is
+    * impossible ([[saveState]] keeps `lastSeq` monotone, so consumed
+    * seqs are never reallocated) — if one happens anyway, a second
+    * committer slipped past a lock the filesystem ignored, and the
+    * commit MUST fail loudly instead of silently dropping a
+    * concurrent writer's regions. */
   private def writeSegment(tableDir: File, seq: Long,
       regions: Seq[RegionMeta], epochs: Map[String, EpochEntry]): Unit = {
     val d = logDirOf(tableDir)
@@ -521,7 +528,14 @@ object TableMeta {
     root.put("seq", seq)
     epochsJson(root, epochs)
     regionsJson(root.putArray("regions"), regions)
-    writeAtomic(segFile(tableDir, seq), root.toString)
+    if (!commitStore.putIfAbsent(segFile(tableDir, seq), root.toString))
+      throw new java.util.ConcurrentModificationException(
+        s"log segment $seq of $tableDir already exists: a concurrent " +
+          "committer got past the manifest lock, so this filesystem's " +
+          s"locking is not trustworthy under commit store " +
+          s"'${commitStore.name}'. No data was overwritten; this " +
+          "commit was aborted. Configure a commit store suited to the " +
+          "filesystem (README: commit-store deployment matrix).")
   }
 
   /** Fold the log into a checkpoint once it is long enough. Callers own
@@ -557,36 +571,15 @@ object TableMeta {
       live
     }
 
-  /** Append newly committed regions (write-commit protocol). The
-    * read-modify-write is serialized through an OS file lock so
-    * concurrent committers (parallel INSERTs, a streaming sink racing a
-    * batch load) cannot drop each other's regions; combined with the
-    * atomic manifest move this gives lost-update-free appends on any
-    * filesystem with advisory locking. */
-  // JVM file locks throw OverlappingFileLockException for same-process
-  // contention, so serialize threads on a per-table monitor first and
-  // use the OS lock only against other processes.
-  private val monitors =
-    new java.util.concurrent.ConcurrentHashMap[String, Object]()
-
-  /** Run `body` holding the table's manifest lock (per-table monitor for
-    * same-JVM threads + OS file lock for other processes). Every
-    * manifest read-modify-write — append and compaction swap alike —
-    * must go through here. */
-  def withManifestLock[T](tableDir: File)(body: => T): T = {
-    val monitor = monitors.computeIfAbsent(
-      tableDir.getCanonicalPath, _ => new Object)
-    monitor.synchronized {
-      val lockFile = new File(tableDir, ".graft_manifest.lock")
-      val ch = java.nio.channels.FileChannel.open(lockFile.toPath,
-        java.nio.file.StandardOpenOption.CREATE,
-        java.nio.file.StandardOpenOption.WRITE)
-      try {
-        val lock = ch.lock()
-        try body finally lock.release()
-      } finally ch.close()
-    }
-  }
+  /** Run `body` holding the table's manifest lock. Every manifest
+    * read-modify-write — append and compaction swap alike — must go
+    * through here. Delegates to the configured [[CommitStore]]: the
+    * default [[CommitStore.LockedPosix]] uses a per-table monitor for
+    * same-JVM threads plus an OS advisory file lock for other
+    * processes, and refuses loudly on filesystems whose locks do not
+    * work rather than running a lock that does not lock. */
+  def withManifestLock[T](tableDir: File)(body: => T): T =
+    commitStore.exclusively(tableDir)(body)
 
   def appendRegions(tableDir: File, added: Seq[RegionMeta]): Unit = {
     // a zero-region commit (all-empty write tasks) must not grow the
