@@ -314,20 +314,35 @@ object TextOps {
     // must stay tractable) and is a parameter, not pipeline semantics:
     // production callers pass None and dedup the whole corpus
     val bounded = idBound.fold(docsDf)(b => docsDf.filter(col("doc_id") < b))
-    // signatures over the WORD SET (not 3-word shingles): the recall
-    // path must approximate the same similarity the verifier computes
-    // exactly — word-order edits tank shingle jaccard while leaving
-    // word-set jaccard at 0.9+, so shingle LSH would miss true pairs.
-    // At j=0.9 a 2-row band agrees w.p. 0.81; missing all 32 bands
-    // happens w.p. (1-0.81)^32 < 1e-22.
-    val sigs = bounded.withColumn(
-      "sig", graft.functions.VectorOps.minhashSig(
-        array_distinct(wordsCol), NumPerm))
+    minhashVerifiedPairsFromSigs(bounded, minhashWordSigs(bounded))
+  }
+
+  /** The signature stage of [[minhashVerifiedPairs]] on its own —
+    * signatures over the WORD SET (not 3-word shingles): the recall
+    * path must approximate the same similarity the verifier computes
+    * exactly — word-order edits tank shingle jaccard while leaving
+    * word-set jaccard at 0.9+, so shingle LSH would miss true pairs.
+    * Split out so a pipeline can MATERIALIZE it (the "near-dup index"
+    * artifact): signatures are one linear pass over the corpus, the
+    * expensive stage worth persisting; banding + exact verify re-run
+    * cheaply from the stored signatures. */
+  def minhashWordSigs(docsDf: DataFrame): DataFrame =
+    docsDf.select(col("doc_id"),
+      graft.functions.VectorOps.minhashSig(
+        array_distinct(wordsCol), NumPerm).as("sig"))
+
+  /** Banding + exact-Jaccard verification over PRECOMPUTED signatures
+    * (`sigsDf` must be [[minhashWordSigs]] of exactly `docsDf`'s rows,
+    * in-session persisted or store-materialized).
+    * At j=0.9 a 2-row band agrees w.p. 0.81; missing all 32 bands
+    * happens w.p. (1-0.81)^32 < 1e-22. */
+  def minhashVerifiedPairsFromSigs(docsDf: DataFrame,
+      sigsDf: DataFrame): DataFrame = {
     val numBands = 32
     val rowsPer = NumPerm / numBands
     val comps = (0 until rowsPer).map(r => s"sig[$rowsPer*b+$r]")
       .mkString(", ")
-    val bands = sigs.select(col("doc_id"),
+    val bands = sigsDf.select(col("doc_id"),
       explode(expr(s"transform(sequence(0, ${numBands - 1}), " +
         s"b -> xxhash64($comps, b))")).as("bh"))
     val a = bands.select(col("bh"), col("doc_id").as("da"))
@@ -338,7 +353,7 @@ object TextOps {
     // kills most spurious band collisions before any array travels
     val cands = a.join(b, Seq("bh")).filter(col("da") < col("db"))
       .select(col("da"), col("db")).distinct()
-    val w = bounded
+    val w = docsDf
       .select(col("doc_id"), array_distinct(wordsCol).as("ws"))
       .withColumn("n", size(col("ws")))
     val sizes = w.select(col("doc_id"), col("n"))
