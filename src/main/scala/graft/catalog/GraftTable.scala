@@ -57,10 +57,12 @@ class GraftTable(tableName: String, val tableDir: File, val meta: TableMeta)
     * BEFORE a dedupKeys compaction folds duplicates:
     * `row_number() OVER (PARTITION BY key ORDER BY _graft_region_id
     * DESC) = 1`. The `_graft` name prefix is already reserved at DDL
-    * time, so these can never collide with user columns. BATCH-only:
-    * Spark's streaming relation does not resolve V2 metadata columns
-    * (a `readStream` selecting one fails at stream start) — a tailing
-    * stream's provenance is its offset (region ids) instead. */
+    * time, so these can never collide with user columns. Resolved on
+    * BOTH faces: batch via V2 column pruning, streaming via the
+    * always-appended trailing columns in [[GraftScan.toMicroBatchStream]]
+    * (Spark's streaming path resolves `metadataOutput` but runs no
+    * pruning pass — see the note there), so an incremental consumer
+    * can checkpoint `max(_graft_region_id)` in plain SQL. */
   override def metadataColumns(): Array[connector.catalog.MetadataColumn] =
     GraftMetaCols.all
 
@@ -649,7 +651,18 @@ class GraftScan(tableDir: File, meta: TableMeta, required: StructType,
     // the streaming stand-in for batch-only filter pushdown
     val hinted = filterHint
       .map(FilterHint.parse(_, Some(meta.schema))).getOrElse(Array.empty)
-    new GraftMicroBatchStream(tableDir, required, filters ++ hinted)
+    // Streaming resolves metadata columns (StreamingRelationV2 is
+    // ExposesMetadataColumns) but runs NO pruning pass, so when a
+    // query references one the relation's output is the full data
+    // schema plus ALL metadata columns, in metadataColumns() order —
+    // while `required` here is still only the data schema. Emit the
+    // metadata columns unconditionally as trailing fields: they line
+    // up exactly when referenced, and unreferenced trailing columns
+    // are never read (cost: one constant vector per batch).
+    val withMeta = StructType(required.fields ++ GraftMetaCols.all.map(m =>
+      org.apache.spark.sql.types.StructField(m.name, m.dataType,
+        nullable = false)))
+    new GraftMicroBatchStream(tableDir, withMeta, filters ++ hinted)
   }
 
   /** Key-grouped partitioning over the fixed region buckets, when the

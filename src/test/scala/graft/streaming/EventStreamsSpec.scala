@@ -412,6 +412,62 @@ class EventStreamsSpec extends AnyFunSuite {
     }
   }
 
+  test("tailing stream resolves _graft_region_id and resumes past it") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.stream")
+    spark.sql("DROP TABLE IF EXISTS graft.stream.tail_meta")
+    spark.sql("DROP TABLE IF EXISTS graft.stream.tail_meta_out")
+    spark.sql(
+      """CREATE TABLE graft.stream.tail_meta (k INT, v STRING)
+        |TBLPROPERTIES('keyCols'='k')""".stripMargin)
+    // the sink records each row's SOURCE region id — the provenance an
+    // incremental consumer checkpoints via SQL alone
+    spark.sql(
+      """CREATE TABLE graft.stream.tail_meta_out (k INT, src_region BIGINT)
+        |TBLPROPERTIES('keyCols'='k')""".stripMargin)
+    spark.sql("INSERT INTO graft.stream.tail_meta VALUES (1, 'a'), (2, 'b')")
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-tail-meta-ckpt").toString
+    def start() = spark.readStream.table("graft.stream.tail_meta")
+      .select(col("k"), col("_graft_region_id").as("src_region"))
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .toTable("graft.stream.tail_meta_out")
+    def out(): Map[Int, Long] =
+      spark.table("graft.stream.tail_meta_out").collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val q = start()
+    try {
+      q.processAllAvailable()
+      val first = out()
+      assert(first.keySet == Set(1, 2))
+      // region ids are the REAL manifest ids (checkpointable
+      // provenance), not placeholders
+      val ids = graft.catalog.TableMeta.loadRegions(new java.io.File(
+        s"/tmp/graft_test_warehouse_${ProcessHandle.current().pid()}" +
+          "/stream/tail_meta")).map(_.id).toSet
+      assert(first.values.toSet.subsetOf(ids))
+      spark.sql("INSERT INTO graft.stream.tail_meta VALUES (3, 'c')")
+      q.processAllAvailable()
+      // the new batch's region id is strictly newer — an incremental
+      // consumer can checkpoint max(_graft_region_id) via SQL alone
+      assert(out()(3) > first.values.max)
+    } finally q.stop()
+    // restart from the checkpoint: only NEW regions flow, and the
+    // metadata column keeps resolving across the restart
+    spark.sql("INSERT INTO graft.stream.tail_meta VALUES (4, 'd')")
+    val before = out()
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      val after = out()
+      assert(after.keySet == Set(1, 2, 3, 4))
+      assert(after(4) > before(3))
+    } finally q2.stop()
+    spark.sql("DROP TABLE graft.stream.tail_meta")
+    spark.sql("DROP TABLE graft.stream.tail_meta_out")
+  }
+
   test("flatMapGroupsWithState running totals match batch group-by") {
     val stream = EventStreams.asStream(spark, TestSpark.sfDir)
     val got = EventStreams.runToBatch(spark,
