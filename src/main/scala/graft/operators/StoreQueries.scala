@@ -13,8 +13,10 @@ object StoreQueries {
 
   private val cache = scala.collection.concurrent.TrieMap[String, String]()
 
-  /** Build (once per sf dir) an orders region store keyed by o_orderkey. */
-  private def ordersStore(s: SparkSession, d: String): String =
+  /** Build (once per sf dir) an orders region store keyed by o_orderkey.
+    * `private[operators]` so PlanShapeSpec asserts pruning/ordering on
+    * the SAME fixture the driver-gate faces run against. */
+  private[operators] def ordersStore(s: SparkSession, d: String): String =
     cache.getOrElseUpdate(d, {
       val dir = s"/tmp/graft_region_store/orders_${math.abs(d.hashCode)}"
       if (!new java.io.File(s"$dir/_graft_manifest").exists()) {

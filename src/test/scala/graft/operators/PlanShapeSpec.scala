@@ -120,4 +120,56 @@ class PlanShapeSpec extends AnyFunSuite {
     val none = plan(spark.sql(s"SELECT * FROM $t WHERE o_orderkey IS NULL"))
     assert(none.contains("regions=0"), none)
   }
+
+  // ---- the store_* library faces (RegionStore): same plan discipline
+  // as the catalog faces — pruning counts, ordered disjoint regions,
+  // pushed residuals, partial aggregation
+
+  import org.apache.spark.sql.functions._
+  import graft.store.RegionStore
+
+  test("store_range_scan prunes regions; residual pushed to parquet") {
+    val dir = StoreQueries.ordersStore(spark, sf)
+    val (_, info) = RegionStore.scanWithInfo(spark, dir,
+      Some(col("o_orderkey").between(100, 200)))
+    assert(info.total == 16, s"fixture should hold 16 regions: $info")
+    assert(info.selected <= 2,
+      s"a 100-key range must touch at most 2 of 16 regions: $info")
+    val p = plan(StoreQueries.rangeScan(spark, sf))
+    // the residual still reaches parquet row-group/page pruning
+    assert(p.contains("PushedFilters") &&
+      p.contains("GreaterThanOrEqual(o_orderkey,100)"), p)
+  }
+
+  test("store_key_agg: OR-of-ranges pruning + partial aggregation") {
+    val dir = StoreQueries.ordersStore(spark, sf)
+    val (_, info) = RegionStore.scanWithInfo(spark, dir,
+      Some(col("o_orderkey") <= 500 || col("o_orderkey") > 1400))
+    // both ranges prune: the middle of the keyspace is never read
+    assert(info.selected < info.total,
+      s"OR-of-ranges should skip interior regions: $info")
+    val p = plan(StoreQueries.keyAgg(spark, sf))
+    assert(p.contains("partial_"), s"no partial aggregation in:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("store point lookup is recognized and touches one region") {
+    val dir = StoreQueries.ordersStore(spark, sf)
+    val (_, info) = RegionStore.scanWithInfo(spark, dir,
+      Some(col("o_orderkey") === 100))
+    assert(info.pointLookup && info.selected == 1, info.toString)
+  }
+
+  test("store fixture regions are key-ordered and disjoint") {
+    val dir = StoreQueries.ordersStore(spark, sf)
+    val m = RegionStore.readManifest(spark, dir)
+    val sorted = m.regions.sortWith((a, b) =>
+      graft.codec.KeyCodec.compare(a.mins.head, b.mins.head) < 0)
+    sorted.sliding(2).foreach {
+      case Seq(a, b) =>
+        assert(graft.codec.KeyCodec.compare(a.maxs.head, b.mins.head) < 0,
+          "store regions overlap — ordering contract broken")
+      case _ =>
+    }
+  }
 }
