@@ -61,15 +61,33 @@ object Multimodal {
   }
 
   /** Partition-parallel feature extraction (the mapInPandas analogue):
-    * one "codec" init per partition, streaming rows, fixed-width output. */
-  def extractFeatures(media: Dataset[MediaRow], dim: Int = 16)
+    * one "codec" init per partition, streaming rows, fixed-width output.
+    *
+    * MEMORY CONTRACT (what makes a real codec fit this slot at region
+    * size): rows stream through the partition iterator lazily, so a
+    * decoder's working buffers are live for ONE row at a time per task
+    * — peak decode memory is `frame_buffer × concurrent_tasks`,
+    * independent of region row count. Nothing in this slot (and
+    * nothing a decoder plugs into it) may materialize the partition;
+    * MultimodalSpec proves the property with an instrumented decoder:
+    * in-flight rows stay O(1) across a 500k-row partition (10× a
+    * compacted region) and a task allocating real 6 MB 1080p-frame
+    * buffers per row completes in a heap ~1000× smaller than the
+    * would-be materialized total.
+    *
+    * `decode` is the codec seam (payload, dim) → features; the default
+    * is the deterministic digest stub (no media libs in this
+    * container). A real implementation opens its native codec once per
+    * partition and reuses it across rows. */
+  def extractFeatures(media: Dataset[MediaRow], dim: Int = 16,
+      decode: (Array[Byte], Int) => Array[Float] = decodeAndPoolStub)
       : Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       // per-partition setup would open the native codec here (once)
       rows.map { r =>
         MediaFeatures(r.media_id, r.kind, r.payload.length,
-          decodeAndPoolStub(r.payload, dim))
+          decode(r.payload, dim))
       }
     }
   }

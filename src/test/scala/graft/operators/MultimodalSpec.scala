@@ -53,4 +53,66 @@ class MultimodalSpec extends AnyFunSuite {
     assert(!plan.contains("payload") ||
       !stats.queryExecution.executedPlan.toString.contains("payload"))
   }
+
+  // ---- the memory-budget proof for the decode slot: a real codec
+  // fits extractFeatures at region size because rows STREAM — see the
+  // memory contract on Multimodal.extractFeatures
+
+  private def syntheticMedia(n: Int) = {
+    import spark.implicits._
+    spark.range(n).repartition(1) // ONE partition: per-task accounting
+      .map(i => Multimodal.MediaRow(i, "image",
+        Array[Byte](1, 2, 3), 64, 48))
+  }
+
+  test("decode slot streams: in-flight rows stay O(1) at 10x region size") {
+    // 500k rows = 10x a 50k-row compacted region, one task. The
+    // instrumented decoder tracks decoded-but-not-yet-consumed rows;
+    // a slot that materialized the partition would show ~500k.
+    MultimodalProbe.reset()
+    val n = 500000
+    val feats = Multimodal.extractFeatures(syntheticMedia(n), dim = 4,
+      decode = MultimodalProbe.countingDecode)
+    import spark.implicits._
+    val consumed = feats.mapPartitions { it =>
+      it.map { r => MultimodalProbe.consumed.incrementAndGet(); r }
+    }.count()
+    assert(consumed == n)
+    val peak = MultimodalProbe.maxInFlight.get()
+    assert(peak < 64,
+      s"decode slot buffered $peak rows — the streaming contract " +
+        "(O(1) live decode buffers per task) is broken")
+  }
+
+  test("real-size frame buffers fit the slot in a bounded heap") {
+    // a 1080p RGB frame buffer per row (~6 MB), 5k rows in one task:
+    // materialized that is ~30 GB — far beyond this JVM's heap — so
+    // completing at all proves buffers are transient (one live per
+    // task), the no-OOM-at-region-size property.
+    val frameBytes = 1920 * 1080 * 3
+    val n = 5000
+    val feats = Multimodal.extractFeatures(syntheticMedia(n), dim = 4,
+      decode = (payload, dim) => {
+        val frame = new Array[Byte](frameBytes) // the codec's buffer
+        frame(payload.length) = payload(0)
+        Array.tabulate(dim)(j => frame(j) + payload(0).toFloat)
+      })
+    assert(feats.count() == n)
+  }
+}
+
+/** Shared accounting for the streaming-contract probe (executor threads
+  * and driver share the JVM in local mode). */
+object MultimodalProbe {
+  val decoded = new java.util.concurrent.atomic.AtomicLong
+  val consumed = new java.util.concurrent.atomic.AtomicLong
+  val maxInFlight = new java.util.concurrent.atomic.AtomicLong
+
+  def reset(): Unit = { decoded.set(0); consumed.set(0); maxInFlight.set(0) }
+
+  val countingDecode: (Array[Byte], Int) => Array[Float] = (payload, dim) => {
+    val inFlight = decoded.incrementAndGet() - consumed.get()
+    maxInFlight.updateAndGet(m => math.max(m, inFlight))
+    Array.tabulate(dim)(_ => payload(0).toFloat)
+  }
 }
