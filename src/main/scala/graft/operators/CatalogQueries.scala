@@ -568,29 +568,39 @@ object CatalogQueries {
       fqn
     })
 
-  /** MinHash signatures MATERIALIZED as a graft table — the "near-dup
-    * index" artifact a production pipeline persists once (the same
-    * store-the-expensive-stage move [[IvfIndex]] makes for its
-    * inverted lists): the signature pass is the linear-in-corpus
-    * stage, so it is computed from the stored documents ONCE at build
-    * and the per-query work is banding + exact verify only. */
-  private val builtSig = scala.collection.concurrent.TrieMap[String, String]()
-  private def minhashSigTable(s: SparkSession, d: String): String =
-    builtSig.getOrElseUpdate(d, {
+  /** The MinHash band index MATERIALIZED as a graft table — the
+    * "near-dup index" artifact a production pipeline persists once
+    * (the same store-the-expensive-stage move [[IvfIndex]] makes for
+    * its inverted lists). Signatures (the linear-in-corpus stage) and
+    * their banding are computed from the stored documents ONCE at
+    * build; the table is KEYED BY band hash with fixed even splits
+    * over the hash space, so per-query candidate generation is a
+    * co-located storage-partitioned self-join — zero Exchange, the
+    * layout that holds at any corpus size. */
+  private val builtBand = scala.collection.concurrent.TrieMap[String, String]()
+  private def minhashBandTable(s: SparkSession, d: String): String =
+    builtBand.getOrElseUpdate(d, {
       val docsFqn = documentsTable(s, d)
       val ns = s"sf_${math.abs(d.hashCode)}"
-      val fqn = s"graft.$ns.minhash_sig_t"
+      val fqn = s"graft.$ns.minhash_band_t"
       import org.apache.spark.sql.functions.col
       val bounded = s.table(docsFqn).filter(col("doc_id") < 1000L)
-      val srcCount = bounded.count()
-      val exists = trusted(s, ns, "minhash_sig_t", srcCount)
+      val srcCount = bounded.count() * 32L // 32 bands per doc
+      val exists = trusted(s, ns, "minhash_band_t", srcCount)
       if (!exists) {
+        // xxhash64 band hashes are uniform over the full Long range:
+        // fixed even splits, no quantile scan needed
+        val splits = (1 until 8).map(i =>
+          (BigInt(Long.MinValue) + (BigInt(2).pow(64) / 8) * i).toLong)
+          .mkString(";")
         s.sql(
-          s"""CREATE TABLE $fqn (doc_id BIGINT, sig ARRAY<BIGINT>)
-             |TBLPROPERTIES('keyCols'='doc_id', 'numRegions'='4')"""
-            .stripMargin)
-        val v = s"minhash_sig_src_${math.abs(d.hashCode)}"
-        TextOps.minhashWordSigs(bounded).createOrReplaceTempView(v)
+          s"""CREATE TABLE $fqn (bh BIGINT, doc_id BIGINT)
+             |TBLPROPERTIES('keyCols'='bh;doc_id',
+             |              'regionSplits'='$splits')""".stripMargin)
+        val v = s"minhash_band_src_${math.abs(d.hashCode)}"
+        TextOps.minhashBands(TextOps.minhashWordSigs(bounded))
+          .select(col("bh"), col("doc_id"))
+          .createOrReplaceTempView(v)
         s.sql(s"INSERT INTO $fqn SELECT * FROM $v")
       }
       fqn
@@ -599,19 +609,20 @@ object CatalogQueries {
   /** MinHash-LSH verified near-dup pairs over CATALOG-stored documents:
     * the near-dup scale path (signatures → banded join → exact-Jaccard
     * verify) composed with the key-sorted store the way
-    * catalog_dedup_exact composes the exact path. The signature stage
-    * reads the materialized [[minhashSigTable]] (built once from the
-    * stored documents); banding and the exact verify — which re-reads
-    * word sets from the documents store — run per query. A hash match
-    * therefore proves the store holds exactly the source documents,
-    * the persisted signatures are exactly the recompute, AND the LSH
-    * pipeline emits exactly the true ≥0.9 pair set; CatalogVectorSpec
-    * gates it ≡ the parquet-backed dedup_minhash_pairs. */
+    * catalog_dedup_exact composes the exact path. Candidate generation
+    * reads the materialized [[minhashBandTable]] (built once from the
+    * stored documents, keyed by band hash → co-located self-join); the
+    * exact verify re-reads word sets from the documents store per
+    * query. A hash match therefore proves the store holds exactly the
+    * source documents, the persisted band index is exactly the
+    * recompute, AND the LSH pipeline emits exactly the true ≥0.9 pair
+    * set; CatalogVectorSpec gates it ≡ the parquet-backed
+    * dedup_minhash_pairs. */
   val dedupMinhashOnStore: Q = (s, d) => {
     import org.apache.spark.sql.functions.col
-    TextOps.minhashVerifiedPairsFromSigs(
+    TextOps.minhashVerifiedPairsFromBands(
       s.table(documentsTable(s, d)).filter(col("doc_id") < 1000L),
-      s.table(minhashSigTable(s, d)))
+      s.table(minhashBandTable(s, d)))
   }
 
   /** Events keyed (user_id, ts) with fixed user_id splits: the scan

@@ -331,39 +331,57 @@ object TextOps {
       graft.functions.VectorOps.minhashSig(
         array_distinct(wordsCol), NumPerm).as("sig"))
 
-  /** Banding + exact-Jaccard verification over PRECOMPUTED signatures
-    * (`sigsDf` must be [[minhashWordSigs]] of exactly `docsDf`'s rows,
-    * in-session persisted or store-materialized).
+  /** The banding of [[minhashWordSigs]] signatures: one (doc_id, bh)
+    * row per band — the "near-dup index" in its joinable form. A
+    * pipeline that materializes THIS (keyed/bucketed by `bh`) gets
+    * candidate generation as a co-located self-join: no Exchange, no
+    * per-query signature recompute.
     * At j=0.9 a 2-row band agrees w.p. 0.81; missing all 32 bands
     * happens w.p. (1-0.81)^32 < 1e-22. */
-  def minhashVerifiedPairsFromSigs(docsDf: DataFrame,
-      sigsDf: DataFrame): DataFrame = {
-    val numBands = 32
+  def minhashBands(sigsDf: DataFrame, numBands: Int = 32): DataFrame = {
+    require(NumPerm % numBands == 0, s"bands $numBands must divide $NumPerm")
     val rowsPer = NumPerm / numBands
     val comps = (0 until rowsPer).map(r => s"sig[$rowsPer*b+$r]")
       .mkString(", ")
-    val bands = sigsDf.select(col("doc_id"),
+    sigsDf.select(col("doc_id"),
       explode(expr(s"transform(sequence(0, ${numBands - 1}), " +
         s"b -> xxhash64($comps, b))")).as("bh"))
-    val a = bands.select(col("bh"), col("doc_id").as("da"))
-    val b = bands.select(col("bh"), col("doc_id").as("db"))
+  }
+
+  /** Banding + exact-Jaccard verification over PRECOMPUTED signatures
+    * (`sigsDf` must be [[minhashWordSigs]] of exactly `docsDf`'s rows,
+    * in-session persisted or store-materialized). */
+  def minhashVerifiedPairsFromSigs(docsDf: DataFrame,
+      sigsDf: DataFrame): DataFrame =
+    minhashVerifiedPairsFromBands(docsDf, minhashBands(sigsDf))
+
+  /** Candidate self-join + exact-Jaccard verification over a
+    * PRECOMPUTED band index ([[minhashBands]] of exactly `docsDf`'s
+    * rows). When `bandsDf` is a store table keyed by `bh`, the
+    * self-join is storage-partitioned — zero Exchange. */
+  def minhashVerifiedPairsFromBands(docsDf: DataFrame,
+      bandsDf: DataFrame): DataFrame = {
+    val a = bandsDf.select(col("bh"), col("doc_id").as("da"))
+    val b = bandsDf.select(col("bh"), col("doc_id").as("db"))
     // candidates stay NARROW (two ids): no signature reattach / no
-    // estimate stage — the exact verifier IS the filter, and the
-    // two-integer size bound (J <= min/max, with margin for rounding)
-    // kills most spurious band collisions before any array travels
+    // estimate stage — the exact verifier IS the filter
     val cands = a.join(b, Seq("bh")).filter(col("da") < col("db"))
       .select(col("da"), col("db")).distinct()
     val w = docsDf
       .select(col("doc_id"), array_distinct(wordsCol).as("ws"))
       .withColumn("n", size(col("ws")))
-    val sizes = w.select(col("doc_id"), col("n"))
+    // attach size AND word set in ONE join per side: two corpus scans,
+    // not four. Candidates are the narrow/broadcastable side, so the
+    // word arrays only travel for rows matching a candidate id; the
+    // two-integer size bound (J <= min/max, with margin for rounding)
+    // still runs before any intersection is computed
     cands
-      .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), "da")
-      .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), "db")
+      .join(w.select(col("doc_id").as("da"),
+        col("ws").as("wsa"), col("n").as("na")), "da")
+      .join(w.select(col("doc_id").as("db"),
+        col("ws").as("wsb"), col("n").as("nb")), "db")
       .filter(least(col("na"), col("nb")) * 100 >=
         greatest(col("na"), col("nb")) * 89)
-      .join(w.select(col("doc_id").as("da"), col("ws").as("wsa")), "da")
-      .join(w.select(col("doc_id").as("db"), col("ws").as("wsb")), "db")
       .withColumn("shared", size(array_intersect(col("wsa"), col("wsb"))))
       .withColumn("jaccard",
         round(col("shared") / (col("na") + col("nb") - col("shared")), 4))
