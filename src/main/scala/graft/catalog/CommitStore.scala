@@ -30,10 +30,13 @@ import java.nio.file.{FileAlreadyExistsException, Files, Paths,
   *    the filesystem alone. The safe protocol there is optimistic:
   *    conditional-put (put-if-absent) on numbered log segments with a
   *    re-read-and-retry loser, the log-store protocol published for
-  *    Delta Lake. That needs the store's conditional-write API, which
-  *    a `java.io.File` path cannot reach — so shipping to an object
-  *    store means implementing this trait against its SDK and
-  *    registering it; graft REFUSES unknown store names rather than
+  *    Delta Lake. [[CommitStore.Cas]] IS that protocol — its
+  *    `exclusively` takes no lock and instead re-runs the commit body
+  *    when the conditional put loses — realized here over POSIX hard
+  *    links; shipping to a real object store means subclassing the
+  *    same retry discipline over the store SDK's conditional-write
+  *    call (S3 `If-None-Match: *`, GCS `ifGenerationMatch: 0`, ABFS
+  *    ETags). graft still REFUSES unknown store names rather than
   *    running a lock that does not lock (see README, "Commit-store
   *    deployment matrix").
   *
@@ -49,6 +52,18 @@ import java.nio.file.{FileAlreadyExistsException, Files, Paths,
   * metadata writes go through HBase itself, which owns the WAL
   * (`HBaseCatalog.scala:814-832`).
   */
+/** A commit lost the conditional-put race for its log-segment seq —
+  * another committer published that seq first. Under [[CommitStore.Cas]]
+  * this is the normal optimistic-concurrency signal: `exclusively`
+  * catches it and re-runs the whole read-modify-write body against the
+  * fresh state. Escaping to the user it means either retries were
+  * exhausted (cas) or a committer slipped past a lock the filesystem
+  * ignored (the posix tripwire). Extends
+  * ConcurrentModificationException so callers that abort on manifest
+  * races need one catch. */
+private[catalog] final class CommitRaceException(msg: String)
+  extends java.util.ConcurrentModificationException(msg)
+
 trait CommitStore {
   /** Name the store is registered/selected under. */
   def name: String
@@ -66,15 +81,71 @@ trait CommitStore {
     * there; returns false — leaving the existing file untouched — if
     * a concurrent committer already won the name. */
   def putIfAbsent(path: File, content: String): Boolean
+
+  /** How long consumed log-segment names must stay on disk after a
+    * checkpoint folds them. 0 under stores whose `exclusively`
+    * actually excludes (a stale view cannot exist inside the lock, so
+    * a consumed seq can never be re-won — delete immediately). Under
+    * the lock-free [[CommitStore.Cas]] this is the STALE-WRITER
+    * HORIZON: a deleted segment name would let a writer holding a
+    * pre-fold view re-win the seq with `putIfAbsent` and commit
+    * invisibly below the checkpoint; keeping the name refuses the
+    * reuse. A writer stalled longer than this window is assumed dead
+    * — the same retention assumption Delta Lake's metadata cleanup
+    * makes. */
+  def segmentRetainMillis: Long = 0L
 }
 
 object CommitStore {
+
+  /** The two atomic puts, realized with POSIX rename/link. Shared by
+    * [[LockedPosix]] and [[Cas]] — on a real object store a
+    * [[CommitStore]] implementation would realize them with the
+    * store's conditional-write API instead (S3 `If-None-Match`, GCS
+    * generation preconditions, ABFS ETags). */
+  private[catalog] trait AtomicFiles {
+    // tmp names are unique per attempt (not `<path>.tmp`): two racers
+    // past a broken lock must not steal each other's half-written tmp
+    // — each loses or wins on the TARGET name only. The `.tmp` suffix
+    // stays so vacuum's crash-leftover sweep still matches.
+    private def writeTmp(path: File, content: String) = {
+      val tmp = Paths.get(path.getPath + "." +
+        java.util.UUID.randomUUID().toString + ".tmp")
+      Files.write(tmp, content.getBytes(StandardCharsets.UTF_8))
+      tmp
+    }
+
+    def putReplace(path: File, content: String): Unit =
+      Files.move(writeTmp(path, content), path.toPath,
+        StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+
+    def putIfAbsent(path: File, content: String): Boolean = {
+      val tmp = writeTmp(path, content)
+      // link(2) fails with EEXIST when the target exists — an atomic
+      // publish-if-absent with full content (the tmp is complete
+      // before the name appears)
+      try { Files.createLink(path.toPath, tmp); Files.delete(tmp); true }
+      catch {
+        case _: FileAlreadyExistsException => Files.delete(tmp); false
+        case _: UnsupportedOperationException =>
+          // no hard links (exotic mounts): existence check + rename.
+          // Not atomic across processes by itself — only acceptable
+          // under a store whose `exclusively` actually excludes.
+          if (path.exists()) { Files.delete(tmp); false }
+          else {
+            Files.move(tmp, path.toPath, StandardCopyOption.ATOMIC_MOVE)
+            true
+          }
+      }
+    }
+  }
 
   /** The default store: OS advisory file locks + atomic rename.
     * Correct on filesystems where both actually work — local POSIX,
     * NFSv4 with locking enabled. See the deployment matrix in the
     * README for what is and is not safe. */
-  object LockedPosix extends CommitStore {
+  object LockedPosix extends CommitStore with AtomicFiles {
     val name = "posix"
 
     // JVM file locks throw OverlappingFileLockException for
@@ -114,47 +185,69 @@ object CommitStore {
         } finally ch.close()
       }
     }
+  }
 
-    // tmp names are unique per attempt (not `<path>.tmp`): two racers
-    // past a broken lock must not steal each other's half-written tmp
-    // — each loses or wins on the TARGET name only. The `.tmp` suffix
-    // stays so vacuum's crash-leftover sweep still matches.
-    private def writeTmp(path: File, content: String) = {
-      val tmp = Paths.get(path.getPath + "." +
-        java.util.UUID.randomUUID().toString + ".tmp")
-      Files.write(tmp, content.getBytes(StandardCharsets.UTF_8))
-      tmp
-    }
+  /** The lock-free optimistic store — the protocol for filesystems
+    * that provide an atomic conditional put but NO advisory locking:
+    * object stores with conditional writes (S3 `If-None-Match`, GCS
+    * generation preconditions, ABFS ETags), and any shared filesystem
+    * whose locks are unreliable. `exclusively` takes no lock at all:
+    * it simply re-runs the whole read-modify-write body when the
+    * body's conditional put of its log-segment seq reports the race
+    * lost ([[CommitRaceException]]). Every [[TableMeta]] commit body
+    * re-reads the manifest at its start and re-validates before
+    * writing, so a retry IS a fresh optimistic attempt — compare-and-
+    * swap on the segment sequence number is the global serialization
+    * point (the log-store protocol Delta Lake publishes for exactly
+    * these filesystems). Checkpoints need no extra care: they are
+    * published if-absent under a name derived from the log position
+    * and their content is a pure function of the log prefix, so a
+    * checkpoint race is benign by construction.
+    *
+    * This object realizes the conditional put with POSIX hard links
+    * ([[AtomicFiles]]); an object-store deployment subclasses the same
+    * retry discipline over the store SDK's conditional write. */
+  object Cas extends CommitStore with AtomicFiles {
+    val name = "cas"
 
-    def putReplace(path: File, content: String): Unit =
-      Files.move(writeTmp(path, content), path.toPath,
-        StandardCopyOption.ATOMIC_MOVE,
-        StandardCopyOption.REPLACE_EXISTING)
+    /** Consumed segment names persist 10 minutes so no stale writer
+      * can re-win a folded seq (see [[CommitStore.segmentRetainMillis]]);
+      * [[TableMeta]] additionally pre-checks every segment write
+      * against the newest checkpoint, so breaking this horizon takes a
+      * writer stalled >10 min AND a listing anomaly in the same
+      * commit. */
+    override def segmentRetainMillis: Long = 600000L
 
-    def putIfAbsent(path: File, content: String): Boolean = {
-      val tmp = writeTmp(path, content)
-      // link(2) fails with EEXIST when the target exists — an atomic
-      // publish-if-absent with full content (the tmp is complete
-      // before the name appears)
-      try { Files.createLink(path.toPath, tmp); Files.delete(tmp); true }
-      catch {
-        case _: FileAlreadyExistsException => Files.delete(tmp); false
-        case _: UnsupportedOperationException =>
-          // no hard links (exotic mounts): existence check + rename.
-          // Not atomic across processes by itself, but every caller
-          // holds `exclusively` — this is only the last-resort path.
-          if (path.exists()) { Files.delete(tmp); false }
-          else {
-            Files.move(tmp, path.toPath, StandardCopyOption.ATOMIC_MOVE)
-            true
-          }
+    /** Races observed and retried — exposed for the concurrency spec
+      * (a race test that never raced proves nothing). */
+    private[catalog] val racesRetried =
+      new java.util.concurrent.atomic.AtomicLong
+
+    private val MaxAttempts = 64
+
+    def exclusively[T](tableDir: File)(body: => T): T = {
+      var attempt = 0
+      while (true) {
+        try return body
+        catch { case e: CommitRaceException =>
+          attempt += 1
+          if (attempt >= MaxAttempts) throw e
+          racesRetried.incrementAndGet()
+          // jittered bounded backoff: contention here is tens of
+          // committers, not thousands; the CAS loser re-reads O(1)
+          // log segments before its next attempt
+          Thread.sleep(java.util.concurrent.ThreadLocalRandom.current()
+            .nextLong(1L << math.min(attempt, 5)))
+        }
       }
+      sys.error("unreachable")
     }
   }
 
   private val registry =
     new java.util.concurrent.ConcurrentHashMap[String, CommitStore]()
   registry.put(LockedPosix.name, LockedPosix)
+  registry.put(Cas.name, Cas)
 
   /** Register an additional store (an object-store implementation
     * built against its SDK) so `spark.sql.catalog.graft.commitStore`

@@ -90,7 +90,7 @@ object GraftCompact {
     // swap under the manifest lock: keep regions committed after the
     // snapshot (lost-update-free vs concurrent INSERT / streaming sink)
     val agedOut = TableMeta.withManifestLock(t.tableDir) {
-      val state = TableMeta.loadState(t.tableDir)
+      val (state, viewSeq) = TableMeta.commitView(t.tableDir)
       val tail = state.regions.filterNot(r => snapFiles.contains(r.file))
       val snapLive = state.regions.filter(r => snapFiles.contains(r.file))
       if (snapLive.size != snapFiles.size) {
@@ -102,9 +102,14 @@ object GraftCompact {
         None
       } else {
         newRegions.foreach { r =>
-          Files.move(new File(staging.tableDir, r.file).toPath,
-            new File(t.tableDir, r.file).toPath,
-            StandardCopyOption.REPLACE_EXISTING)
+          // idempotent: under the lock-free `cas` store a lost commit
+          // race re-runs this whole body, and a prior attempt may have
+          // moved the file already
+          val src = new File(staging.tableDir, r.file)
+          if (src.exists())
+            Files.move(src.toPath,
+              new File(t.tableDir, r.file).toPath,
+              StandardCopyOption.REPLACE_EXISTING)
         }
         // the rewrite covers exactly the original data of every region
         // id ≤ srcMax: included rewrites contribute their own coverage,
@@ -130,8 +135,11 @@ object GraftCompact {
         val keptEpochs = state.epochs.filter { case (_, e) =>
           e.touchedGen >= newGen - retain }
         // the snapshot becomes the retired set (files kept one cycle for
-        // tailing streams); the previous retired set ages out now
-        TableMeta.saveState(t.tableDir, TableMeta.ManifestState(
+        // tailing streams); the previous retired set ages out now. A
+        // SWAP segment CAS'd at the view's seq: a commit that landed
+        // since the view surfaces as a lost race (retried under `cas`)
+        // instead of being clobbered.
+        TableMeta.saveStateAt(t.tableDir, viewSeq, TableMeta.ManifestState(
           newGen, outputs ++ tail, keptEpochs, snapLive, next))
         Some(state.retired)
       }

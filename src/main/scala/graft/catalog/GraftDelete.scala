@@ -154,18 +154,19 @@ object GraftDelete {
     // phase 1 (under the lock): classify regions; if nothing straddles,
     // the whole delete is a metadata swap and we finish here
     val straddlers: Seq[RegionMeta] = TableMeta.withManifestLock(tableDir) {
-      val state = TableMeta.loadState(tableDir)
+      val (state, viewSeq) = TableMeta.commitView(tableDir)
       val (in, out) = partitionRegions(state.regions, ivs)
       val strad = straddlersOf(out, ivs)
       if (strad.isEmpty) {
         if (in.nonEmpty)
           // deleted regions retire (files kept one compaction cycle
           // for in-flight readers); generation bump invalidates
-          // pre-upgrade position-based stream checkpoints
-          TableMeta.saveState(tableDir, state.copy(
-            gen = state.gen + 1,
-            regions = out,
-            retired = state.retired ++ in))
+          // pre-upgrade position-based stream checkpoints. O(deleted)
+          // delta segment, CAS'd at the view's seq.
+          TableMeta.writeDelta(tableDir, viewSeq,
+            removeIds = in.map(_.id).toSet,
+            retiredAdd = in,
+            gen = state.gen + 1)
         return
       }
       strad
@@ -180,7 +181,7 @@ object GraftDelete {
     // phase 3 (under the lock): re-classify against the CURRENT state
     // (concurrent appends are carried forward untouched) and swap.
     TableMeta.withManifestLock(tableDir) {
-      val state = TableMeta.loadState(tableDir)
+      val (state, viewSeq) = TableMeta.commitView(tableDir)
       val present = state.regions.map(_.file).toSet
       if (!straddlers.forall(r => present.contains(r.file))) {
         // a concurrent compaction/delete replaced a region we rewrote —
@@ -207,7 +208,6 @@ object GraftDelete {
             "deleted key range; retry the DELETE")
       }
       val strad = stradNow.map(_.file).toSet
-      val untouched = out.filterNot(r => strad.contains(r.file))
       val dropped = in ++ out.filter(r => strad.contains(r.file))
       // stamp fresh stable ids and mark each rewrite with its source id
       // (srcMaxId, like compaction rewrites): a tailing stream that
@@ -219,11 +219,13 @@ object GraftDelete {
       val outs = rewritten.map { case (src, rw) =>
         val o = rw.copy(id = next, srcMaxId = src.id); next += 1; o
       }
-      TableMeta.saveState(tableDir, state.copy(
-        gen = state.gen + 1,
-        regions = untouched ++ outs,
-        retired = state.retired ++ dropped,
-        nextId = next))
+      // O(touched) delta segment, CAS'd at the view's seq: removes the
+      // contained + straddling originals, adds the boundary rewrites
+      TableMeta.writeDelta(tableDir, viewSeq,
+        regions = outs,
+        removeIds = dropped.map(_.id).toSet,
+        retiredAdd = dropped,
+        gen = state.gen + 1)
     }
   }
 

@@ -270,19 +270,25 @@ object GraftProcedures {
         override def call(input: InternalRow): java.util.Iterator[Scan] = {
           val gt = graftTable(catalogName, input.getUTF8String(0).toString)
           val removed = TableMeta.withManifestLock(gt.tableDir) {
-            val state = TableMeta.loadState(gt.tableDir)
+            val (state, viewSeq) = TableMeta.commitView(gt.tableDir)
             state.retired.foreach(r =>
               new java.io.File(gt.tableDir, r.file).delete())
             // also sweep .tmp leftovers of crashed atomic writes (a
-            // writeAtomic that died between write and move) — under
-            // the lock no live writer owns one
+            // writeAtomic that died between write and move). Age-gated:
+            // under the lock-free `cas` store a concurrent committer
+            // may own an in-flight tmp right now — a crash leftover is
+            // old, a live write is milliseconds old
+            val cutoff = System.currentTimeMillis() - 3600_000L
             val dirs = Array(gt.tableDir,
               new java.io.File(gt.tableDir, TableMeta.LogDirName))
             val tmps = dirs.flatMap(d =>
               Option(d.listFiles()).getOrElse(Array()))
-              .filter(f => f.isFile && f.getName.endsWith(".tmp"))
+              .filter(f => f.isFile && f.getName.endsWith(".tmp") &&
+                f.lastModified() < cutoff)
             tmps.foreach(_.delete())
-            TableMeta.saveState(gt.tableDir, state.copy(retired = Nil))
+            if (state.retired.nonEmpty)
+              TableMeta.writeDelta(gt.tableDir, viewSeq,
+                clearRetired = true)
             state.retired.size + tmps.length
           }
           Collections.singletonList(LocalRowsScan(Array("removed_files"),

@@ -123,7 +123,7 @@ class GraftReplaceWrite(tableDir: File, meta: TableMeta,
       // the manifest (and generation) untouched
       if (replaced.isEmpty && newRegions.isEmpty) return
       TableMeta.withManifestLock(tableDir) {
-        val state = TableMeta.loadState(tableDir)
+        val (state, viewSeq) = TableMeta.commitView(tableDir)
         val present = state.regions.map(_.file).toSet
         if (!replaced.forall(present.contains)) {
           // a concurrent compaction/DELETE replaced a region we
@@ -133,7 +133,6 @@ class GraftReplaceWrite(tableDir: File, meta: TableMeta,
             "graft row-level operation lost a race with a concurrent " +
               "compaction or delete on the same regions; retry")
         }
-        val keep = state.regions.filterNot(r => replaced.contains(r.file))
         val dropped = state.regions.filter(r => replaced.contains(r.file))
         var next = state.nextId
         // srcMaxId stays -1: unlike a compaction rewrite these files
@@ -141,11 +140,16 @@ class GraftReplaceWrite(tableDir: File, meta: TableMeta,
         val outs = newRegions.map { r =>
           val o = r.copy(id = next); next += 1; o
         }
-        TableMeta.saveState(tableDir, state.copy(
-          gen = state.gen + 1, // a rewrite, like DELETE/compaction
-          regions = keep ++ outs,
-          retired = state.retired ++ dropped,
-          nextId = next))
+        // an O(touched-regions) delta segment, CAS'd at the view's
+        // seq: a 2-region UPDATE on a 100k-region table logs 2
+        // regions, and a racer since the view surfaces as a lost race
+        // (re-validated on retry under `cas`) instead of being built
+        // over
+        TableMeta.writeDelta(tableDir, viewSeq,
+          regions = outs,
+          removeIds = dropped.map(_.id).toSet,
+          retiredAdd = dropped,
+          gen = state.gen + 1) // a rewrite, like DELETE/compaction
       }
     }
 

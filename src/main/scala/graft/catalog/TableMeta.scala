@@ -21,10 +21,13 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * {{{
   *   <warehouse>/<namespace>/<table>/
   *     _graft_meta.json      schema, key columns, table properties
-  *     _graft_regions.json   one entry per region file: rows + per-key-
-  *                           dimension min/max in order-preserving hex
+  *     _graft_log/           the commit log: numbered delta/swap
+  *       000000000042.json   segments (one per commit, CAS-published)
+  *       cp-000000000040.json  versioned checkpoint folding seqs <= 40
   *     part-*.parquet        region data files, sorted by composite key
   * }}}
+  * (`_graft_regions.json`, the pre-log unversioned checkpoint, is
+  * still read for migration and deleted by the first fold.)
   */
 /** `bucket` = fixed-region index when the table declares `regionSplits`
   * (-1 otherwise): the value of the table's region transform for every
@@ -64,14 +67,18 @@ object TableMeta {
   val MetaFile = "_graft_meta.json"
   val RegionsFile = "_graft_regions.json"
 
-  /** Commit-log directory: small sequential delta segments
-    * (`_graft_log/000000000042.json`) written by APPEND commits, folded
-    * into the full [[RegionsFile]] checkpoint every
-    * [[logCheckpointEvery]] commits (and by every full-state rewrite —
-    * compaction, DELETE, vacuum). Appending one region to a 100k-region
-    * table writes O(1) bytes, not an O(regions) manifest rewrite — the
+  /** Commit-log directory: EVERY manifest mutation is one numbered
+    * segment (`_graft_log/000000000042.json`) published with a
+    * conditional put — O(1) delta segments for appends and streaming
+    * epochs, O(touched) delta segments for DML/DELETE/vacuum,
+    * O(regions) swap segments for compaction — folded into a VERSIONED
+    * checkpoint (`cp-<seq>.json`) every [[logCheckpointEvery]] live
+    * commits. Appending one region to a 100k-region table writes O(1)
+    * bytes, not an O(regions) manifest rewrite, and the CAS on the
+    * segment seq is the commit protocol's single serialization point
+    * (what makes the lock-free [[CommitStore.Cas]] sound) — the
     * log-segment + checkpoint discipline Delta Lake uses for exactly
-    * this reason. The reference never hits the problem only because
+    * these reasons. The reference never hits the problem only because
     * HBase owns its region metadata server-side; a file-backed manifest
     * must solve it in the layout. */
   val LogDirName = "_graft_log"
@@ -232,17 +239,8 @@ object TableMeta {
       }
     }
 
-  /** Write the complete manifest as a CHECKPOINT, consuming (deleting)
-    * every log segment it folds in — the checkpoint records `lastSeq`
-    * so readers know which segments are already included. Callers own
-    * locking; `state` must derive from a [[loadState]] under the same
-    * lock (it is the merged checkpoint+segments view). */
-  def saveState(tableDir: File, state: ManifestState): Unit = {
-    // lastSeq stays monotone across checkpoints even when the log is
-    // empty: a later segment writer must never reuse a consumed seq
-    val lastSeq = loadLoaded(tableDir).lastSeq
-    val m = mapper
-    val root = m.createObjectNode()
+  private def stateJson(root: ObjectNode, state: ManifestState,
+      lastSeq: Long): Unit = {
     root.put("generation", state.gen)
     root.put("nextId", state.nextId)
     if (lastSeq > 0L) root.put("lastSeq", lastSeq)
@@ -250,18 +248,71 @@ object TableMeta {
     regionsJson(root.putArray("regions"), state.regions)
     if (state.retired.nonEmpty)
       regionsJson(root.putArray("retired"), state.retired)
-    val f = new File(tableDir, RegionsFile)
-    writeAtomic(f, root.toString)
-    // consume AFTER the atomic checkpoint move: a reader that listed
-    // the log before the move still holds a valid (pre-checkpoint)
-    // view; one that lists after sees the gap only alongside the new
-    // checkpoint, which its stat-recheck detects
-    listSegSeqs(tableDir).filter(_ <= lastSeq)
-      .foreach(q => segFile(tableDir, q).delete())
+  }
+
+  /** Replace the manifest with `state` — logged as a SWAP segment
+    * (CAS'd like every commit, so a racer surfaces instead of being
+    * clobbered), then folded into a checkpoint immediately: the swap
+    * is O(regions) anyway, and folding at once keeps later loads from
+    * re-parsing it per query. `state` must derive from the same view
+    * `viewSeq` came from ([[commitView]]). */
+  private[catalog] def saveStateAt(tableDir: File, viewSeq: Long,
+      state: ManifestState): Unit = {
+    writeSegment(tableDir, viewSeq + 1L,
+      SegmentDelta(Nil, Map.empty, swap = Some(state)))
+    writeCheckpoint(tableDir)
+  }
+
+  /** Full-state rewrite against the CURRENT manifest view. Callers own
+    * locking (under `posix`; under `cas` prefer [[commitView]] +
+    * [[saveStateAt]] so the view and the CAS seq are one unit). */
+  def saveState(tableDir: File, state: ManifestState): Unit =
+    saveStateAt(tableDir, loadLoaded(tableDir).lastSeq, state)
+
+  /** Fold the current merged view into a VERSIONED checkpoint
+    * `_graft_log/cp-<lastSeq>.json`, then clean up what it supersedes
+    * (segments ≤ lastSeq, older checkpoints, the legacy unversioned
+    * file). The checkpoint is published if-absent: its content at a
+    * given seq is a pure function of the log prefix (the deterministic
+    * fold of the previous checkpoint plus segments), so losing the put
+    * means another folder already published the identical fold —
+    * benign, proceed to cleanup. Checkpoint files never mutate, which
+    * is what lets lock-free readers detect a concurrent fold by
+    * re-listing (a consumed segment is only ever deleted AFTER the
+    * covering checkpoint name exists). */
+  private[catalog] def writeCheckpoint(tableDir: File): Unit = {
+    val l = loadLoaded(tableDir)
+    if (l.lastSeq > 0L) {
+      logDirOf(tableDir).mkdirs()
+      val root = mapper.createObjectNode()
+      stateJson(root, l.state, l.lastSeq)
+      commitStore.putIfAbsent(cpFile(tableDir, l.lastSeq), root.toString)
+    }
+    val newest = listCpSeqs(tableDir).maxOption.getOrElse(0L)
+    if (newest > 0L) {
+      // cleanup strictly AFTER the covering checkpoint exists; a
+      // reader that listed the log before it still holds a valid view,
+      // one that lists after detects the new checkpoint and retries.
+      // Consumed segment NAMES are retained for the store's
+      // stale-writer horizon: deleting one frees its seq for a writer
+      // holding a pre-fold view to re-win with putIfAbsent, committing
+      // invisibly below the checkpoint (0 under locked stores — no
+      // stale view can exist inside the lock).
+      val retain = commitStore.segmentRetainMillis
+      val cutoff = System.currentTimeMillis() - retain
+      listSegSeqs(tableDir).filter(_ <= newest)
+        .map(segFile(tableDir, _))
+        .filter(f => retain <= 0L || f.lastModified() < cutoff)
+        .foreach(_.delete())
+      listCpSeqs(tableDir).filter(_ < newest)
+        .foreach(q => cpFile(tableDir, q).delete())
+      val legacy = new File(tableDir, RegionsFile)
+      if (legacy.isFile) legacy.delete()
+    }
     // invalidate rather than write through: the next load re-parses
-    // (once per commit) and re-applies load-side normalizations
+    // (once per checkpoint) and re-applies load-side normalizations
     // (lowercase stat keys, id synthesis) uniformly
-    stateCache.remove(f.getCanonicalPath)
+    stateCache.remove(new File(tableDir, RegionsFile).getCanonicalPath)
   }
 
   /** Manifest generation: bumped by compaction (which rewrites the
@@ -363,53 +414,103 @@ object TableMeta {
       .flatMap(n => n.stripSuffix(".json").toLongOption).sorted
   }
 
-  /** Lock-free reader protocol: stat the checkpoint, take the cached
-    * view if its identity matches (else parse), apply log segments
-    * newer than the view's `lastSeq` in seq order, then RE-stat the
-    * checkpoint. An unchanged stat proves no checkpoint landed before
-    * the segment listing, so no consumed segment was missed; a changed
-    * stat (concurrent checkpoint, which deletes folded segments)
-    * retries against the new checkpoint. Writers serialize on
-    * [[withManifestLock]], so seqs are contiguous and segments
-    * themselves are atomic tmp+move files. */
+  /** Versioned checkpoint `cp-<seq>.json` in the log dir — the name
+    * encodes the log position it folds; excluded from [[listSegSeqs]]
+    * (its name does not parse as a bare seq). */
+  private def cpFile(tableDir: File, seq: Long): File =
+    new File(logDirOf(tableDir), f"cp-$seq%012d.json")
+
+  private def listCpSeqs(tableDir: File): Seq[Long] = {
+    val names = logDirOf(tableDir).list()
+    if (names == null) Nil
+    else names.toSeq
+      .filter(n => n.startsWith("cp-") && n.endsWith(".json"))
+      .flatMap(n => n.stripPrefix("cp-").stripSuffix(".json").toLongOption)
+      .sorted
+  }
+
+  /** The newest checkpoint to base a read on: highest versioned
+    * `cp-<seq>` if any, else the legacy unversioned [[RegionsFile]]
+    * (pre-upgrade tables; its seq comes from the parsed `lastSeq`).
+    * Returns (file, Some(seq-from-name) | None-for-legacy). */
+  private def newestCp(tableDir: File): Option[(File, Option[Long])] =
+    listCpSeqs(tableDir).maxOption match {
+      case Some(q) => Some((cpFile(tableDir, q), Some(q)))
+      case None =>
+        val legacy = new File(tableDir, RegionsFile)
+        if (legacy.isFile) Some((legacy, None)) else None
+    }
+
+  /** Lock-free reader protocol: pick the newest checkpoint, take the
+    * cached view if its identity matches (else parse), apply log
+    * segments newer than the view's `lastSeq` in seq order, then
+    * RE-pick the newest checkpoint. An unchanged newest checkpoint
+    * proves no fold landed before the segment listing — a consumed
+    * segment is only ever deleted AFTER its covering checkpoint name
+    * exists — so no segment was missed; a changed one retries against
+    * the new checkpoint. Versioned checkpoints never mutate, so
+    * identity is (path, stat key); the legacy unversioned file is also
+    * covered by its stat key (an external writer replacing it is
+    * detected). Writers CAS their segment seqs ([[writeSegment]]), so
+    * committed seqs are dense and segments themselves are atomic
+    * link/move files. */
   private def loadLoaded(tableDir: File): Loaded = {
-    val f = new File(tableDir, RegionsFile)
-    val path = f.getCanonicalPath
+    val cacheKey = new File(tableDir, RegionsFile).getCanonicalPath
     var attempt = 0
     while (true) {
       attempt += 1
-      val k0 = manifestKey(f)
-      val cached = stateCache.get(path)
-      val hit = cached != null && k0 != null && cached.cpKey == k0
+      val cp0 = newestCp(tableDir)
+      // a failed stat (file deleted between listing and stat) is "no
+      // identity", never a cacheable (path, null) identity
+      val id0: Any = cp0.flatMap { case (f, _) =>
+        Option(manifestKey(f)).map(k => (f.getPath, k)) }.orNull
+      val cached = stateCache.get(cacheKey)
+      val hit = cached != null && id0 != null && cached.cpKey == id0
       try {
         val (base, baseSeq, cpSeq) =
           if (hit) (cached.state, cached.lastSeq, cached.cpSeq)
-          else if (f.isFile) {
-            val (st, cp) = parseCheckpoint(f); (st, cp, cp)
-          } else (ManifestState(0L, Nil, Map.empty), 0L, 0L)
-        val segs = listSegSeqs(tableDir).filter(_ > baseSeq)
-        if (hit && segs.isEmpty) return cached
-        val merged = segs.foldLeft(base)((s, q) =>
-          applySegment(s, parseSegment(segFile(tableDir, q))))
-        val lastSeq = if (segs.nonEmpty) segs.max else baseSeq
-        val k1 = manifestKey(f)
-        val stable = if (k0 == null) k1 == null else k0 == k1
-        if (stable) {
-          val loaded = Loaded(k0, lastSeq, merged, cpSeq)
-          if (k0 != null) stateCache.put(path, loaded)
+          else cp0 match {
+            case Some((f, nameSeq)) =>
+              val (st, contentSeq) = parseCheckpoint(f)
+              val q = nameSeq.getOrElse(contentSeq)
+              (st, q, q)
+            case None => (ManifestState(0L, Nil, Map.empty), 0L, 0L)
+          }
+        // PROBE segments by contiguous seq, never by directory
+        // listing: committed seqs are dense (every commit CAS'es
+        // lastSeq+1), but readdir racing concurrent creates may
+        // return seq K while missing an earlier J<K — a fold built
+        // from such a listing would checkpoint WITHOUT J and then
+        // delete it. Probing stops at the first absent seq, so the
+        // view is always a consistent log prefix.
+        var merged = base
+        var q = baseSeq + 1L
+        while (segFile(tableDir, q).isFile) {
+          merged = applySegment(merged, parseSegment(segFile(tableDir, q)))
+          q += 1L
+        }
+        val lastSeq = q - 1L
+        if (hit && lastSeq == baseSeq) return cached
+        val cp1 = newestCp(tableDir)
+        val id1: Any = cp1.flatMap { case (f, _) =>
+          Option(manifestKey(f)).map(k => (f.getPath, k)) }.orNull
+        if (id0 == id1) {
+          val loaded = Loaded(id0, lastSeq, merged, cpSeq)
+          if (id0 != null) stateCache.put(cacheKey, loaded)
           return loaded
         }
-        // unstable: a checkpoint landed mid-read, so `merged` may be
-        // MISSING regions the fold consumed — never return it; fail
-        // loudly if the manifest won't hold still (each retry needs a
-        // fresh fold to keep failing, so 8 in a row means something is
+        // unstable: a fold landed mid-read, so `merged` may be MISSING
+        // regions the fold consumed — never return it; fail loudly if
+        // the manifest won't hold still (each retry needs a fresh fold
+        // to keep failing, so 8 in a row means something is
         // pathologically rewriting the table)
         if (attempt >= 8) throw new IllegalStateException(
           s"manifest of $tableDir kept changing under $attempt read " +
             "attempts; retry the query")
       } catch {
-        // a concurrent checkpoint consumed a segment between listing
-        // and parse — the retry reads the new checkpoint instead
+        // a concurrent fold consumed a segment (or superseded a
+        // checkpoint) between listing and parse — the retry reads the
+        // new checkpoint instead
         case e: java.io.IOException => if (attempt >= 8) throw e
       }
     }
@@ -471,7 +572,16 @@ object TableMeta {
 
   private def parseCheckpoint(f: File): (ManifestState, Long) = {
     manifestParses.incrementAndGet()
-    val root = mapper.readTree(f)
+    parseStateRoot(mapper.readTree(f))
+  }
+
+  /** Parse a full manifest state (checkpoint file or SWAP segment),
+    * applying the load-side normalizations (id synthesis for
+    * pre-upgrade manifests, lowercase stat keys inside
+    * [[parseRegionList]]). */
+  private def parseStateRoot(
+      root: com.fasterxml.jackson.databind.JsonNode)
+      : (ManifestState, Long) = {
     val g = root.get("generation")
     val gen = if (g == null) 0L else g.asLong
     val epochs = parseEpochs(root, gen)
@@ -493,56 +603,147 @@ object TableMeta {
     (ManifestState(gen, regions, epochs, retired, nextId), lastSeq)
   }
 
-  /** One log segment: regions appended and/or epoch-ledger entries
-    * updated by a single commit. */
+  /** One log segment — every manifest mutation is one of these, so
+    * the conditional put of the segment's seq is the commit point for
+    * ALL writers (append, streaming epoch, DML rewrite, DELETE,
+    * vacuum, compaction alike). Two kinds:
+    *
+    *  - DELTA: `regions` appended, `epochs` updated, `removeIds`
+    *    dropped from the live set, `retiredAdd` appended to (or, with
+    *    `clearRetired`, replacing) the retired list, `gen` raising the
+    *    generation. O(touched) bytes — a 2-region UPDATE on a
+    *    100k-region table logs 2 regions, not 100k.
+    *  - SWAP (`swap` set): the full replacement state — compaction and
+    *    other whole-table rewrites. O(regions), matching the work the
+    *    writer already did; [[saveStateAt]] folds it into a checkpoint
+    *    immediately so later loads never re-parse it. */
   private final case class SegmentDelta(regions: Seq[RegionMeta],
-      epochs: Map[String, EpochEntry])
+      epochs: Map[String, EpochEntry],
+      removeIds: Set[Long] = Set.empty,
+      retiredAdd: Seq[RegionMeta] = Nil,
+      clearRetired: Boolean = false,
+      gen: Long = 0L,
+      swap: Option[ManifestState] = None)
 
   private def parseSegment(f: File): SegmentDelta = {
     segmentParses.incrementAndGet()
     val root = mapper.readTree(f)
-    SegmentDelta(parseRegionList(root, "regions"), parseEpochs(root, 0L))
+    if (root.has("swap"))
+      SegmentDelta(Nil, Map.empty, swap = Some(parseStateRoot(root)._1))
+    else {
+      val rm = Option(root.get("removeIds")).map { n =>
+        val a = n.asInstanceOf[ArrayNode]
+        (0 until a.size).map(a.get(_).asLong).toSet
+      }.getOrElse(Set.empty[Long])
+      SegmentDelta(parseRegionList(root, "regions"), parseEpochs(root, 0L),
+        rm, parseRegionList(root, "retired"),
+        root.has("clearRetired"),
+        Option(root.get("genMax")).map(_.asLong).getOrElse(0L))
+    }
   }
 
   private def applySegment(s: ManifestState, d: SegmentDelta)
-      : ManifestState = {
-    val maxId = d.regions.map(_.id).maxOption.getOrElse(0L)
-    s.copy(regions = s.regions ++ d.regions,
-      epochs = s.epochs ++ d.epochs,
-      nextId = s.nextId max (maxId + 1L))
+      : ManifestState = d.swap match {
+    case Some(st) => st
+    case None =>
+      val live = if (d.removeIds.isEmpty) s.regions
+        else s.regions.filterNot(r => d.removeIds.contains(r.id))
+      val maxId = d.regions.map(_.id).maxOption.getOrElse(0L)
+      ManifestState(
+        gen = s.gen max d.gen,
+        regions = live ++ d.regions,
+        epochs = s.epochs ++ d.epochs,
+        retired = (if (d.clearRetired) Nil else s.retired) ++ d.retiredAdd,
+        nextId = s.nextId max (maxId + 1L))
   }
 
-  /** Append one commit's delta to the log. Callers own locking (seq
-    * allocation assumes serialized writers). Published if-absent as a
-    * tripwire: under a working manifest lock a seq collision is
-    * impossible ([[saveState]] keeps `lastSeq` monotone, so consumed
-    * seqs are never reallocated) — if one happens anyway, a second
+  /** Publish one commit's segment at `seq` with a conditional put —
+    * THE commit point of the protocol. A seq collision raises
+    * [[CommitRaceException]]: under the lock-free `cas` store the
+    * enclosing `exclusively` re-runs the whole commit body against the
+    * fresh state (normal optimistic concurrency); under `posix` a
+    * collision is impossible while the lock works (seq allocation is
+    * serialized and consumed seqs are never reallocated — checkpoints
+    * keep `lastSeq` monotone), so one surfacing anyway means a second
     * committer slipped past a lock the filesystem ignored, and the
-    * commit MUST fail loudly instead of silently dropping a
-    * concurrent writer's regions. */
+    * loud abort is the tripwire that prevents the silent lost update. */
   private def writeSegment(tableDir: File, seq: Long,
-      regions: Seq[RegionMeta], epochs: Map[String, EpochEntry]): Unit = {
-    val d = logDirOf(tableDir)
-    d.mkdirs()
+      delta: SegmentDelta): Unit = {
+    logDirOf(tableDir).mkdirs()
     val root = mapper.createObjectNode()
     root.put("seq", seq)
-    epochsJson(root, epochs)
-    regionsJson(root.putArray("regions"), regions)
+    delta.swap match {
+      case Some(st) =>
+        root.put("swap", true)
+        stateJson(root, st, 0L)
+      case None =>
+        if (delta.gen > 0L) root.put("genMax", delta.gen)
+        if (delta.clearRetired) root.put("clearRetired", true)
+        if (delta.removeIds.nonEmpty) {
+          val a = root.putArray("removeIds")
+          delta.removeIds.toSeq.sorted.foreach(a.add)
+        }
+        epochsJson(root, delta.epochs)
+        regionsJson(root.putArray("regions"), delta.regions)
+        if (delta.retiredAdd.nonEmpty)
+          regionsJson(root.putArray("retired"), delta.retiredAdd)
+    }
+    // stale-view guard: a checkpoint at or past `seq` means this seq
+    // was already consumed — its name may have been cleaned past the
+    // retention horizon, and winning a recycled name would commit
+    // INVISIBLY below the checkpoint. Reject the stale view outright
+    // (under `cas` the retry re-reads and allocates a fresh seq).
+    if (listCpSeqs(tableDir).maxOption.getOrElse(0L) >= seq)
+      throw new CommitRaceException(
+        s"log seq $seq of $tableDir is already covered by a newer " +
+          "checkpoint — the committer's manifest view is stale; " +
+          "re-read and retry (automatic under the 'cas' store).")
     if (!commitStore.putIfAbsent(segFile(tableDir, seq), root.toString))
-      throw new java.util.ConcurrentModificationException(
-        s"log segment $seq of $tableDir already exists: a concurrent " +
-          "committer got past the manifest lock, so this filesystem's " +
-          s"locking is not trustworthy under commit store " +
-          s"'${commitStore.name}'. No data was overwritten; this " +
-          "commit was aborted. Configure a commit store suited to the " +
-          "filesystem (README: commit-store deployment matrix).")
+      throw new CommitRaceException(
+        s"log segment $seq of $tableDir already exists — a concurrent " +
+          "committer published this seq first. Under commit store " +
+          s"'${commitStore.name}' this aborts the commit (no data was " +
+          "overwritten); the 'cas' store retries it as a fresh " +
+          "optimistic attempt. A collision under 'posix' means the " +
+          "filesystem's advisory locks do not actually lock — " +
+          "configure a commit store suited to the filesystem (README: " +
+          "commit-store deployment matrix).")
   }
 
-  /** Fold the log into a checkpoint once it is long enough. Callers own
-    * locking. */
-  private def maybeCheckpoint(tableDir: File): Unit =
-    if (listSegSeqs(tableDir).size >= logCheckpointEvery)
-      saveState(tableDir, loadState(tableDir))
+  /** One consistent (state, lastSeq) view to base a read-modify-write
+    * commit on. Pass the returned seq to [[writeDelta]] /
+    * [[saveStateAt]]: a racer committing between this view and the
+    * write then surfaces as a conditional-put loss (retried under
+    * `cas`, tripwire under `posix`) instead of being silently built
+    * over. */
+  private[catalog] def commitView(tableDir: File): (ManifestState, Long) = {
+    val l = loadLoaded(tableDir)
+    (l.state, l.lastSeq)
+  }
+
+  /** Commit an O(touched) delta computed from the view at `viewSeq`:
+    * the segment CAS at `viewSeq`+1 makes the optimistic assumption
+    * ("nothing changed since my view") explicit and machine-checked. */
+  private[catalog] def writeDelta(tableDir: File, viewSeq: Long,
+      regions: Seq[RegionMeta] = Nil,
+      epochs: Map[String, EpochEntry] = Map.empty,
+      removeIds: Set[Long] = Set.empty,
+      retiredAdd: Seq[RegionMeta] = Nil,
+      clearRetired: Boolean = false,
+      gen: Long = 0L): Unit = {
+    writeSegment(tableDir, viewSeq + 1L, SegmentDelta(regions, epochs,
+      removeIds, retiredAdd, clearRetired, gen))
+    maybeCheckpoint(tableDir)
+  }
+
+  /** Fold the log into a checkpoint once enough LIVE segments (above
+    * the newest checkpoint — retained consumed names do not count)
+    * accumulate. Callers own locking. */
+  private def maybeCheckpoint(tableDir: File): Unit = {
+    val l = loadLoaded(tableDir)
+    if (l.lastSeq - l.cpSeq >= logCheckpointEvery)
+      writeCheckpoint(tableDir)
+  }
 
   /** Merged state + LIVE (unfolded) log-segment count, from ONE
     * consistent view under the manifest lock — for operational
@@ -566,8 +767,8 @@ object TableMeta {
     * folded. A no-op on an already-folded log. */
   private[catalog] def foldLog(tableDir: File): Int =
     withManifestLock(tableDir) {
-      val (st, live) = stateAndLogLengthUnsafe(tableDir)
-      if (live > 0) saveState(tableDir, st)
+      val (_, live) = stateAndLogLengthUnsafe(tableDir)
+      if (live > 0) writeCheckpoint(tableDir)
       live
     }
 
@@ -588,7 +789,7 @@ object TableMeta {
     withManifestLock(tableDir) {
       val l = loadLoaded(tableDir)
       val (rs, _) = stamped(added.map(_.copy(id = 0L)), l.state.nextId)
-      writeSegment(tableDir, l.lastSeq + 1L, rs, Map.empty)
+      writeSegment(tableDir, l.lastSeq + 1L, SegmentDelta(rs, Map.empty))
       maybeCheckpoint(tableDir)
     }
   }
@@ -609,15 +810,15 @@ object TableMeta {
           // refresh its ledger entry's generation: a replaying-but-not-
           // advancing query must not look dead to compaction's aging
           if (e.touchedGen < s.gen) {
-            writeSegment(tableDir, l.lastSeq + 1L, Nil,
-              Map(queryId -> e.copy(touchedGen = s.gen)))
+            writeSegment(tableDir, l.lastSeq + 1L, SegmentDelta(Nil,
+              Map(queryId -> e.copy(touchedGen = s.gen))))
             maybeCheckpoint(tableDir) // same fold trigger as appends
           }
           false
         case _ =>
           val (rs, _) = stamped(added.map(_.copy(id = 0L)), s.nextId)
-          writeSegment(tableDir, l.lastSeq + 1L, rs,
-            Map(queryId -> EpochEntry(epochId, s.gen)))
+          writeSegment(tableDir, l.lastSeq + 1L, SegmentDelta(rs,
+            Map(queryId -> EpochEntry(epochId, s.gen))))
           maybeCheckpoint(tableDir)
           true
       }

@@ -379,15 +379,25 @@ class GraftDeleteSpec extends AnyFunSuite {
     assert(st.retired.size == 1)
     val retiredFile = new java.io.File(tableDir("vac"), st.retired.head.file)
     assert(retiredFile.isFile)
-    // crash artifact: a writeAtomic that died between write and move
+    // crash artifact: a writeAtomic that died between write and move.
+    // The sweep is AGE-GATED (a lock-free `cas` committer may own a
+    // fresh in-flight tmp), so a real crash leftover is old — backdate
+    // it past the gate; a fresh tmp must survive the sweep.
     val orphanTmp = new java.io.File(tableDir("vac"),
       TableMeta.RegionsFile + ".tmp")
     java.nio.file.Files.write(orphanTmp.toPath, "{}".getBytes)
+    orphanTmp.setLastModified(System.currentTimeMillis() - 7200_000L)
+    val freshTmp = new java.io.File(tableDir("vac"),
+      TableMeta.RegionsFile + ".inflight.tmp")
+    java.nio.file.Files.write(freshTmp.toPath, "{}".getBytes)
     val out = spark.sql("CALL graft.sys.vacuum(table => 'del.vac')")
       .collect()
-    assert(out.head.getString(0) == "2") // retired file + orphan tmp
+    assert(out.head.getString(0) == "2") // retired file + OLD orphan tmp
     assert(!retiredFile.isFile)
-    assert(!orphanTmp.isFile, "vacuum must sweep .tmp crash leftovers")
+    assert(!orphanTmp.isFile, "vacuum must sweep old .tmp crash leftovers")
+    assert(freshTmp.isFile,
+      "a fresh tmp (possibly a live lock-free writer's) must survive")
+    freshTmp.delete()
     assert(TableMeta.loadState(tableDir("vac")).retired.isEmpty)
     assert(spark.table(fqn).count() == 300L) // live data untouched
     spark.sql(s"DROP TABLE $fqn")

@@ -57,23 +57,32 @@ class ManifestCacheSpec extends AnyFunSuite {
     assert(TableMeta.manifestParses.get() == before + 2)
   }
 
-  test("an out-of-band rewrite (other process) is picked up by stat") {
+  test("an out-of-band commit (other process) is picked up by listing") {
     val dir = tmpDir()
     TableMeta.saveState(dir, TableMeta.ManifestState(
       1L, Seq(region(0L, 10L)), Map.empty))
     assert(TableMeta.loadState(dir).gen == 1L)
-    // simulate another process: write the file directly, NOT through
-    // this JVM's saveState invalidation
-    val f = new File(dir, TableMeta.RegionsFile)
-    val content = new String(Files.readAllBytes(f.toPath), "UTF-8")
-      .replace("\"generation\":1", "\"generation\":7")
-    val tmp = new File(dir, TableMeta.RegionsFile + ".ext")
-    Files.write(tmp.toPath, content.getBytes("UTF-8"))
-    Files.move(tmp.toPath, f.toPath,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val log = new File(dir, TableMeta.LogDirName)
+    // simulate another process committing: (a) a NEW log segment —
+    // written directly, NOT through this JVM's cache invalidation —
+    // must be picked up by the per-load log listing...
+    val cpName = log.list().filter(_.startsWith("cp-")).max
+    val cpSeq = cpName.stripPrefix("cp-").stripSuffix(".json").toLong
+    val seg = new File(log, f"${cpSeq + 1}%012d.json")
+    Files.write(seg.toPath,
+      s"""{"seq":${cpSeq + 1},"swap":true,"generation":7,"nextId":2,"regions":[]}"""
+        .getBytes("UTF-8"))
     assert(TableMeta.loadState(dir).gen == 7L,
-      "stat-based invalidation must see a foreign commit")
+      "a foreign log segment must be seen by the next load")
+    // ...and (b) a NEWER checkpoint written by a foreign fold must
+    // displace the cached one by identity
+    val cp2 = new File(log, f"cp-${cpSeq + 1}%012d.json")
+    Files.write(cp2.toPath,
+      s"""{"generation":9,"nextId":2,"lastSeq":${cpSeq + 1},"regions":[]}"""
+        .getBytes("UTF-8"))
+    seg.delete()
+    assert(TableMeta.loadState(dir).gen == 9L,
+      "a foreign checkpoint must be seen by the next load")
   }
 
   test("100k regions: parse once, cached planning free, pruning fast") {

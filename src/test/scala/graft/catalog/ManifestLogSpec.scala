@@ -33,12 +33,23 @@ class ManifestLogSpec extends AnyFunSuite {
     RegionMeta(s"part-$i.parquet", 1000L,
       Seq(hexKey(i * 1000L)), Seq(hexKey((i + 1) * 1000L - 1)))
 
-  private def checkpointBytes(dir: File): Seq[Byte] =
-    Files.readAllBytes(new File(dir, TableMeta.RegionsFile).toPath).toSeq
+  // the NEWEST versioned checkpoint (cp-<seq>.json in the log dir)
+  private def newestCpFile(dir: File): File = {
+    val log = new File(dir, TableMeta.LogDirName)
+    val names = Option(log.list()).getOrElse(Array.empty[String])
+      .filter(n => n.startsWith("cp-") && n.endsWith(".json")).sorted
+    assert(names.nonEmpty, s"no checkpoint under $log")
+    new File(log, names.last)
+  }
 
+  private def checkpointBytes(dir: File): Seq[Byte] =
+    Files.readAllBytes(newestCpFile(dir).toPath).toSeq
+
+  // bare-seq segments only (checkpoints live in the same dir as cp-*)
   private def segCount(dir: File): Int = {
     val names = new File(dir, TableMeta.LogDirName).list()
-    if (names == null) 0 else names.count(_.endsWith(".json"))
+    if (names == null) 0
+    else names.count(n => n.endsWith(".json") && !n.startsWith("cp-"))
   }
 
   test("an append writes a log segment; the checkpoint is untouched") {
@@ -106,8 +117,10 @@ class ManifestLogSpec extends AnyFunSuite {
       // the next append must NOT reuse a consumed seq: lastSeq persists
       // in the checkpoint
       TableMeta.appendRegions(dir, Seq(region(4L)))
+      // the initial full-state write consumed seq 1, the four appends
+      // seqs 2-5; the fold checkpointed at 5, so this append is seq 6
       assert(new File(new File(dir, TableMeta.LogDirName),
-        "000000000005.json").isFile,
+        "000000000006.json").isFile,
         "segment seq continues after the fold")
       val s2 = TableMeta.loadState(dir)
       assert(s2.regions.size == 5)
@@ -158,8 +171,10 @@ class ManifestLogSpec extends AnyFunSuite {
     TableMeta.saveState(dir, TableMeta.ManifestState(1L, Nil, Map.empty))
     TableMeta.appendRegions(dir, Seq(region(0L)))
     TableMeta.appendRegions(dir, Seq(region(1L)))
+    // the initial full-state write was seq 1 (folded away on write);
+    // the two appends are seqs 2 and 3
     val seg1 = new File(new File(dir, TableMeta.LogDirName),
-      "000000000001.json")
+      "000000000002.json")
     val keep = Files.readAllBytes(seg1.toPath)
     val folded = TableMeta.loadState(dir)
     TableMeta.saveState(dir, folded) // checkpoint consumes both segments

@@ -257,8 +257,15 @@ class RowLevelOpsSpec extends AnyFunSuite {
     assert(s1("generation").toLong == s0("generation").toLong + 1,
       "a rewrite bumps the generation")
     assert(s1("retired_regions").toInt >= 1)
-    assert(s1("log_segments") == "0",
-      "the rewrite checkpoint folds the log")
+    // the INSERT and the UPDATE each logged one O(touched) delta
+    // segment — a 2-region rewrite on a huge table must not pay an
+    // O(regions) checkpoint; the fold happens on demand or at the
+    // live-segment threshold
+    assert(s1("log_segments") == "2",
+      "append + rewrite each log one delta segment")
+    assert(spark.sql("CALL graft.sys.fold(table => 'rlo.maniproc')")
+      .collect().head.getString(0).toInt == 2)
+    assert(state()("log_segments") == "0")
     spark.sql("CALL graft.sys.vacuum(table => 'rlo.maniproc')")
     assert(state()("retired_regions") == "0")
     spark.sql(s"DROP TABLE $fqn")
