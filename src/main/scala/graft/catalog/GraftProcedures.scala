@@ -33,7 +33,8 @@ object GraftProcedures {
   val Namespace: Array[String] = Array("sys")
 
   val Names: Seq[String] =
-    Seq("load_csv", "compact", "stats", "vacuum", "manifest", "fold")
+    Seq("load_csv", "compact", "cluster", "stats", "vacuum", "manifest",
+      "fold")
 
   def load(catalogName: String, ident: Identifier): UnboundProcedure = {
     require(ident.namespace.isEmpty ||
@@ -43,6 +44,7 @@ object GraftProcedures {
     ident.name.toLowerCase match {
       case "load_csv" => new LoadCsvProcedure(catalogName)
       case "compact" => new CompactProcedure(catalogName)
+      case "cluster" => new ClusterProcedure(catalogName)
       case "stats" => new StatsProcedure(catalogName)
       case "vacuum" => new VacuumProcedure(catalogName)
       case "manifest" => new ManifestProcedure(catalogName)
@@ -293,6 +295,40 @@ object GraftProcedures {
           }
           Collections.singletonList(LocalRowsScan(Array("removed_files"),
             Seq(Seq(removed.toString))): Scan).iterator()
+        }
+      }
+  }
+
+  /** `CALL graft.sys.cluster(table => 'ns.t', cols => 'b;c',
+    * target_regions => N)` — rewrite the table's regions Z-ORDERED by
+    * the given columns ([[GraftCluster]]): per-region min/max stats
+    * become tight on every clustered dimension at once, so non-key
+    * predicates on any of them prune regions before task scheduling.
+    * Trades key-range pruning for multi-column stat pruning. */
+  final class ClusterProcedure(catalogName: String)
+      extends UnboundProcedure {
+    override def name(): String = "cluster"
+    override def description(): String =
+      "rewrite a graft table's regions z-ordered by the given columns " +
+        "(multi-dimensional clustering for non-key stat pruning)"
+    override def bind(inputType: StructType): BoundProcedure =
+      new BoundProcedure {
+        override def name(): String = "cluster"
+        override def description(): String = ClusterProcedure.this.description()
+        override def isDeterministic: Boolean = false
+        override def parameters(): Array[ProcedureParameter] = Array(
+          ProcedureParameter.in("table", StringType)
+            .comment("'<namespace>.<table>' within this catalog").build(),
+          ProcedureParameter.in("cols", StringType)
+            .comment("';'-separated columns to cluster by").build(),
+          ProcedureParameter.in("target_regions", IntegerType).build())
+        override def call(input: InternalRow): java.util.Iterator[Scan] = {
+          val (ns, t) = splitNsTable(input.getUTF8String(0).toString)
+          val cols = input.getUTF8String(1).toString.split(";")
+            .map(_.trim).filter(_.nonEmpty).toSeq
+          GraftCluster.cluster(SparkSession.active, catalogName, ns, t,
+            cols, input.getInt(2))
+          Collections.emptyIterator()
         }
       }
   }

@@ -775,6 +775,56 @@ object CatalogQueries {
       fqn
     })
 
+  /** Orders clustered Z-ORDER by (o_orderdate, o_totalprice) via
+    * `CALL graft.sys.cluster`: region stats bound BOTH non-key
+    * dimensions at once, so a date+price band prunes regions the
+    * key-sorted layout cannot (GraftClusterSpec proves the pruning and
+    * layout-independence; this query gates the ANSWERS through the
+    * driver oracle). A half-built table (rows loaded, cluster not yet
+    * run) is detected by the absence of the `graft.clusteredBy`
+    * property the rewrite records, and rebuilt. */
+  private val builtZ = scala.collection.concurrent.TrieMap[String, String]()
+  private def ordersZTable(s: SparkSession, d: String): String =
+    builtZ.getOrElseUpdate(d, {
+      sfNamespace(s, d)
+      val ns = s"sf_${math.abs(d.hashCode)}"
+      val fqn = s"graft.$ns.orders_z_t"
+      val srcCount = s.read.parquet(s"$d/orders.parquet").count()
+      val clustered = trusted(s, ns, "orders_z_t", srcCount) &&
+        s.sql(s"SHOW TBLPROPERTIES $fqn").collect()
+          .exists(_.getString(0) == "graft.clusteredBy") || {
+          s.sql(s"DROP TABLE IF EXISTS $fqn"); false
+        }
+      if (!clustered) {
+        s.sql(
+          s"""CREATE TABLE $fqn (
+             |  o_orderkey BIGINT, o_orderstatus STRING,
+             |  o_totalprice DOUBLE, o_orderdate DATE)
+             |TBLPROPERTIES('keyCols'='o_orderkey', 'numRegions'='8')"""
+            .stripMargin)
+        val v = s"z_cat_src_${math.abs(d.hashCode)}"
+        s.read.parquet(s"$d/orders.parquet").createOrReplaceTempView(v)
+        s.sql(
+          s"""INSERT INTO $fqn
+             |SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate
+             |FROM $v""".stripMargin)
+        s.sql(s"CALL graft.sys.cluster(table => '$ns.orders_z_t', " +
+          "cols => 'o_orderdate;o_totalprice', target_regions => 8)")
+      }
+      fqn
+    })
+
+  /** Date+price band over the z-clustered store — at 100 TB this is
+    * the query shape clustering exists for: both predicates prune
+    * regions from the manifest before any task is scheduled. */
+  val zorderAgg: Q = (s, d) => s.sql(
+    s"""SELECT o_orderstatus, count(*) AS cnt,
+       |       round(sum(o_totalprice), 2) AS total
+       |FROM ${ordersZTable(s, d)}
+       |WHERE o_orderdate BETWEEN DATE'1996-03-01' AND DATE'1996-06-30'
+       |  AND o_totalprice BETWEEN 50000 AND 150000
+       |GROUP BY o_orderstatus""".stripMargin)
+
   /** Fingerprint point lookup through the bloom-filtered store: every
     * doc sharing doc 42's content hash (exact-dup cluster membership,
     * the reverse-lookup a dedup pipeline runs). */
@@ -984,6 +1034,7 @@ object CatalogQueries {
     "catalog_multimodal_meta" -> multimodalMetaOnStore,
     "catalog_skipscan" -> skipScan,
     "catalog_stats_skip" -> statsSkip,
+    "catalog_zorder" -> zorderAgg,
     "catalog_bloom_lookup" -> bloomLookup,
     "catalog_manifest_agg" -> manifestAgg,
     "catalog_upsert" -> upsertAgg,
@@ -1015,6 +1066,16 @@ object CatalogQueries {
       |FROM orders GROUP BY 1""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // layout-independence is the whole point: the z-clustered store
+    // must return exactly what the raw parquet returns
+    "catalog_zorder" ->
+      """SELECT o_orderstatus, count(*) AS cnt,
+        |       round(sum(o_totalprice), 2) AS total
+        |FROM orders
+        |WHERE o_orderdate BETWEEN DATE'1996-03-01' AND DATE'1996-06-30'
+        |  AND o_totalprice BETWEEN 50000 AND 150000
+        |GROUP BY o_orderstatus""".stripMargin,
+
     // both engines aggregate true decimals — values must match exactly,
     // no round() anywhere (scale-2 results on both sides); sum widened
     // to Spark's result width DECIMAL(22,2) (DuckDB's is DECIMAL(38,2)).
