@@ -96,6 +96,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // loudly (a lock that silently does not lock corrupts manifests)
     TableMeta.commitStore = CommitStore.select(
       Option(options.get("commitStore")).getOrElse("posix"))
+    // spark.sql.catalog.graft.historyRetainMillis — the time-travel
+    // horizon (how long consumed log segments / superseded checkpoints
+    // survive a fold); 0 disables history
+    Option(options.get("historyRetainMillis")).foreach { v =>
+      TableMeta.historyRetainMillis = v.toLongOption.getOrElse(
+        throw new IllegalArgumentException(
+          s"historyRetainMillis must be a non-negative integer, got '$v'"))
+    }
     Files.createDirectories(Paths.get(warehouse.getPath, "default"))
   }
 
@@ -129,6 +137,56 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       registerRegionFn(meta)
       new GraftTable(ident.toString, dir, meta)
     })
+  }
+
+  /** `VERSION AS OF <n>` — version numbers are commit-log seqs
+    * ([[TableMeta.currentVersion]]; `CALL graft.sys.history` lists
+    * them). The snapshot pins the region manifest as of that commit;
+    * the schema is the CURRENT schema (graft schema metadata is not
+    * versioned — like the reference, where HBase cells outlive column
+    * mapping changes): a column added since reads as null for regions
+    * that predate it, a dropped column stays dropped. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val dir = tableDir(ident)
+    if (!TableMeta.exists(dir))
+      throw new NoSuchTableException(ident.namespace().toSeq :+ ident.name())
+    val v = version.toLongOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"graft versions are commit-log seqs (integers); got '$version'"))
+    snapshotTable(ident, dir, v)
+  }
+
+  /** `TIMESTAMP AS OF <t>` — Spark hands micros since epoch; resolved
+    * to the newest commit at or before it ([[TableMeta.versionAt]]). */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val dir = tableDir(ident)
+    if (!TableMeta.exists(dir))
+      throw new NoSuchTableException(ident.namespace().toSeq :+ ident.name())
+    snapshotTable(ident, dir, TableMeta.versionAt(dir, timestamp / 1000L))
+  }
+
+  private def snapshotTable(ident: Identifier, dir: File,
+      version: Long): GraftTable = {
+    val state = TableMeta.stateAt(dir, version)
+    // Region files of a historical version may have been vacuumed
+    // (DELETE/compaction retire files; graft.sys.vacuum removes them).
+    // Check eagerly — but only files OUTSIDE the current manifest
+    // (live + retired certainly exist), so the check is O(difference),
+    // not O(regions) stats, on the common no-rewrite-since path.
+    val present = {
+      val cur = TableMeta.loadState(dir)
+      (cur.regions ++ cur.retired).map(_.file).toSet
+    }
+    val gone = state.regions
+      .filterNot(r => present(r.file) || new File(dir, r.file).isFile)
+    if (gone.nonEmpty) throw new IllegalStateException(
+      s"version $version of $ident references ${gone.size} region " +
+        s"file(s) removed by vacuum/compaction cleanup (e.g. " +
+        s"${gone.head.file}); this version is no longer readable")
+    val meta = TableMeta.load(dir)
+    registerRegionFn(meta)
+    new GraftTable(ident.toString, dir, meta,
+      snapshot = Some((version, state.regions)))
   }
 
   override def invalidateTable(ident: Identifier): Unit =

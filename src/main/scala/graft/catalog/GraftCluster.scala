@@ -152,7 +152,8 @@ object GraftCluster {
           val o = r.copy(id = next, srcMaxId = srcMax); next += 1; o
         }
         TableMeta.saveStateAt(t.tableDir, viewSeq, TableMeta.ManifestState(
-          state.gen + 1, outputs ++ tail, state.epochs, snapLive, next))
+          state.gen + 1, outputs ++ tail, state.epochs, snapLive, next),
+          op = "cluster")
         Some(state.retired)
       }
     }

@@ -140,7 +140,8 @@ object GraftCompact {
         // since the view surfaces as a lost race (retried under `cas`)
         // instead of being clobbered.
         TableMeta.saveStateAt(t.tableDir, viewSeq, TableMeta.ManifestState(
-          newGen, outputs ++ tail, keptEpochs, snapLive, next))
+          newGen, outputs ++ tail, keptEpochs, snapLive, next),
+          op = "compact")
         Some(state.retired)
       }
     }

@@ -166,7 +166,8 @@ object GraftDelete {
           TableMeta.writeDelta(tableDir, viewSeq,
             removeIds = in.map(_.id).toSet,
             retiredAdd = in,
-            gen = state.gen + 1)
+            gen = state.gen + 1,
+            op = "delete")
         return
       }
       strad
@@ -225,7 +226,8 @@ object GraftDelete {
         regions = outs,
         removeIds = dropped.map(_.id).toSet,
         retiredAdd = dropped,
-        gen = state.gen + 1)
+        gen = state.gen + 1,
+        op = "delete")
     }
   }
 

@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.Identifier
 import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
 import org.apache.spark.sql.connector.read.Scan
-import org.apache.spark.sql.types.{IntegerType, StringType, StructType}
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructType}
 
 /** SQL-visible maintenance procedures for the graft catalog, on the
   * Spark-4 V2 `ProcedureCatalog` API:
@@ -34,7 +34,7 @@ object GraftProcedures {
 
   val Names: Seq[String] =
     Seq("load_csv", "compact", "cluster", "stats", "vacuum", "manifest",
-      "fold")
+      "fold", "history", "restore")
 
   def load(catalogName: String, ident: Identifier): UnboundProcedure = {
     require(ident.namespace.isEmpty ||
@@ -49,6 +49,8 @@ object GraftProcedures {
       case "vacuum" => new VacuumProcedure(catalogName)
       case "manifest" => new ManifestProcedure(catalogName)
       case "fold" => new FoldProcedure(catalogName)
+      case "history" => new HistoryProcedure(catalogName)
+      case "restore" => new RestoreProcedure(catalogName)
       case other => throw new IllegalArgumentException(
         s"unknown graft procedure $other; available: ${Names.mkString(", ")}")
     }
@@ -232,15 +234,17 @@ object GraftProcedures {
           val gt = graftTable(catalogName, input.getUTF8String(0).toString)
           // one consistent view: state and segment count must not
           // straddle a concurrent commit
-          val (st, segs) = TableMeta.stateAndLogLength(gt.tableDir)
+          val (st, segs, version) =
+            TableMeta.stateAndLogLength(gt.tableDir)
           Collections.singletonList(LocalRowsScan(
             Array("generation", "live_regions", "live_rows",
               "retired_regions", "log_segments", "next_region_id",
-              "stream_epochs"),
+              "stream_epochs", "version"),
             Seq(Seq(st.gen.toString, st.regions.size.toString,
               st.regions.map(_.rows).sum.toString,
               st.retired.size.toString, segs.toString,
-              st.nextId.toString, st.epochs.size.toString))): Scan)
+              st.nextId.toString, st.epochs.size.toString,
+              version.toString))): Scan)
             .iterator()
         }
       }
@@ -290,7 +294,7 @@ object GraftProcedures {
             tmps.foreach(_.delete())
             if (state.retired.nonEmpty)
               TableMeta.writeDelta(gt.tableDir, viewSeq,
-                clearRetired = true)
+                clearRetired = true, op = "vacuum")
             state.retired.size + tmps.length
           }
           Collections.singletonList(LocalRowsScan(Array("removed_files"),
@@ -329,6 +333,111 @@ object GraftProcedures {
           GraftCluster.cluster(SparkSession.active, catalogName, ns, t,
             cols, input.getInt(2))
           Collections.emptyIterator()
+        }
+      }
+  }
+
+  /** `CALL graft.sys.history(table => 'ns.t')` — the retained commit
+    * history, one row per log segment, oldest first: version (= the
+    * commit seq `VERSION AS OF` reads), commit wall-clock, operation,
+    * and the delta's region/row counts. History reaches back as far as
+    * the retention horizon (`historyRetainMillis`); older commits have
+    * been folded into checkpoints and aged out. The graft analogue of
+    * DESCRIBE HISTORY. */
+  final class HistoryProcedure(catalogName: String)
+      extends UnboundProcedure {
+    override def name(): String = "history"
+    override def description(): String =
+      "retained commit history of a graft table (version, time, " +
+        "operation, delta sizes)"
+    override def bind(inputType: StructType): BoundProcedure =
+      new BoundProcedure {
+        override def name(): String = "history"
+        override def description(): String =
+          HistoryProcedure.this.description()
+        override def isDeterministic: Boolean = false
+        override def parameters(): Array[ProcedureParameter] = Array(
+          ProcedureParameter.in("table", StringType)
+            .comment("'<namespace>.<table>' within this catalog").build())
+        override def call(input: InternalRow): java.util.Iterator[Scan] = {
+          val gt = graftTable(catalogName, input.getUTF8String(0).toString)
+          val rows = TableMeta.history(gt.tableDir).map { e =>
+            Seq(e.version.toString,
+              java.time.Instant.ofEpochMilli(e.tsMillis).toString,
+              e.op, e.regionsAdded.toString, e.rowsAdded.toString,
+              e.regionsRemoved.toString)
+          }
+          Collections.singletonList(LocalRowsScan(
+            Array("version", "committed_at", "operation",
+              "regions_added", "rows_added", "regions_removed"),
+            rows): Scan).iterator()
+        }
+      }
+  }
+
+  /** `CALL graft.sys.restore(table => 'ns.t', version => N)` — roll
+    * the LIVE manifest back to the region set of a historical version
+    * (metadata-only: region files are never copied or rewritten). The
+    * restore is itself a new commit — the rolled-back-over history
+    * stays readable, and a restore can be restored. Refuses when the
+    * version's region files have been vacuumed. Generation bumps like
+    * any rewrite, so tailing streams fail loudly rather than
+    * mis-slicing; the epoch ledger and id counter carry forward
+    * (restored regions keep their original ids — already-consumed ids
+    * are not re-served to incremental consumers). */
+  final class RestoreProcedure(catalogName: String)
+      extends UnboundProcedure {
+    override def name(): String = "restore"
+    override def description(): String =
+      "roll a graft table's live manifest back to a historical version " +
+        "(metadata-only; the restore is itself a new commit)"
+    override def bind(inputType: StructType): BoundProcedure =
+      new BoundProcedure {
+        override def name(): String = "restore"
+        override def description(): String =
+          RestoreProcedure.this.description()
+        override def isDeterministic: Boolean = false
+        override def parameters(): Array[ProcedureParameter] = Array(
+          ProcedureParameter.in("table", StringType)
+            .comment("'<namespace>.<table>' within this catalog").build(),
+          ProcedureParameter.in("version", LongType)
+            .comment("commit-log version to restore to " +
+              "(see graft.sys.history)").build())
+        override def call(input: InternalRow): java.util.Iterator[Scan] = {
+          val gt = graftTable(catalogName, input.getUTF8String(0).toString)
+          val version = input.getLong(1)
+          val dir = gt.tableDir
+          val restored = TableMeta.withManifestLock(dir) {
+            val (cur, viewSeq) = TableMeta.commitView(dir)
+            val hist = TableMeta.stateAt(dir, version)
+            val present = (cur.regions ++ cur.retired).map(_.file).toSet
+            val gone = hist.regions.filterNot(r =>
+              present(r.file) || new java.io.File(dir, r.file).isFile)
+            if (gone.nonEmpty) throw new IllegalStateException(
+              s"cannot restore to version $version: ${gone.size} region " +
+                s"file(s) have been vacuumed (e.g. ${gone.head.file})")
+            // regions dropped by the restore retire (files kept one
+            // cycle for in-flight readers, like DELETE/compaction).
+            // Previously-retired files stay tracked — vacuum must
+            // still find them — EXCEPT ones the restore brings back
+            // live (restoring to a pre-compaction version revives
+            // regions that sit in the retired list right now).
+            val restoredFiles = hist.regions.map(_.file).toSet
+            val nowRetired = (cur.regions ++ cur.retired)
+              .filterNot(r => restoredFiles(r.file))
+              .distinctBy(_.file)
+            TableMeta.saveStateAt(dir, viewSeq, TableMeta.ManifestState(
+              cur.gen + 1, hist.regions, cur.epochs, nowRetired,
+              cur.nextId), op = "restore")
+            hist.regions.size
+          }
+          org.apache.spark.sql.SparkSession.active.catalog
+            .refreshTable(s"$catalogName." +
+              input.getUTF8String(0).toString)
+          Collections.singletonList(LocalRowsScan(
+            Array("restored_version", "live_regions"),
+            Seq(Seq(version.toString, restored.toString))): Scan)
+            .iterator()
         }
       }
   }

@@ -149,7 +149,8 @@ class GraftReplaceWrite(tableDir: File, meta: TableMeta,
           regions = outs,
           removeIds = dropped.map(_.id).toSet,
           retiredAdd = dropped,
-          gen = state.gen + 1) // a rewrite, like DELETE/compaction
+          gen = state.gen + 1,
+          op = "rowlevel") // a rewrite, like DELETE/compaction
       }
     }
 

@@ -34,19 +34,36 @@ import graft.prune.KeyRanges.{Iv, IvSet}
   *  - one `InputPartition` per surviving region (the reference's
   *    `HBasePartition`), with row-count statistics for the planner.
   */
-class GraftTable(tableName: String, val tableDir: File, val meta: TableMeta)
+class GraftTable(tableName: String, val tableDir: File, val meta: TableMeta,
+    val snapshot: Option[(Long, Seq[RegionMeta])] = None)
     extends Table with SupportsRead with SupportsWrite
     with connector.catalog.SupportsDelete
     with connector.catalog.SupportsRowLevelOperations
     with connector.catalog.SupportsMetadataColumns {
+
+  /** Pinned region list of a `VERSION AS OF` / `TIMESTAMP AS OF` read
+    * ([[TableMeta.stateAt]]); None = live table. A snapshot is
+    * read-only: every write surface below refuses, and
+    * [[capabilities]] advertises batch reads only, so INSERT/DML/
+    * streaming against it fail at analysis, not at commit. */
+  private def pinnedRegions: Option[Seq[RegionMeta]] =
+    snapshot.map(_._2)
+
+  private def refuseWrite(what: String): Nothing =
+    throw new UnsupportedOperationException(
+      s"$what is not supported on a time-travel snapshot " +
+        s"($tableName VERSION AS OF ${snapshot.get._1}); " +
+        "run it against the live table")
 
   /** SQL UPDATE / MERGE INTO / non-interval DELETE: copy-on-write
     * region rewrites ([[GraftRowLevelOperation]]). Interval-exact
     * DELETEs still take the metadata-only path ([[canDeleteWhere]]). */
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
-      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    if (snapshot.isDefined) refuseWrite("UPDATE/MERGE/DELETE")
     new GraftRowLevelBuilder(tableDir, meta, info)
+  }
 
   /** Row provenance as V2 metadata columns (the analogue of HBase's
     * cell timestamp/region provenance, which the reference's Put-upsert
@@ -71,25 +88,33 @@ class GraftTable(tableName: String, val tableDir: File, val meta: TableMeta)
   override def properties(): java.util.Map[String, String] =
     meta.properties.asJava
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ,
+    if (snapshot.isDefined)
+      java.util.EnumSet.of(TableCapability.BATCH_READ)
+    else java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.MICRO_BATCH_READ,
       TableCapability.STREAMING_WRITE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(tableDir, meta,
-      Option(options.get(FilterHint.OptionKey)))
+      Option(options.get(FilterHint.OptionKey)),
+      pinned = pinnedRegions)
 
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    if (snapshot.isDefined) refuseWrite("INSERT")
     new GraftWriteBuilder(tableDir, meta, info)
+  }
 
   /** Region-aligned metadata-only DELETE/TRUNCATE ([[GraftDelete]]):
     * whole regions drop from the manifest with zero data IO when the
     * predicate is exactly a leading-key interval set. */
   override def canDeleteWhere(filters: Array[sources.Filter]): Boolean =
-    GraftDelete.exactIntervals(filters.toSeq, meta).isDefined
+    snapshot.isEmpty &&
+      GraftDelete.exactIntervals(filters.toSeq, meta).isDefined
 
-  override def deleteWhere(filters: Array[sources.Filter]): Unit =
+  override def deleteWhere(filters: Array[sources.Filter]): Unit = {
+    if (snapshot.isDefined) refuseWrite("DELETE")
     GraftDelete.deleteWhere(tableDir, meta, filters)
+  }
 }
 
 /** V1 `sources.Filter` → per-key-dimension interval sets, for region
@@ -333,7 +358,8 @@ object GraftAccel {
   * whose commit replaces exactly the regions the scan selected. */
 class GraftScanBuilder(tableDir: File, meta: TableMeta,
     filterHint: Option[String] = None, groupMode: Boolean = false,
-    onBuild: GraftScan => Unit = null)
+    onBuild: GraftScan => Unit = null,
+    pinned: Option[Seq[RegionMeta]] = None)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
 
@@ -384,7 +410,7 @@ class GraftScanBuilder(tableDir: File, meta: TableMeta,
     }
     // every region must carry a stat entry for the column (pre-upgrade
     // manifests fall back to a real scan); empty table answers anything
-    lazy val regions = TableMeta.loadRegions(tableDir)
+    lazy val regions = pinned.getOrElse(TableMeta.loadRegions(tableDir))
     def covered(f: StructField): Boolean =
       ColStats.trackable(f.dataType) && regions.forall(
         _.stats.exists(_._1.equalsIgnoreCase(f.name)))
@@ -428,10 +454,10 @@ class GraftScanBuilder(tableDir: File, meta: TableMeta,
       })
 
   override def build(): Scan = aggPlan match {
-    case Some(specs) => new GraftAggScan(tableDir, meta, specs)
+    case Some(specs) => new GraftAggScan(tableDir, meta, specs, pinned)
     case None =>
       val s = new GraftScan(tableDir, meta, required, pushed, filterHint,
-        groupMode)
+        groupMode, pinned)
       if (onBuild != null) onBuild(s)
       s
   }
@@ -451,7 +477,8 @@ object GraftAggScan {
 }
 
 class GraftAggScan(tableDir: File, meta: TableMeta,
-    specs: Seq[GraftAggScan.Spec]) extends Scan with Batch {
+    specs: Seq[GraftAggScan.Spec],
+    pinned: Option[Seq[RegionMeta]] = None) extends Scan with Batch {
   import GraftAggScan._
 
   private val keyTypes = meta.keyTypes
@@ -472,7 +499,7 @@ class GraftAggScan(tableDir: File, meta: TableMeta,
   override def toBatch: Batch = this
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val regions = TableMeta.loadRegions(tableDir)
+    val regions = pinned.getOrElse(TableMeta.loadRegions(tableDir))
     // (countValue | minHex | maxHex | null for empty table, type json)
     // per spec, driver-computed. Committed regions always have rows>0,
     // so every manifest min/max is a real value — including "" (hex of
@@ -561,7 +588,8 @@ final case class GraftAggReaderFactory() extends PartitionReaderFactory {
 
 class GraftScan(tableDir: File, meta: TableMeta, required: StructType,
     filters: Array[sources.Filter], filterHint: Option[String] = None,
-    groupMode: Boolean = false)
+    groupMode: Boolean = false,
+    pinned: Option[Seq[RegionMeta]] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsReportOrdering with SupportsRuntimeFiltering
     with SupportsReportPartitioning {
@@ -626,7 +654,7 @@ class GraftScan(tableDir: File, meta: TableMeta, required: StructType,
       val colPred = ColStats.compile(all, statTypes) // literals enc'd once
       val idPreds = all.flatMap(GraftFilters.regionIdPred)
       val filePreds = all.flatMap(GraftFilters.regionFilePred)
-      c = TableMeta.loadRegions(tableDir).filter { r =>
+      c = pinned.getOrElse(TableMeta.loadRegions(tableDir)).filter { r =>
         idPreds.forall(_(r.id)) && filePreds.forall(_(r.file)) &&
           KeyRanges.survives(constraints,
             r.mins.map(KeyCodec.fromHex), r.maxs.map(KeyCodec.fromHex)) &&
@@ -647,6 +675,10 @@ class GraftScan(tableDir: File, meta: TableMeta, required: StructType,
     * The reference has no streaming surface at all (SURVEY §2.8). */
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    require(pinned.isEmpty,
+      "streaming from a time-travel snapshot is not supported; tail " +
+        "the live table (incremental consumers checkpoint on " +
+        "_graft_region_id instead)")
     // graft.filterHint: user-asserted skipping predicate (FilterHint) —
     // the streaming stand-in for batch-only filter pushdown
     val hinted = filterHint
@@ -883,7 +915,7 @@ class GraftScan(tableDir: File, meta: TableMeta, required: StructType,
 
   override def reportDriverMetrics()
       : Array[connector.metric.CustomTaskMetric] = {
-    val total = TableMeta.loadRegions(tableDir).size
+    val total = pinned.getOrElse(TableMeta.loadRegions(tableDir)).size
     Array(GraftScan.taskMetric("regionsTotal", total),
       GraftScan.taskMetric("regionsScanned", selectedRegions.size),
       GraftScan.taskMetric("readPartitions", packedGroups.size))

@@ -138,6 +138,19 @@ object TableMeta {
   @volatile private[catalog] var commitStore: CommitStore =
     CommitStore.LockedPosix
 
+  /** How long consumed log segments and superseded checkpoints are
+    * retained after a fold — the TIME-TRAVEL horizon: any version whose
+    * segments (or a covering checkpoint) are still on disk can be read
+    * with `VERSION AS OF` / `TIMESTAMP AS OF` and restored with
+    * `CALL graft.sys.restore`. Retained files are invisible to current
+    * reads (the reader probes from the newest checkpoint), so the only
+    * cost is log-directory bytes — O(commits within the horizon).
+    * Catalog option `spark.sql.catalog.graft.historyRetainMillis`;
+    * 0 disables history (pre-time-travel cleanup behavior). The
+    * effective segment retention is max(this, the commit store's
+    * stale-writer horizon [[CommitStore.segmentRetainMillis]]). */
+  @volatile private[catalog] var historyRetainMillis: Long = 86400000L
+
   private def writeAtomic(path: File, content: String): Unit =
     commitStore.putReplace(path, content)
 
@@ -257,9 +270,9 @@ object TableMeta {
     * re-parsing it per query. `state` must derive from the same view
     * `viewSeq` came from ([[commitView]]). */
   private[catalog] def saveStateAt(tableDir: File, viewSeq: Long,
-      state: ManifestState): Unit = {
+      state: ManifestState, op: String = "swap"): Unit = {
     writeSegment(tableDir, viewSeq + 1L,
-      SegmentDelta(Nil, Map.empty, swap = Some(state)))
+      SegmentDelta(Nil, Map.empty, swap = Some(state), op = op))
     writeCheckpoint(tableDir)
   }
 
@@ -293,19 +306,26 @@ object TableMeta {
       // cleanup strictly AFTER the covering checkpoint exists; a
       // reader that listed the log before it still holds a valid view,
       // one that lists after detects the new checkpoint and retries.
-      // Consumed segment NAMES are retained for the store's
-      // stale-writer horizon: deleting one frees its seq for a writer
-      // holding a pre-fold view to re-win with putIfAbsent, committing
-      // invisibly below the checkpoint (0 under locked stores — no
-      // stale view can exist inside the lock).
-      val retain = commitStore.segmentRetainMillis
+      // Consumed segment NAMES are retained for the LONGER of two
+      // horizons: the store's stale-writer horizon (deleting one frees
+      // its seq for a writer holding a pre-fold view to re-win with
+      // putIfAbsent, committing invisibly below the checkpoint; 0
+      // under locked stores — no stale view can exist inside the
+      // lock), and the history-retention horizon (consumed segments +
+      // superseded checkpoints are what VERSION AS OF reconstructs
+      // historical manifests from).
+      val retain = commitStore.segmentRetainMillis max historyRetainMillis
       val cutoff = System.currentTimeMillis() - retain
       listSegSeqs(tableDir).filter(_ <= newest)
         .map(segFile(tableDir, _))
         .filter(f => retain <= 0L || f.lastModified() < cutoff)
         .foreach(_.delete())
+      val cpCutoff = System.currentTimeMillis() - historyRetainMillis
       listCpSeqs(tableDir).filter(_ < newest)
-        .foreach(q => cpFile(tableDir, q).delete())
+        .map(q => cpFile(tableDir, q))
+        .filter(f => historyRetainMillis <= 0L ||
+          f.lastModified() < cpCutoff)
+        .foreach(_.delete())
       val legacy = new File(tableDir, RegionsFile)
       if (legacy.isFile) legacy.delete()
     }
@@ -623,7 +643,8 @@ object TableMeta {
       retiredAdd: Seq[RegionMeta] = Nil,
       clearRetired: Boolean = false,
       gen: Long = 0L,
-      swap: Option[ManifestState] = None)
+      swap: Option[ManifestState] = None,
+      op: String = null)
 
   private def parseSegment(f: File): SegmentDelta = {
     segmentParses.incrementAndGet()
@@ -672,6 +693,10 @@ object TableMeta {
     logDirOf(tableDir).mkdirs()
     val root = mapper.createObjectNode()
     root.put("seq", seq)
+    // commit wall-clock, for TIMESTAMP AS OF resolution and the
+    // history readout. Informational only — the protocol orders by seq.
+    root.put("ts", System.currentTimeMillis())
+    if (delta.op != null) root.put("op", delta.op)
     delta.swap match {
       case Some(st) =>
         root.put("swap", true)
@@ -730,9 +755,10 @@ object TableMeta {
       removeIds: Set[Long] = Set.empty,
       retiredAdd: Seq[RegionMeta] = Nil,
       clearRetired: Boolean = false,
-      gen: Long = 0L): Unit = {
+      gen: Long = 0L,
+      op: String = null): Unit = {
     writeSegment(tableDir, viewSeq + 1L, SegmentDelta(regions, epochs,
-      removeIds, retiredAdd, clearRetired, gen))
+      removeIds, retiredAdd, clearRetired, gen, op = op))
     maybeCheckpoint(tableDir)
   }
 
@@ -752,14 +778,14 @@ object TableMeta {
     * segments (≤ the checkpoint's lastSeq, crash leftovers) are not
     * counted. */
   private[catalog] def stateAndLogLength(tableDir: File)
-      : (ManifestState, Int) =
+      : (ManifestState, Int, Long) =
     withManifestLock(tableDir)(stateAndLogLengthUnsafe(tableDir))
 
   // callers own locking (the OS file lock is NOT same-JVM reentrant)
   private def stateAndLogLengthUnsafe(tableDir: File)
-      : (ManifestState, Int) = {
+      : (ManifestState, Int, Long) = {
     val l = loadLoaded(tableDir) // cached — no O(regions) re-parse
-    (l.state, listSegSeqs(tableDir).count(_ > l.cpSeq))
+    (l.state, listSegSeqs(tableDir).count(_ > l.cpSeq), l.lastSeq)
   }
 
   /** Fold the commit log into the checkpoint NOW (the
@@ -767,7 +793,7 @@ object TableMeta {
     * folded. A no-op on an already-folded log. */
   private[catalog] def foldLog(tableDir: File): Int =
     withManifestLock(tableDir) {
-      val (_, live) = stateAndLogLengthUnsafe(tableDir)
+      val (_, live, _) = stateAndLogLengthUnsafe(tableDir)
       if (live > 0) writeCheckpoint(tableDir)
       live
     }
@@ -789,7 +815,8 @@ object TableMeta {
     withManifestLock(tableDir) {
       val l = loadLoaded(tableDir)
       val (rs, _) = stamped(added.map(_.copy(id = 0L)), l.state.nextId)
-      writeSegment(tableDir, l.lastSeq + 1L, SegmentDelta(rs, Map.empty))
+      writeSegment(tableDir, l.lastSeq + 1L,
+        SegmentDelta(rs, Map.empty, op = "append"))
       maybeCheckpoint(tableDir)
     }
   }
@@ -811,16 +838,125 @@ object TableMeta {
           // advancing query must not look dead to compaction's aging
           if (e.touchedGen < s.gen) {
             writeSegment(tableDir, l.lastSeq + 1L, SegmentDelta(Nil,
-              Map(queryId -> e.copy(touchedGen = s.gen))))
+              Map(queryId -> e.copy(touchedGen = s.gen)), op = "epoch"))
             maybeCheckpoint(tableDir) // same fold trigger as appends
           }
           false
         case _ =>
           val (rs, _) = stamped(added.map(_.copy(id = 0L)), s.nextId)
           writeSegment(tableDir, l.lastSeq + 1L, SegmentDelta(rs,
-            Map(queryId -> EpochEntry(epochId, s.gen))))
+            Map(queryId -> EpochEntry(epochId, s.gen)), op = "epoch"))
           maybeCheckpoint(tableDir)
           true
       }
+    }
+
+  // ------------------------------------------------------- time travel
+
+  /** The table's current version — the seq of its newest commit. Every
+    * manifest mutation is exactly ONE log segment (the CAS'd commit
+    * point), so versions are dense: version N is the manifest state
+    * after applying segments 1..N, and the commit protocol itself is
+    * the version history. `VERSION AS OF N` reads these numbers. */
+  def currentVersion(tableDir: File): Long = loadLoaded(tableDir).lastSeq
+
+  /** The oldest version still reconstructible from retained log files
+    * (consumed segments and superseded checkpoints are kept for
+    * [[historyRetainMillis]] after a fold). */
+  def earliestVersion(tableDir: File): Long = {
+    val seg1 = segFile(tableDir, 1L).isFile
+    val cpMin = listCpSeqs(tableDir).minOption
+    if (seg1) 1L
+    else cpMin.getOrElse(loadLoaded(tableDir).lastSeq)
+  }
+
+  /** Reconstruct the manifest state as of `version`: parse the newest
+    * retained checkpoint folding ≤ version, then apply segments up to
+    * it — the same deterministic fold the live reader runs, anchored
+    * at a historical seq. Fails loudly when the needed log files have
+    * aged past the retention horizon. */
+  def stateAt(tableDir: File, version: Long): ManifestState = {
+    require(version >= 1L, s"version must be >= 1, got $version")
+    val cur = loadLoaded(tableDir)
+    if (version > cur.lastSeq) throw new IllegalArgumentException(
+      s"version $version of ${tableDir.getName} does not exist " +
+        s"(current version: ${cur.lastSeq})")
+    if (version == cur.lastSeq) return cur.state
+    val base = listCpSeqs(tableDir).filter(_ <= version).maxOption
+    var (state, from) = base match {
+      case Some(q) => (parseCheckpoint(cpFile(tableDir, q))._1, q)
+      case None => (ManifestState(0L, Nil, Map.empty), 0L)
+    }
+    var q = from + 1L
+    while (q <= version) {
+      val f = segFile(tableDir, q)
+      if (!f.isFile) throw new IllegalStateException(
+        s"version $version of ${tableDir.getName} is no longer " +
+          s"reconstructible: log segment $q has aged past the history " +
+          "retention horizon (spark.sql.catalog.<name>." +
+          "historyRetainMillis). Earliest reconstructible version: " +
+          s"${earliestVersion(tableDir)}")
+      state = applySegment(state, parseSegment(f))
+      q += 1L
+    }
+    state
+  }
+
+  /** Resolve `TIMESTAMP AS OF`: the newest version whose commit
+    * wall-clock is ≤ `tsMillis`. Commit times are read from the
+    * retained segments' `ts` field; they are monotone per table
+    * because the segment CAS is the commit protocol's single
+    * serialization point. */
+  def versionAt(tableDir: File, tsMillis: Long): Long = {
+    val segs = listSegSeqs(tableDir)
+    def tsOf(q: Long): Long = {
+      val f = segFile(tableDir, q)
+      try {
+        val n = mapper.readTree(f)
+        if (n.has("ts")) n.get("ts").asLong else f.lastModified()
+      } catch { case _: Exception => Long.MaxValue } // deleted mid-read
+    }
+    val eligible = segs.filter(q => tsOf(q) <= tsMillis)
+    if (eligible.nonEmpty) eligible.max
+    else if (segs.isEmpty &&
+      newestCp(tableDir).exists(_._1.lastModified() <= tsMillis))
+      // quiet table, history fully folded and aged out: anything after
+      // the newest checkpoint's publish time is the current version
+      loadLoaded(tableDir).lastSeq
+    else throw new IllegalArgumentException(
+      s"no version of ${tableDir.getName} at or before timestamp " +
+        s"$tsMillis is retained (earliest reconstructible version: " +
+        s"${earliestVersion(tableDir)}); history older than the " +
+        "retention horizon cannot be time-traveled to")
+  }
+
+  /** One commit-log entry for the `graft.sys.history` readout. */
+  final case class HistoryEntry(version: Long, tsMillis: Long,
+      op: String, regionsAdded: Int, rowsAdded: Long,
+      regionsRemoved: Int)
+
+  /** The retained commit history, oldest first — parsed straight from
+    * the retained log segments (history older than the retention
+    * horizon has been folded into checkpoints and aged out). */
+  def history(tableDir: File): Seq[HistoryEntry] =
+    listSegSeqs(tableDir).flatMap { q =>
+      val f = segFile(tableDir, q)
+      try {
+        val n = mapper.readTree(f)
+        val ts = if (n.has("ts")) n.get("ts").asLong else f.lastModified()
+        val op = if (n.has("op")) n.get("op").asText
+          else if (n.has("swap")) "swap"
+          else if (n.has("clearRetired")) "vacuum"
+          else if (n.has("removeIds")) "delete"
+          else "commit"
+        val regs = Option(n.get("regions"))
+          .map(_.asInstanceOf[ArrayNode]).filter(_ != null)
+        val added = regs.map(_.size).getOrElse(0)
+        val rows = regs.map(a => (0 until a.size)
+          .map(a.get(_).get("rows").asLong).sum).getOrElse(0L)
+        val removed = Option(n.get("removeIds"))
+          .map(_.asInstanceOf[ArrayNode].size).getOrElse(0)
+        Some(HistoryEntry(q, ts, op, added, rows, removed))
+      } catch { case _: Exception => None } // deleted mid-listing
     }
 }

@@ -45,11 +45,18 @@ class ManifestLogSpec extends AnyFunSuite {
   private def checkpointBytes(dir: File): Seq[Byte] =
     Files.readAllBytes(newestCpFile(dir).toPath).toSeq
 
-  // bare-seq segments only (checkpoints live in the same dir as cp-*)
+  // LIVE bare-seq segments: above the newest checkpoint (consumed
+  // segments beneath it are retained for the time-travel horizon and
+  // are invisible to readers, so they do not count as log state)
   private def segCount(dir: File): Int = {
-    val names = new File(dir, TableMeta.LogDirName).list()
-    if (names == null) 0
-    else names.count(n => n.endsWith(".json") && !n.startsWith("cp-"))
+    val names = Option(new File(dir, TableMeta.LogDirName).list())
+      .getOrElse(Array.empty[String])
+    val cpMax = names.filter(n => n.startsWith("cp-") && n.endsWith(".json"))
+      .flatMap(_.stripPrefix("cp-").stripSuffix(".json").toLongOption)
+      .maxOption.getOrElse(0L)
+    names.filter(n => n.endsWith(".json") && !n.startsWith("cp-"))
+      .flatMap(_.stripSuffix(".json").toLongOption)
+      .count(_ > cpMax)
   }
 
   test("an append writes a log segment; the checkpoint is untouched") {
@@ -186,7 +193,7 @@ class ManifestLogSpec extends AnyFunSuite {
     assert(s.regions.size == 2,
       "a segment with seq <= the checkpoint's lastSeq must be ignored")
     assert(s.regions.map(_.id) == Seq(1L, 2L), "no double-applied region")
-    TableMeta.saveState(dir, s) // the next checkpoint self-heals the log
+    TableMeta.saveState(dir, s) // the next checkpoint covers the orphan
     assert(segCount(dir) == 0)
   }
 
