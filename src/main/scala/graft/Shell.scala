@@ -49,6 +49,8 @@ object Shell {
       .config("spark.sql.catalog.graft.warehouse", warehouse)
       .config("spark.sql.sources.v2.bucketing.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
 

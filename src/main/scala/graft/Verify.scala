@@ -18,6 +18,7 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.sources.v2.bucketing.enabled", "true")
@@ -25,12 +26,24 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // A query that throws must NEVER read as green-by-absence: record it
+    // in failures.json AND drop a <name>/_FAILED marker where its output
+    // parquet would have been, so any grader that lists outDir sees a
+    // directory for every registered query and a loud marker for reds.
+    val failures = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries.foreach { case (name, fn) =>
       if (selected(name))
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        System.err.println(s"[verify] $name FAILED: ${e.getMessage}")
+        failures(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+        val qd = Paths.get(outDir, name)
+        try {
+          Files.createDirectories(qd)
+          Files.writeString(qd.resolve("_FAILED"),
+            failures(name).take(4000))
+        } catch { case _: Throwable => () }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -48,6 +61,18 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val fjson = failures
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/failures.json"), fjson)
+    // Registry of every query THIS run was asked to produce, so a
+    // grader can detect one that vanished entirely (crashed before
+    // writing its directory, or silently dropped from grading).
+    val reg = SparkEntry.queries.keys.toSeq.filter(selected).sorted
+      .map(q).mkString("[", ",", "]")
+    Files.writeString(Paths.get(s"$outDir/registry.json"), reg)
+    if (failures.nonEmpty)
+      System.err.println(s"[verify] ${failures.size} FAILED: " +
+        failures.keys.mkString(", "))
     spark.stop()
   }
 }

@@ -451,6 +451,59 @@ object CatalogQueries {
        |FROM ${lineitemTable(s, d)}
        |GROUP BY l_orderkey""".stripMargin)
 
+  /** Lineitem WITHOUT fixed splits — the streaming-ingest/append table
+    * shape, where no KeyGroupedPartitioning exists and a GROUP BY would
+    * otherwise shuffle every raw row. This is the table the grouped
+    * partial-agg pushdown is for. */
+  private val builtLiH = scala.collection.concurrent.TrieMap[String, String]()
+  private def lineitemHeapTable(s: SparkSession, d: String): String =
+    builtLiH.getOrElseUpdate(d, {
+      ordersTable(s, d) // ensures catalog + namespace exist
+      val ns = s"sf_${math.abs(d.hashCode)}"
+      val fqn = s"graft.$ns.lineitem_h_t"
+      val srcCount = s.read.parquet(s"$d/lineitem.parquet").count()
+      val exists = s.sql(s"SHOW TABLES IN graft.$ns").collect()
+        .exists(_.getString(1) == "lineitem_h_t") &&
+        (s.table(fqn).count() == srcCount || {
+          s.sql(s"DROP TABLE $fqn"); false })
+      if (!exists) {
+        s.sql(
+          s"""CREATE TABLE $fqn (
+             |l_orderkey BIGINT, l_linenumber INT, l_extendedprice DOUBLE,
+             |l_discount DOUBLE, l_shipdate DATE)
+             |TBLPROPERTIES('keyCols'='l_orderkey;l_linenumber')"""
+            .stripMargin)
+        val v = s"lineitem_h_src_${math.abs(d.hashCode)}"
+        s.read.parquet(s"$d/lineitem.parquet")
+          .select("l_orderkey", "l_linenumber", "l_extendedprice",
+            "l_discount", "l_shipdate")
+          .createOrReplaceTempView(v)
+        s.sql(s"INSERT INTO $fqn SELECT * FROM $v")
+      }
+      fqn
+    })
+
+  /** Grouped partial-aggregation PUSHDOWN on the key prefix of an
+    * UNBUCKETED table: the scan itself folds each region's key-sorted
+    * rows into per-group partial rows ([[graft.catalog
+    * .GraftGroupAggScan]] — COUNT/SUM/MIN/MAX over every major type
+    * class, O(1) fold state), so only group-sized partials reach the
+    * merge shuffle instead of every raw row. On fixed-split tables the
+    * planner deliberately does NOT push: the KeyGroupedPartitioning
+    * complete-agg plan has zero shuffles and wins (both choices
+    * asserted in GroupAggPushdownSpec). The full analogue of the
+    * reference's coprocessor grouped aggregation
+    * (SparkSqlRegionObserver.scala:42-196): rows never leave storage
+    * un-aggregated. */
+  val keyGroupByPushdown: Q = (s, d) => s.sql(
+    s"""SELECT l_orderkey, count(*) AS n_items,
+       |       sum(l_linenumber) AS sum_ln,
+       |       round(sum(l_extendedprice), 2) AS revenue,
+       |       date_format(min(l_shipdate), 'yyyy-MM-dd') AS first_ship,
+       |       round(max(l_discount), 2) AS max_disc
+       |FROM ${lineitemHeapTable(s, d)}
+       |GROUP BY l_orderkey""".stripMargin)
+
   /** Wide-region table for the in-region skip-scan: leading key
     * o_orderstatus has 3 values (runs of tens of thousands of rows),
     * `graft.pageRowLimit`=1000 bounds pages, so a point predicate on
@@ -1054,6 +1107,7 @@ object CatalogQueries {
     "catalog_tpch_q18" -> tpchQ18,
     "catalog_tpch_q21" -> tpchQ21,
     "catalog_key_groupby" -> keyGroupBy,
+    "catalog_key_groupby_pushdown" -> keyGroupByPushdown,
   )
 
   private val UpsertOracle =
@@ -1313,6 +1367,14 @@ object CatalogQueries {
       """SELECT l_orderkey, count(*) AS n_items,
         |       CAST(max(l_linenumber) AS INT) AS max_ln,
         |       round(CAST(sum(l_extendedprice) AS DOUBLE), 2) AS revenue
+        |FROM lineitem GROUP BY l_orderkey""".stripMargin,
+
+    "catalog_key_groupby_pushdown" ->
+      """SELECT l_orderkey, count(*) AS n_items,
+        |       CAST(sum(l_linenumber) AS BIGINT) AS sum_ln,
+        |       round(CAST(sum(l_extendedprice) AS DOUBLE), 2) AS revenue,
+        |       strftime(min(l_shipdate), '%Y-%m-%d') AS first_ship,
+        |       round(CAST(max(l_discount) AS DOUBLE), 2) AS max_disc
         |FROM lineitem GROUP BY l_orderkey""".stripMargin,
   )
 }

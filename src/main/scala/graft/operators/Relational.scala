@@ -41,18 +41,26 @@ object Relational {
   private def nat(s: SparkSession, d: String) = T(s, d, "nation")
   private def reg(s: SparkSession, d: String) = T(s, d, "region")
   private def part(s: SparkSession, d: String) = T(s, d, "part")
-  /** `events.ts` is TIMESTAMP(NANOS) parquet, which Spark 4 refuses to
-    * read as a timestamp. With spark.sql.legacy.parquet.nanosAsLong=true
-    * (set in Verify/Bench/tests) it arrives as a long we convert to a
-    * µs timestamp; integer DIV keeps full precision (ns-since-epoch
-    * exceeds a double's 2^53 mantissa). */
+  /** `events.ts` has drifted across testdata generations — TIMESTAMP(NANOS)
+    * (arrives as long under spark.sql.legacy.parquet.nanosAsLong=true),
+    * then µs TIMESTAMP with isAdjustedToUTC=false (arrives as
+    * TIMESTAMP_NTZ under Spark 4's default inferTimestampNTZ=true).
+    * Normalize every variant to a session-TZ TIMESTAMP here, at the single
+    * shared source, so event-time operators (and withWatermark, which
+    * rejects NTZ) never see the drift. Sessions additionally pin
+    * inferTimestampNTZ=false; this helper is the defense-in-depth layer
+    * covering any session that doesn't. Integer DIV keeps full ns
+    * precision (ns-since-epoch exceeds a double's 2^53 mantissa). */
   private[operators] def events(s: SparkSession, d: String): DataFrame =
     ev(s, d)
   private def ev(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
     val df = T(s, d, "events")
     df.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
+      case LongType =>
         df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
       case _ => df
     }
   }

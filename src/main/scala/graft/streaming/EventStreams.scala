@@ -29,9 +29,15 @@ object EventStreams {
       java.nio.file.Files.createSymbolicLink(link,
         java.nio.file.Paths.get(s"$sfDir/events.parquet"))
     val df = spark.readStream.schema(schema).parquet(stage.toString)
-    if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-    else df
+    schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // withWatermark refuses TIMESTAMP_NTZ; normalize to session-TZ
+        // timestamp (UTC in all graft sessions → identical micros).
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
+    }
   }
 
   /** Tumbling 1-hour windowed aggregation with a 2-hour watermark:

@@ -47,7 +47,21 @@ def main():
     names = sorted(os.path.basename(p) for p in glob.glob(f"{outdir}/*")
                    if os.path.isdir(p))
     npass = nfail = nskip = 0
+    # registry-minus-graded is RED: a query that crashed before writing
+    # (or was silently dropped) must not read as green-by-absence.
+    regf = f"{outdir}/registry.json"
+    if os.path.exists(regf):
+        registry = json.load(open(regf))
+        for missing in sorted(set(registry) - set(names)):
+            print(f"GONE   {missing} (registered but no output dir)")
+            nfail += 1
     for name in names:
+        marker = f"{outdir}/{name}/_FAILED"
+        if os.path.exists(marker):
+            msg = open(marker).read().strip().splitlines()
+            print(f"CRASH  {name}: {msg[0] if msg else '(no message)'}")
+            nfail += 1
+            continue
         files = glob.glob(f"{outdir}/{name}/*.parquet")
         if not files:
             print(f"EMPTY  {name} (no parquet written)")
