@@ -4,6 +4,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // local iteration aid: run only queries whose name contains one of
+    // the comma-separated substrings (the driver never sets this)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSeq)
+    def selected(name: String) = only.forall(_.exists(name.contains))
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -23,12 +27,14 @@ object Bench {
     // latency, the same regime the DuckDB oracle timings are taken in.
     // Failures are ignored here; the timed pass reports them loudly.
     try SparkEntry.entry(spark).count() catch { case _: Throwable => }
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
-      try fn(spark, sfDir).count() catch { case _: Throwable => }
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      if (selected(name))
+        try fn(spark, sfDir).count() catch { case _: Throwable => }
     }
     // a failing query reports -1 s, loudly: silent swallowing would let a
     // broken query keep "benchmarking"
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(t => selected(t._1)).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).count()
@@ -38,10 +44,25 @@ object Bench {
         name -> -1.0
       }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f"$v%.4f" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Machine-contention witness: a loaded host inflates every timing
+    // uniformly (a past round's driver run read 4.4x slower than a
+    // quiet rerun of the same binary). Recording the 1-minute load
+    // average beside the numbers makes a contended capture
+    // self-evident rather than forensic.
+    val loadAvg = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""sf":"$sfDir","load_avg":$loadAvg,"cpus":"$cpus"}"""
+    println(json)
+    // stdout captures have been truncated before; persist the full line
+    // beside the repo so the timing map always survives intact
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_LOCAL.json"), json + "\n")
+    catch { case _: Throwable => () }
     spark.stop()
   }
 }

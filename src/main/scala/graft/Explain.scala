@@ -1,0 +1,30 @@
+package graft
+import org.apache.spark.sql.SparkSession
+/** Plan-audit aid: print the formatted physical plan (post-AQE when the
+  * query is executed first) for any registered query at any sf dir.
+  * Usage: runMain graft.Explain <queryName> [sfDir] [exec] */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val sfDir = args.lift(1).getOrElse("/root/testdata/sf0.01")
+    val exec = args.lift(2).contains("exec")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.sources.v2.bucketing.enabled", "true")
+      .config("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val df = SparkEntry.queries(name)(spark, sfDir)
+    if (exec) df.count()
+    println("==== PLAN " + name + " ====")
+    println(df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+  }
+}

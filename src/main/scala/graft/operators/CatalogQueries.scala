@@ -362,17 +362,24 @@ object CatalogQueries {
   val tpchQ17: Q = (s, d) => {
     val li = lineitemByPartTable(s, d)
     val p = partTable(s, d)
+    // Single-pass form of the aggregate-then-self-join decorrelation:
+    // the per-part average threshold comes from a WINDOW over the same
+    // scan instead of a second lineitem pass + join-back. The store is
+    // key-grouped on l_partkey, so the window needs no Exchange (only a
+    // partition-local sort), halving the fact reads. Value-identical to
+    // the CTE form: l_quantity is integer-valued, so sum/count (and
+    // thus avg) are IEEE-exact in any accumulation order.
     s.sql(
-      s"""WITH thr AS (
-         |  SELECT l_partkey, avg(l_quantity) / 5 AS small
-         |  FROM $li GROUP BY l_partkey)
-         |SELECT p.p_brand, count(*) AS cnt,
+      s"""SELECT p.p_brand, count(*) AS cnt,
          |       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2)))
          |            AS DECIMAL(22,2)) AS below_avg_revenue
-         |FROM $li l
-         |JOIN thr t ON t.l_partkey = l.l_partkey
+         |FROM (
+         |  SELECT l_partkey, l_quantity, l_extendedprice,
+         |         avg(l_quantity) OVER (PARTITION BY l_partkey) / 5
+         |           AS small
+         |  FROM $li) l
          |JOIN $p p ON p.p_partkey = l.l_partkey
-         |WHERE l.l_quantity < t.small
+         |WHERE l.l_quantity < l.small
          |GROUP BY p.p_brand""".stripMargin)
   }
 
@@ -388,23 +395,39 @@ object CatalogQueries {
     val h = math.abs(d.hashCode)
     s.read.parquet(s"$d/supplier.parquet")
       .createOrReplaceTempView(s"supplier_cat_dim_$h")
-    // fact-fact first (storage-partitioned on the orderkey), dim last:
-    // keeps the key-grouped distribution alive through both
-    // correlations even when the dim join cannot broadcast
+    // Both correlations folded into a SINGLE lineitem pass (the EXISTS
+    // form reads the fact three times; this reads it once). Two stacked
+    // exchange-free aggregations on the key-grouped store — per
+    // (order, supplier) late-line counts, then per-order supplier
+    // tallies — reduce each order to one row carrying exactly the Q21
+    // decision state:
+    //   EXISTS another supplier in the order      ⇔ n_supp >= 2
+    //   NOT EXISTS another LATE supplier          ⇔ n_late = 1
+    // and when n_late = 1, the waiting supplier is late_supp and its
+    // qualifying line count is late_cnt (= numwait contribution, what
+    // COUNT(*) over the joined-back fact would count). All counts are
+    // integer-exact, so the rewrite is value-identical to the EXISTS
+    // form the oracle runs. NOT a count(DISTINCT) pair: that plans as
+    // Expand + re-shuffles, losing the storage clustering.
     s.sql(
-      s"""SELECT s.s_name, count(*) AS numwait
-         |FROM $li l1
-         |JOIN $o o ON o.o_orderkey = l1.l_orderkey
-         |JOIN supplier_cat_dim_$h s ON s.s_suppkey = l1.l_suppkey
+      s"""WITH supp AS (
+         |  SELECT l_orderkey, l_suppkey,
+         |         count(CASE WHEN l_shipdate > DATE'1995-06-30'
+         |                    THEN 1 END) AS late_lines
+         |  FROM $li GROUP BY l_orderkey, l_suppkey),
+         |per_order AS (
+         |  SELECT l_orderkey, count(*) AS n_supp,
+         |         count(CASE WHEN late_lines > 0 THEN 1 END) AS n_late,
+         |         max(CASE WHEN late_lines > 0 THEN l_suppkey END)
+         |           AS late_supp,
+         |         max(late_lines) AS late_cnt
+         |  FROM supp GROUP BY l_orderkey)
+         |SELECT s.s_name, sum(po.late_cnt) AS numwait
+         |FROM per_order po
+         |JOIN $o o ON o.o_orderkey = po.l_orderkey
+         |JOIN supplier_cat_dim_$h s ON s.s_suppkey = po.late_supp
          |WHERE o.o_orderstatus = 'F'
-         |  AND l1.l_shipdate > DATE'1995-06-30'
-         |  AND EXISTS (SELECT 1 FROM $li l2
-         |              WHERE l2.l_orderkey = l1.l_orderkey
-         |                AND l2.l_suppkey <> l1.l_suppkey)
-         |  AND NOT EXISTS (SELECT 1 FROM $li l3
-         |                  WHERE l3.l_orderkey = l1.l_orderkey
-         |                    AND l3.l_suppkey <> l1.l_suppkey
-         |                    AND l3.l_shipdate > DATE'1995-06-30')
+         |  AND po.n_supp >= 2 AND po.n_late = 1
          |GROUP BY s.s_name
          |ORDER BY numwait DESC, s.s_name ASC LIMIT 25""".stripMargin)
   }

@@ -65,12 +65,25 @@ class TpchHeavyPlanSpec extends AnyFunSuite {
       s"partkey shuffles present:\n${bad.mkString("\n")}\n\nplan:\n$plan")
   }
 
-  test("q21: exists/not-exists self joins shuffle-free on the orderkey") {
+  test("q21: both correlations fold into ONE shuffle-free fact pass") {
     val plan = planNoBroadcast("catalog_tpch_q21")
     val bad = orderkeyShuffles(plan)
     assert(bad.isEmpty,
       s"orderkey shuffles present:\n${bad.mkString("\n")}\n\nplan:\n$plan")
-    // both correlations became joins (no nested-loop fallback)
-    assert(plan.contains("LeftSemi") && plan.contains("LeftAnti"))
+    // the single-pass rewrite: exactly ONE lineitem scan (the EXISTS
+    // form read the fact three times — semi + anti + probe), with the
+    // per-(order,supplier) and per-order aggregations stacked above it
+    // exchange-free, and the orders join storage-partitioned. AQE's
+    // toString repeats the tree (final + initial), so count within the
+    // final rendering only.
+    val finalPlan = plan.indexOf("== Initial Plan ==") match {
+      case -1 => plan
+      case i => plan.substring(0, i)
+    }
+    assert(finalPlan.linesIterator
+      .count(l => l.contains("BatchScan") && l.contains("lineitem_w_t"))
+      == 1, s"expected a single fact scan:\n$plan")
+    assert(!plan.contains("LeftSemi") && !plan.contains("LeftAnti"),
+      s"correlations should be pre-aggregated, not joined:\n$plan")
   }
 }
