@@ -131,6 +131,20 @@ class GroupAggPushdownSpec extends AnyFunSuite {
       .contains("GraftGroupAggScan"))
   }
 
+  test("AVG pushes as SUM+COUNT partials (Spark's pre-pushdown rewrite)") {
+    CatalogQueries.keyGroupByPushdown(spark, sf)
+    val li = "graft.sf_" + math.abs(sf.hashCode) + ".lineitem_h_t"
+    val q = s"SELECT l_orderkey, avg(l_extendedprice) AS a, " +
+      s"avg(l_linenumber) AS ai FROM $li GROUP BY l_orderkey"
+    val df = spark.sql(q)
+    assert(plan(df).contains("GraftGroupAggScan"), s"avg not pushed:\n${plan(df)}")
+    val got = df.collect().map(r => (r.getLong(0),
+      math.round(r.getDouble(1) * 100), r.getDouble(2))).toSet
+    val exp = withPushdownOff(spark.sql(q).collect().map(r => (r.getLong(0),
+      math.round(r.getDouble(1) * 100), r.getDouble(2))).toSet)
+    assert(got == exp)
+  }
+
   test("grouping on the full 2-col key prefix pushes, any column order") {
     CatalogQueries.keyGroupByPushdown(spark, sf)
     val li = "graft.sf_" + math.abs(sf.hashCode) + ".lineitem_h_t"

@@ -480,4 +480,36 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(finalPerUser.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
       exp.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
   }
+
+  test("watermarked session windows on a STREAMED graft table equal batch") {
+    // the full watermark family on the graft source itself: tail the
+    // key-sorted store as a stream, sessionize with a watermark, and
+    // require the closed sessions to equal the batch session_window
+    // over the same table — stream ≡ batch on graft storage end-to-end
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.stream")
+    spark.sql("DROP TABLE IF EXISTS graft.stream.sess_src")
+    spark.sql(
+      """CREATE TABLE graft.stream.sess_src (
+        |  event_id BIGINT, ts TIMESTAMP, user_id BIGINT, value DOUBLE)
+        |TBLPROPERTIES('keyCols'='event_id', 'numRegions'='4')"""
+        .stripMargin)
+    val v = "sess_src_events"
+    batchEvents.select("event_id", "ts", "user_id", "value")
+      .createOrReplaceTempView(v)
+    spark.sql(s"INSERT INTO graft.stream.sess_src SELECT * FROM $v")
+    val streamed = spark.readStream.table("graft.stream.sess_src")
+    val got = EventStreams.runToBatch(spark,
+      EventStreams.sessionCounts(streamed), "t_graft_sessions")
+    val exp = spark.table("graft.stream.sess_src")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("session_start"),
+        col("user_id"), col("n_events"))
+      .filter(col("session_window.end") <= lit(horizon))
+    val gotClosed = got.filter(col("session_end") <= lit(horizon))
+      .select("session_start", "user_id", "n_events")
+    assert(gotClosed.collect().toSet == exp.collect().toSet)
+    assert(gotClosed.count() > 0)
+    spark.sql("DROP TABLE graft.stream.sess_src")
+  }
 }
