@@ -513,7 +513,11 @@ class GraftScanBuilder(tableDir: File, meta: TableMeta,
     val specs = agg.aggregateExpressions.toSeq.map {
       case _: CountStar => Some(GCountAll)
       case c: Count if !c.isDistinct =>
-        nameOf(c.column).map(n => GCountCol(ordOf(n)))
+        // COUNT(keyCol) = COUNT(*): key columns reject nulls at write
+        // time, so skip the per-row null probe (and any extra column read)
+        nameOf(c.column).map(n =>
+          if (keyDim.contains(n.toLowerCase)) GCountAll
+          else GCountCol(ordOf(n)))
       case m: Min => nameOf(m.column)
         .filter(n => orderable(meta.schema(n).dataType))
         .map(n => GMin(ordOf(n)))

@@ -131,6 +131,62 @@ class GroupAggPushdownSpec extends AnyFunSuite {
       .contains("GraftGroupAggScan"))
   }
 
+  test("randomized parity: pushed == unpushed over types x nulls x appends") {
+    // fixed-seed randomized tables: every supported agg-input type
+    // class with per-column null rates, multiple overlapping appends,
+    // and a 2-col composite key; the pushed plan must agree with the
+    // unpushed plan exactly (the same property discipline the pruning
+    // soundness suite uses)
+    val rnd = new scala.util.Random(20260813L)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.gap")
+    for (trial <- 1 to 3) {
+      val t = s"graft.gap.prop_$trial"
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      spark.sql(
+        s"""CREATE TABLE $t (k1 BIGINT, k2 INT, vi INT, vl BIGINT,
+           |vd DOUBLE, vf FLOAT, vs STRING, vdt DATE, vb BOOLEAN)
+           |TBLPROPERTIES('keyCols'='k1;k2')""".stripMargin)
+      val nKeys = 5 + rnd.nextInt(20)
+      val appends = 1 + rnd.nextInt(3)
+      val rows = 100 + rnd.nextInt(300)
+      val nullPct = rnd.nextInt(60)
+      (1 to appends).foreach { a =>
+        spark.sql(
+          s"""INSERT INTO $t SELECT
+             |  id % $nKeys, CAST(id % 3 AS INT),
+             |  CASE WHEN id % 100 < $nullPct THEN NULL
+             |       ELSE CAST(id * $a % 1000 AS INT) END,
+             |  CASE WHEN (id + 7) % 100 < $nullPct THEN NULL
+             |       ELSE id * ${a * 13} END,
+             |  CASE WHEN (id + 13) % 100 < $nullPct THEN NULL
+             |       ELSE id * 0.37 * $a END,
+             |  CAST(id % 17 AS FLOAT),
+             |  CASE WHEN (id + 23) % 100 < $nullPct THEN NULL
+             |       ELSE concat('s', (id * $a) % 50) END,
+             |  date_add(DATE'2024-01-01', CAST(id % 400 AS INT)),
+             |  id % 2 = 0
+             |FROM range($rows)""".stripMargin)
+      }
+      for (groupCols <- Seq("k1", "k1, k2")) {
+        val q =
+          s"""SELECT $groupCols, count(*) n, count(vi) ni, count(vs) ns,
+             |  sum(vi) si, sum(vl) sl, round(sum(vd), 6) sd,
+             |  min(vi) mni, max(vl) mxl, min(vs) mns, max(vs) mxs,
+             |  min(vdt) mnd, max(vdt) mxd, min(vb) mnb, max(vb) mxb,
+             |  round(sum(vf), 4) sf
+             |FROM $t GROUP BY $groupCols""".stripMargin
+        val pushed = spark.sql(q)
+        assert(plan(pushed).contains("GraftGroupAggScan"),
+          s"trial $trial [$groupCols] did not push:\n${plan(pushed)}")
+        val got = pushed.collect().map(_.toSeq).toSet
+        val exp = withPushdownOff(spark.sql(q).collect().map(_.toSeq).toSet)
+        assert(got == exp, s"trial $trial [$groupCols] mismatch " +
+          s"(nKeys=$nKeys appends=$appends rows=$rows nullPct=$nullPct)")
+      }
+      spark.sql(s"DROP TABLE $t")
+    }
+  }
+
   test("AVG pushes as SUM+COUNT partials (Spark's pre-pushdown rewrite)") {
     CatalogQueries.keyGroupByPushdown(spark, sf)
     val li = "graft.sf_" + math.abs(sf.hashCode) + ".lineitem_h_t"
