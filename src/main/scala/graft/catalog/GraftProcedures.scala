@@ -34,7 +34,7 @@ object GraftProcedures {
 
   val Names: Seq[String] =
     Seq("load_csv", "compact", "cluster", "stats", "vacuum", "manifest",
-      "fold", "history", "restore")
+      "fold", "history", "restore", "analyze")
 
   def load(catalogName: String, ident: Identifier): UnboundProcedure = {
     require(ident.namespace.isEmpty ||
@@ -51,6 +51,7 @@ object GraftProcedures {
       case "fold" => new FoldProcedure(catalogName)
       case "history" => new HistoryProcedure(catalogName)
       case "restore" => new RestoreProcedure(catalogName)
+      case "analyze" => new AnalyzeProcedure(catalogName)
       case other => throw new IllegalArgumentException(
         s"unknown graft procedure $other; available: ${Names.mkString(", ")}")
     }
@@ -205,6 +206,36 @@ object GraftProcedures {
           Collections.singletonList(LocalRowsScan(
             Array("folded_segments"),
             Seq(Seq(folded.toString))): Scan).iterator()
+        }
+      }
+  }
+
+  /** `CALL graft.sys.analyze(table => 'ns.t')` — backfill missing
+    * per-region non-key column stats ([[GraftAnalyze]]): one
+    * column-pruned distributed read of the regions lacking entries,
+    * one O(touched) CAS'd metadata delta, no data rewrite. Returns the
+    * number of regions updated and the stat-tracked column count. */
+  final class AnalyzeProcedure(catalogName: String)
+      extends UnboundProcedure {
+    override def name(): String = "analyze"
+    override def description(): String =
+      "backfill per-region column statistics of a graft table"
+    override def bind(inputType: StructType): BoundProcedure =
+      new BoundProcedure {
+        override def name(): String = "analyze"
+        override def description(): String =
+          AnalyzeProcedure.this.description()
+        override def isDeterministic: Boolean = false
+        override def parameters(): Array[ProcedureParameter] = Array(
+          ProcedureParameter.in("table", StringType)
+            .comment("'<namespace>.<table>' within this catalog").build())
+        override def call(input: InternalRow): java.util.Iterator[Scan] = {
+          val gt = graftTable(catalogName, input.getUTF8String(0).toString)
+          val (updated, cols) = GraftAnalyze.analyze(
+            org.apache.spark.sql.SparkSession.active, gt)
+          Collections.singletonList(LocalRowsScan(
+            Array("regions_updated", "stat_columns"),
+            Seq(Seq(updated.toString, cols.toString))): Scan).iterator()
         }
       }
   }
