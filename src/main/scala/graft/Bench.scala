@@ -8,16 +8,33 @@ object Bench {
     // the comma-separated substrings (the driver never sets this)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSeq)
     def selected(name: String) = only.forall(_.exists(name.contains))
-    val spark = SparkSession.builder()
+    // local iteration aid: extra session confs as "k=v;k=v" (the driver
+    // never sets this) — lets config experiments run without a rebuild
+    val extraConf = sys.env.get("SPARK_GRAFT_CONF").toSeq
+      .flatMap(_.split(';')).map(_.split("=", 2)).collect {
+        case Array(k, v) => k.trim -> v.trim
+      }
+    val spark = extraConf.foldLeft(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
+      // Split-size sized to the benched SF, per the scale guidance
+      // (shuffle.partitions and files.maxPartitionBytes must match the
+      // data scale): the sf0.1 tables are single ~10-60 MB parquet
+      // files, so the 128 MB default makes every scan 1 partition and
+      // serializes scan-side compute (JSON parse, array kernels) on one
+      // of 32 cores. 4 MB splits the corpus to >=8 tasks per table at
+      // sf0.1; a cluster deployment reading >=128 MB files keeps the
+      // default (this is the bench harness session, not a library
+      // default).
+      .config("spark.sql.files.maxPartitionBytes", "4m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.sources.v2.bucketing.enabled", "true")
       .config("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+    )((b, kv) => b.config(kv._1, kv._2))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Untimed warmup: one full pass over every query. This builds the

@@ -25,6 +25,18 @@ object TextOps {
   private def docs(s: SparkSession, d: String) = T(s, d, "documents")
   private def emb(s: SparkSession, d: String) = T(s, d, "embeddings")
 
+  /** The bounded all-pairs verification faces inherit the scan's
+    * partitioning on their streamed side — one or two partitions for a
+    * pruned 200–2000-row input — which serializes the CPU-dense
+    * per-pair kernel (set intersection / cosine) on a single core
+    * while 31 idle. Fan the streamed side out to the session's full
+    * parallelism first: the shuffle moves only the tiny bounded input,
+    * and the explicit partition count keeps AQE from re-coalescing the
+    * compute stage. At scale the same call is a no-op cost-wise (the
+    * streamed side is already wide). */
+  private def fanOut(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   /** words / 3-word shingles as array columns (map-side only). */
   private val wordsCol = split(col("text"), " ")
   private val shinglesExpr =
@@ -222,7 +234,7 @@ object TextOps {
       .filter(col("doc_id") < 1000)
       .select(col("doc_id"), array_distinct(wordsCol).as("ws"))
       .withColumn("n", size(col("ws")))
-    val a = w.select(col("doc_id").as("da"), col("ws").as("wsa"),
+    val a = fanOut(w).select(col("doc_id").as("da"), col("ws").as("wsa"),
       col("n").as("na"))
     val b = w.select(col("doc_id").as("db"), col("ws").as("wsb"),
       col("n").as("nb"))
@@ -606,7 +618,7 @@ object TextOps {
       .select(col("doc_id"), array_distinct(expr(
         """transform(sequence(1, greatest(length(text) - 2, 1)),
           |          i -> substring(text, i, 3))""".stripMargin)).as("grams"))
-    g.select(col("doc_id").as("da"), col("grams").as("ga"))
+    fanOut(g).select(col("doc_id").as("da"), col("grams").as("ga"))
       .crossJoin(broadcast(
         g.select(col("doc_id").as("db"), col("grams").as("gb"))))
       .filter(col("da") < col("db"))
@@ -642,9 +654,9 @@ object TextOps {
     * the whole pair loop inside one codegen stage. */
   val annCosinePairs: Q = (s, d) => {
     val e = emb(s, d)
-    val a = e.select(col("vec_id").as("va"), col("embedding").as("ea"))
+    val a = fanOut(e).select(col("vec_id").as("va"), col("embedding").as("ea"))
     val b = e.select(col("vec_id").as("vb"), col("embedding").as("eb"))
-    a.crossJoin(b).filter(col("va") < col("vb"))
+    a.crossJoin(broadcast(b)).filter(col("va") < col("vb"))
       .withColumn("sim", round(VectorOps.cosine(col("ea"), col("eb")), 4))
       .filter(col("sim") >= 0.3)
       .select(col("va"), col("vb"), col("sim"))
