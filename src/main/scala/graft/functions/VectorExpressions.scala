@@ -294,6 +294,57 @@ case class VecDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** dot(a, b) over ARRAY<BIGINT> in EXACT integer arithmetic — the
+  * decision kernel for threshold similarity joins: `cos(a,b) >= τ`
+  * evaluated as `dot > 0 AND d²·dot² >= n²·‖a‖²·‖b‖²` (τ = n/d) never
+  * depends on float rounding, so two engines computing it agree on
+  * every boundary pair by construction (a float cosine at 0.89999999…
+  * vs 0.90000000… would flip between engines that sum in different
+  * orders). Caller contract: values sized so the dot and its square
+  * fit a long — hashed-TF document vectors (|v| ≤ doc word count,
+  * dot ≤ ~10⁶) leave 6 orders of headroom. */
+case class VecDotLong(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(e: Expression) = e.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+    if (ok(left) && ok(right)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects ARRAY<BIGINT> arguments, got " +
+        s"${left.dataType.simpleString}, ${right.dataType.simpleString}")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "vec_dot_long"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0L; var i = 0
+    while (i < n) { acc += x.getLong(i) * y.getLong(i); i += 1 }
+    acc
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val (n, acc, i) = (ctx.freshName("n"), ctx.freshName("acc"),
+        ctx.freshName("i"))
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += $a.getLong($i) * $b.getLong($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VecDotLong =
+    copy(left = newLeft, right = newRight)
+}
+
 /** lsh_bucket(vec, nPlanes) → BIGINT random-hyperplane bucket key. */
 case class LshBucket(child: Expression, nPlanes: Int)
     extends UnaryExpression {
@@ -359,6 +410,8 @@ object VectorOps {
     ColumnExpr.column(VecCosine(ColumnExpr.expr(a), ColumnExpr.expr(b)))
   def dot(a: Column, b: Column): Column =
     ColumnExpr.column(VecDot(ColumnExpr.expr(a), ColumnExpr.expr(b)))
+  def dotLong(a: Column, b: Column): Column =
+    ColumnExpr.column(VecDotLong(ColumnExpr.expr(a), ColumnExpr.expr(b)))
   def minhashSig(shingles: Column, numPerm: Int): Column =
     ColumnExpr.column(MinHashSig(ColumnExpr.expr(shingles), numPerm))
   def lshBucket(vec: Column, nPlanes: Int): Column =

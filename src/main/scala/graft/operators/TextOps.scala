@@ -685,6 +685,80 @@ object TextOps {
       .agg(count(lit(1)).as("n_vectors"),
         countDistinct(col("label")).as("n_labels"))
 
+  // --------------------------------------------- embedding-cosine near-dup
+
+  private val EmbDims = 256
+
+  /** Signed hashed-TF document embeddings: each word maps (via the
+    * first 4 md5 bytes — the cross-engine determinism trick the
+    * MinHash faces use) to one of [[EmbDims]] dimensions with a ±1
+    * sign, summed per document — feature hashing ("hashing trick",
+    * Weinberger et al., ICML'09). INTEGER components by construction,
+    * which is what makes the near-dup face below decidable in exact
+    * arithmetic. One narrow shuffle on (doc_id, dim), then a per-doc
+    * fold to a dense vector; linear in corpus size. */
+  def docTfVectors(docsDf: DataFrame, dims: Int = EmbDims): DataFrame = {
+    val sparse = docsDf
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .withColumn("h",
+        conv(substring(md5(col("w")), 1, 8), 16, 10).cast("long"))
+      .groupBy(col("doc_id"), (col("h") % dims).cast("int").as("dim"))
+      .agg(sum(when(expr("(h DIV 256) % 2 = 0"), 1L).otherwise(-1L)).as("v"))
+      .filter(col("v") =!= 0)
+    sparse
+      .groupBy(col("doc_id"))
+      .agg(
+        map_from_entries(collect_list(struct(col("dim"), col("v")))).as("m"),
+        sum(col("v") * col("v")).as("n2"))
+      .select(col("doc_id"),
+        expr(s"transform(sequence(0, ${dims - 1}), " +
+          "i -> coalesce(element_at(m, i), CAST(0 AS BIGINT)))").as("vec"),
+        col("n2"))
+  }
+
+  /** Embedding-cosine near-dup pairs (cos ≥ 0.9) over the hashed-TF
+    * document vectors — the dedup decision in EXACT integer
+    * arithmetic: `dot > 0 AND 100·dot² ≥ 81·‖a‖²·‖b‖²` over integer
+    * vectors ([[graft.functions.VecDotLong]]), so the emitted pair set
+    * is engine-reproducible even though this corpus has a dense
+    * continuum of similarities straddling 0.9 (a float cosine would
+    * flip boundary pairs between engines that sum in different
+    * orders).
+    *
+    * Candidate generation is verify-all at the bounded oracle size —
+    * measured, not assumed: on this corpus both banded hyperplane LSH
+    * (32×8 over the same vectors, recall 1.0) and exact energy-prefix
+    * pigeonhole blocking leave >95% of pairs as candidates, because
+    * the template vocabulary puts the pair-similarity mass right at
+    * the threshold; any sound filter must verify nearly every pair.
+    * At production thresholds on real corpora (ambient similarity far
+    * below τ) the banded-signature route of [[minhashVerifiedPairs]] /
+    * [[annLshBuckets]] is the scale path; the integer decision here is
+    * the verifier both share. */
+  def embeddingNearDupPairs(docsDf: DataFrame,
+      idBound: Option[Long] = Some(1000L),
+      dims: Int = EmbDims): DataFrame = {
+    val bounded = idBound.fold(docsDf)(b => docsDf.filter(col("doc_id") < b))
+    val vecs = docTfVectors(bounded, dims)
+    val a = fanOut(vecs).select(col("doc_id").as("da"),
+      col("vec").as("veca"), col("n2").as("n2a"))
+    val b = vecs.select(col("doc_id").as("db"),
+      col("vec").as("vecb"), col("n2").as("n2b"))
+    a.crossJoin(broadcast(b)).filter(col("da") < col("db"))
+      .withColumn("dot", VectorOps.dotLong(col("veca"), col("vecb")))
+      .filter(col("dot") > 0 &&
+        col("dot") * col("dot") * lit(100L) >=
+          col("n2a") * col("n2b") * lit(81L))
+      // exact integers in, correctly-rounded IEEE sqrt/divide out: the
+      // display value agrees across engines; the FILTER never saw a float
+      .withColumn("cosine",
+        round(col("dot") / sqrt(col("n2a") * col("n2b")), 4))
+      .select(col("da"), col("db"), col("cosine"))
+  }
+
+  val dedupEmbedding: Q = (s, d) => embeddingNearDupPairs(docs(s, d))
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, Q] = Map(
@@ -711,6 +785,7 @@ object TextOps {
     "text_pii_scrub" -> piiScrub,
     "dedup_simhash_pairs" -> ((s, d) =>
       simhashPairsBlocked(docs(s, d), 3)),
+    "dedup_embedding" -> dedupEmbedding,
   )
 
   /** Shared CTE chain for the exact word-Jaccard all-pairs recompute
@@ -835,6 +910,36 @@ object TextOps {
          |       CAST(bit_count(xor(a.u, b.u)) AS INT) AS dist
          |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.u, b.u)) <= 3""".stripMargin,
+    // full recompute of the hashed-TF embedding near-dup join: same
+    // md5-derived (dim, sign) per word, sparse dot via a dim self-join,
+    // and the SAME integer decision (100·dot² >= 81·n2a·n2b) — the
+    // float `cosine` column is derived from exact integers in both
+    // engines, so it rounds identically
+    "dedup_embedding" ->
+      """WITH wd AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |            FROM documents WHERE doc_id < 1000),
+        |t AS (SELECT doc_id, ('0x' || substr(md5(w), 1, 8))::BIGINT AS h
+        |      FROM wd WHERE w <> ''),
+        |sp AS (SELECT doc_id, (h % 256)::INT AS dim,
+        |              SUM(CASE WHEN (h // 256) % 2 = 0
+        |                       THEN 1 ELSE -1 END)::BIGINT AS v
+        |       FROM t GROUP BY 1, 2
+        |       HAVING SUM(CASE WHEN (h // 256) % 2 = 0
+        |                       THEN 1 ELSE -1 END) <> 0),
+        |nrm AS (SELECT doc_id, SUM(v * v)::BIGINT AS n2 FROM sp GROUP BY 1),
+        |dots AS (SELECT a.doc_id AS da, b.doc_id AS db,
+        |                SUM(a.v * b.v)::BIGINT AS dot
+        |         FROM sp a JOIN sp b
+        |           ON a.dim = b.dim AND a.doc_id < b.doc_id
+        |         GROUP BY 1, 2)
+        |SELECT d.da, d.db,
+        |       round(d.dot / sqrt((na.n2 * nb.n2)::DOUBLE), 4) AS cosine
+        |FROM dots d
+        |JOIN nrm na ON na.doc_id = d.da
+        |JOIN nrm nb ON nb.doc_id = d.db
+        |WHERE d.dot > 0
+        |  AND 100 * d.dot * d.dot >= 81 * na.n2 * nb.n2""".stripMargin,
+
     "dedup_exact" ->
       """SELECT source, count(*) AS n_docs,
         |       count(DISTINCT md5(text)) AS n_unique

@@ -201,6 +201,55 @@ class TextOpsSpec extends AnyFunSuite {
     assert(missed.isEmpty, s"LSH missed high-similarity pairs: $missed")
   }
 
+  test("embedding near-dup pairs equal an exact BigInt brute force") {
+    // recompute the hashed-TF vectors and the integer threshold
+    // decision driver-side in BigInt — an independent oracle for the
+    // whole pipeline (hashing, sparse fold, VecDotLong, predicate)
+    val D = 256
+    val texts = docs.filter(col("doc_id") < 1000)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val vecs = texts.map { case (id, t) =>
+      val v = new Array[Long](D)
+      t.split(" ", -1).filter(_.nonEmpty).foreach { w =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(w.getBytes("UTF-8"))
+        val h = ((md(0) & 0xffL) << 24) | ((md(1) & 0xffL) << 16) |
+          ((md(2) & 0xffL) << 8) | (md(3) & 0xffL)
+        v((h % D).toInt) += (if (((h >> 8) & 1L) == 0L) 1L else -1L)
+      }
+      id -> v
+    }
+    val expected = (for {
+      i <- vecs.indices.iterator
+      j <- (i + 1) until vecs.length
+      (ida, a) = vecs(i)
+      (idb, b) = vecs(j)
+      dot = BigInt(a.zip(b).map { case (x, y) => x * y }.sum)
+      n2a = BigInt(a.map(x => x * x).sum)
+      n2b = BigInt(b.map(x => x * x).sum)
+      if dot > 0 && 100 * dot * dot >= 81 * n2a * n2b
+    } yield (math.min(ida, idb), math.max(ida, idb))).toSet
+    val got = TextOps.dedupEmbedding(spark, TestSpark.sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected,
+      s"missing=${expected -- got} extra=${got -- expected}")
+    assert(got.nonEmpty, "fixture should contain near-dup doc pairs")
+  }
+
+  test("vec_dot_long is exact on values where a double dot would round") {
+    import graft.functions.VectorOps
+    import spark.implicits._
+    // 2^53 + 1 is not representable as a double: a float dot would
+    // round it away; the integer kernel must not
+    val big = (1L << 53) + 1L
+    val df = Seq((Array(big, 1L), Array(1L, -1L)))
+      .toDF("a", "b")
+    val dot = df.select(VectorOps.dotLong(col("a"), col("b")).as("d"))
+      .collect().head.getLong(0)
+    assert(dot == big - 1L)
+  }
+
   test("exact dedup collapses injected exact copies") {
     val dup = docs.filter(col("doc_id") < 5)
       .withColumn("doc_id", col("doc_id") + 20000)
