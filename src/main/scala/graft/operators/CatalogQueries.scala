@@ -701,6 +701,46 @@ object CatalogQueries {
       s.table(minhashBandTable(s, d)))
   }
 
+  /** The hashed-TF document vectors MATERIALIZED as a graft table —
+    * the vector stage of the embedding near-dup pipeline is the
+    * linear-in-corpus pass worth persisting (same store-the-expensive-
+    * stage move as [[minhashBandTable]]); the verify join reruns
+    * cheaply from the stored vectors. ARRAY<BIGINT> + BIGINT non-key
+    * columns round-trip the store exactly, so the integer threshold
+    * decision is unchanged by storage. */
+  private val builtDocVec = scala.collection.concurrent.TrieMap[String, String]()
+  private def docVecTable(s: SparkSession, d: String): String =
+    builtDocVec.getOrElseUpdate(d, {
+      val docsFqn = documentsTable(s, d)
+      val ns = s"sf_${math.abs(d.hashCode)}"
+      val fqn = s"graft.$ns.doc_vec_t"
+      import org.apache.spark.sql.functions.col
+      val bounded = s.table(docsFqn).filter(col("doc_id") < 1000L)
+      val src = TextOps.docTfVectors(bounded)
+      val srcCount = src.count()
+      val exists = trusted(s, ns, "doc_vec_t", srcCount)
+      if (!exists) {
+        s.sql(
+          s"""CREATE TABLE $fqn (
+             |  doc_id BIGINT, vec ARRAY<BIGINT>, n2 BIGINT)
+             |TBLPROPERTIES('keyCols'='doc_id', 'numRegions'='4')"""
+            .stripMargin)
+        val v = s"doc_vec_src_${math.abs(d.hashCode)}"
+        src.createOrReplaceTempView(v)
+        s.sql(s"INSERT INTO $fqn SELECT * FROM $v")
+      }
+      fqn
+    })
+
+  /** Embedding-cosine near-dup pairs over the MATERIALIZED vector
+    * table: a hash match proves the store holds exactly the source
+    * documents, the persisted vectors equal the recompute, and the
+    * integer-exact threshold decision emits the true pair set (the
+    * oracle recomputes everything from the raw documents);
+    * CatalogVectorSpec gates it ≡ the parquet-backed dedup_embedding. */
+  val dedupEmbeddingOnStore: Q = (s, d) =>
+    TextOps.embeddingPairsFromVecs(s.table(docVecTable(s, d)))
+
   /** Events keyed (user_id, ts) with fixed user_id splits: the scan
     * reports KeyGroupedPartitioning(bucket(user_id)) AND ascending
     * (user_id, ts) ordering, so sessionization needs neither an
@@ -1103,6 +1143,7 @@ object CatalogQueries {
     "catalog_ann_topk" -> annTopkOnStore,
     "catalog_ann_lsh" -> annLshOnStore,
     "catalog_dedup_minhash" -> dedupMinhashOnStore,
+    "catalog_dedup_embedding" -> dedupEmbeddingOnStore,
     "catalog_session" -> sessionOnStore,
     "catalog_decimal" -> decimalAgg,
     // inverted-list IVF: probe = region pruning (IvfIndex.topkStored)
@@ -1250,6 +1291,11 @@ object CatalogQueries {
     // hold exactly the source documents, and the LSH+verify pipeline
     // must emit exactly the true >=0.9 Jaccard pair set
     "catalog_dedup_minhash" -> TextOps.jaccardPairsOracleSql,
+
+    // identical to dedup_embedding's oracle: full recompute from the
+    // raw documents checks the store round-trip, the materialized
+    // vector table, AND the integer-exact threshold join at once
+    "catalog_dedup_embedding" -> TextOps.embeddingPairsOracleSql,
 
     // the log table holds exactly the orders rows (plus a synthetic
     // ingest id), so the date-window aggregate matches orders directly

@@ -740,7 +740,15 @@ object TextOps {
       idBound: Option[Long] = Some(1000L),
       dims: Int = EmbDims): DataFrame = {
     val bounded = idBound.fold(docsDf)(b => docsDf.filter(col("doc_id") < b))
-    val vecs = docTfVectors(bounded, dims)
+    embeddingPairsFromVecs(docTfVectors(bounded, dims))
+  }
+
+  /** The verify join of [[embeddingNearDupPairs]] over PRECOMPUTED
+    * (doc_id, vec, n2) vectors — the stage a pipeline reruns cheaply
+    * from a MATERIALIZED vector table (the store twin persists
+    * [[docTfVectors]] once, the way the MinHash band table persists
+    * its signature stage). */
+  def embeddingPairsFromVecs(vecs: DataFrame): DataFrame = {
     val a = fanOut(vecs).select(col("doc_id").as("da"),
       col("vec").as("veca"), col("n2").as("n2a"))
     val b = vecs.select(col("doc_id").as("db"),
@@ -802,6 +810,36 @@ object TextOps {
   /** All pairs at word Jaccard >= 0.9 — the oracle for both the
     * brute-force face (text_jaccard_pairs) and the LSH-verified faces
     * (dedup_minhash_pairs, catalog_dedup_minhash). */
+  /** Full recompute of the hashed-TF embedding near-dup join: same
+    * md5-derived (dim, sign) per word, sparse dot via a dim self-join,
+    * and the SAME integer decision (100·dot² >= 81·n2a·n2b). Shared by
+    * the parquet face and the catalog twin (whose hash match then also
+    * proves the materialized vector table equals the recompute). */
+  private[operators] val embeddingPairsOracleSql: String =
+    """WITH wd AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+      |            FROM documents WHERE doc_id < 1000),
+      |t AS (SELECT doc_id, ('0x' || substr(md5(w), 1, 8))::BIGINT AS h
+      |      FROM wd WHERE w <> ''),
+      |sp AS (SELECT doc_id, (h % 256)::INT AS dim,
+      |              SUM(CASE WHEN (h // 256) % 2 = 0
+      |                       THEN 1 ELSE -1 END)::BIGINT AS v
+      |       FROM t GROUP BY 1, 2
+      |       HAVING SUM(CASE WHEN (h // 256) % 2 = 0
+      |                       THEN 1 ELSE -1 END) <> 0),
+      |nrm AS (SELECT doc_id, SUM(v * v)::BIGINT AS n2 FROM sp GROUP BY 1),
+      |dots AS (SELECT a.doc_id AS da, b.doc_id AS db,
+      |                SUM(a.v * b.v)::BIGINT AS dot
+      |         FROM sp a JOIN sp b
+      |           ON a.dim = b.dim AND a.doc_id < b.doc_id
+      |         GROUP BY 1, 2)
+      |SELECT d.da, d.db,
+      |       round(d.dot / sqrt((na.n2 * nb.n2)::DOUBLE), 4) AS cosine
+      |FROM dots d
+      |JOIN nrm na ON na.doc_id = d.da
+      |JOIN nrm nb ON nb.doc_id = d.db
+      |WHERE d.dot > 0
+      |  AND 100 * d.dot * d.dot >= 81 * na.n2 * nb.n2""".stripMargin
+
   private[operators] val jaccardPairsOracleSql: String =
     s"""WITH $jaccardCte
        |SELECT da, db,
@@ -915,30 +953,7 @@ object TextOps {
     // and the SAME integer decision (100·dot² >= 81·n2a·n2b) — the
     // float `cosine` column is derived from exact integers in both
     // engines, so it rounds identically
-    "dedup_embedding" ->
-      """WITH wd AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
-        |            FROM documents WHERE doc_id < 1000),
-        |t AS (SELECT doc_id, ('0x' || substr(md5(w), 1, 8))::BIGINT AS h
-        |      FROM wd WHERE w <> ''),
-        |sp AS (SELECT doc_id, (h % 256)::INT AS dim,
-        |              SUM(CASE WHEN (h // 256) % 2 = 0
-        |                       THEN 1 ELSE -1 END)::BIGINT AS v
-        |       FROM t GROUP BY 1, 2
-        |       HAVING SUM(CASE WHEN (h // 256) % 2 = 0
-        |                       THEN 1 ELSE -1 END) <> 0),
-        |nrm AS (SELECT doc_id, SUM(v * v)::BIGINT AS n2 FROM sp GROUP BY 1),
-        |dots AS (SELECT a.doc_id AS da, b.doc_id AS db,
-        |                SUM(a.v * b.v)::BIGINT AS dot
-        |         FROM sp a JOIN sp b
-        |           ON a.dim = b.dim AND a.doc_id < b.doc_id
-        |         GROUP BY 1, 2)
-        |SELECT d.da, d.db,
-        |       round(d.dot / sqrt((na.n2 * nb.n2)::DOUBLE), 4) AS cosine
-        |FROM dots d
-        |JOIN nrm na ON na.doc_id = d.da
-        |JOIN nrm nb ON nb.doc_id = d.db
-        |WHERE d.dot > 0
-        |  AND 100 * d.dot * d.dot >= 81 * na.n2 * nb.n2""".stripMargin,
+    "dedup_embedding" -> embeddingPairsOracleSql,
 
     "dedup_exact" ->
       """SELECT source, count(*) AS n_docs,

@@ -225,6 +225,16 @@ class CatalogVectorSpec extends AnyFunSuite {
     assert(fromStore.nonEmpty, "no candidate pairs at test scale")
   }
 
+  test("store-backed embedding near-dup pairs match the parquet twin") {
+    val d = TestSpark.sfDir
+    val fromStore = graft.operators.CatalogQueries
+      .dedupEmbeddingOnStore(spark, d).collect().map(_.toSeq).toSet
+    val fromParquet = graft.operators.TextOps
+      .queries("dedup_embedding")(spark, d).collect().map(_.toSeq).toSet
+    assert(fromStore == fromParquet)
+    assert(fromStore.nonEmpty, "no near-dup pairs at test scale")
+  }
+
   test("catalog media metadata matches the parquet-derived stats") {
     val d = TestSpark.sfDir
     val fromStore = graft.operators.CatalogQueries

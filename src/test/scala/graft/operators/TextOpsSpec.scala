@@ -237,6 +237,43 @@ class TextOpsSpec extends AnyFunSuite {
     assert(got.nonEmpty, "fixture should contain near-dup doc pairs")
   }
 
+  test("banded hyperplane LSH (32x8) recalls every emitted near-dup pair") {
+    // pins the measurement in embeddingNearDupPairs' scaladoc: banding
+    // the product's own plane grid (LshPlanes) over the TF vectors
+    // recalls the FULL emitted pair set on this corpus — and prunes
+    // almost nothing (the similarity mass sits at the threshold), which
+    // is WHY the face verifies all pairs at the bounded oracle size
+    import graft.functions.LshPlanes
+    val D = 256; val bands = 32; val rowsPer = 8
+    LshPlanes.ensure(bands * rowsPer, D)
+    val vecs = TextOps.docTfVectors(docs.filter(col("doc_id") < 1000))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray)
+    val sigs = vecs.map { case (id, v) =>
+      id -> Array.tabulate(bands) { b =>
+        var bits = 0
+        for (j <- 0 until rowsPer) {
+          val row = LshPlanes.row(b * rowsPer + j)
+          var acc = 0.0
+          for (i <- 0 until D) acc += v(i) * row(i)
+          if (acc > 0.0) bits |= (1 << j)
+        }
+        bits
+      }
+    }
+    val candidates = (for {
+      i <- sigs.indices.iterator
+      j <- (i + 1) until sigs.length
+      if (0 until bands).exists(b => sigs(i)._2(b) == sigs(j)._2(b))
+    } yield (math.min(sigs(i)._1, sigs(j)._1),
+      math.max(sigs(i)._1, sigs(j)._1))).toSet
+    val emitted = TextOps.dedupEmbedding(spark, TestSpark.sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val missed = emitted -- candidates
+    assert(missed.isEmpty, s"LSH missed emitted near-dup pairs: $missed")
+    val allPairs = sigs.length.toLong * (sigs.length - 1) / 2
+    info(s"candidate fraction: ${candidates.size}/$allPairs")
+  }
+
   test("vec_dot_long is exact on values where a double dot would round") {
     import graft.functions.VectorOps
     import spark.implicits._
