@@ -34,7 +34,7 @@ object GraftProcedures {
 
   val Names: Seq[String] =
     Seq("load_csv", "compact", "cluster", "stats", "vacuum", "manifest",
-      "fold", "history", "restore", "analyze")
+      "fold", "history", "restore", "analyze", "split")
 
   def load(catalogName: String, ident: Identifier): UnboundProcedure = {
     require(ident.namespace.isEmpty ||
@@ -52,6 +52,7 @@ object GraftProcedures {
       case "history" => new HistoryProcedure(catalogName)
       case "restore" => new RestoreProcedure(catalogName)
       case "analyze" => new AnalyzeProcedure(catalogName)
+      case "split" => new SplitProcedure(catalogName)
       case other => throw new IllegalArgumentException(
         s"unknown graft procedure $other; available: ${Names.mkString(", ")}")
     }
@@ -469,6 +470,38 @@ object GraftProcedures {
             Array("restored_version", "live_regions"),
             Seq(Seq(version.toString, restored.toString))): Scan)
             .iterator()
+        }
+      }
+  }
+
+  /** `CALL graft.sys.split(table => 'ns.t', target_bytes => N)` —
+    * targeted region split ([[GraftSplit]]): every region file larger
+    * than `target_bytes` is re-cut into key-contiguous parts, O(touched
+    * regions) IO, no full-table rewrite. Returns one row with the
+    * counts so an operator script can loop until quiescent. */
+  final class SplitProcedure(catalogName: String)
+      extends UnboundProcedure {
+    override def name(): String = "split"
+    override def description(): String =
+      "split every region larger than target_bytes into key-contiguous " +
+        "parts (O(touched) region-local rewrite, manifest delta swap)"
+    override def bind(inputType: StructType): BoundProcedure =
+      new BoundProcedure {
+        override def name(): String = "split"
+        override def description(): String = SplitProcedure.this.description()
+        override def isDeterministic: Boolean = false
+        override def parameters(): Array[ProcedureParameter] = Array(
+          ProcedureParameter.in("table", StringType)
+            .comment("'<namespace>.<table>' within this catalog").build(),
+          ProcedureParameter.in("target_bytes", LongType)
+            .comment("split regions whose file exceeds this size").build())
+        override def call(input: InternalRow): java.util.Iterator[Scan] = {
+          val (ns, t) = splitNsTable(input.getUTF8String(0).toString)
+          val (nSplit, nParts) = GraftSplit.split(SparkSession.active,
+            catalogName, ns, t, input.getLong(1))
+          Collections.singletonList(LocalRowsScan(
+            Array("regions_split", "parts_written"),
+            Seq(Seq(nSplit.toString, nParts.toString))): Scan).iterator()
         }
       }
   }

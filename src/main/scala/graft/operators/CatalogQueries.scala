@@ -941,6 +941,62 @@ object CatalogQueries {
        |  AND o_totalprice BETWEEN 50000 AND 150000
        |GROUP BY o_orderstatus""".stripMargin)
 
+  /** Orders loaded as ONE region then re-cut by `CALL graft.sys.split`
+    * — the targeted O(touched-region) split an append-heavy 100 TB
+    * table needs when a region goes hot (GraftSplitSpec proves the
+    * lineage/pruning/stream invariants; this query gates the ANSWERS
+    * through the driver oracle). A half-built table (rows loaded,
+    * split not yet run) still has one region and is rebuilt. */
+  private val builtSp = scala.collection.concurrent.TrieMap[String, String]()
+  private def ordersSplitTable(s: SparkSession, d: String): String =
+    builtSp.getOrElseUpdate(d, {
+      sfNamespace(s, d)
+      val ns = s"sf_${math.abs(d.hashCode)}"
+      val fqn = s"graft.$ns.orders_sp_t"
+      def dir = {
+        val cat = s.sessionState.catalogManager.catalog("graft")
+          .asInstanceOf[graft.catalog.GraftCatalog]
+        cat.loadTable(org.apache.spark.sql.connector.catalog.Identifier
+          .of(Array(ns), "orders_sp_t"))
+          .asInstanceOf[graft.catalog.GraftTable].tableDir
+      }
+      val srcCount = s.read.parquet(s"$d/orders.parquet").count()
+      val ready = trusted(s, ns, "orders_sp_t", srcCount) &&
+        (graft.catalog.TableMeta.loadRegions(dir).size > 1 || {
+          s.sql(s"DROP TABLE IF EXISTS $fqn"); false
+        })
+      if (!ready) {
+        s.sql(
+          s"""CREATE TABLE $fqn (
+             |  o_orderkey BIGINT, o_orderstatus STRING,
+             |  o_totalprice DOUBLE, o_orderdate DATE)
+             |TBLPROPERTIES('keyCols'='o_orderkey', 'numRegions'='1')"""
+            .stripMargin)
+        val v = s"sp_cat_src_${math.abs(d.hashCode)}"
+        s.read.parquet(s"$d/orders.parquet").createOrReplaceTempView(v)
+        s.sql(
+          s"""INSERT INTO $fqn
+             |SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate
+             |FROM $v""".stripMargin)
+        val d0 = dir
+        val maxLen = graft.catalog.TableMeta.loadRegions(d0)
+          .map(r => new java.io.File(d0, r.file).length()).max
+        s.sql(s"CALL graft.sys.split(table => '$ns.orders_sp_t', " +
+          s"target_bytes => ${math.max(1L, maxLen / 6)}L)")
+      }
+      fqn
+    })
+
+  /** Key-range aggregate over the re-cut store: the range predicate
+    * now prunes at part granularity (the point of splitting a hot
+    * region), and the answers must match the raw parquet exactly. */
+  val splitAgg: Q = (s, d) => s.sql(
+    s"""SELECT o_orderstatus, count(*) AS cnt,
+       |       round(sum(o_totalprice), 2) AS total
+       |FROM ${ordersSplitTable(s, d)}
+       |WHERE o_orderkey BETWEEN 1000 AND 20000
+       |GROUP BY o_orderstatus""".stripMargin)
+
   /** Fingerprint point lookup through the bloom-filtered store: every
     * doc sharing doc 42's content hash (exact-dup cluster membership,
     * the reverse-lookup a dedup pipeline runs). */
@@ -1152,6 +1208,7 @@ object CatalogQueries {
     "catalog_skipscan" -> skipScan,
     "catalog_stats_skip" -> statsSkip,
     "catalog_zorder" -> zorderAgg,
+    "catalog_split" -> splitAgg,
     "catalog_bloom_lookup" -> bloomLookup,
     "catalog_manifest_agg" -> manifestAgg,
     "catalog_upsert" -> upsertAgg,
@@ -1192,6 +1249,15 @@ object CatalogQueries {
         |FROM orders
         |WHERE o_orderdate BETWEEN DATE'1996-03-01' AND DATE'1996-06-30'
         |  AND o_totalprice BETWEEN 50000 AND 150000
+        |GROUP BY o_orderstatus""".stripMargin,
+
+    // layout-independence again: the split store must return exactly
+    // what the raw parquet returns
+    "catalog_split" ->
+      """SELECT o_orderstatus, count(*) AS cnt,
+        |       round(sum(o_totalprice), 2) AS total
+        |FROM orders
+        |WHERE o_orderkey BETWEEN 1000 AND 20000
         |GROUP BY o_orderstatus""".stripMargin,
 
     // both engines aggregate true decimals — values must match exactly,
