@@ -34,7 +34,7 @@ object GraftProcedures {
 
   val Names: Seq[String] =
     Seq("load_csv", "compact", "cluster", "stats", "vacuum", "manifest",
-      "fold", "history", "restore", "analyze", "split")
+      "fold", "history", "restore", "analyze", "split", "merge")
 
   def load(catalogName: String, ident: Identifier): UnboundProcedure = {
     require(ident.namespace.isEmpty ||
@@ -53,6 +53,7 @@ object GraftProcedures {
       case "restore" => new RestoreProcedure(catalogName)
       case "analyze" => new AnalyzeProcedure(catalogName)
       case "split" => new SplitProcedure(catalogName)
+      case "merge" => new MergeProcedure(catalogName)
       case other => throw new IllegalArgumentException(
         s"unknown graft procedure $other; available: ${Names.mkString(", ")}")
     }
@@ -502,6 +503,38 @@ object GraftProcedures {
           Collections.singletonList(LocalRowsScan(
             Array("regions_split", "parts_written"),
             Seq(Seq(nSplit.toString, nParts.toString))): Scan).iterator()
+        }
+      }
+  }
+
+  /** `CALL graft.sys.merge(table => 'ns.t', target_bytes => N)` —
+    * targeted region merge ([[GraftMerge]]): adjacent regions pack
+    * into groups under `target_bytes` and k-way sort-merge into one
+    * file each, O(touched regions) IO. The defragmentation half of
+    * `split`'s lifecycle pair. */
+  final class MergeProcedure(catalogName: String)
+      extends UnboundProcedure {
+    override def name(): String = "merge"
+    override def description(): String =
+      "k-way merge adjacent regions into files up to target_bytes " +
+        "(O(touched) region-local rewrite, manifest delta swap)"
+    override def bind(inputType: StructType): BoundProcedure =
+      new BoundProcedure {
+        override def name(): String = "merge"
+        override def description(): String = MergeProcedure.this.description()
+        override def isDeterministic: Boolean = false
+        override def parameters(): Array[ProcedureParameter] = Array(
+          ProcedureParameter.in("table", StringType)
+            .comment("'<namespace>.<table>' within this catalog").build(),
+          ProcedureParameter.in("target_bytes", LongType)
+            .comment("merged files stay at or under this size").build())
+        override def call(input: InternalRow): java.util.Iterator[Scan] = {
+          val (ns, t) = splitNsTable(input.getUTF8String(0).toString)
+          val (nGroups, nSources) = GraftMerge.merge(SparkSession.active,
+            catalogName, ns, t, input.getLong(1))
+          Collections.singletonList(LocalRowsScan(
+            Array("groups_merged", "regions_consumed"),
+            Seq(Seq(nGroups.toString, nSources.toString))): Scan).iterator()
         }
       }
   }

@@ -997,6 +997,64 @@ object CatalogQueries {
        |WHERE o_orderkey BETWEEN 1000 AND 20000
        |GROUP BY o_orderstatus""".stripMargin)
 
+  /** Orders loaded as SIX fragmented appends (the streaming-sink
+    * litter shape) then defragmented by `CALL graft.sys.merge` —
+    * GraftMergeSpec proves the k-way-merge/fold/stream invariants;
+    * this query gates the ANSWERS through the driver oracle. A
+    * half-built table (six appends, merge not yet run) still has six
+    * regions and is rebuilt. */
+  private val builtMg = scala.collection.concurrent.TrieMap[String, String]()
+  private def ordersMergedTable(s: SparkSession, d: String): String =
+    builtMg.getOrElseUpdate(d, {
+      sfNamespace(s, d)
+      val ns = s"sf_${math.abs(d.hashCode)}"
+      val fqn = s"graft.$ns.orders_mg_t"
+      def dir = {
+        val cat = s.sessionState.catalogManager.catalog("graft")
+          .asInstanceOf[graft.catalog.GraftCatalog]
+        cat.loadTable(org.apache.spark.sql.connector.catalog.Identifier
+          .of(Array(ns), "orders_mg_t"))
+          .asInstanceOf[graft.catalog.GraftTable].tableDir
+      }
+      val srcCount = s.read.parquet(s"$d/orders.parquet").count()
+      val ready = trusted(s, ns, "orders_mg_t", srcCount) &&
+        (graft.catalog.TableMeta.loadRegions(dir).size < 6 || {
+          s.sql(s"DROP TABLE IF EXISTS $fqn"); false
+        })
+      if (!ready) {
+        s.sql(
+          s"""CREATE TABLE $fqn (
+             |  o_orderkey BIGINT, o_orderstatus STRING,
+             |  o_totalprice DOUBLE, o_orderdate DATE)
+             |TBLPROPERTIES('keyCols'='o_orderkey', 'numRegions'='1')"""
+            .stripMargin)
+        val v = s"mg_cat_src_${math.abs(d.hashCode)}"
+        s.read.parquet(s"$d/orders.parquet").createOrReplaceTempView(v)
+        (0 until 6).foreach { i =>
+          s.sql(
+            s"""INSERT INTO $fqn
+               |SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate
+               |FROM $v WHERE o_orderkey % 6 = $i""".stripMargin)
+        }
+        val d0 = dir
+        val total = graft.catalog.TableMeta.loadRegions(d0)
+          .map(r => new java.io.File(d0, r.file).length()).sum
+        s.sql(s"CALL graft.sys.merge(table => '$ns.orders_mg_t', " +
+          s"target_bytes => ${math.max(1L, total / 2)}L)")
+      }
+      fqn
+    })
+
+  /** Status rollup over the defragmented store: six fully-overlapping
+    * appends k-way-merged back into sorted regions must answer
+    * exactly like the raw parquet. */
+  val mergeRegionsAgg: Q = (s, d) => s.sql(
+    s"""SELECT o_orderstatus, count(*) AS cnt,
+       |       round(sum(o_totalprice), 2) AS total
+       |FROM ${ordersMergedTable(s, d)}
+       |WHERE o_orderdate >= DATE'1997-01-01'
+       |GROUP BY o_orderstatus""".stripMargin)
+
   /** Fingerprint point lookup through the bloom-filtered store: every
     * doc sharing doc 42's content hash (exact-dup cluster membership,
     * the reverse-lookup a dedup pipeline runs). */
@@ -1209,6 +1267,7 @@ object CatalogQueries {
     "catalog_stats_skip" -> statsSkip,
     "catalog_zorder" -> zorderAgg,
     "catalog_split" -> splitAgg,
+    "catalog_region_merge" -> mergeRegionsAgg,
     "catalog_bloom_lookup" -> bloomLookup,
     "catalog_manifest_agg" -> manifestAgg,
     "catalog_upsert" -> upsertAgg,
@@ -1258,6 +1317,15 @@ object CatalogQueries {
         |       round(sum(o_totalprice), 2) AS total
         |FROM orders
         |WHERE o_orderkey BETWEEN 1000 AND 20000
+        |GROUP BY o_orderstatus""".stripMargin,
+
+    // layout-independence: six overlapping appends, merged back,
+    // must return exactly what the raw parquet returns
+    "catalog_region_merge" ->
+      """SELECT o_orderstatus, count(*) AS cnt,
+        |       round(sum(o_totalprice), 2) AS total
+        |FROM orders
+        |WHERE o_orderdate >= DATE'1997-01-01'
         |GROUP BY o_orderstatus""".stripMargin,
 
     // both engines aggregate true decimals — values must match exactly,
