@@ -1,5 +1,6 @@
 package graft.catalog
 
+import java.io.File
 import java.util.Collections
 
 import org.apache.spark.sql.SparkSession
@@ -173,11 +174,13 @@ object GraftProcedures {
                 s"nulls=${st.nulls}"
             }.mkString("; ")
             Seq(r.file, r.id.toString, r.rows.toString,
+              // bytes feed split/merge target sizing
+              new File(gt.tableDir, r.file).length().toString,
               if (r.bucket >= 0) r.bucket.toString else "",
               decodeKey(r.mins), decodeKey(r.maxs), stats)
           }
           Collections.singletonList(LocalRowsScan(Array("region_file",
-            "region_id", "rows", "bucket", "key_min", "key_max",
+            "region_id", "rows", "bytes", "bucket", "key_min", "key_max",
             "column_stats"), rows): Scan).iterator()
         }
       }

@@ -43,25 +43,52 @@ import graft.codec.KeyCodec
   */
 object GraftSplit {
 
+  /** Table property enabling HBase-style AUTOMATIC splitting: when
+    * set, every batch-append commit re-checks region sizes and splits
+    * oversized ones post-commit (the reference's storage tier does
+    * exactly this — a region crossing `hbase.hregion.max.filesize`
+    * splits without operator action). Streaming epoch commits stay
+    * latency-first and leave splitting to the operator loop. */
+  val MaxRegionBytesProp = "graft.maxRegionBytes"
+
   /** Split every region of `table` larger than `targetBytes`. Returns
     * (regions split, parts written). */
   def split(spark: SparkSession, catalogName: String, namespace: String,
       table: String, targetBytes: Long): (Int, Int) = {
-    require(targetBytes > 0, s"target_bytes must be positive: $targetBytes")
     val cat = spark.sessionState.catalogManager.catalog(catalogName)
       .asInstanceOf[GraftCatalog]
     val ident = Identifier.of(Array(namespace), table)
     val t = cat.loadTable(ident).asInstanceOf[GraftTable]
-    val dirPath = t.tableDir.getPath
-    val meta = t.meta
+    val res = splitDir(spark, t.tableDir, t.meta, targetBytes)
+    cat.invalidateTable(ident)
+    res
+  }
+
+  /** Post-batch-commit hook: honor [[MaxRegionBytesProp]] if declared.
+    * A lost race (a concurrent writer's auto-split already re-cut the
+    * same region) is swallowed — the append that triggered us is
+    * already durable, and the next commit re-checks. */
+  def maybeAutoSplit(spark: SparkSession, tableDir: File,
+      meta: TableMeta): Unit =
+    meta.properties.get(MaxRegionBytesProp).foreach { v =>
+      try splitDir(spark, tableDir, meta, v.toLong)
+      catch { case _: IllegalStateException => () }
+    }
+
+  /** The split itself, catalog-independent (callable from the write
+    * path's post-commit hook, where only the table dir is in hand). */
+  private[catalog] def splitDir(spark: SparkSession, tableDir: File,
+      meta: TableMeta, targetBytes: Long): (Int, Int) = {
+    require(targetBytes > 0, s"target_bytes must be positive: $targetBytes")
+    val dirPath = tableDir.getPath
 
     // phase 1: snapshot the oversized regions. A single-leading-key
     // region cannot split (no admissible boundary) — skipped here, so
     // a hot single-key region surfaces through `stats` instead of
     // looping a futile rewrite.
-    val snapshot = TableMeta.loadRegions(t.tableDir)
+    val snapshot = TableMeta.loadRegions(tableDir)
     val cands = snapshot.filter { r =>
-      new File(t.tableDir, r.file).length() > targetBytes && r.rows >= 2 &&
+      new File(tableDir, r.file).length() > targetBytes && r.rows >= 2 &&
         KeyCodec.compare(KeyCodec.fromHex(r.mins.head),
           KeyCodec.fromHex(r.maxs.head)) != 0
     }
@@ -75,16 +102,16 @@ object GraftSplit {
     val split = results.filter(_._2.size >= 2)
     // a candidate whose key runs defeated every boundary stays as-is
     results.filter(_._2.size < 2).foreach { case (_, parts) =>
-      parts.foreach(p => new File(t.tableDir, p.file).delete()) }
+      parts.foreach(p => new File(tableDir, p.file).delete()) }
     if (split.isEmpty) return (0, 0)
 
     // phase 3 (under the lock): verify the snapshot still stands, swap
-    TableMeta.withManifestLock(t.tableDir) {
-      val (state, viewSeq) = TableMeta.commitView(t.tableDir)
+    TableMeta.withManifestLock(tableDir) {
+      val (state, viewSeq) = TableMeta.commitView(tableDir)
       val present = state.regions.map(_.file).toSet
       if (!split.forall { case (src, _) => present.contains(src.file) }) {
         split.foreach { case (_, parts) =>
-          parts.foreach(p => new File(t.tableDir, p.file).delete()) }
+          parts.foreach(p => new File(tableDir, p.file).delete()) }
         throw new IllegalStateException(
           "graft split lost a race with a concurrent compaction, " +
             "cluster, or delete on the same regions; retry the CALL")
@@ -96,14 +123,13 @@ object GraftSplit {
         }
       }
       val sources = split.map(_._1)
-      TableMeta.writeDelta(t.tableDir, viewSeq,
+      TableMeta.writeDelta(tableDir, viewSeq,
         regions = outs,
         removeIds = sources.map(_.id).toSet,
         retiredAdd = sources,
         gen = state.gen + 1,
         op = "split")
     }
-    cat.invalidateTable(ident)
     (split.size, split.map(_._2.size).sum)
   }
 

@@ -137,9 +137,15 @@ class GraftBatchWrite(tableDir: File, meta: TableMeta) extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo)
       : DataWriterFactory = GraftCommits.factory(tableDir, meta)
 
-  override def commit(messages: Array[WriterCommitMessage]): Unit =
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
     TableMeta.appendRegions(tableDir, GraftCommits.withBlockHosts(tableDir,
       GraftCommits.toRegions(GraftCommits.commits(messages))))
+    // HBase-style auto split: only when the table declares a max
+    // region size ('graft.maxRegionBytes'); a no-op metadata check
+    // otherwise
+    GraftSplit.maybeAutoSplit(
+      org.apache.spark.sql.SparkSession.active, tableDir, meta)
+  }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     GraftCommits.deleteFiles(tableDir, messages)

@@ -407,6 +407,8 @@ class ColStatsSpec extends AnyFunSuite {
     // decoded key range of the whole table spans 0..99
     assert(rows.map(_.getAs[String]("key_min").toLong).min == 0L)
     assert(rows.map(_.getAs[String]("key_max").toLong).max == 99L)
+    // region file sizes exposed (the input to split/merge targets)
+    assert(rows.forall(_.getAs[String]("bytes").toLong > 0L))
     // non-key stats rendered with decoded bounds and null counts
     val stats = rows.map(_.getAs[String]("column_stats")).mkString(" | ")
     assert(stats.contains("day:[") && stats.contains("note:["))

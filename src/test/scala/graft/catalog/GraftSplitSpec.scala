@@ -149,6 +149,41 @@ class GraftSplitSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.spl.runs")
   }
 
+  test("graft.maxRegionBytes auto-splits oversized regions at commit") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.spl")
+    spark.sql("DROP TABLE IF EXISTS graft.spl.auto")
+    spark.sql(
+      """CREATE TABLE graft.spl.auto (k BIGINT, v DOUBLE, tag STRING)
+        |TBLPROPERTIES('keyCols'='k', 'numRegions'='1',
+        |              'graft.maxRegionBytes'='4096')""".stripMargin)
+    // one append producing a region well over 4 KiB: the commit itself
+    // must leave the table already re-cut, HBase-style
+    spark.sql(
+      """INSERT INTO graft.spl.auto
+        |SELECT id, id * 1.0, concat('tag_', CAST(id AS STRING))
+        |FROM range(5000)""".stripMargin)
+    val dir = tableDir("auto")
+    val regions = TableMeta.loadRegions(dir)
+    assert(regions.size > 1,
+      s"auto split did not run (still ${regions.size} region)")
+    assert(regions.forall(r =>
+      new java.io.File(dir, r.file).length() <= 4096 * 2),
+      "auto split left a region far over the declared cap")
+    assert(spark.table("graft.spl.auto").count() == 5000L)
+    // a table without the property is untouched by the same write path
+    spark.sql("DROP TABLE IF EXISTS graft.spl.plain")
+    spark.sql(
+      """CREATE TABLE graft.spl.plain (k BIGINT, v DOUBLE, tag STRING)
+        |TBLPROPERTIES('keyCols'='k', 'numRegions'='1')""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft.spl.plain
+        |SELECT id, id * 1.0, concat('tag_', CAST(id AS STRING))
+        |FROM range(5000)""".stripMargin)
+    assert(TableMeta.loadRegions(tableDir("plain")).size == 1)
+    spark.sql("DROP TABLE graft.spl.auto")
+    spark.sql("DROP TABLE graft.spl.plain")
+  }
+
   test("tailing stream does not re-read rows re-cut by a split") {
     val fqn = build("stream")
     val dir = tableDir("stream")
