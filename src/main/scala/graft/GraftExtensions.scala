@@ -15,7 +15,9 @@ import graft.functions.{LshBucket, MinHashSig, SimHash64, VecCosine, VecDot}
   *   spark.sql.catalog.graft = graft.catalog.GraftCatalog
   * }}}
   * after which `vec_cosine`, `vec_dot`, `minhash_sig(arr[, k])`,
-  * `simhash64` are plain SQL functions.
+  * `simhash64` are plain SQL functions, and the reference's literal
+  * `LOAD DATA [LOCAL] INPATH ... INTO TABLE t` statement routes into
+  * the graft bulk load ([[graft.catalog.GraftLoadDataRule]]).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -23,6 +25,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     new ExpressionInfo(clazz.getName, name)
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // LOAD DATA INPATH → graft bulk load (the analyzer refuses the
+    // stock node for V2 tables before any injected rule runs, so the
+    // lowering happens at the parser seam, Delta-style)
+    ext.injectParser((session, delegate) =>
+      new graft.catalog.GraftSqlParser(session, delegate))
     ext.injectFunction((FunctionIdentifier("vec_cosine"),
       info("vec_cosine", classOf[VecCosine]),
       (args: Seq[Expression]) => VecCosine(args(0), args(1))))

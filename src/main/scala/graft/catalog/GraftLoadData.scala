@@ -1,0 +1,100 @@
+package graft.catalog
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedTable
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.{LoadData, LogicalPlan}
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types.StructType
+
+/** The literal `LOAD DATA [LOCAL] INPATH '<path>' INTO TABLE t`
+  * statement face — the exact syntax the reference accepts
+  * (`HBaseBulkLoadIntoTableSuite.scala:35-80` parses it with the stock
+  * `SparkSqlParser` and routes the `LoadDataCommand` into its bulk
+  * load). Spark's parser accepts the statement for any table, but V2
+  * catalogs get no hook: the analyzer's `ResolveSessionCatalog` throws
+  * NOT_SUPPORTED_COMMAND_FOR_V2_TABLE before injected resolution rules
+  * ever see the node. The sanctioned escape (the pattern Delta's SQL
+  * extensions use) is a DELEGATING PARSER: parse with the stock
+  * grammar, then lower the `LoadData` node onto the graft bulk-load
+  * command when — and only when — the target identifier lands in a
+  * [[GraftCatalog]]. Everything else passes through verbatim, so the
+  * wrapper adds one pattern-match per statement. Reference scripts
+  * paste in unchanged.
+  */
+class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
+    extends ParserInterface {
+
+  override def parsePlan(sqlText: String): LogicalPlan =
+    delegate.parsePlan(sqlText) match {
+      case LoadData(u: UnresolvedTable, path, isLocal, overwrite, partition) =>
+        graftTarget(u.multipartIdentifier) match {
+          case Some((cat, ns, tbl)) =>
+            if (overwrite) throw new UnsupportedOperationException(
+              "graft: LOAD DATA OVERWRITE is not supported (appends " +
+                "only, like INSERT — the reference's bulk load appends too)")
+            if (partition.nonEmpty) throw new UnsupportedOperationException(
+              "graft tables have no Hive-style partitions; LOAD DATA " +
+                "PARTITION does not apply (regions are key ranges)")
+            GraftLoadDataCommand(cat, ns, tbl, path, isLocal)
+          case None => LoadData(u, path, isLocal, overwrite, partition)
+        }
+      case other => other
+    }
+
+  /** (catalog, namespace, table) when the identifier resolves into a
+    * graft catalog — explicitly qualified or via the session's current
+    * catalog/namespace. */
+  private def graftTarget(parts: Seq[String])
+      : Option[(String, String, String)] = {
+    val cm = session.sessionState.catalogManager
+    def isGraft(name: String): Boolean =
+      try cm.catalog(name).isInstanceOf[GraftCatalog]
+      catch { case _: Exception => false }
+    parts match {
+      case Seq(cat, ns, tbl) if isGraft(cat) => Some((cat, ns, tbl))
+      case Seq(ns, tbl) if isGraft(cm.currentCatalog.name) =>
+        Some((cm.currentCatalog.name, ns, tbl))
+      case Seq(tbl) if isGraft(cm.currentCatalog.name) &&
+          cm.currentNamespace.nonEmpty =>
+        Some((cm.currentCatalog.name, cm.currentNamespace.mkString("."), tbl))
+      case _ => None
+    }
+  }
+
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String)
+      : org.apache.spark.sql.types.DataType =
+    delegate.parseDataType(sqlText)
+}
+
+/** Runs the intercepted statement through [[GraftBulkLoad.loadCsv]] —
+  * identical semantics to `CALL graft.sys.load_csv(table, path)`:
+  * typed CSV read, permissive null backfill of short lines, range
+  * shuffle into key-sorted regions, manifest commit. `LOCAL` is
+  * accepted and means the same thing here (paths resolve through the
+  * same Hadoop filesystem either way). */
+case class GraftLoadDataCommand(catalogName: String, namespace: String,
+    table: String, path: String, isLocal: Boolean)
+    extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    GraftBulkLoad.loadCsv(session, path,
+      s"$catalogName.$namespace.$table", ",")
+    Seq.empty
+  }
+}

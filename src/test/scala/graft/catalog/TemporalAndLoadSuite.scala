@@ -224,6 +224,37 @@ class TemporalAndLoadSuite extends AnyFunSuite {
     spark.sql("DROP TABLE graft.op.testblk")
   }
 
+  test("LOAD DATA INPATH statement runs the graft bulk load verbatim") {
+    // the reference's literal statement, pasted unchanged
+    // (HBaseBulkLoadIntoTableSuite:112) — resolved into the bulk load
+    // by GraftLoadDataRule instead of failing "not supported for v2"
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.op")
+    spark.sql("DROP TABLE IF EXISTS graft.op.testblk_stmt")
+    spark.sql(
+      """CREATE TABLE graft.op.testblk_stmt
+        |  (col1 STRING, col2 STRING, col3 STRING)
+        |TBLPROPERTIES('keyCols'='col1')""".stripMargin)
+    spark.sql(
+      """LOAD DATA LOCAL INPATH
+        |'/root/reference/src/test/resources/loadData.txt'
+        |INTO TABLE graft.op.testblk_stmt""".stripMargin)
+    val rows = spark.sql(
+      "SELECT DISTINCT * FROM graft.op.testblk_stmt ORDER BY col1")
+      .collect()
+    assert(rows.map(r => (r.getString(0), r.getString(1), r.getString(2)))
+      .toSeq == Seq(("row4", "4", "8"), ("row5", "5", "10"),
+        ("row6", "6", "12")))
+    // OVERWRITE refuses loudly (appends only, like the reference)
+    val e = intercept[Exception] {
+      spark.sql(
+        """LOAD DATA LOCAL INPATH
+          |'/root/reference/src/test/resources/loadData.txt'
+          |OVERWRITE INTO TABLE graft.op.testblk_stmt""".stripMargin)
+    }
+    assert(e.getMessage.toLowerCase.contains("overwrite"))
+    spark.sql("DROP TABLE graft.op.testblk_stmt")
+  }
+
   test("CALL load_csv honors the delimiter argument") {
     val f = java.io.File.createTempFile("graft_load_delim", ".txt")
     f.deleteOnExit()
