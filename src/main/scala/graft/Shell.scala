@@ -37,7 +37,9 @@ object Shell {
       |  SHOW NAMESPACES IN graft;
       |  CREATE TABLE graft.db.t (k INT, v STRING)
       |    TBLPROPERTIES('keyCols'='k');
+      |  LOAD DATA INPATH '/data/t.csv' INTO TABLE graft.db.t;
       |  CALL graft.sys.load_csv(table => 'db.t', path => '/data/t.csv');
+      |  CALL graft.sys.split(table => 'db.t', target_bytes => 268435456);
       |  SELECT * FROM graft.db.t WHERE k = 1;""".stripMargin
 
   def session(warehouse: String): SparkSession =
