@@ -133,15 +133,26 @@ object IvfIndex {
       fqn
     })
 
+  /** Centroid rows + query vector cached per sf dir: the centroids are
+    * a PERSISTED index (the catalog table above) and the query vector
+    * is one row — re-collecting both per query was two spark jobs of
+    * pure metadata, not index work. K×dim floats on the driver,
+    * bounded like the training collect. */
+  private val probeCache = scala.collection.concurrent.TrieMap[
+    String, (Seq[(Int, Seq[Float])], Seq[Float])]()
+
   /** Vectors in the probed cells (candidate set), with the query vector
     * attached — shared by the top-k query and the probe-fraction gate. */
   def candidates(s: SparkSession, d: String,
       nProbe: Int = NProbe): DataFrame = {
-    val cents = s.table(centroidsTable(s, d)).collect()
-      .map(r => (r.getInt(0), r.getSeq[Float](1))).toSeq
     val vn = vecs(s, d)
-    val q = vn.filter(col("vec_id") === 0).select(col("vn").as("qv"))
-      .collect().head.getSeq[Float](0)
+    val (cents, q) = probeCache.getOrElseUpdate(d, {
+      val c = s.table(centroidsTable(s, d)).collect()
+        .map(r => (r.getInt(0), r.getSeq[Float](1))).toSeq
+      val qv = vn.filter(col("vec_id") === 0).select(col("vn").as("qv"))
+        .collect().head.getSeq[Float](0)
+      (c, qv)
+    })
     // probe selection on the driver: K dots against the catalog-stored
     // centroid rows (the "index lookup" of a real IVF)
     val probed = cents
