@@ -151,12 +151,31 @@ object GraftDelete {
         s"graft DELETE requires a predicate exactly expressible as " +
           s"${meta.keyCols.head} intervals; got " +
           filters.mkString(", ")))
+    // a boundary rewrite re-stamps its KEPT rows with a fresh (higher)
+    // region id; on a dedupKeys table that would lift a kept stale
+    // version above a newer overlapping append (latest-wins orders by
+    // _graft_region_id). Refuse exactly the unsafe rewrites — aligned
+    // metadata deletes and rewrites of the newest overlapping region
+    // stay available ([[GraftSplit.precedenceSafe]]).
+    def guardDedupRewrite(strad: Seq[RegionMeta],
+        all: Seq[RegionMeta], cleanup: () => Unit = () => ()): Unit =
+      if (TableMeta.dedupKeys(meta.properties) &&
+        strad.exists(r => !GraftSplit.precedenceSafe(Seq(r), all))) {
+        cleanup()
+        throw new UnsupportedOperationException(
+          "graft DELETE on a 'graft.dedupKeys' table: the boundary " +
+            "rewrite would re-stamp kept rows above newer versions of " +
+            "the same keys (latest-wins orders by _graft_region_id). " +
+            "Align the interval to region boundaries, or run " +
+            "CALL graft.sys.compact first to fold versions.")
+      }
     // phase 1 (under the lock): classify regions; if nothing straddles,
     // the whole delete is a metadata swap and we finish here
     val straddlers: Seq[RegionMeta] = TableMeta.withManifestLock(tableDir) {
       val (state, viewSeq) = TableMeta.commitView(tableDir)
       val (in, out) = partitionRegions(state.regions, ivs)
       val strad = straddlersOf(out, ivs)
+      guardDedupRewrite(strad, state.regions)
       if (strad.isEmpty) {
         if (in.nonEmpty)
           // deleted regions retire (files kept one compaction cycle
@@ -195,6 +214,9 @@ object GraftDelete {
       }
       val (in, out) = partitionRegions(state.regions, ivs)
       val stradNow = straddlersOf(out, ivs)
+      guardDedupRewrite(stradNow, state.regions, () =>
+        rewritten.foreach { case (_, rw) =>
+          new File(tableDir, rw.file).delete() })
       // a region appended BETWEEN our phases may straddle the delete
       // range; we hold no rewrite for it, and retiring it unrewritten
       // would lose its kept rows — fail loudly instead. (A concurrent

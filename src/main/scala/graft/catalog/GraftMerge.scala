@@ -29,7 +29,13 @@ import graft.codec.KeyCodec
   * sort; overlapping inputs (the append-stream shape) interleave
   * correctly. On a `dedupKeys` table equal-key rows fold to the row
   * from the newest source region (the same keep-latest rule
-  * compaction applies), so merge is upsert-correct too.
+  * compaction applies) — but ONLY for groups whose key envelope no
+  * newer outside region overlaps ([[GraftSplit.precedenceSafe]]):
+  * the merged output carries a fresh region id, and lifting a folded
+  * group above an interleaved newer version elsewhere would invert
+  * latest-wins. Unsafe groups are skipped (compaction folds them);
+  * streaming-upsert litter — the case merge exists for — is the
+  * newest data and passes.
   *
   * Commit protocol identical to [[GraftSplit]]: rewrite without the
   * lock (one Spark task per group), swap under the manifest lock with
@@ -81,6 +87,14 @@ object GraftMerge {
         if (cur.size >= 2) out += cur.toSeq
         out.toSeq
       }.toSeq
+      // dedupKeys: the merged output's fresh id must not lift stale
+      // versions above newer overlapping regions OUTSIDE the group,
+      // and the intra-group fold must see ALL interleaved versions —
+      // both hold exactly when every outside region overlapping the
+      // group's envelope is older than the whole group
+      // ([[GraftSplit.precedenceSafe]]). Streaming-upsert litter (the
+      // case merge exists for) is the newest data, so its groups pass.
+      .filter(g => !fold || GraftSplit.precedenceSafe(g, snapshot))
     if (groups.isEmpty) return (0, 0)
 
     // phase 2 (no lock): one task per group

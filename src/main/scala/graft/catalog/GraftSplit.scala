@@ -43,6 +43,32 @@ import graft.codec.KeyCodec
   */
 object GraftSplit {
 
+  /** Precedence safety for region rewrites on `dedupKeys` tables.
+    * Latest-wins reads order versions by `_graft_region_id`, and a
+    * rewrite re-stamps its rows with a FRESH (higher) id — so
+    * re-cutting an OLD region would lift its stale versions above
+    * newer appends. Manifest-only safe condition: a rewrite of
+    * `target` regions is precedence-safe iff every OTHER live region
+    * whose leading-key range overlaps the targets' envelope has a
+    * LOWER id than every target (older versions losing to the fresh
+    * id is the order they already lost in; a newer overlapping region
+    * must win, and would not). Auto-split and streaming-litter merges
+    * pass naturally — the regions being re-cut are the newest. */
+  private[catalog] def precedenceSafe(target: Seq[RegionMeta],
+      all: Seq[RegionMeta]): Boolean = {
+    val ids = target.map(_.id).toSet
+    val minId = target.map(_.id).min
+    val los = target.map(r => KeyCodec.fromHex(r.mins.head))
+    val his = target.map(r => KeyCodec.fromHex(r.maxs.head))
+    val lo = los.reduce((a, b) => if (KeyCodec.compare(a, b) <= 0) a else b)
+    val hi = his.reduce((a, b) => if (KeyCodec.compare(a, b) >= 0) a else b)
+    all.filterNot(r => ids.contains(r.id)).forall { r =>
+      r.id < minId ||
+        KeyCodec.compare(KeyCodec.fromHex(r.maxs.head), lo) < 0 ||
+        KeyCodec.compare(KeyCodec.fromHex(r.mins.head), hi) > 0
+    }
+  }
+
   /** Table property enabling HBase-style AUTOMATIC splitting: when
     * set, every batch-append commit re-checks region sizes and splits
     * oversized ones post-commit (the reference's storage tier does
@@ -87,10 +113,15 @@ object GraftSplit {
     // a hot single-key region surfaces through `stats` instead of
     // looping a futile rewrite.
     val snapshot = TableMeta.loadRegions(tableDir)
+    val dedup = TableMeta.dedupKeys(meta.properties)
     val cands = snapshot.filter { r =>
       new File(tableDir, r.file).length() > targetBytes && r.rows >= 2 &&
         KeyCodec.compare(KeyCodec.fromHex(r.mins.head),
-          KeyCodec.fromHex(r.maxs.head)) != 0
+          KeyCodec.fromHex(r.maxs.head)) != 0 &&
+        // dedupKeys: re-idding an old region would lift stale versions
+        // above newer overlapping appends — split only precedence-safe
+        // regions (the newest ones; compaction folds the rest)
+        (!dedup || precedenceSafe(Seq(r), snapshot))
     }
     if (cands.isEmpty) return (0, 0)
 

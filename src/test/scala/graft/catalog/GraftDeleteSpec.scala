@@ -184,6 +184,35 @@ class GraftDeleteSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE $fqn")
   }
 
+  test("dedupKeys: precedence-unsafe boundary rewrite refuses loudly") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.del")
+    spark.sql("DROP TABLE IF EXISTS graft.del.dedup_rw")
+    spark.sql(
+      """CREATE TABLE graft.del.dedup_rw (k BIGINT, v DOUBLE)
+        |TBLPROPERTIES('keyCols'='k', 'regionSplits'='100;200;300',
+        |              'graft.dedupKeys'='true')""".stripMargin)
+    spark.sql("INSERT INTO graft.del.dedup_rw " +
+      "SELECT id, 1.0 FROM range(400)")
+    // newer version of k=150 in a later region: rewriting the [100,200)
+    // boundary region would re-stamp its kept stale k=150 above it
+    spark.sql("INSERT INTO graft.del.dedup_rw VALUES (150, 2.0)")
+    val e = intercept[UnsupportedOperationException] {
+      spark.sql("DELETE FROM graft.del.dedup_rw WHERE k < 120")
+    }
+    assert(e.getMessage.contains("_graft_region_id"))
+    // the newer version still wins and nothing was deleted
+    assert(spark.table("graft.del.dedup_rw").count() == 401L)
+    // region-ALIGNED deletes stay available on dedupKeys tables
+    spark.sql("DELETE FROM graft.del.dedup_rw WHERE k < 100")
+    assert(spark.table("graft.del.dedup_rw").count() == 301L)
+    // and a straddling delete of a range only the NEWEST region
+    // overlaps is precedence-safe, so it is allowed... (the [300,400)
+    // region is the highest-id region covering its range)
+    spark.sql("DELETE FROM graft.del.dedup_rw WHERE k >= 350")
+    assert(spark.table("graft.del.dedup_rw").count() == 251L)
+    spark.sql("DROP TABLE graft.del.dedup_rw")
+  }
+
   test("DELETE racing a concurrent INSERT loses neither (manifest lock)") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.del")
     spark.sql("DROP TABLE IF EXISTS graft.del.race")

@@ -110,6 +110,102 @@ class GraftMergeSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.mrg.upsert")
   }
 
+  test("dedupKeys: merge never inverts latest-wins (random upsert fuzz)") {
+    // random overlapping upserts interleaved with merges; after every
+    // merge the latest-wins read must still match a driver-side model.
+    // This is the test of the precedence-safety rule: an unsafe fold
+    // (group lifted above an interleaved newer version) would surface
+    // as a stale value here.
+    val rnd = new scala.util.Random(424242L)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.mrg")
+    spark.sql("DROP TABLE IF EXISTS graft.mrg.upfuzz")
+    spark.sql(
+      """CREATE TABLE graft.mrg.upfuzz (k BIGINT, v DOUBLE)
+        |TBLPROPERTIES('keyCols'='k', 'numRegions'='1',
+        |              'graft.dedupKeys'='true')""".stripMargin)
+    var model = Map.empty[Long, Double]
+    var gen = 0
+    def upsert(): Unit = {
+      gen += 1
+      val a = rnd.nextInt(500); val n = 20 + rnd.nextInt(120)
+      spark.sql(s"INSERT INTO graft.mrg.upfuzz " +
+        s"SELECT id, id + $gen * 10000.0 FROM range($a, ${a + n})")
+      model ++= (a.toLong until (a + n)).map(k => k -> (k + gen * 10000.0))
+    }
+    def latestWins(): Map[Long, Double] = spark.sql(
+      """SELECT k, v FROM (
+        |  SELECT k, v, row_number() OVER (
+        |    PARTITION BY k ORDER BY _graft_region_id DESC) AS rn
+        |  FROM graft.mrg.upfuzz) WHERE rn = 1""".stripMargin)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    def regionBytes(): Seq[Long] = {
+      val dir = tableDir("upfuzz")
+      TableMeta.loadRegions(dir)
+        .map(r => new java.io.File(dir, r.file).length())
+    }
+    for (i <- 1 to 24) {
+      if (i % 6 == 5) {
+        // PARTIAL merge: a target of about half the bytes forms a
+        // group whose envelope newer outside regions overlap — the
+        // exact shape the precedence filter exists for (with the
+        // filter disabled this fuzz catches the stale-version win)
+        val szs = regionBytes()
+        val target = math.max(szs.max + 1, szs.sum / 2)
+        spark.sql("CALL graft.sys.merge(table => 'mrg.upfuzz', " +
+          s"target_bytes => ${target}L)")
+      } else if (i % 6 == 0) {
+        spark.sql("CALL graft.sys.merge(table => 'mrg.upfuzz', " +
+          "target_bytes => 1048576L)") // global fold
+      } else upsert()
+      assert(latestWins() == model, s"latest-wins diverged at step $i")
+    }
+    // compaction folds everything; the final state must still agree
+    spark.sql("CALL graft.sys.compact(table => 'mrg.upfuzz', " +
+      "target_regions => 2)")
+    assert(spark.table("graft.mrg.upfuzz").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap == model)
+    spark.sql("DROP TABLE graft.mrg.upfuzz")
+  }
+
+  test("dedupKeys: a precedence-unsafe partial group is skipped, not folded") {
+    // regression pin for the latest-wins inversion: group {r1, r2}
+    // (ids 1, 2) folds under a byte cap that excludes r3 (id 3), but
+    // r3 overlaps the group's envelope with NEWER versions of 80..99 —
+    // folding would re-stamp r1's stale rows above it (verified: with
+    // the precedenceSafe filter disabled, k=85 reads 1.0 instead of
+    // 3.0). The filter must skip the group entirely.
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.mrg")
+    spark.sql("DROP TABLE IF EXISTS graft.mrg.unsafe")
+    spark.sql(
+      """CREATE TABLE graft.mrg.unsafe (k BIGINT, v DOUBLE)
+        |TBLPROPERTIES('keyCols'='k', 'numRegions'='1',
+        |              'graft.dedupKeys'='true')""".stripMargin)
+    spark.sql("INSERT INTO graft.mrg.unsafe SELECT id, 1.0 FROM range(0, 100)")
+    spark.sql("INSERT INTO graft.mrg.unsafe SELECT id, 2.0 FROM range(40, 60)")
+    spark.sql("INSERT INTO graft.mrg.unsafe SELECT id, 3.0 FROM range(80, 120)")
+    val dir = tableDir("unsafe")
+    val rs = TableMeta.loadRegions(dir)
+    val cap = Seq(1L, 2L).map(id =>
+      new java.io.File(dir, rs.find(_.id == id).get.file).length()).sum + 1
+    val res = spark.sql("CALL graft.sys.merge(table => 'mrg.unsafe', " +
+      s"target_bytes => ${cap}L)").head()
+    assert(res.getString(0).toInt == 0,
+      "merge folded a group overlapped by a newer outside region")
+    def v85 = spark.sql(
+      """SELECT v FROM (SELECT v, row_number() OVER (
+        |  PARTITION BY k ORDER BY _graft_region_id DESC) rn
+        |FROM graft.mrg.unsafe WHERE k = 85) WHERE rn = 1""".stripMargin)
+      .head().getDouble(0)
+    assert(v85 == 3.0)
+    // a global merge (everything in one group, nothing outside) is
+    // safe and folds correctly
+    spark.sql("CALL graft.sys.merge(table => 'mrg.unsafe', " +
+      "target_bytes => 1048576L)")
+    assert(v85 == 3.0)
+    assert(spark.table("graft.mrg.unsafe").count() == 120L)
+    spark.sql("DROP TABLE graft.mrg.unsafe")
+  }
+
   test("merge is a no-op when every region exceeds the target") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.mrg")
     spark.sql("DROP TABLE IF EXISTS graft.mrg.noop")

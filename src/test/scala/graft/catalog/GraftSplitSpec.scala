@@ -149,6 +149,38 @@ class GraftSplitSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.spl.runs")
   }
 
+  test("dedupKeys: split skips regions overlapped by newer versions") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.spl")
+    spark.sql("DROP TABLE IF EXISTS graft.spl.dedup")
+    spark.sql(
+      """CREATE TABLE graft.spl.dedup (k BIGINT, v DOUBLE)
+        |TBLPROPERTIES('keyCols'='k', 'numRegions'='1',
+        |              'graft.dedupKeys'='true')""".stripMargin)
+    // base (region id 1) then a newer overlapping version (id 2): the
+    // base must NOT split (its re-id would beat the newer version);
+    // the newest region may
+    spark.sql("INSERT INTO graft.spl.dedup " +
+      "SELECT id, 1.0 FROM range(3000)")
+    spark.sql("INSERT INTO graft.spl.dedup " +
+      "SELECT id, 2.0 FROM range(1000, 1100)")
+    val dir = tableDir("dedup")
+    val r = spark.sql("CALL graft.sys.split(table => 'spl.dedup', " +
+      "target_bytes => 1024L)").head()
+    val regions = TableMeta.loadRegions(dir)
+    // the big base region is still whole; only the small overlay was a
+    // candidate (and is under target, so nothing split at all)
+    assert(r.getString(0).toInt == 0,
+      s"split touched a precedence-unsafe region: $regions")
+    // latest-wins unchanged
+    val v1100 = spark.sql(
+      """SELECT v FROM (SELECT v, row_number() OVER (
+        |  PARTITION BY k ORDER BY _graft_region_id DESC) rn
+        |FROM graft.spl.dedup WHERE k = 1050) WHERE rn = 1""".stripMargin)
+      .head().getDouble(0)
+    assert(v1100 == 2.0)
+    spark.sql("DROP TABLE graft.spl.dedup")
+  }
+
   test("graft.maxRegionBytes auto-splits oversized regions at commit") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.spl")
     spark.sql("DROP TABLE IF EXISTS graft.spl.auto")
