@@ -216,6 +216,91 @@ object TextOps {
       .agg(count(lit(1)).as("n_sampled"),
         sum(col("n_chars")).as("sampled_chars"))
 
+  // ------------------------------------------------- repetition quality
+
+  /** Gopher-style repetition filters (Rae et al. 2021, table A1): the
+    * fraction of duplicate word 2-grams and the frequency share of the
+    * single most common word, plus the keep/drop decision at the
+    * published-style thresholds. Everything is a single-pass array
+    * expression per row — no explode, no shuffle until the caller
+    * aggregates — so the filter runs map-side over a 100-TB corpus.
+    * The top-word count folds a sorted copy of the word array with
+    * `aggregate` (longest equal-run of the sorted array == max word
+    * frequency), keeping the whole row O(n log n) instead of the
+    * O(distinct·n) a per-word `filter` scan would cost on long
+    * documents. Exact DuckDB oracle (explode + GROUP BY recompute). */
+  val textRepetition: Q = (s, d) => repetitionFeatures(docs(s, d))
+
+  def repetitionFeatures(docsDf: DataFrame): DataFrame =
+    docsDf
+      .withColumn("ws", wordsCol)
+      .withColumn("n2",
+        expr("IF(size(ws) >= 2, size(ws) - 1, 0)"))
+      .withColumn("d2",
+        expr("""IF(size(ws) >= 2,
+               |   size(array_distinct(transform(sequence(1, size(ws) - 1),
+               |        j -> concat(ws[j-1], ' ', ws[j])))),
+               |   0)""".stripMargin))
+      .withColumn("top_n",
+        expr("""aggregate(array_sort(ws),
+               |  named_struct('prev', CAST(NULL AS STRING),
+               |               'run', 0L, 'best', 0L),
+               |  (a, w) -> named_struct(
+               |    'prev', w,
+               |    'run', IF(a.prev IS NOT NULL AND w = a.prev,
+               |              a.run + 1L, 1L),
+               |    'best', greatest(a.best,
+               |      IF(a.prev IS NOT NULL AND w = a.prev,
+               |         a.run + 1L, 1L))),
+               |  a -> a.best)""".stripMargin))
+      .select(
+        col("doc_id"),
+        size(col("ws")).cast("long").as("n_words"),
+        round(expr("IF(n2 = 0, 0.0D, (n2 - d2) / CAST(n2 AS DOUBLE))"), 4)
+          .as("dup_2gram_frac"),
+        round(col("top_n") / size(col("ws")).cast("double"), 4)
+          .as("top_word_frac"),
+        (expr("IF(n2 = 0, 0.0D, (n2 - d2) / CAST(n2 AS DOUBLE))") <= 0.2 &&
+          col("top_n") / size(col("ws")).cast("double") <= 0.3)
+          .as("keep"))
+
+  // ------------------------------------------------- decontamination
+
+  /** Benchmark decontamination: flag corpus documents that share any
+    * 3-word shingle with a held-out evaluation set (here the
+    * deterministic doc_id % 97 == 0 slice stands in for the benchmark
+    * corpus), then report per-source contamination accounting — the
+    * eval-overlap removal every training-data build runs before
+    * tokenization (the n-gram-overlap rule of GPT-3 appendix C /
+    * PaLM's 13-gram variant, at this corpus's 3-word scale).
+    *
+    * Scale shape: the eval set is benchmark-sized (MBs, not TBs), so
+    * its distinct shingles BROADCAST; the corpus side is a map-side
+    * explode into a broadcast LEFT SEMI join — no corpus shuffle at
+    * all until the per-source accounting agg. Contaminated doc_ids
+    * are deduplicated by the groupBy(source, doc_id) that the
+    * accounting needs anyway. Exact DuckDB oracle. */
+  val decontaminate: Q = (s, d) => decontaminateDocs(docs(s, d))
+
+  def decontaminateDocs(docsDf: DataFrame): DataFrame = {
+    val base = docsDf.withColumn("ws", wordsCol)
+      .withColumn("sh", expr(shinglesExpr))
+    val evalShingles = base.filter(col("doc_id") % 97 === 0)
+      .select(explode(col("sh")).as("s")).distinct()
+    val corpus = base.filter(col("doc_id") % 97 =!= 0)
+    val contaminated = corpus
+      .select(col("source"), col("doc_id"), explode(col("sh")).as("s"))
+      .join(broadcast(evalShingles), Seq("s"), "left_semi")
+      .groupBy(col("source"), col("doc_id")).agg(count(lit(1)).as("nsh"))
+      .groupBy(col("source")).agg(count(lit(1)).as("n_contaminated"))
+    corpus.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      .join(contaminated, Seq("source"), "left")
+      .select(col("source"), col("n_docs"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+        round(coalesce(col("n_contaminated"), lit(0L)) /
+          col("n_docs").cast("double"), 4).as("contam_frac"))
+  }
+
   // -------------------------------------------------------- n-gram Jaccard
 
   /** Exact word-set Jaccard similarity for near-dup pairs ≥ 0.9.
@@ -807,6 +892,8 @@ object TextOps {
     "dedup_simhash_pairs" -> ((s, d) =>
       simhashPairsBlocked(docs(s, d), 3)),
     "dedup_embedding" -> dedupEmbedding,
+    "text_repetition" -> textRepetition,
+    "dedup_decontaminate" -> decontaminate,
   )
 
   /** Shared CTE chain for the exact word-Jaccard all-pairs recompute
@@ -1062,6 +1149,58 @@ object TextOps {
         |             / cast(len(string_split(text, ' ')) AS DOUBLE), 4)
         |         AS avg_word_len
         |FROM documents""".stripMargin,
+
+    // Gopher repetition recompute: duplicate-2-gram fraction from the
+    // same 1-based list_transform grams, top word via explode+GROUP BY
+    // (the map-side sorted-run fold's answer by definition), keep flag
+    // from the UNROUNDED fractions like the Spark face
+    "text_repetition" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |           FROM documents),
+        |g AS (SELECT doc_id, len(ws) AS nw,
+        |        CASE WHEN len(ws) >= 2 THEN len(ws) - 1 ELSE 0 END AS n2,
+        |        CASE WHEN len(ws) >= 2 THEN
+        |          len(list_distinct(list_transform(range(1, len(ws)),
+        |              j -> ws[j] || ' ' || ws[j+1])))
+        |        ELSE 0 END AS d2
+        |      FROM w),
+        |t AS (SELECT doc_id, unnest(ws) AS wd FROM w),
+        |cnt AS (SELECT doc_id, wd, count(*) AS c FROM t GROUP BY 1, 2),
+        |top AS (SELECT doc_id, max(c) AS top_n FROM cnt GROUP BY 1)
+        |SELECT g.doc_id, CAST(g.nw AS BIGINT) AS n_words,
+        |       round(CASE WHEN g.n2 = 0 THEN 0.0
+        |             ELSE (g.n2 - g.d2) / CAST(g.n2 AS DOUBLE) END, 4)
+        |         AS dup_2gram_frac,
+        |       round(top.top_n / CAST(g.nw AS DOUBLE), 4)
+        |         AS top_word_frac,
+        |       ((CASE WHEN g.n2 = 0 THEN 0.0
+        |          ELSE (g.n2 - g.d2) / CAST(g.n2 AS DOUBLE) END) <= 0.2
+        |        AND top.top_n / CAST(g.nw AS DOUBLE) <= 0.3) AS keep
+        |FROM g JOIN top ON g.doc_id = top.doc_id""".stripMargin,
+
+    // decontamination recompute: same 3-word shingles (1-based), eval
+    // slice doc_id % 97 = 0, semi-join via IN, per-source accounting
+    "dedup_decontaminate" ->
+      """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws
+        |           FROM documents),
+        |sh AS (SELECT doc_id, source, unnest(CASE WHEN len(ws) >= 3
+        |         THEN list_transform(range(1, len(ws) - 1),
+        |                j -> ws[j] || ' ' || ws[j+1] || ' ' || ws[j+2])
+        |         ELSE [array_to_string(ws, ' ')] END) AS s
+        |       FROM w),
+        |ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
+        |cont AS (SELECT source, count(DISTINCT doc_id) AS n_contaminated
+        |         FROM sh WHERE doc_id % 97 <> 0
+        |           AND s IN (SELECT s FROM ev)
+        |         GROUP BY 1),
+        |tot AS (SELECT source, count(*) AS n_docs
+        |        FROM documents WHERE doc_id % 97 <> 0 GROUP BY 1)
+        |SELECT tot.source, tot.n_docs,
+        |       CAST(coalesce(cont.n_contaminated, 0) AS BIGINT)
+        |         AS n_contaminated,
+        |       round(coalesce(cont.n_contaminated, 0)
+        |             / CAST(tot.n_docs AS DOUBLE), 4) AS contam_frac
+        |FROM tot LEFT JOIN cont ON tot.source = cont.source""".stripMargin,
 
     "text_langid" ->
       """SELECT doc_id,

@@ -296,4 +296,53 @@ class TextOpsSpec extends AnyFunSuite {
     assert(keep.filter(col("n") === 2).count() == 5)
     assert(keep.count() == docs.count())
   }
+
+  test("repetition features match hand-computed values on crafted docs") {
+    import spark.implicits._
+    // "a b a b a" -> 2-grams [a b, b a, a b, b a]: 4 total, 2 distinct
+    // -> dup frac 0.5; top word 'a' x3 of 5 -> 0.6; both gates fail.
+    // "x y z w v" -> all unique: dup frac 0, top frac 0.2, keep.
+    // "solo" -> no 2-grams: dup frac 0 (guarded), top frac 1.0, drop.
+    val crafted = Seq(
+      (1L, "a b a b a"), (2L, "x y z w v"), (3L, "solo"))
+      .toDF("doc_id", "text")
+    val byId = TextOps.repetitionFeatures(crafted)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getBoolean(4)))
+      .toMap
+    assert(byId(1L) == ((5L, 0.5, 0.6, false)))
+    assert(byId(2L) == ((5L, 0.0, 0.2, true)))
+    assert(byId(3L) == ((1L, 0.0, 1.0, false)))
+  }
+
+  test("sorted-run top-word fold equals an explode+groupBy recompute") {
+    val fold = TextOps.repetitionFeatures(docs)
+      .select(col("doc_id"), col("top_word_frac"))
+    val brute = docs
+      .select(col("doc_id"), size(split(col("text"), " ")).as("nw"),
+        explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("doc_id"), col("nw"), col("w")).count()
+      .groupBy(col("doc_id"), col("nw")).agg(max(col("count")).as("top"))
+      .select(col("doc_id"),
+        round(col("top") / col("nw").cast("double"), 4)
+          .as("top_word_frac"))
+    assert(fold.exceptAll(brute).isEmpty && brute.exceptAll(fold).isEmpty)
+  }
+
+  test("decontamination flags exactly the docs sharing an eval shingle") {
+    import spark.implicits._
+    // eval doc 0 (id 0 % 97 == 0); corpus doc 1 repeats one of its
+    // 3-word shingles, docs 2/3 share no shingle.
+    val crafted = Seq(
+      (0L, "s1", "alpha beta gamma delta"),
+      (1L, "s1", "noise alpha beta gamma tail"),
+      (2L, "s1", "wholly unrelated words here"),
+      (3L, "s2", "another clean document entirely"))
+      .toDF("doc_id", "source", "text")
+    val out = TextOps.decontaminateDocs(crafted)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2))).toMap
+    assert(out("s1") == ((2L, 1L))) // docs 1,2 in corpus; 1 contaminated
+    assert(out("s2") == ((1L, 0L)))
+  }
 }
