@@ -94,10 +94,26 @@ class GraftTable(tableName: String, val tableDir: File, val meta: TableMeta,
       TableCapability.BATCH_WRITE, TableCapability.MICRO_BATCH_READ,
       TableCapability.STREAMING_WRITE)
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // `changesFromVersion` CDC reads ride the same pinned-region seam
+    // as time travel, so every pushdown surface composes (GraftChanges)
+    val pin = Option(options.get(GraftChanges.FromKey)) match {
+      case Some(vs) =>
+        val fromV = vs.toLongOption.getOrElse(
+          throw new IllegalArgumentException(
+            s"${GraftChanges.FromKey} must be a commit-log seq " +
+              s"(integer); got '$vs'"))
+        if (snapshot.isDefined) throw new UnsupportedOperationException(
+          s"${GraftChanges.FromKey} cannot be combined with VERSION/" +
+            s"TIMESTAMP AS OF; bound the range with ${GraftChanges.ToKey}")
+        val toV = Option(options.get(GraftChanges.ToKey)).map(_.toLong)
+        Some(GraftChanges.regionsBetween(tableDir, fromV, toV))
+      case None => pinnedRegions
+    }
     new GraftScanBuilder(tableDir, meta,
       Option(options.get(FilterHint.OptionKey)),
-      pinned = pinnedRegions)
+      pinned = pin)
+  }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     if (snapshot.isDefined) refuseWrite("INSERT")

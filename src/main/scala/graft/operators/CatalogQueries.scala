@@ -1253,7 +1253,67 @@ object CatalogQueries {
         round(avg(col("height")), 4).as("avg_h"))
   }
 
+  /** Two-batch orders table for the batch-CDC face: batch 1 = odd
+    * orderkeys, batch 2 = even. `catalog_changes` reads the delta
+    * since the batch-1 append via the `changesFromVersion` reader
+    * option ([[graft.catalog.GraftChanges]]) and must see EXACTLY
+    * batch 2 — the oracle is the even-key slice of the raw parquet,
+    * so the manifest-diff resolution (not just the scan) is what the
+    * hash check proves. The batch-1 version is re-derived from
+    * `CALL graft.sys.history` (first append commit) so a trusted
+    * pre-built table from an earlier session still gates; if its
+    * history has aged past the retention horizon the build validates,
+    * drops, and rebuilds once. */
+  private val builtCdc =
+    scala.collection.concurrent.TrieMap[String, (String, Long)]()
+  private def changesTable(s: SparkSession, d: String): (String, Long) = {
+    def build(retry: Boolean): (String, Long) = {
+      val ns = sfNamespace(s, d)
+      val fqn = s"graft.$ns.orders_cdc_t"
+      val srcCount = s.read.parquet(s"$d/orders.parquet").count()
+      val exists = trusted(s, ns, "orders_cdc_t", srcCount)
+      if (!exists) {
+        s.sql(
+          s"""CREATE TABLE $fqn (
+             |  o_orderkey BIGINT, o_orderstatus STRING,
+             |  o_totalprice DOUBLE)
+             |TBLPROPERTIES('keyCols'='o_orderkey', 'numRegions'='4')"""
+            .stripMargin)
+        val v = s"cdc_src_${math.abs(d.hashCode)}"
+        s.read.parquet(s"$d/orders.parquet").createOrReplaceTempView(v)
+        s.sql(s"INSERT INTO $fqn SELECT o_orderkey, o_orderstatus, " +
+          s"o_totalprice FROM $v WHERE o_orderkey % 2 = 1")
+        s.sql(s"INSERT INTO $fqn SELECT o_orderkey, o_orderstatus, " +
+          s"o_totalprice FROM $v WHERE o_orderkey % 2 = 0")
+      }
+      val v1 = s.sql(s"CALL graft.sys.history(table => '$ns.orders_cdc_t')")
+        .where("operation = 'append'")
+        .selectExpr("min(CAST(version AS BIGINT))")
+        .collect().head.getLong(0)
+      val readable =
+        try s.read.option(graft.catalog.GraftChanges.FromKey, v1.toString)
+          .table(fqn).count() > 0
+        catch { case _: Exception => false }
+      if (!readable && !retry) { s.sql(s"DROP TABLE $fqn"); build(true) }
+      else (fqn, v1)
+    }
+    builtCdc.getOrElseUpdate(d, build(retry = false))
+  }
+
+  /** Aggregate over the version delta — hash-checked against the raw
+    * even-key slice (layout- and protocol-independent oracle). */
+  val changesAgg: Q = (s, d) => {
+    import org.apache.spark.sql.functions._
+    val (fqn, v1) = changesTable(s, d)
+    s.read.option(graft.catalog.GraftChanges.FromKey, v1.toString)
+      .table(fqn)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("cnt"),
+        round(sum(col("o_totalprice")), 2).as("total"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "catalog_changes" -> changesAgg,
     "catalog_ann_topk" -> annTopkOnStore,
     "catalog_ann_lsh" -> annLshOnStore,
     "catalog_dedup_minhash" -> dedupMinhashOnStore,
@@ -1300,6 +1360,15 @@ object CatalogQueries {
       |FROM orders GROUP BY 1""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // the CDC delta since the batch-1 append IS the even-key batch:
+    // the oracle recomputes it from raw parquet, so the hash proves
+    // the manifest-diff version resolution end-to-end
+    "catalog_changes" ->
+      """SELECT o_orderstatus, count(*) AS cnt,
+        |       round(sum(o_totalprice), 2) AS total
+        |FROM orders WHERE o_orderkey % 2 = 0
+        |GROUP BY o_orderstatus""".stripMargin,
+
     // layout-independence is the whole point: the z-clustered store
     // must return exactly what the raw parquet returns
     "catalog_zorder" ->
