@@ -348,8 +348,11 @@ object GraftAccel {
   val AggPushdown = "spark.graft.accel.aggPushdown"
   /** tiny-region bin-packing into read tasks */
   val Packing = "spark.graft.accel.packing"
+  /** LIMIT/ORDER-BY-key-LIMIT region truncation (manifest row counts) */
+  val LimitPushdown = "spark.graft.accel.limitPushdown"
 
-  val All: Seq[String] = Seq(StatsSkip, ParquetFilters, AggPushdown, Packing)
+  val All: Seq[String] =
+    Seq(StatsSkip, ParquetFilters, AggPushdown, Packing, LimitPushdown)
 
   def on(key: String): Boolean = {
     val raw = try org.apache.spark.sql.internal.SQLConf.get
@@ -377,7 +380,8 @@ class GraftScanBuilder(tableDir: File, meta: TableMeta,
     onBuild: GraftScan => Unit = null,
     pinned: Option[Seq[RegionMeta]] = None)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates
+    with SupportsPushDownLimit with SupportsPushDownTopN {
 
   import org.apache.spark.sql.connector.expressions.aggregate._
   import org.apache.spark.sql.connector.expressions.NamedReference
@@ -386,6 +390,51 @@ class GraftScanBuilder(tableDir: File, meta: TableMeta,
   private var pushed: Array[sources.Filter] = Array.empty
   private var aggPlan: Option[Seq[GraftAggScan.Spec]] = None
   private var groupAggPlan: Option[GraftGroupAggScan.Plan] = None
+  private var limitPush: Option[GraftScan.LimitPush] = None
+
+  /** LIMIT n over an unfiltered scan: ANY n rows satisfy it, so the
+    * scan can plan a minimal region subset whose manifest row counts
+    * reach n — on a 100k-region table a bare `LIMIT 10` schedules one
+    * task instead of 100k. Always PARTIAL (Spark keeps its own Limit;
+    * the scan only guarantees it still holds ≥ n rows), so exactness
+    * never depends on the truncation — the same residual discipline as
+    * every other pushdown here. Filtered scans refuse: pushed
+    * predicates are re-checked above the scan, so manifest row counts
+    * no longer bound the post-filter yield. */
+  override def pushLimit(n: Int): Boolean = {
+    val ok = !groupMode && GraftAccel.on(GraftAccel.LimitPushdown) &&
+      pushed.isEmpty && n > 0
+    if (ok) limitPush = Some(GraftScan.LimitPush(n, None))
+    ok
+  }
+
+  /** ORDER BY <leading key> ... LIMIT n: a region cannot contribute
+    * unless fewer than n rows sort strictly before its whole key range
+    * on the FIRST sort column — secondary sort columns only break ties,
+    * so pruning on the leading key's manifest bounds is sound for any
+    * suffix ordering. The first sort column must be the table's leading
+    * key (any direction; key columns are non-null by construction, so
+    * null ordering is moot). Partial like pushLimit: Spark's TopN stays
+    * on top and does the exact ordering over the surviving regions. */
+  override def pushTopN(
+      orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
+      n: Int): Boolean = {
+    import org.apache.spark.sql.connector.expressions.SortDirection
+    if (groupMode || !GraftAccel.on(GraftAccel.LimitPushdown) ||
+      pushed.nonEmpty || n <= 0 || orders.isEmpty) return false
+    orders.head.expression() match {
+      case r: NamedReference if r.fieldNames.length == 1 &&
+          r.fieldNames.head.equalsIgnoreCase(meta.keyCols.head) =>
+        limitPush = Some(GraftScan.LimitPush(n,
+          Some(orders.head.direction() == SortDirection.ASCENDING)))
+        true
+      case _ => false
+    }
+  }
+
+  /** The scan never emits EXACTLY n rows — it plans enough regions to
+    * cover n and leaves the final cut to Spark. */
+  override def isPartiallyPushed(): Boolean = true
 
   override def pushFilters(filters: Array[sources.Filter])
       : Array[sources.Filter] = {
@@ -576,12 +625,13 @@ class GraftScanBuilder(tableDir: File, meta: TableMeta,
       case Some(plan) => new GraftGroupAggScan(tableDir, meta, plan, pinned)
       case None =>
         val s = new GraftScan(tableDir, meta, required, pushed, filterHint,
-          groupMode, pinned)
+          groupMode, pinned, limitPush)
         if (onBuild != null) onBuild(s)
         s
     }
   }
 }
+
 
 /** Manifest-answered aggregate scan: one partition, one row, no data
   * file reads. Values are computed on the driver at planning time and
@@ -970,7 +1020,8 @@ final case class GraftGroupAggReaderFactory(inputJson: String,
 class GraftScan(tableDir: File, meta: TableMeta, required: StructType,
     filters: Array[sources.Filter], filterHint: Option[String] = None,
     groupMode: Boolean = false,
-    pinned: Option[Seq[RegionMeta]] = None)
+    pinned: Option[Seq[RegionMeta]] = None,
+    limitPush: Option[GraftScan.LimitPush] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsReportOrdering with SupportsRuntimeFiltering
     with SupportsReportPartitioning {
@@ -1119,11 +1170,70 @@ class GraftScan(tableDir: File, meta: TableMeta, required: StructType,
     * formula) and is shared across buckets — a per-bucket total would
     * clamp the target to openCost on bucketed streaming-ingest tables
     * and defeat packing exactly where it matters most. */
+  /** Region truncation for a pushed LIMIT/TopN ([[GraftScan.LimitPush]]).
+    * Engages ONLY on an unfiltered scan (no pushed predicates, no
+    * runtime filters, not group mode): with any filter in play the
+    * manifest row counts no longer bound the post-filter yield, and the
+    * builder/plan already refuse those combinations — the runtime check
+    * re-verifies because dynamic filters arrive after planning.
+    *
+    *  - bare LIMIT n: ANY n rows satisfy it — keep a minimal manifest
+    *    prefix whose row counts reach n;
+    *  - TopN on the leading key: keep region P unless ≥ n rows sit in
+    *    regions whose ENTIRE key range sorts strictly before (asc) /
+    *    after (desc) P's range on the first sort column — sound under
+    *    overlapping region ranges (dedupKeys appends, pre-merge
+    *    streaming litter), where a simple sorted prefix would not be.
+    *    O(R log R): prefix sums over bound-sorted regions + binary
+    *    search. Spark's TopN above does the exact ordering. */
+  private def limitedRegions: Seq[RegionMeta] = {
+    val regions = selectedRegions
+    limitPush match {
+      case Some(lp) if filters.isEmpty && runtimeFilters.isEmpty &&
+          !groupMode && regions.nonEmpty =>
+        lp.keyAsc match {
+          case None =>
+            var cum = 0L
+            regions.takeWhile { r =>
+              val need = cum < lp.n; cum += r.rows; need }
+          case Some(asc) =>
+            // bound of each region on the leading key, oriented so the
+            // "strictly before in sort order" test is one comparison
+            val cmp = (a: Array[Byte], b: Array[Byte]) =>
+              KeyCodec.compare(a, b)
+            val lo = regions.map(r => KeyCodec.fromHex(
+              if (asc) r.mins(0) else r.maxs(0)))
+            val hi = regions.map(r => KeyCodec.fromHex(
+              if (asc) r.maxs(0) else r.mins(0)))
+            // rows whose region sorts ENTIRELY before key k: prefix
+            // sums over regions ordered by their far bound
+            val order = regions.indices.sortBy(hi(_))(
+              Ordering.fromLessThan((a, b) =>
+                (if (asc) cmp(a, b) < 0 else cmp(a, b) > 0)))
+            val sortedHi = order.map(hi(_)).toIndexedSeq
+            val pre = order.scanLeft(0L)((s, i) => s + regions(i).rows)
+              .toIndexedSeq
+            def rowsBefore(k: Array[Byte]): Long = {
+              var a = 0; var b = sortedHi.length
+              while (a < b) {
+                val m = (a + b) >>> 1
+                val c = cmp(sortedHi(m), k)
+                if (if (asc) c < 0 else c > 0) a = m + 1 else b = m
+              }
+              pre(a)
+            }
+            regions.indices.filter(i => rowsBefore(lo(i)) < lp.n)
+              .map(regions(_))
+        }
+      case _ => regions
+    }
+  }
+
   @volatile private var packedGroupsCache: Seq[Seq[RegionMeta]] = _
   private def packedGroups: Seq[Seq[RegionMeta]] = {
     var c = packedGroupsCache
     if (c == null) {
-      val regions = selectedRegions
+      val regions = limitedRegions
       c = if (regions.isEmpty) Nil
       else if (!GraftAccel.on(GraftAccel.Packing)) regions.map(Seq(_))
       else {
@@ -1298,12 +1408,18 @@ class GraftScan(tableDir: File, meta: TableMeta, required: StructType,
       : Array[connector.metric.CustomTaskMetric] = {
     val total = pinned.getOrElse(TableMeta.loadRegions(tableDir)).size
     Array(GraftScan.taskMetric("regionsTotal", total),
-      GraftScan.taskMetric("regionsScanned", selectedRegions.size),
+      GraftScan.taskMetric("regionsScanned", limitedRegions.size),
       GraftScan.taskMetric("readPartitions", packedGroups.size))
   }
 }
 
 object GraftScan {
+  /** A pushed LIMIT (`keyAsc` = None) or leading-key TopN
+    * (`keyAsc` = Some(direction)); always partial — the scan plans a
+    * region subset guaranteed to still contain the answer, Spark cuts
+    * the exact n above. */
+  final case class LimitPush(n: Int, keyAsc: Option[Boolean])
+
   // concrete zero-arg classes: Spark's SQL metrics listener
   // re-instantiates CustomMetric implementations reflectively, so
   // parameterized anonymous classes cannot aggregate in the UI

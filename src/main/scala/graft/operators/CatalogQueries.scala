@@ -1312,8 +1312,26 @@ object CatalogQueries {
         round(sum(col("o_totalprice")), 2).as("total"))
   }
 
+  /** Leading-key TopN pushdown face: both directions in one result.
+    * The ASC/DESC LIMITs plan only the manifest-bounded head/tail
+    * regions (LimitPushdownSpec proves the pruning); the oracle is the
+    * same TopN over raw parquet, so the hash proves the truncation
+    * never drops a contributing region. */
+  val topnFace: Q = (s, d) => {
+    val t = ordersTable(s, d)
+    s.sql(
+      s"""SELECT * FROM (
+         |  SELECT 'asc' AS dir, o_orderkey, o_totalprice
+         |  FROM $t ORDER BY o_orderkey LIMIT 50)
+         |UNION ALL
+         |SELECT * FROM (
+         |  SELECT 'desc' AS dir, o_orderkey, o_totalprice
+         |  FROM $t ORDER BY o_orderkey DESC LIMIT 50)""".stripMargin)
+  }
+
   val queries: Map[String, Q] = Map(
     "catalog_changes" -> changesAgg,
+    "catalog_topn" -> topnFace,
     "catalog_ann_topk" -> annTopkOnStore,
     "catalog_ann_lsh" -> annLshOnStore,
     "catalog_dedup_minhash" -> dedupMinhashOnStore,
@@ -1360,6 +1378,17 @@ object CatalogQueries {
       |FROM orders GROUP BY 1""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // the TopN truncation must be invisible in the answers: same
+    // head/tail slices as the raw parquet
+    "catalog_topn" ->
+      """SELECT * FROM (
+        |  SELECT 'asc' AS dir, o_orderkey, o_totalprice
+        |  FROM orders ORDER BY o_orderkey LIMIT 50)
+        |UNION ALL
+        |SELECT * FROM (
+        |  SELECT 'desc' AS dir, o_orderkey, o_totalprice
+        |  FROM orders ORDER BY o_orderkey DESC LIMIT 50)""".stripMargin,
+
     // the CDC delta since the batch-1 append IS the even-key batch:
     // the oracle recomputes it from raw parquet, so the hash proves
     // the manifest-diff version resolution end-to-end
