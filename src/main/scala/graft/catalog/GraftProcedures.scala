@@ -35,7 +35,7 @@ object GraftProcedures {
 
   val Names: Seq[String] =
     Seq("load_csv", "compact", "cluster", "stats", "vacuum", "manifest",
-      "fold", "history", "restore", "analyze", "split", "merge")
+      "fold", "history", "restore", "analyze", "split", "merge", "clone")
 
   def load(catalogName: String, ident: Identifier): UnboundProcedure = {
     require(ident.namespace.isEmpty ||
@@ -55,6 +55,7 @@ object GraftProcedures {
       case "analyze" => new AnalyzeProcedure(catalogName)
       case "split" => new SplitProcedure(catalogName)
       case "merge" => new MergeProcedure(catalogName)
+      case "clone" => new CloneProcedure(catalogName)
       case other => throw new IllegalArgumentException(
         s"unknown graft procedure $other; available: ${Names.mkString(", ")}")
     }
@@ -407,6 +408,94 @@ object GraftProcedures {
             Array("version", "committed_at", "operation",
               "regions_added", "rows_added", "regions_removed"),
             rows): Scan).iterator()
+        }
+      }
+  }
+
+  /** `CALL graft.sys.clone(table => 'ns.src', target => 'ns.dst'
+    * [, version => N])` — snapshot a table into a NEW independent table
+    * with zero data movement: region files are HARD-LINKED into the
+    * target's directory (same bytes, two directory entries — each
+    * table's vacuum unlinks only its own name, so retention is fully
+    * independent, unlike a Delta shallow clone), the manifest is
+    * rebuilt fresh (original region ids and key bounds/stats preserved,
+    * so dedupKeys latest-wins order and all pruning survive; srcMaxId
+    * cleared — everything in the clone is original data to a tailing
+    * stream; streaming epoch ledger NOT copied — writers to the clone
+    * start fresh). O(regions) metadata + one link syscall per region;
+    * cross-filesystem targets fall back to a byte copy per file. The
+    * pin-the-exact-training-corpus operation: clone at a version,
+    * train against the clone, mutate the source freely. */
+  final class CloneProcedure(catalogName: String)
+      extends UnboundProcedure {
+    override def name(): String = "clone"
+    override def description(): String =
+      "snapshot a graft table (optionally at a version) into a new " +
+        "independent table via hard-linked region files (zero copy)"
+    override def bind(inputType: StructType): BoundProcedure =
+      new BoundProcedure {
+        override def name(): String = "clone"
+        override def description(): String =
+          CloneProcedure.this.description()
+        override def isDeterministic: Boolean = false
+        override def parameters(): Array[ProcedureParameter] = Array(
+          ProcedureParameter.in("table", StringType)
+            .comment("source '<namespace>.<table>'").build(),
+          ProcedureParameter.in("target", StringType)
+            .comment("new '<namespace>.<table>' (must not exist)").build(),
+          ProcedureParameter.in("version", LongType).defaultValue("-1")
+            .comment("commit-log version to clone (default: current)")
+            .build())
+        override def call(input: InternalRow): java.util.Iterator[Scan] = {
+          import java.nio.file.{Files => NioFiles}
+          val src = graftTable(catalogName, input.getUTF8String(0).toString)
+          val target = input.getUTF8String(1).toString
+          val version = input.getLong(2)
+          val cat = SparkSession.active.sessionState.catalogManager
+            .catalog(catalogName).asInstanceOf[GraftCatalog]
+          val (tns, tname) = splitNsTable(target)
+          val tgtIdent = Identifier.of(Array(tns), tname)
+          val props = new java.util.HashMap[String, String]()
+          src.meta.properties.foreach { case (k, v) => props.put(k, v) }
+          val tgt = cat.createTable(tgtIdent, src.meta.schema,
+            Array.empty, props).asInstanceOf[GraftTable]
+          try {
+            // under the source lock: vacuum cannot unlink a region
+            // between the snapshot read and its link
+            val linked = TableMeta.withManifestLock(src.tableDir) {
+              val regions =
+                if (version > 0) {
+                  val st = TableMeta.stateAt(src.tableDir, version)
+                  val gone = st.regions.filterNot(r =>
+                    new File(src.tableDir, r.file).isFile)
+                  if (gone.nonEmpty) throw new IllegalStateException(
+                    s"cannot clone version $version: ${gone.size} region " +
+                      s"file(s) have been vacuumed (e.g. ${gone.head.file})")
+                  st.regions
+                } else TableMeta.loadState(src.tableDir).regions
+              regions.foreach { r =>
+                val from = new File(src.tableDir, r.file).toPath
+                val to = new File(tgt.tableDir, r.file).toPath
+                try NioFiles.createLink(to, from)
+                catch { case _: UnsupportedOperationException |
+                    _: java.nio.file.FileSystemException =>
+                  NioFiles.copy(from, to) // cross-device fallback
+                }
+              }
+              // ids preserved (latest-wins order survives); srcMaxId
+              // cleared (all clone data is original); epochs empty
+              TableMeta.saveRegions(tgt.tableDir,
+                regions.map(_.copy(srcMaxId = -1L)))
+              regions.size
+            }
+            Collections.singletonList(LocalRowsScan(
+              Array("cloned_regions", "target"),
+              Seq(Seq(linked.toString, target))): Scan).iterator()
+          } catch { case e: Throwable =>
+            // a failed clone must not leave a half-linked table behind
+            try cat.dropTable(tgtIdent) catch { case _: Exception => () }
+            throw e
+          }
         }
       }
   }

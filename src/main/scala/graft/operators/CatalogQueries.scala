@@ -1312,6 +1312,36 @@ object CatalogQueries {
         round(sum(col("o_totalprice")), 2).as("total"))
   }
 
+  /** Zero-copy snapshot face: clone the two-batch CDC table AT its
+    * batch-1 version and aggregate the clone — the result must be the
+    * odd-key raw slice (the clone pins history), the mirror image of
+    * [[changesAgg]]'s even-key delta. Rebuilt-once discipline: a clone
+    * left by a prior session is trusted only at the expected row
+    * count. */
+  private val builtClone =
+    scala.collection.concurrent.TrieMap[String, String]()
+  private def cloneTable(s: SparkSession, d: String): String =
+    builtClone.getOrElseUpdate(d, {
+      val (srcFqn, v1) = changesTable(s, d)
+      val ns = sfNamespace(s, d)
+      val fqn = s"graft.$ns.orders_clone_t"
+      val oddCount = s.read.parquet(s"$d/orders.parquet")
+        .where("o_orderkey % 2 = 1").count()
+      if (!trusted(s, ns, "orders_clone_t", oddCount)) {
+        s.sql(s"CALL graft.sys.clone(table => '$ns.orders_cdc_t', " +
+          s"target => '$ns.orders_clone_t', version => $v1)").collect()
+      }
+      fqn
+    })
+
+  val cloneAgg: Q = (s, d) => {
+    import org.apache.spark.sql.functions._
+    s.table(cloneTable(s, d))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("cnt"),
+        round(sum(col("o_totalprice")), 2).as("total"))
+  }
+
   /** Leading-key TopN pushdown face: both directions in one result.
     * The ASC/DESC LIMITs plan only the manifest-bounded head/tail
     * regions (LimitPushdownSpec proves the pruning); the oracle is the
@@ -1331,6 +1361,7 @@ object CatalogQueries {
 
   val queries: Map[String, Q] = Map(
     "catalog_changes" -> changesAgg,
+    "catalog_clone" -> cloneAgg,
     "catalog_topn" -> topnFace,
     "catalog_ann_topk" -> annTopkOnStore,
     "catalog_ann_lsh" -> annLshOnStore,
@@ -1378,6 +1409,14 @@ object CatalogQueries {
       |FROM orders GROUP BY 1""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // a clone AT the batch-1 version pins history: exactly the odd-key
+    // slice, no matter what the source did since
+    "catalog_clone" ->
+      """SELECT o_orderstatus, count(*) AS cnt,
+        |       round(sum(o_totalprice), 2) AS total
+        |FROM orders WHERE o_orderkey % 2 = 1
+        |GROUP BY o_orderstatus""".stripMargin,
+
     // the TopN truncation must be invisible in the answers: same
     // head/tail slices as the raw parquet
     "catalog_topn" ->

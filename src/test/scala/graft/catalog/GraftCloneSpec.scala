@@ -1,0 +1,124 @@
+package graft.catalog
+
+import java.io.File
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** `CALL graft.sys.clone`: zero-copy table snapshots via hard-linked
+  * region files — independent manifests, independent retention, shared
+  * bytes. The pin-the-training-corpus operation. */
+class GraftCloneSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def tableDir(ns: String, name: String): File = {
+    val cat = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[GraftCatalog]
+    cat.loadTable(org.apache.spark.sql.connector.catalog.Identifier
+      .of(Array(ns), name)).asInstanceOf[GraftTable].tableDir
+  }
+
+  private def ks(fqn: String): Seq[Long] =
+    spark.sql(s"SELECT k FROM $fqn ORDER BY k").collect()
+      .map(_.getLong(0)).toSeq
+
+  private def mk(name: String): String = {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.cl")
+    val fqn = s"graft.cl.$name"
+    spark.sql(s"DROP TABLE IF EXISTS $fqn")
+    spark.sql(s"CREATE TABLE $fqn (k BIGINT, v STRING) " +
+      "TBLPROPERTIES('keyCols'='k', 'numRegions'='2')")
+    fqn
+  }
+
+  test("clone is an independent zero-copy snapshot: same rows, linked " +
+      "files, mutations do not propagate either way") {
+    val src = mk("src1")
+    spark.sql(s"DROP TABLE IF EXISTS graft.cl.dst1")
+    spark.sql(s"INSERT INTO $src SELECT id, concat('a', id) FROM range(20)")
+    val out = spark.sql("CALL graft.sys.clone(table => 'cl.src1', " +
+      "target => 'cl.dst1')").collect().head
+    assert(out.getString(1) == "cl.dst1")
+
+    assert(ks("graft.cl.dst1") == (0L until 20L))
+    // zero-copy: same inode behind both directory entries
+    val sd = tableDir("cl", "src1"); val dd = tableDir("cl", "dst1")
+    val srcFile = sd.listFiles().filter(_.getName.endsWith(".parquet")).head
+    val dstFile = new File(dd, srcFile.getName)
+    assert(dstFile.isFile)
+    def inode(f: File): Any = java.nio.file.Files.getAttribute(
+      f.toPath, "unix:ino")
+    assert(inode(srcFile) == inode(dstFile), "hard link, not a copy")
+
+    // divergence: source append invisible to clone; clone append
+    // invisible to source
+    spark.sql(s"INSERT INTO $src SELECT id, 'b' FROM range(20, 25)")
+    spark.sql("INSERT INTO graft.cl.dst1 SELECT id, 'c' FROM range(100, 103)")
+    assert(ks(src) == (0L until 25L))
+    assert(ks("graft.cl.dst1") == ((0L until 20L) ++ (100L until 103L)))
+  }
+
+  test("clone at a version pins the historical region set") {
+    val src = mk("src2")
+    spark.sql(s"DROP TABLE IF EXISTS graft.cl.dst2")
+    spark.sql(s"INSERT INTO $src SELECT id, 'a' FROM range(10)")
+    val v1 = TableMeta.currentVersion(tableDir("cl", "src2"))
+    spark.sql(s"INSERT INTO $src SELECT id, 'b' FROM range(10, 20)")
+    spark.sql("CALL graft.sys.clone(table => 'cl.src2', " +
+      s"target => 'cl.dst2', version => $v1)").collect()
+    assert(ks("graft.cl.dst2") == (0L until 10L))
+    assert(ks(src) == (0L until 20L))
+  }
+
+  test("vacuum of the source never breaks a clone (independent names " +
+      "on shared inodes)") {
+    val src = mk("src3")
+    spark.sql(s"DROP TABLE IF EXISTS graft.cl.dst3")
+    spark.sql(s"INSERT INTO $src SELECT id, 'a' FROM range(10)")
+    spark.sql("CALL graft.sys.clone(table => 'cl.src3', " +
+      "target => 'cl.dst3')").collect()
+    // retire the source's originals via compaction, then vacuum them
+    spark.sql("CALL graft.sys.compact(table => 'cl.src3', " +
+      "target_regions => 1)")
+    spark.sql("CALL graft.sys.vacuum(table => 'cl.src3')").collect()
+    assert(ks("graft.cl.dst3") == (0L until 10L), "clone reads fine")
+    assert(ks(src) == (0L until 10L))
+  }
+
+  test("dedupKeys latest-wins order survives the clone (region ids " +
+      "preserved)") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.cl")
+    spark.sql("DROP TABLE IF EXISTS graft.cl.src4")
+    spark.sql("DROP TABLE IF EXISTS graft.cl.dst4")
+    spark.sql("CREATE TABLE graft.cl.src4 (k BIGINT, v STRING) " +
+      "TBLPROPERTIES('keyCols'='k', 'graft.dedupKeys'='true')")
+    spark.sql("INSERT INTO graft.cl.src4 SELECT id, 'old' FROM range(5)")
+    spark.sql("INSERT INTO graft.cl.src4 SELECT id, 'new' FROM range(5)")
+    spark.sql("CALL graft.sys.clone(table => 'cl.src4', " +
+      "target => 'cl.dst4')").collect()
+    // fold the clone: latest-wins must keep the SECOND batch
+    spark.sql("CALL graft.sys.compact(table => 'cl.dst4', " +
+      "target_regions => 1)")
+    val vs = spark.sql("SELECT DISTINCT v FROM graft.cl.dst4")
+      .collect().map(_.getString(0)).toSeq
+    assert(vs == Seq("new"), s"latest-wins inverted: $vs")
+  }
+
+  test("clone onto an existing table refuses; failed clone leaves no " +
+      "debris") {
+    val src = mk("src5")
+    spark.sql(s"INSERT INTO $src SELECT id, 'a' FROM range(5)")
+    intercept[Exception] {
+      spark.sql("CALL graft.sys.clone(table => 'cl.src5', " +
+        "target => 'cl.src5')").collect()
+    }
+    // a version beyond history fails AND drops the half-made target
+    intercept[Exception] {
+      spark.sql("CALL graft.sys.clone(table => 'cl.src5', " +
+        "target => 'cl.dst5', version => 99999)").collect()
+    }
+    val tables = spark.sql("SHOW TABLES IN graft.cl").collect()
+      .map(_.getString(1)).toSet
+    assert(!tables.contains("dst5"), "failed clone left a table behind")
+  }
+}
