@@ -301,6 +301,45 @@ object TextOps {
           col("n_docs").cast("double"), 4).as("contam_frac"))
   }
 
+  // ------------------------------------------------- vocabulary / mixture
+
+  /** Vocabulary induction: the corpus's top-100 words by frequency
+    * (ties broken lexicographically, so the cut is deterministic) with
+    * document frequency — the seed statistic for tokenizer training
+    * and stopword lists. Shape at scale: explode feeds a hash
+    * aggregate whose map-side partial combine collapses each
+    * partition's counts BEFORE the shuffle (word cardinality, not row
+    * count, crosses the wire), then a top-k. Exact DuckDB oracle. */
+  val vocabTop: Q = (s, d) =>
+    docs(s, d)
+      .select(col("doc_id"), explode(wordsCol).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("cnt"),
+        countDistinct(col("doc_id")).as("doc_freq"))
+      .orderBy(col("cnt").desc, col("w").asc)
+      .limit(100)
+
+  /** Domain-mixture weighting: per-source token share and the
+    * resampling weight that flattens the mixture to uniform — the
+    * calculation a corpus build runs to set per-domain sampling rates
+    * before the actual mixture draw ([[stratSample]]). Two tiny aggs
+    * (per-source, then a broadcast total); token proxy = n_chars/4+1
+    * like [[seqPack]], so the arithmetic is exact in both engines. */
+  val domainMix: Q = (s, d) => {
+    val per = docs(s, d)
+      .withColumn("tok", (col("n_chars") / 4).cast("long") + 1)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("tokens"))
+    val tot = per.agg(sum(col("tokens")).as("total"),
+      count(lit(1)).as("n_sources"))
+    per.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("tokens"),
+        round(col("tokens") / col("total").cast("double"), 6).as("share"),
+        round((col("total") / col("n_sources").cast("double")) /
+          col("tokens").cast("double"), 6).as("uniform_weight"))
+  }
+
   // -------------------------------------------------------- n-gram Jaccard
 
   /** Exact word-set Jaccard similarity for near-dup pairs ≥ 0.9.
@@ -894,6 +933,8 @@ object TextOps {
     "dedup_embedding" -> dedupEmbedding,
     "text_repetition" -> textRepetition,
     "dedup_decontaminate" -> decontaminate,
+    "text_vocab" -> vocabTop,
+    "pipeline_mix" -> domainMix,
   )
 
   /** Shared CTE chain for the exact word-Jaccard all-pairs recompute
@@ -1177,6 +1218,29 @@ object TextOps {
         |          ELSE (g.n2 - g.d2) / CAST(g.n2 AS DOUBLE) END) <= 0.2
         |        AND top.top_n / CAST(g.nw AS DOUBLE) <= 0.3) AS keep
         |FROM g JOIN top ON g.doc_id = top.doc_id""".stripMargin,
+
+    // the (cnt DESC, word ASC) order is total, so the top-100 cut is
+    // deterministic in both engines
+    "text_vocab" ->
+      """SELECT w, count(*) AS cnt, count(DISTINCT doc_id) AS doc_freq
+        |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |      FROM documents)
+        |WHERE w <> ''
+        |GROUP BY w ORDER BY cnt DESC, w ASC LIMIT 100""".stripMargin,
+
+    // same integer token proxy, same division order -> identical IEEE
+    // doubles before the round
+    "pipeline_mix" ->
+      """WITH per AS (SELECT source, count(*) AS n_docs,
+        |                    CAST(SUM(n_chars // 4 + 1) AS BIGINT) AS tokens
+        |             FROM documents GROUP BY source),
+        |tot AS (SELECT SUM(tokens) AS total, count(*) AS n_sources
+        |        FROM per)
+        |SELECT source, n_docs, tokens,
+        |       round(tokens / CAST(total AS DOUBLE), 6) AS share,
+        |       round((total / CAST(n_sources AS DOUBLE))
+        |             / CAST(tokens AS DOUBLE), 6) AS uniform_weight
+        |FROM per, tot""".stripMargin,
 
     // decontamination recompute: same 3-word shingles (1-based), eval
     // slice doc_id % 97 = 0, semi-join via IN, per-source accounting
