@@ -32,8 +32,12 @@ import java.io.File
   *    re-arrange ALREADY-SEEN data and are skipped; the originals they
   *    replaced are read from the retired list (one cycle of slack,
   *    exactly the stream's rule). Further behind → loud failure.
-  *  - DELETEs are not change events (no tombstone stream); a consumer
-  *    needing deletes diffs snapshots.
+  *  - DELETEs are not change events (no tombstone stream): rows
+  *    appended in the range are delivered AS APPENDED even if a later
+  *    DELETE dropped them (same as a stream that consumed them before
+  *    the delete); a consumer needing deletes diffs snapshots. A
+  *    post-range vacuum that purged needed originals refuses loudly
+  *    instead of under-delivering.
   *
   * Reference: the HBase-era analogue is a timerange Scan
   * (`Scan.setTimeRange` over cell versions); graft's region ids are
@@ -51,8 +55,15 @@ object GraftChanges {
 
   /** Regions holding data committed in versions (fromV, toV] — original
     * regions with id above the highest id at fromV, served from the end
-    * state's live list (plus its retired originals when a rewrite cycle
-    * has replaced some of them). */
+    * state's live list UNION its retired list (a retired original with
+    * a new id is a post-fromV append later consumed by a rewrite or
+    * dropped by a metadata DELETE — its data is still "the appended
+    * rows", served as appended). One rewrite cycle of slack, exactly
+    * the streaming tail's; further behind refuses loudly, as does any
+    * post-fromV vacuum that provably purged needed originals (the
+    * precise per-vacuum check reconstructs the pre-vacuum retired
+    * list). Reliable within the history retention horizon
+    * (`historyRetainMillis`) — older ranges refuse at `stateAt`. */
   def regionsBetween(tableDir: File, fromV: Long,
       toV: Option[Long]): Seq[RegionMeta] = {
     val end = toV.map(v => TableMeta.stateAt(tableDir, v))
@@ -60,27 +71,48 @@ object GraftChanges {
     val startState = TableMeta.stateAt(tableDir, fromV)
     val a = (startState.regions ++ startState.retired)
       .map(_.id).maxOption.getOrElse(0L)
-    val covered = end.regions.map(_.srcMaxId).maxOption.getOrElse(-1L)
     val coveredPrev = end.retired.map(_.srcMaxId).maxOption.getOrElse(-1L)
-    val picked: Seq[RegionMeta] =
-      if (a >= covered)
-        end.regions.filter(r => r.srcMaxId < 0 && r.id > a)
-      else if (a >= coveredPrev)
-        // one rewrite cycle since fromV: retired originals fill the gap
-        (end.retired ++ end.regions)
-          .filter(r => r.srcMaxId < 0 && r.id > a)
-          .groupBy(_.id).values.map(_.head).toSeq
-      else throw new IllegalStateException(
-        s"changesFromVersion $fromV of ${tableDir.getName} is more than " +
-          "one compaction cycle behind: the original regions holding " +
-          "its delta have been aged out of the retired list. Consume " +
-          "changes more often than the table is compacted, or stream " +
-          "the table instead")
+    if (a < coveredPrev) throw new IllegalStateException(
+      s"changesFromVersion $fromV of ${tableDir.getName} is more than " +
+        "one compaction cycle behind: the original regions holding " +
+        "its delta have been aged out of the retired list. Consume " +
+        "changes more often than the table is compacted, or stream " +
+        "the table instead")
+    val picked = (end.regions ++ end.retired)
+      .filter(r => r.srcMaxId < 0 && r.id > a)
+      .groupBy(_.id).values.map(_.head).toSeq.sortBy(_.id)
+    // a vacuum after fromV purges retired files; if any purged entry
+    // was a post-fromV original we cannot serve, the delta is
+    // incomplete — refuse rather than silently under-deliver
+    val pickedIds = picked.map(_.id).toSet
+    val endV = toV.getOrElse(Long.MaxValue)
+    TableMeta.history(tableDir)
+      .filter(e => e.op == "vacuum" && e.version > fromV &&
+        e.version <= endV)
+      .foreach { v =>
+        val pre =
+          try TableMeta.stateAt(tableDir, v.version - 1)
+          catch { case _: Exception =>
+            throw new IllegalStateException(
+              s"changes of ${tableDir.getName} since version $fromV " +
+                s"cannot be verified complete: the state before the " +
+                s"vacuum at version ${v.version} is no longer " +
+                "reconstructible. Diff snapshots instead")
+          }
+        val lost = pre.retired.filter(r =>
+          r.srcMaxId < 0 && r.id > a && !pickedIds(r.id))
+        if (lost.nonEmpty) throw new IllegalStateException(
+          s"changes of ${tableDir.getName} since version $fromV are " +
+            s"incomplete: the vacuum at version ${v.version} purged " +
+            s"${lost.size} post-$fromV original region(s) (e.g. " +
+            s"${lost.head.file}). Consume changes before vacuuming, " +
+            "or diff snapshots")
+      }
     val gone = picked.filterNot(r => new File(tableDir, r.file).isFile)
     if (gone.nonEmpty) throw new IllegalStateException(
       s"changes of ${tableDir.getName} since version $fromV reference " +
         s"${gone.size} region file(s) removed by vacuum (e.g. " +
         s"${gone.head.file}); this change range is no longer readable")
-    picked.sortBy(_.id)
+    picked
   }
 }

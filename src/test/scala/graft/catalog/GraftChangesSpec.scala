@@ -120,6 +120,35 @@ class GraftChangesSpec extends AnyFunSuite {
       s"unexpected: ${e2.getMessage}")
   }
 
+  test("rows appended then metadata-DELETEd still deliver as appended " +
+      "(stream-consistent); a vacuum that purges them refuses loudly") {
+    val (fqn, dir) = mk("delvac")
+    spark.sql(s"INSERT INTO $fqn SELECT id, 'a' FROM range(10)")
+    val v1 = TableMeta.currentVersion(dir)
+    spark.sql(s"INSERT INTO $fqn SELECT id, 'b' FROM range(100, 200)")
+    spark.sql(s"DELETE FROM $fqn WHERE k >= 100") // whole-region metadata
+    assert(ks(spark.table(fqn)) == (0L until 10L), "head sees the DELETE")
+    // the delta is what a tailing stream would have consumed: the
+    // appended batch, pre-delete image, served from the retired list
+    assert(ks(changes(fqn, v1)) == (100L until 200L))
+
+    spark.sql(s"CALL graft.sys.vacuum(table => 'cdc.delvac')").collect()
+    val e = intercept[IllegalStateException] { changes(fqn, v1).count() }
+    assert(e.getMessage.contains("vacuum"), s"unexpected: ${e.getMessage}")
+  }
+
+  test("a vacuum that only purges PRE-range retirements does not " +
+      "refuse the delta") {
+    val (fqn, dir) = mk("vacok")
+    spark.sql(s"INSERT INTO $fqn SELECT id, 'a' FROM range(10)")
+    spark.sql(s"CALL graft.sys.compact(table => 'cdc.vacok', " +
+      "target_regions => 1)")
+    val v1 = TableMeta.currentVersion(dir)
+    spark.sql(s"INSERT INTO $fqn SELECT id, 'b' FROM range(10, 20)")
+    spark.sql(s"CALL graft.sys.vacuum(table => 'cdc.vacok')").collect()
+    assert(ks(changes(fqn, v1)) == (10L until 20L))
+  }
+
   test("batch changes equal what a stream tailing from the same point " +
       "would deliver (shared lineage rule) after split/merge rewrites") {
     val (fqn, dir) = mk("lifecycle")
