@@ -90,7 +90,12 @@ object ScaleBench {
     * the subcorpus size, so it cannot scale by construction. */
   private val Heavy = Seq("catalog_tpch_q3", "catalog_tpch_q5",
     "catalog_tpch_q10", "catalog_tpch_q17", "catalog_tpch_q18",
-    "catalog_tpch_q21", "events_session")
+    "catalog_tpch_q21", "events_session",
+    // the metadata-resolved faces: TopN plans only head/tail regions
+    // and the CDC delta is a manifest diff — both should stay ~flat
+    // while the data scales 10x (the point of resolving them from the
+    // manifest rather than the data)
+    "catalog_topn", "catalog_changes")
 
   /** The UNBOUNDED verified near-dup pipeline (idBound=None): whole
     * corpus through signatures → 32-band LSH → exact verify. Measured

@@ -301,6 +301,60 @@ object TextOps {
           col("n_docs").cast("double"), 4).as("contam_frac"))
   }
 
+  // ------------------------------------------------- full cleaning recipe
+
+  /** The COMPLETE cleaning recipe in one corpus pass — every gate a
+    * production corpus build runs, composed: language (stop-ratio) →
+    * quality (length + lexical diversity) → repetition (Gopher
+    * duplicate-2-gram + top-word) → decontamination (no shingle shared
+    * with the doc_id%97 eval slice) → exact dedup (keep lowest doc_id
+    * per fingerprint) → per-source accounting of survivors at each
+    * stage. Shape at scale: gates 1–3 are map-side array expressions
+    * fused into ONE pass over the text; decontamination is a broadcast
+    * semi-join (eval shingles are benchmark-sized); dedup is one
+    * fingerprint window — two narrow shuffles total for the whole
+    * recipe. Exact DuckDB oracle recomputing every stage. */
+  val pipelineFull: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val base = docs(s, d)
+      .withColumn("ws", wordsCol)
+      .withColumn("sh", expr(shinglesExpr))
+      .filter(col("doc_id") % 97 =!= 0) // the eval slice is not corpus
+    val evalShingles = docs(s, d).withColumn("ws", wordsCol)
+      .filter(col("doc_id") % 97 === 0)
+      .select(explode(expr(shinglesExpr)).as("s")).distinct()
+    val gated = base
+      .withColumn("stop_ratio",
+        expr("size(filter(ws, w -> w IN ('the', 'a')))")
+          / size(col("ws")).cast("double"))
+      .withColumn("lex_div",
+        size(array_distinct(col("ws"))) / size(col("ws")).cast("double"))
+      .withColumn("n2", expr("IF(size(ws) >= 2, size(ws) - 1, 0)"))
+      .withColumn("dup2",
+        expr("""IF(size(ws) >= 2,
+               |  (size(ws) - 1 -
+               |   size(array_distinct(transform(sequence(1, size(ws) - 1),
+               |        j -> concat(ws[j-1], ' ', ws[j])))))
+               |    / CAST(size(ws) - 1 AS DOUBLE),
+               |  0.0D)""".stripMargin))
+      .filter(col("stop_ratio") >= 0.04 && size(col("ws")) >= 5 &&
+        col("dup2") <= 0.2)
+    val contaminatedIds = gated
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+      .join(broadcast(evalShingles), Seq("s"), "left_semi")
+      .select(col("doc_id")).distinct()
+    val clean = gated.join(contaminatedIds, Seq("doc_id"), "left_anti")
+    clean
+      .withColumn("fp", md5(lower(trim(col("text")))))
+      .withColumn("keep_id",
+        min(col("doc_id")).over(Window.partitionBy(col("fp"))))
+      .filter(col("doc_id") === col("keep_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"),
+        sum(col("n_chars")).as("kept_chars"),
+        round(avg(col("lex_div")), 4).as("avg_lex_div"))
+  }
+
   // ------------------------------------------------- vocabulary / mixture
 
   /** Vocabulary induction: the corpus's top-100 words by frequency
@@ -935,6 +989,7 @@ object TextOps {
     "dedup_decontaminate" -> decontaminate,
     "text_vocab" -> vocabTop,
     "pipeline_mix" -> domainMix,
+    "pipeline_full" -> pipelineFull,
   )
 
   /** Shared CTE chain for the exact word-Jaccard all-pairs recompute
@@ -1218,6 +1273,51 @@ object TextOps {
         |          ELSE (g.n2 - g.d2) / CAST(g.n2 AS DOUBLE) END) <= 0.2
         |        AND top.top_n / CAST(g.nw AS DOUBLE) <= 0.3) AS keep
         |FROM g JOIN top ON g.doc_id = top.doc_id""".stripMargin,
+
+    // full-recipe recompute, stage by stage: corpus slice -> unrounded
+    // gate fractions -> repetition gate -> shingle semi-join against
+    // the eval slice -> fingerprint window dedup -> accounting
+    "pipeline_full" ->
+      """WITH w AS (SELECT doc_id, source, n_chars, text,
+        |                  string_split(text, ' ') AS ws
+        |           FROM documents),
+        |gated AS (
+        |  SELECT doc_id, source, n_chars, text, ws,
+        |         len(list_filter(ws, x -> x IN ('the', 'a')))
+        |           / CAST(len(ws) AS DOUBLE) AS stop_ratio,
+        |         len(list_distinct(ws)) / CAST(len(ws) AS DOUBLE)
+        |           AS lex_div,
+        |         CASE WHEN len(ws) >= 2 THEN
+        |           (len(ws) - 1 -
+        |            len(list_distinct(list_transform(range(1, len(ws)),
+        |               j -> ws[j] || ' ' || ws[j+1]))))
+        |           / CAST(len(ws) - 1 AS DOUBLE) ELSE 0.0 END AS dup2
+        |  FROM w WHERE doc_id % 97 <> 0),
+        |g2 AS (SELECT * FROM gated
+        |       WHERE stop_ratio >= 0.04 AND len(ws) >= 5
+        |         AND dup2 <= 0.2),
+        |sh AS (SELECT doc_id, unnest(CASE WHEN len(ws) >= 3
+        |         THEN list_transform(range(1, len(ws) - 1),
+        |                j -> ws[j] || ' ' || ws[j+1] || ' ' || ws[j+2])
+        |         ELSE [array_to_string(ws, ' ')] END) AS s
+        |       FROM g2),
+        |ev AS (SELECT DISTINCT unnest(CASE WHEN len(ws) >= 3
+        |         THEN list_transform(range(1, len(ws) - 1),
+        |                j -> ws[j] || ' ' || ws[j+1] || ' ' || ws[j+2])
+        |         ELSE [array_to_string(ws, ' ')] END) AS s
+        |       FROM w WHERE doc_id % 97 = 0),
+        |cont AS (SELECT DISTINCT doc_id FROM sh
+        |         WHERE s IN (SELECT s FROM ev)),
+        |clean AS (SELECT * FROM g2
+        |          WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
+        |dedup AS (SELECT *, min(doc_id) OVER
+        |            (PARTITION BY md5(lower(trim(text)))) AS keep_id
+        |          FROM clean)
+        |SELECT source, count(*) AS n_kept,
+        |       CAST(sum(n_chars) AS BIGINT) AS kept_chars,
+        |       round(avg(lex_div), 4) AS avg_lex_div
+        |FROM dedup WHERE doc_id = keep_id
+        |GROUP BY source""".stripMargin,
 
     // the (cnt DESC, word ASC) order is total, so the top-100 cut is
     // deterministic in both engines
