@@ -358,6 +358,38 @@ object TextOps {
         round(avg(col("lex_div")), 4).as("avg_lex_div"))
   }
 
+  // ------------------------------------------------- line-level dedup
+
+  /** C4-style line (sentence) deduplication ACROSS documents: any
+    * sentence occurring ≥3 times corpus-wide is boilerplate and is
+    * removed from every document (Raffel et al. 2020 §2.2 — the
+    * three-sentence rule). Output per doc: sentence counts and the
+    * fingerprint of the CLEANED text rebuilt in original sentence
+    * order, so the oracle hash proves the whole rewrite, not just the
+    * accounting. Shape at scale: explode → map-side-combined count on
+    * the sentence hash → shuffle join back on the hash → regroup by
+    * doc — two shuffles, no driver-side set (the boilerplate set is
+    * corpus-sized, so it is NOT broadcast; the join IS the filter). */
+  val dedupLines: Q = (s, d) => dedupLinesDf(docs(s, d))
+
+  def dedupLinesDf(docsDf: DataFrame): DataFrame = {
+    val lines = docsDf
+      .select(col("doc_id"),
+        posexplode(split(col("text"), "\\. ")).as(Seq("pos", "line")))
+    val counts = lines.groupBy(col("line"))
+      .agg(count(lit(1)).as("n_occ"))
+    lines.join(counts, Seq("line"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("n_occ") < 3, 1L).otherwise(0L)).as("n_kept"),
+        md5(concat_ws(". ",
+          expr("""transform(
+                 |  array_sort(collect_list(
+                 |    IF(n_occ < 3, struct(pos, line), NULL))),
+                 |  x -> x.line)""".stripMargin))).as("kept_fp"))
+  }
+
   // ------------------------------------------------- vocabulary / mixture
 
   /** Vocabulary induction: the corpus's top-100 words by frequency
@@ -993,6 +1025,7 @@ object TextOps {
     "text_vocab" -> vocabTop,
     "pipeline_mix" -> domainMix,
     "pipeline_full" -> pipelineFull,
+    "dedup_lines" -> dedupLines,
   )
 
   /** Shared CTE chain for the exact word-Jaccard all-pairs recompute
@@ -1321,6 +1354,26 @@ object TextOps {
         |       round(avg(lex_div), 4) AS avg_lex_div
         |FROM dedup WHERE doc_id = keep_id
         |GROUP BY source""".stripMargin,
+
+    // C4 line-dedup recompute: same '. ' sentence split (1-based
+    // lateral range), same >=3 boilerplate rule, cleaned text rebuilt
+    // in sentence order (empty result coalesced to '' to match
+    // Spark's concat_ws over an empty array)
+    "dedup_lines" ->
+      """WITH l AS (SELECT doc_id,
+        |                  generate_subscripts(ws, 1) AS pos,
+        |                  unnest(ws) AS line
+        |           FROM (SELECT doc_id, string_split(text, '. ') AS ws
+        |                 FROM documents) w),
+        |c AS (SELECT line, count(*) AS n_occ FROM l GROUP BY line)
+        |SELECT doc_id, count(*) AS n_lines,
+        |       CAST(sum(CASE WHEN n_occ < 3 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_kept,
+        |       md5(coalesce(string_agg(
+        |         CASE WHEN n_occ < 3 THEN line END, '. ' ORDER BY pos),
+        |         '')) AS kept_fp
+        |FROM l JOIN c USING (line)
+        |GROUP BY doc_id""".stripMargin,
 
     // the (cnt DESC, word ASC) order is total, so the top-100 cut is
     // deterministic in both engines

@@ -329,6 +329,30 @@ class TextOpsSpec extends AnyFunSuite {
     assert(fold.exceptAll(brute).isEmpty && brute.exceptAll(fold).isEmpty)
   }
 
+  test("C4 line-dedup removes sentences occurring >=3 times and " +
+      "rebuilds the cleaned text in order") {
+    import spark.implicits._
+    // "BOILER" appears in 3 docs -> removed everywhere; unique
+    // sentences survive in original order (the synthetic corpus has no
+    // repeated sentences, so the removal path needs this injection)
+    val crafted = Seq(
+      (1L, "keep one. BOILER. keep two"),
+      (2L, "BOILER. other text"),
+      (3L, "solo sentence. BOILER"),
+      (4L, "fully unique. nothing shared"))
+      .toDF("doc_id", "text")
+    val out = TextOps.dedupLinesDf(crafted).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getString(3))).toMap
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(out(1L) == ((3L, 2L, md5hex("keep one. keep two"))))
+    assert(out(2L) == ((2L, 1L, md5hex("other text"))))
+    assert(out(3L) == ((2L, 1L, md5hex("solo sentence"))))
+    assert(out(4L) == ((2L, 2L, md5hex("fully unique. nothing shared"))))
+  }
+
   test("decontamination flags exactly the docs sharing an eval shingle") {
     import spark.implicits._
     // eval doc 0 (id 0 % 97 == 0); corpus doc 1 repeats one of its
