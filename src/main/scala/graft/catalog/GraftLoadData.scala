@@ -27,7 +27,34 @@ import org.apache.spark.sql.types.StructType
 class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     extends ParserInterface {
 
-  override def parsePlan(sqlText: String): LogicalPlan =
+  /** `CREATE TABLE <tgt> CLONE <src> [VERSION AS OF n]` — Delta's
+    * clone syntax for the zero-copy snapshot (same semantics as
+    * `CALL graft.sys.clone`). There is no stock grammar for CLONE, so
+    * this is matched BEFORE delegation (the one statement shape the
+    * stock parser would reject); both identifiers must land in a graft
+    * catalog. */
+  private val CloneRe =
+    ("""(?is)\s*CREATE\s+TABLE\s+([\w.`]+)\s+CLONE\s+([\w.`]+)""" +
+      """(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*""").r
+
+  private def parts(ident: String): Seq[String] =
+    ident.split('.').map(_.stripPrefix("`").stripSuffix("`")).toSeq
+
+  override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
+    case CloneRe(tgt, src, ver) =>
+      (graftTarget(parts(tgt)), graftTarget(parts(src))) match {
+        case (Some((cat, tns, ttbl)), Some((scat, sns, stbl)))
+            if cat == scat =>
+          GraftCloneCommand(cat, s"$sns.$stbl", s"$tns.$ttbl",
+            Option(ver).map(_.toLong).getOrElse(-1L))
+        case _ => throw new UnsupportedOperationException(
+          "CREATE TABLE ... CLONE requires both tables in the same " +
+            s"graft catalog; got target '$tgt', source '$src'")
+      }
+    case _ => parseDelegated(sqlText)
+  }
+
+  private def parseDelegated(sqlText: String): LogicalPlan =
     delegate.parsePlan(sqlText) match {
       case LoadData(u: UnresolvedTable, path, isLocal, overwrite, partition) =>
         graftTarget(u.multipartIdentifier) match {
@@ -95,6 +122,16 @@ case class GraftLoadDataCommand(catalogName: String, namespace: String,
   override def run(session: SparkSession): Seq[Row] = {
     GraftBulkLoad.loadCsv(session, path,
       s"$catalogName.$namespace.$table", ",")
+    Seq.empty
+  }
+}
+
+/** `CREATE TABLE tgt CLONE src [VERSION AS OF n]` — the statement face
+  * of `CALL graft.sys.clone` (zero-copy hard-linked snapshot). */
+case class GraftCloneCommand(catalogName: String, srcTable: String,
+    target: String, version: Long) extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    GraftProcedures.GraftCloneRun(catalogName, srcTable, target, version)
     Seq.empty
   }
 }

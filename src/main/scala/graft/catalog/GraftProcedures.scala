@@ -447,57 +447,67 @@ object GraftProcedures {
             .comment("commit-log version to clone (default: current)")
             .build())
         override def call(input: InternalRow): java.util.Iterator[Scan] = {
-          import java.nio.file.{Files => NioFiles}
-          val src = graftTable(catalogName, input.getUTF8String(0).toString)
           val target = input.getUTF8String(1).toString
-          val version = input.getLong(2)
-          val cat = SparkSession.active.sessionState.catalogManager
-            .catalog(catalogName).asInstanceOf[GraftCatalog]
-          val (tns, tname) = splitNsTable(target)
-          val tgtIdent = Identifier.of(Array(tns), tname)
-          val props = new java.util.HashMap[String, String]()
-          src.meta.properties.foreach { case (k, v) => props.put(k, v) }
-          val tgt = cat.createTable(tgtIdent, src.meta.schema,
-            Array.empty, props).asInstanceOf[GraftTable]
-          try {
-            // under the source lock: vacuum cannot unlink a region
-            // between the snapshot read and its link
-            val linked = TableMeta.withManifestLock(src.tableDir) {
-              val regions =
-                if (version > 0) {
-                  val st = TableMeta.stateAt(src.tableDir, version)
-                  val gone = st.regions.filterNot(r =>
-                    new File(src.tableDir, r.file).isFile)
-                  if (gone.nonEmpty) throw new IllegalStateException(
-                    s"cannot clone version $version: ${gone.size} region " +
-                      s"file(s) have been vacuumed (e.g. ${gone.head.file})")
-                  st.regions
-                } else TableMeta.loadState(src.tableDir).regions
-              regions.foreach { r =>
-                val from = new File(src.tableDir, r.file).toPath
-                val to = new File(tgt.tableDir, r.file).toPath
-                try NioFiles.createLink(to, from)
-                catch { case _: UnsupportedOperationException |
-                    _: java.nio.file.FileSystemException =>
-                  NioFiles.copy(from, to) // cross-device fallback
-                }
-              }
-              // ids preserved (latest-wins order survives); srcMaxId
-              // cleared (all clone data is original); epochs empty
-              TableMeta.saveRegions(tgt.tableDir,
-                regions.map(_.copy(srcMaxId = -1L)))
-              regions.size
-            }
-            Collections.singletonList(LocalRowsScan(
-              Array("cloned_regions", "target"),
-              Seq(Seq(linked.toString, target))): Scan).iterator()
-          } catch { case e: Throwable =>
-            // a failed clone must not leave a half-linked table behind
-            try cat.dropTable(tgtIdent) catch { case _: Exception => () }
-            throw e
-          }
+          val linked = GraftCloneRun(catalogName,
+            input.getUTF8String(0).toString, target, input.getLong(2))
+          Collections.singletonList(LocalRowsScan(
+            Array("cloned_regions", "target"),
+            Seq(Seq(linked.toString, target))): Scan).iterator()
         }
       }
+  }
+
+  /** The clone itself, shared by `CALL graft.sys.clone` and the
+    * `CREATE TABLE t CLONE src` statement face ([[GraftCloneCommand]]).
+    * Returns the number of cloned regions. */
+  private[catalog] object GraftCloneRun {
+    def apply(catalogName: String, srcTable: String, target: String,
+        version: Long): Int = {
+      import java.nio.file.{Files => NioFiles}
+      val src = graftTable(catalogName, srcTable)
+      val cat = SparkSession.active.sessionState.catalogManager
+        .catalog(catalogName).asInstanceOf[GraftCatalog]
+      val (tns, tname) = splitNsTable(target)
+      val tgtIdent = Identifier.of(Array(tns), tname)
+      val props = new java.util.HashMap[String, String]()
+      src.meta.properties.foreach { case (k, v) => props.put(k, v) }
+      val tgt = cat.createTable(tgtIdent, src.meta.schema,
+        Array.empty, props).asInstanceOf[GraftTable]
+      try {
+        // under the source lock: vacuum cannot unlink a region
+        // between the snapshot read and its link
+        TableMeta.withManifestLock(src.tableDir) {
+          val regions =
+            if (version > 0) {
+              val st = TableMeta.stateAt(src.tableDir, version)
+              val gone = st.regions.filterNot(r =>
+                new File(src.tableDir, r.file).isFile)
+              if (gone.nonEmpty) throw new IllegalStateException(
+                s"cannot clone version $version: ${gone.size} region " +
+                  s"file(s) have been vacuumed (e.g. ${gone.head.file})")
+              st.regions
+            } else TableMeta.loadState(src.tableDir).regions
+          regions.foreach { r =>
+            val from = new File(src.tableDir, r.file).toPath
+            val to = new File(tgt.tableDir, r.file).toPath
+            try NioFiles.createLink(to, from)
+            catch { case _: UnsupportedOperationException |
+                _: java.nio.file.FileSystemException =>
+              NioFiles.copy(from, to) // cross-device fallback
+            }
+          }
+          // ids preserved (latest-wins order survives); srcMaxId
+          // cleared (all clone data is original); epochs empty
+          TableMeta.saveRegions(tgt.tableDir,
+            regions.map(_.copy(srcMaxId = -1L)))
+          regions.size
+        }
+      } catch { case e: Throwable =>
+        // a failed clone must not leave a half-linked table behind
+        try cat.dropTable(tgtIdent) catch { case _: Exception => () }
+        throw e
+      }
+    }
   }
 
   /** `CALL graft.sys.restore(table => 'ns.t', version => N)` — roll

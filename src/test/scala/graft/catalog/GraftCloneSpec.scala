@@ -104,6 +104,27 @@ class GraftCloneSpec extends AnyFunSuite {
     assert(vs == Seq("new"), s"latest-wins inverted: $vs")
   }
 
+  test("CREATE TABLE ... CLONE statement face (Delta syntax) works, " +
+      "with and without VERSION AS OF") {
+    val src = mk("src6")
+    Seq("dst6a", "dst6b").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS graft.cl.$t"))
+    spark.sql(s"INSERT INTO $src SELECT id, 'a' FROM range(8)")
+    val v1 = TableMeta.currentVersion(tableDir("cl", "src6"))
+    spark.sql(s"INSERT INTO $src SELECT id, 'b' FROM range(8, 12)")
+
+    spark.sql("CREATE TABLE graft.cl.dst6a CLONE graft.cl.src6")
+    assert(ks("graft.cl.dst6a") == (0L until 12L))
+    spark.sql(
+      s"CREATE TABLE graft.cl.dst6b CLONE graft.cl.src6 VERSION AS OF $v1")
+    assert(ks("graft.cl.dst6b") == (0L until 8L))
+    // normal CREATE TABLE statements still parse through the delegate
+    spark.sql("DROP TABLE IF EXISTS graft.cl.plain")
+    spark.sql("CREATE TABLE graft.cl.plain (k BIGINT, v STRING) " +
+      "TBLPROPERTIES('keyCols'='k')")
+    spark.sql("DROP TABLE graft.cl.plain")
+  }
+
   test("clone onto an existing table refuses; failed clone leaves no " +
       "debris") {
     val src = mk("src5")
