@@ -40,6 +40,26 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
   private def parts(ident: String): Seq[String] =
     ident.split('.').map(_.stripPrefix("`").stripSuffix("`")).toSeq
 
+  /** `RESTORE TABLE t TO VERSION AS OF n` / `DESCRIBE HISTORY t` /
+    * `OPTIMIZE t [ZORDER BY (c1, c2)]` — Delta's maintenance syntax
+    * over the existing procedures (restore / history / merge /
+    * cluster). Matched before delegation like CLONE: none of these
+    * have a stock grammar for V2 tables. */
+  private val RestoreRe =
+    """(?is)\s*RESTORE\s+TABLE\s+([\w.`]+)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
+  private val HistoryRe =
+    """(?is)\s*DESCRIBE\s+HISTORY\s+([\w.`]+)\s*;?\s*""".r
+  private val OptimizeRe =
+    """(?is)\s*OPTIMIZE\s+([\w.`]+)(?:\s+ZORDER\s+BY\s+\(([^)]+)\))?\s*;?\s*""".r
+
+  private def graftNsTable(ident: String, stmt: String): (String, String) =
+    graftTarget(parts(ident)) match {
+      case Some((cat, ns, tbl)) => (cat, s"$ns.$tbl")
+      case None => throw new UnsupportedOperationException(
+        s"$stmt is a graft statement; '$ident' does not resolve into a " +
+          "graft catalog")
+    }
+
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case CloneRe(tgt, src, ver) =>
       (graftTarget(parts(tgt)), graftTarget(parts(src))) match {
@@ -50,6 +70,27 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
         case _ => throw new UnsupportedOperationException(
           "CREATE TABLE ... CLONE requires both tables in the same " +
             s"graft catalog; got target '$tgt', source '$src'")
+      }
+    case RestoreRe(ident, ver) =>
+      val (cat, t) = graftNsTable(ident, "RESTORE TABLE")
+      GraftCallCommand(cat,
+        s"CALL `$cat`.sys.restore(table => '$t', version => $ver)")
+    case HistoryRe(ident) if graftTarget(parts(ident)).isDefined =>
+      val (cat, t) = graftNsTable(ident, "DESCRIBE HISTORY")
+      GraftHistoryCommand(cat, t)
+    case OptimizeRe(ident, cols) =>
+      val (cat, t) = graftNsTable(ident, "OPTIMIZE")
+      Option(cols) match {
+        case Some(cs) =>
+          val colList = cs.split(',').map(_.trim)
+            .map(_.stripPrefix("`").stripSuffix("`")).mkString(";")
+          GraftOptimizeZorderCommand(cat, t, colList)
+        case None =>
+          // Delta's plain OPTIMIZE = coalesce small files: the merge
+          // procedure, targeted at the table's own region-size cap
+          GraftCallCommand(cat,
+            s"CALL `$cat`.sys.merge(table => '$t', " +
+              "target_bytes => 134217728)")
       }
     case _ => parseDelegated(sqlText)
   }
@@ -132,6 +173,44 @@ case class GraftCloneCommand(catalogName: String, srcTable: String,
     target: String, version: Long) extends LeafRunnableCommand {
   override def run(session: SparkSession): Seq[Row] = {
     GraftProcedures.GraftCloneRun(catalogName, srcTable, target, version)
+    Seq.empty
+  }
+}
+
+/** Statement faces that lower verbatim onto an existing procedure —
+  * the CALL text is built at parse time, executed at run time. */
+case class GraftCallCommand(catalogName: String, callSql: String)
+    extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    session.sql(callSql).collect()
+    Seq.empty
+  }
+}
+
+/** `DESCRIBE HISTORY t` → the history procedure's rows. */
+case class GraftHistoryCommand(catalogName: String, table: String)
+    extends LeafRunnableCommand {
+  import org.apache.spark.sql.catalyst.expressions.AttributeReference
+  import org.apache.spark.sql.types.StringType
+  override val output: Seq[AttributeReference] =
+    Seq("version", "committed_at", "operation", "regions_added",
+      "rows_added", "regions_removed")
+      .map(n => AttributeReference(n, StringType, nullable = true)())
+  override def run(session: SparkSession): Seq[Row] =
+    session.sql(
+      s"CALL `$catalogName`.sys.history(table => '$table')").collect()
+      .toSeq
+}
+
+/** `OPTIMIZE t ZORDER BY (cols)` → the cluster procedure at the
+  * table's current live region count (layout-count-preserving). */
+case class GraftOptimizeZorderCommand(catalogName: String, table: String,
+    cols: String) extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    val n = session.sql(
+      s"CALL `$catalogName`.sys.stats(table => '$table')").count()
+    session.sql(s"CALL `$catalogName`.sys.cluster(table => '$table', " +
+      s"cols => '$cols', target_regions => ${math.max(1L, n)})").collect()
     Seq.empty
   }
 }
