@@ -51,6 +51,8 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     """(?is)\s*DESCRIBE\s+HISTORY\s+([\w.`]+)\s*;?\s*""".r
   private val OptimizeRe =
     """(?is)\s*OPTIMIZE\s+([\w.`]+)(?:\s+ZORDER\s+BY\s+\(([^)]+)\))?\s*;?\s*""".r
+  private val VacuumRe =
+    """(?is)\s*VACUUM\s+([\w.`]+)\s*;?\s*""".r
 
   private def graftNsTable(ident: String, stmt: String): (String, String) =
     graftTarget(parts(ident)) match {
@@ -92,6 +94,9 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
             s"CALL `$cat`.sys.merge(table => '$t', " +
               "target_bytes => 134217728)")
       }
+    case VacuumRe(ident) if graftTarget(parts(ident)).isDefined =>
+      val (cat, t) = graftNsTable(ident, "VACUUM")
+      GraftCallCommand(cat, s"CALL `$cat`.sys.vacuum(table => '$t')")
     case _ => parseDelegated(sqlText)
   }
 

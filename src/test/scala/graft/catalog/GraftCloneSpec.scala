@@ -125,6 +125,59 @@ class GraftCloneSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.cl.plain")
   }
 
+  test("a stream tailing a clone reads everything from scratch " +
+      "(srcMaxId cleared), even when the source was compacted") {
+    val src = mk("src7")
+    spark.sql(s"DROP TABLE IF EXISTS graft.cl.dst7")
+    spark.sql(s"INSERT INTO $src SELECT id, 'a' FROM range(10)")
+    spark.sql(s"INSERT INTO $src SELECT id, 'b' FROM range(10, 20)")
+    // compaction rewrites carry srcMaxId in the SOURCE; the clone must
+    // clear it or a fresh tail of the clone would skip this data
+    spark.sql("CALL graft.sys.compact(table => 'cl.src7', " +
+      "target_regions => 1)")
+    spark.sql("CREATE TABLE graft.cl.dst7 CLONE graft.cl.src7")
+    val q = spark.readStream.table("graft.cl.dst7")
+      .writeStream.format("memory").queryName("clone_tail")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.sql("SELECT count(*) FROM clone_tail").head()
+        .getLong(0) == 20L, "fresh tail of the clone sees all rows")
+      spark.sql("INSERT INTO graft.cl.dst7 VALUES (100, 'c')")
+      q.processAllAvailable()
+      assert(spark.sql("SELECT count(*) FROM clone_tail").head()
+        .getLong(0) == 21L)
+    } finally q.stop()
+  }
+
+  test("cloning a fixed-split (bucketed) table preserves buckets and " +
+      "the exchange-free key-grouped plan") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.cl")
+    Seq("src8", "dst8").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS graft.cl.$t"))
+    spark.sql("CREATE TABLE graft.cl.src8 (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES('keyCols'='k', 'regionSplits'='100;200;300')")
+    spark.sql("INSERT INTO graft.cl.src8 SELECT id, id FROM range(400)")
+    spark.sql("CREATE TABLE graft.cl.dst8 CLONE graft.cl.src8")
+    val agg = spark.sql(
+      "SELECT k, sum(v) FROM graft.cl.dst8 GROUP BY k")
+    agg.collect()
+    val hasExchange = agg.queryExecution.executedPlan.toString
+      .contains("Exchange")
+    assert(!hasExchange,
+      "key-grouped aggregation on the clone must stay exchange-free")
+    assert(spark.table("graft.cl.dst8").count() == 400L)
+  }
+
+  test("VACUUM statement face runs the vacuum procedure") {
+    val src = mk("src9")
+    spark.sql(s"INSERT INTO $src SELECT id, 'a' FROM range(10)")
+    spark.sql("CALL graft.sys.compact(table => 'cl.src9', " +
+      "target_regions => 1)")
+    spark.sql(s"VACUUM $src") // retired originals purged
+    assert(ks(src) == (0L until 10L))
+  }
+
   test("clone onto an existing table refuses; failed clone leaves no " +
       "debris") {
     val src = mk("src5")
