@@ -49,6 +49,8 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     """(?is)\s*RESTORE\s+TABLE\s+([\w.`]+)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
   private val HistoryRe =
     """(?is)\s*DESCRIBE\s+HISTORY\s+([\w.`]+)\s*;?\s*""".r
+  private val DetailRe =
+    """(?is)\s*DESCRIBE\s+DETAIL\s+([\w.`]+)\s*;?\s*""".r
   private val OptimizeRe =
     """(?is)\s*OPTIMIZE\s+([\w.`]+)(?:\s+ZORDER\s+BY\s+\(([^)]+)\))?\s*;?\s*""".r
   private val VacuumRe =
@@ -97,6 +99,9 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     case VacuumRe(ident) if graftTarget(parts(ident)).isDefined =>
       val (cat, t) = graftNsTable(ident, "VACUUM")
       GraftCallCommand(cat, s"CALL `$cat`.sys.vacuum(table => '$t')")
+    case DetailRe(ident) if graftTarget(parts(ident)).isDefined =>
+      val (cat, t) = graftNsTable(ident, "DESCRIBE DETAIL")
+      GraftDetailCommand(cat, t)
     case _ => parseDelegated(sqlText)
   }
 
@@ -205,6 +210,31 @@ case class GraftHistoryCommand(catalogName: String, table: String)
     session.sql(
       s"CALL `$catalogName`.sys.history(table => '$table')").collect()
       .toSeq
+}
+
+/** `DESCRIBE DETAIL t` — one row of table-level facts from the
+  * manifest (no data IO): format, location, key columns, region/row
+  * counts, total bytes, current commit version, clustering. */
+case class GraftDetailCommand(catalogName: String, table: String)
+    extends LeafRunnableCommand {
+  import org.apache.spark.sql.catalyst.expressions.AttributeReference
+  import org.apache.spark.sql.types.StringType
+  override val output: Seq[AttributeReference] =
+    Seq("format", "location", "key_cols", "num_regions", "num_rows",
+      "size_bytes", "version", "clustered_by")
+      .map(n => AttributeReference(n, StringType, nullable = true)())
+  override def run(session: SparkSession): Seq[Row] = {
+    val gt = GraftProcedures.graftTable(catalogName, table)
+    val regions = TableMeta.loadRegions(gt.tableDir)
+    val bytes = regions.map(r =>
+      new java.io.File(gt.tableDir, r.file).length()).sum
+    Seq(Row("graft", gt.tableDir.getPath,
+      gt.meta.keyCols.mkString(";"),
+      regions.size.toString, regions.map(_.rows).sum.toString,
+      bytes.toString,
+      TableMeta.currentVersion(gt.tableDir).toString,
+      gt.meta.properties.getOrElse(GraftCluster.ClusteredByProp, "")))
+  }
 }
 
 /** `OPTIMIZE t ZORDER BY (cols)` → the cluster procedure at the

@@ -73,7 +73,7 @@ object GraftProcedures {
 
   /** Resolve 'ns.t' to its [[GraftTable]] through the active session's
     * catalog manager (shared by stats/vacuum/manifest). */
-  private def graftTable(catalogName: String, table: String): GraftTable = {
+  private[catalog] def graftTable(catalogName: String, table: String): GraftTable = {
     val (ns, t) = splitNsTable(table)
     SparkSession.active.sessionState.catalogManager.catalog(catalogName)
       .asInstanceOf[GraftCatalog]

@@ -358,6 +358,26 @@ object TextOps {
         round(avg(col("lex_div")), 4).as("avg_lex_div"))
   }
 
+  // ------------------------------------------------- train/val/test split
+
+  /** Deterministic train/val/test assignment (90/5/5) by
+    * multiplicative doc_id hash — reproducible across engines and
+    * runs, stable under corpus growth (a doc's split never changes
+    * when new docs arrive, unlike row_number()-based splits), pure
+    * map + one aggregation. Reported per (lang, split) so the check
+    * also covers the stratification every mixture build wants. */
+  val trainValTest: Q = (s, d) =>
+    docs(s, d)
+      .withColumn("bucket",
+        pmod(col("doc_id") * lit(2654435761L), lit(100)))
+      .withColumn("split",
+        when(col("bucket") < 90, "train")
+          .when(col("bucket") < 95, "val").otherwise("test"))
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("n_chars"),
+        min(col("doc_id")).as("first_doc"))
+
   // ------------------------------------------------- line-level dedup
 
   /** C4-style line (sentence) deduplication ACROSS documents: any
@@ -1026,6 +1046,7 @@ object TextOps {
     "pipeline_mix" -> domainMix,
     "pipeline_full" -> pipelineFull,
     "dedup_lines" -> dedupLines,
+    "pipeline_split" -> trainValTest,
   )
 
   /** Shared CTE chain for the exact word-Jaccard all-pairs recompute
@@ -1354,6 +1375,18 @@ object TextOps {
         |       round(avg(lex_div), 4) AS avg_lex_div
         |FROM dedup WHERE doc_id = keep_id
         |GROUP BY source""".stripMargin,
+
+    // same multiplicative hash, same 90/5/5 thresholds; pmod of a
+    // positive product is plain % in DuckDB
+    "pipeline_split" ->
+      """SELECT lang,
+        |       CASE WHEN (doc_id * 2654435761) % 100 < 90 THEN 'train'
+        |            WHEN (doc_id * 2654435761) % 100 < 95 THEN 'val'
+        |            ELSE 'test' END AS split,
+        |       count(*) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS n_chars,
+        |       min(doc_id) AS first_doc
+        |FROM documents GROUP BY 1, 2""".stripMargin,
 
     // C4 line-dedup recompute: same '. ' sentence split (1-based
     // lateral range), same >=3 boilerplate rule, cleaned text rebuilt

@@ -61,6 +61,18 @@ class StatementFacesSpec extends AnyFunSuite {
     assert(spark.table(fqn).count() == 40L)
   }
 
+  test("DESCRIBE DETAIL reports manifest-level facts without data IO") {
+    val fqn = mk("detail")
+    spark.sql(s"INSERT INTO $fqn SELECT id, id FROM range(100)")
+    val r = spark.sql(s"DESCRIBE DETAIL $fqn").collect().head
+    assert(r.getAs[String]("format") == "graft")
+    assert(r.getAs[String]("key_cols") == "k")
+    assert(r.getAs[String]("num_rows") == "100")
+    assert(r.getAs[String]("num_regions").toInt >= 1)
+    assert(r.getAs[String]("size_bytes").toLong > 0)
+    assert(r.getAs[String]("version").toLong >= 1)
+  }
+
   test("statements on non-graft identifiers fall through to the stock " +
       "parser (and fail there, not here)") {
     val e = intercept[Exception] {
