@@ -1013,6 +1013,104 @@ object TextOps {
   val dedupEmbedding: Q = (s, d) =>
     embeddingPairsFromVecs(tfVecsShared(s, d))
 
+  // ----------------------------------------- learned quality classifier
+
+  /** Hashed linear quality classifier — the fastText/CCNet-style
+    * model-based filter stage of an LLM data pipeline (the learned
+    * counterpart of the heuristic [[textQuality]] gates): each word
+    * hashes (first 8 md5 hex chars, the corpus-wide determinism trick)
+    * into one of `dims` weight buckets whose weight is itself
+    * md5-derived — an INTEGER in [-8, 8] — so a document's score is a
+    * sum of integers and the keep/drop decision cannot flip on float
+    * summation order across engines or partitionings. The md5-derived
+    * weights stand in for trained coefficients (no model artifact
+    * ships); swapping in a real model is a 1024-row broadcast of
+    * (bucket, weight).
+    *
+    * Scale shape: ZERO shuffles — the whole score is one map-side
+    * array fold per document (no explode), with the word array
+    * let-bound once via the transform(array(..)) idiom so projection
+    * collapse cannot re-inline the O(n) split per reference. At
+    * 100 TB this runs at scan speed. */
+  def classifierScores(docsDf: DataFrame, dims: Int = 1024): DataFrame =
+    docsDf
+      .withColumn("ws",
+        expr("transform(array(split(text, ' ')), " +
+          "a -> filter(a, w -> w <> ''))[0]"))
+      .filter(size(col("ws")) > 0)
+      .select(col("doc_id"), col("source"),
+        size(col("ws")).cast("long").as("n_tokens"),
+        expr(("aggregate(ws, 0L, (acc, w) -> acc + (" +
+          "CAST(conv(substring(md5(concat('dim:', CAST(" +
+          "CAST(conv(substring(md5(w), 1, 8), 16, 10) AS BIGINT) " +
+          s"% $dims AS INT))), 1, 4), 16, 10) AS BIGINT) % 17 - 8))"))
+          .as("score"))
+      .withColumn("keep", col("score") > 0)
+
+  val textClassifier: Q = (s, d) => classifierScores(docs(s, d))
+
+  // ------------------------------------------- semantic dedup (SemDeDup)
+
+  private val SemPlanes = 16
+
+  /** ±1 hyperplane components for the semantic-dedup sign-LSH, derived
+    * from md5("p:<plane>:<dim>") first-byte parity — reproducible by
+    * any engine with md5, which is what lets the DuckDB oracle rebuild
+    * the exact clustering. */
+  private lazy val semPlaneSigns: IndexedSeq[Seq[Long]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until SemPlanes).map { p =>
+      (0 until EmbDims).map { i =>
+        val dig = md.digest(s"p:$p:$i".getBytes("UTF-8"))
+        // first hex pair as an int, even -> +1 (matches the oracle's
+        // ('0x'||substr(md5(..),1,2))::INT % 2 = 0 test)
+        if (((dig(0) & 0xff) % 2) == 0) 1L else -1L
+      }
+    }
+  }
+
+  /** SemDeDup-style semantic dedup decision (Abbas et al., 2023,
+    * arXiv:2303.09540, re-expressed): cluster documents by the sign-LSH
+    * bucket of their hashed-TF vector (16 integer hyperplane dots —
+    * EXACT sign decisions, no float ties), elect the min-doc_id member
+    * of each bucket as the representative, and drop any member whose
+    * cosine to its representative clears τ = 0.8 — decided in exact
+    * integer arithmetic (`dot > 0 AND 25·dot² ≥ 16·‖a‖²·‖r‖²`), the
+    * same [[graft.functions.VecDotLong]] verifier the near-dup faces
+    * share.
+    *
+    * Scale shape: the clustering is one map-side expression over a
+    * precomputed vector stage; the representative election is a
+    * groupBy on the bucket key; the verify join touches each document
+    * ONCE (member → its single representative, broadcast — the reps
+    * table is #buckets-sized, not corpus-sized). Nothing here is
+    * all-pairs: at 100 TB the per-cluster work is linear in cluster
+    * population, the SemDeDup property that makes it affordable where
+    * exact pairwise dedup is not. */
+  def semanticDedup(vecs: DataFrame): DataFrame = {
+    val bucketCol = (0 until SemPlanes).map { p =>
+      when(VectorOps.dotLong(col("vec"), typedLit(semPlaneSigns(p))) > 0,
+        lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val withBucket = fanOut(vecs).withColumn("bucket", bucketCol)
+    val reps = withBucket.groupBy(col("bucket"))
+      .agg(min(col("doc_id")).as("rep_id"))
+    val repVecs = withBucket
+      .join(broadcast(reps), withBucket("doc_id") === reps("rep_id"))
+      .select(col("rep_id"), col("vec").as("rvec"), col("n2").as("rn2"))
+    withBucket
+      .join(broadcast(reps), "bucket")
+      .join(broadcast(repVecs), "rep_id")
+      .withColumn("dot", VectorOps.dotLong(col("vec"), col("rvec")))
+      .select(col("doc_id"), col("bucket"), col("rep_id"),
+        (col("doc_id") === col("rep_id") ||
+          !(col("dot") > 0 &&
+            col("dot") * col("dot") * lit(25L) >=
+              col("n2") * col("rn2") * lit(16L))).as("kept"))
+  }
+
+  val dedupSemantic: Q = (s, d) => semanticDedup(tfVecsShared(s, d))
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, Q] = Map(
@@ -1047,6 +1145,8 @@ object TextOps {
     "pipeline_full" -> pipelineFull,
     "dedup_lines" -> dedupLines,
     "pipeline_split" -> trainValTest,
+    "text_classifier" -> textClassifier,
+    "dedup_semantic" -> dedupSemantic,
   )
 
   /** Shared CTE chain for the exact word-Jaccard all-pairs recompute
@@ -1430,6 +1530,64 @@ object TextOps {
         |       round((total / CAST(n_sources AS DOUBLE))
         |             / CAST(tokens AS DOUBLE), 6) AS uniform_weight
         |FROM per, tot""".stripMargin,
+
+    // hashed-classifier recompute: same md5 token->bucket map, same
+    // md5-derived integer bucket weights in [-8, 8], integer score sum
+    // (HUGEINT narrowed back to BIGINT)
+    "text_classifier" ->
+      """WITH wd AS (SELECT doc_id, source,
+        |                   unnest(string_split(text, ' ')) AS w
+        |            FROM documents),
+        |sc AS (SELECT doc_id, source,
+        |              ('0x' || substr(md5('dim:' ||
+        |                 (('0x' || substr(md5(w), 1, 8))::BIGINT
+        |                   % 1024)::INT), 1, 4))::BIGINT % 17 - 8 AS wt
+        |       FROM wd WHERE w <> '')
+        |SELECT doc_id, source, count(*) AS n_tokens,
+        |       CAST(sum(wt) AS BIGINT) AS score,
+        |       CAST(sum(wt) AS BIGINT) > 0 AS keep
+        |FROM sc GROUP BY 1, 2""".stripMargin,
+
+    // SemDeDup recompute: same sparse hashed-TF vectors, same
+    // md5-parity hyperplane signs, integer sign-LSH bucket, min-doc_id
+    // representative, exact-integer tau=0.8 drop rule
+    "dedup_semantic" ->
+      """WITH wd AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |            FROM documents WHERE doc_id < 1000),
+        |t AS (SELECT doc_id, ('0x' || substr(md5(w), 1, 8))::BIGINT AS h
+        |      FROM wd WHERE w <> ''),
+        |sp AS (SELECT doc_id, (h % 256)::INT AS dim,
+        |              SUM(CASE WHEN (h // 256) % 2 = 0
+        |                       THEN 1 ELSE -1 END)::BIGINT AS v
+        |       FROM t GROUP BY 1, 2
+        |       HAVING SUM(CASE WHEN (h // 256) % 2 = 0
+        |                       THEN 1 ELSE -1 END) <> 0),
+        |nrm AS (SELECT doc_id, SUM(v * v)::BIGINT AS n2 FROM sp GROUP BY 1),
+        |pl AS (SELECT p, i,
+        |              CASE WHEN ('0x' || substr(md5('p:' || p || ':' || i),
+        |                          1, 2))::INT % 2 = 0
+        |                   THEN 1 ELSE -1 END AS sgn
+        |       FROM range(16) tp(p), range(256) ti(i)),
+        |dots AS (SELECT s.doc_id, pl.p, SUM(s.v * pl.sgn)::BIGINT AS dot
+        |         FROM sp s JOIN pl ON s.dim = pl.i GROUP BY 1, 2),
+        |bkt AS (SELECT doc_id,
+        |               CAST(SUM(CASE WHEN dot > 0 THEN (1::BIGINT << p)
+        |                             ELSE 0 END) AS BIGINT) AS bucket
+        |        FROM dots GROUP BY 1),
+        |reps AS (SELECT bucket, min(doc_id) AS rep_id FROM bkt GROUP BY 1),
+        |pair AS (SELECT m.doc_id, m.bucket, r.rep_id
+        |         FROM bkt m JOIN reps r ON m.bucket = r.bucket),
+        |dt AS (SELECT p.doc_id, p.bucket, p.rep_id,
+        |              COALESCE(SUM(a.v * b.v), 0)::BIGINT AS dot
+        |       FROM pair p
+        |       LEFT JOIN sp a ON a.doc_id = p.doc_id
+        |       LEFT JOIN sp b ON b.doc_id = p.rep_id AND b.dim = a.dim
+        |       GROUP BY 1, 2, 3)
+        |SELECT d.doc_id, d.bucket, d.rep_id,
+        |       (d.doc_id = d.rep_id OR NOT (d.dot > 0 AND
+        |        25 * d.dot * d.dot >= 16 * na.n2 * nb.n2)) AS kept
+        |FROM dt d JOIN nrm na ON na.doc_id = d.doc_id
+        |JOIN nrm nb ON nb.doc_id = d.rep_id""".stripMargin,
 
     // decontamination recompute: same 3-word shingles (1-based), eval
     // slice doc_id % 97 = 0, semi-join via IN, per-source accounting

@@ -369,4 +369,89 @@ class TextOpsSpec extends AnyFunSuite {
     assert(out("s1") == ((2L, 1L))) // docs 1,2 in corpus; 1 contaminated
     assert(out("s2") == ((1L, 0L)))
   }
+
+  // shared driver-side recompute of the hashed-TF vectors (first 4 md5
+  // bytes -> dim, 9th bit -> sign) used by the SemDeDup brute force
+  private def bruteTfVecs(bound: Long): Array[(Long, Array[Long])] =
+    docs.filter(col("doc_id") < bound)
+      .select("doc_id", "text").collect()
+      .map { r =>
+        val v = new Array[Long](256)
+        r.getString(1).split(" ", -1).filter(_.nonEmpty).foreach { w =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+            .digest(w.getBytes("UTF-8"))
+          val h = ((md(0) & 0xffL) << 24) | ((md(1) & 0xffL) << 16) |
+            ((md(2) & 0xffL) << 8) | (md(3) & 0xffL)
+          v((h % 256).toInt) += (if (((h >> 8) & 1L) == 0L) 1L else -1L)
+        }
+        r.getLong(0) -> v
+      }
+
+  test("semantic dedup matches a BigInt brute force of the whole " +
+      "bucket->rep->threshold pipeline") {
+    val vecs = bruteTfVecs(1000L).filter(_._2.exists(_ != 0L))
+    val signs = (0 until 16).map { p =>
+      (0 until 256).map { i =>
+        val dig = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"p:$p:$i".getBytes("UTF-8"))
+        if (((dig(0) & 0xff) % 2) == 0) 1L else -1L
+      }.toArray
+    }
+    val buckets = vecs.map { case (id, v) =>
+      val b = (0 until 16).map { p =>
+        val dot = v.indices.map(i => v(i) * signs(p)(i)).sum
+        if (dot > 0) 1L << p else 0L
+      }.sum
+      id -> b
+    }.toMap
+    val rep = buckets.groupBy(_._2).map { case (b, m) =>
+      b -> m.keys.min
+    }
+    val vecMap = vecs.toMap
+    val expected = vecs.map { case (id, v) =>
+      val b = buckets(id)
+      val r = rep(b)
+      val rv = vecMap(r)
+      val dot = BigInt(v.zip(rv).map { case (x, y) => x * y }.sum)
+      val n2a = BigInt(v.map(x => x * x).sum)
+      val n2r = BigInt(rv.map(x => x * x).sum)
+      val kept = id == r ||
+        !(dot > 0 && 25 * dot * dot >= 16 * n2a * n2r)
+      (id, b, r, kept)
+    }.toSet
+    val got = TextOps.dedupSemantic(spark, TestSpark.sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3))).toSet
+    assert(got == expected,
+      s"missing=${(expected -- got).take(3)} extra=${(got -- expected).take(3)}")
+    assert(got.exists(!_._4), "fixture should drop at least one near-dup")
+    assert(got.exists(_._4), "fixture should keep at least one doc")
+  }
+
+  test("classifier scores equal a driver-side integer recompute") {
+    val expected = docs.filter(col("doc_id") < 200)
+      .select("doc_id", "text").collect().flatMap { r =>
+        val ws = r.getString(1).split(" ", -1).filter(_.nonEmpty)
+        if (ws.isEmpty) None else {
+          val score = ws.map { w =>
+            val md = java.security.MessageDigest.getInstance("MD5")
+              .digest(w.getBytes("UTF-8"))
+            val h = ((md(0) & 0xffL) << 24) | ((md(1) & 0xffL) << 16) |
+              ((md(2) & 0xffL) << 8) | (md(3) & 0xffL)
+            val dim = (h % 1024).toInt
+            val wd = java.security.MessageDigest.getInstance("MD5")
+              .digest(s"dim:$dim".getBytes("UTF-8"))
+            (((wd(0) & 0xffL) << 8) | (wd(1) & 0xffL)) % 17 - 8
+          }.sum
+          Some(r.getLong(0) -> (ws.length.toLong, score, score > 0))
+        }
+      }.toMap
+    val got = TextOps.textClassifier(spark, TestSpark.sfDir)
+      .filter(col("doc_id") < 200).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(2), r.getLong(3), r.getBoolean(4))).toMap
+    assert(got == expected)
+    // the md5-derived weights are sign-balanced, so both classes occur
+    assert(got.values.exists(_._3) && got.values.exists(!_._3))
+  }
 }
