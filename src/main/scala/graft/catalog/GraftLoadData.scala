@@ -56,6 +56,24 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
   private val VacuumRe =
     """(?is)\s*VACUUM\s+([\w.`]+)\s*;?\s*""".r
 
+  /** `COPY INTO t FROM '<path>' [FILEFORMAT = CSV|JSON|PARQUET]
+    * [PATTERN = '<glob>']` — the lakehouse-standard idempotent
+    * ingestion statement (Delta's COPY INTO semantics): each source
+    * file loads AT MOST ONCE, tracked by a `copy:<md5(path)>` ledger
+    * entry committed atomically with the file's rows. */
+  private val CopyIntoRe =
+    ("""(?is)\s*COPY\s+INTO\s+([\w.`]+)\s+FROM\s+'([^']+)'""" +
+      """(?:\s+FILEFORMAT\s*=\s*(\w+))?""" +
+      """(?:\s+PATTERN\s*=\s*'([^']+)')?\s*;?\s*""").r
+
+  /** `ANALYZE TABLE t COMPUTE STATISTICS` — the stock statement
+    * (v1-only in Spark's analyzer: V2 tables throw
+    * NOT_SUPPORTED_COMMAND_FOR_V2_TABLE) lowered onto
+    * `CALL graft.sys.analyze`, which backfills per-region ColStats
+    * into the manifest without rewriting data. */
+  private val AnalyzeRe =
+    """(?is)\s*ANALYZE\s+TABLE\s+([\w.`]+)\s+COMPUTE\s+STATISTICS\s*;?\s*""".r
+
   private def graftNsTable(ident: String, stmt: String): (String, String) =
     graftTarget(parts(ident)) match {
       case Some((cat, ns, tbl)) => (cat, s"$ns.$tbl")
@@ -102,6 +120,20 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     case DetailRe(ident) if graftTarget(parts(ident)).isDefined =>
       val (cat, t) = graftNsTable(ident, "DESCRIBE DETAIL")
       GraftDetailCommand(cat, t)
+    case CopyIntoRe(ident, path, fmt, pattern) =>
+      val (cat, t) = graftNsTable(ident, "COPY INTO")
+      val format = Option(fmt).map(_.toUpperCase) match {
+        case None | Some("CSV") => "csv"
+        case Some("JSON") => "json"
+        case Some("PARQUET") => "parquet"
+        case Some(other) => throw new UnsupportedOperationException(
+          s"COPY INTO FILEFORMAT = $other is not supported " +
+            "(CSV, JSON, PARQUET)")
+      }
+      GraftCopyIntoCommand(cat, t, path, format, Option(pattern))
+    case AnalyzeRe(ident) if graftTarget(parts(ident)).isDefined =>
+      val (cat, t) = graftNsTable(ident, "ANALYZE TABLE")
+      GraftCallCommand(cat, s"CALL `$cat`.sys.analyze(table => '$t')")
     case _ => parseDelegated(sqlText)
   }
 
@@ -174,6 +206,94 @@ case class GraftLoadDataCommand(catalogName: String, namespace: String,
     GraftBulkLoad.loadCsv(session, path,
       s"$catalogName.$namespace.$table", ",")
     Seq.empty
+  }
+}
+
+/** `COPY INTO t FROM '<path>'` — idempotent bulk ingestion (Delta's
+  * COPY INTO semantics, re-expressed over the graft ledger): every
+  * source file loads AT MOST ONCE. The commit appends the batch's
+  * regions and one `copy:<md5(file path)>` ledger entry per file in a
+  * single manifest segment ([[TableMeta.commitCopy]]), so the rows
+  * and the file-identity memory are atomic — a crashed, replayed, or
+  * concurrently racing COPY INTO can never double-load. All new files
+  * load in ONE Spark job (one range-shuffled sorted region write),
+  * not a per-file loop: at ingest scale the statement cost is one
+  * bulk load plus an O(ledger) pre-filter. File-identity memory rides
+  * the epoch ledger's compaction aging window
+  * (`graft.epochRetainGenerations`, default 64 compaction cycles) —
+  * bounded like Delta's COPY INTO retention, not eternal. */
+case class GraftCopyIntoCommand(catalogName: String, table: String,
+    path: String, format: String, pattern: Option[String])
+    extends LeafRunnableCommand {
+  import org.apache.spark.sql.catalyst.expressions.AttributeReference
+  import org.apache.spark.sql.types.StringType
+
+  override val output: Seq[AttributeReference] =
+    Seq("file", "status")
+      .map(n => AttributeReference(n, StringType, nullable = false)())
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private def causes(e: Throwable): Seq[Throwable] =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(10).toSeq
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val gt = GraftProcedures.graftTable(catalogName, table)
+    val conf = session.sessionState.newHadoopConf()
+    val base = new org.apache.hadoop.fs.Path(path)
+    val fs = base.getFileSystem(conf)
+    val statuses = (try Some(fs.getFileStatus(base))
+      catch { case _: java.io.FileNotFoundException => None }) match {
+      case Some(s) if s.isDirectory =>
+        Option(fs.globStatus(new org.apache.hadoop.fs.Path(base,
+          pattern.getOrElse("*")))).map(_.toSeq).getOrElse(Seq.empty)
+      case Some(s) => Seq(s)
+      case None => // the path itself may be a glob
+        Option(fs.globStatus(base)).map(_.toSeq).getOrElse(Seq.empty)
+    }
+    val files = statuses
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
+        !s.getPath.getName.startsWith("."))
+      .map(_.getPath.toString).sorted
+    val withKeys = files.map(f => f -> s"copy:${md5hex(f)}")
+    val status = scala.collection.mutable.LinkedHashMap[String, String]()
+    val ledger0 = TableMeta.ledgerKeys(gt.tableDir)
+    withKeys.filter { case (_, k) => ledger0(k) }
+      .foreach { case (f, _) => status(f) = "skipped" }
+    var todo = withKeys.filterNot { case (_, k) => ledger0(k) }
+    var attempts = 0
+    while (todo.nonEmpty && attempts < 5) {
+      attempts += 1
+      try {
+        val reader = session.read.schema(gt.meta.schema)
+        val df = format match {
+          case "csv" =>
+            reader.option("mode", "PERMISSIVE").csv(todo.map(_._1): _*)
+          case "json" => reader.json(todo.map(_._1): _*)
+          case _ => reader.parquet(todo.map(_._1): _*)
+        }
+        df.writeTo(s"$catalogName.$table")
+          .option(GraftWrite.CopyKeysOption, todo.map(_._2).mkString(","))
+          .append()
+        todo.foreach { case (f, _) => status(f) = "loaded" }
+        todo = Seq.empty
+      } catch {
+        case e: Throwable
+            if causes(e).exists(_.isInstanceOf[GraftCopyConflictException]) =>
+          // someone else just loaded >=1 of these files; their keys are
+          // in the ledger now — drop them and retry the remainder
+          val ledger = TableMeta.ledgerKeys(gt.tableDir)
+          val (done, rest) = todo.partition { case (_, k) => ledger(k) }
+          done.foreach { case (f, _) => status(f) = "skipped" }
+          if (rest.size == todo.size) throw e // conflict with no visible key
+          todo = rest
+      }
+    }
+    if (todo.nonEmpty) throw new IllegalStateException(
+      "COPY INTO could not commit after repeated ledger conflicts")
+    files.map(f => Row(f, status(f)))
   }
 }
 

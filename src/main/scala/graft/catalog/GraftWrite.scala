@@ -29,8 +29,25 @@ import graft.codec.KeyCodec
   */
 class GraftWriteBuilder(tableDir: File, meta: TableMeta,
     info: LogicalWriteInfo) extends WriteBuilder {
-  override def build(): Write = new GraftWrite(tableDir, meta, info.queryId)
+  override def build(): Write = new GraftWrite(tableDir, meta, info.queryId,
+    Option(info.options.get(GraftWrite.CopyKeysOption)))
 }
+
+object GraftWrite {
+  /** Write option carrying COPY INTO's comma-joined `copy:<md5>` file
+    * keys: when present, the batch commit goes through
+    * [[TableMeta.commitCopy]] (atomic region append + per-file ledger
+    * entries) instead of the plain append — the seam that makes COPY
+    * INTO exactly-once per source file. */
+  val CopyKeysOption = "graft.copyKeys"
+}
+
+/** Raised (after deleting the written files) when a copy-ledger commit
+  * loses to a concurrent COPY INTO that already recorded one of the
+  * same source files; the statement re-plans against the fresh
+  * ledger. */
+class GraftCopyConflictException(msg: String)
+    extends RuntimeException(msg)
 
 /** The ONE definition of the write-side key ordering: bulk loads and
   * row-level rewrites ([[GraftReplaceWrite]]) must sort identically or
@@ -43,7 +60,8 @@ private[catalog] object GraftWriteOrdering {
     Distributions.ordered(sortOrders(meta))
 }
 
-class GraftWrite(tableDir: File, meta: TableMeta, queryId: String)
+class GraftWrite(tableDir: File, meta: TableMeta, queryId: String,
+    copyKeys: Option[String] = None)
     extends Write with RequiresDistributionAndOrdering {
 
   override def requiredDistribution(): Distribution =
@@ -53,8 +71,11 @@ class GraftWrite(tableDir: File, meta: TableMeta, queryId: String)
   override def requiredNumPartitions(): Int =
     meta.properties.get(TableMeta.NumRegionsProp).map(_.toInt).getOrElse(0)
 
-  override def toBatch: BatchWrite =
-    new GraftBatchWrite(tableDir, meta)
+  override def toBatch: BatchWrite = copyKeys match {
+    case Some(keys) =>
+      new GraftCopyBatchWrite(tableDir, meta, keys.split(',').toSeq)
+    case None => new GraftBatchWrite(tableDir, meta)
+  }
 
   /** Native streaming sink (`df.writeStream.toTable("graft.ns.t")`):
     * each micro-batch runs the same range-shuffled sorted region write,
@@ -149,6 +170,26 @@ class GraftBatchWrite(tableDir: File, meta: TableMeta) extends BatchWrite {
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     GraftCommits.deleteFiles(tableDir, messages)
+}
+
+/** COPY INTO's batch commit: the region append and the per-file
+  * `copy:` ledger entries land in ONE commit segment, so a source
+  * file is in the table iff its ledger key is — the invariant that
+  * makes a crashed/replayed/racing COPY INTO safe to re-run. */
+class GraftCopyBatchWrite(tableDir: File, meta: TableMeta,
+    fileKeys: Seq[String]) extends GraftBatchWrite(tableDir, meta) {
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val regions = GraftCommits.withBlockHosts(tableDir,
+      GraftCommits.toRegions(GraftCommits.commits(messages)))
+    if (!TableMeta.commitCopy(tableDir, regions, fileKeys)) {
+      GraftCommits.deleteFiles(tableDir, messages)
+      throw new GraftCopyConflictException(
+        "a concurrent COPY INTO already loaded one of these files; " +
+          "re-plan against the refreshed ledger")
+    }
+    GraftSplit.maybeAutoSplit(
+      org.apache.spark.sql.SparkSession.active, tableDir, meta)
+  }
 }
 
 final case class GraftWriterFactory(dir: String, schemaJson: String,

@@ -851,6 +851,38 @@ object TableMeta {
       }
     }
 
+  /** COPY INTO's per-source-file ledger commit: atomically append
+    * `added` and record one `copy:<fileKey>` ledger entry per source
+    * file, iff NONE of the keys is already present (a present key
+    * means that file's rows are already in the table — a replayed or
+    * racing COPY INTO). All-or-nothing by design: on any conflict
+    * nothing commits and the caller re-plans against the refreshed
+    * ledger (the conflicting files are exactly the ones someone else
+    * just loaded). Rides the same epoch-ledger machinery as the
+    * streaming sink, including its compaction aging window
+    * ([[GraftCompact.EpochRetainProp]]) — file-identity memory is
+    * bounded, like Delta's COPY INTO retention, not eternal. */
+  def commitCopy(tableDir: File, added: Seq[RegionMeta],
+      fileKeys: Seq[String]): Boolean =
+    withManifestLock(tableDir) {
+      val l = loadLoaded(tableDir)
+      val s = l.state
+      if (fileKeys.exists(s.epochs.contains)) false
+      else {
+        val (rs, _) = stamped(added.map(_.copy(id = 0L)), s.nextId)
+        writeSegment(tableDir, l.lastSeq + 1L, SegmentDelta(rs,
+          fileKeys.map(k => k -> EpochEntry(0L, s.gen)).toMap,
+          op = "copy"))
+        maybeCheckpoint(tableDir)
+        true
+      }
+    }
+
+  /** The manifest's current ledger keys (COPY INTO's pre-filter reads
+    * `copy:` entries; streaming query ids live here too). */
+  def ledgerKeys(tableDir: File): Set[String] =
+    loadLoaded(tableDir).state.epochs.keySet
+
   // ------------------------------------------------------- time travel
 
   /** The table's current version — the seq of its newest commit. Every
