@@ -1111,6 +1111,58 @@ object TextOps {
 
   val dedupSemantic: Q = (s, d) => semanticDedup(tfVecsShared(s, d))
 
+  // --------------------------------------- snippet->corpus fuzzy join
+
+  private def shinglesOf(c: String): String =
+    s"""CASE WHEN size($c) >= 3 THEN
+       |  transform(sequence(1, size($c) - 2),
+       |            j -> concat($c[j-1], ' ', $c[j], ' ', $c[j+1]))
+       |ELSE array(concat_ws(' ', $c)) END""".stripMargin
+
+  /** Cross-table similarity join — the retrieval face of the inverted
+    * shingle index: probe snippets (the first 8 words of every
+    * doc_id % 37 == 0 document, standing in for an external query
+    * table) join the corpus through their 3-word shingles, score =
+    * containment (shared probe shingles / probe shingles), keep
+    * ≥ 0.5, top-3 corpus matches per probe. Unlike the dedup faces
+    * (self-joins) this joins two DIFFERENT relations — the "which
+    * corpus documents contain this snippet" query a training pipeline
+    * answers for attribution and contamination forensics.
+    *
+    * Scale shape: one shuffle keyed on the shingle (the inverted
+    * index); the probe side is query-sized and broadcast, the corpus
+    * side streams through — never all-pairs. The final per-probe
+    * top-k is a window over probe-partitioned candidates, linear in
+    * the candidate count. */
+  def similarityJoin(docsDf: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docsDf.withColumn("ws", wordsCol)
+    val corpusSh = base
+      .select(col("doc_id"),
+        explode(expr(s"array_distinct(${shinglesOf("ws")})")).as("s"))
+    val probes = base.filter(col("doc_id") % 37 === 0)
+      .withColumn("pws", expr("slice(ws, 1, 8)"))
+      .select(col("doc_id").as("probe_id"),
+        expr(s"array_distinct(${shinglesOf("pws")})").as("psh"))
+    val probeSh = probes.select(col("probe_id"),
+      size(col("psh")).cast("long").as("n_psh"),
+      explode(col("psh")).as("s"))
+    val scored = corpusSh
+      .join(broadcast(probeSh), "s")
+      .groupBy(col("probe_id"), col("doc_id"), col("n_psh"))
+      .agg(count(lit(1)).as("shared"))
+      .withColumn("c_raw", col("shared") / col("n_psh"))
+      .filter(col("c_raw") >= 0.5)
+    scored
+      .withColumn("rnk", row_number().over(Window.partitionBy(col("probe_id"))
+        .orderBy(col("c_raw").desc, col("doc_id").asc)).cast("int"))
+      .filter(col("rnk") <= 3)
+      .select(col("probe_id"), col("doc_id"),
+        round(col("c_raw"), 4).as("containment"), col("rnk"))
+  }
+
+  val joinSimilarity: Q = (s, d) => similarityJoin(docs(s, d))
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, Q] = Map(
@@ -1147,6 +1199,7 @@ object TextOps {
     "pipeline_split" -> trainValTest,
     "text_classifier" -> textClassifier,
     "dedup_semantic" -> dedupSemantic,
+    "join_similarity" -> joinSimilarity,
   )
 
   /** Shared CTE chain for the exact word-Jaccard all-pairs recompute
@@ -1588,6 +1641,39 @@ object TextOps {
         |        25 * d.dot * d.dot >= 16 * na.n2 * nb.n2)) AS kept
         |FROM dt d JOIN nrm na ON na.doc_id = d.doc_id
         |JOIN nrm nb ON nb.doc_id = d.rep_id""".stripMargin,
+
+    // snippet->corpus retrieval recompute: same probe slice, same
+    // distinct 3-word shingles, same containment division (integer
+    // operands -> identical IEEE doubles in the >= 0.5 filter and the
+    // window order), same (containment DESC, doc_id ASC) total order
+    "join_similarity" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |           FROM documents),
+        |csh AS (SELECT DISTINCT doc_id, unnest(CASE WHEN len(ws) >= 3
+        |          THEN list_transform(range(1, len(ws) - 1),
+        |                 j -> ws[j] || ' ' || ws[j+1] || ' ' || ws[j+2])
+        |          ELSE [array_to_string(ws, ' ')] END) AS s
+        |        FROM w),
+        |pw AS (SELECT doc_id AS probe_id, ws[1:8] AS pws
+        |       FROM w WHERE doc_id % 37 = 0),
+        |psh AS (SELECT DISTINCT probe_id, unnest(CASE WHEN len(pws) >= 3
+        |          THEN list_transform(range(1, len(pws) - 1),
+        |                 j -> pws[j] || ' ' || pws[j+1] || ' ' || pws[j+2])
+        |          ELSE [array_to_string(pws, ' ')] END) AS s
+        |        FROM pw),
+        |pn AS (SELECT probe_id, count(*) AS n FROM psh GROUP BY 1),
+        |m AS (SELECT p.probe_id, c.doc_id, count(*) AS shared
+        |      FROM psh p JOIN csh c ON p.s = c.s GROUP BY 1, 2),
+        |sc AS (SELECT m.probe_id, m.doc_id,
+        |              shared / CAST(pn.n AS DOUBLE) AS c_raw
+        |       FROM m JOIN pn USING (probe_id)
+        |       WHERE shared / CAST(pn.n AS DOUBLE) >= 0.5),
+        |rk AS (SELECT probe_id, doc_id, c_raw,
+        |              CAST(row_number() OVER (PARTITION BY probe_id
+        |                ORDER BY c_raw DESC, doc_id ASC) AS INT) AS rnk
+        |       FROM sc)
+        |SELECT probe_id, doc_id, round(c_raw, 4) AS containment, rnk
+        |FROM rk WHERE rnk <= 3""".stripMargin,
 
     // decontamination recompute: same 3-word shingles (1-based), eval
     // slice doc_id % 97 = 0, semi-join via IN, per-source accounting

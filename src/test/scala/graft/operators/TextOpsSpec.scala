@@ -428,6 +428,28 @@ class TextOpsSpec extends AnyFunSuite {
     assert(got.exists(_._4), "fixture should keep at least one doc")
   }
 
+  test("similarity join retrieves the snippet's source at rank 1 and " +
+      "gates on containment") {
+    import spark.implicits._
+    // probe = first 8 words of doc 0 (0 % 37 == 0). Doc 1 repeats the
+    // probe's full prefix (containment 1.0), doc 2 shares half the
+    // probe shingles, doc 3 nothing.
+    val crafted = Seq(
+      (0L, "w1 w2 w3 w4 w5 w6 w7 w8 tail1 tail2"),
+      (1L, "w1 w2 w3 w4 w5 w6 w7 w8 other words"),
+      (2L, "w1 w2 w3 w4 unrelated suffix here now"),
+      (3L, "nothing in common at all with it"))
+      .toDF("doc_id", "text")
+    val out = TextOps.similarityJoin(crafted).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getInt(3))).toMap
+    // 6 probe shingles; source and doc 1 contain all 6; doc 2 shares
+    // "w1 w2 w3"/"w2 w3 w4" = 2/6 -> gated out
+    assert(out((0L, 0L)) == ((1.0, 1)))
+    assert(out((0L, 1L)) == ((1.0, 2)))
+    assert(!out.contains((0L, 2L)) && !out.contains((0L, 3L)))
+  }
+
   test("classifier scores equal a driver-side integer recompute") {
     val expected = docs.filter(col("doc_id") < 200)
       .select("doc_id", "text").collect().flatMap { r =>
