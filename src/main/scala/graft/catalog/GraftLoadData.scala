@@ -66,6 +66,14 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       """(?:\s+FILEFORMAT\s*=\s*(\w+))?""" +
       """(?:\s+PATTERN\s*=\s*'([^']+)')?\s*;?\s*""").r
 
+  /** `CONVERT TO GRAFT '<dir>' AS ns.t KEY (k1, k2)` — the Delta
+    * `CONVERT TO DELTA` capability: adopt an existing parquet
+    * directory as a graft table, hard-linking key-sorted files as
+    * regions (zero-copy) and rewriting unsorted ones sorted. */
+  private val ConvertRe =
+    ("""(?is)\s*CONVERT\s+TO\s+GRAFT\s+'([^']+)'\s+AS\s+([\w.`]+)""" +
+      """\s+KEY\s*\(([^)]+)\)\s*;?\s*""").r
+
   /** `ANALYZE TABLE t COMPUTE STATISTICS` — the stock statement
     * (v1-only in Spark's analyzer: V2 tables throw
     * NOT_SUPPORTED_COMMAND_FOR_V2_TABLE) lowered onto
@@ -131,6 +139,12 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
             "(CSV, JSON, PARQUET)")
       }
       GraftCopyIntoCommand(cat, t, path, format, Option(pattern))
+    case ConvertRe(src, ident, cols) =>
+      val (cat, t) = graftNsTable(ident, "CONVERT TO GRAFT")
+      val keys = cols.split(',').map(_.trim)
+        .map(_.stripPrefix("`").stripSuffix("`")).mkString(";")
+      GraftCallCommand(cat, s"CALL `$cat`.sys.convert(table => '$t', " +
+        s"source => '$src', keys => '$keys')")
     case AnalyzeRe(ident) if graftTarget(parts(ident)).isDefined =>
       val (cat, t) = graftNsTable(ident, "ANALYZE TABLE")
       GraftCallCommand(cat, s"CALL `$cat`.sys.analyze(table => '$t')")

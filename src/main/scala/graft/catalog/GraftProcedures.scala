@@ -35,7 +35,8 @@ object GraftProcedures {
 
   val Names: Seq[String] =
     Seq("load_csv", "compact", "cluster", "stats", "vacuum", "manifest",
-      "fold", "history", "restore", "analyze", "split", "merge", "clone")
+      "fold", "history", "restore", "analyze", "split", "merge", "clone",
+      "convert")
 
   def load(catalogName: String, ident: Identifier): UnboundProcedure = {
     require(ident.namespace.isEmpty ||
@@ -56,6 +57,7 @@ object GraftProcedures {
       case "split" => new SplitProcedure(catalogName)
       case "merge" => new MergeProcedure(catalogName)
       case "clone" => new CloneProcedure(catalogName)
+      case "convert" => new ConvertProcedure(catalogName)
       case other => throw new IllegalArgumentException(
         s"unknown graft procedure $other; available: ${Names.mkString(", ")}")
     }
@@ -242,6 +244,45 @@ object GraftProcedures {
           Collections.singletonList(LocalRowsScan(
             Array("regions_updated", "stat_columns"),
             Seq(Seq(updated.toString, cols.toString))): Scan).iterator()
+        }
+      }
+  }
+
+  /** `CALL graft.sys.convert(table => 'ns.t', source => '<dir>',
+    * keys => 'k1;k2')` — onboard an existing parquet directory as a
+    * graft table ([[GraftConvert]]): key-sorted files hard-link in as
+    * regions with exact bounds + ColStats (zero-copy); unsorted files
+    * rewrite through the normal sorted bulk load. Returns one row per
+    * source file with its disposition. */
+  final class ConvertProcedure(catalogName: String)
+      extends UnboundProcedure {
+    override def name(): String = "convert"
+    override def description(): String =
+      "convert a parquet directory into a graft table (sorted files " +
+        "link zero-copy; unsorted files rewrite sorted)"
+    override def bind(inputType: StructType): BoundProcedure =
+      new BoundProcedure {
+        override def name(): String = "convert"
+        override def description(): String =
+          ConvertProcedure.this.description()
+        override def isDeterministic: Boolean = false
+        override def parameters(): Array[ProcedureParameter] = Array(
+          ProcedureParameter.in("table", StringType)
+            .comment("'<namespace>.<table>' to create").build(),
+          ProcedureParameter.in("source", StringType)
+            .comment("directory (or single file) of parquet files").build(),
+          ProcedureParameter.in("keys", StringType)
+            .comment("';'-separated key columns").build())
+        override def call(input: InternalRow): java.util.Iterator[Scan] = {
+          val report = GraftConvert.convert(
+            org.apache.spark.sql.SparkSession.active, catalogName,
+            input.getUTF8String(0).toString,
+            input.getUTF8String(1).toString,
+            input.getUTF8String(2).toString.split(';').map(_.trim).toSeq)
+          Collections.singletonList(LocalRowsScan(
+            Array("file", "status", "rows"),
+            report.map { case (f, st, n) => Seq(f, st, n.toString) })
+            : Scan).iterator()
         }
       }
   }

@@ -891,6 +891,36 @@ object CatalogQueries {
       fqn
     })
 
+  /** Customer adopted via `CALL graft.sys.convert` — the migration
+    * path: the provided parquet file becomes a region WITHOUT a
+    * rewrite when key-sorted (hard link + scanned-exact bounds/stats),
+    * or takes the sorted bulk load when not. Either way the answers
+    * are layout-independent, which is what the driver oracle checks
+    * (GraftConvertSpec proves the link/rewrite/pruning mechanics). */
+  private val builtConv = scala.collection.concurrent.TrieMap[String, String]()
+  private def customerConvTable(s: SparkSession, d: String): String =
+    builtConv.getOrElseUpdate(d, {
+      sfNamespace(s, d)
+      val ns = s"sf_${math.abs(d.hashCode)}"
+      val fqn = s"graft.$ns.customer_conv_t"
+      val srcCount = s.read.parquet(s"$d/customer.parquet").count()
+      if (!trusted(s, ns, "customer_conv_t", srcCount)) {
+        s.sql(s"DROP TABLE IF EXISTS $fqn")
+        s.sql(s"CALL graft.sys.convert(table => '$ns.customer_conv_t', " +
+          s"source => '$d/customer.parquet', keys => 'c_custkey')")
+      }
+      fqn
+    })
+
+  /** Range + aggregation over the converted table — exercises the
+    * scanned-in bounds (range pruning) and stats of adopted regions. */
+  val convertAgg: Q = (s, d) => s.sql(
+    s"""SELECT c_nationkey, count(*) AS n_cust,
+       |       round(sum(c_acctbal), 2) AS bal
+       |FROM ${customerConvTable(s, d)}
+       |WHERE c_custkey BETWEEN 100 AND 900
+       |GROUP BY c_nationkey""".stripMargin)
+
   /** Orders clustered Z-ORDER by (o_orderdate, o_totalprice) via
     * `CALL graft.sys.cluster`: region stats bound BOTH non-key
     * dimensions at once, so a date+price band prunes regions the
@@ -1375,6 +1405,7 @@ object CatalogQueries {
     "catalog_skipscan" -> skipScan,
     "catalog_stats_skip" -> statsSkip,
     "catalog_zorder" -> zorderAgg,
+    "catalog_convert" -> convertAgg,
     "catalog_split" -> splitAgg,
     "catalog_region_merge" -> mergeRegionsAgg,
     "catalog_bloom_lookup" -> bloomLookup,
@@ -1446,6 +1477,15 @@ object CatalogQueries {
         |WHERE o_orderdate BETWEEN DATE'1996-03-01' AND DATE'1996-06-30'
         |  AND o_totalprice BETWEEN 50000 AND 150000
         |GROUP BY o_orderstatus""".stripMargin,
+
+    // layout-independence: the converted (hard-linked or rewritten)
+    // store must return exactly what the raw parquet returns
+    "catalog_convert" ->
+      """SELECT c_nationkey, count(*) AS n_cust,
+        |       round(sum(c_acctbal), 2) AS bal
+        |FROM customer
+        |WHERE c_custkey BETWEEN 100 AND 900
+        |GROUP BY c_nationkey""".stripMargin,
 
     // layout-independence again: the split store must return exactly
     // what the raw parquet returns
