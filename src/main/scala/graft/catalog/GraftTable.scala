@@ -92,7 +92,8 @@ class GraftTable(tableName: String, val tableDir: File, val meta: TableMeta,
       java.util.EnumSet.of(TableCapability.BATCH_READ)
     else java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.MICRO_BATCH_READ,
-      TableCapability.STREAMING_WRITE)
+      TableCapability.STREAMING_WRITE, TableCapability.TRUNCATE,
+      TableCapability.OVERWRITE_BY_FILTER)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     // `changesFromVersion` CDC reads ride the same pinned-region seam

@@ -28,9 +28,26 @@ import graft.codec.KeyCodec
   * are structurally non-null, SURVEY §1.2).
   */
 class GraftWriteBuilder(tableDir: File, meta: TableMeta,
-    info: LogicalWriteInfo) extends WriteBuilder {
+    info: LogicalWriteInfo) extends WriteBuilder
+    with org.apache.spark.sql.connector.write.SupportsOverwrite {
+  private var truncateAll = false
+
+  /** `INSERT OVERWRITE` / `df.writeTo(t).overwrite(lit(true))`: the
+    * whole-table overwrite is an atomic truncate-swap commit
+    * ([[TableMeta.overwriteRegions]]). Filtered overwrites are
+    * refused — the row-level path (DELETE/UPDATE/MERGE) covers
+    * predicate rewrites with region-exact granularity. */
+  override def truncate(): WriteBuilder = { truncateAll = true; this }
+  override def overwrite(filters: Array[org.apache.spark.sql.sources.Filter])
+      : WriteBuilder =
+    if (filters.forall(_.isInstanceOf[org.apache.spark.sql.sources.AlwaysTrue]))
+      truncate()
+    else throw new UnsupportedOperationException(
+      "graft: INSERT OVERWRITE with a predicate is not supported; " +
+        "use DELETE + INSERT, or MERGE INTO")
+
   override def build(): Write = new GraftWrite(tableDir, meta, info.queryId,
-    Option(info.options.get(GraftWrite.CopyKeysOption)))
+    Option(info.options.get(GraftWrite.CopyKeysOption)), truncateAll)
 }
 
 object GraftWrite {
@@ -61,7 +78,7 @@ private[catalog] object GraftWriteOrdering {
 }
 
 class GraftWrite(tableDir: File, meta: TableMeta, queryId: String,
-    copyKeys: Option[String] = None)
+    copyKeys: Option[String] = None, truncateAll: Boolean = false)
     extends Write with RequiresDistributionAndOrdering {
 
   override def requiredDistribution(): Distribution =
@@ -71,11 +88,13 @@ class GraftWrite(tableDir: File, meta: TableMeta, queryId: String,
   override def requiredNumPartitions(): Int =
     meta.properties.get(TableMeta.NumRegionsProp).map(_.toInt).getOrElse(0)
 
-  override def toBatch: BatchWrite = copyKeys match {
-    case Some(keys) =>
-      new GraftCopyBatchWrite(tableDir, meta, keys.split(',').toSeq)
-    case None => new GraftBatchWrite(tableDir, meta)
-  }
+  override def toBatch: BatchWrite =
+    if (truncateAll) new GraftTruncateBatchWrite(tableDir, meta)
+    else copyKeys match {
+      case Some(keys) =>
+        new GraftCopyBatchWrite(tableDir, meta, keys.split(',').toSeq)
+      case None => new GraftBatchWrite(tableDir, meta)
+    }
 
   /** Native streaming sink (`df.writeStream.toTable("graft.ns.t")`):
     * each micro-batch runs the same range-shuffled sorted region write,
@@ -84,8 +103,12 @@ class GraftWrite(tableDir: File, meta: TableMeta, queryId: String,
     * commits nothing twice (effectively exactly-once). This supersedes
     * the foreachBatch recipe (which remains valid). */
   override def toStreaming
-      : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+      : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+    if (truncateAll) throw new UnsupportedOperationException(
+      "graft streaming sink supports Append output mode only " +
+        "(Complete mode would overwrite the table every epoch)")
     new GraftStreamingWrite(tableDir, meta, queryId)
+  }
 }
 
 final case class RegionCommit(file: String, rows: Long,
@@ -170,6 +193,21 @@ class GraftBatchWrite(tableDir: File, meta: TableMeta) extends BatchWrite {
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     GraftCommits.deleteFiles(tableDir, messages)
+}
+
+/** INSERT OVERWRITE's batch commit: the new regions REPLACE the whole
+  * live set in one swap ([[TableMeta.overwriteRegions]] — displaced
+  * regions retire, generation bumps, readers never see a mixed
+  * state). */
+class GraftTruncateBatchWrite(tableDir: File, meta: TableMeta)
+    extends GraftBatchWrite(tableDir, meta) {
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    TableMeta.overwriteRegions(tableDir,
+      GraftCommits.withBlockHosts(tableDir,
+        GraftCommits.toRegions(GraftCommits.commits(messages))))
+    GraftSplit.maybeAutoSplit(
+      org.apache.spark.sql.SparkSession.active, tableDir, meta)
+  }
 }
 
 /** COPY INTO's batch commit: the region append and the per-file

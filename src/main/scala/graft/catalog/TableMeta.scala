@@ -883,6 +883,28 @@ object TableMeta {
   def ledgerKeys(tableDir: File): Set[String] =
     loadLoaded(tableDir).state.epochs.keySet
 
+  /** INSERT OVERWRITE's commit: atomically replace the entire live
+    * region set with `added`. Mirrors compaction's swap discipline —
+    * the displaced regions RETIRE (files kept one cycle for in-flight
+    * readers and vacuum), the previous retired set ages out, the
+    * generation bumps so tailing streams fail loudly instead of
+    * mis-slicing, and the epoch ledger + id counter carry forward
+    * (old ids are never re-served — a batch CDC range across the
+    * overwrite therefore delivers exactly the NEW rows as appends,
+    * the displaced rows being a delete CDC never delivers, consistent
+    * with the DELETE contract). One swap segment
+    * CAS'd at the view's seq: a commit that landed since the view
+    * surfaces as a lost race, not a clobber. */
+  def overwriteRegions(tableDir: File, added: Seq[RegionMeta]): Unit =
+    withManifestLock(tableDir) {
+      val (cur, viewSeq) = commitView(tableDir)
+      val (rs, next) = stamped(added.map(_.copy(id = 0L)), cur.nextId)
+      saveStateAt(tableDir, viewSeq, ManifestState(
+        cur.gen + 1, rs, cur.epochs, cur.regions, next),
+        op = "overwrite")
+      evictManifestCache(tableDir)
+    }
+
   // ------------------------------------------------------- time travel
 
   /** The table's current version — the seq of its newest commit. Every

@@ -921,6 +921,47 @@ object CatalogQueries {
        |WHERE c_custkey BETWEEN 100 AND 900
        |GROUP BY c_nationkey""".stripMargin)
 
+  /** Orders built by INSERTing a deliberately wrong slice (even keys
+    * only) and then `INSERT OVERWRITE`-ing the true one — the driver
+    * oracle over the raw parquet proves the overwrite REPLACED the
+    * stale contents atomically rather than appending to them. */
+  private val builtOw = scala.collection.concurrent.TrieMap[String, String]()
+  private def ordersOwTable(s: SparkSession, d: String): String =
+    builtOw.getOrElseUpdate(d, {
+      sfNamespace(s, d)
+      val ns = s"sf_${math.abs(d.hashCode)}"
+      val fqn = s"graft.$ns.orders_ow_t"
+      val srcCount = s.read.parquet(s"$d/orders.parquet").count()
+      if (!trusted(s, ns, "orders_ow_t", srcCount)) {
+        s.sql(
+          s"""CREATE TABLE $fqn (
+             |  o_orderkey BIGINT, o_orderstatus STRING,
+             |  o_totalprice DOUBLE, o_orderdate DATE)
+             |TBLPROPERTIES('keyCols'='o_orderkey', 'numRegions'='4')"""
+            .stripMargin)
+        val v = s"ow_cat_src_${math.abs(d.hashCode)}"
+        s.read.parquet(s"$d/orders.parquet").createOrReplaceTempView(v)
+        s.sql(
+          s"""INSERT INTO $fqn
+             |SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate
+             |FROM $v WHERE o_orderkey % 2 = 0""".stripMargin)
+        s.sql(
+          s"""INSERT OVERWRITE $fqn
+             |SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate
+             |FROM $v""".stripMargin)
+      }
+      fqn
+    })
+
+  /** Aggregation over the overwritten store — stale-slice rows
+    * surviving the swap would flip every group. */
+  val overwriteAgg: Q = (s, d) => s.sql(
+    s"""SELECT o_orderstatus, count(*) AS cnt,
+       |       round(sum(o_totalprice), 2) AS total
+       |FROM ${ordersOwTable(s, d)}
+       |WHERE o_orderdate >= DATE'1995-06-01'
+       |GROUP BY o_orderstatus""".stripMargin)
+
   /** Orders clustered Z-ORDER by (o_orderdate, o_totalprice) via
     * `CALL graft.sys.cluster`: region stats bound BOTH non-key
     * dimensions at once, so a date+price band prunes regions the
@@ -1406,6 +1447,7 @@ object CatalogQueries {
     "catalog_stats_skip" -> statsSkip,
     "catalog_zorder" -> zorderAgg,
     "catalog_convert" -> convertAgg,
+    "catalog_overwrite" -> overwriteAgg,
     "catalog_split" -> splitAgg,
     "catalog_region_merge" -> mergeRegionsAgg,
     "catalog_bloom_lookup" -> bloomLookup,
@@ -1476,6 +1518,16 @@ object CatalogQueries {
         |FROM orders
         |WHERE o_orderdate BETWEEN DATE'1996-03-01' AND DATE'1996-06-30'
         |  AND o_totalprice BETWEEN 50000 AND 150000
+        |GROUP BY o_orderstatus""".stripMargin,
+
+    // contents-independence: after the truncate-swap the store must
+    // hold exactly the raw parquet rows (stale pre-overwrite rows
+    // would flip every group)
+    "catalog_overwrite" ->
+      """SELECT o_orderstatus, count(*) AS cnt,
+        |       round(sum(o_totalprice), 2) AS total
+        |FROM orders
+        |WHERE o_orderdate >= DATE'1995-06-01'
         |GROUP BY o_orderstatus""".stripMargin,
 
     // layout-independence: the converted (hard-linked or rewritten)
