@@ -1080,27 +1080,27 @@ object TextOps {
     * share.
     *
     * Scale shape: the clustering is one map-side expression over a
-    * precomputed vector stage; the representative election is a
-    * groupBy on the bucket key; the verify join touches each document
-    * ONCE (member → its single representative, broadcast — the reps
-    * table is #buckets-sized, not corpus-sized). Nothing here is
-    * all-pairs: at 100 TB the per-cluster work is linear in cluster
-    * population, the SemDeDup property that makes it affordable where
-    * exact pairwise dedup is not. */
+    * precomputed vector stage, and the representative election + the
+    * member→representative cosine verify are ONE window over the
+    * bucket key (`min`/`min_by` as window aggregates) — a single
+    * shuffle that touches each document once, with the vector stage
+    * evaluated once (the previous groupBy-then-two-broadcast-joins
+    * shape re-derived it three times and paid three stages for the
+    * same answer). Nothing here is all-pairs: at 100 TB the
+    * per-cluster work is linear in cluster population, the SemDeDup
+    * property that makes it affordable where exact pairwise dedup is
+    * not. */
   def semanticDedup(vecs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val bucketCol = (0 until SemPlanes).map { p =>
       when(VectorOps.dotLong(col("vec"), typedLit(semPlaneSigns(p))) > 0,
         lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
-    val withBucket = fanOut(vecs).withColumn("bucket", bucketCol)
-    val reps = withBucket.groupBy(col("bucket"))
-      .agg(min(col("doc_id")).as("rep_id"))
-    val repVecs = withBucket
-      .join(broadcast(reps), withBucket("doc_id") === reps("rep_id"))
-      .select(col("rep_id"), col("vec").as("rvec"), col("n2").as("rn2"))
-    withBucket
-      .join(broadcast(reps), "bucket")
-      .join(broadcast(repVecs), "rep_id")
+    val w = Window.partitionBy("bucket")
+    vecs.withColumn("bucket", bucketCol)
+      .withColumn("rep_id", min(col("doc_id")).over(w))
+      .withColumn("rvec", expr("min_by(vec, doc_id)").over(w))
+      .withColumn("rn2", expr("min_by(n2, doc_id)").over(w))
       .withColumn("dot", VectorOps.dotLong(col("vec"), col("rvec")))
       .select(col("doc_id"), col("bucket"), col("rep_id"),
         (col("doc_id") === col("rep_id") ||
@@ -1137,9 +1137,12 @@ object TextOps {
   def similarityJoin(docsDf: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val base = docsDf.withColumn("ws", wordsCol)
+    // corpus side explodes WITHOUT array_distinct: distinct-by-equality
+    // over ~200 string shingles per document is quadratic per row, and
+    // the duplicates are cheaper to fold AFTER the probe join (which
+    // keeps only probe-matching shingles) as a count(DISTINCT s).
     val corpusSh = base
-      .select(col("doc_id"),
-        explode(expr(s"array_distinct(${shinglesOf("ws")})")).as("s"))
+      .select(col("doc_id"), explode(expr(shinglesOf("ws"))).as("s"))
     val probes = base.filter(col("doc_id") % 37 === 0)
       .withColumn("pws", expr("slice(ws, 1, 8)"))
       .select(col("doc_id").as("probe_id"),
@@ -1150,7 +1153,7 @@ object TextOps {
     val scored = corpusSh
       .join(broadcast(probeSh), "s")
       .groupBy(col("probe_id"), col("doc_id"), col("n_psh"))
-      .agg(count(lit(1)).as("shared"))
+      .agg(countDistinct(col("s")).as("shared"))
       .withColumn("c_raw", col("shared") / col("n_psh"))
       .filter(col("c_raw") >= 0.5)
     scored
