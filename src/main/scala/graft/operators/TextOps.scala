@@ -410,6 +410,63 @@ object TextOps {
                  |  x -> x.line)""".stripMargin))).as("kept_fp"))
   }
 
+  // --------------------------------------------- exact substring dedup
+
+  /** Exact substring dedup (Lee et al. 2022, arXiv:2107.06499 —
+    * "Deduplicating Training Data Makes Language Models Better",
+    * re-expressed): find, per document, every maximal token span all
+    * of whose `W`-token windows occur ≥2 times corpus-wide — the
+    * spans the paper's suffix-array pass would excise. A suffix array
+    * is a single-machine structure; the distributed equivalent is the
+    * rolling W-token window: a repeated substring of length ≥ W is
+    * exactly a run of consecutive duplicated windows, so maximal
+    * duplicated spans fall out of a consecutive-run merge (the
+    * `pos - row_number()` grouping trick) with no global index.
+    *
+    * Shape at scale: explode to (doc, pos, window-FINGERPRINT) — the
+    * window text reduces map-side to an 8-byte xxhash64, so the ONE
+    * shuffle for the corpus-wide occurrence count moves fingerprints,
+    * not 15-token strings (immaterial at sf0.1's 200k windows — the
+    * query is scheduling-floor-bound there — but it is the difference
+    * between shuffling 8 B and ~100 B per window at corpus scale; a
+    * 64-bit collision would need ~2³² distinct windows in one corpus
+    * to become likely, and the sf0.01 oracle counts the true strings,
+    * so a collision cannot hide) → ONE shuffle on doc_id for the run
+    * merge. No suffix array, no all-pairs, no driver state; the
+    * fingerprints shard uniformly. Output is the per-document
+    * accounting (span count, duplicated-token mass, fraction), exact
+    * DuckDB oracle. */
+  val dedupSubstring: Q = (s, d) => substringDedup(docs(s, d))
+
+  private val SubW = 15
+
+  def substringDedup(docsDf: DataFrame, w: Int = SubW): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wins = docsDf
+      .withColumn("ws", wordsCol)
+      .filter(size(col("ws")) >= w)
+      .select(col("doc_id"), size(col("ws")).cast("long").as("n_toks"),
+        posexplode(expr(
+          s"""transform(sequence(0, size(ws) - $w),
+             |          j -> xxhash64(concat_ws(' ', slice(ws, j + 1, $w))))"""
+            .stripMargin)).as(Seq("pos", "wh")))
+    val dup = wins
+      .withColumn("n_occ", count(lit(1)).over(Window.partitionBy("wh")))
+      .filter(col("n_occ") >= 2)
+    dup
+      .withColumn("grp", col("pos") -
+        row_number().over(Window.partitionBy("doc_id").orderBy("pos")))
+      .groupBy(col("doc_id"), col("n_toks"), col("grp"))
+      .agg(min(col("pos")).as("s"), (max(col("pos")) + lit(w - 1)).as("e"))
+      .groupBy(col("doc_id"), col("n_toks"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("e") - col("s") + 1).as("dup_tokens"))
+      .select(col("doc_id"), col("n_toks"), col("n_spans"),
+        col("dup_tokens"),
+        round(col("dup_tokens") / col("n_toks").cast("double"), 4)
+          .as("dup_frac"))
+  }
+
   // ------------------------------------------------- vocabulary / mixture
 
   /** Vocabulary induction: the corpus's top-100 words by frequency
@@ -1199,6 +1256,7 @@ object TextOps {
     "pipeline_mix" -> domainMix,
     "pipeline_full" -> pipelineFull,
     "dedup_lines" -> dedupLines,
+    "dedup_substring" -> dedupSubstring,
     "pipeline_split" -> trainValTest,
     "text_classifier" -> textClassifier,
     "dedup_semantic" -> dedupSemantic,
@@ -1563,6 +1621,36 @@ object TextOps {
         |         '')) AS kept_fp
         |FROM l JOIN c USING (line)
         |GROUP BY doc_id""".stripMargin,
+
+    // substring-dedup recompute: same W=15 rolling windows (1-based
+    // inclusive list slice vs Spark's 0-based slice — the per-doc
+    // span masses are base-independent), same >=2 corpus-wide rule,
+    // same consecutive-run merge via pos - row_number()
+    "dedup_substring" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |           FROM documents),
+        |w AS (SELECT doc_id, ws, len(ws) AS n_toks,
+        |             unnest(range(1, len(ws) - 13)) AS pos
+        |      FROM t WHERE len(ws) >= 15),
+        |win AS (SELECT doc_id, n_toks, pos,
+        |               array_to_string(ws[pos : pos + 14], ' ') AS win
+        |        FROM w),
+        |c AS (SELECT win, count(*) AS n_occ FROM win GROUP BY win),
+        |d AS (SELECT doc_id, n_toks, pos
+        |      FROM win JOIN c USING (win) WHERE n_occ >= 2),
+        |r AS (SELECT doc_id, n_toks, pos,
+        |             pos - row_number()
+        |               OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        |      FROM d),
+        |sp AS (SELECT doc_id, n_toks, grp,
+        |              min(pos) AS s, max(pos) + 14 AS e
+        |       FROM r GROUP BY 1, 2, 3)
+        |SELECT doc_id, CAST(n_toks AS BIGINT) AS n_toks,
+        |       count(*) AS n_spans,
+        |       CAST(sum(e - s + 1) AS BIGINT) AS dup_tokens,
+        |       round(sum(e - s + 1) / CAST(n_toks AS DOUBLE), 4)
+        |         AS dup_frac
+        |FROM sp GROUP BY doc_id, n_toks""".stripMargin,
 
     // the (cnt DESC, word ASC) order is total, so the top-100 cut is
     // deterministic in both engines

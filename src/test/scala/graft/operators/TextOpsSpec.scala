@@ -476,4 +476,30 @@ class TextOpsSpec extends AnyFunSuite {
     // the md5-derived weights are sign-balanced, so both classes occur
     assert(got.values.exists(_._3) && got.values.exists(!_._3))
   }
+
+  test("substring dedup merges consecutive duplicated windows into " +
+      "maximal spans") {
+    import spark.implicits._
+    // W=3 windows. Docs 1 and 2 share the 5-token run "p q r s t"
+    // (positions 0-2 of doc 1's windows -> one maximal span of 5
+    // tokens) and doc 1 additionally shares "u v w" with doc 3 at its
+    // tail, SEPARATED from the first span by the unique token 'x1' ->
+    // two distinct spans in doc 1, one each in docs 2 and 3. Doc 4 is
+    // all-unique -> absent from the output.
+    val crafted = Seq(
+      (1L, "p q r s t x1 u v w"),
+      (2L, "a1 p q r s t b1 c1 d1"),
+      (3L, "u v w e1 f1 g1 h1 i1 j1"),
+      (4L, "k1 l1 m1 n1 o1 q1 r1 s1 t1"))
+      .toDF("doc_id", "text")
+    val got = TextOps.substringDedup(crafted, w = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toMap
+    // doc 1: 9 tokens, spans [p..t]=5 toks + [u..w]=3 toks
+    assert(got(1L) == ((9L, 2L, 8L, 0.8889)))
+    assert(got(2L) == ((9L, 1L, 5L, 0.5556)))
+    assert(got(3L) == ((9L, 1L, 3L, 0.3333)))
+    assert(!got.contains(4L))
+  }
 }
