@@ -486,6 +486,36 @@ object TextOps {
       .orderBy(col("cnt").desc, col("w").asc)
       .limit(100)
 
+  /** BPE seed statistics (Sennrich et al. 2016, arXiv:1508.07909 §3):
+    * the corpus-wide adjacent character-pair counts that drive the
+    * FIRST merge decision of byte-pair-encoding tokenizer training —
+    * pair count = Σ over distinct words of (occurrences inside the
+    * word × the word's corpus frequency), exactly the statistic the
+    * reference algorithm recomputes per merge round. Together with
+    * [[vocabTop]] this is the tokenizer-training face of the corpus
+    * engine: the expensive part of BPE at 100 TB is exactly this
+    * aggregation, re-run per merge over the (tiny) updated symbol
+    * vocabulary, never over the corpus again. Shape at scale: word
+    * explode → hash agg (map-side combine; WORD cardinality crosses
+    * the wire, not token count) → pair explode over the distinct-word
+    * table (vocabulary-sized, corpus-independent) → second hash agg →
+    * top-k. Exact DuckDB oracle. */
+  val bpePairs: Q = (s, d) => {
+    val wf = docs(s, d)
+      .select(explode(wordsCol).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("wcnt"))
+    wf.filter(length(col("w")) >= 2)
+      .select(col("w"), col("wcnt"),
+        explode(expr(
+          "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+          .as("pair"))
+      .groupBy(col("pair"))
+      .agg(sum(col("wcnt")).as("cnt"), countDistinct(col("w")).as("n_words"))
+      .orderBy(col("cnt").desc, col("pair").asc)
+      .limit(20)
+  }
+
   /** Domain-mixture weighting: per-source token share and the
     * resampling weight that flattens the mixture to uniform — the
     * calculation a corpus build runs to set per-domain sampling rates
@@ -1245,6 +1275,7 @@ object TextOps {
     "ann_cosine_pairs" -> annCosinePairs,
     "ann_lsh" -> annLsh,
     "ann_ivf_topk" -> annIvfTopk,
+    "ann_pq_topk" -> ((s, d) => PqIndex.topk(s, d)),
     "text_ngram_jaccard" -> ngramJaccardPairs,
     "text_pii_scrub" -> piiScrub,
     "dedup_simhash_pairs" -> ((s, d) =>
@@ -1253,6 +1284,7 @@ object TextOps {
     "text_repetition" -> textRepetition,
     "dedup_decontaminate" -> decontaminate,
     "text_vocab" -> vocabTop,
+    "text_bpe" -> bpePairs,
     "pipeline_mix" -> domainMix,
     "pipeline_full" -> pipelineFull,
     "dedup_lines" -> dedupLines,
@@ -1651,6 +1683,22 @@ object TextOps {
         |       round(sum(e - s + 1) / CAST(n_toks AS DOUBLE), 4)
         |         AS dup_frac
         |FROM sp GROUP BY doc_id, n_toks""".stripMargin,
+
+    // BPE pair-count recompute: same word-frequency weighting, same
+    // char-position pair enumeration; (cnt DESC, pair ASC) is total
+    "text_bpe" ->
+      """WITH wf AS (SELECT w, count(*) AS wcnt
+        |            FROM (SELECT unnest(string_split(text, ' ')) AS w
+        |                  FROM documents)
+        |            WHERE w <> '' GROUP BY w),
+        |p AS (SELECT w, wcnt,
+        |             substr(w, CAST(unnest(range(1, length(w))) AS INT), 2)
+        |               AS pair
+        |      FROM wf WHERE length(w) >= 2)
+        |SELECT pair, CAST(sum(wcnt) AS BIGINT) AS cnt,
+        |       count(DISTINCT w) AS n_words
+        |FROM p GROUP BY pair
+        |ORDER BY cnt DESC, pair ASC LIMIT 20""".stripMargin,
 
     // the (cnt DESC, word ASC) order is total, so the top-100 cut is
     // deterministic in both engines

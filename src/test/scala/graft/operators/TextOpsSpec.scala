@@ -152,6 +152,36 @@ class TextOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("PQ (ADC + exact re-rank) recall@10 >= 0.9 with both index " +
+      "artifacts persisted as catalog tables") {
+    val pq = TextOps.queries("ann_pq_topk")(spark, TestSpark.sfDir)
+      .collect().map(_.getLong(0)).toSet
+    assert(pq.size == 10)
+    val exact = TextOps.annCosineTopk(spark, TestSpark.sfDir).collect()
+      .take(10).map(_.getLong(0)).toSet
+    val recall = pq.intersect(exact).size / 10.0
+    info(f"PQ recall@10 = $recall%.2f (re-rank depth ${PqIndex.Rerank})")
+    assert(recall >= 0.9,
+      s"PQ recall@10 $recall < 0.9 (pq=$pq exact=$exact)")
+    // codebook artifact: M*K2 codewords of SubDim floats
+    val cb = spark.table(
+      PqIndex.codebookTable(spark, TestSpark.sfDir)).collect()
+    assert(cb.length == PqIndex.M * PqIndex.K2)
+    assert(cb.forall(_.getSeq[Float](2).length == PqIndex.SubDim))
+    // code artifact: one M-code row per vector, every code in [0, K2)
+    val codes = spark.table(
+      PqIndex.codesTable(spark, TestSpark.sfDir)).collect()
+    val nVec = spark.read
+      .parquet(s"${TestSpark.sfDir}/embeddings.parquet").count()
+    assert(codes.length == nVec)
+    assert(codes.forall(_.getSeq[Int](1)
+      .forall(c => c >= 0 && c < PqIndex.K2)))
+    // determinism: a second run reproduces the same ranking
+    val again = TextOps.queries("ann_pq_topk")(spark, TestSpark.sfDir)
+      .collect().map(_.getLong(0)).toSet
+    assert(again == pq)
+  }
+
   test("identical vectors always share an LSH bucket") {
     val buckets = TextOps.annLshBuckets(spark, TestSpark.sfDir)
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
