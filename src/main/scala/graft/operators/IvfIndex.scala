@@ -60,7 +60,7 @@ object IvfIndex {
     }: _*)).getField("c")
 
   /** One assignment pass: vec → nearest centroid id. */
-  private def assign(vn: DataFrame,
+  private[operators] def assign(vn: DataFrame,
       cents: Seq[(Int, Seq[Float])]): DataFrame =
     vn.withColumn("cid", argmaxCid(cents))
 

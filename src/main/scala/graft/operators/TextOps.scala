@@ -1276,6 +1276,7 @@ object TextOps {
     "ann_lsh" -> annLsh,
     "ann_ivf_topk" -> annIvfTopk,
     "ann_pq_topk" -> ((s, d) => PqIndex.topk(s, d)),
+    "ann_ivfpq_topk" -> ((s, d) => PqIndex.ivfpqTopk(s, d)),
     "text_ngram_jaccard" -> ngramJaccardPairs,
     "text_pii_scrub" -> piiScrub,
     "dedup_simhash_pairs" -> ((s, d) =>

@@ -215,6 +215,39 @@ class CatalogVectorSpec extends AnyFunSuite {
         s"scan has $nParts partitions")
   }
 
+  test("IVFPQ: probe prunes regions of the code table; recall@10 >= 0.9") {
+    val d = TestSpark.sfDir
+    val ivfpq = graft.operators.PqIndex.ivfpqTopk(spark, d)
+    val got = ivfpq.collect().map(_.getLong(0)).toSet
+    assert(got.size == 10)
+    val exact = graft.operators.TextOps.annCosineTopk(spark, d)
+      .collect().take(10).map(_.getLong(0)).toSet
+    val recall = got.intersect(exact).size / 10.0
+    info(f"IVFPQ recall@10 = $recall%.2f")
+    assert(recall >= 0.9,
+      s"IVFPQ recall@10 $recall < 0.9 (got=$got exact=$exact)")
+    // the composed layout prunes at the storage layer: the ADC scan
+    // opens at most NProbe of the K one-region cells (asserted on the
+    // probed slice itself — the final plan hides it in the re-rank
+    // join's broadcast subtree)
+    val probed = graft.operators.PqIndex.probedCodes(spark, d)
+    probed.collect()
+    def findScan(p: org.apache.spark.sql.execution.SparkPlan)
+        : Option[BatchScanExec] = p match {
+      case b: BatchScanExec => Some(b)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        findScan(q.plan)
+      case other => other.children.iterator.flatMap(findScan(_)).nextOption()
+    }
+    val scan = findScan(probed.queryExecution.executedPlan).get
+    val nParts = scan.inputRDD.getNumPartitions
+    assert(nParts <= graft.operators.IvfIndex.NProbe,
+      s"expected <= ${graft.operators.IvfIndex.NProbe} probed regions, " +
+        s"scan has $nParts partitions")
+    // and every probed row is the 8-B-logical code, not the raw vector
+    assert(probed.schema.fieldNames.toSet == Set("cid", "vec_id", "code"))
+  }
+
   test("store-backed MinHash candidate pairs match the parquet twin") {
     val d = TestSpark.sfDir
     val fromStore = graft.operators.CatalogQueries
