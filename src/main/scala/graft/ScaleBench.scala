@@ -109,6 +109,16 @@ object ScaleBench {
     TextOps.minhashVerifiedPairs(
       s.read.parquet(s"$d/documents.parquet"), idBound = None)
 
+  /** Exact substring dedup shares NearDup's constraint: byte-identical
+    * replicas would make EVERY W-token window corpus-duplicated (count
+    * ≥ factor), so the amplified dir measures a replication artifact,
+    * not the pipeline. Measured on the natural sf0.01 → sf0.1 corpora
+    * instead — window count grows ~10×, so the fingerprint shuffle and
+    * run merge should grow ~linearly. */
+  private val SubstringDedup: (SparkSession, String) => DataFrame =
+    (s, d) => TextOps.substringDedup(
+      s.read.parquet(s"$d/documents.parquet"))
+
   private def queriesFor(): Seq[(String, (SparkSession, String) => DataFrame)] =
     Heavy.map(n => n -> SparkEntry.queries(n))
 
@@ -161,14 +171,14 @@ object ScaleBench {
     val scaled = emit(s"x$factor", workDir)
     // near-dup curve on driver corpora (see NearDup); one timed run —
     // the pipeline is tens of seconds, contention noise is <10% there
-    val ndQ = Seq("dedup_minhash_full" -> NearDup)
+    val ndQ = Seq("dedup_minhash_full" -> NearDup,
+      "dedup_substring_full" -> SubstringDedup)
     val smallDir = srcDir.replace("sf0.1", "sf0.01")
     val ndBase = emit("neardup_base", smallDir, 1, ndQ)
     val ndBig = emit("neardup_x10", srcDir, 1, ndQ)
     val all = (base.keys.map(k =>
         k -> (base(k), scaled(k))) ++
-      Iterable("dedup_minhash_full" ->
-        (ndBase("dedup_minhash_full"), ndBig("dedup_minhash_full"))))
+      ndQ.map { case (k, _) => k -> (ndBase(k), ndBig(k)) })
       .toMap
     val ratios = all.keys.toSeq.sorted.map { k =>
       val (b, s2) = all(k)

@@ -536,6 +536,50 @@ object TextOps {
           col("tokens").cast("double"), 6).as("uniform_weight"))
   }
 
+  /** N-gram LM perplexity quality scoring (the CCNet recipe,
+    * Wenzek et al. 2020, arXiv:1911.00359 §3.3, with the 5-gram KenLM
+    * replaced by a corpus-trained add-one-smoothed bigram model —
+    * deterministic and exactly recomputable, so the oracle is exact):
+    * per document, the mean negative log-likelihood and perplexity of
+    * its word bigrams under P(w2|w1) = (c(w1,w2)+1) / (c(w1·)+V),
+    * where c(w1·) is w1's context count and V the context vocabulary.
+    * Low perplexity = the document looks like the corpus (CCNet keeps
+    * the low-ppl head/middle); `keep` flags avg_nll < 8. Shape at
+    * scale: bigram explode → hash agg for the model (map-side combine;
+    * BIGRAM cardinality crosses the wire, not token count), context
+    * counts by a window over the vocabulary-sized model table, V as a
+    * broadcast scalar, then ONE shuffle join of doc-bigrams against
+    * the model keyed by bigram and a final doc_id agg. No driver
+    * state; the model table is vocabulary-bounded (Zipf: ≪ corpus),
+    * and at 100 TB the model could be persisted once and reused by
+    * every scoring pass — the join is the only per-corpus-scan cost. */
+  val textPerplexity: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val base = docs(s, d)
+      .withColumn("ws", filter(wordsCol, w => w =!= lit("")))
+      .filter(size(col("ws")) >= 2)
+    val bigrams = base.select(col("doc_id"),
+      explode(arrays_zip(
+        expr("slice(ws, 1, size(ws) - 1)").as("w1"),
+        expr("slice(ws, 2, size(ws) - 1)").as("w2"))).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val model = bigrams.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c2"))
+      .withColumn("c1", sum(col("c2")).over(Window.partitionBy("w1")))
+    val vocab = model.agg(countDistinct(col("w1")).as("v"))
+    val nll = -col("ll") / col("n_bigrams")
+    bigrams.join(model, Seq("w1", "w2"))
+      .crossJoin(broadcast(vocab))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(log((col("c2") + lit(1)).cast("double") /
+          (col("c1") + col("v")).cast("double"))).as("ll"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(nll, 4).as("avg_nll"),
+        round(exp(nll), 2).as("ppl"),
+        (round(nll, 4) < 8.0).as("keep"))
+  }
+
   // -------------------------------------------------------- n-gram Jaccard
 
   /** Exact word-set Jaccard similarity for near-dup pairs ≥ 0.9.
@@ -1286,6 +1330,7 @@ object TextOps {
     "dedup_decontaminate" -> decontaminate,
     "text_vocab" -> vocabTop,
     "text_bpe" -> bpePairs,
+    "text_perplexity" -> textPerplexity,
     "pipeline_mix" -> domainMix,
     "pipeline_full" -> pipelineFull,
     "dedup_lines" -> dedupLines,
@@ -1709,6 +1754,33 @@ object TextOps {
         |      FROM documents)
         |WHERE w <> ''
         |GROUP BY w ORDER BY cnt DESC, w ASC LIMIT 100""".stripMargin,
+
+    // same bigram model recompute: integer counts, identical
+    // (c2+1)/(c1+V) double division, ln-sum rounded to 4 decimals —
+    // the accumulated ulp drift over a few hundred terms is ~1e-12,
+    // far inside the rounding grain
+    "text_perplexity" ->
+      """WITH d AS (SELECT doc_id,
+        |                 list_filter(string_split(text, ' '),
+        |                             w -> w <> '') AS ws
+        |           FROM documents),
+        |b AS (SELECT doc_id, unnest(range(1, len(ws))) AS i, ws
+        |      FROM d WHERE len(ws) >= 2),
+        |bg AS (SELECT doc_id, ws[CAST(i AS INT)] AS w1,
+        |              ws[CAST(i AS INT) + 1] AS w2 FROM b),
+        |m AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
+        |ctx AS (SELECT w1, w2, c2,
+        |               sum(c2) OVER (PARTITION BY w1) AS c1 FROM m),
+        |v AS (SELECT count(DISTINCT w1) AS v FROM m),
+        |sc AS (SELECT bg.doc_id, count(*) AS n_bigrams,
+        |              -sum(ln((c2 + 1) / CAST(c1 + v AS DOUBLE)))
+        |                / count(*) AS nll
+        |       FROM bg JOIN ctx USING (w1, w2), v
+        |       GROUP BY 1)
+        |SELECT doc_id, n_bigrams, round(nll, 4) AS avg_nll,
+        |       round(exp(nll), 2) AS ppl,
+        |       round(nll, 4) < 8.0 AS keep
+        |FROM sc""".stripMargin,
 
     // same integer token proxy, same division order -> identical IEEE
     // doubles before the round
