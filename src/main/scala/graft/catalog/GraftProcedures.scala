@@ -36,7 +36,7 @@ object GraftProcedures {
   val Names: Seq[String] =
     Seq("load_csv", "compact", "cluster", "stats", "vacuum", "manifest",
       "fold", "history", "restore", "analyze", "split", "merge", "clone",
-      "convert")
+      "convert", "index")
 
   def load(catalogName: String, ident: Identifier): UnboundProcedure = {
     require(ident.namespace.isEmpty ||
@@ -58,6 +58,7 @@ object GraftProcedures {
       case "merge" => new MergeProcedure(catalogName)
       case "clone" => new CloneProcedure(catalogName)
       case "convert" => new ConvertProcedure(catalogName)
+      case "index" => new IndexProcedure(catalogName)
       case other => throw new IllegalArgumentException(
         s"unknown graft procedure $other; available: ${Names.mkString(", ")}")
     }
@@ -702,6 +703,103 @@ object GraftProcedures {
           GraftCompact.compact(SparkSession.active, catalogName, ns, t,
             input.getInt(1))
           Collections.emptyIterator()
+        }
+      }
+  }
+
+  /** `CALL graft.sys.index(table => 'ns.t', column => 'c')` — build (or
+    * rebuild) a GLOBAL SECONDARY INDEX over a non-key column: a graft
+    * table `<t>_idx_<c>` keyed `(c; <base key cols…>)`, one row per
+    * base row with a non-null `c`, loaded through the same
+    * range-shuffled sorted region build as any table (the Phoenix-style
+    * covered index over key-organized storage — the reference's
+    * HBase lineage has exactly this gap: non-rowkey predicates scan
+    * every region). A lookup composes as
+    *
+    * {{{
+    *   SELECT b.* FROM base b
+    *   JOIN (SELECT DISTINCT k FROM base_idx_c WHERE c = ?) i USING (k)
+    * }}}
+    *
+    * — the probe is a key-pruned point scan on the index (1 region),
+    * and the broadcast join hands the matching primary keys to the base
+    * scan as a runtime IN filter: regions prune by key interval, and
+    * inside surviving regions the IN envelope drives row-group/page
+    * skipping. At 100 TB that is index-probe + point-gets, never a
+    * base scan. The index records the base's commit version
+    * ([[TableMeta.IndexedVersionProp]]) as its freshness watermark;
+    * re-CALL to rebuild after base writes (the CDC face
+    * `catalog_changes` provides the delta for an incremental refresh
+    * strategy — see IncrementalIndexSpec for the pattern). */
+  final class IndexProcedure(catalogName: String)
+      extends UnboundProcedure {
+    override def name(): String = "index"
+    override def description(): String =
+      "build or rebuild a global secondary index table " +
+        "<t>_idx_<col> keyed (col; base key cols)"
+    override def bind(inputType: StructType): BoundProcedure =
+      new BoundProcedure {
+        override def name(): String = "index"
+        override def description(): String =
+          IndexProcedure.this.description()
+        override def isDeterministic: Boolean = false
+        override def parameters(): Array[ProcedureParameter] = Array(
+          ProcedureParameter.in("table", StringType)
+            .comment("base '<namespace>.<table>' within this catalog")
+            .build(),
+          ProcedureParameter.in("column", StringType)
+            .comment("non-key column to index").build(),
+          ProcedureParameter.in("num_regions", IntegerType)
+            .defaultValue("16").build())
+        override def call(input: InternalRow): java.util.Iterator[Scan] = {
+          val table = input.getUTF8String(0).toString
+          val column = input.getUTF8String(1).toString
+          val nRegions = input.getInt(2)
+          val s = SparkSession.active
+          val base = graftTable(catalogName, table)
+          val meta = base.meta
+          val field = meta.schema.fields
+            .find(_.name.equalsIgnoreCase(column))
+            .getOrElse(throw new IllegalArgumentException(
+              s"column $column not in ${table}'s schema"))
+          require(!meta.keyCols.exists(_.equalsIgnoreCase(column)),
+            s"$column is a key column — the primary key order already " +
+              "serves predicates on it")
+          require(graft.codec.KeyCodec.supportedTypes
+              .contains(field.dataType),
+            s"cannot index ${field.dataType.simpleString} column " +
+              s"$column (not a key-codec type)")
+          val (ns, t) = splitNsTable(table)
+          val idxName = s"${t}_idx_${field.name.toLowerCase}"
+          val idxFqn = fqn(catalogName, s"$ns.$idxName")
+          val baseFqn = fqn(catalogName, table)
+          // freshness watermark BEFORE the read: concurrent base
+          // appends land after this version and correctly read stale
+          val version = TableMeta.currentVersion(base.tableDir)
+          s.sql(s"DROP TABLE IF EXISTS $idxFqn")
+          val keyFields = meta.keyCols.map(k =>
+            meta.schema.fields.find(_.name.equalsIgnoreCase(k)).get)
+          val ddl = (field +: keyFields)
+            .map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
+          val keySpec = (field.name +: keyFields.map(_.name))
+            .mkString(";")
+          s.sql(
+            s"""CREATE TABLE $idxFqn ($ddl)
+               |TBLPROPERTIES(
+               |  '${TableMeta.KeyColsProp}'='$keySpec',
+               |  '${TableMeta.NumRegionsProp}'='$nRegions',
+               |  '${TableMeta.IndexOfProp}'='$baseFqn',
+               |  '${TableMeta.IndexedVersionProp}'='$version')"""
+              .stripMargin)
+          val cols = (field.name +: keyFields.map(_.name))
+            .map(c => s"`$c`").mkString(", ")
+          s.sql(s"""INSERT INTO $idxFqn SELECT $cols FROM $baseFqn
+                   |WHERE `${field.name}` IS NOT NULL""".stripMargin)
+          val rows = s.table(idxFqn).count()
+          Collections.singletonList(LocalRowsScan(
+            Array("index", "rows", "base_version"),
+            Seq(Seq(idxFqn, rows.toString, version.toString))): Scan)
+            .iterator()
         }
       }
   }

@@ -1279,8 +1279,14 @@ class GraftScan(tableDir: File, meta: TableMeta, required: StructType,
     // (always-residual) Spark filter does all the work — answers equal.
     // Group mode forces it off: a row-level rewrite must read EVERY
     // row of a surviving region, matched or not.
+    // Runtime (DPP) filters join the reader predicate too: they are
+    // sound row filters (Spark still executes the actual join above),
+    // and on a key column they turn a broadcast-probe join into
+    // page-level point gets inside the surviving regions — large IN
+    // sets become a [min,max] envelope in toParquetFilter.
     GraftReaderFactory(required.json,
-      if (!groupMode && GraftAccel.on(GraftAccel.ParquetFilters)) filters
+      if (!groupMode && GraftAccel.on(GraftAccel.ParquetFilters))
+        filters ++ runtimeFilters
       else Array.empty,
       org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone,
       org.apache.spark.sql.internal.SQLConf.get.caseSensitiveAnalysis)

@@ -361,6 +361,23 @@ object ParquetRowIO {
       val opts = vs.toSeq.map(v => cmp(a, v, schema, Cmp.Eq))
       if (opts.forall(_.isDefined)) opts.flatten.reduceOption(FilterApi.or)
       else None
+    case sources.In(a, vs) if vs.length > 20 =>
+      // large IN sets (runtime DPP key sets, secondary-index probes): an
+      // OR-chain would bloat the predicate tree, but the [min, max]
+      // envelope is a sound superset and still drives row-group + page
+      // skipping on the sorted key column. Nulls never match IN, so
+      // dropping them from the envelope is sound too.
+      val cs = vs.filter(_ != null)
+      val comparable = cs.nonEmpty && cs.forall(v =>
+        v.isInstanceOf[Comparable[_]] && v.getClass == cs.head.getClass)
+      if (!comparable) None
+      else {
+        val sorted = cs.sortWith((x, y) =>
+          x.asInstanceOf[Comparable[Any]].compareTo(y) < 0)
+        for (lo <- cmp(a, sorted.head, schema, Cmp.GtEq);
+             hi <- cmp(a, sorted.last, schema, Cmp.LtEq))
+          yield FilterApi.and(lo, hi)
+      }
     case _ => None
   }
 

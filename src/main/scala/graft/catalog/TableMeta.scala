@@ -130,6 +130,14 @@ object TableMeta {
   def dedupKeys(properties: Map[String, String]): Boolean =
     properties.get(DedupKeysProp).exists(_.trim.equalsIgnoreCase("true"))
 
+  /** Stamped on tables built by `CALL graft.sys.index`: the base table
+    * this is a secondary index of, and the base's commit-log version at
+    * build time (the freshness watermark — compare against the base's
+    * current version to detect a stale index; `CALL graft.sys.index`
+    * again rebuilds). */
+  val IndexOfProp = "graft.indexOf"
+  val IndexedVersionProp = "graft.indexedVersion"
+
   private def mapper = new ObjectMapper()
 
   /** The storage seam every manifest write goes through ([[CommitStore]]).

@@ -1134,6 +1134,37 @@ object CatalogQueries {
        |WHERE fp = (SELECT fp FROM ${docsFpTable(s, d)} WHERE doc_id = 42)
        |ORDER BY doc_id""".stripMargin)
 
+  /** Global secondary-index lookup (`CALL graft.sys.index`): all
+    * orders of one customer through the `orders_t_idx_o_custkey`
+    * index table instead of a base scan. The probe is a key-pruned
+    * point scan on the index (o_custkey leads its key), and the
+    * broadcast join hands the matching o_orderkeys to the base scan
+    * as a runtime IN filter — region pruning by key interval plus a
+    * page-skip envelope inside surviving regions (SecondaryIndexSpec
+    * asserts both). At 100 TB: index-probe + point-gets, never a
+    * base scan — the access path the reference's HBase lineage lacks
+    * for non-rowkey predicates. Oracle: the plain filter. */
+  private val builtIdx = scala.collection.concurrent.TrieMap[String, String]()
+  val indexLookup: Q = (s, d) => {
+    val o = ordersTable(s, d)
+    val ns = s"sf_${math.abs(d.hashCode)}"
+    val idx = builtIdx.getOrElseUpdate(d, {
+      val expect = s.table(o).where("o_custkey IS NOT NULL").count()
+      val name = "orders_t_idx_o_custkey"
+      if (!trusted(s, ns, name, expect))
+        s.sql(s"CALL graft.sys.index(table => '$ns.orders_t', " +
+          "column => 'o_custkey')").collect()
+      s"graft.$ns.$name"
+    })
+    s.sql(
+      s"""SELECT o.o_orderkey, o.o_custkey, o.o_orderstatus,
+         |       round(o.o_totalprice, 2) AS price
+         |FROM $o o
+         |JOIN (SELECT DISTINCT o_orderkey FROM $idx
+         |      WHERE o_custkey = 37) i
+         |  ON o.o_orderkey = i.o_orderkey""".stripMargin)
+  }
+
   /** Sequence packing composed with the store: same per-shard
     * prefix-sum bin assignment as pipeline_pack, but reading the
     * key-sorted documents_t — the scan's reported doc_id ordering
@@ -1451,6 +1482,7 @@ object CatalogQueries {
     "catalog_split" -> splitAgg,
     "catalog_region_merge" -> mergeRegionsAgg,
     "catalog_bloom_lookup" -> bloomLookup,
+    "catalog_index_lookup" -> indexLookup,
     "catalog_manifest_agg" -> manifestAgg,
     "catalog_upsert" -> upsertAgg,
     "catalog_upsert_latest" -> upsertLatest,
@@ -1482,6 +1514,12 @@ object CatalogQueries {
       |FROM orders GROUP BY 1""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // the index path must answer exactly like the plain filter
+    "catalog_index_lookup" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+        |       round(o_totalprice, 2) AS price
+        |FROM orders WHERE o_custkey = 37""".stripMargin,
+
     // a clone AT the batch-1 version pins history: exactly the odd-key
     // slice, no matter what the source did since
     "catalog_clone" ->

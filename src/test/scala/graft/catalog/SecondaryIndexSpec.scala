@@ -1,0 +1,167 @@
+package graft.catalog
+
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.sources
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Global secondary index (`CALL graft.sys.index`): a graft table
+  * keyed (indexed col; base key cols), built through the normal
+  * range-shuffled sorted load, carrying a freshness watermark.
+  *
+  * The lookup composition this enables — index probe (key-pruned point
+  * scan) broadcast-joined back to the base on its primary key — must
+  * (a) answer exactly like a direct filter, and (b) actually prune the
+  * base side: the broadcast hands the matching keys to the base scan
+  * as a runtime IN filter, which prunes regions by key interval and
+  * (since round 9) reaches the parquet readers as a [min,max] envelope
+  * for page-level skipping. That is the access path the reference's
+  * HBase lineage lacks for non-rowkey predicates (a non-rowkey filter
+  * scans every region there).
+  */
+class SecondaryIndexSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def setup(): Unit = {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.idx")
+    spark.sql("DROP TABLE IF EXISTS graft.idx.base")
+    spark.sql("DROP TABLE IF EXISTS graft.idx.base_idx_grp")
+    spark.sql("DROP TABLE IF EXISTS graft.idx.base_idx_tag")
+    spark.sql(
+      """CREATE TABLE graft.idx.base (k BIGINT, grp BIGINT, tag STRING,
+        |                             v DOUBLE)
+        |TBLPROPERTIES('keyCols'='k', 'numRegions'='8')""".stripMargin)
+    // grp clusters with the key (k / 1000); tag scatters (k % 50)
+    spark.sql(
+      """INSERT INTO graft.idx.base
+        |SELECT id, CAST(id / 1000 AS BIGINT),
+        |       concat('t', CAST(id % 50 AS STRING)), id * 1.0
+        |FROM range(8000)""".stripMargin)
+  }
+
+  private def baseScan(df: org.apache.spark.sql.DataFrame)
+      : BatchScanExec = {
+    def all(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[BatchScanExec] = p match {
+      case b: BatchScanExec => Seq(b)
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        all(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        all(q.plan)
+      case other => other.children.flatMap(all)
+    }
+    // the base side is the one that outputs the payload column
+    all(df.queryExecution.executedPlan)
+      .find(_.output.exists(_.name == "v"))
+      .getOrElse(fail("no base-table scan in plan"))
+  }
+
+  test("index procedure builds a keyed index with freshness watermark") {
+    setup()
+    val out = spark.sql(
+      "CALL graft.sys.index(table => 'idx.base', column => 'grp')")
+      .collect()
+    assert(out.length == 1)
+    assert(out(0).getString(0) == "graft.idx.base_idx_grp")
+    assert(out(0).getString(1) == "8000")
+    val props = spark.sql("SHOW TBLPROPERTIES graft.idx.base_idx_grp")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props(TableMeta.IndexOfProp) == "graft.idx.base")
+    assert(props(TableMeta.IndexedVersionProp).toLong >= 1L)
+    assert(props(TableMeta.KeyColsProp) == "grp;k")
+    assert(spark.table("graft.idx.base_idx_grp").count() == 8000L)
+  }
+
+  test("lookup through the index answers exactly like a direct filter") {
+    setup()
+    spark.sql("CALL graft.sys.index(table => 'idx.base', column => 'tag')")
+      .collect()
+    val viaIndex = spark.sql(
+      """SELECT b.k, b.tag, b.v FROM graft.idx.base b
+        |JOIN (SELECT DISTINCT k FROM graft.idx.base_idx_tag
+        |      WHERE tag = 't7') i ON b.k = i.k""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .sortBy(_._1)
+    val direct = spark.sql(
+      "SELECT k, tag, v FROM graft.idx.base WHERE tag = 't7'")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .sortBy(_._1)
+    assert(viaIndex.length == 160)
+    assert(viaIndex.toSeq == direct.toSeq)
+  }
+
+  test("clustered lookup prunes base regions via the runtime key filter") {
+    setup()
+    spark.sql("CALL graft.sys.index(table => 'idx.base', column => 'grp')")
+      .collect()
+    val q = spark.sql(
+      """SELECT b.k, b.v FROM graft.idx.base b
+        |JOIN (SELECT DISTINCT k FROM graft.idx.base_idx_grp
+        |      WHERE grp = 3) i ON b.k = i.k""".stripMargin)
+    // collect() so the inspected plan is the executed one (runtime
+    // filters only exist post-execution)
+    assert(q.collect().length == 1000)
+    val scan = baseScan(q)
+    assert(scan.runtimeFilters.nonEmpty,
+      "expected the index probe to reach the base scan as a runtime filter")
+    // keys 3000..3999 sit in 1 of 8 key-range regions (+ a possible
+    // boundary straddle); without the runtime filter all 8 would scan
+    val parts = scan.inputRDD.getNumPartitions
+    assert(parts <= 2, s"expected runtime key pruning to <=2 regions, got $parts")
+  }
+
+  test("large IN sets convert to a [min,max] envelope for the readers") {
+    val schema = StructType(Seq(StructField("k", LongType)))
+    val in = sources.In("k", (100L to 160L).map(Long.box).toArray[Any])
+    assert(ParquetRowIO.toParquetFilter(Seq(in), schema).isDefined,
+      "IN with >20 values should produce a range-envelope predicate")
+    // nulls never match IN — dropped from the envelope, still sound
+    val withNull = sources.In("k",
+      ((100L to 160L).map(Long.box) :+ null).toArray[Any])
+    assert(ParquetRowIO.toParquetFilter(Seq(withNull), schema).isDefined)
+    // all-null set: no envelope (and the filter matches nothing anyway)
+    val allNull = sources.In("k", Array.fill[Any](25)(null))
+    assert(ParquetRowIO.toParquetFilter(Seq(allNull), schema).isEmpty)
+  }
+
+  test("indexing a key column or unknown column is refused") {
+    setup()
+    val e1 = intercept[Exception](spark.sql(
+      "CALL graft.sys.index(table => 'idx.base', column => 'k')").collect())
+    assert(e1.getMessage.contains("key column"))
+    val e2 = intercept[Exception](spark.sql(
+      "CALL graft.sys.index(table => 'idx.base', column => 'nope')")
+      .collect())
+    assert(e2.getMessage.contains("not in"))
+  }
+
+  test("rebuild after base appends refreshes rows and the watermark") {
+    setup()
+    spark.sql("CALL graft.sys.index(table => 'idx.base', column => 'grp')")
+      .collect()
+    val v1 = spark.sql("SHOW TBLPROPERTIES graft.idx.base_idx_grp")
+      .collect().collectFirst {
+        case r if r.getString(0) == TableMeta.IndexedVersionProp =>
+          r.getString(1).toLong
+      }.get
+    spark.sql(
+      """INSERT INTO graft.idx.base
+        |SELECT id, CAST(id / 1000 AS BIGINT),
+        |       concat('t', CAST(id % 50 AS STRING)), id * 1.0
+        |FROM range(8000, 9000)""".stripMargin)
+    spark.sql("CALL graft.sys.index(table => 'idx.base', column => 'grp')")
+      .collect()
+    val props2 = spark.sql("SHOW TBLPROPERTIES graft.idx.base_idx_grp")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props2(TableMeta.IndexedVersionProp).toLong > v1)
+    assert(spark.table("graft.idx.base_idx_grp").count() == 9000L)
+    // the rebuilt index serves the new keys
+    val n = spark.sql(
+      """SELECT count(*) AS c FROM graft.idx.base b
+        |JOIN (SELECT DISTINCT k FROM graft.idx.base_idx_grp
+        |      WHERE grp = 8) i ON b.k = i.k""".stripMargin)
+      .collect()(0).getLong(0)
+    assert(n == 1000L)
+  }
+}
