@@ -36,7 +36,7 @@ object GraftProcedures {
   val Names: Seq[String] =
     Seq("load_csv", "compact", "cluster", "stats", "vacuum", "manifest",
       "fold", "history", "restore", "analyze", "split", "merge", "clone",
-      "convert", "index")
+      "convert", "index", "index_refresh")
 
   def load(catalogName: String, ident: Identifier): UnboundProcedure = {
     require(ident.namespace.isEmpty ||
@@ -59,6 +59,7 @@ object GraftProcedures {
       case "clone" => new CloneProcedure(catalogName)
       case "convert" => new ConvertProcedure(catalogName)
       case "index" => new IndexProcedure(catalogName)
+      case "index_refresh" => new IndexRefreshProcedure(catalogName)
       case other => throw new IllegalArgumentException(
         s"unknown graft procedure $other; available: ${Names.mkString(", ")}")
     }
@@ -799,6 +800,98 @@ object GraftProcedures {
           Collections.singletonList(LocalRowsScan(
             Array("index", "rows", "base_version"),
             Seq(Seq(idxFqn, rows.toString, version.toString))): Scan)
+            .iterator()
+        }
+      }
+  }
+
+  /** `CALL graft.sys.index_refresh(table => 'ns.t', column => 'c')` —
+    * incrementally maintain a secondary index: read the base's CDC
+    * delta since the index's freshness watermark
+    * ([[GraftChanges]] `changesFromVersion` — manifest-only planning,
+    * reads ONLY the appended regions), append the new `(c, keys…)`
+    * entries, and advance the watermark. O(delta), never a base scan —
+    * the same incremental pattern IncrementalIndexSpec proves for the
+    * MinHash band index, productized for the secondary index.
+    *
+    * Soundness contract: appends (and re-arrangement ops — compact /
+    * cluster / split / merge, which the CDC face already skips) refresh
+    * incrementally. In-place VALUE rewrites (UPDATE/MERGE `rowlevel`,
+    * `overwrite`, `restore`) and dedupKeys upsert folds change existing
+    * key→value mappings, which an append-only delta cannot retract —
+    * those refuse loudly and direct to a full `CALL graft.sys.index`
+    * rebuild. DELETEs are allowed: a dangling index entry finds no base
+    * row in the join-back, so lookups stay exact (the index is a
+    * pre-filter, never the answer); rebuild to reclaim the space. */
+  final class IndexRefreshProcedure(catalogName: String)
+      extends UnboundProcedure {
+    override def name(): String = "index_refresh"
+    override def description(): String =
+      "incrementally refresh a secondary index from the base table's " +
+        "CDC delta since the index's watermark (O(delta), no base scan)"
+    override def bind(inputType: StructType): BoundProcedure =
+      new BoundProcedure {
+        override def name(): String = "index_refresh"
+        override def description(): String =
+          IndexRefreshProcedure.this.description()
+        override def isDeterministic: Boolean = false
+        override def parameters(): Array[ProcedureParameter] = Array(
+          ProcedureParameter.in("table", StringType)
+            .comment("base '<namespace>.<table>' within this catalog")
+            .build(),
+          ProcedureParameter.in("column", StringType)
+            .comment("indexed column (index table <t>_idx_<col>)")
+            .build())
+        override def call(input: InternalRow): java.util.Iterator[Scan] = {
+          val table = input.getUTF8String(0).toString
+          val column = input.getUTF8String(1).toString.toLowerCase
+          val s = SparkSession.active
+          val base = graftTable(catalogName, table)
+          val (ns, t) = splitNsTable(table)
+          val idxName = s"${t}_idx_$column"
+          val idxFqn = fqn(catalogName, s"$ns.$idxName")
+          val baseFqn = fqn(catalogName, table)
+          val idx = graftTable(catalogName, s"$ns.$idxName")
+          require(idx.meta.properties.get(TableMeta.IndexOfProp)
+              .contains(baseFqn),
+            s"$idxFqn is not an index of $baseFqn (build it with " +
+              "CALL graft.sys.index first)")
+          val watermark = idx.meta.properties(TableMeta.IndexedVersionProp)
+            .toLong
+          val now = TableMeta.currentVersion(base.tableDir)
+          if (now == watermark)
+            return Collections.singletonList(LocalRowsScan(
+              Array("index", "rows_appended", "base_version"),
+              Seq(Seq(idxFqn, "0", now.toString))): Scan).iterator()
+          require(!TableMeta.dedupKeys(base.meta.properties),
+            s"$baseFqn has graft.dedupKeys: upsert folds change " +
+              "key→value mappings in place, which an append-only " +
+              "delta cannot retract; rebuild with CALL graft.sys.index")
+          val rewrite = TableMeta.history(base.tableDir).find(e =>
+            e.version > watermark && e.version <= now &&
+              Set("rowlevel", "overwrite", "restore")(e.op))
+          require(rewrite.isEmpty,
+            s"$baseFqn had an in-place rewrite (${rewrite.get.op} at " +
+              s"version ${rewrite.get.version}) since the index " +
+              s"watermark $watermark; rebuild with CALL graft.sys.index")
+          val keyFields = base.meta.keyCols
+          val cols = (column +: keyFields).map(c => s"`$c`").mkString(", ")
+          val delta = s.read
+            .option(GraftChanges.FromKey, watermark.toString)
+            .option(GraftChanges.ToKey, now.toString)
+            .table(baseFqn)
+            .where(s"`$column` IS NOT NULL")
+          val appended = delta.count()
+          if (appended > 0) {
+            val v = s"idx_delta_${math.abs(idxFqn.hashCode)}"
+            delta.createOrReplaceTempView(v)
+            s.sql(s"INSERT INTO $idxFqn SELECT $cols FROM $v")
+          }
+          s.sql(s"ALTER TABLE $idxFqn SET TBLPROPERTIES(" +
+            s"'${TableMeta.IndexedVersionProp}'='$now')")
+          Collections.singletonList(LocalRowsScan(
+            Array("index", "rows_appended", "base_version"),
+            Seq(Seq(idxFqn, appended.toString, now.toString))): Scan)
             .iterator()
         }
       }

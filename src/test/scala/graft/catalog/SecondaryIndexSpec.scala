@@ -136,6 +136,79 @@ class SecondaryIndexSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("not in"))
   }
 
+  test("index_refresh applies the CDC delta only and advances the " +
+      "watermark") {
+    setup()
+    spark.sql("CALL graft.sys.index(table => 'idx.base', column => 'grp')")
+      .collect()
+    // no changes → no-op refresh
+    val idle = spark.sql(
+      "CALL graft.sys.index_refresh(table => 'idx.base', column => 'grp')")
+      .collect()(0)
+    assert(idle.getString(1) == "0")
+    spark.sql(
+      """INSERT INTO graft.idx.base
+        |SELECT id, CAST(id / 1000 AS BIGINT),
+        |       concat('t', CAST(id % 50 AS STRING)), id * 1.0
+        |FROM range(8000, 9000)""".stripMargin)
+    val out = spark.sql(
+      "CALL graft.sys.index_refresh(table => 'idx.base', column => 'grp')")
+      .collect()(0)
+    assert(out.getString(1) == "1000", "delta only, not a rebuild")
+    assert(spark.table("graft.idx.base_idx_grp").count() == 9000L)
+    val props = spark.sql("SHOW TBLPROPERTIES graft.idx.base_idx_grp")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props(TableMeta.IndexedVersionProp).toLong ==
+      out.getString(2).toLong)
+    // the refreshed index serves the appended keys
+    val n = spark.sql(
+      """SELECT count(*) AS c FROM graft.idx.base b
+        |JOIN (SELECT DISTINCT k FROM graft.idx.base_idx_grp
+        |      WHERE grp = 8) i ON b.k = i.k""".stripMargin)
+      .collect()(0).getLong(0)
+    assert(n == 1000L)
+  }
+
+  test("index_refresh refuses after an in-place rewrite") {
+    setup()
+    spark.sql("CALL graft.sys.index(table => 'idx.base', column => 'grp')")
+      .collect()
+    spark.sql("UPDATE graft.idx.base SET v = v + 1 WHERE k < 10")
+    val e = intercept[Exception](spark.sql(
+      "CALL graft.sys.index_refresh(table => 'idx.base', column => 'grp')")
+      .collect())
+    assert(e.getMessage.contains("rowlevel"))
+    assert(e.getMessage.contains("rebuild"))
+    // the rebuild path recovers
+    spark.sql("CALL graft.sys.index(table => 'idx.base', column => 'grp')")
+      .collect()
+    spark.sql(
+      "CALL graft.sys.index_refresh(table => 'idx.base', column => 'grp')")
+      .collect()
+  }
+
+  test("index_refresh refuses dedupKeys bases") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.idx")
+    spark.sql("DROP TABLE IF EXISTS graft.idx.ups")
+    spark.sql("DROP TABLE IF EXISTS graft.idx.ups_idx_tag")
+    spark.sql(
+      """CREATE TABLE graft.idx.ups (k BIGINT, tag STRING)
+        |TBLPROPERTIES('keyCols'='k', 'graft.dedupKeys'='true')"""
+        .stripMargin)
+    spark.sql(
+      """INSERT INTO graft.idx.ups
+        |SELECT id, concat('t', CAST(id % 5 AS STRING)) FROM range(100)"""
+        .stripMargin)
+    spark.sql("CALL graft.sys.index(table => 'idx.ups', column => 'tag')")
+      .collect()
+    spark.sql(
+      "INSERT INTO graft.idx.ups SELECT id, 'changed' FROM range(10)")
+    val e = intercept[Exception](spark.sql(
+      "CALL graft.sys.index_refresh(table => 'idx.ups', column => 'tag')")
+      .collect())
+    assert(e.getMessage.contains("dedupKeys"))
+  }
+
   test("rebuild after base appends refreshes rows and the watermark") {
     setup()
     spark.sql("CALL graft.sys.index(table => 'idx.base', column => 'grp')")
