@@ -30,6 +30,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // lowering happens at the parser seam, Delta-style)
     ext.injectParser((session, delegate) =>
       new graft.catalog.GraftSqlParser(session, delegate))
+    // point filters on freshly-indexed non-key columns → index-probe
+    // semi join (runs once at the pre-CBO seam, before V2 pushdown,
+    // so both sides get normal pushdown/pruning afterwards)
+    ext.injectPreCBORule(session =>
+      new graft.catalog.GraftIndexRewrite(session))
     ext.injectFunction((FunctionIdentifier("vec_cosine"),
       info("vec_cosine", classOf[VecCosine]),
       (args: Seq[Expression]) => VecCosine(args(0), args(1))))

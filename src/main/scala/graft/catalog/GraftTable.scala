@@ -351,9 +351,13 @@ object GraftAccel {
   val Packing = "spark.graft.accel.packing"
   /** LIMIT/ORDER-BY-key-LIMIT region truncation (manifest row counts) */
   val LimitPushdown = "spark.graft.accel.limitPushdown"
+  /** transparent secondary-index rewrite of point filters
+    * ([[GraftIndexRewrite]]) */
+  val IndexRewrite = "spark.graft.accel.indexRewrite"
 
   val All: Seq[String] =
-    Seq(StatsSkip, ParquetFilters, AggPushdown, Packing, LimitPushdown)
+    Seq(StatsSkip, ParquetFilters, AggPushdown, Packing, LimitPushdown,
+      IndexRewrite)
 
   def on(key: String): Boolean = {
     val raw = try org.apache.spark.sql.internal.SQLConf.get

@@ -1165,6 +1165,19 @@ object CatalogQueries {
          |  ON o.o_orderkey = i.o_orderkey""".stripMargin)
   }
 
+  /** The TRANSPARENT face of the same lookup: a plain point filter on
+    * the indexed column — `GraftIndexRewrite` turns it into the
+    * index-probe semi join automatically (the fresh index's existence
+    * is the opt-in, Phoenix-style). Same oracle as the explicit face:
+    * the rewrite must be invisible in the answers. */
+  val indexLookupAuto: Q = (s, d) => {
+    indexLookup(s, d) // ensures the index exists and is fresh
+    s.sql(
+      s"""SELECT o_orderkey, o_custkey, o_orderstatus,
+         |       round(o_totalprice, 2) AS price
+         |FROM ${ordersTable(s, d)} WHERE o_custkey = 37""".stripMargin)
+  }
+
   /** Sequence packing composed with the store: same per-shard
     * prefix-sum bin assignment as pipeline_pack, but reading the
     * key-sorted documents_t — the scan's reported doc_id ordering
@@ -1483,6 +1496,7 @@ object CatalogQueries {
     "catalog_region_merge" -> mergeRegionsAgg,
     "catalog_bloom_lookup" -> bloomLookup,
     "catalog_index_lookup" -> indexLookup,
+    "catalog_index_auto" -> indexLookupAuto,
     "catalog_manifest_agg" -> manifestAgg,
     "catalog_upsert" -> upsertAgg,
     "catalog_upsert_latest" -> upsertLatest,
@@ -1516,6 +1530,12 @@ object CatalogQueries {
   val oracles: Map[String, String] = Map(
     // the index path must answer exactly like the plain filter
     "catalog_index_lookup" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+        |       round(o_totalprice, 2) AS price
+        |FROM orders WHERE o_custkey = 37""".stripMargin,
+
+    // same oracle: the transparent rewrite must be answer-invisible
+    "catalog_index_auto" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus,
         |       round(o_totalprice, 2) AS price
         |FROM orders WHERE o_custkey = 37""".stripMargin,

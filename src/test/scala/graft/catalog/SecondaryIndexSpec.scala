@@ -209,6 +209,84 @@ class SecondaryIndexSpec extends AnyFunSuite {
     assert(e.getMessage.contains("dedupKeys"))
   }
 
+  test("transparent rewrite: a point filter on a freshly-indexed " +
+      "column uses the index automatically") {
+    setup()
+    spark.sql("CALL graft.sys.index(table => 'idx.base', column => 'grp')")
+      .collect()
+    val q = spark.sql(
+      "SELECT k, v FROM graft.idx.base WHERE grp = 3")
+    val rows = q.collect()
+    assert(rows.length == 1000)
+    assert(rows.map(_.getLong(0)).min == 3000L)
+    assert(rows.map(_.getLong(0)).max == 3999L)
+    // the executed plan must carry the index-probe join: two scans,
+    // and the base side runtime-filtered by the probe's key set
+    val scan = baseScan(q)
+    assert(scan.runtimeFilters.nonEmpty,
+      "expected the transparent index probe to runtime-filter the base")
+    assert(scan.inputRDD.getNumPartitions <= 2,
+      s"expected region pruning, got ${scan.inputRDD.getNumPartitions}")
+  }
+
+  test("transparent rewrite stays off for stale indexes, key columns, " +
+      "and the kill switch") {
+    setup()
+    spark.sql("CALL graft.sys.index(table => 'idx.base', column => 'grp')")
+      .collect()
+    def fires(sql: String): Boolean = {
+      val q = spark.sql(sql)
+      q.collect()
+      q.queryExecution.optimizedPlan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+      }.nonEmpty
+    }
+    assert(fires("SELECT k FROM graft.idx.base WHERE grp = 3"))
+    // key column: interval pruning already serves it — no rewrite
+    assert(!fires("SELECT k FROM graft.idx.base WHERE k = 3000"))
+    // kill switch
+    spark.conf.set(GraftAccel.IndexRewrite, "false")
+    try assert(!fires("SELECT k FROM graft.idx.base WHERE grp = 3"))
+    finally spark.conf.unset(GraftAccel.IndexRewrite)
+    // stale: an append moves the base past the watermark → no rewrite
+    // (a rewrite here would MISS the appended rows)
+    spark.sql(
+      """INSERT INTO graft.idx.base
+        |SELECT id, 3L, 't0', id * 1.0 FROM range(9000, 9010)"""
+        .stripMargin)
+    assert(!fires("SELECT k FROM graft.idx.base WHERE grp = 3"))
+    assert(spark.sql("SELECT k FROM graft.idx.base WHERE grp = 3")
+      .collect().length == 1010, "stale-index path answers from the base")
+    // refresh restores freshness and the rewrite
+    spark.sql(
+      "CALL graft.sys.index_refresh(table => 'idx.base', column => 'grp')")
+      .collect()
+    assert(fires("SELECT k FROM graft.idx.base WHERE grp = 3"))
+    assert(spark.sql("SELECT k FROM graft.idx.base WHERE grp = 3")
+      .collect().length == 1010)
+  }
+
+  test("row-level UPDATE/DELETE on an indexed column stay correct " +
+      "under the rewrite") {
+    setup()
+    spark.sql("CALL graft.sys.index(table => 'idx.base', column => 'tag')")
+      .collect()
+    spark.sql("UPDATE graft.idx.base SET v = -1.0 WHERE tag = 't7'")
+    assert(spark.sql(
+      "SELECT count(*) AS c FROM graft.idx.base WHERE v = -1.0")
+      .collect()(0).getLong(0) == 160L)
+    assert(spark.table("graft.idx.base").count() == 8000L)
+    // the UPDATE bumped the base version → index stale → direct path;
+    // rebuild, then DELETE through the indexed column
+    spark.sql("CALL graft.sys.index(table => 'idx.base', column => 'tag')")
+      .collect()
+    spark.sql("DELETE FROM graft.idx.base WHERE tag = 't7'")
+    assert(spark.table("graft.idx.base").count() == 7840L)
+    assert(spark.sql(
+      "SELECT count(*) AS c FROM graft.idx.base WHERE tag = 't7'")
+      .collect()(0).getLong(0) == 0L)
+  }
+
   test("rebuild after base appends refreshes rows and the watermark") {
     setup()
     spark.sql("CALL graft.sys.index(table => 'idx.base', column => 'grp')")
