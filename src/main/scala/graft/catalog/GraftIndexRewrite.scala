@@ -3,7 +3,7 @@ package graft.catalog
 import java.io.File
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualTo, Expression, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, AttributeReference, EqualTo, ExprId, Expression, Literal, NamedExpression}
 import org.apache.spark.sql.catalyst.plans.LeftSemi
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, JoinHint, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -43,10 +43,64 @@ class GraftIndexRewrite(session: SparkSession) extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!GraftAccel.on(GraftAccel.IndexRewrite)) return plan
-    plan.transformUp {
+    // top-down so the covered (index-only) Project case sees the
+    // original Project(Filter(relation)) shape before the bare-Filter
+    // case consumes the Filter; the probe/covered subtrees this emits
+    // cannot re-fire (their filter columns lead the index key)
+    plan.transformDown {
+      case p @ Project(list, Filter(cond, r: DataSourceV2Relation))
+          if r.table.isInstanceOf[GraftTable] =>
+        covered(p, list, cond, r).getOrElse(p)
       case f @ Filter(cond, r: DataSourceV2Relation)
           if r.table.isInstanceOf[GraftTable] =>
         rewrite(f, cond, r).getOrElse(f)
+    }
+  }
+
+  /** Index-only scan: when every column the Project and Filter touch
+    * is carried by a fresh COVERING index (the indexed column, the
+    * base keys, and `include =>` payload columns), the base drops out
+    * entirely — the answer is a key-pruned point scan of the index.
+    * Output attribute ids are preserved by aliasing the substituted
+    * expressions back to the original exprIds, so parent operators are
+    * untouched. Exact because the fresh index holds exactly the
+    * non-null-c base rows, one entry per row. */
+  private def covered(p: Project, list: Seq[NamedExpression],
+      cond: Expression, r: DataSourceV2Relation): Option[LogicalPlan] = {
+    val table = r.table.asInstanceOf[GraftTable]
+    if (table.snapshot.isDefined) return None
+    val keySet = table.meta.keyCols.map(_.toLowerCase).toSet
+    val atom = splitConjunctivePredicates(cond).iterator.flatMap {
+      case EqualTo(a: AttributeReference, l: Literal)
+          if l.value != null && !keySet(a.name.toLowerCase) =>
+        freshIndex(table, a.name).map(d => (a, d))
+      case EqualTo(l: Literal, a: AttributeReference)
+          if l.value != null && !keySet(a.name.toLowerCase) =>
+        freshIndex(table, a.name).map(d => (a, d))
+      case _ => None
+    }.nextOption()
+    atom.flatMap { case (_, (idxDir, idxMeta)) =>
+      val carried = idxMeta.schema.fieldNames.map(_.toLowerCase).toSet
+      val needed = (list.flatMap(_.references) ++ cond.references)
+        .map(_.asInstanceOf[AttributeReference]).distinct
+      if (!needed.forall(a => carried(a.name.toLowerCase))) None
+      else {
+        val idxTable = new GraftTable(idxDir.getName, idxDir, idxMeta)
+        val idxRel = DataSourceV2Relation.create(idxTable, None, None)
+        val sub: Map[ExprId, AttributeReference] = needed.map(a =>
+          a.exprId -> idxRel.output
+            .find(_.name.equalsIgnoreCase(a.name)).get).toMap
+        def substitute(e: Expression): Expression = e.transform {
+          case a: AttributeReference => sub.getOrElse(a.exprId, a)
+        }
+        val newList = list.map {
+          case a: AttributeReference =>
+            Alias(sub(a.exprId), a.name)(exprId = a.exprId,
+              qualifier = a.qualifier)
+          case ne => substitute(ne).asInstanceOf[NamedExpression]
+        }
+        Some(Project(newList, Filter(substitute(cond), idxRel)))
+      }
     }
   }
 

@@ -751,11 +751,17 @@ object GraftProcedures {
           ProcedureParameter.in("column", StringType)
             .comment("non-key column to index").build(),
           ProcedureParameter.in("num_regions", IntegerType)
-            .defaultValue("16").build())
+            .defaultValue("16").build(),
+          ProcedureParameter.in("include", StringType).defaultValue("''")
+            .comment("';'-separated covered payload columns — queries " +
+              "touching only (column, keys, include…) answer from the " +
+              "index alone, no base join").build())
         override def call(input: InternalRow): java.util.Iterator[Scan] = {
           val table = input.getUTF8String(0).toString
           val column = input.getUTF8String(1).toString
           val nRegions = input.getInt(2)
+          val include = input.getUTF8String(3).toString
+            .split(";").map(_.trim).filter(_.nonEmpty).toSeq
           val s = SparkSession.active
           val base = graftTable(catalogName, table)
           val meta = base.meta
@@ -770,6 +776,16 @@ object GraftProcedures {
               .contains(field.dataType),
             s"cannot index ${field.dataType.simpleString} column " +
               s"$column (not a key-codec type)")
+          val includeFields = include.map { c =>
+            val inc = meta.schema.fields
+              .find(_.name.equalsIgnoreCase(c))
+              .getOrElse(throw new IllegalArgumentException(
+                s"include column $c not in ${table}'s schema"))
+            require(!meta.keyCols.exists(_.equalsIgnoreCase(c)) &&
+                !c.equalsIgnoreCase(column),
+              s"include column $c is already part of the index key")
+            inc
+          }
           val (ns, t) = splitNsTable(table)
           val idxName = s"${t}_idx_${field.name.toLowerCase}"
           val idxFqn = fqn(catalogName, s"$ns.$idxName")
@@ -780,7 +796,7 @@ object GraftProcedures {
           s.sql(s"DROP TABLE IF EXISTS $idxFqn")
           val keyFields = meta.keyCols.map(k =>
             meta.schema.fields.find(_.name.equalsIgnoreCase(k)).get)
-          val ddl = (field +: keyFields)
+          val ddl = ((field +: keyFields) ++ includeFields)
             .map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
           val keySpec = (field.name +: keyFields.map(_.name))
             .mkString(";")
@@ -792,7 +808,8 @@ object GraftProcedures {
                |  '${TableMeta.IndexOfProp}'='$baseFqn',
                |  '${TableMeta.IndexedVersionProp}'='$version')"""
               .stripMargin)
-          val cols = (field.name +: keyFields.map(_.name))
+          val cols = ((field.name +: keyFields.map(_.name)) ++
+            includeFields.map(_.name))
             .map(c => s"`$c`").mkString(", ")
           s.sql(s"""INSERT INTO $idxFqn SELECT $cols FROM $baseFqn
                    |WHERE `${field.name}` IS NOT NULL""".stripMargin)
@@ -874,8 +891,10 @@ object GraftProcedures {
             s"$baseFqn had an in-place rewrite (${rewrite.get.op} at " +
               s"version ${rewrite.get.version}) since the index " +
               s"watermark $watermark; rebuild with CALL graft.sys.index")
-          val keyFields = base.meta.keyCols
-          val cols = (column +: keyFields).map(c => s"`$c`").mkString(", ")
+          // the index schema names every carried column in order
+          // (indexed col, base keys, covered includes)
+          val cols = idx.meta.schema.fieldNames
+            .map(c => s"`$c`").mkString(", ")
           val delta = s.read
             .option(GraftChanges.FromKey, watermark.toString)
             .option(GraftChanges.ToKey, now.toString)

@@ -1151,9 +1151,17 @@ object CatalogQueries {
     val idx = builtIdx.getOrElseUpdate(d, {
       val expect = s.table(o).where("o_custkey IS NOT NULL").count()
       val name = "orders_t_idx_o_custkey"
-      if (!trusted(s, ns, name, expect))
+      // trust needs the covering schema too: a pre-include index from
+      // an older run has the right row count but would silently
+      // degrade the covered face to the join path
+      val ok = trusted(s, ns, name, expect) &&
+        s.table(s"graft.$ns.$name").schema.fields.length == 4
+      if (!ok) {
+        s.sql(s"DROP TABLE IF EXISTS graft.$ns.$name")
         s.sql(s"CALL graft.sys.index(table => '$ns.orders_t', " +
-          "column => 'o_custkey')").collect()
+          "column => 'o_custkey', " +
+          "include => 'o_orderstatus;o_totalprice')").collect()
+      }
       s"graft.$ns.$name"
     })
     s.sql(
@@ -1172,6 +1180,20 @@ object CatalogQueries {
     * the rewrite must be invisible in the answers. */
   val indexLookupAuto: Q = (s, d) => {
     indexLookup(s, d) // ensures the index exists and is fresh
+    // o_orderpriority is NOT covered by the index → the rewrite takes
+    // the probe + base semi-join path (runtime key filter on the base)
+    s.sql(
+      s"""SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority,
+         |       round(o_totalprice, 2) AS price
+         |FROM ${ordersTable(s, d)} WHERE o_custkey = 37""".stripMargin)
+  }
+
+  /** The COVERED face: every selected column is carried by the index
+    * (`include => 'o_orderstatus;o_totalprice'`), so the rewrite drops
+    * the base entirely — the answer is one key-pruned point scan of
+    * the index (index-only plan asserted in SecondaryIndexSpec). */
+  val indexLookupCovered: Q = (s, d) => {
+    indexLookup(s, d)
     s.sql(
       s"""SELECT o_orderkey, o_custkey, o_orderstatus,
          |       round(o_totalprice, 2) AS price
@@ -1497,6 +1519,7 @@ object CatalogQueries {
     "catalog_bloom_lookup" -> bloomLookup,
     "catalog_index_lookup" -> indexLookup,
     "catalog_index_auto" -> indexLookupAuto,
+    "catalog_index_covered" -> indexLookupCovered,
     "catalog_manifest_agg" -> manifestAgg,
     "catalog_upsert" -> upsertAgg,
     "catalog_upsert_latest" -> upsertLatest,
@@ -1534,8 +1557,15 @@ object CatalogQueries {
         |       round(o_totalprice, 2) AS price
         |FROM orders WHERE o_custkey = 37""".stripMargin,
 
-    // same oracle: the transparent rewrite must be answer-invisible
+    // same oracle family: the transparent rewrite (probe + semi join —
+    // o_orderpriority is uncovered) must be answer-invisible
     "catalog_index_auto" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority,
+        |       round(o_totalprice, 2) AS price
+        |FROM orders WHERE o_custkey = 37""".stripMargin,
+
+    // the covered (index-only) path must also be answer-invisible
+    "catalog_index_covered" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus,
         |       round(o_totalprice, 2) AS price
         |FROM orders WHERE o_custkey = 37""".stripMargin,

@@ -234,12 +234,15 @@ class SecondaryIndexSpec extends AnyFunSuite {
     setup()
     spark.sql("CALL graft.sys.index(table => 'idx.base', column => 'grp')")
       .collect()
+    // the rewrite fired iff the optimized plan reads the index table —
+    // as a probe (semi join) or as the whole answer (covered path)
     def fires(sql: String): Boolean = {
       val q = spark.sql(sql)
       q.collect()
       q.queryExecution.optimizedPlan.collect {
-        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
-      }.nonEmpty
+        case r: org.apache.spark.sql.execution.datasources.v2
+            .DataSourceV2ScanRelation => r.relation.table.name
+      }.exists(_.contains("_idx_"))
     }
     assert(fires("SELECT k FROM graft.idx.base WHERE grp = 3"))
     // key column: interval pruning already serves it — no rewrite
@@ -264,6 +267,51 @@ class SecondaryIndexSpec extends AnyFunSuite {
     assert(fires("SELECT k FROM graft.idx.base WHERE grp = 3"))
     assert(spark.sql("SELECT k FROM graft.idx.base WHERE grp = 3")
       .collect().length == 1010)
+  }
+
+  test("covering index answers index-only: no base scan, one point " +
+      "probe") {
+    setup()
+    spark.sql("CALL graft.sys.index(table => 'idx.base', " +
+      "column => 'grp', include => 'v')").collect()
+    val q = spark.sql(
+      "SELECT k, v FROM graft.idx.base WHERE grp = 3")
+    val rows = q.collect()
+    assert(rows.length == 1000)
+    assert(rows.map(_.getDouble(1)).sum == (3000 until 4000).sum.toDouble)
+    def scans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[BatchScanExec] = p match {
+      case b: BatchScanExec => Seq(b)
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scans(a.executedPlan)
+      case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        scans(qs.plan)
+      case other => other.children.flatMap(scans)
+    }
+    val ss = scans(q.queryExecution.executedPlan)
+    assert(ss.length == 1, s"expected index-only plan, got ${ss.length} scans")
+    // grp = 3 is a leading-key point predicate on the index → pruned
+    // to its region(s), not the whole index
+    assert(ss.head.inputRDD.getNumPartitions <= 2,
+      s"expected index point scan, got ${ss.head.inputRDD.getNumPartitions}")
+    // an uncovered column falls back to the probe + base join (2 scans)
+    val q2 = spark.sql(
+      "SELECT k, tag FROM graft.idx.base WHERE grp = 3")
+    assert(q2.collect().length == 1000)
+    assert(scans(q2.queryExecution.executedPlan).length == 2)
+    // refresh carries covered columns: append then refresh, covered
+    // lookup sees the new rows with their payloads
+    spark.sql(
+      """INSERT INTO graft.idx.base
+        |SELECT id, 3L, 't0', id * 1.0 FROM range(8000, 8010)"""
+        .stripMargin)
+    spark.sql(
+      "CALL graft.sys.index_refresh(table => 'idx.base', column => 'grp')")
+      .collect()
+    val r3 = spark.sql(
+      "SELECT k, v FROM graft.idx.base WHERE grp = 3").collect()
+    assert(r3.length == 1010)
+    assert(r3.map(_.getDouble(1)).max == 8009.0)
   }
 
   test("row-level UPDATE/DELETE on an indexed column stay correct " +
