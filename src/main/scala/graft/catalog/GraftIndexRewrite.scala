@@ -3,16 +3,17 @@ package graft.catalog
 import java.io.File
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Alias, And, AttributeReference, EqualTo, ExprId, Expression, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, AttributeReference, EqualTo, ExprId, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal, NamedExpression}
 import org.apache.spark.sql.catalyst.plans.LeftSemi
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, JoinHint, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 
 /** Transparent secondary-index acceleration (the Phoenix behavior: an
-  * index's EXISTENCE is the opt-in): a point filter on a non-key
-  * column that has a FRESH secondary index (`CALL graft.sys.index`;
-  * watermark == the base's current commit version) is rewritten from
+  * index's EXISTENCE is the opt-in): a point or range filter on a
+  * non-key column that has a FRESH secondary index
+  * (`CALL graft.sys.index`; watermark == the base's current commit
+  * version) is rewritten from
   *
   * {{{ Filter(c = lit, base) }}}
   *
@@ -70,14 +71,9 @@ class GraftIndexRewrite(session: SparkSession) extends Rule[LogicalPlan] {
     val table = r.table.asInstanceOf[GraftTable]
     if (table.snapshot.isDefined) return None
     val keySet = table.meta.keyCols.map(_.toLowerCase).toSet
-    val atom = splitConjunctivePredicates(cond).iterator.flatMap {
-      case EqualTo(a: AttributeReference, l: Literal)
-          if l.value != null && !keySet(a.name.toLowerCase) =>
-        freshIndex(table, a.name).map(d => (a, d))
-      case EqualTo(l: Literal, a: AttributeReference)
-          if l.value != null && !keySet(a.name.toLowerCase) =>
-        freshIndex(table, a.name).map(d => (a, d))
-      case _ => None
+    val atom = splitConjunctivePredicates(cond).iterator.flatMap { e =>
+      indexableColumn(e, keySet)
+        .flatMap(a => freshIndex(table, a.name).map(d => (a, d)))
     }.nextOption()
     atom.flatMap { case (_, (idxDir, idxMeta)) =>
       val carried = idxMeta.schema.fieldNames.map(_.toLowerCase).toSet
@@ -115,30 +111,55 @@ class GraftIndexRewrite(session: SparkSession) extends Rule[LogicalPlan] {
       r.output.find(_.name.equalsIgnoreCase(k)))
     if (keyAttrs.length != meta.keyCols.length) return None
 
-    val atom = splitConjunctivePredicates(cond).iterator.flatMap {
-      case EqualTo(a: AttributeReference, l: Literal)
-          if l.value != null && !keySet(a.name.toLowerCase) =>
-        freshIndex(table, a.name).map(d => (a, l, d))
-      case EqualTo(l: Literal, a: AttributeReference)
-          if l.value != null && !keySet(a.name.toLowerCase) =>
-        freshIndex(table, a.name).map(d => (a, l, d))
-      case _ => None
-    }.nextOption()
-
-    atom.map { case (attr, lit, (idxDir, idxMeta)) =>
+    val atoms = splitConjunctivePredicates(cond)
+    val attr = atoms.iterator
+      .flatMap(indexableColumn(_, keySet))
+      .find(a => freshIndex(table, a.name).isDefined)
+    attr.map { a =>
+      val (idxDir, idxMeta) = freshIndex(table, a.name).get
       val idxTable = new GraftTable(idxDir.getName, idxDir, idxMeta)
       val idxRel = DataSourceV2Relation.create(idxTable, None, None)
       val probeCol = idxRel.output
-        .find(_.name.equalsIgnoreCase(attr.name)).get
+        .find(_.name.equalsIgnoreCase(a.name)).get
       val probeKeys = meta.keyCols.map(k =>
         idxRel.output.find(_.name.equalsIgnoreCase(k)).get)
-      val probe = Project(probeKeys,
-        Filter(EqualTo(probeCol, lit), idxRel))
+      // every supported atom on the indexed column travels to the
+      // probe (a point becomes a point scan, a range a range scan on
+      // the index's leading key); a base row satisfying cond satisfies
+      // all of them, so its index entry survives — no false negatives
+      val probeCond = atoms
+        .filter(e => indexableColumn(e, keySet).exists(_.exprId == a.exprId))
+        .map(_.transform { case ar: AttributeReference
+            if ar.exprId == a.exprId => probeCol })
+        .reduce(And)
+      val probe = Project(probeKeys, Filter(probeCond, idxRel))
       val joinCond = keyAttrs.zip(probeKeys)
         .map { case (b, p) => EqualTo(b, p): Expression }
         .reduce(And)
       Filter(cond,
         Join(r, probe, LeftSemi, Some(joinCond), JoinHint.NONE))
+    }
+  }
+
+  /** The non-key column a conjunct constrains with a literal point or
+    * range comparison — the shapes the index's leading-key order can
+    * serve (region pruning on the index side). */
+  private def indexableColumn(e: Expression,
+      keySet: Set[String]): Option[AttributeReference] = {
+    def ok(a: AttributeReference, l: Literal): Option[AttributeReference] =
+      if (l.value != null && !keySet(a.name.toLowerCase)) Some(a) else None
+    e match {
+      case EqualTo(a: AttributeReference, l: Literal) => ok(a, l)
+      case EqualTo(l: Literal, a: AttributeReference) => ok(a, l)
+      case GreaterThan(a: AttributeReference, l: Literal) => ok(a, l)
+      case GreaterThan(l: Literal, a: AttributeReference) => ok(a, l)
+      case GreaterThanOrEqual(a: AttributeReference, l: Literal) => ok(a, l)
+      case GreaterThanOrEqual(l: Literal, a: AttributeReference) => ok(a, l)
+      case LessThan(a: AttributeReference, l: Literal) => ok(a, l)
+      case LessThan(l: Literal, a: AttributeReference) => ok(a, l)
+      case LessThanOrEqual(a: AttributeReference, l: Literal) => ok(a, l)
+      case LessThanOrEqual(l: Literal, a: AttributeReference) => ok(a, l)
+      case _ => None
     }
   }
 

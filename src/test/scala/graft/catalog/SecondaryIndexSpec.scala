@@ -269,6 +269,24 @@ class SecondaryIndexSpec extends AnyFunSuite {
       .collect().length == 1010)
   }
 
+  test("range predicates on the indexed column use the index too") {
+    setup()
+    spark.sql("CALL graft.sys.index(table => 'idx.base', column => 'grp')")
+      .collect()
+    // BETWEEN-shaped conjunction → index range scan (grp leads its key)
+    val q = spark.sql(
+      "SELECT k, v FROM graft.idx.base WHERE grp >= 3 AND grp < 5")
+    val rows = q.collect()
+    assert(rows.length == 2000)
+    assert(rows.map(_.getLong(0)).min == 3000L)
+    assert(rows.map(_.getLong(0)).max == 4999L)
+    val scan = baseScan(q)
+    assert(scan.runtimeFilters.nonEmpty,
+      "expected the range probe to runtime-filter the base")
+    assert(scan.inputRDD.getNumPartitions <= 3,
+      s"expected region pruning, got ${scan.inputRDD.getNumPartitions}")
+  }
+
   test("covering index answers index-only: no base scan, one point " +
       "probe") {
     setup()
