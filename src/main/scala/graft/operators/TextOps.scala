@@ -580,6 +580,30 @@ object TextOps {
         (round(nll, 4) < 8.0).as("keep"))
   }
 
+  /** CCNet's head/middle/tail partition (arXiv:1911.00359 §3.3): split
+    * the corpus into perplexity terciles — "head" is the most
+    * fluent-looking third, the slice CCNet keeps for training. Scale
+    * shape: exactly CCNet's — compute the two global cutoffs as ONE
+    * distributed percentile aggregate over [[textPerplexity]]'s scores
+    * (never a global sort/ntile funnel), broadcast the two scalars,
+    * assign buckets map-side. Thresholds rounded to 6dp on both sides
+    * so the tercile boundary compare is engine-stable (scores are
+    * already 4dp). At 100 TB the scored table would be cached or
+    * persisted between the two passes; both passes are O(rows)
+    * distributed work. Exact DuckDB oracle (quantile_cont parity, as
+    * in agg_percentile). */
+  val pplBuckets: Q = (s, d) => {
+    val scored = textPerplexity(s, d).select(col("doc_id"), col("avg_nll"))
+    val cuts = scored.agg(
+      round(expr("percentile(avg_nll, CAST(1 AS DOUBLE)/3)"), 6).as("c1"),
+      round(expr("percentile(avg_nll, CAST(2 AS DOUBLE)/3)"), 6).as("c2"))
+    scored.crossJoin(broadcast(cuts))
+      .select(col("doc_id"), col("avg_nll"),
+        when(col("avg_nll") <= col("c1"), "head")
+          .when(col("avg_nll") <= col("c2"), "middle")
+          .otherwise("tail").as("bucket"))
+  }
+
   // -------------------------------------------------------- n-gram Jaccard
 
   /** Exact word-set Jaccard similarity for near-dup pairs ≥ 0.9.
@@ -1331,6 +1355,7 @@ object TextOps {
     "text_vocab" -> vocabTop,
     "text_bpe" -> bpePairs,
     "text_perplexity" -> textPerplexity,
+    "pipeline_ppl_buckets" -> pplBuckets,
     "pipeline_mix" -> domainMix,
     "pipeline_full" -> pipelineFull,
     "dedup_lines" -> dedupLines,
@@ -1781,6 +1806,39 @@ object TextOps {
         |       round(exp(nll), 2) AS ppl,
         |       round(nll, 4) < 8.0 AS keep
         |FROM sc""".stripMargin,
+
+    // same bigram recompute → same 4dp scores; tercile cutoffs via
+    // quantile_cont (≡ Spark percentile, see agg_percentile) rounded
+    // to 6dp, so the boundary compare cannot flip between engines
+    "pipeline_ppl_buckets" ->
+      """WITH d AS (SELECT doc_id,
+        |                 list_filter(string_split(text, ' '),
+        |                             w -> w <> '') AS ws
+        |           FROM documents),
+        |b AS (SELECT doc_id, unnest(range(1, len(ws))) AS i, ws
+        |      FROM d WHERE len(ws) >= 2),
+        |bg AS (SELECT doc_id, ws[CAST(i AS INT)] AS w1,
+        |              ws[CAST(i AS INT) + 1] AS w2 FROM b),
+        |m AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
+        |ctx AS (SELECT w1, w2, c2,
+        |               sum(c2) OVER (PARTITION BY w1) AS c1 FROM m),
+        |v AS (SELECT count(DISTINCT w1) AS v FROM m),
+        |sc AS (SELECT bg.doc_id,
+        |              round(-sum(ln((c2 + 1) / CAST(c1 + v AS DOUBLE)))
+        |                / count(*), 4) AS avg_nll
+        |       FROM bg JOIN ctx USING (w1, w2), v
+        |       GROUP BY 1),
+        |c AS (SELECT
+        |        round(quantile_cont(avg_nll, CAST(1 AS DOUBLE)/3), 6)
+        |          AS c1,
+        |        round(quantile_cont(avg_nll, CAST(2 AS DOUBLE)/3), 6)
+        |          AS c2
+        |      FROM sc)
+        |SELECT doc_id, avg_nll,
+        |       CASE WHEN avg_nll <= c1 THEN 'head'
+        |            WHEN avg_nll <= c2 THEN 'middle'
+        |            ELSE 'tail' END AS bucket
+        |FROM sc, c""".stripMargin,
 
     // same integer token proxy, same division order -> identical IEEE
     // doubles before the round
