@@ -353,6 +353,45 @@ class SecondaryIndexSpec extends AnyFunSuite {
       .collect()(0).getLong(0) == 0L)
   }
 
+  test("streaming ingest composes with incremental index maintenance") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.idx")
+    spark.sql("DROP TABLE IF EXISTS graft.idx.sbase")
+    spark.sql("DROP TABLE IF EXISTS graft.idx.sbase_idx_tag")
+    spark.sql(
+      """CREATE TABLE graft.idx.sbase (k BIGINT, tag STRING)
+        |TBLPROPERTIES('keyCols'='k', 'numRegions'='4')""".stripMargin)
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_idx_stream_ckpt").toString
+    val in = MemoryStream[(Long, String)]
+    val q = in.toDF().toDF("k", "tag").writeStream
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .toTable("graft.idx.sbase")
+    try {
+      in.addData((0L until 100L).map(k => (k, s"t${k % 5}")): _*)
+      q.processAllAvailable()
+      spark.sql(
+        "CALL graft.sys.index(table => 'idx.sbase', column => 'tag')")
+        .collect()
+      // next micro-batch lands as an epoch append → CDC delta
+      in.addData((100L until 200L).map(k => (k, s"t${k % 5}")): _*)
+      q.processAllAvailable()
+      val out = spark.sql("CALL graft.sys.index_refresh(" +
+        "table => 'idx.sbase', column => 'tag')").collect()(0)
+      assert(out.getString(1) == "100", "refresh applies the epoch delta")
+      // fresh again → the transparent rewrite serves the lookup
+      val rows = spark.sql(
+        "SELECT k FROM graft.idx.sbase WHERE tag = 't0'").collect()
+      assert(rows.length == 40)
+      assert(rows.map(_.getLong(0)).max == 195L)
+    } finally q.stop()
+    spark.sql("DROP TABLE graft.idx.sbase")
+    spark.sql("DROP TABLE IF EXISTS graft.idx.sbase_idx_tag")
+  }
+
   test("rebuild after base appends refreshes rows and the watermark") {
     setup()
     spark.sql("CALL graft.sys.index(table => 'idx.base', column => 'grp')")
