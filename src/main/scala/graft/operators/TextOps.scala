@@ -1293,15 +1293,24 @@ object TextOps {
     import org.apache.spark.sql.expressions.Window
     val base = docsDf.withColumn("ws", wordsCol)
     // corpus side explodes WITHOUT array_distinct: distinct-by-equality
-    // over ~200 string shingles per document is quadratic per row, and
-    // the duplicates are cheaper to fold AFTER the probe join (which
-    // keeps only probe-matching shingles) as a count(DISTINCT s).
+    // over ~200 shingles per document is quadratic per row, and the
+    // duplicates are cheaper to fold AFTER the probe join (which keeps
+    // only probe-matching shingles) as a count(DISTINCT s). Both sides
+    // reduce each shingle to its xxhash64 BEFORE the explode: the
+    // probe join, distinct fold, and broadcast then move 8-byte longs
+    // instead of ~100-byte strings (the same fingerprint move as
+    // substringDedup; at 48 probe shingles × corpus shingle count, a
+    // 64-bit collision altering a containment score needs ~2³² shingle
+    // values — and the string-based oracle would catch it).
     val corpusSh = base
-      .select(col("doc_id"), explode(expr(shinglesOf("ws"))).as("s"))
+      .select(col("doc_id"),
+        explode(expr(s"transform(${shinglesOf("ws")}, x -> xxhash64(x))"))
+          .as("s"))
     val probes = base.filter(col("doc_id") % 37 === 0)
       .withColumn("pws", expr("slice(ws, 1, 8)"))
       .select(col("doc_id").as("probe_id"),
-        expr(s"array_distinct(${shinglesOf("pws")})").as("psh"))
+        expr(s"array_distinct(transform(${shinglesOf("pws")}, " +
+          "x -> xxhash64(x)))").as("psh"))
     val probeSh = probes.select(col("probe_id"),
       size(col("psh")).cast("long").as("n_psh"),
       explode(col("psh")).as("s"))
