@@ -95,7 +95,11 @@ object ScaleBench {
     // and the CDC delta is a manifest diff — both should stay ~flat
     // while the data scales 10x (the point of resolving them from the
     // manifest rather than the data)
-    "catalog_topn", "catalog_changes")
+    "catalog_topn", "catalog_changes",
+    // bigram-LM scoring: model agg + probe join, both keyed by bigram —
+    // replicas multiply counts uniformly, so the workload scales
+    // cleanly even on the amplified corpus
+    "text_perplexity")
 
   /** The UNBOUNDED verified near-dup pipeline (idBound=None): whole
     * corpus through signatures → 32-band LSH → exact verify. Measured
