@@ -456,6 +456,13 @@ object CatalogQueries {
       fqn
     })
 
+  /** Perplexity scoring over catalog-stored documents — the CCNet
+    * quality gate running on the storage engine instead of raw files
+    * (same shared pipeline as text_perplexity, same exact oracle: the
+    * store must hold exactly the source rows). */
+  val perplexityOnStore: Q = (s, d) =>
+    TextOps.perplexityOf(s.table(documentsTable(s, d)))
+
   /** Exact dedup accounting over catalog-stored documents (the LLM
     * pipeline running on the storage engine, not raw files). */
   val dedupOnStore: Q = (s, d) => s.sql(
@@ -1526,6 +1533,7 @@ object CatalogQueries {
     "catalog_merge" -> mergeAgg,
     "catalog_pipeline_pack" -> packOnStore,
     "catalog_dedup_exact" -> dedupOnStore,
+    "catalog_perplexity" -> perplexityOnStore,
     "catalog_point_lookup" -> pointLookup,
     "catalog_range_scan" -> rangeScan,
     "catalog_key_agg" -> keyAgg,
@@ -1551,6 +1559,10 @@ object CatalogQueries {
       |FROM orders GROUP BY 1""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // the store face shares text_perplexity's oracle verbatim: the
+    // catalog must hold exactly the source documents
+    "catalog_perplexity" -> TextOps.oracles("text_perplexity"),
+
     // the index path must answer exactly like the plain filter
     "catalog_index_lookup" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus,

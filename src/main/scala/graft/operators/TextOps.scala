@@ -553,9 +553,11 @@ object TextOps {
     * state; the model table is vocabulary-bounded (Zipf: ≪ corpus),
     * and at 100 TB the model could be persisted once and reused by
     * every scoring pass — the join is the only per-corpus-scan cost. */
-  val textPerplexity: Q = (s, d) => {
+  val textPerplexity: Q = (s, d) => perplexityOf(docs(s, d))
+
+  def perplexityOf(docsDf: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val base = docs(s, d)
+    val base = docsDf
       .withColumn("ws", filter(wordsCol, w => w =!= lit("")))
       .filter(size(col("ws")) >= 2)
     val bigrams = base.select(col("doc_id"),
