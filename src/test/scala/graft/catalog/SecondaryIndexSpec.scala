@@ -353,6 +353,25 @@ class SecondaryIndexSpec extends AnyFunSuite {
       .collect()(0).getLong(0) == 0L)
   }
 
+  test("time-travel reads never take the index path") {
+    setup()
+    spark.sql("CALL graft.sys.index(table => 'idx.base', column => 'grp')")
+      .collect()
+    val v = spark.sql("CALL graft.sys.history(table => 'idx.base')")
+      .collect().map(_.getString(0).toLong).max
+    val q = spark.sql(
+      s"SELECT k FROM graft.idx.base VERSION AS OF $v WHERE grp = 3")
+    assert(q.collect().length == 1000)
+    // the snapshot pin must disable the rewrite: an index is only
+    // provably complete against the CURRENT version, and a past
+    // snapshot may differ from it in either direction
+    val idxScans = q.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2
+          .DataSourceV2ScanRelation => r.relation.table.name
+    }.filter(_.contains("_idx_"))
+    assert(idxScans.isEmpty, s"time travel used the index: $idxScans")
+  }
+
   test("streaming ingest composes with incremental index maintenance") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
