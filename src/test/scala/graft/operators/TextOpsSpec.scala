@@ -532,4 +532,24 @@ class TextOpsSpec extends AnyFunSuite {
     assert(got(3L) == ((9L, 1L, 3L, 0.3333)))
     assert(!got.contains(4L))
   }
+
+  test("perplexity matches the hand-computed bigram model on a " +
+      "crafted corpus") {
+    import spark.implicits._
+    // model: c(a,b)=2, c(a,c)=1 → c(a·)=3, context vocab V={a} → |V|=1
+    // P(b|a) = (2+1)/(3+1) = 0.75; P(c|a) = (1+1)/(3+1) = 0.5
+    val crafted = Seq((1L, "a b"), (2L, "a b"), (3L, "a c"))
+      .toDF("doc_id", "text")
+    val got = TextOps.perplexityOf(crafted).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getBoolean(4)))
+      .toMap
+    assert(got(1L) == ((1L, 0.2877, 1.33, true))) // -ln 0.75, e^nll
+    assert(got(2L) == ((1L, 0.2877, 1.33, true)))
+    assert(got(3L) == ((1L, 0.6931, 2.0, true)))  // -ln 0.5 → ppl 2
+    // a single-word doc has no bigrams and is excluded, not scored 0
+    val single = Seq((1L, "a b"), (2L, "solo")).toDF("doc_id", "text")
+    assert(TextOps.perplexityOf(single).collect().map(_.getLong(0))
+      .toSeq == Seq(1L))
+  }
 }
