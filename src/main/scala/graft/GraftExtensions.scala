@@ -35,6 +35,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // so both sides get normal pushdown/pruning afterwards)
     ext.injectPreCBORule(session =>
       new graft.catalog.GraftIndexRewrite(session))
+    // re-aggregable GROUP BYs over a base with a FRESH materialized
+    // view → re-aggregation over the mview's stored partials
+    ext.injectPreCBORule(session =>
+      new graft.catalog.GraftMviewRewrite(session))
     ext.injectFunction((FunctionIdentifier("vec_cosine"),
       info("vec_cosine", classOf[VecCosine]),
       (args: Seq[Expression]) => VecCosine(args(0), args(1))))

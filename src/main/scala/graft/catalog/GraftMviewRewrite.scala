@@ -1,0 +1,204 @@
+package graft.catalog
+
+import java.io.File
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Cast, Coalesce, Expression, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.types.LongType
+
+/** Transparent materialized-view acceleration: a GROUP BY over a graft
+  * table whose grouping/filter columns and aggregate functions are all
+  * derivable from a FRESH materialized view (`CALL graft.sys.mview`;
+  * watermark == the base's current commit version) is answered from
+  * the mview instead of the base —
+  *
+  * {{{ Aggregate(g, aggs, [Filter(c,)] base) }}}
+  *
+  * becomes
+  *
+  * {{{ Aggregate(g', aggs', [Filter(c',)] base_mv_name) }}}
+  *
+  * where every SUM(x) re-aggregates the stored partial as
+  * SUM(sum_x), COUNT(*)/COUNT(x) as SUM(cnt_*) (coalesced to 0 for
+  * the empty global-aggregate case, matching COUNT's semantics), and
+  * MIN/MAX as MIN(min_x)/MAX(max_x). The mview stores PARTIAL
+  * aggregates — `CALL graft.sys.mview_refresh` appends the CDC delta's
+  * partials without touching existing rows — so a group may span
+  * several mview rows and the rewrite ALWAYS re-aggregates; grouping
+  * by any expression OVER the mview's group columns (e.g. a coarser
+  * rollup, `year(d)` over a `d`-grouped mview) and filtering on any
+  * mview group column stay exact for the same reason. Result types are
+  * preserved by casting re-aggregated sums back to the original
+  * aggregate's type (SUM over DECIMAL widens per-level; the cast
+  * restores the direct plan's precision).
+  *
+  * The reference has no analogue (its coprocessor computes partials at
+  * region servers per query — `SparkSqlRegionObserver.scala:42-196` —
+  * but never persists them); this is the summary-table pattern a
+  * 100-TB dashboard workload needs: the fact scan happens once at
+  * build/refresh, not per query.
+  *
+  * Runs at the pre-CBO seam like [[GraftIndexRewrite]], while the base
+  * is still a plain [[DataSourceV2Relation]]. Does not fire on: stale
+  * or absent mviews, DISTINCT or FILTER'd aggregates, time-travel /
+  * CDC-pinned snapshots, columns outside the mview's group set. Kill
+  * switch: `spark.graft.accel.mviewRewrite=false`. */
+class GraftMviewRewrite(session: SparkSession) extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (!GraftAccel.on(GraftAccel.MviewRewrite)) return plan
+    plan.transformDown {
+      case a: Aggregate => rewrite(a).getOrElse(a)
+    }
+  }
+
+  /** Optional Filter/Project sandwich over a live graft relation:
+    * returns (filter conditions, project-alias inlinings, relation).
+    * Project aliases matter because `PullOutGroupingExpressions` (an
+    * early optimizer batch, so it runs before this pre-CBO rule)
+    * rewrites GROUP BY <expr> into a Project computing the expression
+    * below the Aggregate — inlining the alias recovers the base
+    * columns the expression is really over. */
+  private def strip(p: LogicalPlan, conds: Seq[Expression],
+      subst: Map[org.apache.spark.sql.catalyst.expressions.ExprId, Expression])
+      : Option[(Seq[Expression],
+        Map[org.apache.spark.sql.catalyst.expressions.ExprId, Expression],
+        DataSourceV2Relation)] = p match {
+    case r: DataSourceV2Relation if r.table.isInstanceOf[GraftTable] &&
+        r.table.asInstanceOf[GraftTable].snapshot.isEmpty =>
+      Some((conds, subst, r))
+    case Filter(c, child) => strip(child, conds :+ c, subst)
+    case Project(l, child) =>
+      val m = l.collect { case al: Alias => al.exprId -> al.child }
+      strip(child, conds, subst ++ m)
+    case _ => None
+  }
+
+  private def rewrite(a: Aggregate): Option[LogicalPlan] = {
+    val (conds, subst, r) = strip(a.child, Nil, Map.empty)
+      .getOrElse(return None)
+    val table = r.table.asInstanceOf[GraftTable]
+    // resolve project-alias chains to fixpoint so every expression the
+    // rewrite inspects is phrased over the base relation's columns
+    def fix(e: Expression): Expression = {
+      var cur = e
+      var prev: Expression = null
+      while (prev == null || !cur.fastEquals(prev)) {
+        prev = cur
+        cur = cur.transformUp {
+          case at: AttributeReference if subst.contains(at.exprId) =>
+            subst(at.exprId)
+        }
+      }
+      cur
+    }
+    candidates(table).iterator.flatMap { case (dir, m) =>
+      rewriteWith(a, conds.map(fix), fix, dir, m)
+    }.nextOption()
+  }
+
+  private def rewriteWith(a: Aggregate, conds: Seq[Expression],
+      fix: Expression => Expression,
+      mvDir: File, mvMeta: TableMeta): Option[LogicalPlan] = {
+    val groupCols = mvMeta.properties(TableMeta.MviewGroupByProp)
+      .split(";").map(_.trim.toLowerCase).filter(_.nonEmpty).toSet
+    // "fn:col" (col lowercase, "*" for count-star) -> stored column
+    val aggMap: Map[(String, String), String] =
+      mvMeta.properties(TableMeta.MviewAggsProp).split(";").toSeq
+        .filter(_.nonEmpty).map { entry =>
+          val Array(spec, stored) = entry.split("=", 2)
+          val Array(fn, col) = spec.split(":", 2)
+          (fn, col) -> stored
+        }.toMap
+
+    val mvTable = new GraftTable(mvDir.getName, mvDir, mvMeta)
+    val mvRel = DataSourceV2Relation.create(mvTable, None, None)
+    def mvAttr(name: String): AttributeReference =
+      mvRel.output.find(_.name.equalsIgnoreCase(name)).get
+
+    // rewrite an aggregate function call onto the stored partials;
+    // None = not derivable from this mview -> the rule does not fire
+    def rwAgg(agg: AggregateExpression): Option[Expression] = {
+      if (agg.isDistinct || agg.filter.isDefined) return None
+      def summed(stored: String): Expression =
+        Sum(mvAttr(stored)).toAggregateExpression()
+      val out = agg.aggregateFunction match {
+        case Sum(x: AttributeReference, _) =>
+          aggMap.get(("sum", x.name.toLowerCase)).map(summed)
+        case Min(x: AttributeReference) =>
+          aggMap.get(("min", x.name.toLowerCase))
+            .map(c => Min(mvAttr(c)).toAggregateExpression())
+        case Max(x: AttributeReference) =>
+          aggMap.get(("max", x.name.toLowerCase))
+            .map(c => Max(mvAttr(c)).toAggregateExpression())
+        case Count(Seq(Literal(_, _))) =>
+          aggMap.get(("count", "*"))
+            .map(c => Coalesce(Seq(summed(c), Literal(0L, LongType))))
+        case Count(Seq(x: AttributeReference)) =>
+          aggMap.get(("count", x.name.toLowerCase))
+            .map(c => Coalesce(Seq(summed(c), Literal(0L, LongType))))
+        case _ => None
+      }
+      out.map(e =>
+        if (e.dataType == agg.dataType) e else Cast(e, agg.dataType))
+    }
+
+    // rewrite any expression: aggregate calls via rwAgg, group-column
+    // references onto the mview's same-named columns, anything else
+    // structurally — unknown attributes or aggregates make the whole
+    // rewrite decline
+    def rw(e: Expression): Option[Expression] = e match {
+      case agg: AggregateExpression => rwAgg(agg)
+      case at: AttributeReference =>
+        if (groupCols(at.name.toLowerCase)) Some(mvAttr(at.name)) else None
+      case _ =>
+        val kids = e.children.map(rw)
+        if (kids.forall(_.isDefined)) Some(e.withNewChildren(kids.map(_.get)))
+        else None
+    }
+
+    val newConds = conds.map(rw)
+    val newGroup = a.groupingExpressions.map(e => rw(fix(e)))
+    val newAggs: Seq[Option[NamedExpression]] = a.aggregateExpressions.map {
+      case al: Alias =>
+        rw(fix(al.child)).map(c =>
+          Alias(c, al.name)(al.exprId, al.qualifier, al.explicitMetadata))
+      case at: AttributeReference =>
+        rw(fix(at)).map(c => Alias(c, at.name)(at.exprId, at.qualifier))
+      case ne => rw(fix(ne)).map(_.asInstanceOf[NamedExpression])
+    }
+    if ((newConds ++ newGroup ++ newAggs).exists(_.isEmpty)) return None
+    val child = newConds.flatten
+      .foldRight(mvRel: LogicalPlan)((c, p) => Filter(c, p))
+    Some(Aggregate(newGroup.flatten, newAggs.flatten.toSeq, child))
+  }
+
+  /** Fresh sibling mviews of this base, deterministic name order. A
+    * stale watermark (any base commit since build/refresh) disables
+    * the rewrite — refresh with `CALL graft.sys.mview_refresh`. */
+  private def candidates(table: GraftTable): Seq[(File, TableMeta)] = {
+    val parent = table.tableDir.getParentFile
+    val prefix = s"${table.tableDir.getName}_mv_"
+    val names = Option(parent.list()).getOrElse(Array.empty[String])
+      .filter(_.startsWith(prefix)).sorted
+    if (names.isEmpty) return Nil
+    lazy val current = TableMeta.currentVersion(table.tableDir)
+    names.toSeq.flatMap { n =>
+      val dir = new File(parent, n)
+      if (!TableMeta.exists(dir)) None
+      else {
+        val m = TableMeta.load(dir)
+        val structural = m.properties.contains(TableMeta.MviewOfProp) &&
+          m.properties.contains(TableMeta.MviewGroupByProp) &&
+          m.properties.contains(TableMeta.MviewAggsProp)
+        val fresh = m.properties.get(TableMeta.MviewVersionProp)
+          .flatMap(_.toLongOption).contains(current)
+        if (structural && fresh) Some((dir, m)) else None
+      }
+    }
+  }
+}

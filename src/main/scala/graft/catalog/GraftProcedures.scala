@@ -36,7 +36,7 @@ object GraftProcedures {
   val Names: Seq[String] =
     Seq("load_csv", "compact", "cluster", "stats", "vacuum", "manifest",
       "fold", "history", "restore", "analyze", "split", "merge", "clone",
-      "convert", "index", "index_refresh")
+      "convert", "index", "index_refresh", "mview", "mview_refresh")
 
   def load(catalogName: String, ident: Identifier): UnboundProcedure = {
     require(ident.namespace.isEmpty ||
@@ -60,6 +60,8 @@ object GraftProcedures {
       case "convert" => new ConvertProcedure(catalogName)
       case "index" => new IndexProcedure(catalogName)
       case "index_refresh" => new IndexRefreshProcedure(catalogName)
+      case "mview" => new MviewProcedure(catalogName)
+      case "mview_refresh" => new MviewRefreshProcedure(catalogName)
       case other => throw new IllegalArgumentException(
         s"unknown graft procedure $other; available: ${Names.mkString(", ")}")
     }
@@ -911,6 +913,266 @@ object GraftProcedures {
           Collections.singletonList(LocalRowsScan(
             Array("index", "rows_appended", "base_version"),
             Seq(Seq(idxFqn, appended.toString, now.toString))): Scan)
+            .iterator()
+        }
+      }
+  }
+
+  /** Shared by mview build/refresh: parse the requested aggregate list
+    * `"sum:x;count:*;min:y"` → (fn, colLower, storedColumnName). */
+  private def parseAggSpecs(aggs: String): Seq[(String, String, String)] =
+    aggs.split(";").map(_.trim).filter(_.nonEmpty).toSeq.map { spec =>
+      val parts = spec.split(":", 2)
+      require(parts.length == 2,
+        s"agg spec '$spec' must be '<fn>:<col>' (fn in sum/count/min/max)")
+      val fn = parts(0).trim.toLowerCase
+      val col = parts(1).trim.toLowerCase
+      require(Set("sum", "count", "min", "max")(fn),
+        s"unsupported mview aggregate '$fn' (sum/count/min/max)")
+      require(col != "*" || fn == "count", s"'$fn:*' is not an aggregate")
+      val stored =
+        if (fn == "count" && col == "*") "cnt_star"
+        else if (fn == "count") s"cnt_$col"
+        else s"${fn}_$col"
+      (fn, col, stored)
+    }
+
+  /** SQL select-list fragment computing one partial aggregate. */
+  private def aggSelectExprs(specs: Seq[(String, String, String)])
+      : Seq[String] = specs.map {
+    case ("count", "*", stored) => s"count(*) AS `$stored`"
+    case (fn, col, stored) =>
+      val f = if (fn == "count") "count" else fn
+      s"$f(`$col`) AS `$stored`"
+  }
+
+  /** `CALL graft.sys.mview(table => 'ns.t', name => 'by_status',
+    * group_by => 'a;b', aggs => 'sum:x;count:*;min:y')` — build (or
+    * rebuild) a MATERIALIZED VIEW table `<t>_mv_<name>`, keyed by the
+    * group-by columns and holding one PARTIAL-aggregate row per group
+    * per ingest batch. [[GraftMviewRewrite]] then answers any
+    * re-aggregable GROUP BY over the base (same groups, a coarser
+    * rollup over them, or a filter on them) from the mview
+    * transparently while the freshness watermark matches the base —
+    * the summary-table move a 100-TB dashboard workload needs: the
+    * fact scan runs once at build/refresh, never per query.
+    *
+    * The reference's coprocessor computed per-region partials on every
+    * query (`SparkSqlRegionObserver.scala:42-196`); persisting them as
+    * a first-class keyed table is the same partial-aggregate algebra
+    * with the per-query cost moved to ingest. Group columns must be
+    * non-null (a keyed store row needs a key; the build refuses
+    * loudly otherwise, so the rewrite can never lose a NULL group). */
+  final class MviewProcedure(catalogName: String)
+      extends UnboundProcedure {
+    override def name(): String = "mview"
+    override def description(): String =
+      "build or rebuild a materialized aggregate table <t>_mv_<name> " +
+        "keyed by the group-by columns, holding partial aggregates"
+    override def bind(inputType: StructType): BoundProcedure =
+      new BoundProcedure {
+        override def name(): String = "mview"
+        override def description(): String =
+          MviewProcedure.this.description()
+        override def isDeterministic: Boolean = false
+        override def parameters(): Array[ProcedureParameter] = Array(
+          ProcedureParameter.in("table", StringType)
+            .comment("base '<namespace>.<table>' within this catalog")
+            .build(),
+          ProcedureParameter.in("name", StringType)
+            .comment("mview suffix: table <t>_mv_<name>").build(),
+          ProcedureParameter.in("group_by", StringType)
+            .comment("';'-separated group-by columns (become the " +
+              "mview's key)").build(),
+          ProcedureParameter.in("aggs", StringType)
+            .comment("';'-separated '<fn>:<col>' aggregates, fn in " +
+              "sum/count/min/max, 'count:*' for row count").build(),
+          ProcedureParameter.in("num_regions", IntegerType)
+            .defaultValue("4").build())
+        override def call(input: InternalRow): java.util.Iterator[Scan] = {
+          val table = input.getUTF8String(0).toString
+          val mvSuffix = input.getUTF8String(1).toString.toLowerCase
+          require(mvSuffix.matches("[a-z0-9_]+"),
+            s"mview name '$mvSuffix' must be [a-z0-9_]+")
+          val groupBy = input.getUTF8String(2).toString
+            .split(";").map(_.trim).filter(_.nonEmpty).toSeq
+          require(groupBy.nonEmpty, "group_by must name at least one column")
+          val specs = parseAggSpecs(input.getUTF8String(3).toString)
+          require(specs.nonEmpty, "aggs must name at least one aggregate")
+          val nRegions = input.getInt(4)
+          val s = SparkSession.active
+          val base = graftTable(catalogName, table)
+          val meta = base.meta
+          val groupFields = groupBy.map { c =>
+            val f = meta.schema.fields.find(_.name.equalsIgnoreCase(c))
+              .getOrElse(throw new IllegalArgumentException(
+                s"group_by column $c not in ${table}'s schema"))
+            require(graft.codec.KeyCodec.supportedTypes.contains(f.dataType),
+              s"cannot group a materialized view by " +
+                s"${f.dataType.simpleString} column $c (not a key-codec " +
+                "type)")
+            f
+          }
+          specs.foreach { case (_, col, _) =>
+            require(col == "*" ||
+                meta.schema.fields.exists(_.name.equalsIgnoreCase(col)),
+              s"aggregate column $col not in ${table}'s schema")
+          }
+          val (ns, t) = splitNsTable(table)
+          val mvName = s"${t}_mv_$mvSuffix"
+          val mvFqn = fqn(catalogName, s"$ns.$mvName")
+          val baseFqn = fqn(catalogName, table)
+          // freshness watermark BEFORE the read: concurrent base
+          // appends land after this version and correctly read stale
+          val version = TableMeta.currentVersion(base.tableDir)
+          val gCols = groupFields.map(f => s"`${f.name}`").mkString(", ")
+          val nullGroups = s.sql(
+            s"""SELECT 1 FROM $baseFqn
+               |WHERE ${groupFields.map(f => s"`${f.name}` IS NULL")
+                  .mkString(" OR ")} LIMIT 1""".stripMargin).count()
+          require(nullGroups == 0,
+            s"group_by column(s) contain NULLs in $baseFqn; a keyed " +
+              "mview row needs a non-null key (filter or backfill first)")
+          val aggSql =
+            s"""SELECT $gCols, ${aggSelectExprs(specs).mkString(", ")}
+               |FROM $baseFqn GROUP BY $gCols""".stripMargin
+          val df = s.sql(aggSql)
+          s.sql(s"DROP TABLE IF EXISTS $mvFqn")
+          val ddl = df.schema.fields
+            .map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
+          val aggsProp = specs
+            .map { case (fn, col, stored) => s"$fn:$col=$stored" }
+            .mkString(";")
+          // the freshness watermark is stamped AFTER the insert: the
+          // insert's own SELECT…GROUP BY over the base is exactly the
+          // shape [[GraftMviewRewrite]] accelerates, and a fresh-but-
+          // empty mview would answer it with itself (self-reference);
+          // versionless = never fresh also makes a crashed half-build
+          // invisible to the rewrite
+          s.sql(
+            s"""CREATE TABLE $mvFqn ($ddl)
+               |TBLPROPERTIES(
+               |  '${TableMeta.KeyColsProp}'='${groupFields.map(_.name)
+                    .mkString(";")}',
+               |  '${TableMeta.NumRegionsProp}'='$nRegions',
+               |  '${TableMeta.MviewOfProp}'='$baseFqn',
+               |  '${TableMeta.MviewGroupByProp}'='${groupFields
+                    .map(_.name.toLowerCase).mkString(";")}',
+               |  '${TableMeta.MviewAggsProp}'='$aggsProp')"""
+              .stripMargin)
+          val v = s"mv_src_${math.abs(mvFqn.hashCode)}"
+          df.createOrReplaceTempView(v)
+          s.sql(s"INSERT INTO $mvFqn SELECT * FROM $v")
+          s.sql(s"ALTER TABLE $mvFqn SET TBLPROPERTIES(" +
+            s"'${TableMeta.MviewVersionProp}'='$version')")
+          val rows = s.table(mvFqn).count()
+          Collections.singletonList(LocalRowsScan(
+            Array("mview", "rows", "base_version"),
+            Seq(Seq(mvFqn, rows.toString, version.toString))): Scan)
+            .iterator()
+        }
+      }
+  }
+
+  /** `CALL graft.sys.mview_refresh(table => 'ns.t', name => 'by_x')` —
+    * incrementally maintain a materialized view: read the base's CDC
+    * delta since the mview's freshness watermark ([[GraftChanges]] —
+    * manifest-only planning, reads ONLY appended regions), aggregate
+    * the delta into fresh PARTIAL rows, append them, and advance the
+    * watermark. O(delta), never a base scan — existing partials are
+    * untouched because the read side re-aggregates (SUM of sums, SUM
+    * of counts, MIN of mins). Same soundness contract as
+    * `index_refresh`: appends and re-arrangement ops refresh
+    * incrementally; in-place value rewrites and dedupKeys folds
+    * cannot be retracted from an append-only summary and refuse
+    * loudly toward a full `CALL graft.sys.mview` rebuild. */
+  final class MviewRefreshProcedure(catalogName: String)
+      extends UnboundProcedure {
+    override def name(): String = "mview_refresh"
+    override def description(): String =
+      "incrementally refresh a materialized view from the base " +
+        "table's CDC delta since the mview's watermark (O(delta))"
+    override def bind(inputType: StructType): BoundProcedure =
+      new BoundProcedure {
+        override def name(): String = "mview_refresh"
+        override def description(): String =
+          MviewRefreshProcedure.this.description()
+        override def isDeterministic: Boolean = false
+        override def parameters(): Array[ProcedureParameter] = Array(
+          ProcedureParameter.in("table", StringType)
+            .comment("base '<namespace>.<table>' within this catalog")
+            .build(),
+          ProcedureParameter.in("name", StringType)
+            .comment("mview suffix (table <t>_mv_<name>)").build())
+        override def call(input: InternalRow): java.util.Iterator[Scan] = {
+          val table = input.getUTF8String(0).toString
+          val mvSuffix = input.getUTF8String(1).toString.toLowerCase
+          val s = SparkSession.active
+          val base = graftTable(catalogName, table)
+          val (ns, t) = splitNsTable(table)
+          val mvName = s"${t}_mv_$mvSuffix"
+          val mvFqn = fqn(catalogName, s"$ns.$mvName")
+          val baseFqn = fqn(catalogName, table)
+          val mv = graftTable(catalogName, s"$ns.$mvName")
+          require(mv.meta.properties.get(TableMeta.MviewOfProp)
+              .contains(baseFqn),
+            s"$mvFqn is not a materialized view of $baseFqn (build it " +
+              "with CALL graft.sys.mview first)")
+          val watermark = mv.meta.properties(TableMeta.MviewVersionProp)
+            .toLong
+          val now = TableMeta.currentVersion(base.tableDir)
+          if (now == watermark)
+            return Collections.singletonList(LocalRowsScan(
+              Array("mview", "rows_appended", "base_version"),
+              Seq(Seq(mvFqn, "0", now.toString))): Scan).iterator()
+          require(!TableMeta.dedupKeys(base.meta.properties),
+            s"$baseFqn has graft.dedupKeys: upsert folds change " +
+              "key→value mappings in place, which an append-only " +
+              "summary cannot retract; rebuild with CALL graft.sys.mview")
+          val rewrite = TableMeta.history(base.tableDir).find(e =>
+            e.version > watermark && e.version <= now &&
+              Set("rowlevel", "overwrite", "restore", "delete")(e.op))
+          require(rewrite.isEmpty,
+            s"$baseFqn had a row-removing or in-place rewrite " +
+              s"(${rewrite.get.op} at version ${rewrite.get.version}) " +
+              s"since the mview watermark $watermark; rebuild with " +
+              "CALL graft.sys.mview")
+          val groupBy = mv.meta.properties(TableMeta.MviewGroupByProp)
+            .split(";").filter(_.nonEmpty).toSeq
+          val specs = mv.meta.properties(TableMeta.MviewAggsProp)
+            .split(";").filter(_.nonEmpty).toSeq.map { e =>
+              val Array(spec, stored) = e.split("=", 2)
+              val Array(fn, col) = spec.split(":", 2)
+              (fn, col, stored)
+            }
+          val delta = s.read
+            .option(GraftChanges.FromKey, watermark.toString)
+            .option(GraftChanges.ToKey, now.toString)
+            .table(baseFqn)
+          val v = s"mv_delta_${math.abs(mvFqn.hashCode)}"
+          delta.createOrReplaceTempView(v)
+          val gCols = groupBy.map(c => s"`$c`").mkString(", ")
+          val nullGroups = s.sql(
+            s"""SELECT 1 FROM $v WHERE ${groupBy
+                .map(c => s"`$c` IS NULL").mkString(" OR ")} LIMIT 1""")
+            .count()
+          require(nullGroups == 0,
+            s"CDC delta of $baseFqn contains NULL group column(s); a " +
+              "keyed mview row needs a non-null key")
+          val partials = s.sql(
+            s"""SELECT $gCols, ${aggSelectExprs(specs).mkString(", ")}
+               |FROM $v GROUP BY $gCols""".stripMargin)
+          val appended = partials.count()
+          if (appended > 0) {
+            val pv = s"mv_part_${math.abs(mvFqn.hashCode)}"
+            partials.createOrReplaceTempView(pv)
+            s.sql(s"INSERT INTO $mvFqn SELECT * FROM $pv")
+          }
+          s.sql(s"ALTER TABLE $mvFqn SET TBLPROPERTIES(" +
+            s"'${TableMeta.MviewVersionProp}'='$now')")
+          Collections.singletonList(LocalRowsScan(
+            Array("mview", "rows_appended", "base_version"),
+            Seq(Seq(mvFqn, appended.toString, now.toString))): Scan)
             .iterator()
         }
       }

@@ -354,10 +354,13 @@ object GraftAccel {
   /** transparent secondary-index rewrite of point filters
     * ([[GraftIndexRewrite]]) */
   val IndexRewrite = "spark.graft.accel.indexRewrite"
+  /** transparent materialized-view rewrite of re-aggregable GROUP BYs
+    * ([[GraftMviewRewrite]]) */
+  val MviewRewrite = "spark.graft.accel.mviewRewrite"
 
   val All: Seq[String] =
     Seq(StatsSkip, ParquetFilters, AggPushdown, Packing, LimitPushdown,
-      IndexRewrite)
+      IndexRewrite, MviewRewrite)
 
   def on(key: String): Boolean = {
     val raw = try org.apache.spark.sql.internal.SQLConf.get

@@ -138,6 +138,22 @@ object TableMeta {
   val IndexOfProp = "graft.indexOf"
   val IndexedVersionProp = "graft.indexedVersion"
 
+  /** Stamped on tables built by `CALL graft.sys.mview`: the base table
+    * this is a materialized aggregate of, the base's commit-log version
+    * at build/refresh time (freshness watermark — [[GraftMviewRewrite]]
+    * only fires when it equals the base's current version), the
+    * `;`-separated group-by columns (which are also the mview's key
+    * columns), and the agg map `fn:col=storedCol;…` (e.g.
+    * `sum:o_totalprice=sum_o_totalprice;count:*=cnt_star`). The mview
+    * stores PARTIAL aggregates — one row per (group, ingest batch) —
+    * so incremental refresh is a pure append of the delta's partials
+    * and every read re-aggregates (SUM of sums, MIN of mins, SUM of
+    * counts). */
+  val MviewOfProp = "graft.mviewOf"
+  val MviewVersionProp = "graft.mviewVersion"
+  val MviewGroupByProp = "graft.mviewGroupBy"
+  val MviewAggsProp = "graft.mviewAggs"
+
   private def mapper = new ObjectMapper()
 
   /** The storage seam every manifest write goes through ([[CommitStore]]).

@@ -824,6 +824,77 @@ object CatalogQueries {
       fqn
     })
 
+  /** Materialized-view fixture: a dedicated orders store table loaded
+    * in TWO batches, with `CALL graft.sys.mview` after the first and
+    * `CALL graft.sys.mview_refresh` after the second — so the mview
+    * holds two PARTIAL rows per (status, priority) group and the
+    * driver's hash gate covers build, incremental refresh, AND the
+    * transparent rewrite ([[graft.catalog.GraftMviewRewrite]]) in one
+    * go. Prices derive from integer cents (the catalog_decimal trick)
+    * so every aggregate is exact decimal arithmetic — hash-stable
+    * under any aggregation order. The oracle recomputes from the raw
+    * parquet: the mview must be invisible in the answers. */
+  private val builtMvB = scala.collection.concurrent.TrieMap[String, String]()
+  private def mviewBase(s: SparkSession, d: String): String =
+    builtMvB.getOrElseUpdate(d, {
+      sfNamespace(s, d)
+      val ns = s"sf_${math.abs(d.hashCode)}"
+      val fqn = s"graft.$ns.orders_sum_t"
+      val mvFqn = s"${fqn}_mv_status"
+      val srcCount = s.read.parquet(s"$d/orders.parquet").count()
+      val mvFresh = trusted(s, ns, "orders_sum_t", srcCount) &&
+        s.sql(s"SHOW TABLES IN graft.$ns").collect()
+          .exists(_.getString(1) == "orders_sum_t_mv_status") &&
+        s.sql(s"SHOW TBLPROPERTIES $mvFqn").collect()
+          .exists(_.getString(0) == graft.catalog.TableMeta.MviewVersionProp)
+      if (!mvFresh) {
+        s.sql(s"DROP TABLE IF EXISTS $mvFqn")
+        s.sql(s"DROP TABLE IF EXISTS $fqn")
+        s.sql(
+          s"""CREATE TABLE $fqn (
+             |  o_orderkey BIGINT, o_orderstatus STRING,
+             |  o_orderpriority STRING, o_price DECIMAL(12,2))
+             |TBLPROPERTIES('keyCols'='o_orderkey', 'numRegions'='4')"""
+            .stripMargin)
+        val v = s"mv_base_src_${math.abs(d.hashCode)}"
+        s.read.parquet(s"$d/orders.parquet").createOrReplaceTempView(v)
+        def batch(cond: String): Unit = s.sql(
+          s"""INSERT INTO $fqn
+             |SELECT o_orderkey, o_orderstatus, o_orderpriority,
+             |       CAST(CAST((o_orderkey * 7919 + 421) % 100000000
+             |                 AS DECIMAL(12,0)) * 0.01 AS DECIMAL(12,2))
+             |FROM $v WHERE $cond""".stripMargin)
+        batch("o_orderkey % 2 = 0")
+        s.sql(s"CALL graft.sys.mview(table => '$ns.orders_sum_t', " +
+          "name => 'status', group_by => 'o_orderstatus;o_orderpriority', " +
+          "aggs => 'sum:o_price;count:*;min:o_price;max:o_price')")
+          .collect()
+        batch("o_orderkey % 2 = 1")
+        s.sql(s"CALL graft.sys.mview_refresh(" +
+          s"table => '$ns.orders_sum_t', name => 'status')").collect()
+      }
+      fqn
+    })
+
+  /** Transparent mview answer: the GROUP BY matches the mview's group
+    * set exactly, so the plan re-aggregates 30 partial rows instead of
+    * scanning the base — at 100 TB, the dashboard query reads the
+    * summary table, never the fact table. */
+  val mviewAgg: Q = (s, d) => s.sql(
+    s"""SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+       |       sum(o_price) AS total, min(o_price) AS lo,
+       |       max(o_price) AS hi
+       |FROM ${mviewBase(s, d)}
+       |GROUP BY o_orderstatus, o_orderpriority""".stripMargin)
+
+  /** Coarser rollup + filter on an mview dimension: still derivable
+    * from the stored partials (SUM of sums over the surviving rows). */
+  val mviewRollup: Q = (s, d) => s.sql(
+    s"""SELECT o_orderstatus, count(*) AS cnt, sum(o_price) AS total
+       |FROM ${mviewBase(s, d)}
+       |WHERE o_orderpriority <> '1-URGENT'
+       |GROUP BY o_orderstatus""".stripMargin)
+
   /** Log-style orders table: the key is an ingest id assigned in
     * o_orderdate order (the classic time-correlated auto-increment),
     * so each region covers a contiguous date span and the manifest's
@@ -1547,6 +1618,8 @@ object CatalogQueries {
     "catalog_tpch_q21" -> tpchQ21,
     "catalog_key_groupby" -> keyGroupBy,
     "catalog_key_groupby_pushdown" -> keyGroupByPushdown,
+    "catalog_mview" -> mviewAgg,
+    "catalog_mview_rollup" -> mviewRollup,
   )
 
   private val UpsertOracle =
@@ -1673,6 +1746,31 @@ object CatalogQueries {
         |       CAST(sum(p) AS DECIMAL(22,2)) AS total,
         |       min(p) AS lo, max(p) AS hi
         |FROM priced GROUP BY o_orderstatus""".stripMargin,
+
+    // mview faces recompute from the raw parquet: the materialized
+    // partials (built in two batches + incremental refresh) must be
+    // invisible in the answers
+    "catalog_mview" ->
+      """WITH priced AS (
+        |  SELECT o_orderstatus, o_orderpriority,
+        |         CAST(CAST((o_orderkey * 7919 + 421) % 100000000
+        |                   AS DECIMAL(12,0)) * 0.01 AS DECIMAL(12,2)) AS p
+        |  FROM orders)
+        |SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+        |       CAST(sum(p) AS DECIMAL(22,2)) AS total,
+        |       min(p) AS lo, max(p) AS hi
+        |FROM priced GROUP BY o_orderstatus, o_orderpriority""".stripMargin,
+
+    "catalog_mview_rollup" ->
+      """WITH priced AS (
+        |  SELECT o_orderstatus, o_orderpriority,
+        |         CAST(CAST((o_orderkey * 7919 + 421) % 100000000
+        |                   AS DECIMAL(12,0)) * 0.01 AS DECIMAL(12,2)) AS p
+        |  FROM orders)
+        |SELECT o_orderstatus, count(*) AS cnt,
+        |       CAST(sum(p) AS DECIMAL(22,2)) AS total
+        |FROM priced WHERE o_orderpriority <> '1-URGENT'
+        |GROUP BY o_orderstatus""".stripMargin,
 
     // identical to events_session's oracle: the key-sorted store must
     // hold exactly the source events (and the exchange-free plan must

@@ -557,20 +557,33 @@ object TextOps {
 
   def perplexityOf(docsDf: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // tokens reduce to their xxhash64 BEFORE the explode: the model
+    // aggregation, context-count window, and doc-bigram join then move
+    // 8-byte longs instead of word strings through all three
+    // exchanges (the same fingerprint move as substringDedup /
+    // similarityJoin). Counts are unchanged short of a 64-bit
+    // collision inside the corpus vocabulary — which the exact
+    // string-based DuckDB oracle would flag as a hash mismatch.
     val base = docsDf
-      .withColumn("ws", filter(wordsCol, w => w =!= lit("")))
-      .filter(size(col("ws")) >= 2)
+      .withColumn("wh",
+        expr("transform(filter(split(text, ' '), w -> w <> ''), " +
+          "x -> xxhash64(x))"))
+      .filter(size(col("wh")) >= 2)
     val bigrams = base.select(col("doc_id"),
       explode(arrays_zip(
-        expr("slice(ws, 1, size(ws) - 1)").as("w1"),
-        expr("slice(ws, 2, size(ws) - 1)").as("w2"))).as("bg"))
-      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-    val model = bigrams.groupBy(col("w1"), col("w2"))
+        expr("slice(wh, 1, size(wh) - 1)").as("w1"),
+        expr("slice(wh, 2, size(wh) - 1)").as("w2"))).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"),
+        xxhash64(col("bg.w1"), col("bg.w2")).as("bgh"))
+    val model = bigrams.groupBy(col("w1"), col("bgh"))
       .agg(count(lit(1)).as("c2"))
       .withColumn("c1", sum(col("c2")).over(Window.partitionBy("w1")))
     val vocab = model.agg(countDistinct(col("w1")).as("v"))
     val nll = -col("ll") / col("n_bigrams")
-    bigrams.join(model, Seq("w1", "w2"))
+    // bgh determines w1 (it hashes w1's hash first), so the join key
+    // is the single long — the model side drops its w1 before joining
+    bigrams.select(col("doc_id"), col("bgh"))
+      .join(model.select(col("bgh"), col("c2"), col("c1")), Seq("bgh"))
       .crossJoin(broadcast(vocab))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"),
@@ -1293,26 +1306,35 @@ object TextOps {
     * the candidate count. */
   def similarityJoin(docsDf: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val base = docsDf.withColumn("ws", wordsCol)
+    // words reduce to their xxhash64 ONCE, and each 3-word shingle is
+    // the 3-argument xxhash64 of its word hashes — ~100 word hashes +
+    // ~198 long-triple hashes per document instead of 198 concat'd
+    // ~100-byte strings each hashed again. The probe join, distinct
+    // fold, and broadcast then move 8-byte longs (the same fingerprint
+    // move as substringDedup; a 64-bit collision altering a
+    // containment score needs ~2³² shingle values — and the
+    // string-based oracle would catch it). The <3-word fallback hashes
+    // the whole word-hash list (such a corpus doc can never equal a
+    // probe's 3-word shingle anyway, matching the string semantics
+    // where a ≤2-word string never equals a 3-word shingle).
+    def hashShingles(c: String): String =
+      s"""CASE WHEN size($c) >= 3 THEN
+         |  transform(sequence(1, size($c) - 2),
+         |            j -> xxhash64($c[j-1], $c[j], $c[j+1]))
+         |ELSE array(xxhash64($c)) END""".stripMargin
+    val base = docsDf.withColumn("wh",
+      expr("transform(split(text, ' '), x -> xxhash64(x))"))
     // corpus side explodes WITHOUT array_distinct: distinct-by-equality
     // over ~200 shingles per document is quadratic per row, and the
     // duplicates are cheaper to fold AFTER the probe join (which keeps
-    // only probe-matching shingles) as a count(DISTINCT s). Both sides
-    // reduce each shingle to its xxhash64 BEFORE the explode: the
-    // probe join, distinct fold, and broadcast then move 8-byte longs
-    // instead of ~100-byte strings (the same fingerprint move as
-    // substringDedup; at 48 probe shingles × corpus shingle count, a
-    // 64-bit collision altering a containment score needs ~2³² shingle
-    // values — and the string-based oracle would catch it).
+    // only probe-matching shingles) as a count(DISTINCT s).
     val corpusSh = base
       .select(col("doc_id"),
-        explode(expr(s"transform(${shinglesOf("ws")}, x -> xxhash64(x))"))
-          .as("s"))
+        explode(expr(hashShingles("wh"))).as("s"))
     val probes = base.filter(col("doc_id") % 37 === 0)
-      .withColumn("pws", expr("slice(ws, 1, 8)"))
+      .withColumn("pwh", expr("slice(wh, 1, 8)"))
       .select(col("doc_id").as("probe_id"),
-        expr(s"array_distinct(transform(${shinglesOf("pws")}, " +
-          "x -> xxhash64(x)))").as("psh"))
+        expr(s"array_distinct(${hashShingles("pwh")})").as("psh"))
     val probeSh = probes.select(col("probe_id"),
       size(col("psh")).cast("long").as("n_psh"),
       explode(col("psh")).as("s"))

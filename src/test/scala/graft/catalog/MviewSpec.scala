@@ -1,0 +1,255 @@
+package graft.catalog
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2Relation, DataSourceV2ScanRelation}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Materialized views (`CALL graft.sys.mview`): a keyed graft table of
+  * PARTIAL aggregates plus a transparent pre-CBO rewrite
+  * ([[GraftMviewRewrite]]) that answers re-aggregable GROUP BYs from
+  * it while the freshness watermark matches the base.
+  *
+  * The invariants proven here: the rewrite is invisible in answers
+  * (exactly the direct plan's results, including types), it actually
+  * removes the base scan from the plan, staleness/kill-switch/DISTINCT
+  * fall back to the base, and incremental refresh (append-only partial
+  * rows from the CDC delta) keeps both the answers and the firing
+  * exact — a group spanning several partial rows re-aggregates. */
+class MviewSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def setup(): Unit = {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.mv")
+    spark.sql("DROP TABLE IF EXISTS graft.mv.base")
+    spark.sql("DROP TABLE IF EXISTS graft.mv.base_mv_bygrp")
+    spark.sql(
+      """CREATE TABLE graft.mv.base (k BIGINT, grp BIGINT, s STRING,
+        |                            v DOUBLE, d DECIMAL(10,2))
+        |TBLPROPERTIES('keyCols'='k', 'numRegions'='8')""".stripMargin)
+    // v null every 11th row (count:v vs count:* diverge); sums of
+    // integer-valued doubles stay exact under any aggregation order
+    spark.sql(
+      """INSERT INTO graft.mv.base
+        |SELECT id, id % 7, concat('s', CAST(id % 3 AS STRING)),
+        |       CASE WHEN id % 11 = 0 THEN CAST(NULL AS DOUBLE)
+        |            ELSE CAST(id AS DOUBLE) END,
+        |       CAST(CAST(id % 1000 AS DECIMAL(10,0)) * 0.01
+        |            AS DECIMAL(10,2))
+        |FROM range(8000)""".stripMargin)
+  }
+
+  private def buildMv(): Unit =
+    spark.sql("CALL graft.sys.mview(table => 'mv.base', " +
+      "name => 'bygrp', group_by => 'grp', " +
+      "aggs => 'sum:v;count:*;count:v;min:v;max:v;sum:d')").collect()
+
+  /** Graft table names scanned by the optimized plan. */
+  private def scannedTables(df: DataFrame): Seq[String] =
+    df.queryExecution.optimizedPlan.collect {
+      case r: DataSourceV2Relation => r.table.name
+      case r: DataSourceV2ScanRelation => r.relation.table.name
+    }
+
+  /** Run `sql` with the rewrite on and off; assert identical rows AND
+    * schemas, return the rewritten frame for plan asserts. */
+  private def parity(sql: String): DataFrame = {
+    val on = spark.sql(sql)
+    val expect =
+      try {
+        spark.conf.set(GraftAccel.MviewRewrite, "false")
+        val e = spark.sql(sql)
+        assert(e.schema == on.schema,
+          "rewrite changed the result schema")
+        e.collect().toSet
+      } finally spark.conf.set(GraftAccel.MviewRewrite, "true")
+    assert(on.collect().toSet == expect, "rewrite changed the answers")
+    on
+  }
+
+  test("mview procedure builds a keyed partial-aggregate table") {
+    setup()
+    val out = spark.sql("CALL graft.sys.mview(table => 'mv.base', " +
+      "name => 'bygrp', group_by => 'grp', " +
+      "aggs => 'sum:v;count:*;count:v;min:v;max:v;sum:d')").collect()
+    assert(out.length == 1 && out(0).getString(0) == "graft.mv.base_mv_bygrp")
+    val props = spark.sql("SHOW TBLPROPERTIES graft.mv.base_mv_bygrp")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props(TableMeta.MviewOfProp) == "graft.mv.base")
+    assert(props(TableMeta.MviewGroupByProp) == "grp")
+    assert(props(TableMeta.MviewAggsProp) ==
+      "sum:v=sum_v;count:*=cnt_star;count:v=cnt_v;min:v=min_v;" +
+        "max:v=max_v;sum:d=sum_d")
+    assert(props(TableMeta.KeyColsProp) == "grp")
+    // one partial row per group at build time
+    assert(spark.table("graft.mv.base_mv_bygrp").count() == 7L)
+  }
+
+  test("grouped query rewrites onto the mview and drops the base scan") {
+    setup(); buildMv()
+    val q = """SELECT grp, sum(v) AS sv, count(*) AS c1, count(v) AS c2,
+              |       min(v) AS lo, max(v) AS hi, sum(d) AS sd
+              |FROM graft.mv.base GROUP BY grp""".stripMargin
+    val df = parity(q)
+    val tables = scannedTables(df)
+    assert(tables.exists(_.endsWith("base_mv_bygrp")),
+      s"mview not scanned: $tables")
+    assert(!tables.contains("graft.mv.base") && !tables.contains("base"),
+      s"base still scanned: $tables")
+  }
+
+  test("rollup over the group column and filters on it stay exact") {
+    setup(); buildMv()
+    val df = parity(
+      """SELECT grp % 2 AS par, sum(v) AS sv, count(*) AS c
+        |FROM graft.mv.base WHERE grp >= 2 GROUP BY grp % 2""".stripMargin)
+    assert(scannedTables(df).exists(_.endsWith("base_mv_bygrp")))
+  }
+
+  test("global aggregate (no GROUP BY) fires, count of empty stays 0") {
+    setup(); buildMv()
+    val df = parity(
+      "SELECT sum(v) AS sv, count(*) AS c FROM graft.mv.base")
+    assert(scannedTables(df).exists(_.endsWith("base_mv_bygrp")))
+    // empty-filter global count: the coalesce keeps COUNT semantics
+    val empty = parity(
+      """SELECT count(*) AS c FROM graft.mv.base WHERE grp > 100""")
+    assert(empty.collect().map(_.getLong(0)).toSeq == Seq(0L))
+  }
+
+  test("a base append makes the mview stale: rewrite must not fire") {
+    setup(); buildMv()
+    spark.sql(
+      """INSERT INTO graft.mv.base VALUES
+        |(9001, 1, 's1', 42.0, CAST(1.00 AS DECIMAL(10,2)))""".stripMargin)
+    val df = parity(
+      "SELECT grp, sum(v) AS sv FROM graft.mv.base GROUP BY grp")
+    val tables = scannedTables(df)
+    assert(!tables.exists(_.endsWith("base_mv_bygrp")),
+      s"stale mview must not serve queries: $tables")
+  }
+
+  test("mview_refresh appends the CDC delta's partials and re-arms") {
+    setup(); buildMv()
+    spark.sql(
+      """INSERT INTO graft.mv.base
+        |SELECT id + 9000, id % 7, concat('s', CAST(id % 3 AS STRING)),
+        |       CAST(id + 9000 AS DOUBLE),
+        |       CAST(2.50 AS DECIMAL(10,2))
+        |FROM range(500)""".stripMargin)
+    val out = spark.sql("CALL graft.sys.mview_refresh(" +
+      "table => 'mv.base', name => 'bygrp')").collect()
+    assert(out(0).getString(1).toLong == 7L, "one partial per group")
+    // groups now span TWO partial rows each; re-aggregation is exact
+    assert(spark.table("graft.mv.base_mv_bygrp").count() == 14L)
+    val df = parity(
+      """SELECT grp, sum(v) AS sv, count(*) AS c1, count(v) AS c2,
+        |       min(v) AS lo, max(v) AS hi, sum(d) AS sd
+        |FROM graft.mv.base GROUP BY grp""".stripMargin)
+    assert(scannedTables(df).exists(_.endsWith("base_mv_bygrp")))
+    // idempotent: nothing new since the refresh
+    val again = spark.sql("CALL graft.sys.mview_refresh(" +
+      "table => 'mv.base', name => 'bygrp')").collect()
+    assert(again(0).getString(1) == "0")
+  }
+
+  test("kill switch and DISTINCT aggregates fall back to the base") {
+    setup(); buildMv()
+    try {
+      spark.conf.set(GraftAccel.MviewRewrite, "false")
+      val off = spark.sql(
+        "SELECT grp, sum(v) AS sv FROM graft.mv.base GROUP BY grp")
+      assert(!scannedTables(off).exists(_.endsWith("base_mv_bygrp")))
+    } finally spark.conf.set(GraftAccel.MviewRewrite, "true")
+    val distinct = spark.sql(
+      """SELECT grp, count(DISTINCT s) AS ds
+        |FROM graft.mv.base GROUP BY grp""".stripMargin)
+    assert(!scannedTables(distinct).exists(_.endsWith("base_mv_bygrp")),
+      "DISTINCT is not derivable from partials and must not fire")
+    // an aggregate column outside the mview's map must not fire either
+    val unknown = spark.sql(
+      "SELECT grp, sum(k) AS sk FROM graft.mv.base GROUP BY grp")
+    assert(!scannedTables(unknown).exists(_.endsWith("base_mv_bygrp")))
+  }
+
+  test("decimal sum result type is preserved through re-aggregation") {
+    setup(); buildMv()
+    val q = "SELECT grp, sum(d) AS sd FROM graft.mv.base GROUP BY grp"
+    val df = parity(q) // parity() already asserts schema equality
+    assert(df.schema("sd").dataType.simpleString == "decimal(20,2)")
+    assert(scannedTables(df).exists(_.endsWith("base_mv_bygrp")))
+  }
+
+  test("build refusals: NULL group values, non-codec group types") {
+    setup()
+    spark.sql("DROP TABLE IF EXISTS graft.mv.nullg")
+    spark.sql(
+      """CREATE TABLE graft.mv.nullg (k BIGINT, g BIGINT, v DOUBLE)
+        |TBLPROPERTIES('keyCols'='k', 'numRegions'='2')""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft.mv.nullg
+        |SELECT id, CASE WHEN id = 5 THEN NULL ELSE id % 3 END, id * 1.0
+        |FROM range(100)""".stripMargin)
+    val e = intercept[Exception] {
+      spark.sql("CALL graft.sys.mview(table => 'mv.nullg', " +
+        "name => 'byg', group_by => 'g', aggs => 'sum:v')").collect()
+    }
+    assert(e.getMessage.contains("NULL"))
+  }
+
+  test("streaming ingest composes with incremental mview maintenance") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.mv")
+    spark.sql("DROP TABLE IF EXISTS graft.mv.sbase")
+    spark.sql("DROP TABLE IF EXISTS graft.mv.sbase_mv_bytag")
+    spark.sql(
+      """CREATE TABLE graft.mv.sbase (k BIGINT, tag STRING, v BIGINT)
+        |TBLPROPERTIES('keyCols'='k', 'numRegions'='4')""".stripMargin)
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_mv_stream_ckpt").toString
+    val in = MemoryStream[(Long, String, Long)]
+    val q = in.toDF().toDF("k", "tag", "v").writeStream
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .toTable("graft.mv.sbase")
+    try {
+      in.addData((0L until 100L).map(k => (k, s"t${k % 5}", k)): _*)
+      q.processAllAvailable()
+      spark.sql("CALL graft.sys.mview(table => 'mv.sbase', " +
+        "name => 'bytag', group_by => 'tag', " +
+        "aggs => 'sum:v;count:*')").collect()
+      // next micro-batch lands as an epoch append → CDC delta
+      in.addData((100L until 200L).map(k => (k, s"t${k % 5}", k)): _*)
+      q.processAllAvailable()
+      val out = spark.sql("CALL graft.sys.mview_refresh(" +
+        "table => 'mv.sbase', name => 'bytag')").collect()(0)
+      assert(out.getString(1) == "5", "one partial per group in the epoch")
+      // fresh again → the transparent rewrite serves the dashboard agg
+      val df = spark.sql(
+        """SELECT tag, sum(v) AS sv, count(*) AS c
+          |FROM graft.mv.sbase GROUP BY tag""".stripMargin)
+      assert(scannedTables(df).exists(_.endsWith("sbase_mv_bytag")))
+      val rows = df.collect().map(r =>
+        r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(rows("t0") == ((0L until 200L).filter(_ % 5 == 0).sum, 40L))
+    } finally q.stop()
+    spark.sql("DROP TABLE graft.mv.sbase")
+    spark.sql("DROP TABLE IF EXISTS graft.mv.sbase_mv_bytag")
+  }
+
+  test("refresh refuses after a row-removing op; rebuild re-arms") {
+    setup(); buildMv()
+    spark.sql("DELETE FROM graft.mv.base WHERE k < 100")
+    val e = intercept[Exception] {
+      spark.sql("CALL graft.sys.mview_refresh(" +
+        "table => 'mv.base', name => 'bygrp')").collect()
+    }
+    assert(e.getMessage.contains("rebuild"))
+    buildMv() // full rebuild against the post-DELETE base
+    val df = parity(
+      "SELECT grp, count(*) AS c FROM graft.mv.base GROUP BY grp")
+    assert(scannedTables(df).exists(_.endsWith("base_mv_bygrp")))
+  }
+}

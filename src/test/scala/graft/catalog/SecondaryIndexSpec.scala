@@ -309,8 +309,12 @@ class SecondaryIndexSpec extends AnyFunSuite {
     val ss = scans(q.queryExecution.executedPlan)
     assert(ss.length == 1, s"expected index-only plan, got ${ss.length} scans")
     // grp = 3 is a leading-key point predicate on the index → pruned
-    // to its region(s), not the whole index
-    assert(ss.head.inputRDD.getNumPartitions <= 2,
+    // to its region(s), not the whole 16-region index. The sorted
+    // load's range boundaries come from Spark's range-shuffle
+    // sampling (seeded by session-wide RDD ids), so the 1000 matching
+    // rows span 2 regions or — when a boundary lands inside the run —
+    // 3; ceil(1000/500)+1 is the layout-independent bound.
+    assert(ss.head.inputRDD.getNumPartitions <= 3,
       s"expected index point scan, got ${ss.head.inputRDD.getNumPartitions}")
     // an uncovered column falls back to the probe + base join (2 scans)
     val q2 = spark.sql(
