@@ -96,6 +96,10 @@ object ScaleBench {
     // while the data scales 10x (the point of resolving them from the
     // manifest rather than the data)
     "catalog_topn", "catalog_changes",
+    // materialized-view read: re-aggregates the stored partials (a
+    // handful of rows per group), so it should stay flat while the
+    // base fact table scales 10x — the summary-table claim itself
+    "catalog_mview",
     // bigram-LM scoring: model agg + probe join, both keyed by bigram —
     // replicas multiply counts uniformly, so the workload scales
     // cleanly even on the amplified corpus

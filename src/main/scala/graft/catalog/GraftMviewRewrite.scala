@@ -42,11 +42,21 @@ import org.apache.spark.sql.types.LongType
   * 100-TB dashboard workload needs: the fact scan happens once at
   * build/refresh, not per query.
   *
+  * A watermark stale by APPENDS ONLY does not disable the mview: the
+  * rewrite repairs it at read time by unioning the CDC delta (wm, now]
+  * — resolved from manifests, reading only appended regions — as
+  * singleton partials (sum_x = x, cnt_star = 1, min_x = x), the
+  * "lambda" read a Druid-style real-time rollup serves. Exact by the
+  * same partial-aggregate algebra; O(delta) per query, never a base
+  * scan.
+  *
   * Runs at the pre-CBO seam like [[GraftIndexRewrite]], while the base
-  * is still a plain [[DataSourceV2Relation]]. Does not fire on: stale
-  * or absent mviews, DISTINCT or FILTER'd aggregates, time-travel /
-  * CDC-pinned snapshots, columns outside the mview's group set. Kill
-  * switch: `spark.graft.accel.mviewRewrite=false`. */
+  * is still a plain [[DataSourceV2Relation]]. Does not fire on:
+  * absent mviews, staleness containing row-removing or in-place ops
+  * (DELETE / UPDATE / MERGE / OVERWRITE / RESTORE) or an unservable
+  * delta, dedupKeys bases, DISTINCT or FILTER'd aggregates,
+  * time-travel / CDC-pinned snapshots, columns outside the mview's
+  * group set. Kill switch: `spark.graft.accel.mviewRewrite=false`. */
 class GraftMviewRewrite(session: SparkSession) extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
@@ -69,7 +79,14 @@ class GraftMviewRewrite(session: SparkSession) extends Rule[LogicalPlan] {
         Map[org.apache.spark.sql.catalyst.expressions.ExprId, Expression],
         DataSourceV2Relation)] = p match {
     case r: DataSourceV2Relation if r.table.isInstanceOf[GraftTable] &&
-        r.table.asInstanceOf[GraftTable].snapshot.isEmpty =>
+        r.table.asInstanceOf[GraftTable].snapshot.isEmpty &&
+        // a `changesFromVersion` CDC read is version-pinned at scan
+        // build, not via `snapshot` — it must answer from the base
+        // (mview_refresh's own delta aggregation is exactly this
+        // shape; rewriting it onto the mview would corrupt the
+        // appended partials), and it also keeps the delta relation
+        // this rule itself emits from re-firing
+        !r.options.containsKey(GraftChanges.FromKey) =>
       Some((conds, subst, r))
     case Filter(c, child) => strip(child, conds :+ c, subst)
     case Project(l, child) =>
@@ -96,14 +113,15 @@ class GraftMviewRewrite(session: SparkSession) extends Rule[LogicalPlan] {
       }
       cur
     }
-    candidates(table).iterator.flatMap { case (dir, m) =>
-      rewriteWith(a, conds.map(fix), fix, dir, m)
+    candidates(table).iterator.flatMap { case (dir, m, stale) =>
+      rewriteWith(a, conds.map(fix), fix, table, dir, m, stale)
     }.nextOption()
   }
 
   private def rewriteWith(a: Aggregate, conds: Seq[Expression],
-      fix: Expression => Expression,
-      mvDir: File, mvMeta: TableMeta): Option[LogicalPlan] = {
+      fix: Expression => Expression, baseTable: GraftTable,
+      mvDir: File, mvMeta: TableMeta,
+      staleWindow: Option[(Long, Long)]): Option[LogicalPlan] = {
     val groupCols = mvMeta.properties(TableMeta.MviewGroupByProp)
       .split(";").map(_.trim.toLowerCase).filter(_.nonEmpty).toSet
     // "fn:col" (col lowercase, "*" for count-star) -> stored column
@@ -172,22 +190,88 @@ class GraftMviewRewrite(session: SparkSession) extends Rule[LogicalPlan] {
       case ne => rw(fix(ne)).map(_.asInstanceOf[NamedExpression])
     }
     if ((newConds ++ newGroup ++ newAggs).exists(_.isEmpty)) return None
-    val child = newConds.flatten
-      .foldRight(mvRel: LogicalPlan)((c, p) => Filter(c, p))
-    Some(Aggregate(newGroup.flatten, newAggs.flatten.toSeq, child))
+
+    // the partial source: the mview alone when fresh; when stale by
+    // appends only, the mview's partials UNION'd with the CDC delta's
+    // rows projected as singleton partials (sum_x = x, cnt_star = 1,
+    // min_x/max_x = x) — the "lambda" read Druid-style real-time
+    // rollups serve, exact by the partial-aggregate algebra. The
+    // delta relation is version-pinned [wm+1, now] and resolved from
+    // manifests, so the repair reads only appended regions: O(delta)
+    // per query, never a base scan.
+    val partialCols: Seq[String] =
+      (groupColsOrdered(mvMeta) ++ aggMap.values.toSeq.sorted)
+    val mvSide: LogicalPlan = Project(partialCols.map(mvAttr),
+      newConds.flatten.foldRight(mvRel: LogicalPlan)((c, p) => Filter(c, p)))
+    val source: Option[LogicalPlan] = staleWindow match {
+      case None => Some(mvSide)
+      case Some((wm, now)) =>
+        val opts = new java.util.HashMap[String, String]()
+        opts.put(GraftChanges.FromKey, wm.toString)
+        opts.put(GraftChanges.ToKey, now.toString)
+        val deltaRel = DataSourceV2Relation.create(baseTable, None, None,
+          new org.apache.spark.sql.util.CaseInsensitiveStringMap(opts))
+        def dAttr(name: String): Option[AttributeReference] =
+          deltaRel.output.find(_.name.equalsIgnoreCase(name))
+        val specs = aggMap.toSeq.map { case ((fn, col), stored) =>
+          (fn, col, stored)
+        }
+        val deltaExprs: Seq[Option[NamedExpression]] =
+          partialCols.map { pc =>
+            if (groupColsOrdered(mvMeta).contains(pc))
+              dAttr(pc).map(at => Alias(at, pc)())
+            else specs.find(_._3 == pc).flatMap { case (fn, col, stored) =>
+              val t = mvAttr(stored).dataType
+              fn match {
+                case "count" if col == "*" =>
+                  Some(Alias(Cast(Literal(1L, LongType), t), stored)())
+                case "count" => dAttr(col).map(at => Alias(Cast(
+                  org.apache.spark.sql.catalyst.expressions.If(
+                    org.apache.spark.sql.catalyst.expressions.IsNull(at),
+                    Literal(0L, LongType), Literal(1L, LongType)), t),
+                  stored)())
+                case _ => dAttr(col).map(at => Alias(
+                  if (at.dataType == t) at else Cast(at, t), stored)())
+              }
+            }
+          }
+        if (deltaExprs.exists(_.isEmpty)) None
+        else {
+          val dConds = conds.map(_.transform {
+            case at: AttributeReference => dAttr(at.name).getOrElse(at)
+          })
+          val deltaSide = Project(deltaExprs.flatten,
+            dConds.foldRight(deltaRel: LogicalPlan)((c, p) => Filter(c, p)))
+          Some(org.apache.spark.sql.catalyst.plans.logical.Union(
+            Seq(mvSide, deltaSide)))
+        }
+    }
+    source.map(src =>
+      Aggregate(newGroup.flatten, newAggs.flatten.toSeq, src))
   }
 
-  /** Fresh sibling mviews of this base, deterministic name order. A
-    * stale watermark (any base commit since build/refresh) disables
-    * the rewrite — refresh with `CALL graft.sys.mview_refresh`. */
-  private def candidates(table: GraftTable): Seq[(File, TableMeta)] = {
+  private def groupColsOrdered(m: TableMeta): Seq[String] =
+    m.properties(TableMeta.MviewGroupByProp)
+      .split(";").map(_.trim.toLowerCase).filter(_.nonEmpty).toSeq
+
+  /** Usable sibling mviews of this base, deterministic name order,
+    * fresh ones first. Third element: None = fresh (watermark == the
+    * base's current commit version); Some((wm, now)) = stale by
+    * APPENDS ONLY — repairable at read time by unioning the CDC delta
+    * (wm, now] as singleton partials. Any row-removing or in-place op
+    * in the window (DELETE, UPDATE/MERGE, OVERWRITE, RESTORE), a
+    * dedupKeys base (upsert folds rewrite in place), or an
+    * unservable delta range (vacuumed originals) disables the mview —
+    * refresh/rebuild with `CALL graft.sys.mview[_refresh]`. */
+  private def candidates(table: GraftTable)
+      : Seq[(File, TableMeta, Option[(Long, Long)])] = {
     val parent = table.tableDir.getParentFile
     val prefix = s"${table.tableDir.getName}_mv_"
     val names = Option(parent.list()).getOrElse(Array.empty[String])
       .filter(_.startsWith(prefix)).sorted
     if (names.isEmpty) return Nil
     lazy val current = TableMeta.currentVersion(table.tableDir)
-    names.toSeq.flatMap { n =>
+    val found = names.toSeq.flatMap { n =>
       val dir = new File(parent, n)
       if (!TableMeta.exists(dir)) None
       else {
@@ -195,10 +279,31 @@ class GraftMviewRewrite(session: SparkSession) extends Rule[LogicalPlan] {
         val structural = m.properties.contains(TableMeta.MviewOfProp) &&
           m.properties.contains(TableMeta.MviewGroupByProp) &&
           m.properties.contains(TableMeta.MviewAggsProp)
-        val fresh = m.properties.get(TableMeta.MviewVersionProp)
-          .flatMap(_.toLongOption).contains(current)
-        if (structural && fresh) Some((dir, m)) else None
+        val wm = m.properties.get(TableMeta.MviewVersionProp)
+          .flatMap(_.toLongOption)
+        if (!structural || wm.isEmpty) None
+        else if (wm.contains(current)) Some((dir, m, None))
+        else appendOnlyWindow(table, wm.get, current)
+          .map(w => (dir, m, Some(w)))
       }
     }
+    found.sortBy(_._3.isDefined) // fresh (no repair needed) first
   }
+
+  /** The (wm, now] window iff it contains only append-shaped commits
+    * and its CDC delta is servable from manifests. */
+  private def appendOnlyWindow(table: GraftTable, wm: Long,
+      now: Long): Option[(Long, Long)] =
+    try {
+      if (TableMeta.dedupKeys(table.meta.properties)) None
+      else if (TableMeta.history(table.tableDir).exists(e =>
+          e.version > wm && e.version <= now &&
+            Set("rowlevel", "overwrite", "restore", "delete")(e.op))) None
+      else {
+        // servability probe: resolves the delta's region list from
+        // manifests only (zero data IO); throws on vacuumed originals
+        GraftChanges.regionsBetween(table.tableDir, wm, Some(now))
+        Some((wm, now))
+      }
+    } catch { case _: Exception => None }
 }

@@ -876,6 +876,60 @@ object CatalogQueries {
       fqn
     })
 
+  /** Stale-repair fixture: mview built after batch 1, batch 2 lands
+    * WITHOUT a refresh — the transparent rewrite must repair at read
+    * time by unioning the CDC delta as singleton partials (the
+    * "lambda" read). The oracle is still the full-corpus recompute:
+    * the un-refreshed mview must be invisible in the answers. */
+  private val builtMvD = scala.collection.concurrent.TrieMap[String, String]()
+  private def mviewDeltaBase(s: SparkSession, d: String): String =
+    builtMvD.getOrElseUpdate(d, {
+      sfNamespace(s, d)
+      val ns = s"sf_${math.abs(d.hashCode)}"
+      val fqn = s"graft.$ns.orders_sum_d_t"
+      val mvFqn = s"${fqn}_mv_status"
+      val srcCount = s.read.parquet(s"$d/orders.parquet").count()
+      val ok = trusted(s, ns, "orders_sum_d_t", srcCount) &&
+        s.sql(s"SHOW TABLES IN graft.$ns").collect()
+          .exists(_.getString(1) == "orders_sum_d_t_mv_status") &&
+        s.sql(s"SHOW TBLPROPERTIES $mvFqn").collect()
+          .exists(_.getString(0) == graft.catalog.TableMeta.MviewVersionProp)
+      if (!ok) {
+        s.sql(s"DROP TABLE IF EXISTS $mvFqn")
+        s.sql(s"DROP TABLE IF EXISTS $fqn")
+        s.sql(
+          s"""CREATE TABLE $fqn (
+             |  o_orderkey BIGINT, o_orderstatus STRING,
+             |  o_orderpriority STRING, o_price DECIMAL(12,2))
+             |TBLPROPERTIES('keyCols'='o_orderkey', 'numRegions'='4')"""
+            .stripMargin)
+        val v = s"mv_based_src_${math.abs(d.hashCode)}"
+        s.read.parquet(s"$d/orders.parquet").createOrReplaceTempView(v)
+        def batch(cond: String): Unit = s.sql(
+          s"""INSERT INTO $fqn
+             |SELECT o_orderkey, o_orderstatus, o_orderpriority,
+             |       CAST(CAST((o_orderkey * 7919 + 421) % 100000000
+             |                 AS DECIMAL(12,0)) * 0.01 AS DECIMAL(12,2))
+             |FROM $v WHERE $cond""".stripMargin)
+        batch("o_orderkey % 2 = 0")
+        s.sql(s"CALL graft.sys.mview(table => '$ns.orders_sum_d_t', " +
+          "name => 'status', group_by => 'o_orderstatus', " +
+          "aggs => 'sum:o_price;count:*;min:o_price;max:o_price')")
+          .collect()
+        batch("o_orderkey % 2 = 1") // no refresh: the read must repair
+      }
+      fqn
+    })
+
+  /** The "lambda" read: stored partials UNION the manifest-resolved
+    * CDC delta, re-aggregated — half the corpus never rescanned, the
+    * other half read only from its appended regions. */
+  val mviewDeltaAgg: Q = (s, d) => s.sql(
+    s"""SELECT o_orderstatus, count(*) AS cnt, sum(o_price) AS total,
+       |       min(o_price) AS lo, max(o_price) AS hi
+       |FROM ${mviewDeltaBase(s, d)}
+       |GROUP BY o_orderstatus""".stripMargin)
+
   /** Transparent mview answer: the GROUP BY matches the mview's group
     * set exactly, so the plan re-aggregates 30 partial rows instead of
     * scanning the base — at 100 TB, the dashboard query reads the
@@ -1620,6 +1674,7 @@ object CatalogQueries {
     "catalog_key_groupby_pushdown" -> keyGroupByPushdown,
     "catalog_mview" -> mviewAgg,
     "catalog_mview_rollup" -> mviewRollup,
+    "catalog_mview_delta" -> mviewDeltaAgg,
   )
 
   private val UpsertOracle =
@@ -1760,6 +1815,17 @@ object CatalogQueries {
         |       CAST(sum(p) AS DECIMAL(22,2)) AS total,
         |       min(p) AS lo, max(p) AS hi
         |FROM priced GROUP BY o_orderstatus, o_orderpriority""".stripMargin,
+
+    "catalog_mview_delta" ->
+      """WITH priced AS (
+        |  SELECT o_orderstatus,
+        |         CAST(CAST((o_orderkey * 7919 + 421) % 100000000
+        |                   AS DECIMAL(12,0)) * 0.01 AS DECIMAL(12,2)) AS p
+        |  FROM orders)
+        |SELECT o_orderstatus, count(*) AS cnt,
+        |       CAST(sum(p) AS DECIMAL(22,2)) AS total,
+        |       min(p) AS lo, max(p) AS hi
+        |FROM priced GROUP BY o_orderstatus""".stripMargin,
 
     "catalog_mview_rollup" ->
       """WITH priced AS (

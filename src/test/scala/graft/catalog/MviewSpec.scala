@@ -117,16 +117,29 @@ class MviewSpec extends AnyFunSuite {
     assert(empty.collect().map(_.getLong(0)).toSeq == Seq(0L))
   }
 
-  test("a base append makes the mview stale: rewrite must not fire") {
+  test("append-only staleness repairs at read time: mview UNION delta") {
     setup(); buildMv()
     spark.sql(
       """INSERT INTO graft.mv.base VALUES
-        |(9001, 1, 's1', 42.0, CAST(1.00 AS DECIMAL(10,2)))""".stripMargin)
+        |(9001, 1, 's1', 42.0, CAST(1.00 AS DECIMAL(10,2))),
+        |(9002, 1, 's1', CAST(NULL AS DOUBLE), CAST(2.00 AS DECIMAL(10,2)))"""
+        .stripMargin)
+    // no refresh — the rewrite must still fire, unioning the CDC
+    // delta's rows as singleton partials (count:v sees the NULL)
     val df = parity(
-      "SELECT grp, sum(v) AS sv FROM graft.mv.base GROUP BY grp")
+      """SELECT grp, sum(v) AS sv, count(*) AS c1, count(v) AS c2,
+        |       min(v) AS lo, max(v) AS hi, sum(d) AS sd
+        |FROM graft.mv.base GROUP BY grp""".stripMargin)
     val tables = scannedTables(df)
-    assert(!tables.exists(_.endsWith("base_mv_bygrp")),
-      s"stale mview must not serve queries: $tables")
+    assert(tables.exists(_.endsWith("base_mv_bygrp")),
+      s"stale-by-append mview should still serve via delta union: $tables")
+    assert(tables.count(!_.contains("_mv_")) == 1,
+      s"exactly one delta-pinned base scan expected: $tables")
+    // the repair composes with rollups and filters on group columns
+    val roll = parity(
+      """SELECT grp % 2 AS par, sum(v) AS sv, count(*) AS c
+        |FROM graft.mv.base WHERE grp >= 1 GROUP BY grp % 2""".stripMargin)
+    assert(scannedTables(roll).exists(_.endsWith("base_mv_bygrp")))
   }
 
   test("mview_refresh appends the CDC delta's partials and re-arms") {
@@ -242,6 +255,12 @@ class MviewSpec extends AnyFunSuite {
   test("refresh refuses after a row-removing op; rebuild re-arms") {
     setup(); buildMv()
     spark.sql("DELETE FROM graft.mv.base WHERE k < 100")
+    // a DELETE cannot be repaired by an append-only delta union: the
+    // rewrite must fall back to the base entirely
+    val noFire = parity(
+      "SELECT grp, count(*) AS c FROM graft.mv.base GROUP BY grp")
+    assert(!scannedTables(noFire).exists(_.endsWith("base_mv_bygrp")),
+      "row-removing staleness must disable the mview")
     val e = intercept[Exception] {
       spark.sql("CALL graft.sys.mview_refresh(" +
         "table => 'mv.base', name => 'bygrp')").collect()
