@@ -4,6 +4,7 @@ import java.io.File
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Cast, Coalesce, Expression, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -141,24 +142,64 @@ class GraftMviewRewrite(session: SparkSession) extends Rule[LogicalPlan] {
     // rewrite an aggregate function call onto the stored partials;
     // None = not derivable from this mview -> the rule does not fire
     def rwAgg(agg: AggregateExpression): Option[Expression] = {
-      if (agg.isDistinct || agg.filter.isDefined) return None
+      if (agg.filter.isDefined) return None
       def summed(stored: String): Expression =
         Sum(mvAttr(stored)).toAggregateExpression()
-      val out = agg.aggregateFunction match {
+      def grpAttr(x: Expression): Option[AttributeReference] = x match {
+        case at: AttributeReference if groupCols(at.name.toLowerCase) =>
+          Some(mvAttr(at.name))
+        case _ => None
+      }
+      val out = if (agg.isDistinct) agg.aggregateFunction match {
+        // DISTINCT over mview GROUP columns is derivable because the
+        // mview carries the exact value set of its group tuple —
+        // partial-row multiplicities are what DISTINCT discards. The
+        // classic shape: COUNT(DISTINCT user) GROUP BY day over a
+        // (day, user)-grouped mview.
+        case Count(children) if children.forall(grpAttr(_).isDefined) =>
+          Some(Count(children.map(grpAttr(_).get))
+            .toAggregateExpression(isDistinct = true))
+        case Sum(x, _) => grpAttr(x).map(a =>
+          Sum(a).toAggregateExpression(isDistinct = true))
+        case Min(x) => grpAttr(x).map(a => Min(a).toAggregateExpression())
+        case Max(x) => grpAttr(x).map(a => Max(a).toAggregateExpression())
+        case _ => None
+      } else agg.aggregateFunction match {
         case Sum(x: AttributeReference, _) =>
           aggMap.get(("sum", x.name.toLowerCase)).map(summed)
+        // MIN/MAX over a group column need no stored partial: the
+        // value-set extremum is multiplicity-independent
         case Min(x: AttributeReference) =>
           aggMap.get(("min", x.name.toLowerCase))
             .map(c => Min(mvAttr(c)).toAggregateExpression())
+            .orElse(grpAttr(x).map(a => Min(a).toAggregateExpression()))
         case Max(x: AttributeReference) =>
           aggMap.get(("max", x.name.toLowerCase))
             .map(c => Max(mvAttr(c)).toAggregateExpression())
+            .orElse(grpAttr(x).map(a => Max(a).toAggregateExpression()))
         case Count(Seq(Literal(_, _))) =>
           aggMap.get(("count", "*"))
             .map(c => Coalesce(Seq(summed(c), Literal(0L, LongType))))
         case Count(Seq(x: AttributeReference)) =>
           aggMap.get(("count", x.name.toLowerCase))
             .map(c => Coalesce(Seq(summed(c), Literal(0L, LongType))))
+        // hll_sketch_agg over a stored DataSketches sketch partial
+        // re-aggregates as hll_union_agg. HLL merge is a per-register
+        // max, so the unioned estimate tracks the direct sketch's
+        // within representation-transition noise (last-permille — the
+        // documented approximate-transparency contract of sketch
+        // rollups in BigQuery/Druid; the user already opted into an
+        // approximate aggregate). Only the default-lgK form matches
+        // the stored sketch's configuration.
+        case h: aggregate.HllSketchAgg =>
+          (h.left, h.right) match {
+            case (x: AttributeReference, Literal(lgk: Int, _))
+                if lgk == 12 =>
+              aggMap.get(("hll", x.name.toLowerCase)).map(c =>
+                aggregate.HllUnionAgg(mvAttr(c), Literal(false))
+                  .toAggregateExpression())
+            case _ => None
+          }
         case _ => None
       }
       out.map(e =>
@@ -230,8 +271,13 @@ class GraftMviewRewrite(session: SparkSession) extends Rule[LogicalPlan] {
                     org.apache.spark.sql.catalyst.expressions.IsNull(at),
                     Literal(0L, LongType), Literal(1L, LongType)), t),
                   stored)())
-                case _ => dAttr(col).map(at => Alias(
-                  if (at.dataType == t) at else Cast(at, t), stored)())
+                case "sum" | "min" | "max" =>
+                  dAttr(col).map(at => Alias(
+                    if (at.dataType == t) at else Cast(at, t), stored)())
+                // hll: a raw row has no scalar singleton-sketch form —
+                // the whole stale-repair declines, falling back to the
+                // base (refresh to re-arm)
+                case _ => None
               }
             }
           }

@@ -919,16 +919,20 @@ object GraftProcedures {
   }
 
   /** Shared by mview build/refresh: parse the requested aggregate list
-    * `"sum:x;count:*;min:y"` → (fn, colLower, storedColumnName). */
+    * `"sum:x;count:*;min:y;hll:z"` → (fn, colLower, storedColumnName).
+    * `hll:` stores a DataSketches HLL sketch (BINARY, default lgK) —
+    * the mergeable approx-distinct partial; reads re-aggregate it with
+    * `hll_union_agg`. */
   private def parseAggSpecs(aggs: String): Seq[(String, String, String)] =
     aggs.split(";").map(_.trim).filter(_.nonEmpty).toSeq.map { spec =>
       val parts = spec.split(":", 2)
       require(parts.length == 2,
-        s"agg spec '$spec' must be '<fn>:<col>' (fn in sum/count/min/max)")
+        s"agg spec '$spec' must be '<fn>:<col>' (fn in " +
+          "sum/count/min/max/hll)")
       val fn = parts(0).trim.toLowerCase
       val col = parts(1).trim.toLowerCase
-      require(Set("sum", "count", "min", "max")(fn),
-        s"unsupported mview aggregate '$fn' (sum/count/min/max)")
+      require(Set("sum", "count", "min", "max", "hll")(fn),
+        s"unsupported mview aggregate '$fn' (sum/count/min/max/hll)")
       require(col != "*" || fn == "count", s"'$fn:*' is not an aggregate")
       val stored =
         if (fn == "count" && col == "*") "cnt_star"
@@ -941,6 +945,7 @@ object GraftProcedures {
   private def aggSelectExprs(specs: Seq[(String, String, String)])
       : Seq[String] = specs.map {
     case ("count", "*", stored) => s"count(*) AS `$stored`"
+    case ("hll", col, stored) => s"hll_sketch_agg(`$col`) AS `$stored`"
     case (fn, col, stored) =>
       val f = if (fn == "count") "count" else fn
       s"$f(`$col`) AS `$stored`"

@@ -842,11 +842,19 @@ object CatalogQueries {
       val fqn = s"graft.$ns.orders_sum_t"
       val mvFqn = s"${fqn}_mv_status"
       val srcCount = s.read.parquet(s"$d/orders.parquet").count()
+      val expectAggs = "sum:o_price=sum_o_price;count:*=cnt_star;" +
+        "min:o_price=min_o_price;max:o_price=max_o_price;" +
+        "hll:o_orderpriority=hll_o_orderpriority"
       val mvFresh = trusted(s, ns, "orders_sum_t", srcCount) &&
         s.sql(s"SHOW TABLES IN graft.$ns").collect()
           .exists(_.getString(1) == "orders_sum_t_mv_status") &&
         s.sql(s"SHOW TBLPROPERTIES $mvFqn").collect()
-          .exists(_.getString(0) == graft.catalog.TableMeta.MviewVersionProp)
+          .exists(_.getString(0) == graft.catalog.TableMeta.MviewVersionProp) &&
+        // an mview from an older fixture generation (different agg
+        // set) would silently degrade queries to the base path
+        s.sql(s"SHOW TBLPROPERTIES $mvFqn").collect()
+          .exists(r => r.getString(0) == graft.catalog.TableMeta.MviewAggsProp &&
+            r.getString(1) == expectAggs)
       if (!mvFresh) {
         s.sql(s"DROP TABLE IF EXISTS $mvFqn")
         s.sql(s"DROP TABLE IF EXISTS $fqn")
@@ -867,8 +875,8 @@ object CatalogQueries {
         batch("o_orderkey % 2 = 0")
         s.sql(s"CALL graft.sys.mview(table => '$ns.orders_sum_t', " +
           "name => 'status', group_by => 'o_orderstatus;o_orderpriority', " +
-          "aggs => 'sum:o_price;count:*;min:o_price;max:o_price')")
-          .collect()
+          "aggs => 'sum:o_price;count:*;min:o_price;max:o_price;" +
+          "hll:o_orderpriority')").collect()
         batch("o_orderkey % 2 = 1")
         s.sql(s"CALL graft.sys.mview_refresh(" +
           s"table => '$ns.orders_sum_t', name => 'status')").collect()
@@ -940,6 +948,33 @@ object CatalogQueries {
        |       max(o_price) AS hi
        |FROM ${mviewBase(s, d)}
        |GROUP BY o_orderstatus, o_orderpriority""".stripMargin)
+
+  /** DISTINCT over an mview group column: the (status, priority)
+    * partials carry the exact value set of their group tuple, so
+    * COUNT(DISTINCT priority) GROUP BY status is derivable —
+    * multiplicities are what DISTINCT discards. Mixed in one
+    * aggregate with a re-summed partial to pin both paths at once. */
+  val mviewDistinct: Q = (s, d) => s.sql(
+    s"""SELECT o_orderstatus, count(DISTINCT o_orderpriority) AS dp,
+       |       min(o_orderpriority) AS lop, sum(o_price) AS total
+       |FROM ${mviewBase(s, d)}
+       |GROUP BY o_orderstatus""".stripMargin)
+
+  /** HLL sketch partial face: `hll:o_orderpriority` stores a
+    * DataSketches HLL sketch per partial; the rewrite re-aggregates
+    * with hll_union_agg. At 5 distinct priorities the sketches stay
+    * in the exact coupon regime, so the estimate equals the true
+    * distinct count and the DuckDB oracle (count DISTINCT) hash-
+    * matches; MviewSpec pins the estimation-regime behavior
+    * (1%-of-direct approximate transparency) where exactness cannot
+    * hold. */
+  val mviewHll: Q = (s, d) => s.sql(
+    s"""SELECT o_orderstatus,
+       |       hll_sketch_estimate(hll_sketch_agg(o_orderpriority))
+       |         AS apx_priorities,
+       |       count(*) AS cnt
+       |FROM ${mviewBase(s, d)}
+       |GROUP BY o_orderstatus""".stripMargin)
 
   /** Coarser rollup + filter on an mview dimension: still derivable
     * from the stored partials (SUM of sums over the surviving rows). */
@@ -1675,6 +1710,8 @@ object CatalogQueries {
     "catalog_mview" -> mviewAgg,
     "catalog_mview_rollup" -> mviewRollup,
     "catalog_mview_delta" -> mviewDeltaAgg,
+    "catalog_mview_distinct" -> mviewDistinct,
+    "catalog_mview_hll" -> mviewHll,
   )
 
   private val UpsertOracle =
@@ -1815,6 +1852,25 @@ object CatalogQueries {
         |       CAST(sum(p) AS DECIMAL(22,2)) AS total,
         |       min(p) AS lo, max(p) AS hi
         |FROM priced GROUP BY o_orderstatus, o_orderpriority""".stripMargin,
+
+    // exact at this cardinality: 5 priorities sit in the sketch's
+    // coupon (exact) regime, so the estimate IS the distinct count
+    "catalog_mview_hll" ->
+      """SELECT o_orderstatus,
+        |       count(DISTINCT o_orderpriority) AS apx_priorities,
+        |       count(*) AS cnt
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
+
+    "catalog_mview_distinct" ->
+      """WITH priced AS (
+        |  SELECT o_orderstatus, o_orderpriority,
+        |         CAST(CAST((o_orderkey * 7919 + 421) % 100000000
+        |                   AS DECIMAL(12,0)) * 0.01 AS DECIMAL(12,2)) AS p
+        |  FROM orders)
+        |SELECT o_orderstatus, count(DISTINCT o_orderpriority) AS dp,
+        |       min(o_orderpriority) AS lop,
+        |       CAST(sum(p) AS DECIMAL(22,2)) AS total
+        |FROM priced GROUP BY o_orderstatus""".stripMargin,
 
     "catalog_mview_delta" ->
       """WITH priced AS (

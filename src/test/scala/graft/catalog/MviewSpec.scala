@@ -210,6 +210,98 @@ class MviewSpec extends AnyFunSuite {
     assert(e.getMessage.contains("NULL"))
   }
 
+  test("DISTINCT over mview group columns derives from the value set") {
+    setup(); buildMv()
+    spark.sql("DROP TABLE IF EXISTS graft.mv.base_mv_bygrps")
+    spark.sql("CALL graft.sys.mview(table => 'mv.base', " +
+      "name => 'bygrps', group_by => 'grp;s', aggs => 'count:*')")
+      .collect()
+    // bygrp (grp only) cannot serve DISTINCT s and must decline; the
+    // finer bygrps (grp, s) carries the exact (grp, s) value set
+    val df = parity(
+      """SELECT grp, count(DISTINCT s) AS ds, min(s) AS lo,
+        |       count(*) AS c
+        |FROM graft.mv.base GROUP BY grp""".stripMargin)
+    assert(scannedTables(df).exists(_.endsWith("base_mv_bygrps")),
+      s"finer mview should serve DISTINCT: ${scannedTables(df)}")
+    // the repair path composes: append without refresh, still exact
+    spark.sql(
+      """INSERT INTO graft.mv.base VALUES
+        |(9100, 1, 's9', 1.0, CAST(1.00 AS DECIMAL(10,2)))""".stripMargin)
+    val stale = parity(
+      """SELECT grp, count(DISTINCT s) AS ds FROM graft.mv.base
+        |GROUP BY grp""".stripMargin)
+    assert(scannedTables(stale).exists(_.endsWith("base_mv_bygrps")))
+    spark.sql("DROP TABLE IF EXISTS graft.mv.base_mv_bygrps")
+  }
+
+  test("HLL sketch partials: union re-aggregation tracks the direct " +
+      "sketch") {
+    setup()
+    spark.sql("DROP TABLE IF EXISTS graft.mv.base_mv_hll")
+    spark.sql("CALL graft.sys.mview(table => 'mv.base', " +
+      "name => 'hll', group_by => 'grp', aggs => 'hll:k;count:*')")
+      .collect()
+    val q = """SELECT grp, hll_sketch_estimate(hll_sketch_agg(k)) AS apx
+              |FROM graft.mv.base GROUP BY grp""".stripMargin
+    // k is unique per row → per-group cardinalities (~1143) sit in the
+    // estimation regime, where representation transitions make
+    // union-of-batch-sketches differ from the one-pass sketch in the
+    // last permille (the documented property of every sketch-rollup
+    // engine). The contract is approximate-transparency: within 1% of
+    // the direct estimate, and both within the sketch's error bound of
+    // the exact count.
+    def estimates(df: DataFrame): Map[Long, Double] =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1).toDouble).toMap
+    val on = spark.sql(q)
+    assert(scannedTables(on).exists(_.endsWith("base_mv_hll")),
+      s"hll mview should serve: ${scannedTables(on)}")
+    val rewritten = estimates(on)
+    val direct =
+      try {
+        spark.conf.set(GraftAccel.MviewRewrite, "false")
+        estimates(spark.sql(q))
+      } finally spark.conf.set(GraftAccel.MviewRewrite, "true")
+    val exact = spark.sql(
+      """SELECT grp, count(DISTINCT k) AS c FROM graft.mv.base
+        |GROUP BY grp""".stripMargin)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    exact.foreach { case (g, ex) =>
+      assert(math.abs(rewritten(g) - direct(g)) / direct(g) < 0.01,
+        s"grp $g: union ${rewritten(g)} vs direct ${direct(g)}")
+      assert(math.abs(rewritten(g) - ex) / ex < 0.05,
+        s"grp $g: union ${rewritten(g)} vs exact $ex")
+    }
+    // refresh appends a second sketch partial per group; the union of
+    // two per-batch sketches still tracks the one-pass sketch
+    spark.sql(
+      """INSERT INTO graft.mv.base
+        |SELECT id + 9000, id % 7, 's0', CAST(id AS DOUBLE),
+        |       CAST(1.00 AS DECIMAL(10,2)) FROM range(500)""".stripMargin)
+    spark.sql("CALL graft.sys.mview_refresh(" +
+      "table => 'mv.base', name => 'hll')").collect()
+    val on2 = spark.sql(q)
+    assert(scannedTables(on2).exists(_.endsWith("base_mv_hll")))
+    val r2 = estimates(on2)
+    val d2 = try {
+      spark.conf.set(GraftAccel.MviewRewrite, "false")
+      estimates(spark.sql(q))
+    } finally spark.conf.set(GraftAccel.MviewRewrite, "true")
+    d2.foreach { case (g, d) =>
+      assert(math.abs(r2(g) - d) / d < 0.01,
+        s"grp $g after refresh: union ${r2(g)} vs direct $d")
+    }
+    // stale-by-append: a raw row has no singleton-sketch projection,
+    // so the repair declines and the query answers from the base
+    spark.sql(
+      """INSERT INTO graft.mv.base VALUES
+        |(99999, 1, 's1', 1.0, CAST(1.00 AS DECIMAL(10,2)))""".stripMargin)
+    val stale = spark.sql(q)
+    assert(!scannedTables(stale).exists(_.endsWith("base_mv_hll")),
+      "hll staleness cannot union raw rows; must fall back to the base")
+    spark.sql("DROP TABLE IF EXISTS graft.mv.base_mv_hll")
+  }
+
   test("streaming ingest composes with incremental mview maintenance") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
