@@ -129,6 +129,25 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   }
 
   override def loadTable(ident: Identifier): Table = {
+    // Iceberg-style metadata tables: `graft.ns.t.history` parses as
+    // namespace [ns, t] + name "history" — when the namespace tail is
+    // a real graft table and the name is a metadata kind, serve the
+    // read-only metadata relation ([[GraftMetaTable]]). Checked FIRST:
+    // graft namespaces are single-level, so a 2-level namespace can
+    // only be this shape. Built fresh per load — the commit log moves
+    // under it.
+    if (ident.namespace().length == 2) {
+      val baseIdent = Identifier.of(ident.namespace().take(1),
+        ident.namespace().last)
+      val baseDir = tableDir(baseIdent)
+      if (GraftMetaTable.Kinds(ident.name.toLowerCase) &&
+          TableMeta.exists(baseDir))
+        return GraftMetaTable(baseIdent.toString,
+          ident.name.toLowerCase, baseDir)
+      // not a resolvable metadata table (unknown kind / missing base):
+      // report "no such table", not a namespace-shape complaint
+      throw new NoSuchTableException(ident.namespace().toSeq :+ ident.name())
+    }
     val dir = tableDir(ident)
     if (!TableMeta.exists(dir))
       throw new NoSuchTableException(ident.namespace().toSeq :+ ident.name())
