@@ -169,9 +169,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val dir = tableDir(ident)
     if (!TableMeta.exists(dir))
       throw new NoSuchTableException(ident.namespace().toSeq :+ ident.name())
-    val v = version.toLongOption.getOrElse(
+    // non-integer versions resolve as TAGS (`CALL graft.sys.tag`):
+    // `VERSION AS OF 'release-v1'` reads the pinned commit-log seq
+    val v = version.toLongOption.orElse {
+      TableMeta.tags(TableMeta.load(dir).properties).get(version)
+    }.getOrElse {
+      val known = TableMeta.tags(TableMeta.load(dir).properties)
+        .keys.toSeq.sorted
       throw new IllegalArgumentException(
-        s"graft versions are commit-log seqs (integers); got '$version'"))
+        s"'$version' is neither a commit-log seq (integer) nor a tag " +
+          s"of $ident" + (if (known.isEmpty) ""
+          else s" (tags: ${known.mkString(", ")})"))
+    }
     snapshotTable(ident, dir, v)
   }
 

@@ -151,10 +151,14 @@ object GraftCluster {
         val outputs = newRegions.map { r =>
           val o = r.copy(id = next, srcMaxId = srcMax); next += 1; o
         }
+        // tagged versions' files stay on the retired list (same pin
+        // rule as compaction's age-out — see GraftCompact)
+        val pinned = TableMeta.pinnedFiles(t.tableDir)
+        val (kept, aged) = state.retired.partition(r => pinned(r.file))
         TableMeta.saveStateAt(t.tableDir, viewSeq, TableMeta.ManifestState(
-          state.gen + 1, outputs ++ tail, state.epochs, snapLive, next),
-          op = "cluster")
-        Some(state.retired)
+          state.gen + 1, outputs ++ tail, state.epochs, snapLive ++ kept,
+          next), op = "cluster")
+        Some(aged)
       }
     }
     swapped match {

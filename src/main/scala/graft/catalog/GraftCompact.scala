@@ -135,14 +135,19 @@ object GraftCompact {
         val keptEpochs = state.epochs.filter { case (_, e) =>
           e.touchedGen >= newGen - retain }
         // the snapshot becomes the retired set (files kept one cycle for
-        // tailing streams); the previous retired set ages out now. A
-        // SWAP segment CAS'd at the view's seq: a commit that landed
-        // since the view surfaces as a lost race (retried under `cas`)
-        // instead of being clobbered.
+        // tailing streams); the previous retired set ages out now —
+        // EXCEPT files a tagged version still references
+        // ([[TableMeta.pinnedFiles]]): those stay on the retired list
+        // so `VERSION AS OF '<tag>'` outlives any number of compaction
+        // cycles. A SWAP segment CAS'd at the view's seq: a commit that
+        // landed since the view surfaces as a lost race (retried under
+        // `cas`) instead of being clobbered.
+        val pinned = TableMeta.pinnedFiles(t.tableDir)
+        val (kept, aged) = state.retired.partition(r => pinned(r.file))
         TableMeta.saveStateAt(t.tableDir, viewSeq, TableMeta.ManifestState(
-          newGen, outputs ++ tail, keptEpochs, snapLive, next),
+          newGen, outputs ++ tail, keptEpochs, snapLive ++ kept, next),
           op = "compact")
-        Some(state.retired)
+        Some(aged)
       }
     }
     agedOut.foreach(_.foreach(r => new File(t.tableDir, r.file).delete()))

@@ -56,6 +56,17 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
   private val VacuumRe =
     """(?is)\s*VACUUM\s+([\w.`]+)\s*;?\s*""".r
 
+  /** `ALTER TABLE t CREATE TAG name [AS OF VERSION n]` /
+    * `ALTER TABLE t DROP TAG name` — Iceberg's tag DDL, lowered onto
+    * `CALL graft.sys.tag` / `.untag`. Matched before delegation (the
+    * stock grammar rejects the TAG clause). */
+  private val CreateTagRe =
+    ("""(?is)\s*ALTER\s+TABLE\s+([\w.`]+)\s+CREATE\s+TAG\s+""" +
+      """`?([A-Za-z][\w.\-]*)`?(?:\s+AS\s+OF\s+VERSION\s+(\d+))?\s*;?\s*""").r
+  private val DropTagRe =
+    ("""(?is)\s*ALTER\s+TABLE\s+([\w.`]+)\s+DROP\s+TAG\s+""" +
+      """`?([A-Za-z][\w.\-]*)`?\s*;?\s*""").r
+
   /** `COPY INTO t FROM '<path>' [FILEFORMAT = CSV|JSON|PARQUET]
     * [PATTERN = '<glob>']` — the lakehouse-standard idempotent
     * ingestion statement (Delta's COPY INTO semantics): each source
@@ -125,6 +136,16 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     case VacuumRe(ident) if graftTarget(parts(ident)).isDefined =>
       val (cat, t) = graftNsTable(ident, "VACUUM")
       GraftCallCommand(cat, s"CALL `$cat`.sys.vacuum(table => '$t')")
+    case CreateTagRe(ident, tag, ver)
+        if graftTarget(parts(ident)).isDefined =>
+      val (cat, t) = graftNsTable(ident, "ALTER TABLE ... CREATE TAG")
+      val verArg = Option(ver).map(v => s", version => $v").getOrElse("")
+      GraftCallCommand(cat,
+        s"CALL `$cat`.sys.tag(table => '$t', name => '$tag'$verArg)")
+    case DropTagRe(ident, tag) if graftTarget(parts(ident)).isDefined =>
+      val (cat, t) = graftNsTable(ident, "ALTER TABLE ... DROP TAG")
+      GraftCallCommand(cat,
+        s"CALL `$cat`.sys.untag(table => '$t', name => '$tag')")
     case DetailRe(ident) if graftTarget(parts(ident)).isDefined =>
       val (cat, t) = graftNsTable(ident, "DESCRIBE DETAIL")
       GraftDetailCommand(cat, t)

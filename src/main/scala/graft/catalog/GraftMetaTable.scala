@@ -31,7 +31,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * catalog's metadata tables. */
 object GraftMetaTable {
 
-  val Kinds: Set[String] = Set("history", "manifest")
+  val Kinds: Set[String] = Set("history", "manifest", "tags")
+
+  val TagsSchema: StructType = StructType(Seq(
+    StructField("tag", StringType, nullable = false),
+    StructField("version", LongType, nullable = false)))
 
   val HistorySchema: StructType = StructType(Seq(
     StructField("version", LongType, nullable = false),
@@ -69,6 +73,13 @@ object GraftMetaTable {
             UTF8String.fromString(r.mins.mkString(";")),
             UTF8String.fromString(r.maxs.mkString(";")))): InternalRow
         })
+      case "tags" => new GraftMetaTable(s"$baseName.tags",
+        TagsSchema,
+        () => TableMeta.tags(TableMeta.load(dir).properties).toSeq
+          .sortBy(_._1).map { case (tag, v) =>
+            new GenericInternalRow(Array[Any](
+              UTF8String.fromString(tag), v)): InternalRow
+          })
       case other => throw new IllegalArgumentException(
         s"unknown metadata table '$other' (${Kinds.mkString(", ")})")
     }

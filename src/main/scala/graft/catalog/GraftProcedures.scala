@@ -36,7 +36,8 @@ object GraftProcedures {
   val Names: Seq[String] =
     Seq("load_csv", "compact", "cluster", "stats", "vacuum", "manifest",
       "fold", "history", "restore", "analyze", "split", "merge", "clone",
-      "convert", "index", "index_refresh", "mview", "mview_refresh")
+      "convert", "index", "index_refresh", "mview", "mview_refresh",
+      "tag", "untag")
 
   def load(catalogName: String, ident: Identifier): UnboundProcedure = {
     require(ident.namespace.isEmpty ||
@@ -62,6 +63,8 @@ object GraftProcedures {
       case "index_refresh" => new IndexRefreshProcedure(catalogName)
       case "mview" => new MviewProcedure(catalogName)
       case "mview_refresh" => new MviewRefreshProcedure(catalogName)
+      case "tag" => new TagProcedure(catalogName)
+      case "untag" => new UntagProcedure(catalogName)
       case other => throw new IllegalArgumentException(
         s"unknown graft procedure $other; available: ${Names.mkString(", ")}")
     }
@@ -359,7 +362,14 @@ object GraftProcedures {
           val gt = graftTable(catalogName, input.getUTF8String(0).toString)
           val removed = TableMeta.withManifestLock(gt.tableDir) {
             val (state, viewSeq) = TableMeta.commitView(gt.tableDir)
-            state.retired.foreach(r =>
+            // files a tagged version references survive the vacuum and
+            // stay on the retired list (TableMeta.pinnedFiles): the tag
+            // is the operator's declared intent to keep that snapshot
+            // readable; untag first to reclaim the space
+            val pinned = TableMeta.pinnedFiles(gt.tableDir)
+            val (keptRet, dropRet) =
+              state.retired.partition(r => pinned(r.file))
+            dropRet.foreach(r =>
               new java.io.File(gt.tableDir, r.file).delete())
             // also sweep .tmp leftovers of crashed atomic writes (a
             // writeAtomic that died between write and move). Age-gated:
@@ -376,13 +386,127 @@ object GraftProcedures {
             tmps.foreach(_.delete())
             if (state.retired.nonEmpty)
               TableMeta.writeDelta(gt.tableDir, viewSeq,
-                clearRetired = true, op = "vacuum")
-            state.retired.size + tmps.length
+                retiredAdd = keptRet, clearRetired = true, op = "vacuum")
+            dropRet.size + tmps.length
           }
           Collections.singletonList(LocalRowsScan(Array("removed_files"),
             Seq(Seq(removed.toString))): Scan).iterator()
         }
       }
+  }
+
+  /** `CALL graft.sys.tag(table => 'ns.t', name => 'release-v1'
+    * [, version => n])` — pin a commit-log version under a NAME
+    * (Iceberg's snapshot tag; default: the current version).
+    * `VERSION AS OF 'release-v1'` then reads that snapshot, and the
+    * pin is honored by every cleanup layer until `untag`: log cleanup
+    * retains the segments that reconstruct it, compaction/cluster
+    * age-out and vacuum keep its region files ([[TableMeta.pinnedFiles]]).
+    * The pin-the-exact-training-corpus operation WITHOUT clone's
+    * per-region link cost: O(1) metadata, same directory. Statement
+    * faces: `ALTER TABLE t CREATE TAG name [AS OF VERSION n]` /
+    * `ALTER TABLE t DROP TAG name`. */
+  final class TagProcedure(catalogName: String) extends UnboundProcedure {
+    override def name(): String = "tag"
+    override def description(): String =
+      "pin a commit-log version under a name readable via " +
+        "VERSION AS OF '<name>' and protected from vacuum/compaction " +
+        "cleanup until untagged"
+    override def bind(inputType: StructType): BoundProcedure =
+      new BoundProcedure {
+        override def name(): String = "tag"
+        override def description(): String = TagProcedure.this.description()
+        override def isDeterministic: Boolean = false
+        override def parameters(): Array[ProcedureParameter] = Array(
+          ProcedureParameter.in("table", StringType)
+            .comment("'<namespace>.<table>' within this catalog").build(),
+          ProcedureParameter.in("name", StringType)
+            .comment("tag name (letter first; not an integer)").build(),
+          ProcedureParameter.in("version", LongType).defaultValue("-1")
+            .comment("commit-log version to pin (default: current)")
+            .build())
+        override def call(input: InternalRow): java.util.Iterator[Scan] = {
+          val table = input.getUTF8String(0).toString
+          val tag = input.getUTF8String(1).toString
+          require(tag.matches("[A-Za-z][A-Za-z0-9._\\-]*"),
+            s"invalid tag name '$tag': must start with a letter and " +
+              "use only letters, digits, '.', '_', '-' (so it can " +
+              "never collide with an integer version)")
+          val gt = graftTable(catalogName, table)
+          // readability check under the manifest lock (vacuum cannot
+          // slip between the check and the lock release); the property
+          // save runs after — TableMeta.save takes the lock itself
+          val v = TableMeta.withManifestLock(gt.tableDir) {
+            val cur = TableMeta.currentVersion(gt.tableDir)
+            val v0 = input.getLong(2)
+            val v = if (v0 < 0) cur else v0
+            // a tag must be READABLE at creation: the state must still
+            // reconstruct and every referenced region file must exist
+            // (tagging an already-vacuumed version would pin nothing)
+            val st = TableMeta.stateAt(gt.tableDir, v)
+            val gone = st.regions.filterNot(r =>
+              new File(gt.tableDir, r.file).isFile)
+            if (gone.nonEmpty) throw new IllegalStateException(
+              s"cannot tag version $v of $table: ${gone.size} region " +
+                s"file(s) already removed (e.g. ${gone.head.file})")
+            v
+          }
+          val meta = TableMeta.load(gt.tableDir)
+          TableMeta.save(gt.tableDir, meta.copy(properties =
+            meta.properties +
+              (TableMeta.TagPropPrefix + tag -> v.toString)))
+          invalidate(catalogName, table)
+          Collections.singletonList(LocalRowsScan(
+            Array("tag", "version"),
+            Seq(Seq(tag, v.toString))): Scan).iterator()
+        }
+      }
+  }
+
+  /** `CALL graft.sys.untag(table => 'ns.t', name => 'release-v1')` —
+    * release the pin; the next vacuum/compaction may reclaim files
+    * only the tagged version referenced. */
+  final class UntagProcedure(catalogName: String) extends UnboundProcedure {
+    override def name(): String = "untag"
+    override def description(): String =
+      "remove a version tag (the next vacuum/compaction may reclaim " +
+        "files only that version referenced)"
+    override def bind(inputType: StructType): BoundProcedure =
+      new BoundProcedure {
+        override def name(): String = "untag"
+        override def description(): String =
+          UntagProcedure.this.description()
+        override def isDeterministic: Boolean = false
+        override def parameters(): Array[ProcedureParameter] = Array(
+          ProcedureParameter.in("table", StringType)
+            .comment("'<namespace>.<table>' within this catalog").build(),
+          ProcedureParameter.in("name", StringType).build())
+        override def call(input: InternalRow): java.util.Iterator[Scan] = {
+          val table = input.getUTF8String(0).toString
+          val tag = input.getUTF8String(1).toString
+          val gt = graftTable(catalogName, table)
+          val meta = TableMeta.load(gt.tableDir)
+          val key = TableMeta.TagPropPrefix + tag
+          require(meta.properties.contains(key),
+            s"no tag '$tag' on $table (tags: " +
+              s"${TableMeta.tags(meta.properties).keys.toSeq.sorted
+                .mkString(", ")})")
+          TableMeta.save(gt.tableDir, meta.copy(properties =
+            meta.properties - key))
+          invalidate(catalogName, table)
+          Collections.singletonList(LocalRowsScan(Array("untagged"),
+            Seq(Seq(tag))): Scan).iterator()
+        }
+      }
+  }
+
+  /** Drop the catalog's cached [[GraftTable]] so property mutations
+    * (tags) are visible to the next load. */
+  private def invalidate(catalogName: String, table: String): Unit = {
+    val (ns, t) = splitNsTable(table)
+    SparkSession.active.sessionState.catalogManager.catalog(catalogName)
+      .asInstanceOf[GraftCatalog]
+      .invalidateTable(Identifier.of(Array(ns), t))
   }
 
   /** `CALL graft.sys.cluster(table => 'ns.t', cols => 'b;c',

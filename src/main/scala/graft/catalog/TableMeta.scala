@@ -130,6 +130,41 @@ object TableMeta {
   def dedupKeys(properties: Map[String, String]): Boolean =
     properties.get(DedupKeysProp).exists(_.trim.equalsIgnoreCase("true"))
 
+  /** `graft.tag.<name>` = `<version>`: a NAMED, RETENTION-PINNING
+    * reference to a commit-log version (Iceberg's snapshot tag).
+    * `VERSION AS OF '<name>'` resolves it, and THREE cleanup layers
+    * honor the pin until `CALL graft.sys.untag` releases it:
+    * checkpoint-time log cleanup keeps the segments/checkpoints that
+    * reconstruct every tagged version, compaction/cluster retired
+    * age-out keeps tagged versions' files on the retired list, and
+    * vacuum skips them. Tags live in the table properties (visible in
+    * SHOW TBLPROPERTIES), mutated under the manifest lock. */
+  val TagPropPrefix = "graft.tag."
+
+  def tags(properties: Map[String, String]): Map[String, Long] =
+    properties.collect {
+      case (k, v) if k.startsWith(TagPropPrefix) &&
+          v.nonEmpty && v.forall(_.isDigit) =>
+        k.substring(TagPropPrefix.length) -> v.toLong
+    }
+
+  /** Region files referenced by any tagged version — excluded from
+    * retired-file purges. Meta is re-read from disk: the pin must see
+    * tags committed by other sessions/processes, not a cached view.
+    * A tag whose version is no longer reconstructible pins nothing
+    * (it is already broken; the read path reports it loudly). */
+  def pinnedFiles(tableDir: File): Set[String] = {
+    val vs = tagVersions(tableDir)
+    vs.flatMap { v =>
+      try stateAt(tableDir, v).regions.map(_.file).toSet
+      catch { case _: Exception => Set.empty[String] }
+    }
+  }
+
+  private def tagVersions(tableDir: File): Set[Long] =
+    if (exists(tableDir)) tags(load(tableDir).properties).values.toSet
+    else Set.empty
+
   /** Stamped on tables built by `CALL graft.sys.index`: the base table
     * this is a secondary index of, and the base's commit-log version at
     * build time (the freshness watermark — compare against the base's
@@ -340,12 +375,21 @@ object TableMeta {
       // historical manifests from).
       val retain = commitStore.segmentRetainMillis max historyRetainMillis
       val cutoff = System.currentTimeMillis() - retain
+      // Tag pin: the oldest tagged version anchors at the newest
+      // checkpoint at or below it; that checkpoint plus every segment
+      // above it reconstructs ALL tagged versions (stateAt replays
+      // anchor+1..v), so cleanup stops at the anchor — regardless of
+      // the time-based horizon — until the tag is dropped.
+      val pinAnchor = tagVersions(tableDir).minOption.map(v =>
+        listCpSeqs(tableDir).filter(_ <= v).maxOption.getOrElse(0L))
       listSegSeqs(tableDir).filter(_ <= newest)
+        .filter(q => pinAnchor.forall(q <= _))
         .map(segFile(tableDir, _))
         .filter(f => retain <= 0L || f.lastModified() < cutoff)
         .foreach(_.delete())
       val cpCutoff = System.currentTimeMillis() - historyRetainMillis
       listCpSeqs(tableDir).filter(_ < newest)
+        .filter(q => pinAnchor.forall(q < _))
         .map(q => cpFile(tableDir, q))
         .filter(f => historyRetainMillis <= 0L ||
           f.lastModified() < cpCutoff)

@@ -1646,6 +1646,58 @@ object CatalogQueries {
         round(sum(col("o_totalprice")), 2).as("total"))
   }
 
+  /** Snapshot-tag face: batch 1 (odd keys) is TAGGED, batch 2 (even)
+    * appended, then the table is COMPACTED and VACUUMED — the two
+    * cleanups that reclaim rewritten files. `VERSION AS OF 'b1'` must
+    * still read exactly the odd-key slice: the hash proves tag
+    * resolution AND the retention pin (compaction age-out + vacuum
+    * both skipped the tagged version's files) in one gate. */
+  private val builtTag =
+    scala.collection.concurrent.TrieMap[String, String]()
+  private def tagTable(s: SparkSession, d: String): String =
+    builtTag.getOrElseUpdate(d, {
+      val ns = sfNamespace(s, d)
+      val fqn = s"graft.$ns.orders_tag_t"
+      val src = s.read.parquet(s"$d/orders.parquet")
+      val total = src.count()
+      val odd = src.where("o_orderkey % 2 = 1").count()
+      val fresh = !trusted(s, ns, "orders_tag_t", total) || {
+        val ok = try s.sql(
+          s"SELECT count(*) FROM $fqn VERSION AS OF 'b1'")
+          .collect().head.getLong(0) == odd
+        catch { case _: Exception => false }
+        if (!ok) s.sql(s"DROP TABLE $fqn")
+        !ok
+      }
+      if (fresh) {
+        s.sql(
+          s"""CREATE TABLE $fqn (
+             |  o_orderkey BIGINT, o_orderstatus STRING,
+             |  o_totalprice DOUBLE)
+             |TBLPROPERTIES('keyCols'='o_orderkey', 'numRegions'='4')"""
+            .stripMargin)
+        val v = s"tag_src_${math.abs(d.hashCode)}"
+        src.createOrReplaceTempView(v)
+        s.sql(s"INSERT INTO $fqn SELECT o_orderkey, o_orderstatus, " +
+          s"o_totalprice FROM $v WHERE o_orderkey % 2 = 1")
+        s.sql(s"ALTER TABLE $fqn CREATE TAG b1")
+        s.sql(s"INSERT INTO $fqn SELECT o_orderkey, o_orderstatus, " +
+          s"o_totalprice FROM $v WHERE o_orderkey % 2 = 0")
+        s.sql(s"CALL graft.sys.compact(table => '$ns.orders_tag_t', " +
+          "target_regions => 4)").collect()
+        s.sql(s"VACUUM $fqn").collect()
+      }
+      fqn
+    })
+
+  val tagAgg: Q = (s, d) => {
+    import org.apache.spark.sql.functions._
+    s.sql(s"SELECT * FROM ${tagTable(s, d)} VERSION AS OF 'b1'")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("cnt"),
+        round(sum(col("o_totalprice")), 2).as("total"))
+  }
+
   /** Leading-key TopN pushdown face: both directions in one result.
     * The ASC/DESC LIMITs plan only the manifest-bounded head/tail
     * regions (LimitPushdownSpec proves the pruning); the oracle is the
@@ -1666,6 +1718,7 @@ object CatalogQueries {
   val queries: Map[String, Q] = Map(
     "catalog_changes" -> changesAgg,
     "catalog_clone" -> cloneAgg,
+    "catalog_tag" -> tagAgg,
     "catalog_topn" -> topnFace,
     "catalog_ann_topk" -> annTopkOnStore,
     "catalog_ann_lsh" -> annLshOnStore,
@@ -1750,6 +1803,14 @@ object CatalogQueries {
     // a clone AT the batch-1 version pins history: exactly the odd-key
     // slice, no matter what the source did since
     "catalog_clone" ->
+      """SELECT o_orderstatus, count(*) AS cnt,
+        |       round(sum(o_totalprice), 2) AS total
+        |FROM orders WHERE o_orderkey % 2 = 1
+        |GROUP BY o_orderstatus""".stripMargin,
+
+    // VERSION AS OF '<tag>' after compact+vacuum still reads exactly
+    // the batch-1 slice: tag resolution + the retention pin in one hash
+    "catalog_tag" ->
       """SELECT o_orderstatus, count(*) AS cnt,
         |       round(sum(o_totalprice), 2) AS total
         |FROM orders WHERE o_orderkey % 2 = 1
