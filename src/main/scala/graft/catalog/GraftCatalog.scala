@@ -9,6 +9,7 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.catalog.constraints.Check
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.types.{StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -223,6 +224,34 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def tableExists(ident: Identifier): Boolean =
     TableMeta.exists(tableDir(ident))
 
+  /** ANSI constraint DDL rides the DSv2 constraint API (Spark 4.1):
+    * declaring this capability makes the parser's inline
+    * `CONSTRAINT c CHECK (…)` clauses and `ALTER TABLE … ADD/DROP
+    * CONSTRAINT` resolve against this catalog instead of failing
+    * analysis. Only CHECK is supported (PRIMARY KEY is `keyCols` +
+    * `graft.dedupKeys`; UNIQUE/FOREIGN KEY have no enforcement story
+    * here and are refused rather than silently informational). */
+  override def capabilities(): java.util.Set[TableCatalogCapability] =
+    java.util.EnumSet.of(TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
+
+  /** CREATE TABLE with inline `CONSTRAINT name CHECK (expr)` clauses:
+    * each becomes a `graft.check.<name>` property, the single storage
+    * format both enforcement halves (analyzer CheckInvariant + writer
+    * backstop) read from. */
+  override def createTable(ident: Identifier, info: TableInfo): Table = {
+    val checkProps = info.constraints().map {
+      case c: Check =>
+        (GraftChecks.Prefix + c.name()) -> c.predicateSql()
+      case other => throw new UnsupportedOperationException(
+        s"graft enforces CHECK constraints only; ${other.toDDL} is not " +
+          "supported (PRIMARY KEY semantics = keyCols + " +
+          "'graft.dedupKeys'='true')")
+    }
+    val merged = new java.util.HashMap[String, String](info.properties())
+    checkProps.foreach { case (k, v) => merged.put(k, v) }
+    createTable(ident, info.schema(), info.partitions(), merged)
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: java.util.Map[String, String]): Table = {
@@ -274,6 +303,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     }
     // numeric properties fail the CREATE, not the first INSERT
     validateNumericProps(props)
+    // CHECK constraints analyze against the schema NOW (typo'd columns
+    // / non-boolean expressions fail the CREATE, not the first INSERT)
+    GraftChecks.specs(props).foreach { case (n, sql) =>
+      GraftChecks.resolve(schema, n, sql)
+    }
     // bloom-filter columns must exist and be primitive (typo'd names
     // or nested types fail the CREATE, not silently write bloom-less
     // regions)
@@ -337,10 +371,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         val field = meta.schema.fields.find(_.name.equalsIgnoreCase(name))
           .getOrElse(throw new IllegalArgumentException(
             s"requirement failed: column $name does not exist"))
+        val narrowed = StructType(
+          meta.schema.fields.filterNot(_.name.equalsIgnoreCase(name)))
+        // a CHECK constraint referencing the column would dangle: its
+        // expression must still analyze against the narrowed schema
+        GraftChecks.specs(meta.properties).foreach { case (cn, sql) =>
+          try GraftChecks.resolve(narrowed, cn, sql)
+          catch { case e: IllegalArgumentException =>
+            throw new IllegalArgumentException(
+              s"cannot drop column $name: CHECK constraint '$cn' " +
+                s"references it (drop the constraint first). " +
+                e.getMessage)
+          }
+        }
         meta = withTombstones(meta, tombstones(meta) +
           (name.toLowerCase -> field.dataType.simpleString)).copy(
-          schema = StructType(
-            meta.schema.fields.filterNot(_.name.equalsIgnoreCase(name))))
+          schema = narrowed)
       case set: TableChange.SetProperty =>
         require(set.property != TableMeta.RegionSplitsProp,
           "regionSplits is fixed at CREATE TABLE (existing region files " +
@@ -354,8 +400,51 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         if (set.property.equalsIgnoreCase(TableMeta.BloomColsProp))
           validateBloomCols(meta.schema,
             Map(TableMeta.BloomColsProp -> set.value))
+        // ADD CONSTRAINT: analyze against the schema AND validate the
+        // EXISTING data (one parallel scan — the Delta contract); a
+        // stored violating row refuses the ALTER, which is what lets
+        // the write path assume the invariant afterwards
+        if (set.property.toLowerCase.startsWith(GraftChecks.Prefix)) {
+          val cname = set.property.substring(GraftChecks.Prefix.length)
+          GraftChecks.resolve(meta.schema, cname, set.value)
+          val bad = GraftChecks.violationsInExisting(catalogName,
+            s"${ident.namespace().mkString(".")}.${ident.name()}",
+            set.value)
+          require(bad == 0L,
+            s"cannot add CHECK constraint '$cname': $bad existing " +
+              s"row(s) violate '${set.value}'")
+        }
         meta = meta.copy(properties =
           meta.properties + (set.property -> set.value))
+      // ANSI `ALTER TABLE … ADD CONSTRAINT c CHECK (expr)`: Spark's
+      // AddCheckConstraintExec has ALREADY run the violation scan
+      // against the live table (executeTake on the violating-rows plan,
+      // loud CHECK_CONSTRAINT_VIOLATION on a hit) before calling us —
+      // so here the constraint only needs analyzing and recording.
+      case add: TableChange.AddConstraint =>
+        add.constraint() match {
+          case c: Check =>
+            GraftChecks.resolve(meta.schema, c.name(), c.predicateSql())
+            require(!meta.properties.keys.exists(_.equalsIgnoreCase(
+              GraftChecks.Prefix + c.name())),
+              s"CHECK constraint '${c.name()}' already exists")
+            meta = meta.copy(properties = meta.properties +
+              ((GraftChecks.Prefix + c.name()) -> c.predicateSql()))
+          case other => throw new UnsupportedOperationException(
+            s"graft enforces CHECK constraints only; ${other.toDDL} " +
+              "is not supported")
+        }
+      case drop: TableChange.DropConstraint =>
+        val key = meta.properties.keys.find(_.equalsIgnoreCase(
+          GraftChecks.Prefix + drop.name()))
+        key match {
+          case Some(k) =>
+            meta = meta.copy(properties = meta.properties - k)
+          case None =>
+            if (!drop.ifExists()) throw new IllegalArgumentException(
+              s"requirement failed: CHECK constraint '${drop.name()}' " +
+                "does not exist")
+        }
       case rm: TableChange.RemoveProperty =>
         require(rm.property != TableMeta.RegionSplitsProp,
           "regionSplits is fixed at CREATE TABLE")

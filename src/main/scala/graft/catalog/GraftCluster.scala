@@ -120,7 +120,10 @@ object GraftCluster {
       .select(meta.schema.fieldNames.map(col).toIndexedSeq: _*)
     // drive the normal region writer manually: the V2 append path
     // would re-shuffle into key ranges, undoing the clustering
-    val factory = GraftCommits.factory(t.tableDir, meta)
+    // layout rewrite: rows are unchanged, so CHECK constraints are not
+    // re-evaluated (validated at ingest / ADD CONSTRAINT time)
+    val factory = GraftCommits.factory(t.tableDir, meta,
+      enforceChecks = false)
     val messages = ordered.queryExecution.toRdd
       .mapPartitionsWithIndex { (pid, rows) =>
         val w = factory.createWriter(pid, pid.toLong)

@@ -87,6 +87,24 @@ class GraftTable(tableName: String, val tableDir: File, val meta: TableMeta,
   override def schema(): StructType = meta.schema
   override def properties(): java.util.Map[String, String] =
     meta.properties.asJava
+
+  /** CHECK constraints surfaced through Spark 4's DSv2 constraint API:
+    * `ENFORCED` + `VALID` (ADD CONSTRAINT scanned the stored data, every
+    * write path re-validates), so the analyzer compiles them into
+    * `CheckInvariant` guards above INSERT/UPDATE/MERGE plans — the
+    * engine-side half of the contract. The writer-side per-row check
+    * ([[GraftChecks.bound]]) stays on as the backstop for the paths the
+    * analyzer never sees (CALL load_csv, streaming epochs, COPY INTO). */
+  override def constraints(): Array[connector.catalog.constraints.Constraint] =
+    GraftChecks.specs(meta.properties).map { case (n, sql) =>
+      connector.catalog.constraints.Constraint.check(n)
+        .predicateSql(sql)
+        .enforced(true)
+        .validationStatus(
+          connector.catalog.constraints.Constraint.ValidationStatus.VALID)
+        .rely(true)
+        .build(): connector.catalog.constraints.Constraint
+    }.toArray
   override def capabilities(): java.util.Set[TableCapability] =
     if (snapshot.isDefined)
       java.util.EnumSet.of(TableCapability.BATCH_READ)

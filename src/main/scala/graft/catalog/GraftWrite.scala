@@ -123,13 +123,20 @@ final case class RegionCommits(files: Seq[RegionCommit])
 
 /** Commit-message plumbing shared by the batch and streaming writes. */
 private[catalog] object GraftCommits {
-  def factory(tableDir: File, meta: TableMeta): GraftWriterFactory =
+  /** `enforceChecks = false` for internal LAYOUT rewrites (cluster):
+    * their rows were validated at ingest or ADD CONSTRAINT time, so
+    * re-evaluating the predicates is pure overhead — and a constraint
+    * must never be able to brick maintenance. Every user-facing write
+    * path keeps the default. */
+  def factory(tableDir: File, meta: TableMeta,
+      enforceChecks: Boolean = true): GraftWriterFactory =
     GraftWriterFactory(tableDir.getPath, meta.schema.json,
       meta.keyCols.toArray,
       meta.splits.map(_.points.map(KeyCodec.toHex)).getOrElse(Array.empty),
       meta.properties.get(TableMeta.PageRowLimitProp)
         .map(_.toInt).getOrElse(0),
-      TableMeta.bloomCols(meta.properties).toArray)
+      TableMeta.bloomCols(meta.properties).toArray,
+      if (enforceChecks) GraftChecks.bound(meta) else Nil)
 
   def commits(messages: Array[WriterCommitMessage]): Seq[RegionCommit] =
     messages.toSeq.flatMap {
@@ -232,13 +239,15 @@ class GraftCopyBatchWrite(tableDir: File, meta: TableMeta,
 
 final case class GraftWriterFactory(dir: String, schemaJson: String,
     keyCols: Array[String], splitsHex: Array[String],
-    pageRowLimit: Int, bloomCols: Array[String] = Array.empty)
+    pageRowLimit: Int, bloomCols: Array[String] = Array.empty,
+    checks: Seq[(String,
+      org.apache.spark.sql.catalyst.expressions.Expression)] = Nil)
     extends DataWriterFactory
     with org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : DataWriter[InternalRow] =
     new GraftDataWriter(dir, schemaJson, keyCols, splitsHex, partitionId,
-      taskId, pageRowLimit, bloomCols)
+      taskId, pageRowLimit, bloomCols, checks)
   // streaming face: same sorted region writer per micro-batch task
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
       : DataWriter[InternalRow] =
@@ -278,10 +287,23 @@ class GraftStreamingWrite(tableDir: File, meta: TableMeta, queryId: String)
 final class GraftDataWriter(dir: String, schemaJson: String,
     keyCols: Array[String], splitsHex: Array[String], partitionId: Int,
     taskId: Long, pageRowLimit: Int = 0,
-    bloomCols: Array[String] = Array.empty)
+    bloomCols: Array[String] = Array.empty,
+    checks: Seq[(String,
+      org.apache.spark.sql.catalyst.expressions.Expression)] = Nil)
     extends DataWriter[InternalRow] {
 
   private val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+
+  // CHECK constraints, compiled to codegen'd VIOLATION predicates
+  // (`expr <=> false`: NULL passes, per SQL CHECK semantics). The
+  // expressions arrive resolved + bound to schema ordinals from the
+  // driver (GraftChecks.bound); empty for tables without constraints
+  // and for internal layout rewrites.
+  private val checkNames: Array[String] = checks.map(_._1).toArray
+  private val checkPreds = checks.map { case (_, cond) =>
+    org.apache.spark.sql.catalyst.expressions.Predicate.create(
+      GraftChecks.violation(cond))
+  }.toArray
   private val keyIdx = keyCols.map(schema.fieldIndex)
   private val keyTypes = keyIdx.map(schema.fields(_).dataType)
   private val splits: Array[Array[Byte]] = splitsHex.map(KeyCodec.fromHex)
@@ -337,6 +359,16 @@ final class GraftDataWriter(dir: String, schemaJson: String,
   }
 
   override def write(row: InternalRow): Unit = {
+    var ci = 0
+    while (ci < checkPreds.length) {
+      if (checkPreds(ci).eval(row)) throw new IllegalArgumentException(
+        s"CHECK constraint '${checkNames(ci)}' violated by a row being " +
+          s"written (key ${keyCols.mkString(",")} = " +
+          keyIdx.map(i => if (row.isNullAt(i)) "null"
+            else row.get(i, schema.fields(i).dataType)).mkString(",") +
+          "); no data was committed")
+      ci += 1
+    }
     val encs = new Array[Array[Byte]](keyIdx.length)
     var d = 0
     while (d < keyIdx.length) {
