@@ -232,7 +232,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * `graft.dedupKeys`; UNIQUE/FOREIGN KEY have no enforcement story
     * here and are refused rather than silently informational). */
   override def capabilities(): java.util.Set[TableCatalogCapability] =
-    java.util.EnumSet.of(TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
+    java.util.EnumSet.of(TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT,
+      TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
 
   /** CREATE TABLE with inline `CONSTRAINT name CHECK (expr)` clauses:
     * each becomes a `graft.check.<name>` property, the single storage
@@ -345,6 +346,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         require(add.fieldNames.length == 1,
           "graft supports top-level columns only")
         val name = add.fieldNames.head
+        // existing region files would read the new column as NULL, not
+        // the declared default — refusing beats silently lying about
+        // stored data (CREATE-time defaults are fully supported; a new
+        // default on future writes is ALTER COLUMN SET DEFAULT after a
+        // plain ADD COLUMN)
+        require(add.defaultValue() == null,
+          s"ADD COLUMN $name with DEFAULT is not supported: rows in " +
+            "existing region files would read NULL, not the default. " +
+            "ADD the column, then ALTER COLUMN … SET DEFAULT for future " +
+            "writes")
         require(ParquetRowIO.isStorable(add.dataType),
           s"column $name: unsupported type ${add.dataType.simpleString}")
         require(!meta.schema.fieldNames.exists(_.equalsIgnoreCase(name)),
@@ -416,6 +427,29 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         }
         meta = meta.copy(properties =
           meta.properties + (set.property -> set.value))
+      // `ALTER COLUMN c SET/DROP DEFAULT`: the default is column
+      // metadata (CURRENT_DEFAULT), read by the analyzer when filling
+      // omitted INSERT columns — future writes only. EXISTS_DEFAULT is
+      // deliberately never set: graft rows are fully materialized at
+      // write, so stored data never needs a read-time backfill.
+      case upd: TableChange.UpdateColumnDefaultValue =>
+        require(upd.fieldNames.length == 1,
+          "graft supports top-level columns only")
+        val name = upd.fieldNames.head
+        val idx = meta.schema.fields.indexWhere(_.name.equalsIgnoreCase(name))
+        require(idx >= 0, s"requirement failed: column $name does not exist")
+        val f = meta.schema.fields(idx)
+        val mb = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata)
+        val newSql = Option(upd.newCurrentDefault()).map(_.getSql)
+          .orElse(Option(upd.newDefaultValue()).filter(_.nonEmpty))
+        newSql match {
+          case Some(sql) => mb.putString("CURRENT_DEFAULT", sql)
+          case None => mb.remove("CURRENT_DEFAULT")
+        }
+        val fields = meta.schema.fields.clone()
+        fields(idx) = f.copy(metadata = mb.build())
+        meta = meta.copy(schema = StructType(fields))
       // ANSI `ALTER TABLE … ADD CONSTRAINT c CHECK (expr)`: Spark's
       // AddCheckConstraintExec has ALREADY run the violation scan
       // against the live table (executeTake on the violating-rows plan,
