@@ -71,6 +71,54 @@ object TextOps {
       col("doc_id"),
       substring(md5(lower(trim(col("text")))), 1, 16).as("fp"))
 
+  /** Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+    * SIGMOD 2003 — the MOSS algorithm): hash every character k-gram of
+    * the normalized text, then keep, for each window of `W` consecutive
+    * k-gram hashes, the RIGHTMOST minimal hash. The selected set is a
+    * position-aware fingerprint with the paper's guarantee: any match
+    * of length ≥ k+W-1 between two documents shares at least one
+    * selected fingerprint, at expected density 2/(W+1) of the grams —
+    * the local, shift-robust sampling that plain modular sampling
+    * (`dedup_substring`'s fixed stride) does not give.
+    *
+    * Spark-first shape: ENTIRELY map-side. The rightmost-min-of-window
+    * rule is folded into one integer key per gram, `h·2^20 − i` (norm
+    * length < 2^20, 40-bit md5-derived `h`, so the key fits a BIGINT):
+    * `array_min` over a window of keys returns the smallest hash with
+    * the LARGEST position on ties, i.e. exactly the paper's robust
+    * winnowing choice, and (fp, pos) decode back from the key by
+    * integer division. Duplicate selections of one gram by adjacent
+    * windows collapse with `array_distinct` INSIDE the document row —
+    * a key embeds its position, so no cross-row duplicates exist and
+    * the operator needs no shuffle at all: at 100 TB it is one
+    * projected pass over the corpus, like the other fingerprinters.
+    * The md5-derived hash (not xxhash64) is what lets external SQL
+    * recompute the identical selection. */
+  val winnow: Q = (s, d) =>
+    winnowFingerprints(docs(s, d).filter(col("doc_id") < 1000L))
+
+  /** The winnowing core over any (doc_id, text) frame; K/W are the
+    * paper's k (gram size) and w (window size) — guarantee threshold
+    * t = K + W - 1. */
+  def winnowFingerprints(docsDf: DataFrame, K: Int = 8, W: Int = 4)
+      : DataFrame = {
+    val M = 1048576L
+    docsDf
+      .select(col("doc_id"),
+        regexp_replace(lower(col("text")), "[^a-z0-9]", "").as("norm"))
+      .filter(length(col("norm")) >= K + W - 1)
+      .withColumn("keys", expr(
+        s"""transform(sequence(1, length(norm) - ${K - 1}),
+           |  i -> cast(conv(substr(md5(substring(norm, i, $K)), 1, 10),
+           |            16, 10) AS BIGINT) * $M - i)""".stripMargin))
+      .withColumn("key", explode(expr(
+        s"""array_distinct(transform(sequence(1, size(keys) - ${W - 1}),
+           |  s -> array_min(slice(keys, s, $W))))""".stripMargin)))
+      .select(col("doc_id"),
+        expr(s"(key div $M + 1) * $M - key").as("pos"),
+        expr(s"key div $M + 1").as("fp"))
+  }
+
   // ----------------------------------------------------------- token counts
 
   /** GPT-2-style pre-tokenizer pattern (contractions, letter runs,
@@ -1360,6 +1408,7 @@ object TextOps {
     "dedup_exact" -> dedupExact,
     "dedup_exact_keep" -> dedupExactKeep,
     "text_fingerprint" -> fingerprint,
+    "text_winnow" -> winnow,
     "text_token_count" -> tokenCount,
     "text_quality" -> textQuality,
     "text_langid" -> langId,
@@ -1571,6 +1620,30 @@ object TextOps {
     "text_fingerprint" ->
       """SELECT doc_id, substring(md5(lower(trim(text))), 1, 16) AS fp
         |FROM documents""".stripMargin,
+
+    // winnowing rebuilt relationally: window-min over the same
+    // position-encoding keys, window starts bounded to full windows
+    "text_winnow" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS norm
+        |  FROM documents WHERE doc_id < 1000),
+        |g AS (
+        |  SELECT doc_id, i,
+        |         ('0x' || substr(md5(substr(norm, i::INT, 8)), 1, 10))
+        |           ::BIGINT * 1048576 - i AS key,
+        |         length(norm) - 7 AS n
+        |  FROM d, LATERAL (SELECT unnest(range(1, length(norm) - 6)) AS i) t
+        |  WHERE length(norm) >= 11),
+        |m AS (
+        |  SELECT doc_id, i, n,
+        |         min(key) OVER (PARTITION BY doc_id ORDER BY i
+        |           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS k
+        |  FROM g)
+        |SELECT DISTINCT doc_id,
+        |       CAST((k // 1048576 + 1) * 1048576 - k AS BIGINT) AS pos,
+        |       CAST(k // 1048576 + 1 AS BIGINT) AS fp
+        |FROM m WHERE i <= n - 3""".stripMargin,
 
     // same prefix-sum bin assignment; DuckDB's // is integer division
     "pipeline_pack" ->
