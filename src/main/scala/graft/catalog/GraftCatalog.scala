@@ -233,7 +233,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * here and are refused rather than silently informational). */
   override def capabilities(): java.util.Set[TableCatalogCapability] =
     java.util.EnumSet.of(TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT,
-      TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
+      TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE,
+      TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS)
 
   /** CREATE TABLE with inline `CONSTRAINT name CHECK (expr)` clauses:
     * each becomes a `graft.check.<name>` property, the single storage
@@ -250,7 +251,25 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     }
     val merged = new java.util.HashMap[String, String](info.properties())
     checkProps.foreach { case (k, v) => merged.put(k, v) }
-    createTable(ident, info.schema(), info.partitions(), merged)
+    // GENERATED ALWAYS AS: the stock TableInfo.schema() conversion
+    // DROPS the generation expression (a catalog relying on it would
+    // silently create a plain nullable column) — rescue it from the V2
+    // columns into the field metadata the writer fill reads
+    var schema = info.schema()
+    info.columns().foreach { c =>
+      if (c.generationExpression() != null) {
+        val i = schema.fieldIndex(c.name())
+        val f = schema.fields(i)
+        val fields = schema.fields.clone()
+        fields(i) = f.copy(metadata =
+          new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata)
+            .putString(GraftGenerated.MetaKey, c.generationExpression())
+            .build())
+        schema = StructType(fields)
+      }
+    }
+    createTable(ident, schema, info.partitions(), merged)
   }
 
   override def createTable(ident: Identifier, schema: StructType,
@@ -309,6 +328,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     GraftChecks.specs(props).foreach { case (n, sql) =>
       GraftChecks.resolve(schema, n, sql)
     }
+    // GENERATED ALWAYS AS expressions likewise: analyzed against the
+    // non-generated columns, exact declared type, never a key column
+    GraftGenerated.validate(schema, keyCols)
     // bloom-filter columns must exist and be primitive (typo'd names
     // or nested types fail the CREATE, not silently write bloom-less
     // regions)
@@ -395,6 +417,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
                 e.getMessage)
           }
         }
+        // same dangling rule for surviving generation expressions
+        GraftGenerated.refuseDanglingDrop(narrowed, meta.keyCols, name)
         meta = withTombstones(meta, tombstones(meta) +
           (name.toLowerCase -> field.dataType.simpleString)).copy(
           schema = narrowed)

@@ -47,13 +47,34 @@ object GraftChecks {
     * serializable, ready for `Predicate.create` inside a write task.
     * Refuses non-boolean, non-deterministic, and subquery conditions. */
   def resolve(schema: StructType, name: String, sql: String): Expression = {
+    val cond = resolveExpr(schema, s"CHECK constraint '$name'", sql)
+    require(cond.dataType == BooleanType,
+      s"CHECK constraint '$name': '$sql' is " +
+        s"${cond.dataType.simpleString}, not BOOLEAN")
+    require(cond.deterministic,
+      s"CHECK constraint '$name': '$sql' is non-deterministic")
+    require(!SubqueryExpression.hasSubquery(cond),
+      s"CHECK constraint '$name': subqueries are not supported")
+    cond
+  }
+
+  /** The analysis+binding core shared with generated columns: any-type
+    * expression over `schema`, analyzed by the full analyzer and bound
+    * to schema ordinals. */
+  def resolveExpr(schema: StructType, label: String,
+      sql: String): Expression = {
     val spark = SparkSession.active
-    val cond = try {
+    try {
       val parsed = spark.sessionState.sqlParser.parseExpression(sql)
       val attrs = schema.fields.toSeq.map(f =>
         AttributeReference(f.name, f.dataType, f.nullable)())
+      // Project, not Filter: the same path must analyze non-boolean
+      // generation expressions (a Filter would type-reject them before
+      // resolve()'s own BOOLEAN message could fire)
       val analyzed = spark.sessionState.analyzer.execute(
-        Filter(parsed, LocalRelation(attrs)))
+        org.apache.spark.sql.catalyst.plans.logical.Project(
+          Seq(org.apache.spark.sql.catalyst.expressions.Alias(
+            parsed, "_g")()), LocalRelation(attrs)))
       spark.sessionState.analyzer.checkAnalysis(analyzed)
       // RuntimeReplaceable nodes (BETWEEN, nvl, …) only exist for the
       // optimizer, and their replacements may carry With/common-
@@ -63,7 +84,10 @@ object GraftChecks {
       // a shared def twice costs a duplicate eval, fine for a
       // per-row predicate).
       import org.apache.spark.sql.catalyst.expressions.{CommonExpressionRef, With}
-      var c = analyzed.asInstanceOf[Filter].condition
+      var c = analyzed
+        .asInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Project]
+        .projectList.head.asInstanceOf[
+          org.apache.spark.sql.catalyst.expressions.Alias].child
       while (c.exists(e =>
           e.isInstanceOf[RuntimeReplaceable] || e.isInstanceOf[With]))
         c = c.transformUp {
@@ -78,17 +102,9 @@ object GraftChecks {
     } catch {
       case e: IllegalArgumentException => throw e
       case e: Exception => throw new IllegalArgumentException(
-        s"CHECK constraint '$name': cannot analyze '$sql' against the " +
+        s"$label: cannot analyze '$sql' against the " +
           s"table schema: ${e.getMessage}")
     }
-    require(cond.dataType == BooleanType,
-      s"CHECK constraint '$name': '$sql' is " +
-        s"${cond.dataType.simpleString}, not BOOLEAN")
-    require(cond.deterministic,
-      s"CHECK constraint '$name': '$sql' is non-deterministic")
-    require(!SubqueryExpression.hasSubquery(cond),
-      s"CHECK constraint '$name': subqueries are not supported")
-    cond
   }
 
   /** The VIOLATION predicate (`cond <=> false`): true exactly when the

@@ -136,7 +136,8 @@ private[catalog] object GraftCommits {
       meta.properties.get(TableMeta.PageRowLimitProp)
         .map(_.toInt).getOrElse(0),
       TableMeta.bloomCols(meta.properties).toArray,
-      if (enforceChecks) GraftChecks.bound(meta) else Nil)
+      if (enforceChecks) GraftChecks.bound(meta) else Nil,
+      if (enforceChecks) GraftGenerated.bound(meta) else Nil)
 
   def commits(messages: Array[WriterCommitMessage]): Seq[RegionCommit] =
     messages.toSeq.flatMap {
@@ -241,13 +242,16 @@ final case class GraftWriterFactory(dir: String, schemaJson: String,
     keyCols: Array[String], splitsHex: Array[String],
     pageRowLimit: Int, bloomCols: Array[String] = Array.empty,
     checks: Seq[(String,
+      org.apache.spark.sql.catalyst.expressions.Expression)] = Nil,
+    generated: Seq[(String, Int,
+      org.apache.spark.sql.catalyst.expressions.Expression,
       org.apache.spark.sql.catalyst.expressions.Expression)] = Nil)
     extends DataWriterFactory
     with org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : DataWriter[InternalRow] =
     new GraftDataWriter(dir, schemaJson, keyCols, splitsHex, partitionId,
-      taskId, pageRowLimit, bloomCols, checks)
+      taskId, pageRowLimit, bloomCols, checks, generated)
   // streaming face: same sorted region writer per micro-batch task
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
       : DataWriter[InternalRow] =
@@ -289,10 +293,39 @@ final class GraftDataWriter(dir: String, schemaJson: String,
     taskId: Long, pageRowLimit: Int = 0,
     bloomCols: Array[String] = Array.empty,
     checks: Seq[(String,
+      org.apache.spark.sql.catalyst.expressions.Expression)] = Nil,
+    generated: Seq[(String, Int,
+      org.apache.spark.sql.catalyst.expressions.Expression,
       org.apache.spark.sql.catalyst.expressions.Expression)] = Nil)
     extends DataWriter[InternalRow] {
 
   private val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+
+  // GENERATED ALWAYS AS: per-row fill (NULL → computed) via one
+  // codegen'd projection over the whole row, plus a per-column
+  // violation predicate (arrived non-NULL and ≠ computed → the user
+  // tried to override a GENERATED ALWAYS column; refuse, never
+  // silently replace). Empty for tables without generated columns and
+  // for internal layout rewrites.
+  private val genNames: Array[String] = generated.map(_._1).toArray
+  private val genViolations = generated.map { case (_, _, _, v) =>
+    org.apache.spark.sql.catalyst.expressions.Predicate.create(v)
+  }.toArray
+  private val genProj =
+    if (generated.isEmpty) null
+    else {
+      val byIdx = generated.map(g => g._2 -> g._3).toMap
+      org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(
+        schema.fields.toIndexedSeq.zipWithIndex.map { case (f, i) =>
+          val ref = org.apache.spark.sql.catalyst.expressions
+            .BoundReference(i, f.dataType, f.nullable)
+          byIdx.get(i) match {
+            case Some(gen) => org.apache.spark.sql.catalyst.expressions
+              .Coalesce(Seq(ref, gen))
+            case None => ref: org.apache.spark.sql.catalyst.expressions.Expression
+          }
+        })
+    }
 
   // CHECK constraints, compiled to codegen'd VIOLATION predicates
   // (`expr <=> false`: NULL passes, per SQL CHECK semantics). The
@@ -358,7 +391,16 @@ final class GraftDataWriter(dir: String, schemaJson: String,
     lo
   }
 
-  override def write(row: InternalRow): Unit = {
+  override def write(row0: InternalRow): Unit = {
+    var gi = 0
+    while (gi < genViolations.length) {
+      if (genViolations(gi).eval(row0)) throw new IllegalArgumentException(
+        s"column '${genNames(gi)}' is GENERATED ALWAYS AS and cannot be " +
+          "assigned a different value (omit it or pass NULL/DEFAULT); " +
+          "no data was committed")
+      gi += 1
+    }
+    val row = if (genProj == null) row0 else genProj(row0)
     var ci = 0
     while (ci < checkPreds.length) {
       if (checkPreds(ci).eval(row)) throw new IllegalArgumentException(
