@@ -824,6 +824,43 @@ object CatalogQueries {
       fqn
     })
 
+  /** ANSI column-DDL fixture: a documents store table whose extra
+    * columns the INSERT never provides — `n_chars_g` is GENERATED
+    * ALWAYS AS (computed by the write task), `lang` fills from its
+    * DEFAULT (analyzer-side), and a CHECK constraint rides along to
+    * prove enforcement does not perturb stored values. The oracle
+    * recomputes both derived columns from the raw parquet, so a hash
+    * match proves the fill paths produce exactly the declared
+    * expressions — end to end through the store. */
+  private val builtGen = scala.collection.concurrent.TrieMap[String, String]()
+  private def generatedTable(s: SparkSession, d: String): String =
+    builtGen.getOrElseUpdate(d, {
+      sfNamespace(s, d)
+      val ns = s"sf_${math.abs(d.hashCode)}"
+      val fqn = s"graft.$ns.docs_gen_t"
+      val srcCount = s.read.parquet(s"$d/documents.parquet").count()
+      val exists = trusted(s, ns, "docs_gen_t", srcCount)
+      if (!exists) {
+        s.sql(
+          s"""CREATE TABLE $fqn (
+             |  doc_id BIGINT, text STRING,
+             |  n_chars_g INT GENERATED ALWAYS AS (CAST(length(text) AS INT)),
+             |  lang STRING DEFAULT 'unk',
+             |  CONSTRAINT has_text CHECK (length(text) >= 0))
+             |TBLPROPERTIES('keyCols'='doc_id', 'numRegions'='4')"""
+            .stripMargin)
+        val v = s"gen_cat_src_${math.abs(d.hashCode)}"
+        s.read.parquet(s"$d/documents.parquet").createOrReplaceTempView(v)
+        s.sql(s"INSERT INTO $fqn (doc_id, text) " +
+          s"SELECT doc_id, text FROM $v")
+      }
+      fqn
+    })
+
+  val generatedOnStore: Q = (s, d) => s.sql(
+    s"""SELECT doc_id, n_chars_g, lang
+       |FROM ${generatedTable(s, d)}""".stripMargin)
+
   /** Materialized-view fixture: a dedicated orders store table loaded
     * in TWO batches, with `CALL graft.sys.mview` after the first and
     * `CALL graft.sys.mview_refresh` after the second — so the mview
@@ -1726,6 +1763,7 @@ object CatalogQueries {
     "catalog_dedup_embedding" -> dedupEmbeddingOnStore,
     "catalog_session" -> sessionOnStore,
     "catalog_decimal" -> decimalAgg,
+    "catalog_generated" -> generatedOnStore,
     // inverted-list IVF: probe = region pruning (IvfIndex.topkStored)
     "catalog_ann_ivf" -> ((s, d) => IvfIndex.topkStored(s, d)),
     "catalog_multimodal_meta" -> multimodalMetaOnStore,
@@ -1899,6 +1937,13 @@ object CatalogQueries {
         |       CAST(sum(p) AS DECIMAL(22,2)) AS total,
         |       min(p) AS lo, max(p) AS hi
         |FROM priced GROUP BY o_orderstatus""".stripMargin,
+
+    // generated + default fill recomputed from the raw parquet: the
+    // write-task fill must equal the declared expressions exactly
+    "catalog_generated" ->
+      """SELECT doc_id, CAST(length(text) AS INT) AS n_chars_g,
+        |       'unk' AS lang
+        |FROM documents""".stripMargin,
 
     // mview faces recompute from the raw parquet: the materialized
     // partials (built in two batches + incremental refresh) must be
