@@ -119,6 +119,36 @@ object TextOps {
         expr(s"key div $M + 1").as("fp"))
   }
 
+  /** MOSS-style match detection over the winnowing fingerprints: pairs
+    * of documents sharing ≥ `minShared` distinct selected fingerprint
+    * VALUES (positions discarded — a match is a match wherever it
+    * sits), with fingerprints appearing in more than `maxDf` documents
+    * dropped first — the paper's stop-fingerprint rule, and the thing
+    * that keeps the self-join scale-safe: without it one
+    * corpus-common 8-gram joins every document against every other.
+    * Shape = the MinHash band join: (fp → docs) inverted index,
+    * bucket-local self-join, per-pair count — never an all-pairs
+    * comparison. */
+  def winnowPairs(docsDf: DataFrame, minShared: Int = 5,
+      maxDf: Int = 20): DataFrame = {
+    val fps = winnowFingerprints(docsDf)
+      .select(col("doc_id"), col("fp")).distinct()
+    val rare = fps.groupBy(col("fp"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+      .select(col("fp"))
+    val indexed = fps.join(rare, "fp")
+    indexed.select(col("fp"), col("doc_id").as("da"))
+      .join(indexed.select(col("fp"), col("doc_id").as("db")), Seq("fp"))
+      .filter(col("da") < col("db"))
+      .groupBy(col("da"), col("db"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
+  val dedupWinnow: Q = (s, d) =>
+    winnowPairs(docs(s, d).filter(col("doc_id") < 1000L))
+
   // ----------------------------------------------------------- token counts
 
   /** GPT-2-style pre-tokenizer pattern (contractions, letter runs,
@@ -1409,6 +1439,7 @@ object TextOps {
     "dedup_exact_keep" -> dedupExactKeep,
     "text_fingerprint" -> fingerprint,
     "text_winnow" -> winnow,
+    "dedup_winnow" -> dedupWinnow,
     "text_token_count" -> tokenCount,
     "text_quality" -> textQuality,
     "text_langid" -> langId,
@@ -1644,6 +1675,36 @@ object TextOps {
         |       CAST((k // 1048576 + 1) * 1048576 - k AS BIGINT) AS pos,
         |       CAST(k // 1048576 + 1 AS BIGINT) AS fp
         |FROM m WHERE i <= n - 3""".stripMargin,
+
+    // MOSS match detection: same winnow CTE, positions discarded,
+    // stop-fingerprints (df > 50) removed before the pair join
+    "dedup_winnow" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS norm
+        |  FROM documents WHERE doc_id < 1000),
+        |g AS (
+        |  SELECT doc_id, i,
+        |         ('0x' || substr(md5(substr(norm, i::INT, 8)), 1, 10))
+        |           ::BIGINT * 1048576 - i AS key,
+        |         length(norm) - 7 AS n
+        |  FROM d, LATERAL (SELECT unnest(range(1, length(norm) - 6)) AS i) t
+        |  WHERE length(norm) >= 11),
+        |m AS (
+        |  SELECT doc_id, i, n,
+        |         min(key) OVER (PARTITION BY doc_id ORDER BY i
+        |           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS k
+        |  FROM g),
+        |fp AS (
+        |  SELECT DISTINCT doc_id, CAST(k // 1048576 + 1 AS BIGINT) AS fp
+        |  FROM m WHERE i <= n - 3),
+        |rare AS (
+        |  SELECT fp FROM fp GROUP BY fp HAVING count(*) <= 20)
+        |SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS n_shared
+        |FROM fp a JOIN rare USING (fp) JOIN fp b USING (fp)
+        |WHERE a.doc_id < b.doc_id
+        |GROUP BY a.doc_id, b.doc_id
+        |HAVING count(*) >= 5""".stripMargin,
 
     // same prefix-sum bin assignment; DuckDB's // is integer division
     "pipeline_pack" ->
