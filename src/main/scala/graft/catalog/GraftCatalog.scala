@@ -234,7 +234,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def capabilities(): java.util.Set[TableCatalogCapability] =
     java.util.EnumSet.of(TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT,
       TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE,
-      TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS)
+      TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS,
+      TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_IDENTITY_COLUMNS)
 
   /** CREATE TABLE with inline `CONSTRAINT name CHECK (expr)` clauses:
     * each becomes a `graft.check.<name>` property, the single storage
@@ -256,17 +257,29 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // silently create a plain nullable column) — rescue it from the V2
     // columns into the field metadata the writer fill reads
     var schema = info.schema()
+    def stamp(name: String)(
+        f: org.apache.spark.sql.types.MetadataBuilder =>
+           org.apache.spark.sql.types.MetadataBuilder): Unit = {
+      val i = schema.fieldIndex(name)
+      val old = schema.fields(i)
+      val fields = schema.fields.clone()
+      fields(i) = old.copy(metadata =
+        f(new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(old.metadata)).build())
+      schema = StructType(fields)
+    }
     info.columns().foreach { c =>
-      if (c.generationExpression() != null) {
-        val i = schema.fieldIndex(c.name())
-        val f = schema.fields(i)
-        val fields = schema.fields.clone()
-        fields(i) = f.copy(metadata =
-          new org.apache.spark.sql.types.MetadataBuilder()
-            .withMetadata(f.metadata)
-            .putString(GraftGenerated.MetaKey, c.generationExpression())
-            .build())
-        schema = StructType(fields)
+      if (c.generationExpression() != null)
+        stamp(c.name())(_.putString(GraftGenerated.MetaKey,
+          c.generationExpression()))
+      // IDENTITY likewise rides the column metadata (Spark's own keys)
+      if (c.identityColumnSpec() != null) {
+        val spec = c.identityColumnSpec()
+        stamp(c.name())(_
+          .putLong(GraftIdentity.StartKey, spec.getStart)
+          .putLong(GraftIdentity.StepKey, spec.getStep)
+          .putBoolean(GraftIdentity.AllowExplicitKey,
+            spec.isAllowExplicitInsert))
       }
     }
     createTable(ident, schema, info.partitions(), merged)
@@ -331,6 +344,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // GENERATED ALWAYS AS expressions likewise: analyzed against the
     // non-generated columns, exact declared type, never a key column
     GraftGenerated.validate(schema, keyCols)
+    // IDENTITY: BIGINT, BY DEFAULT form only, never a key column
+    GraftIdentity.validate(schema, keyCols)
     // bloom-filter columns must exist and be primitive (typo'd names
     // or nested types fail the CREATE, not silently write bloom-less
     // regions)

@@ -107,6 +107,16 @@ class GraftWrite(tableDir: File, meta: TableMeta, queryId: String,
     if (truncateAll) throw new UnsupportedOperationException(
       "graft streaming sink supports Append output mode only " +
         "(Complete mode would overwrite the table every epoch)")
+    // identity tables refuse streaming ingest: epochs share one writer
+    // factory, so there is no per-epoch driver-side seam to reserve a
+    // fresh sequence-number block — reusing one block across epochs
+    // would duplicate ids
+    GraftIdentity.specs(meta.schema).headOption.foreach { case (n, _, _, _) =>
+      throw new UnsupportedOperationException(
+        s"streaming writes into a table with identity column '$n' are " +
+          "not supported; generate ids in the stream (e.g. from the " +
+          "source offset) or land into a staging table and INSERT")
+    }
     new GraftStreamingWrite(tableDir, meta, queryId)
   }
 }
@@ -137,7 +147,18 @@ private[catalog] object GraftCommits {
         .map(_.toInt).getOrElse(0),
       TableMeta.bloomCols(meta.properties).toArray,
       if (enforceChecks) GraftChecks.bound(meta) else Nil,
-      if (enforceChecks) GraftGenerated.bound(meta) else Nil)
+      if (enforceChecks) GraftGenerated.bound(meta) else Nil,
+      // identity: reserve one disjoint sequence-number block per write
+      // job, HERE on the driver (factory construction is the per-job
+      // driver-side seam every write path passes through)
+      if (enforceChecks) {
+        val ids = GraftIdentity.specs(meta.schema)
+        if (ids.isEmpty) Nil
+        else {
+          val base = GraftIdentity.reserve(tableDir)
+          ids.map { case (n, i, start, step) => (n, i, start, step, base) }
+        }
+      } else Nil)
 
   def commits(messages: Array[WriterCommitMessage]): Seq[RegionCommit] =
     messages.toSeq.flatMap {
@@ -245,13 +266,14 @@ final case class GraftWriterFactory(dir: String, schemaJson: String,
       org.apache.spark.sql.catalyst.expressions.Expression)] = Nil,
     generated: Seq[(String, Int,
       org.apache.spark.sql.catalyst.expressions.Expression,
-      org.apache.spark.sql.catalyst.expressions.Expression)] = Nil)
+      org.apache.spark.sql.catalyst.expressions.Expression)] = Nil,
+    identity: Seq[(String, Int, Long, Long, Long)] = Nil)
     extends DataWriterFactory
     with org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : DataWriter[InternalRow] =
     new GraftDataWriter(dir, schemaJson, keyCols, splitsHex, partitionId,
-      taskId, pageRowLimit, bloomCols, checks, generated)
+      taskId, pageRowLimit, bloomCols, checks, generated, identity)
   // streaming face: same sorted region writer per micro-batch task
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
       : DataWriter[InternalRow] =
@@ -296,7 +318,8 @@ final class GraftDataWriter(dir: String, schemaJson: String,
       org.apache.spark.sql.catalyst.expressions.Expression)] = Nil,
     generated: Seq[(String, Int,
       org.apache.spark.sql.catalyst.expressions.Expression,
-      org.apache.spark.sql.catalyst.expressions.Expression)] = Nil)
+      org.apache.spark.sql.catalyst.expressions.Expression)] = Nil,
+    identity: Seq[(String, Int, Long, Long, Long)] = Nil)
     extends DataWriter[InternalRow] {
 
   private val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
@@ -312,14 +335,25 @@ final class GraftDataWriter(dir: String, schemaJson: String,
     org.apache.spark.sql.catalyst.expressions.Predicate.create(v)
   }.toArray
   private val genProj =
-    if (generated.isEmpty) null
+    if (generated.isEmpty && identity.isEmpty) null
     else {
       val byIdx = generated.map(g => g._2 -> g._3).toMap
+      // IDENTITY fill: value = start + step·n for this task's next
+      // sequence number n (lane = reservation base + partitionId slot).
+      // Coalesce evaluates the filler ONLY for NULL arrivals, so
+      // explicit values (BY DEFAULT form) pass through and consume no
+      // sequence numbers; the value is a pure function of
+      // (base, partitionId, fill index), so task retries regenerate
+      // identical ids.
+      val idByIdx = identity.map { case (_, i, start, step, base) =>
+        i -> IdentityFillExpr(
+          new GraftIdentity.Filler(start, step, base, partitionId))
+      }.toMap
       org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(
         schema.fields.toIndexedSeq.zipWithIndex.map { case (f, i) =>
           val ref = org.apache.spark.sql.catalyst.expressions
             .BoundReference(i, f.dataType, f.nullable)
-          byIdx.get(i) match {
+          byIdx.get(i).orElse(idByIdx.get(i)) match {
             case Some(gen) => org.apache.spark.sql.catalyst.expressions
               .Coalesce(Seq(ref, gen))
             case None => ref: org.apache.spark.sql.catalyst.expressions.Expression
@@ -459,4 +493,17 @@ final class GraftDataWriter(dir: String, schemaJson: String,
   }
 
   override def close(): Unit = ()
+}
+
+/** The identity filler as a leaf expression so it composes into the
+  * writer's whole-row fill projection. Task-local mutable state, never
+  * seen by an optimizer (the projection is hand-built in
+  * [[GraftDataWriter]]); `CodegenFallback` routes codegen to eval(). */
+private[catalog] final case class IdentityFillExpr(
+    filler: GraftIdentity.Filler)
+    extends org.apache.spark.sql.catalyst.expressions.LeafExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def nullable: Boolean = false
+  override def dataType: DataType = LongType
+  override def eval(input: InternalRow): Any = filler.next()
 }
