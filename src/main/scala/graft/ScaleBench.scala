@@ -127,6 +127,20 @@ object ScaleBench {
     (s, d) => TextOps.substringDedup(
       s.read.parquet(s"$d/documents.parquet"))
 
+  /** Winnowing fingerprint extraction, UNBOUNDED: a pure map-side pass
+    * (per-document selection, no shuffle at all), so it is safe on the
+    * AMPLIFIED corpus — byte-identical replicas change nothing about
+    * per-doc work — and should scale ~linearly with wall-clock well
+    * under data growth (32 lanes absorb it). */
+  private val WinnowFull: (SparkSession, String) => DataFrame = (s, d) =>
+    TextOps.winnowFingerprints(s.read.parquet(s"$d/documents.parquet"))
+
+  /** MOSS pair detection shares NearDup's replication caveat (replicas
+    * share every fingerprint → pairs blow up ×factor², an artifact), so
+    * it measures on the natural sf0.01 → sf0.1 corpora. */
+  private val WinnowPairs: (SparkSession, String) => DataFrame = (s, d) =>
+    TextOps.winnowPairs(s.read.parquet(s"$d/documents.parquet"))
+
   private def queriesFor(): Seq[(String, (SparkSession, String) => DataFrame)] =
     Heavy.map(n => n -> SparkEntry.queries(n))
 
@@ -177,16 +191,22 @@ object ScaleBench {
     }
     val base = emit("base", srcDir)
     val scaled = emit(s"x$factor", workDir)
+    // winnow extraction on the amplified corpus (map-side; replica-safe)
+    val wQ = Seq("text_winnow_full" -> WinnowFull)
+    val wBase = emit("winnow_base", srcDir, 2, wQ)
+    val wBig = emit(s"winnow_x$factor", workDir, 2, wQ)
     // near-dup curve on driver corpora (see NearDup); one timed run —
     // the pipeline is tens of seconds, contention noise is <10% there
     val ndQ = Seq("dedup_minhash_full" -> NearDup,
-      "dedup_substring_full" -> SubstringDedup)
+      "dedup_substring_full" -> SubstringDedup,
+      "dedup_winnow_full" -> WinnowPairs)
     val smallDir = srcDir.replace("sf0.1", "sf0.01")
     val ndBase = emit("neardup_base", smallDir, 1, ndQ)
     val ndBig = emit("neardup_x10", srcDir, 1, ndQ)
     val all = (base.keys.map(k =>
         k -> (base(k), scaled(k))) ++
-      ndQ.map { case (k, _) => k -> (ndBase(k), ndBig(k)) })
+      ndQ.map { case (k, _) => k -> (ndBase(k), ndBig(k)) } ++
+      wQ.map { case (k, _) => k -> (wBase(k), wBig(k)) })
       .toMap
     val ratios = all.keys.toSeq.sorted.map { k =>
       val (b, s2) = all(k)
