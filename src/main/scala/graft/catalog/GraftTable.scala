@@ -88,6 +88,40 @@ class GraftTable(tableName: String, val tableDir: File, val meta: TableMeta,
   override def properties(): java.util.Map[String, String] =
     meta.properties.asJava
 
+  /** V2 columns rebuilt WITH their GENERATED / IDENTITY clauses: the
+    * default `Table.columns()` conversion drops both (it only maps
+    * defaults), so SHOW CREATE TABLE / DESCRIBE would render a plain
+    * column and a user round-tripping the DDL would silently lose the
+    * fill semantics. Default values stay in the column metadata JSON,
+    * which Spark's DDL renderer already reads. */
+  override def columns(): Array[connector.catalog.Column] =
+    meta.schema.fields.map { f =>
+      val gen = if (f.metadata.contains(GraftGenerated.MetaKey))
+        f.metadata.getString(GraftGenerated.MetaKey) else null
+      val idSpec = if (f.metadata.contains(GraftIdentity.StartKey))
+        new connector.catalog.IdentityColumnSpec(
+          f.metadata.getLong(GraftIdentity.StartKey),
+          f.metadata.getLong(GraftIdentity.StepKey),
+          !f.metadata.contains(GraftIdentity.AllowExplicitKey) ||
+            f.metadata.getBoolean(GraftIdentity.AllowExplicitKey))
+        else null
+      new connector.catalog.Column {
+        override def name(): String = f.name
+        override def dataType(): org.apache.spark.sql.types.DataType =
+          f.dataType
+        override def nullable(): Boolean = f.nullable
+        override def comment(): String = null
+        override def defaultValue(): connector.catalog.ColumnDefaultValue =
+          null // stays in metadataInJSON, where the renderer reads it
+        override def generationExpression(): String = gen
+        override def identityColumnSpec()
+            : connector.catalog.IdentityColumnSpec = idSpec
+        override def metadataInJSON(): String =
+          if (f.metadata == org.apache.spark.sql.types.Metadata.empty) null
+          else f.metadata.json
+      }
+    }
+
   /** CHECK constraints surfaced through Spark 4's DSv2 constraint API:
     * `ENFORCED` + `VALID` (ADD CONSTRAINT scanned the stored data, every
     * write path re-validates), so the analyzer compiles them into
