@@ -69,6 +69,22 @@ object PqIndex {
     T(s, d, "embeddings")
       .select(col("vec_id"), normalized("embedding").as("vn"))
 
+  /** Exact re-rank of the broadcast candidate ids: join the RAW
+    * vectors first, normalize after — normalizing before the join
+    * would collapse into the scan-side projection and pay the
+    * sqrt+fold over every corpus vector instead of only the `Rerank`
+    * survivors (measured: the projection dominated the query). Same
+    * expression, same values, Rerank/corpus of the work. */
+  private def rerank(s: SparkSession, d: String, cand: DataFrame,
+      q: Seq[Float]): DataFrame =
+    T(s, d, "embeddings").join(broadcast(cand), "vec_id")
+      .withColumn("vn", normalized("embedding"))
+      .withColumn("sim",
+        round(VectorOps.cosine(col("vn"), lit(q.toArray)), 4))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+      .limit(10)
+      .select(col("vec_id"), col("sim"))
+
   private def subSlice(m: Int): Column =
     expr(s"slice(vn, ${m * SubDim + 1}, $SubDim)")
 
@@ -215,12 +231,7 @@ object PqIndex {
       .orderBy(col("score").desc, col("vec_id").asc)
       .limit(Rerank)
       .select(col("vec_id"))
-    vecs(s, d).join(broadcast(cand), "vec_id")
-      .withColumn("sim",
-        round(VectorOps.cosine(col("vn"), lit(q.toArray)), 4))
-      .orderBy(col("sim").desc, col("vec_id").asc)
-      .limit(10)
-      .select(col("vec_id"), col("sim"))
+    rerank(s, d, cand, q)
   }
 
   /** score = Σ_m lut[m·K2 + code_m] as M array lookups per row. */
@@ -311,11 +322,6 @@ object PqIndex {
       .orderBy(col("score").desc, col("vec_id").asc)
       .limit(Rerank)
       .select(col("vec_id"))
-    vecs(s, d).join(broadcast(cand), "vec_id")
-      .withColumn("sim",
-        round(VectorOps.cosine(col("vn"), lit(q.toArray)), 4))
-      .orderBy(col("sim").desc, col("vec_id").asc)
-      .limit(10)
-      .select(col("vec_id"), col("sim"))
+    rerank(s, d, cand, q)
   }
 }
