@@ -112,8 +112,13 @@ object TextOps {
            |  i -> cast(conv(substr(md5(substring(norm, i, $K)), 1, 10),
            |            16, 10) AS BIGINT) * $M - i)""".stripMargin))
       .withColumn("key", explode(expr(
+        // least() over the W window members, not array_min(slice(…)):
+        // no per-window array allocation (the md5-per-gram cost still
+        // dominates — the price of the oracle-replicable hash)
         s"""array_distinct(transform(sequence(1, size(keys) - ${W - 1}),
-           |  s -> array_min(slice(keys, s, $W))))""".stripMargin)))
+           |  s -> least(${(0 until W).map(j =>
+                  s"element_at(keys, s + $j)").mkString(", ")})))"""
+          .stripMargin)))
       .select(col("doc_id"),
         expr(s"(key div $M + 1) * $M - key").as("pos"),
         expr(s"key div $M + 1").as("fp"))
@@ -131,16 +136,25 @@ object TextOps {
     * comparison. */
   def winnowPairs(docsDf: DataFrame, minShared: Int = 5,
       maxDf: Int = 20): DataFrame = {
-    val fps = winnowFingerprints(docsDf)
-      .select(col("doc_id"), col("fp")).distinct()
-    val rare = fps.groupBy(col("fp"))
-      .agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDf)
-      .select(col("fp"))
-    val indexed = fps.join(rare, "fp")
-    indexed.select(col("fp"), col("doc_id").as("da"))
-      .join(indexed.select(col("fp"), col("doc_id").as("db")), Seq("fp"))
-      .filter(col("da") < col("db"))
+    // ONE extraction pass: bucket doc ids per fingerprint (collect_set
+    // both dedups repeated in-doc selections and gives the df count),
+    // drop stop-fingerprints, then emit each bucket's pairs MAP-SIDE
+    // from the sorted id array — two exchanges total. The earlier
+    // index-self-join shape re-expanded the md5 extraction pipeline
+    // once per reference (4× the dominant cost, measured); buckets are
+    // ≤ maxDf ids, so the collected array and its ≤ maxDf²/2 emitted
+    // pairs are both bounded regardless of corpus size.
+    val buckets = winnowFingerprints(docsDf)
+      .groupBy(col("fp"))
+      .agg(sort_array(collect_set(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")).between(2, maxDf))
+    buckets
+      .select(explode(expr(
+        """flatten(transform(sequence(0, size(ds) - 2), i ->
+          |  transform(slice(ds, i + 2, size(ds) - i - 1),
+          |    b -> struct(element_at(ds, i + 1) AS da, b AS db))))"""
+          .stripMargin)).as("p"))
+      .select(col("p.da").as("da"), col("p.db").as("db"))
       .groupBy(col("da"), col("db"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
