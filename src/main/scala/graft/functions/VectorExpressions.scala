@@ -145,6 +145,49 @@ object VectorKernels {
         java.security.MessageDigest.getInstance("MD5")
     }
 
+  /** Winnowing key array (Schleimer et al. 2003): for every k-gram of
+    * `norm` (normalized text — pure ASCII after the [a-z0-9] strip, so
+    * byte offsets ARE character offsets), key = h·2²⁰ − pos with h the
+    * first 5 md5 bytes (≡ `('0x'||substr(md5(g),1,10))::BIGINT` in
+    * external SQL); the result is the DISTINCT rightmost-min of every
+    * w-window, in position order. One JVM loop per document replacing
+    * the interpreted higher-order-function chain (HOF lambdas walk the
+    * expression tree per gram; this fuses ~n·k byte work + n md5 calls
+    * behind one codegen'd call). Keys are pairwise DISTINCT (position
+    * is encoded), and for distinct values the sliding-window argmin is
+    * monotone in the window start, so a selected key's windows form one
+    * contiguous run — the `last`-only dedup is exact. */
+  def winnowKeys(norm: org.apache.spark.unsafe.types.UTF8String,
+      k: Int, w: Int): ArrayData = {
+    val M = 1048576L
+    val bytes = norm.getBytes
+    val n = bytes.length - k + 1
+    if (n < w) return new GenericArrayData(Array.empty[Long])
+    val md = md5Local.get()
+    val keys = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      md.reset()
+      md.update(bytes, i, k)
+      val d = md.digest()
+      val h = ((d(0) & 0xffL) << 32) | ((d(1) & 0xffL) << 24) |
+        ((d(2) & 0xffL) << 16) | ((d(3) & 0xffL) << 8) | (d(4) & 0xffL)
+      keys(i) = h * M - (i + 1)
+      i += 1
+    }
+    val out = new Array[Long](n - w + 1)
+    var cnt = 0
+    var last = Long.MinValue
+    var s = 0
+    while (s <= n - w) {
+      var m = keys(s); var j = 1
+      while (j < w) { val v = keys(s + j); if (v < m) m = v; j += 1 }
+      if (m != last) { out(cnt) = m; cnt += 1; last = m }
+      s += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, cnt))
+  }
+
   /** First 8 bytes (big-endian) of md5(token's UTF-8 bytes) as a long —
     * the same value `('0x' || substr(md5(t), 1, 16))::UBIGINT` yields
     * in external SQL, making SimHash oracle-reproducible. MD5 costs
@@ -404,6 +447,29 @@ case class SimHash64(child: Expression)
     copy(child = newChild)
 }
 
+/** winnow_keys(norm, k, w) → ARRAY<BIGINT> of selected winnowing keys
+  * (h·2²⁰ − pos; see [[VectorKernels.winnowKeys]]). */
+case class WinnowKeys(child: Expression, k: Int, w: Int)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs a STRING input, got ${child.dataType.simpleString}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnow_keys"
+
+  override def nullSafeEval(in: Any): Any =
+    VectorKernels.winnowKeys(
+      in.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], k, w)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.VectorKernels.winnowKeys($a, $k, $w);")
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowKeys =
+    copy(child = newChild)
+}
+
 /** Column API + SQL registration for the vector kernels. */
 object VectorOps {
   def cosine(a: Column, b: Column): Column =
@@ -418,6 +484,8 @@ object VectorOps {
     ColumnExpr.column(LshBucket(ColumnExpr.expr(vec), nPlanes))
   def simhash64(tokens: Column): Column =
     ColumnExpr.column(SimHash64(ColumnExpr.expr(tokens)))
+  def winnowKeys(norm: Column, k: Int, w: Int): Column =
+    ColumnExpr.column(WinnowKeys(ColumnExpr.expr(norm), k, w))
 
   /** Register as SQL functions (vec_cosine, vec_dot, minhash_sig,
     * simhash64) on a session. */

@@ -103,22 +103,17 @@ object TextOps {
   def winnowFingerprints(docsDf: DataFrame, K: Int = 8, W: Int = 4)
       : DataFrame = {
     val M = 1048576L
+    // the gram-hash + window-min selection runs as ONE native kernel
+    // call per document (graft.functions.WinnowKeys): the earlier
+    // higher-order-function chain evaluated md5 through interpreted
+    // lambdas per gram — 5× the cost for identical keys (the md5
+    // semantics match the oracle's substr(md5(g),1,10) exactly)
     docsDf
       .select(col("doc_id"),
         regexp_replace(lower(col("text")), "[^a-z0-9]", "").as("norm"))
       .filter(length(col("norm")) >= K + W - 1)
-      .withColumn("keys", expr(
-        s"""transform(sequence(1, length(norm) - ${K - 1}),
-           |  i -> cast(conv(substr(md5(substring(norm, i, $K)), 1, 10),
-           |            16, 10) AS BIGINT) * $M - i)""".stripMargin))
-      .withColumn("key", explode(expr(
-        // least() over the W window members, not array_min(slice(…)):
-        // no per-window array allocation (the md5-per-gram cost still
-        // dominates — the price of the oracle-replicable hash)
-        s"""array_distinct(transform(sequence(1, size(keys) - ${W - 1}),
-           |  s -> least(${(0 until W).map(j =>
-                  s"element_at(keys, s + $j)").mkString(", ")})))"""
-          .stripMargin)))
+      .select(col("doc_id"), explode(
+        graft.functions.VectorOps.winnowKeys(col("norm"), K, W)).as("key"))
       .select(col("doc_id"),
         expr(s"(key div $M + 1) * $M - key").as("pos"),
         expr(s"key div $M + 1").as("fp"))
