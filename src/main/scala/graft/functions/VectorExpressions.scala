@@ -157,6 +157,132 @@ object VectorKernels {
     * is encoded), and for distinct values the sliding-window argmin is
     * monotone in the window start, so a selected key's windows form one
     * contiguous run — the `last`-only dedup is exact. */
+  /** 3-word shingle fingerprints; see [[Shingle3Hashes]] for the exact
+    * SQL equivalence contract. Word boundaries are single 0x20 bytes
+    * (Spark's `split(text, ' ')` with its default limit=-1: N
+    * separators yield N+1 words, empties included) — safe on the byte
+    * level because 0x20 never occurs inside a UTF-8 multi-byte
+    * sequence. */
+  def shingle3Hashes(text: org.apache.spark.unsafe.types.UTF8String)
+      : ArrayData = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val Seed = 42L
+    val base = text.getBaseObject
+    val off = text.getBaseOffset
+    val len = text.numBytes()
+    // word hashes in one pass over the bytes
+    var nWords = 1
+    var p = 0
+    while (p < len) {
+      if (org.apache.spark.unsafe.Platform.getByte(base, off + p) == 0x20)
+        nWords += 1
+      p += 1
+    }
+    val wh = new Array[Long](nWords)
+    var wi = 0
+    var start = 0
+    p = 0
+    while (p <= len) {
+      if (p == len ||
+          org.apache.spark.unsafe.Platform.getByte(base, off + p) == 0x20) {
+        wh(wi) = XXH64.hashUnsafeBytes(base, off + start, p - start, Seed)
+        wi += 1
+        start = p + 1
+      }
+      p += 1
+    }
+    if (nWords >= 3) {
+      val out = new Array[Long](nWords - 2)
+      var j = 0
+      while (j < nWords - 2) {
+        var h = XXH64.hashLong(wh(j), Seed)
+        h = XXH64.hashLong(wh(j + 1), h)
+        h = XXH64.hashLong(wh(j + 2), h)
+        out(j) = h
+        j += 1
+      }
+      new GenericArrayData(out)
+    } else {
+      var h = Seed
+      var j = 0
+      while (j < nWords) { h = XXH64.hashLong(wh(j), h); j += 1 }
+      new GenericArrayData(Array(h))
+    }
+  }
+
+  /** Word-window fingerprints for substring dedup, byte-identical to
+    * `transform(sequence(0, size(ws)-w), j -> xxhash64(concat_ws(' ',
+    * slice(ws, j+1, w))))` over `ws = split(text, ' ')`: because every
+    * separator is a single 0x20 and empty words stand in for the gaps,
+    * each rejoined window IS a contiguous byte span of the original
+    * text — so the kernel hashes original-buffer slices with zero
+    * copies and zero string allocation. Returns empty when the text
+    * has fewer than `w` words (callers filter on that anyway). */
+  def wordWindowHashes(text: org.apache.spark.unsafe.types.UTF8String,
+      w: Int): ArrayData = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val Seed = 42L
+    val base = text.getBaseObject
+    val off = text.getBaseOffset
+    val len = text.numBytes()
+    // word start offsets (starts(i) = byte index of word i's first byte)
+    var nWords = 1
+    var p = 0
+    while (p < len) {
+      if (org.apache.spark.unsafe.Platform.getByte(base, off + p) == 0x20)
+        nWords += 1
+      p += 1
+    }
+    if (nWords < w) return new GenericArrayData(Array.empty[Long])
+    val starts = new Array[Int](nWords + 1)
+    starts(0) = 0
+    var wi = 1
+    p = 0
+    while (p < len) {
+      if (org.apache.spark.unsafe.Platform.getByte(base, off + p) == 0x20) {
+        starts(wi) = p + 1; wi += 1
+      }
+      p += 1
+    }
+    starts(nWords) = len + 1 // sentinel: "separator" past the end
+    val out = new Array[Long](nWords - w + 1)
+    var j = 0
+    while (j <= nWords - w) {
+      val s = starts(j)
+      val e = starts(j + w) - 1 // end of word j+w-1 (before its separator)
+      out(j) = XXH64.hashUnsafeBytes(base, off + s, e - s, Seed)
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Non-empty-word hashes, byte-identical to
+    * `transform(filter(split(text, ' '), w -> w <> ''), x -> xxhash64(x))`. */
+  def wordHashes(text: org.apache.spark.unsafe.types.UTF8String)
+      : ArrayData = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val Seed = 42L
+    val base = text.getBaseObject
+    val off = text.getBaseOffset
+    val len = text.numBytes()
+    val out = new Array[Long](len / 2 + 1)
+    var cnt = 0
+    var start = 0
+    var p = 0
+    while (p <= len) {
+      if (p == len ||
+          org.apache.spark.unsafe.Platform.getByte(base, off + p) == 0x20) {
+        if (p > start) {
+          out(cnt) = XXH64.hashUnsafeBytes(base, off + start, p - start, Seed)
+          cnt += 1
+        }
+        start = p + 1
+      }
+      p += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, cnt))
+  }
+
   def winnowKeys(norm: org.apache.spark.unsafe.types.UTF8String,
       k: Int, w: Int): ArrayData = {
     val M = 1048576L
@@ -447,6 +573,83 @@ case class SimHash64(child: Expression)
     copy(child = newChild)
 }
 
+/** shingle3_hashes(text) → ARRAY<BIGINT>: the 3-word shingle
+  * fingerprints of `text`, byte-identical to the SQL chain
+  * `transform(sequence(1, size(wh)-2), j -> xxhash64(wh[j-1], wh[j],
+  * wh[j+1]))` over `wh = transform(split(text, ' '), x -> xxhash64(x))`
+  * — including the <3-word fallback `array(xxhash64(wh))` and Spark's
+  * `split` limit=-1 semantics (consecutive separators yield empty
+  * words, hashed like any other). One JVM loop per document instead of
+  * interpreted higher-order lambdas per word and per shingle; the
+  * xxhash64 composition (seed 42, per-value `XXH64.hashLong` /
+  * `hashUnsafeBytes` chaining in child order) is exactly the
+  * interpreted expression's. */
+case class Shingle3Hashes(child: Expression)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs a STRING input, got ${child.dataType.simpleString}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle3_hashes"
+
+  override def nullSafeEval(in: Any): Any =
+    VectorKernels.shingle3Hashes(
+      in.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.VectorKernels.shingle3Hashes($a);")
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Shingle3Hashes = copy(child = newChild)
+}
+
+/** word_window_hashes(text, w) → ARRAY<BIGINT>; see
+  * [[VectorKernels.wordWindowHashes]]. */
+case class WordWindowHashes(child: Expression, w: Int)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs a STRING input, got ${child.dataType.simpleString}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "word_window_hashes"
+
+  override def nullSafeEval(in: Any): Any =
+    VectorKernels.wordWindowHashes(
+      in.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], w)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.VectorKernels.wordWindowHashes($a, $w);")
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : WordWindowHashes = copy(child = newChild)
+}
+
+/** word_hashes(text) → ARRAY<BIGINT>; see [[VectorKernels.wordHashes]]. */
+case class WordHashes(child: Expression)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs a STRING input, got ${child.dataType.simpleString}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "word_hashes"
+
+  override def nullSafeEval(in: Any): Any =
+    VectorKernels.wordHashes(
+      in.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.VectorKernels.wordHashes($a);")
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : WordHashes = copy(child = newChild)
+}
+
 /** winnow_keys(norm, k, w) → ARRAY<BIGINT> of selected winnowing keys
   * (h·2²⁰ − pos; see [[VectorKernels.winnowKeys]]). */
 case class WinnowKeys(child: Expression, k: Int, w: Int)
@@ -486,6 +689,12 @@ object VectorOps {
     ColumnExpr.column(SimHash64(ColumnExpr.expr(tokens)))
   def winnowKeys(norm: Column, k: Int, w: Int): Column =
     ColumnExpr.column(WinnowKeys(ColumnExpr.expr(norm), k, w))
+  def shingle3Hashes(text: Column): Column =
+    ColumnExpr.column(Shingle3Hashes(ColumnExpr.expr(text)))
+  def wordWindowHashes(text: Column, w: Int): Column =
+    ColumnExpr.column(WordWindowHashes(ColumnExpr.expr(text), w))
+  def wordHashes(text: Column): Column =
+    ColumnExpr.column(WordHashes(ColumnExpr.expr(text)))
 
   /** Register as SQL functions (vec_cosine, vec_dot, minhash_sig,
     * simhash64) on a session. */

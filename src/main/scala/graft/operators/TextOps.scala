@@ -529,14 +529,15 @@ object TextOps {
 
   def substringDedup(docsDf: DataFrame, w: Int = SubW): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // window fingerprints via the native kernel (hashes contiguous
+    // byte spans of the original text — identical values to the
+    // concat_ws/slice HOF chain, hash-gated; one JVM pass per doc)
     val wins = docsDf
       .withColumn("ws", wordsCol)
       .filter(size(col("ws")) >= w)
       .select(col("doc_id"), size(col("ws")).cast("long").as("n_toks"),
-        posexplode(expr(
-          s"""transform(sequence(0, size(ws) - $w),
-             |          j -> xxhash64(concat_ws(' ', slice(ws, j + 1, $w))))"""
-            .stripMargin)).as(Seq("pos", "wh")))
+        posexplode(graft.functions.VectorOps
+          .wordWindowHashes(col("text"), w)).as(Seq("pos", "wh")))
     val dup = wins
       .withColumn("n_occ", count(lit(1)).over(Window.partitionBy("wh")))
       .filter(col("n_occ") >= 2)
@@ -652,9 +653,7 @@ object TextOps {
     // collision inside the corpus vocabulary — which the exact
     // string-based DuckDB oracle would flag as a hash mismatch.
     val base = docsDf
-      .withColumn("wh",
-        expr("transform(filter(split(text, ' '), w -> w <> ''), " +
-          "x -> xxhash64(x))"))
+      .withColumn("wh", graft.functions.VectorOps.wordHashes(col("text")))
       .filter(size(col("wh")) >= 2)
     val bigrams = base.select(col("doc_id"),
       explode(arrays_zip(
@@ -1414,10 +1413,14 @@ object TextOps {
     // corpus side explodes WITHOUT array_distinct: distinct-by-equality
     // over ~200 shingles per document is quadratic per row, and the
     // duplicates are cheaper to fold AFTER the probe join (which keeps
-    // only probe-matching shingles) as a count(DISTINCT s).
-    val corpusSh = base
+    // only probe-matching shingles) as a count(DISTINCT s). The
+    // full-corpus pass runs the native shingle3_hashes kernel (one JVM
+    // loop per doc; byte-identical to the HOF chain — hash-gated);
+    // the probe side keeps the SQL shape (27 docs, not worth a twin).
+    val corpusSh = docsDf
       .select(col("doc_id"),
-        explode(expr(hashShingles("wh"))).as("s"))
+        explode(graft.functions.VectorOps.shingle3Hashes(col("text")))
+          .as("s"))
     val probes = base.filter(col("doc_id") % 37 === 0)
       .withColumn("pwh", expr("slice(wh, 1, 8)"))
       .select(col("doc_id").as("probe_id"),
