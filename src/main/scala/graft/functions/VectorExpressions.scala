@@ -283,6 +283,60 @@ object VectorKernels {
     new GenericArrayData(java.util.Arrays.copyOf(out, cnt))
   }
 
+  /** One-pass text gate statistics over `split(text, ' ')` semantics
+    * (empty words included, exactly like the SQL `ws` array):
+    * (n_words, n_stop, n_distinct_words, n_distinct_bigrams), where a
+    * bigram is `concat(ws[j-1], ' ', ws[j])` — a contiguous byte span
+    * of the original text, so distinctness is span-content equality
+    * and the sets hold zero-copy UTF8String views. Replaces four
+    * interpreted HOF chains (stopword filter, array_distinct of words,
+    * bigram transform+distinct) with one JVM loop per document. */
+  def textStats(text: org.apache.spark.unsafe.types.UTF8String,
+      stops: Array[org.apache.spark.unsafe.types.UTF8String])
+      : org.apache.spark.sql.catalyst.InternalRow = {
+    import org.apache.spark.unsafe.types.UTF8String
+    val base = text.getBaseObject
+    val off = text.getBaseOffset
+    val len = text.numBytes()
+    var nWords = 1
+    var p = 0
+    while (p < len) {
+      if (org.apache.spark.unsafe.Platform.getByte(base, off + p) == 0x20)
+        nWords += 1
+      p += 1
+    }
+    val starts = new Array[Int](nWords + 1)
+    starts(0) = 0
+    var wi = 1
+    p = 0
+    while (p < len) {
+      if (org.apache.spark.unsafe.Platform.getByte(base, off + p) == 0x20) {
+        starts(wi) = p + 1; wi += 1
+      }
+      p += 1
+    }
+    starts(nWords) = len + 1
+    def span(s: Int, e: Int): UTF8String =
+      UTF8String.fromAddress(base, off + s, e - s)
+    var nStop = 0
+    val words = new java.util.HashSet[UTF8String](nWords * 2)
+    val bigrams = new java.util.HashSet[UTF8String](nWords * 2)
+    var j = 0
+    while (j < nWords) {
+      val w = span(starts(j), starts(j + 1) - 1)
+      words.add(w)
+      var si = 0
+      while (si < stops.length) {
+        if (stops(si).equals(w)) { nStop += 1; si = stops.length }
+        else si += 1
+      }
+      if (j >= 1) bigrams.add(span(starts(j - 1), starts(j + 1) - 1))
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](nWords, nStop, words.size(), bigrams.size()))
+  }
+
   def winnowKeys(norm: org.apache.spark.unsafe.types.UTF8String,
       k: Int, w: Int): ArrayData = {
     val M = 1048576L
@@ -650,6 +704,40 @@ case class WordHashes(child: Expression)
       : WordHashes = copy(child = newChild)
 }
 
+/** text_stats(text, stopwords) → STRUCT<n_words INT, n_stop INT,
+  * n_distinct_words INT, n_distinct_bigrams INT>; see
+  * [[VectorKernels.textStats]]. */
+case class TextStats(child: Expression, stopWords: Seq[String])
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs a STRING input, got ${child.dataType.simpleString}")
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_words", IntegerType, nullable = false),
+    StructField("n_stop", IntegerType, nullable = false),
+    StructField("n_distinct_words", IntegerType, nullable = false),
+    StructField("n_distinct_bigrams", IntegerType, nullable = false)))
+  override def prettyName: String = "text_stats"
+
+  @transient private lazy val stopArr =
+    stopWords.map(org.apache.spark.unsafe.types.UTF8String.fromString).toArray
+
+  override def nullSafeEval(in: Any): Any =
+    VectorKernels.textStats(
+      in.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], stopArr)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("stops", stopArr,
+      "org.apache.spark.unsafe.types.UTF8String[]")
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.VectorKernels.textStats($a, $ref);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : TextStats = copy(child = newChild)
+}
+
 /** winnow_keys(norm, k, w) → ARRAY<BIGINT> of selected winnowing keys
   * (h·2²⁰ − pos; see [[VectorKernels.winnowKeys]]). */
 case class WinnowKeys(child: Expression, k: Int, w: Int)
@@ -695,6 +783,8 @@ object VectorOps {
     ColumnExpr.column(WordWindowHashes(ColumnExpr.expr(text), w))
   def wordHashes(text: Column): Column =
     ColumnExpr.column(WordHashes(ColumnExpr.expr(text)))
+  def textStats(text: Column, stopWords: Seq[String]): Column =
+    ColumnExpr.column(TextStats(ColumnExpr.expr(text), stopWords))
 
   /** Register as SQL functions (vec_cosine, vec_dot, minhash_sig,
     * simhash64) on a session. */

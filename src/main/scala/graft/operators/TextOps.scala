@@ -370,8 +370,13 @@ object TextOps {
   val decontaminate: Q = (s, d) => decontaminateDocs(docs(s, d))
 
   def decontaminateDocs(docsDf: DataFrame): DataFrame = {
-    val base = docsDf.withColumn("ws", wordsCol)
-      .withColumn("sh", expr(shinglesExpr))
+    // 8-byte shingle FINGERPRINTS through the semi-join instead of
+    // ~30-byte concat'd strings (native kernel, one pass per doc; the
+    // <3-word fallback hashes the whole word list on both sides, so
+    // membership semantics are unchanged short of a 64-bit collision —
+    // which the string-based oracle would flag)
+    val base = docsDf
+      .withColumn("sh", graft.functions.VectorOps.shingle3Hashes(col("text")))
     val evalShingles = base.filter(col("doc_id") % 97 === 0)
       .select(explode(col("sh")).as("s")).distinct()
     val corpus = base.filter(col("doc_id") % 97 =!= 0)
@@ -409,32 +414,38 @@ object TextOps {
     // inline `split(text)` once PER REFERENCE (~8 copies of an O(n)
     // parse per row, measured 10.3 s → 1.3 s at sf0.1 on this exact
     // query), and the inlined condition blows past codegen limits
-    val gateBool = expr(
-      """transform(array(split(text, ' ')), ws ->
-        |  size(filter(ws, w -> w IN ('the', 'a')))
-        |    / CAST(size(ws) AS DOUBLE) >= 0.04
-        |  AND size(ws) >= 5
-        |  AND IF(size(ws) >= 2,
-        |    (size(ws) - 1 -
-        |     size(array_distinct(transform(sequence(1, size(ws) - 1),
-        |          j -> concat(ws[j-1], ' ', ws[j])))))
-        |      / CAST(size(ws) - 1 AS DOUBLE) <= 0.2,
-        |    true))[0]""".stripMargin)
+    // the same three gates over the text_stats kernel's counts (one
+    // JVM pass per doc; n_words/n_stop/n_distinct_bigrams have exactly
+    // the split/filter/array_distinct HOF semantics, hash-gated);
+    // codegen subexpression elimination keeps the kernel at one call
+    // per row across the struct-field references
+    val st = graft.functions.VectorOps.textStats(col("text"),
+      Seq("the", "a"))
+    val gateBool = {
+      val nw = st.getField("n_words").cast("double")
+      (st.getField("n_stop").cast("double") / nw >= 0.04) &&
+        (st.getField("n_words") >= 5) &&
+        when(st.getField("n_words") >= 2,
+          (st.getField("n_words").cast("double") - 1 -
+            st.getField("n_distinct_bigrams").cast("double")) /
+            (nw - 1) <= 0.2).otherwise(lit(true))
+    }
     val corpus = docs(s, d).filter(col("doc_id") % 97 =!= 0)
     val gated = corpus.filter(gateBool)
-    val evalShingles = docs(s, d).withColumn("ws", wordsCol)
+    val evalShingles = docs(s, d)
       .filter(col("doc_id") % 97 === 0)
-      .select(explode(expr(shinglesExpr)).as("s")).distinct()
+      .select(explode(
+        graft.functions.VectorOps.shingle3Hashes(col("text"))).as("s"))
+      .distinct()
     val contaminatedIds = gated
-      .withColumn("ws", wordsCol)
-      .select(col("doc_id"), explode(expr(shinglesExpr)).as("s"))
+      .select(col("doc_id"), explode(
+        graft.functions.VectorOps.shingle3Hashes(col("text"))).as("s"))
       .join(broadcast(evalShingles), Seq("s"), "left_semi")
       .select(col("doc_id")).distinct()
     gated.join(contaminatedIds, Seq("doc_id"), "left_anti")
-      .withColumn("lex_div", expr(
-        """transform(array(split(text, ' ')), ws ->
-          |  size(array_distinct(ws)) / CAST(size(ws) AS DOUBLE))[0]"""
-          .stripMargin))
+      .withColumn("lex_div",
+        st.getField("n_distinct_words").cast("double") /
+          st.getField("n_words").cast("double"))
       .withColumn("fp", md5(lower(trim(col("text")))))
       .withColumn("keep_id",
         min(col("doc_id")).over(Window.partitionBy(col("fp"))))
