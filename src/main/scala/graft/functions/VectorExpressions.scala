@@ -145,6 +145,52 @@ object VectorKernels {
         java.security.MessageDigest.getInstance("MD5")
     }
 
+  /** Distinct word hashes INCLUDING empty words — the hash image of
+    * `array_distinct(split(text, ' '))` (xxhash64 per distinct word,
+    * first-occurrence order): set sizes and intersections over these
+    * equal the string-set ones short of a 64-bit collision. */
+  def distinctWordHashes(text: org.apache.spark.unsafe.types.UTF8String)
+      : ArrayData = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val Seed = 42L
+    val base = text.getBaseObject
+    val off = text.getBaseOffset
+    val len = text.numBytes()
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    var start = 0
+    var p = 0
+    while (p <= len) {
+      if (p == len ||
+          org.apache.spark.unsafe.Platform.getByte(base, off + p) == 0x20) {
+        seen.add(XXH64.hashUnsafeBytes(base, off + start, p - start, Seed))
+        start = p + 1
+      }
+      p += 1
+    }
+    val out = new Array[Long](seen.size())
+    val it = seen.iterator()
+    var i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** |a ∩ b| for two LONG arrays that are already sets — the
+    * size(array_intersect(…)) of the verify joins without the
+    * interpreted per-element walk. */
+  def sharedCount(a: ArrayData, b: ArrayData): Int = {
+    val (small, big) =
+      if (a.numElements() <= b.numElements()) (a, b) else (b, a)
+    val ns = small.numElements()
+    val set = new java.util.HashSet[java.lang.Long](ns * 2)
+    var i = 0
+    while (i < ns) { set.add(small.getLong(i)); i += 1 }
+    var cnt = 0
+    val nb = big.numElements()
+    i = 0
+    while (i < nb) { if (set.contains(big.getLong(i))) cnt += 1; i += 1 }
+    cnt
+  }
+
   /** Winnowing key array (Schleimer et al. 2003): for every k-gram of
     * `norm` (normalized text — pure ASCII after the [a-z0-9] strip, so
     * byte offsets ARE character offsets), key = h·2²⁰ − pos with h the
@@ -704,6 +750,56 @@ case class WordHashes(child: Expression)
       : WordHashes = copy(child = newChild)
 }
 
+/** distinct_word_hashes(text) → ARRAY<BIGINT>; see
+  * [[VectorKernels.distinctWordHashes]]. */
+case class DistinctWordHashes(child: Expression)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs a STRING input, got ${child.dataType.simpleString}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "distinct_word_hashes"
+
+  override def nullSafeEval(in: Any): Any =
+    VectorKernels.distinctWordHashes(
+      in.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.VectorKernels.distinctWordHashes($a);")
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : DistinctWordHashes = copy(child = newChild)
+}
+
+/** shared_count(a, b) → INT, |a ∩ b| over LONG sets. */
+case class SharedCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+  private def ok(e: Expression): Boolean = e.dataType match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (ok(left) && ok(right)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs two ARRAY<BIGINT> inputs")
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "shared_count"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.sharedCount(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.VectorKernels.sharedCount($a, $b);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): SharedCount =
+    copy(left = newLeft, right = newRight)
+}
+
 /** text_stats(text, stopwords) → STRUCT<n_words INT, n_stop INT,
   * n_distinct_words INT, n_distinct_bigrams INT>; see
   * [[VectorKernels.textStats]]. */
@@ -785,6 +881,10 @@ object VectorOps {
     ColumnExpr.column(WordHashes(ColumnExpr.expr(text)))
   def textStats(text: Column, stopWords: Seq[String]): Column =
     ColumnExpr.column(TextStats(ColumnExpr.expr(text), stopWords))
+  def distinctWordHashes(text: Column): Column =
+    ColumnExpr.column(DistinctWordHashes(ColumnExpr.expr(text)))
+  def sharedCount(a: Column, b: Column): Column =
+    ColumnExpr.column(SharedCount(ColumnExpr.expr(a), ColumnExpr.expr(b)))
 
   /** Register as SQL functions (vec_cosine, vec_dot, minhash_sig,
     * simhash64) on a session. */

@@ -879,8 +879,15 @@ object TextOps {
     // estimate stage — the exact verifier IS the filter
     val cands = a.join(b, Seq("bh")).filter(col("da") < col("db"))
       .select(col("da"), col("db")).distinct()
+    // word sets travel as DISTINCT 64-bit hashes (native kernel — the
+    // hash image of array_distinct(split(text, ' ')), empty words
+    // included): set sizes and the shared_count intersection equal the
+    // string-set arithmetic short of a 64-bit collision, which the
+    // string-based oracle would flag as a hash mismatch — and the
+    // verify join moves 8 B/word instead of word text
     val w = docsDf
-      .select(col("doc_id"), array_distinct(wordsCol).as("ws"))
+      .select(col("doc_id"),
+        graft.functions.VectorOps.distinctWordHashes(col("text")).as("ws"))
       .withColumn("n", size(col("ws")))
     // attach size AND word set in ONE join per side: two corpus scans,
     // not four. Candidates are the narrow/broadcastable side, so the
@@ -894,7 +901,8 @@ object TextOps {
         col("ws").as("wsb"), col("n").as("nb")), "db")
       .filter(least(col("na"), col("nb")) * 100 >=
         greatest(col("na"), col("nb")) * 89)
-      .withColumn("shared", size(array_intersect(col("wsa"), col("wsb"))))
+      .withColumn("shared",
+        graft.functions.VectorOps.sharedCount(col("wsa"), col("wsb")))
       .withColumn("jaccard",
         round(col("shared") / (col("na") + col("nb") - col("shared")), 4))
       .filter(col("jaccard") >= 0.9)
