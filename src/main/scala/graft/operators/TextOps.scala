@@ -730,9 +730,13 @@ object TextOps {
     * never lost. The surviving pairs intersect inside one
     * whole-stage-codegen span. */
   val jaccardPairs: Q = (s, d) => {
+    // same distinct-word-hash + shared_count kernels as the banded
+    // verify (minhashVerifiedPairsFromBands): 8 B/word through the
+    // broadcast, JVM hash-probe intersection per pair
     val w = docs(s, d)
       .filter(col("doc_id") < 1000)
-      .select(col("doc_id"), array_distinct(wordsCol).as("ws"))
+      .select(col("doc_id"),
+        graft.functions.VectorOps.distinctWordHashes(col("text")).as("ws"))
       .withColumn("n", size(col("ws")))
     val a = fanOut(w).select(col("doc_id").as("da"), col("ws").as("wsa"),
       col("n").as("na"))
@@ -742,7 +746,8 @@ object TextOps {
       .filter(col("da") < col("db") &&
         least(col("na"), col("nb")) * 100 >=
           greatest(col("na"), col("nb")) * 89)
-      .withColumn("shared", size(array_intersect(col("wsa"), col("wsb"))))
+      .withColumn("shared",
+        graft.functions.VectorOps.sharedCount(col("wsa"), col("wsb")))
       .withColumn("jaccard",
         round(col("shared") / (col("na") + col("nb") - col("shared")), 4))
       .filter(col("jaccard") >= 0.9)
