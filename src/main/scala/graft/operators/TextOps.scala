@@ -1434,16 +1434,18 @@ object TextOps {
          |ELSE array(xxhash64($c)) END""".stripMargin
     val base = docsDf.withColumn("wh",
       expr("transform(split(text, ' '), x -> xxhash64(x))"))
-    // corpus side explodes WITHOUT array_distinct: distinct-by-equality
-    // over ~200 shingles per document is quadratic per row, and the
-    // duplicates are cheaper to fold AFTER the probe join (which keeps
-    // only probe-matching shingles) as a count(DISTINCT s). The
-    // full-corpus pass runs the native shingle3_hashes kernel (one JVM
-    // loop per doc; byte-identical to the HOF chain — hash-gated);
-    // the probe side keeps the SQL shape (27 docs, not worth a twin).
+    // corpus side: native shingle3_hashes kernel (one JVM loop per doc,
+    // byte-identical to the HOF chain — hash-gated), deduped INSIDE the
+    // row (array_distinct over longs is cheap; over the old string
+    // shingles it was quadratic-by-equality, which is why the earlier
+    // shape deferred dedup to a count(DISTINCT) — that cost an extra
+    // exchange). With both sides distinct, each shared shingle value
+    // joins exactly once and the containment count is a plain count.
+    // The probe side keeps the SQL shape (27 docs, not worth a twin).
     val corpusSh = docsDf
       .select(col("doc_id"),
-        explode(graft.functions.VectorOps.shingle3Hashes(col("text")))
+        explode(array_distinct(
+          graft.functions.VectorOps.shingle3Hashes(col("text"))))
           .as("s"))
     val probes = base.filter(col("doc_id") % 37 === 0)
       .withColumn("pwh", expr("slice(wh, 1, 8)"))
@@ -1455,7 +1457,7 @@ object TextOps {
     val scored = corpusSh
       .join(broadcast(probeSh), "s")
       .groupBy(col("probe_id"), col("doc_id"), col("n_psh"))
-      .agg(countDistinct(col("s")).as("shared"))
+      .agg(count(lit(1)).as("shared")) // both sides distinct already
       .withColumn("c_raw", col("shared") / col("n_psh"))
       .filter(col("c_raw") >= 0.5)
     scored
