@@ -174,6 +174,47 @@ object VectorKernels {
     new GenericArrayData(out)
   }
 
+  /** Distinct character-k-gram hashes — the hash image of
+    * `array_distinct(transform(sequence(1, greatest(len-k+1, 1)),
+    * i -> substring(text, i, k)))` including the short-text fallback
+    * (text shorter than k chars yields its whole self as the one
+    * gram). Character offsets are found by UTF-8 lead bytes, so the
+    * hashed byte spans equal the SQL substring's bytes on any text. */
+  def distinctGramHashes(text: org.apache.spark.unsafe.types.UTF8String,
+      k: Int): ArrayData = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val Seed = 42L
+    val base = text.getBaseObject
+    val off = text.getBaseOffset
+    val len = text.numBytes()
+    // char start byte offsets (UTF-8 continuation bytes are 10xxxxxx)
+    val charOff = new Array[Int](text.numChars() + 1)
+    var nc = 0
+    var p = 0
+    while (p < len) {
+      val b = org.apache.spark.unsafe.Platform.getByte(base, off + p)
+      if ((b & 0xC0) != 0x80) { charOff(nc) = p; nc += 1 }
+      p += 1
+    }
+    charOff(nc) = len
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    if (nc < k) {
+      seen.add(XXH64.hashUnsafeBytes(base, off, len, Seed))
+    } else {
+      var i = 0
+      while (i <= nc - k) {
+        seen.add(XXH64.hashUnsafeBytes(base, off + charOff(i),
+          charOff(i + k) - charOff(i), Seed))
+        i += 1
+      }
+    }
+    val out = new Array[Long](seen.size())
+    val it = seen.iterator()
+    var i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    new GenericArrayData(out)
+  }
+
   /** |a ∩ b| for two LONG arrays that are already sets — the
     * size(array_intersect(…)) of the verify joins without the
     * interpreted per-element walk. */
@@ -773,6 +814,29 @@ case class DistinctWordHashes(child: Expression)
       : DistinctWordHashes = copy(child = newChild)
 }
 
+/** distinct_gram_hashes(text, k) → ARRAY<BIGINT>; see
+  * [[VectorKernels.distinctGramHashes]]. */
+case class DistinctGramHashes(child: Expression, k: Int)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs a STRING input, got ${child.dataType.simpleString}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "distinct_gram_hashes"
+
+  override def nullSafeEval(in: Any): Any =
+    VectorKernels.distinctGramHashes(
+      in.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], k)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.VectorKernels.distinctGramHashes($a, $k);")
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : DistinctGramHashes = copy(child = newChild)
+}
+
 /** shared_count(a, b) → INT, |a ∩ b| over LONG sets. */
 case class SharedCount(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -885,6 +949,8 @@ object VectorOps {
     ColumnExpr.column(DistinctWordHashes(ColumnExpr.expr(text)))
   def sharedCount(a: Column, b: Column): Column =
     ColumnExpr.column(SharedCount(ColumnExpr.expr(a), ColumnExpr.expr(b)))
+  def distinctGramHashes(text: Column, k: Int): Column =
+    ColumnExpr.column(DistinctGramHashes(ColumnExpr.expr(text), k))
 
   /** Register as SQL functions (vec_cosine, vec_dot, minhash_sig,
     * simhash64) on a session. */

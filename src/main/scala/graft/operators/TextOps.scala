@@ -1126,16 +1126,20 @@ object TextOps {
     // 3-gram ARRAYS cross-joined via broadcast — one codegen stage with
     // array_intersect per pair, no gram-explosion shuffle chain. The
     // scale path for unbounded corpora is the banded MinHash join.
+    // distinct 3-gram HASH sets via the native kernel (char-offset
+    // aware; values equal the string-set arithmetic short of a 64-bit
+    // collision, which the string-based oracle would flag)
     val g = docs(s, d)
       .filter(col("doc_id") < 200)
-      .select(col("doc_id"), array_distinct(expr(
-        """transform(sequence(1, greatest(length(text) - 2, 1)),
-          |          i -> substring(text, i, 3))""".stripMargin)).as("grams"))
+      .select(col("doc_id"),
+        graft.functions.VectorOps.distinctGramHashes(col("text"), 3)
+          .as("grams"))
     fanOut(g).select(col("doc_id").as("da"), col("grams").as("ga"))
       .crossJoin(broadcast(
         g.select(col("doc_id").as("db"), col("grams").as("gb"))))
       .filter(col("da") < col("db"))
-      .withColumn("shared", size(array_intersect(col("ga"), col("gb"))))
+      .withColumn("shared",
+        graft.functions.VectorOps.sharedCount(col("ga"), col("gb")))
       .withColumn("jaccard", round(col("shared") /
         (size(col("ga")) + size(col("gb")) - col("shared")), 4))
       .filter(col("jaccard") >= 0.8)
