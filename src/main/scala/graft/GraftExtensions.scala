@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, IntegerLiteral}
-import graft.functions.{LshBucket, MinHashSig, SimHash64, VecCosine, VecDot}
+import graft.functions.{DistinctGramHashes, DistinctWordHashes, LshBucket, MinHashSig, SharedCount, Shingle3Hashes, SimHash64, VecCosine, VecDot, WinnowKeys, WordHashes, WordWindowHashes}
 
 /** Session extension wiring the graft native functions into SQL.
   *
@@ -64,5 +64,42 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case _ => throw new IllegalArgumentException(
           "lsh_bucket(vec[, nPlanes]) expects a literal nPlanes")
       }))
+    // the text-kernel family (fused replacements for the HOF chains,
+    // value-pinned by KernelEquivalenceSpec) as SQL functions
+    ext.injectFunction((FunctionIdentifier("winnow_keys"),
+      info("winnow_keys", classOf[WinnowKeys]),
+      (args: Seq[Expression]) => args match {
+        case Seq(a) => WinnowKeys(a, 8, 4)
+        case Seq(a, IntegerLiteral(k), IntegerLiteral(w)) =>
+          WinnowKeys(a, k, w)
+        case _ => throw new IllegalArgumentException(
+          "winnow_keys(text[, k, w]) expects literal k and w")
+      }))
+    ext.injectFunction((FunctionIdentifier("shingle3_hashes"),
+      info("shingle3_hashes", classOf[Shingle3Hashes]),
+      (args: Seq[Expression]) => Shingle3Hashes(args(0))))
+    ext.injectFunction((FunctionIdentifier("word_hashes"),
+      info("word_hashes", classOf[WordHashes]),
+      (args: Seq[Expression]) => WordHashes(args(0))))
+    ext.injectFunction((FunctionIdentifier("word_window_hashes"),
+      info("word_window_hashes", classOf[WordWindowHashes]),
+      (args: Seq[Expression]) => args match {
+        case Seq(a, IntegerLiteral(w)) => WordWindowHashes(a, w)
+        case _ => throw new IllegalArgumentException(
+          "word_window_hashes(text, w) expects a literal w")
+      }))
+    ext.injectFunction((FunctionIdentifier("distinct_word_hashes"),
+      info("distinct_word_hashes", classOf[DistinctWordHashes]),
+      (args: Seq[Expression]) => DistinctWordHashes(args(0))))
+    ext.injectFunction((FunctionIdentifier("distinct_gram_hashes"),
+      info("distinct_gram_hashes", classOf[DistinctGramHashes]),
+      (args: Seq[Expression]) => args match {
+        case Seq(a, IntegerLiteral(k)) => DistinctGramHashes(a, k)
+        case _ => throw new IllegalArgumentException(
+          "distinct_gram_hashes(text, k) expects a literal k")
+      }))
+    ext.injectFunction((FunctionIdentifier("shared_count"),
+      info("shared_count", classOf[SharedCount]),
+      (args: Seq[Expression]) => SharedCount(args(0), args(1))))
   }
 }

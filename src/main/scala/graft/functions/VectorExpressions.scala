@@ -971,5 +971,27 @@ object VectorOps {
       }, "scala_udf")
     reg.createOrReplaceTempFunction("simhash64",
       { args => SimHash64(args(0)) }, "scala_udf")
+    def intLit(e: Expression, dflt: Int): Int = e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v, IntegerType) =>
+        v.asInstanceOf[Int]
+      case _ => dflt
+    }
+    reg.createOrReplaceTempFunction("winnow_keys",
+      { args => WinnowKeys(args(0), intLit(args(1), 8), intLit(args(2), 4)) },
+      "scala_udf")
+    reg.createOrReplaceTempFunction("shingle3_hashes",
+      { args => Shingle3Hashes(args(0)) }, "scala_udf")
+    reg.createOrReplaceTempFunction("word_hashes",
+      { args => WordHashes(args(0)) }, "scala_udf")
+    reg.createOrReplaceTempFunction("word_window_hashes",
+      { args => WordWindowHashes(args(0), intLit(args(1), 15)) },
+      "scala_udf")
+    reg.createOrReplaceTempFunction("distinct_word_hashes",
+      { args => DistinctWordHashes(args(0)) }, "scala_udf")
+    reg.createOrReplaceTempFunction("distinct_gram_hashes",
+      { args => DistinctGramHashes(args(0), intLit(args(1), 3)) },
+      "scala_udf")
+    reg.createOrReplaceTempFunction("shared_count",
+      { args => SharedCount(args(0), args(1)) }, "scala_udf")
   }
 }

@@ -29,6 +29,24 @@ class GraftExtensionsSpec extends AnyFunSuite {
           |       simhash64(array('x', 'y')) AS h""".stripMargin).collect()(0)
       assert(mh.getInt(0) == 16)
       assert(mh.getInt(1) == 64)
+      // the text kernels are SQL-callable too (values pinned vs their
+      // Column faces by KernelEquivalenceSpec; here just resolution)
+      val tk = s2.sql(
+        """SELECT size(winnow_keys('abcdefghijklmno', 8, 4)) AS w,
+          |       size(shingle3_hashes('a b c d')) AS s3,
+          |       size(word_hashes('a  b')) AS wh,
+          |       size(word_window_hashes('a b c', 2)) AS ww,
+          |       size(distinct_word_hashes('a a b')) AS dw,
+          |       size(distinct_gram_hashes('abcab', 3)) AS dg,
+          |       shared_count(array(1L, 2L), array(2L, 3L)) AS sc"""
+          .stripMargin).collect()(0)
+      assert(tk.getInt(0) >= 1)
+      assert(tk.getInt(1) == 2)
+      assert(tk.getInt(2) == 2)
+      assert(tk.getInt(3) == 2)
+      assert(tk.getInt(4) == 2)
+      assert(tk.getInt(5) == 3)
+      assert(tk.getInt(6) == 1)
     } finally {
       SparkSession.setDefaultSession(base)
       SparkSession.setActiveSession(base)
