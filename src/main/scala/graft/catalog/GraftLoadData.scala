@@ -85,6 +85,92 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     ("""(?is)\s*CONVERT\s+TO\s+GRAFT\s+'([^']+)'\s+AS\s+([\w.`]+)""" +
       """\s+KEY\s*\(([^)]+)\)\s*;?\s*""").r
 
+  /** `CREATE MATERIALIZED VIEW <name> AS SELECT <aggs> FROM t GROUP BY
+    * <cols>` — the lakehouse-standard syntax for the partial-aggregate
+    * summary table (`CALL graft.sys.mview`): the SELECT is parsed by
+    * the stock grammar and its UNRESOLVED Aggregate shape translated
+    * into the procedure's (group_by, aggs) spec. Supported exactly
+    * where the mview algebra is exact: plain-column groups and
+    * sum/count/min/max (+ approx_count_distinct → the mergeable HLL
+    * partial) over plain columns; anything else refuses with the
+    * supported shape spelled out. The materialized table is
+    * `<t>_mv_<name>` (stored column names are the procedure's
+    * canonical ones — the transparent rewrite, not the stored names,
+    * is how queries consume the view). `REFRESH MATERIALIZED VIEW
+    * ns.t_mv_<name>` appends the CDC delta's partials
+    * (`CALL graft.sys.mview_refresh`). */
+  private val CreateMviewRe =
+    ("""(?is)\s*CREATE\s+MATERIALIZED\s+VIEW\s+`?(\w+)`?\s+AS\s+""" +
+      """(.+?)\s*;?\s*""").r
+  private val RefreshMviewRe =
+    """(?is)\s*REFRESH\s+MATERIALIZED\s+VIEW\s+([\w.`]+)\s*;?\s*""".r
+
+  private def mviewCall(name: String, select: String): LogicalPlan = {
+    import org.apache.spark.sql.catalyst.analysis.{UnresolvedAlias, UnresolvedAttribute, UnresolvedFunction, UnresolvedRelation, UnresolvedStar}
+    import org.apache.spark.sql.catalyst.expressions.{Alias, Literal => Lit}
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    def refuse(what: String): Nothing =
+      throw new UnsupportedOperationException(
+        s"CREATE MATERIALIZED VIEW supports exactly " +
+          "'SELECT <group cols…, aggs…> FROM <graft table> GROUP BY " +
+          "<plain columns>' with aggs from sum/count/min/max/" +
+          s"approx_count_distinct over plain columns; $what")
+    val parsed = delegate.parsePlan(select)
+    parsed match {
+      case Aggregate(groupExprs, aggExprs, rel: UnresolvedRelation, _) =>
+        val groups = groupExprs.map {
+          case a: UnresolvedAttribute if a.nameParts.length == 1 =>
+            a.nameParts.head
+          case other => refuse(s"group expression '${other.sql}' is not " +
+            "a plain column")
+        }
+        val groupSet = groups.map(_.toLowerCase).toSet
+        def aggOf(e: org.apache.spark.sql.catalyst.expressions.Expression)
+            : Option[String] = e match {
+          case f: UnresolvedFunction if !f.isDistinct &&
+              f.filter.isEmpty && f.nameParts.length == 1 =>
+            (f.nameParts.head.toLowerCase, f.arguments) match {
+              case ("count", Seq(_: UnresolvedStar)) => Some("count:*")
+              case ("count", Seq(Lit(_, _))) => Some("count:*")
+              case ("count", Seq(a: UnresolvedAttribute))
+                  if a.nameParts.length == 1 =>
+                Some(s"count:${a.nameParts.head}")
+              case (fn @ ("sum" | "min" | "max"),
+                  Seq(a: UnresolvedAttribute))
+                  if a.nameParts.length == 1 =>
+                Some(s"$fn:${a.nameParts.head}")
+              case ("approx_count_distinct", Seq(a: UnresolvedAttribute))
+                  if a.nameParts.length == 1 =>
+                Some(s"hll:${a.nameParts.head}")
+              case _ => None
+            }
+          case _ => None
+        }
+        val aggs = aggExprs.flatMap {
+          case a: UnresolvedAttribute if a.nameParts.length == 1 &&
+              groupSet(a.nameParts.head.toLowerCase) => None // group col
+          case UnresolvedAlias(child, _) =>
+            Some(aggOf(child).getOrElse(refuse(
+              s"select expression '${child.sql}' is not a supported " +
+                "aggregate")))
+          case Alias(child, _) =>
+            Some(aggOf(child).getOrElse(refuse(
+              s"select expression '${child.sql}' is not a supported " +
+                "aggregate")))
+          case other => refuse(s"select expression '${other.sql}' is " +
+            "neither a group column nor a supported aggregate")
+        }
+        if (aggs.isEmpty) refuse("the select list names no aggregates")
+        val (cat, t) = graftNsTable(rel.multipartIdentifier.mkString("."),
+          "CREATE MATERIALIZED VIEW")
+        GraftCallCommand(cat,
+          s"CALL `$cat`.sys.mview(table => '$t', name => '$name', " +
+            s"group_by => '${groups.mkString(";")}', " +
+            s"aggs => '${aggs.mkString(";")}')")
+      case _ => refuse("the query is not a single GROUP BY over one table")
+    }
+  }
+
   /** `ANALYZE TABLE t COMPUTE STATISTICS` — the stock statement
     * (v1-only in Spark's analyzer: V2 tables throw
     * NOT_SUPPORTED_COMMAND_FOR_V2_TABLE) lowered onto
@@ -169,6 +255,16 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     case AnalyzeRe(ident) if graftTarget(parts(ident)).isDefined =>
       val (cat, t) = graftNsTable(ident, "ANALYZE TABLE")
       GraftCallCommand(cat, s"CALL `$cat`.sys.analyze(table => '$t')")
+    case CreateMviewRe(name, select) => mviewCall(name, select)
+    case RefreshMviewRe(ident) if graftTarget(parts(ident)).isDefined =>
+      val (cat, t) = graftNsTable(ident, "REFRESH MATERIALIZED VIEW")
+      val i = t.lastIndexOf("_mv_")
+      if (i < 0) throw new UnsupportedOperationException(
+        s"REFRESH MATERIALIZED VIEW expects the materialized table " +
+          s"name <base>_mv_<name>; got '$t'")
+      GraftCallCommand(cat,
+        s"CALL `$cat`.sys.mview_refresh(table => '${t.substring(0, i)}', " +
+          s"name => '${t.substring(i + 4)}')")
     case _ => parseDelegated(sqlText)
   }
 

@@ -83,4 +83,52 @@ class StatementFacesSpec extends AnyFunSuite {
     // default session catalog is not one
     assert(e != null)
   }
+
+  test("CREATE MATERIALIZED VIEW ... AS SELECT builds the partial " +
+      "table; the rewrite answers from it; REFRESH appends the delta") {
+    val fqn = mk("mvsql")
+    spark.sql(s"INSERT INTO $fqn SELECT id, id % 7 FROM range(100)")
+    spark.sql("CREATE MATERIALIZED VIEW by_v AS " +
+      s"SELECT v, count(*), sum(k), approx_count_distinct(k) FROM $fqn " +
+      "GROUP BY v")
+    assert(spark.table(s"${fqn}_mv_by_v").count() > 0,
+      "materialized table exists")
+    val direct = spark.sql(
+      s"SELECT v, sum(k) AS s FROM $fqn GROUP BY v")
+    assert(direct.queryExecution.optimizedPlan.toString
+      .contains("_mv_by_v"), "transparent rewrite reads the mview:\n" +
+      direct.queryExecution.optimizedPlan)
+    val before = direct.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toMap
+    spark.sql(s"INSERT INTO $fqn SELECT id, id % 7 FROM range(100, 150)")
+    spark.sql(s"REFRESH MATERIALIZED VIEW ${fqn}_mv_by_v")
+    val after = spark.sql(
+      s"SELECT v, sum(k) AS s FROM $fqn GROUP BY v")
+    assert(after.queryExecution.optimizedPlan.toString
+      .contains("_mv_by_v"), "rewrite still fresh after REFRESH")
+    val got = after.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got.values.sum == (0L until 150L).sum)
+    assert(got.keySet == before.keySet)
+  }
+
+  test("CREATE MATERIALIZED VIEW refuses unsupported shapes with the " +
+      "supported one spelled out") {
+    val fqn = mk("mvbad")
+    spark.sql(s"INSERT INTO $fqn SELECT id, id FROM range(5)")
+    val e1 = intercept[Exception] {
+      spark.sql("CREATE MATERIALIZED VIEW x AS " +
+        s"SELECT v % 2, count(*) FROM $fqn GROUP BY v % 2") }
+    assert(e1.getMessage.contains("plain column"), e1.getMessage)
+    val e2 = intercept[Exception] {
+      spark.sql("CREATE MATERIALIZED VIEW x AS " +
+        s"SELECT v, avg(k) FROM $fqn GROUP BY v") }
+    assert(e2.getMessage.contains("supported aggregate"), e2.getMessage)
+    val e3 = intercept[Exception] {
+      spark.sql("CREATE MATERIALIZED VIEW x AS " +
+        s"SELECT v, count(*) FROM $fqn JOIN $fqn USING (k) GROUP BY v") }
+    assert(e3.getMessage.contains("single GROUP BY"), e3.getMessage)
+    val e4 = intercept[Exception] {
+      spark.sql(s"REFRESH MATERIALIZED VIEW $fqn") }
+    assert(e4.getMessage.contains("_mv_"), e4.getMessage)
+  }
 }
