@@ -16,6 +16,12 @@ Usage::
     spark.sql("INSERT INTO graft.db.t VALUES (1, 'a')")
     spark.sql("SELECT * FROM graft.db.t WHERE k = 1").show()
     spark.sql("SELECT vec_cosine(array(1.0,0.0), array(1.0,0.0))").show()
+    # the full native function family is SQL-exposed: vec_cosine,
+    # vec_dot, minhash_sig, simhash64, lsh_bucket, winnow_keys,
+    # shingle3_hashes, word_hashes, word_window_hashes,
+    # distinct_word_hashes, distinct_gram_hashes, shared_count
+    spark.sql("SELECT size(winnow_keys('some document text here', 8, 4))"
+              ).show()
 
 Interactive shell (parity with the reference's shell.py)::
 
