@@ -210,6 +210,35 @@ class GraftCheckSpec extends AnyFunSuite {
     assert(spark.table(fqn).count() == 1)
   }
 
+  test("bulk load (CALL load_csv) enforces CHECK and fills DEFAULT + " +
+      "GENERATED columns: the writer backstop covers the non-analyzer " +
+      "path") {
+    ns()
+    spark.sql("DROP TABLE IF EXISTS graft.ck.bulk")
+    spark.sql("CREATE TABLE graft.ck.bulk (k BIGINT, qty BIGINT, " +
+      "g BIGINT GENERATED ALWAYS AS (k % 10), " +
+      "CONSTRAINT qp CHECK (qty > 0)) TBLPROPERTIES('keyCols'='k')")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ck_csv")
+    // short lines: qty and g backfill NULL (permissive mode); g then
+    // fills from the expression in the write task; NULL qty passes
+    java.nio.file.Files.write(dir.resolve("ok.csv"),
+      "17,5\n23\n".getBytes)
+    spark.sql("CALL graft.sys.load_csv(table => 'ck.bulk', " +
+      s"path => '${dir.resolve("ok.csv")}')")
+    val got = spark.table("graft.ck.bulk").orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    assert(got.toSeq == Seq((17L, 7L), (23L, 3L)),
+      "generated column filled on the bulk-load path")
+    java.nio.file.Files.write(dir.resolve("bad.csv"),
+      "31,5\n37,-2\n".getBytes)
+    val e = intercept[Exception] {
+      spark.sql("CALL graft.sys.load_csv(table => 'ck.bulk', " +
+        s"path => '${dir.resolve("bad.csv")}')") }
+    assert(exists(e, _.contains("qp")), s"got: ${e.getMessage}")
+    assert(spark.table("graft.ck.bulk").count() == 2,
+      "the violating load committed nothing")
+  }
+
   private def exists(e: Throwable, p: String => Boolean): Boolean = {
     var t: Throwable = e
     while (t != null) {
