@@ -384,10 +384,27 @@ object GraftProcedures {
               .filter(f => f.isFile && f.getName.endsWith(".tmp") &&
                 f.lastModified() < cutoff)
             tmps.foreach(_.delete())
+            // compact the identity reservation ladder: only the MAX
+            // r-<k> matters (reserve() takes max+1), so older markers
+            // are pure litter. Deleting strictly-below-max files can
+            // never lower the max a concurrent reserve() sees, so the
+            // counter stays monotone under races.
+            val idseq = new java.io.File(gt.tableDir, "_graft_idseq")
+            val idLitter = Option(idseq.listFiles())
+              .getOrElse(Array.empty[java.io.File])
+              .flatMap(f => f.getName.stripPrefix("r-").toLongOption
+                .map(k => (k, f)))
+            val idDropped =
+              if (idLitter.length > 1) {
+                val maxK = idLitter.map(_._1).max
+                val drop = idLitter.filter(_._1 < maxK)
+                drop.foreach(_._2.delete())
+                drop.length
+              } else 0
             if (state.retired.nonEmpty)
               TableMeta.writeDelta(gt.tableDir, viewSeq,
                 retiredAdd = keptRet, clearRetired = true, op = "vacuum")
-            dropRet.size + tmps.length
+            dropRet.size + tmps.length + idDropped
           }
           Collections.singletonList(LocalRowsScan(Array("removed_files"),
             Seq(Seq(removed.toString))): Scan).iterator()
