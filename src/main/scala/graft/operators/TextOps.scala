@@ -158,6 +158,48 @@ object TextOps {
   val dedupWinnow: Q = (s, d) =>
     winnowPairs(docs(s, d).filter(col("doc_id") < 1000L))
 
+  /** The MOSS REPORT half: for each detected pair, the maximal matched
+    * SPANS — shared fingerprints land on a common diagonal
+    * (posA − posB is constant across one contiguous match, the
+    * winnowing locality property), so spans are gap-bounded runs along
+    * each diagonal (winnowing guarantees a selection at least every W
+    * positions inside a real match, so a gap > W+K ends the run;
+    * boundary selections may split a span — deterministic on both
+    * sides, so the oracle recomputes it exactly). Output per pair:
+    * span count and matched-character mass (span extents + the k-gram
+    * tail). The candidate pairs come from [[winnowPairs]]; position
+    * attachment is two joins against the fingerprint table bounded to
+    * those pairs — never an all-pairs position join. */
+  def winnowSpans(docsDf: DataFrame, minShared: Int = 5,
+      maxDf: Int = 20, K: Int = 8, W: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fps = winnowFingerprints(docsDf, K, W)
+    val pairs = winnowPairs(docsDf, minShared, maxDf)
+      .select(col("da"), col("db"))
+    val matched = pairs
+      .join(fps.select(col("doc_id").as("da"), col("fp"),
+        col("pos").as("pa")), Seq("da"))
+      .join(fps.select(col("doc_id").as("db"), col("fp"),
+        col("pos").as("pb")), Seq("db", "fp"))
+      .withColumn("diag", col("pa") - col("pb"))
+    val spans = matched
+      .withColumn("gap",
+        when(col("pa") - lag(col("pa"), 1).over(
+          Window.partitionBy(col("da"), col("db"), col("diag"))
+            .orderBy(col("pa"))) > (W + K), 1).otherwise(0))
+      .withColumn("span_id", sum(col("gap")).over(
+        Window.partitionBy(col("da"), col("db"), col("diag"))
+          .orderBy(col("pa"))))
+      .groupBy(col("da"), col("db"), col("diag"), col("span_id"))
+      .agg(min(col("pa")).as("s"), max(col("pa")).as("e"))
+    spans.groupBy(col("da"), col("db"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("e") - col("s") + K).as("matched_chars"))
+  }
+
+  val dedupWinnowSpans: Q = (s, d) =>
+    winnowSpans(docs(s, d).filter(col("doc_id") < 1000L))
+
   // ----------------------------------------------------------- token counts
 
   /** GPT-2-style pre-tokenizer pattern (contractions, letter runs,
@@ -1482,6 +1524,7 @@ object TextOps {
     "text_fingerprint" -> fingerprint,
     "text_winnow" -> winnow,
     "dedup_winnow" -> dedupWinnow,
+    "dedup_winnow_spans" -> dedupWinnowSpans,
     "text_token_count" -> tokenCount,
     "text_quality" -> textQuality,
     "text_langid" -> langId,
@@ -1717,6 +1760,62 @@ object TextOps {
         |       CAST((k // 1048576 + 1) * 1048576 - k AS BIGINT) AS pos,
         |       CAST(k // 1048576 + 1 AS BIGINT) AS fp
         |FROM m WHERE i <= n - 3""".stripMargin,
+
+    // MOSS span report: diagonal run-merge over the shared selected
+    // fingerprints of each detected pair (gap > W+K = 12 ends a run)
+    "dedup_winnow_spans" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS norm
+        |  FROM documents WHERE doc_id < 1000),
+        |g AS (
+        |  SELECT doc_id, i,
+        |         ('0x' || substr(md5(substr(norm, i::INT, 8)), 1, 10))
+        |           ::BIGINT * 1048576 - i AS key,
+        |         length(norm) - 7 AS n
+        |  FROM d, LATERAL (SELECT unnest(range(1, length(norm) - 6)) AS i) t
+        |  WHERE length(norm) >= 11),
+        |m AS (
+        |  SELECT doc_id, i, n,
+        |         min(key) OVER (PARTITION BY doc_id ORDER BY i
+        |           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS k
+        |  FROM g),
+        |fpp AS (
+        |  SELECT DISTINCT doc_id,
+        |         CAST((k // 1048576 + 1) * 1048576 - k AS BIGINT) AS pos,
+        |         CAST(k // 1048576 + 1 AS BIGINT) AS fp
+        |  FROM m WHERE i <= n - 3),
+        |fp AS (SELECT DISTINCT doc_id, fp FROM fpp),
+        |rare AS (SELECT fp FROM fp GROUP BY fp HAVING count(*) <= 20),
+        |pairs AS (
+        |  SELECT a.doc_id AS da, b.doc_id AS db
+        |  FROM fp a JOIN rare USING (fp) JOIN fp b USING (fp)
+        |  WHERE a.doc_id < b.doc_id
+        |  GROUP BY 1, 2 HAVING count(*) >= 5),
+        |matched AS (
+        |  SELECT p.da, p.db, fa.pos AS pa, fb.pos AS pb,
+        |         fa.pos - fb.pos AS diag
+        |  FROM pairs p
+        |  JOIN fpp fa ON fa.doc_id = p.da
+        |  JOIN fpp fb ON fb.doc_id = p.db AND fb.fp = fa.fp),
+        |runs AS (
+        |  SELECT da, db, diag, pa,
+        |         CASE WHEN pa - lag(pa) OVER (
+        |             PARTITION BY da, db, diag ORDER BY pa) > 12
+        |           THEN 1 ELSE 0 END AS gap
+        |  FROM matched),
+        |spans AS (
+        |  SELECT da, db, diag,
+        |         sum(gap) OVER (PARTITION BY da, db, diag
+        |           ORDER BY pa ROWS UNBOUNDED PRECEDING) AS span_id,
+        |         pa
+        |  FROM runs)
+        |SELECT da, db, count(*) AS n_spans,
+        |       CAST(sum(e - s + 8) AS BIGINT) AS matched_chars
+        |FROM (
+        |  SELECT da, db, diag, span_id, min(pa) AS s, max(pa) AS e
+        |  FROM spans GROUP BY 1, 2, 3, 4)
+        |GROUP BY da, db""".stripMargin,
 
     // MOSS match detection: same winnow CTE, positions discarded,
     // stop-fingerprints (df > 50) removed before the pair join

@@ -66,6 +66,35 @@ class WinnowSpec extends AnyFunSuite {
       s"density $density vs expected $expected")
   }
 
+  test("span report: one injected shared region yields one span whose " +
+      "matched mass tracks the region length; disjoint regions yield " +
+      "two spans") {
+    import spark.implicits._
+    val shared = "thequickbrownfoxjumpsoverthelazydog" // 35 chars
+    val one = Seq(
+      (1L, filler(21, 60) + shared + filler(22, 60)),
+      (2L, filler(23, 40) + shared + filler(24, 80)))
+      .toDF("doc_id", "text")
+    val r1 = TextOps.winnowSpans(one, minShared = 2, maxDf = 10)
+      .collect()
+    assert(r1.length == 1, s"one pair: ${r1.mkString}")
+    val (n1, m1) = (r1.head.getLong(2), r1.head.getLong(3))
+    assert(n1 >= 1 && n1 <= 2, s"~one span (boundary split allowed): $n1")
+    assert(m1 >= 20 && m1 <= 50,
+      s"matched mass ~ the 35-char region, got $m1")
+    val sharedB = "packmyboxwithfivedozenliquorjugsnow"
+    val two = Seq(
+      (1L, filler(31, 50) + shared + filler(32, 50) + sharedB + filler(33, 40)),
+      (2L, filler(34, 70) + shared + filler(35, 90) + sharedB + filler(36, 30)))
+      .toDF("doc_id", "text")
+    val r2 = TextOps.winnowSpans(two, minShared = 2, maxDf = 10)
+      .collect()
+    assert(r2.length == 1)
+    val (n2, m2) = (r2.head.getLong(2), r2.head.getLong(3))
+    assert(n2 >= 2, s"two disjoint regions -> >= 2 spans, got $n2")
+    assert(m2 > m1, "two regions carry more matched mass than one")
+  }
+
   test("ties select the rightmost minimum (robust winnowing): a " +
       "repeated gram run yields one fingerprint per window span, not " +
       "one per repeat") {
