@@ -113,6 +113,27 @@ class KernelEquivalenceSpec extends AnyFunSuite {
     assert(bad.isEmpty, s"winnow_keys diverges on: ${bad.mkString(" | ")}")
   }
 
+  test("winnow_keys matches the SQL chain across a (k, w) parameter " +
+      "sweep, not just the default geometry") {
+    for (k <- Seq(4, 8, 12); w <- Seq(2, 4, 7)) {
+      val m = 1048576L
+      val bad = corpus()
+        .select(regexp_replace(lower(col("text")), "[^a-z0-9]", "").as("n"))
+        .filter(length(col("n")) >= k + w - 1)
+        .select(col("n"),
+          VectorOps.winnowKeys(col("n"), k, w).as("kk"),
+          expr(s"""array_distinct(transform(
+            |  sequence(1, length(n) - ${k + w - 2}),
+            |  s -> array_min(transform(sequence(s, s + ${w - 1}),
+            |    i -> cast(conv(substr(md5(substring(n, i, $k)), 1, 10),
+            |              16, 10) AS BIGINT) * $m - i))))""".stripMargin)
+            .as("s"))
+        .filter(not(col("kk") <=> col("s")))
+        .limit(1).collect()
+      assert(bad.isEmpty, s"k=$k w=$w diverges on: ${bad.mkString}")
+    }
+  }
+
   test("shared_count == size(array_intersect) on long sets") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
