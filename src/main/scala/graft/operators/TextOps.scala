@@ -222,6 +222,20 @@ object TextOps {
   val dedupWinnowSpans: Q = (s, d) =>
     winnowSpansFromFps(winnowFpsShared(s, d))
 
+  /** Near-dup clusters over the WINNOW pair graph — the same
+    * connected-components fold the MinHash path uses
+    * ([[connectedComponents]]), composing the second dedup modality
+    * into group-level accounting (the form a dedup pipeline acts on:
+    * keep one representative per cluster). */
+  val dedupWinnowClusters: Q = (s, d) => {
+    val labels = connectedComponents(
+      winnowPairsFromFps(winnowFpsShared(s, d)))
+    labels.groupBy(col("label").as("cluster_id"))
+      .agg(count(lit(1)).as("n_docs"), max(col("doc")).as("max_doc"))
+      .filter(col("n_docs") >= 2)
+      .select(col("cluster_id"), col("n_docs"), col("max_doc"))
+  }
+
   // ----------------------------------------------------------- token counts
 
   /** GPT-2-style pre-tokenizer pattern (contractions, letter runs,
@@ -1547,6 +1561,7 @@ object TextOps {
     "text_winnow" -> winnow,
     "dedup_winnow" -> dedupWinnow,
     "dedup_winnow_spans" -> dedupWinnowSpans,
+    "dedup_winnow_clusters" -> dedupWinnowClusters,
     "text_token_count" -> tokenCount,
     "text_quality" -> textQuality,
     "text_langid" -> langId,
@@ -1782,6 +1797,44 @@ object TextOps {
         |       CAST((k // 1048576 + 1) * 1048576 - k AS BIGINT) AS pos,
         |       CAST(k // 1048576 + 1 AS BIGINT) AS fp
         |FROM m WHERE i <= n - 3""".stripMargin,
+
+    // winnow-pair connected components: same closure as dedup_clusters
+    // over the winnow pair graph
+    "dedup_winnow_clusters" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id,
+        |         regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS norm
+        |  FROM documents WHERE doc_id < 1000),
+        |g AS (
+        |  SELECT doc_id, i,
+        |         ('0x' || substr(md5(substr(norm, i::INT, 8)), 1, 10))
+        |           ::BIGINT * 1048576 - i AS key,
+        |         length(norm) - 7 AS n
+        |  FROM d, LATERAL (SELECT unnest(range(1, length(norm) - 6)) AS i) t
+        |  WHERE length(norm) >= 11),
+        |m AS (
+        |  SELECT doc_id, i, n,
+        |         min(key) OVER (PARTITION BY doc_id ORDER BY i
+        |           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS k
+        |  FROM g),
+        |fp AS (
+        |  SELECT DISTINCT doc_id, CAST(k // 1048576 + 1 AS BIGINT) AS fp
+        |  FROM m WHERE i <= n - 3),
+        |rare AS (SELECT fp FROM fp GROUP BY fp HAVING count(*) <= 20),
+        |p AS (
+        |  SELECT a.doc_id AS da, b.doc_id AS db
+        |  FROM fp a JOIN rare USING (fp) JOIN fp b USING (fp)
+        |  WHERE a.doc_id < b.doc_id
+        |  GROUP BY 1, 2 HAVING count(*) >= 5),
+        |sym AS (SELECT da AS s, db AS t FROM p
+        |        UNION SELECT db, da FROM p),
+        |reach(s, t) AS (SELECT s, t FROM sym
+        |                UNION
+        |                SELECT r.s, y.t FROM reach r JOIN sym y ON r.t = y.s),
+        |lab AS (SELECT s AS doc, least(min(t), s) AS label
+        |        FROM reach GROUP BY s)
+        |SELECT label AS cluster_id, count(*) AS n_docs, max(doc) AS max_doc
+        |FROM lab GROUP BY label HAVING count(*) >= 2""".stripMargin,
 
     // MOSS span report: diagonal run-merge over the shared selected
     // fingerprints of each detected pair (gap > W+K = 12 ends a run)
