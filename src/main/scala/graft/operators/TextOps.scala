@@ -693,6 +693,68 @@ object TextOps {
       .limit(20)
   }
 
+  /** Corpus heavy hitters by sketch-then-verify: a bounded-memory
+    * Misra-Gries pass ([[graft.functions.MisraGries]], k=64 counters)
+    * nominates candidate tokens — guaranteed to include every token
+    * with frequency > N/65 — then ONE exact count restricted to the
+    * ≤ 64 candidates keeps exactly those above N/64. The
+    * boilerplate-token detector of a corpus pipeline: at 100 TB the
+    * full-vocabulary groupBy ([[vocabTop]]) shuffles billions of
+    * distinct tokens; this shape shuffles 64 counters in the sketch
+    * pass plus a candidate-filtered (map-side-prunable) count — and
+    * because the verify is exact, the whole query has an exact DuckDB
+    * oracle, which in turn *proves the sketch's superset guarantee* on
+    * every driver run: a dropped heavy hitter would hash-mismatch. */
+  val heavyHitters: Q = (s, d) => {
+    import s.implicits._
+    val ws = docs(s, d)
+      .select(expr("filter(split(text, ' '), w -> w <> '')").as("ws"))
+    val cands: Seq[String] =
+      ws.as[Seq[String]].select(new graft.functions.MisraGries(64).toColumn)
+        .head()
+    val tok = ws.select(explode(col("ws")).as("w"))
+    val total = tok.agg(count(lit(1)).as("n_tokens"))
+    val candTok =
+      if (cands.isEmpty) tok.filter(lit(false)) else tok.filter(col("w").isin(cands: _*))
+    candTok
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(total))
+      .filter(col("cnt") * 64 > col("n_tokens"))
+      .select(col("w"), col("cnt"), col("n_tokens"))
+      .orderBy(col("cnt").desc, col("w").asc)
+  }
+
+  /** Per-document TF-IDF keyword extraction: top-3 terms per document
+    * by tf·ln((N+1)/(df+1)) — the relevance-weighting step behind
+    * corpus search, topic labeling, and quality-classifier features.
+    * Distributed shape: token explode → (doc, term) hash agg (tf) →
+    * term-keyed agg (df, vocabulary-sized) joined back on the term key
+    * → per-doc top-k window. The df side is vocabulary-sized
+    * (corpus-independent at scale) and the join key is the term, so
+    * both shuffles move counts, never text bodies. Scores rounded to
+    * 4dp; ties broken by term so the top-3 is deterministic. Exact
+    * DuckDB oracle. */
+  val tfidf: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val tok = docs(s, d)
+      .select(col("doc_id"), explode(wordsCol).as("w"))
+      .filter(col("w") =!= "")
+    val tf = tok.groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val n = docs(s, d).agg(countDistinct(col("doc_id")).as("n_docs"))
+    val rk = Window.partitionBy(col("doc_id"))
+      .orderBy((col("tf") * log((col("n_docs") + 1.0) / (col("df") + 1.0))).desc,
+        col("w").asc)
+    tf.join(dfreq, "w")
+      .crossJoin(broadcast(n))
+      .withColumn("rk", row_number().over(rk))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("rk"), col("w"),
+        round(col("tf") * log((col("n_docs") + 1.0) / (col("df") + 1.0)), 4)
+          .as("score"))
+  }
+
   /** Domain-mixture weighting: per-source token share and the
     * resampling weight that flattens the mixture to uniform — the
     * calculation a corpus build runs to set per-domain sampling rates
@@ -1589,6 +1651,8 @@ object TextOps {
     "dedup_decontaminate" -> decontaminate,
     "text_vocab" -> vocabTop,
     "text_bpe" -> bpePairs,
+    "text_heavy_hitters" -> heavyHitters,
+    "text_tfidf" -> tfidf,
     "text_perplexity" -> textPerplexity,
     "pipeline_ppl_buckets" -> pplBuckets,
     "pipeline_mix" -> domainMix,
@@ -2162,6 +2226,40 @@ object TextOps {
         |      FROM documents)
         |WHERE w <> ''
         |GROUP BY w ORDER BY cnt DESC, w ASC LIMIT 100""".stripMargin,
+
+    // exact recompute of the sketch-then-verify answer: every token
+    // above 1/64 of total token mass. A Misra-Gries candidate drop
+    // would surface here as a missing row (hash mismatch) — the oracle
+    // checks the sketch's superset guarantee, not just the arithmetic.
+    "text_heavy_hitters" ->
+      """WITH w AS (SELECT unnest(list_filter(string_split(text, ' '),
+        |                                     x -> x <> '')) AS w
+        |           FROM documents),
+        |     t AS (SELECT count(*) AS n_tokens FROM w)
+        |SELECT w.w AS w, count(*) AS cnt, t.n_tokens AS n_tokens
+        |FROM w, t GROUP BY w.w, t.n_tokens
+        |HAVING count(*) * 64 > t.n_tokens
+        |ORDER BY cnt DESC, w ASC""".stripMargin,
+
+    // same tf * ln((N+1)/(df+1)) in both engines; rank on the raw
+    // double (ties broken by term), score rounded to 4dp for the hash
+    "text_tfidf" ->
+      """WITH tok AS (SELECT doc_id,
+        |                    unnest(list_filter(string_split(text, ' '),
+        |                                       x -> x <> '')) AS w
+        |             FROM documents),
+        |     tf AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |     df AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
+        |     n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents)
+        |SELECT doc_id, CAST(rk AS INTEGER) AS rk, w,
+        |       round(tf * ln((n_docs + 1.0) / (df + 1.0)), 4) AS score
+        |FROM (SELECT tf.doc_id, tf.w, tf.tf, df.df, n.n_docs,
+        |             row_number() OVER (
+        |               PARTITION BY tf.doc_id
+        |               ORDER BY tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)) DESC,
+        |                        tf.w ASC) AS rk
+        |      FROM tf JOIN df USING (w), n)
+        |WHERE rk <= 3""".stripMargin,
 
     // same bigram model recompute: integer counts, identical
     // (c2+1)/(c1+V) double division, ln-sum rounded to 4 decimals —
