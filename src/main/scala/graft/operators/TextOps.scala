@@ -554,6 +554,28 @@ object TextOps {
         sum(col("n_chars")).as("n_chars"),
         min(col("doc_id")).as("first_doc"))
 
+  /** Fixed-count-per-stratum deterministic sample: the k=25 docs with
+    * the smallest multiplicative doc_id hash per language — the
+    * "exactly k examples per stratum" draw (eval-set construction,
+    * per-domain inspection samples) as distinct from [[stratSample]]'s
+    * fixed-rate quota. Shape at scale: a k-bounded typed Aggregator
+    * ([[graft.functions.BoundedMinK]]) under groupBy gets map-side
+    * partial aggregation, so each task forwards ≤ k pairs per stratum
+    * and nothing is globally sorted — where the equivalent window
+    * row_number() (the oracle's formulation) shuffles and sorts every
+    * corpus row to keep 25. Same total order (hash, then doc_id) both
+    * ways → exact DuckDB oracle. */
+  val reservoirSample: Q = (s, d) => {
+    val kSmall = udaf(new graft.functions.BoundedMinK(25))
+    docs(s, d)
+      .withColumn("h", pmod(col("doc_id") * lit(2654435761L), lit(1000000007L)))
+      .groupBy(col("lang"))
+      .agg(kSmall(col("h"), col("doc_id")).as("picks"))
+      .select(col("lang"), posexplode(col("picks")))
+      .select(col("lang"), (col("pos") + 1).cast("int").as("rk"),
+        col("col._2").as("doc_id"))
+  }
+
   // ------------------------------------------------- line-level dedup
 
   /** C4-style line (sentence) deduplication ACROSS documents: any
@@ -1653,6 +1675,7 @@ object TextOps {
     "text_bpe" -> bpePairs,
     "text_heavy_hitters" -> heavyHitters,
     "text_tfidf" -> tfidf,
+    "pipeline_reservoir" -> reservoirSample,
     "text_perplexity" -> textPerplexity,
     "pipeline_ppl_buckets" -> pplBuckets,
     "pipeline_mix" -> domainMix,
@@ -2240,6 +2263,18 @@ object TextOps {
         |FROM w, t GROUP BY w.w, t.n_tokens
         |HAVING count(*) * 64 > t.n_tokens
         |ORDER BY cnt DESC, w ASC""".stripMargin,
+
+    // the window-sort recompute of the k-bounded aggregator's answer:
+    // identical total order (hash, then doc_id) on both sides
+    "pipeline_reservoir" ->
+      """SELECT lang, CAST(rk AS INTEGER) AS rk, doc_id
+        |FROM (SELECT lang, doc_id,
+        |             row_number() OVER (
+        |               PARTITION BY lang
+        |               ORDER BY (doc_id * 2654435761) % 1000000007 ASC,
+        |                        doc_id ASC) AS rk
+        |      FROM documents)
+        |WHERE rk <= 25""".stripMargin,
 
     // same tf * ln((N+1)/(df+1)) in both engines; rank on the raw
     // double (ties broken by term), score rounded to 4dp for the hash

@@ -65,4 +65,36 @@ class HeavyHittersSpec extends AnyFunSuite {
     val b = brute.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     assert(a.toSeq == b.toSeq, s"face=${a.toSeq} brute=${b.toSeq}")
   }
+
+  test("BoundedMinK equals the window row_number sample at every partitioning") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet")
+      .withColumn("h", pmod(col("doc_id") * lit(2654435761L), lit(1000000007L)))
+    val expect = docs
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("lang")).orderBy(col("h").asc, col("doc_id").asc)))
+      .filter(col("rk") <= 25)
+      .select(col("lang"), col("rk"), col("doc_id"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).sorted
+    for (parts <- Seq(1, 5)) {
+      val kSmall = udaf(new BoundedMinK(25))
+      val got = docs.repartition(parts)
+        .groupBy(col("lang"))
+        .agg(kSmall(col("h"), col("doc_id")).as("picks"))
+        .select(col("lang"), posexplode(col("picks")))
+        .select(col("lang"), (col("pos") + 1).cast("int").as("rk"),
+          col("col._2").as("doc_id"))
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).sorted
+      assert(got.toSeq == expect.toSeq, s"mismatch at parts=$parts")
+    }
+  }
+
+  test("BoundedMinK buffer never exceeds k") {
+    val agg = new BoundedMinK(4)
+    var b = agg.zero
+    (100L to 1L by -1L).foreach { i => b = agg.reduce(b, (i, i)); assert(b.length <= 4) }
+    assert(b.map(_._1) == Seq(1L, 2L, 3L, 4L))
+    val m = agg.merge(b, agg.reduce(agg.zero, (0L, 0L)))
+    assert(m.map(_._1) == Seq(0L, 1L, 2L, 3L))
+  }
 }
