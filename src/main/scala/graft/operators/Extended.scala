@@ -348,6 +348,41 @@ object Extended {
         col("user_id"), col("n_events"), col("sum_value"))
   }
 
+  // ------------------------------------------------------- resample / gap-fill
+
+  /** Time-series resampling with forward-fill: per user, an hourly
+    * grid from first to last observation, each hour carrying the
+    * event count and the LAST observed value so far (gap hours
+    * inherit the previous reading) — the feature-engineering resample
+    * every metrics/training pipeline runs before windowed models.
+    * Shape at scale: per-(user, hour) partial+final agg (one
+    * shuffle), a per-user span agg whose `sequence()` explode
+    * generates the grid MAP-SIDE (grid rows never cross the wire
+    * unjoined), one co-partitioned left join, and a per-user ordered
+    * window for the fill — the grid is O(users · span), independent
+    * of event count, and the fill never sorts across users. Bounded
+    * to user_id < 10 to keep the graded output small; the pipeline is
+    * user-count-agnostic. Exact DuckDB oracle (generate_series +
+    * last_value IGNORE NULLS). */
+  val eventsResample: Q = (s, d) => {
+    val ev = Relational.events(s, d).filter(col("user_id") < 10)
+    val obs = ev
+      .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("h"))
+      .agg(max_by(col("value"), col("event_id")).as("last_v"),
+        count(lit(1)).as("n_events"))
+    val grid = obs
+      .groupBy(col("user_id"))
+      .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+      .select(col("user_id"),
+        explode(expr("sequence(h0, h1, interval 1 hour)")).as("h"))
+    val wFill = Window.partitionBy(col("user_id")).orderBy(col("h"))
+    grid.join(obs, Seq("user_id", "h"), "left")
+      .select(col("user_id"),
+        date_format(col("h"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        last(col("last_v"), ignoreNulls = true).over(wFill).as("filled_v"))
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, Q] = Map(
@@ -375,9 +410,31 @@ object Extended {
     "join_asof" -> joinAsof,
     "join_range" -> joinRange,
     "events_session" -> eventsSession,
+    "events_resample" -> eventsResample,
   )
 
   val oracles: Map[String, String] = Map(
+    // same hourly grid + arg_max-by-event_id last reading + IGNORE
+    // NULLS forward fill; filled_v copies stored doubles (no
+    // arithmetic), so the compare is exact without rounding
+    "events_resample" ->
+      """WITH e AS (SELECT * FROM events WHERE user_id < 10),
+        |obs AS (SELECT user_id, date_trunc('hour', ts) AS h,
+        |               arg_max(value, event_id) AS last_v,
+        |               count(*) AS n_events
+        |        FROM e GROUP BY 1, 2),
+        |span AS (SELECT user_id, min(h) AS h0, max(h) AS h1
+        |         FROM obs GROUP BY 1),
+        |grid AS (SELECT user_id,
+        |                unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+        |         FROM span)
+        |SELECT g.user_id AS user_id,
+        |       strftime(g.h, '%Y-%m-%d %H:%M:%S') AS hour,
+        |       coalesce(o.n_events, 0) AS n_events,
+        |       last_value(o.last_v IGNORE NULLS) OVER (
+        |         PARTITION BY g.user_id ORDER BY g.h) AS filled_v
+        |FROM grid g LEFT JOIN obs o
+        |  ON o.user_id = g.user_id AND o.h = g.h""".stripMargin,
     "subquery_scalar" ->
       """SELECT o_orderstatus, count(*) AS cnt FROM orders
         |WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
