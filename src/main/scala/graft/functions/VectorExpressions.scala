@@ -174,6 +174,49 @@ object VectorKernels {
     new GenericArrayData(out)
   }
 
+  /** Per-document term frequencies in one pass — the struct-array
+    * image of `explode(split(text,' ')) … GROUP BY doc, word` computed
+    * map-side, so the (doc, word) aggregation exchange disappears from
+    * tf-idf-shaped pipelines and only DISTINCT words per document are
+    * ever exploded (tokens stay in the kernel). Empty words (leading /
+    * trailing / doubled spaces) are skipped, matching the SQL chains'
+    * `w <> ''` filter. Keys are defensive copies: the scan's UTF8String
+    * buffer is reused across rows, so returned structs must not alias
+    * it. */
+  def wordTfPairs(text: org.apache.spark.unsafe.types.UTF8String)
+      : ArrayData = {
+    import org.apache.spark.unsafe.types.UTF8String
+    val base = text.getBaseObject
+    val off = text.getBaseOffset
+    val len = text.numBytes()
+    val counts = new java.util.LinkedHashMap[UTF8String, Array[Int]]()
+    var start = 0
+    var p = 0
+    while (p <= len) {
+      if (p == len ||
+          org.apache.spark.unsafe.Platform.getByte(base, off + p) == 0x20) {
+        if (p > start) {
+          val w = UTF8String.fromAddress(base, off + start, p - start)
+          val c = counts.get(w)
+          if (c != null) c(0) += 1
+          else counts.put(w.copy(), Array(1))
+        }
+        start = p + 1
+      }
+      p += 1
+    }
+    val out = new Array[Any](counts.size())
+    val it = counts.entrySet().iterator()
+    var i = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(i) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](e.getKey, e.getValue()(0)))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Distinct character-k-gram hashes — the hash image of
     * `array_distinct(transform(sequence(1, greatest(len-k+1, 1)),
     * i -> substring(text, i, k)))` including the short-text fallback
@@ -814,6 +857,32 @@ case class DistinctWordHashes(child: Expression)
       : DistinctWordHashes = copy(child = newChild)
 }
 
+/** word_tf_pairs(text) → ARRAY<STRUCT<w STRING, tf INT>>; see
+  * [[VectorKernels.wordTfPairs]]. */
+case class WordTfPairs(child: Expression)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs a STRING input, got ${child.dataType.simpleString}")
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("w", StringType, nullable = false),
+    StructField("tf", IntegerType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "word_tf_pairs"
+
+  override def nullSafeEval(in: Any): Any =
+    VectorKernels.wordTfPairs(
+      in.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.VectorKernels.wordTfPairs($a);")
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : WordTfPairs = copy(child = newChild)
+}
+
 /** distinct_gram_hashes(text, k) → ARRAY<BIGINT>; see
   * [[VectorKernels.distinctGramHashes]]. */
 case class DistinctGramHashes(child: Expression, k: Int)
@@ -951,6 +1020,8 @@ object VectorOps {
     ColumnExpr.column(SharedCount(ColumnExpr.expr(a), ColumnExpr.expr(b)))
   def distinctGramHashes(text: Column, k: Int): Column =
     ColumnExpr.column(DistinctGramHashes(ColumnExpr.expr(text), k))
+  def wordTfPairs(text: Column): Column =
+    ColumnExpr.column(WordTfPairs(ColumnExpr.expr(text)))
 
   /** Register as SQL functions (vec_cosine, vec_dot, minhash_sig,
     * simhash64) on a session. */
@@ -993,5 +1064,7 @@ object VectorOps {
       "scala_udf")
     reg.createOrReplaceTempFunction("shared_count",
       { args => SharedCount(args(0), args(1)) }, "scala_udf")
+    reg.createOrReplaceTempFunction("word_tf_pairs",
+      { args => WordTfPairs(args(0)) }, "scala_udf")
   }
 }

@@ -676,12 +676,15 @@ object TextOps {
     * partition's counts BEFORE the shuffle (word cardinality, not row
     * count, crosses the wire), then a top-k. Exact DuckDB oracle. */
   val vocabTop: Q = (s, d) =>
+    // word_tf_pairs pre-counts per doc, so the explode emits distinct
+    // (doc, word) pairs: cnt = sum(tf), doc_freq = row count — no
+    // token-level explode and no COUNT DISTINCT expansion
     docs(s, d)
-      .select(col("doc_id"), explode(wordsCol).as("w"))
-      .filter(col("w") =!= "")
-      .groupBy(col("w"))
-      .agg(count(lit(1)).as("cnt"),
-        countDistinct(col("doc_id")).as("doc_freq"))
+      .select(explode(graft.functions.VectorOps.wordTfPairs(col("text")))
+        .as("p"))
+      .groupBy(col("p.w").as("w"))
+      .agg(sum(col("p.tf").cast("long")).as("cnt"),
+        count(lit(1)).as("doc_freq"))
       .orderBy(col("cnt").desc, col("w").asc)
       .limit(100)
 
@@ -758,11 +761,16 @@ object TextOps {
     * DuckDB oracle. */
   val tfidf: Q = (s, d) => {
     import org.apache.spark.sql.expressions.Window
-    val tok = docs(s, d)
-      .select(col("doc_id"), explode(wordsCol).as("w"))
-      .filter(col("w") =!= "")
-    val tf = tok.groupBy(col("doc_id"), col("w"))
-      .agg(count(lit(1)).as("tf"))
+    // per-doc term frequencies computed MAP-SIDE by the word_tf_pairs
+    // kernel: the (doc, word) aggregation exchange disappears and only
+    // distinct words per doc are exploded (tokens never leave the
+    // kernel) — one fewer shuffle than the explode→groupBy chain the
+    // oracle replays, answers hash-identical
+    val tf = docs(s, d)
+      .select(col("doc_id"),
+        explode(graft.functions.VectorOps.wordTfPairs(col("text"))).as("p"))
+      .select(col("doc_id"), col("p.w").as("w"),
+        col("p.tf").cast("long").as("tf"))
     val dfreq = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
     val n = docs(s, d).agg(countDistinct(col("doc_id")).as("n_docs"))
     val rk = Window.partitionBy(col("doc_id"))

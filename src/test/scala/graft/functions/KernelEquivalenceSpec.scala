@@ -150,4 +150,15 @@ class KernelEquivalenceSpec extends AnyFunSuite {
       .filter(col("k") =!= col("s")).limit(3).collect()
     assert(bad.isEmpty, s"shared_count diverges: ${bad.mkString(" | ")}")
   }
+
+  test("word_tf_pairs == array_distinct + per-word count chain") {
+    // same first-occurrence order as array_distinct, same empty-word
+    // filter, tf = occurrences of the word among the non-empty tokens
+    assertSame("word_tf_pairs",
+      VectorOps.wordTfPairs(col("text")),
+      expr("""transform(
+        |  array_distinct(filter(split(text, ' '), w -> w <> '')),
+        |  w -> named_struct('w', w,
+        |    'tf', size(filter(split(text, ' '), x -> x = w))))""".stripMargin))
+  }
 }
