@@ -163,9 +163,19 @@ class GraftTable(tableName: String, val tableDir: File, val meta: TableMeta,
         Some(GraftChanges.regionsBetween(tableDir, fromV, toV))
       case None => pinnedRegions
     }
+    // deterministic region (cluster) sampling: a profiling read over
+    // an m/n fraction or the k:n shard of the region set — composes
+    // with time travel / CDC pins by filtering whatever they resolved
+    val pinSampled = Option(options.get(GraftSample.OptionKey)) match {
+      case Some(spec) =>
+        val keep = GraftSample.parse(spec)
+        Some(pin.getOrElse(TableMeta.loadRegions(tableDir)).filter(r =>
+          keep(r.id)))
+      case None => pin
+    }
     new GraftScanBuilder(tableDir, meta,
       Option(options.get(FilterHint.OptionKey)),
-      pinned = pin)
+      pinned = pinSampled)
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
@@ -1168,9 +1178,9 @@ class GraftScan(tableDir: File, meta: TableMeta, required: StructType,
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
     require(pinned.isEmpty,
-      "streaming from a time-travel snapshot is not supported; tail " +
-        "the live table (incremental consumers checkpoint on " +
-        "_graft_region_id instead)")
+      "streaming from a pinned-region scan (time travel / " +
+        "graft.sampleRegions) is not supported; tail the live table " +
+        "(incremental consumers checkpoint on _graft_region_id instead)")
     // graft.filterHint: user-asserted skipping predicate (FilterHint) —
     // the streaming stand-in for batch-only filter pushdown
     val hinted = filterHint

@@ -145,6 +145,27 @@ object CatalogQueries {
        |WHERE o_orderkey <= 500 OR o_orderkey > 1400
        |GROUP BY o_orderstatus""".stripMargin)
 
+  /** Deterministic region-sampled profiling reads ([[GraftSample]]):
+    * the 4 disjoint `k:4` shards of the orders table are read as FOUR
+    * region-subset scans (each opens only its residue class of region
+    * files — the 1%-of-bytes corpus-profiling move at 100 TB) and
+    * unioned back; the group-agg over the union must equal the plain
+    * full-table aggregate, which is exactly what the DuckDB oracle
+    * computes — a dropped or double-counted region hash-mismatches.
+    * Shard disjointness/IO reduction are asserted in
+    * CatalogSampleSpec. */
+  val regionSampleUnion: Q = (s, d) => {
+    import org.apache.spark.sql.functions._
+    val t = ordersTable(s, d)
+    (0 until 4).map { k =>
+        s.read.option(graft.catalog.GraftSample.OptionKey, s"$k:4").table(t)
+      }
+      .reduce(_ unionAll _)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("cnt"),
+        round(sum(col("o_totalprice")), 2).as("total"))
+  }
+
   /** Non-key (cell) predicate: regions cannot be pruned, parquet
     * row-group stats + residual filtering take over. */
   val cellFilter: Q = (s, d) => s.sql(
@@ -1787,6 +1808,7 @@ object CatalogQueries {
     "catalog_perplexity" -> perplexityOnStore,
     "catalog_point_lookup" -> pointLookup,
     "catalog_range_scan" -> rangeScan,
+    "catalog_region_sample" -> regionSampleUnion,
     "catalog_key_agg" -> keyAgg,
     "catalog_cell_filter" -> cellFilter,
     "catalog_join_parquet" -> joinParquet,
@@ -2120,6 +2142,13 @@ object CatalogQueries {
         |       round(sum(o_totalprice), 2) AS total
         |FROM orders WHERE o_orderkey <= 500 OR o_orderkey > 1400
         |GROUP BY o_orderstatus""".stripMargin,
+
+    // the 4 disjoint region shards union back to the whole table, so
+    // the plain full-table aggregate is the exact oracle
+    "catalog_region_sample" ->
+      """SELECT o_orderstatus, count(*) AS cnt,
+        |       round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
 
     "catalog_cell_filter" ->
       """SELECT o_orderpriority, count(*) AS cnt
