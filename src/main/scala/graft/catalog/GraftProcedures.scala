@@ -37,7 +37,7 @@ object GraftProcedures {
     Seq("load_csv", "compact", "cluster", "stats", "vacuum", "manifest",
       "fold", "history", "restore", "analyze", "split", "merge", "clone",
       "convert", "index", "index_refresh", "mview", "mview_refresh",
-      "tag", "untag")
+      "tag", "untag", "scan_estimate")
 
   def load(catalogName: String, ident: Identifier): UnboundProcedure = {
     require(ident.namespace.isEmpty ||
@@ -65,6 +65,7 @@ object GraftProcedures {
       case "mview_refresh" => new MviewRefreshProcedure(catalogName)
       case "tag" => new TagProcedure(catalogName)
       case "untag" => new UntagProcedure(catalogName)
+      case "scan_estimate" => new ScanEstimateProcedure(catalogName)
       case other => throw new IllegalArgumentException(
         s"unknown graft procedure $other; available: ${Names.mkString(", ")}")
     }
@@ -1320,6 +1321,71 @@ object GraftProcedures {
             Array("mview", "rows_appended", "base_version"),
             Seq(Seq(mvFqn, appended.toString, now.toString))): Scan)
             .iterator()
+        }
+      }
+  }
+
+  /** `CALL graft.sys.scan_estimate(table => 'ns.t', predicate =>
+    * 'k BETWEEN 10 AND 20')` — pre-flight pruning readout: how many
+    * regions (and rows/bytes upper bound) a scan with this predicate
+    * would actually schedule, BEFORE paying for it. Runs the REAL
+    * planning path (Catalyst pushdown → KeyRanges interval pruning →
+    * ColStats/bloom skipping) by planning `SELECT * FROM t WHERE p`
+    * and reading the scheduled graft partitions off the physical plan
+    * — so the readout can never drift from execution, and a predicate
+    * the planner can't push shows up honestly as a full scan. Zero
+    * data IO (planning is driver-side manifest work). The operator
+    * face of the 100-TB question "is this query going to read 100 TB
+    * or 100 GB?". */
+  final class ScanEstimateProcedure(catalogName: String)
+      extends UnboundProcedure {
+    override def name(): String = "scan_estimate"
+    override def description(): String =
+      "regions/rows/bytes a predicate scan of a graft table would " +
+        "schedule (driver-side planning only, no data IO)"
+    override def bind(inputType: StructType): BoundProcedure =
+      new BoundProcedure {
+        override def name(): String = "scan_estimate"
+        override def description(): String =
+          ScanEstimateProcedure.this.description()
+        override def isDeterministic: Boolean = false
+        override def parameters(): Array[ProcedureParameter] = Array(
+          ProcedureParameter.in("table", StringType)
+            .comment("'<namespace>.<table>' within this catalog").build(),
+          ProcedureParameter.in("predicate", StringType)
+            .comment("SQL predicate over the table's columns; '' or " +
+              "'true' for the unfiltered readout").build())
+        override def call(input: InternalRow): java.util.Iterator[Scan] = {
+          val table = input.getUTF8String(0).toString
+          val pred = Option(input.getUTF8String(1)).map(_.toString)
+            .filter(_.trim.nonEmpty).getOrElse("true")
+          val s = SparkSession.active
+          val gt = graftTable(catalogName, table)
+          val all = TableMeta.loadRegions(gt.tableDir)
+          val df = s.table(fqn(catalogName, table)).where(pred)
+          // sparkPlan (pre-AQE-wrapping): V2 pushdown has already run
+          // in the optimizer, and the adaptive wrapper would hide the
+          // scan node from collect until execution
+          val parts = df.queryExecution.sparkPlan.collect {
+            case b: org.apache.spark.sql.execution.datasources.v2
+                .BatchScanExec => b.inputPartitions
+          }.flatten
+          val (files, rows) = parts.map {
+            case p: GraftInputPartition => (p.files, p.rows)
+            case p: GraftKeyedInputPartition => (p.files, p.rows)
+            case other => throw new IllegalStateException(
+              s"unexpected partition ${other.getClass.getName}")
+          }.unzip
+          val flat = files.flatten
+          val bytes = flat.map(f => new File(f).length()).sum
+          Collections.singletonList(LocalRowsScan(
+            Array("regions_total", "regions_scanned", "rows_upper_bound",
+              "bytes_scanned", "pruned_pct"),
+            Seq(Seq(all.size.toString, flat.size.toString,
+              rows.sum.toString, bytes.toString,
+              if (all.isEmpty) "0.0"
+              else f"${100.0 * (all.size - flat.size) / all.size}%.1f")))
+            : Scan).iterator()
         }
       }
   }
