@@ -576,6 +576,34 @@ object TextOps {
         col("col._2").as("doc_id"))
   }
 
+  /** Token-budget curation: greedily keep the highest-lexical-diversity
+    * documents until a 20k-token budget is spent — the "best N tokens"
+    * selection a fine-tuning corpus build runs after cleaning. Shape at
+    * scale: the diversity score is the one-pass [[graft.functions
+    * .VectorOps.textStats]] kernel (map-side); the greedy order is ONE
+    * global range-partitioned sort (Spark samples boundaries — no
+    * single-reducer bottleneck) and the running token total is a
+    * cumulative window over it; accounting aggregates per source.
+    * Scores are exact integer ratios (n_distinct/n_words), so the
+    * cross-engine order is bit-identical; ties break on doc_id. Exact
+    * DuckDB oracle recomputing the same greedy selection. */
+  val budgetSelect: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val st = graft.functions.VectorOps.textStats(col("text"), Seq("the", "a"))
+    val w = Window.orderBy(col("ldiv").desc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs(s, d)
+      .withColumn("tok", (col("n_chars") / 4).cast("long") + 1)
+      .withColumn("ldiv",
+        st.getField("n_distinct_words").cast("double") /
+          st.getField("n_words").cast("double"))
+      .withColumn("cum", sum(col("tok")).over(w))
+      .filter(col("cum") <= 20000)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("tok")).as("kept_tokens"),
+        round(avg(col("ldiv")), 4).as("avg_ldiv"))
+  }
+
   // ------------------------------------------------- line-level dedup
 
   /** C4-style line (sentence) deduplication ACROSS documents: any
@@ -1684,6 +1712,7 @@ object TextOps {
     "text_heavy_hitters" -> heavyHitters,
     "text_tfidf" -> tfidf,
     "pipeline_reservoir" -> reservoirSample,
+    "pipeline_budget" -> budgetSelect,
     "text_perplexity" -> textPerplexity,
     "pipeline_ppl_buckets" -> pplBuckets,
     "pipeline_mix" -> domainMix,
@@ -2271,6 +2300,26 @@ object TextOps {
         |FROM w, t GROUP BY w.w, t.n_tokens
         |HAVING count(*) * 64 > t.n_tokens
         |ORDER BY cnt DESC, w ASC""".stripMargin,
+
+    // same greedy order (exact integer-ratio score desc, doc_id) and
+    // running-token cutoff; the kernel's n_words/n_distinct match
+    // len(string_split)/len(list_distinct) including empty tokens
+    "pipeline_budget" ->
+      """WITH s AS (SELECT doc_id, source,
+        |                  (n_chars // 4) + 1 AS tok,
+        |                  CAST(len(list_distinct(string_split(text, ' ')))
+        |                       AS DOUBLE)
+        |                    / len(string_split(text, ' ')) AS ldiv
+        |           FROM documents),
+        |c AS (SELECT source, tok, ldiv,
+        |             sum(tok) OVER (ORDER BY ldiv DESC, doc_id ASC
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |               AS cum
+        |      FROM s)
+        |SELECT source, count(*) AS n_kept,
+        |       CAST(sum(tok) AS BIGINT) AS kept_tokens,
+        |       round(avg(ldiv), 4) AS avg_ldiv
+        |FROM c WHERE cum <= 20000 GROUP BY source""".stripMargin,
 
     // the window-sort recompute of the k-bounded aggregator's answer:
     // identical total order (hash, then doc_id) on both sides
