@@ -19,7 +19,8 @@ Usage::
     # the full native function family is SQL-exposed: vec_cosine,
     # vec_dot, minhash_sig, simhash64, lsh_bucket, winnow_keys,
     # shingle3_hashes, word_hashes, word_window_hashes,
-    # distinct_word_hashes, distinct_gram_hashes, shared_count
+    # distinct_word_hashes, distinct_gram_hashes, shared_count,
+    # word_tf_pairs
     spark.sql("SELECT size(winnow_keys('some document text here', 8, 4))"
               ).show()
 

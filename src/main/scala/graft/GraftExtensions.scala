@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, IntegerLiteral}
-import graft.functions.{DistinctGramHashes, DistinctWordHashes, LshBucket, MinHashSig, SharedCount, Shingle3Hashes, SimHash64, VecCosine, VecDot, WinnowKeys, WordHashes, WordWindowHashes}
+import graft.functions.{DistinctGramHashes, DistinctWordHashes, LshBucket, MinHashSig, SharedCount, Shingle3Hashes, SimHash64, VecCosine, VecDot, WinnowKeys, WordHashes, WordTfPairs, WordWindowHashes}
 
 /** Session extension wiring the graft native functions into SQL.
   *
@@ -101,5 +101,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("shared_count"),
       info("shared_count", classOf[SharedCount]),
       (args: Seq[Expression]) => SharedCount(args(0), args(1))))
+    ext.injectFunction((FunctionIdentifier("word_tf_pairs"),
+      info("word_tf_pairs", classOf[WordTfPairs]),
+      (args: Seq[Expression]) => WordTfPairs(args(0))))
   }
 }

@@ -103,7 +103,24 @@ object ScaleBench {
     // bigram-LM scoring: model agg + probe join, both keyed by bigram —
     // replicas multiply counts uniformly, so the workload scales
     // cleanly even on the amplified corpus
-    "text_perplexity")
+    "text_perplexity",
+    // sketch-then-verify heavy hitters: replicas multiply every token
+    // count uniformly, so the answer set is unchanged while the sketch
+    // pass scales with tokens — both passes should grow ~linearly
+    "text_heavy_hitters",
+    // tf-idf: map-side tf kernel + vocabulary-keyed df + per-doc top-k
+    // window; replicas multiply df uniformly and duplicate docs, so
+    // output grows xfactor without artifact blow-up
+    "text_tfidf",
+    // k-bounded per-stratum sample: map-side partial agg forwards <=k
+    // pairs per stratum per task — should stay well under data growth
+    "pipeline_reservoir",
+    // token-budget curation: one global range-partitioned sort over
+    // xfactor docs — the sort is the scaling question
+    "pipeline_budget",
+    // resample is user_id<10-pruned at the scan: the pushed filter
+    // should keep it ~flat while events scale 10x
+    "events_resample")
 
   /** The UNBOUNDED verified near-dup pipeline (idBound=None): whole
     * corpus through signatures → 32-band LSH → exact verify. Measured
