@@ -148,9 +148,29 @@ object Multimodal {
       sampleFrames(mediaTable(s, d), 16)
         .agg(count(lit(1)).as("n_frames"),
           countDistinct(col("media_id")).as("n_media"))),
+    // exact media dedup by payload digest — the binary-column face of
+    // dedup_exact: hash-groupBy over md5(payload), never an all-pairs
+    // byte compare; reports the storage the dedup would reclaim
+    "multimodal_dedup" -> ((s, d) =>
+      mediaTable(s, d).toDF()
+        .groupBy(col("kind"))
+        .agg(count(lit(1)).as("n_media"),
+          countDistinct(md5(col("payload"))).as("n_unique"),
+          sum(length(col("payload"))).as("total_bytes"))),
   )
 
   val oracles: Map[String, String] = Map(
+    // payload is the text's UTF-8 bytes, so md5(payload) == md5(text)
+    // and octet_length(text) is the payload size
+    "multimodal_dedup" ->
+      """SELECT CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END
+        |         AS kind,
+        |       count(*) AS n_media,
+        |       count(DISTINCT md5(text)) AS n_unique,
+        |       CAST(sum(octet_length(CAST(text AS BLOB))) AS BIGINT)
+        |         AS total_bytes
+        |FROM documents GROUP BY 1""".stripMargin,
+
     "multimodal_meta" ->
       """SELECT CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END
         |         AS kind,
