@@ -39,6 +39,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // view → re-aggregation over the mview's stored partials
     ext.injectPreCBORule(session =>
       new graft.catalog.GraftMviewRewrite(session))
+    // stored graft views expand in the resolution fixed point (views
+    // over views converge across iterations; cycles die at the
+    // analyzer's iteration cap)
+    ext.injectResolutionRule(session =>
+      new graft.catalog.GraftViewSubstitution(session))
     ext.injectFunction((FunctionIdentifier("vec_cosine"),
       info("vec_cosine", classOf[VecCosine]),
       (args: Seq[Expression]) => VecCosine(args(0), args(1))))

@@ -119,6 +119,31 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   private def tableDir(ident: Identifier): File =
     new File(nsDir(ident.namespace()), ident.name())
 
+  // ------------------------------------------------------------- views
+
+  /** Stored-view lookup for [[GraftViewSubstitution]] and the view DDL
+    * commands: (creationCatalog, creationNamespace, sql). */
+  def viewDefinition(ns: String, name: String)
+      : Option[(String, String, String)] =
+    GraftViews.load(nsDir(Array(ns)), name)
+
+  def createView(ns: String, name: String, creationCatalog: String,
+      sql: String, orReplace: Boolean): Unit = {
+    val ident = Identifier.of(Array(ns), name)
+    require(!TableMeta.exists(tableDir(ident)),
+      s"cannot create view $ns.$name: a graft TABLE of that name exists")
+    if (!nsDir(Array(ns)).isDirectory)
+      throw new NoSuchNamespaceException(Seq(ns))
+    GraftViews.create(nsDir(Array(ns)), name, creationCatalog, ns, sql,
+      orReplace)
+  }
+
+  def dropViewFile(ns: String, name: String): Boolean =
+    GraftViews.drop(nsDir(Array(ns)), name)
+
+  def listViewNames(ns: String): Seq[String] =
+    GraftViews.list(nsDir(Array(ns)))
+
   // ------------------------------------------------------------- tables
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
@@ -296,6 +321,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       throw new TableAlreadyExistsException(ident.namespace().toSeq :+ ident.name())
     if (!nsDir(ident.namespace()).isDirectory)
       throw new NoSuchNamespaceException(ident.namespace().toSeq)
+    require(ident.namespace().length != 1 ||
+      !GraftViews.exists(nsDir(ident.namespace()), ident.name()),
+      s"cannot create table ${ident.name()}: a graft VIEW of that name " +
+        "exists in the namespace")
 
     val props = properties.asScala.toMap
     val keyCols = props.getOrElse(TableMeta.KeyColsProp,

@@ -102,6 +102,39 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
   private val CreateMviewRe =
     ("""(?is)\s*CREATE\s+MATERIALIZED\s+VIEW\s+`?(\w+)`?\s+AS\s+""" +
       """(.+?)\s*;?\s*""").r
+
+  /** `CREATE [OR REPLACE] VIEW <graft ident> AS <query>` /
+    * `DROP VIEW [IF EXISTS] <graft ident>` / `SHOW VIEWS IN <graft ns>`
+    * — persistent SQL views over the graft catalog ([[GraftViews]]).
+    * Core Spark ships the ViewCatalog interface with no analyzer
+    * support, so the statement face lives here and resolution in the
+    * injected [[GraftViewSubstitution]] rule. TEMPORARY/MATERIALIZED
+    * variants never match these shapes (the keyword sits between
+    * CREATE and VIEW) and non-graft identifiers delegate, so stock
+    * session-catalog views are untouched. */
+  private val CreateViewRe =
+    ("""(?is)\s*CREATE\s+(OR\s+REPLACE\s+)?VIEW\s+([\w.`]+)\s+AS\s+""" +
+      """(.+?)\s*;?\s*""").r
+  private val DropViewRe =
+    """(?is)\s*DROP\s+VIEW\s+(IF\s+EXISTS\s+)?([\w.`]+)\s*;?\s*""".r
+  private val ShowViewsRe =
+    """(?is)\s*SHOW\s+VIEWS\s+IN\s+([\w.`]+)\s*;?\s*""".r
+
+  /** A DROP VIEW / stored-view lookup target: resolves to a graft
+    * catalog AND names a stored view AND is not shadowed by a temp
+    * view (stock precedence — temp drops stay on the stock path). */
+  private def storedView(ident: String): Option[(String, String, String)] = {
+    val ps = parts(ident)
+    if (ps.length <= 2 && session.sessionState.catalog.isTempView(ps))
+      return None
+    graftTarget(ps).flatMap { case (cat, ns, v) =>
+      session.sessionState.catalogManager.catalog(cat) match {
+        case g: GraftCatalog if g.viewDefinition(ns, v).isDefined =>
+          Some((cat, ns, v))
+        case _ => None
+      }
+    }
+  }
   private val RefreshMviewRe =
     """(?is)\s*REFRESH\s+MATERIALIZED\s+VIEW\s+([\w.`]+)\s*;?\s*""".r
 
@@ -188,6 +221,19 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     }
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
+    case CreateViewRe(orRepl, ident, select)
+        if graftTarget(parts(ident)).isDefined =>
+      val (cat, ns, v) = graftTarget(parts(ident)).get
+      GraftCreateViewCommand(cat, ns, v, select.trim, orRepl != null)
+    case DropViewRe(ifExists, ident) if storedView(ident).isDefined ||
+        (Option(ifExists).isDefined && graftTarget(parts(ident))
+          .exists(t => parts(ident).length == 3 ||
+            !session.sessionState.catalog.isTempView(parts(ident)))) =>
+      val (cat, ns, v) = graftTarget(parts(ident)).get
+      GraftDropViewCommand(cat, ns, v, Option(ifExists).isDefined)
+    case ShowViewsRe(ident) if graftTarget(parts(ident) :+ "_").isDefined =>
+      val (cat, ns, _) = graftTarget(parts(ident) :+ "_").get
+      GraftShowViewsCommand(cat, ns)
     case CloneRe(tgt, src, ver) =>
       (graftTarget(parts(tgt)), graftTarget(parts(src))) match {
         case (Some((cat, tns, ttbl)), Some((scat, sns, stbl)))
@@ -499,4 +545,77 @@ case class GraftOptimizeZorderCommand(catalogName: String, table: String,
       s"cols => '$cols', target_regions => ${math.max(1L, n)})").collect()
     Seq.empty
   }
+}
+
+/** `CREATE [OR REPLACE] VIEW` over a graft identifier: validates the
+  * query ANALYZES now (missing tables/columns fail at CREATE, stock
+  * behavior), refuses temp-view capture and direct self-reference,
+  * then stores the SQL with its creation context ([[GraftViews]]). */
+case class GraftCreateViewCommand(catalogName: String, ns: String,
+    name: String, selectSql: String, orReplace: Boolean)
+    extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+    val parsed = session.sessionState.sqlParser.parsePlan(selectSql)
+    require(!parsed.isInstanceOf[
+        org.apache.spark.sql.execution.command.RunnableCommand] &&
+      !parsed.isInstanceOf[
+        org.apache.spark.sql.catalyst.plans.logical.Command],
+      s"CREATE VIEW body must be a query, got: ${selectSql.take(80)}")
+    parsed.foreach {
+      case u: UnresolvedRelation =>
+        val ps = u.multipartIdentifier
+        require(ps.length > 2 ||
+          !session.sessionState.catalog.isTempView(ps),
+          s"cannot store a persistent view over TEMPORARY view " +
+            s"${ps.mkString(".")} (stock Spark's rule: a persistent " +
+            "object may not capture session state)")
+        val cm = session.sessionState.catalogManager
+        val abs = ps match {
+          case Seq(v) if cm.currentNamespace.length == 1 =>
+            Seq(cm.currentCatalog.name, cm.currentNamespace.head, v)
+          case Seq(n2, v) => Seq(cm.currentCatalog.name, n2, v)
+          case other => other
+        }
+        require(abs.map(_.toLowerCase) !=
+          Seq(catalogName, ns, name).map(_.toLowerCase),
+          s"view $ns.$name may not reference itself")
+      case _ =>
+    }
+    // analyze against the CURRENT state (the creation context equals
+    // the storage context, so this validates exactly what queries will
+    // re-expand later — late-binding re-analysis happens per use)
+    session.sessionState.executePlan(parsed).assertAnalyzed()
+    session.sessionState.catalogManager.catalog(catalogName) match {
+      case g: GraftCatalog =>
+        g.createView(ns, name, catalogName, selectSql, orReplace)
+      case other => throw new IllegalStateException(
+        s"$catalogName is not a graft catalog: $other")
+    }
+    Seq.empty
+  }
+}
+
+case class GraftDropViewCommand(catalogName: String, ns: String,
+    name: String, ifExists: Boolean) extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    val dropped = session.sessionState.catalogManager.catalog(catalogName)
+      .asInstanceOf[GraftCatalog].dropViewFile(ns, name)
+    if (!dropped && !ifExists)
+      throw new IllegalArgumentException(s"view $ns.$name not found")
+    Seq.empty
+  }
+}
+
+case class GraftShowViewsCommand(catalogName: String, ns: String)
+    extends LeafRunnableCommand {
+  import org.apache.spark.sql.catalyst.expressions.AttributeReference
+  import org.apache.spark.sql.types.StringType
+  override val output: Seq[AttributeReference] =
+    Seq("namespace", "viewName")
+      .map(n => AttributeReference(n, StringType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] =
+    session.sessionState.catalogManager.catalog(catalogName)
+      .asInstanceOf[GraftCatalog].listViewNames(ns)
+      .map(v => Row(ns, v))
 }

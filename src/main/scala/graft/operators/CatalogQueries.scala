@@ -166,6 +166,24 @@ object CatalogQueries {
         round(sum(col("o_totalprice")), 2).as("total"))
   }
 
+  /** Persistent SQL view over the store ([[graft.catalog.GraftViews]]):
+    * CREATE VIEW through the parser seam, query through the injected
+    * substitution rule — late-binding, so the aggregate below
+    * re-analyzes the stored text against the live table. The view body
+    * carries a key predicate, which reaches the scan through the
+    * substitution (views don't block pushdown: the expanded plan is
+    * ordinary Catalyst). Exact DuckDB oracle over the same predicate. */
+  val viewFace: Q = (s, d) => {
+    val t = ordersTable(s, d)
+    val ns = t.split('.')(1)
+    s.sql(s"""CREATE OR REPLACE VIEW graft.$ns.orders_v AS
+             |SELECT o_orderstatus, o_totalprice, o_orderkey
+             |FROM $t WHERE o_orderkey <= 1000""".stripMargin)
+    s.sql(s"""SELECT o_orderstatus, count(*) AS cnt,
+             |       round(sum(o_totalprice), 2) AS total
+             |FROM graft.$ns.orders_v GROUP BY o_orderstatus""".stripMargin)
+  }
+
   /** Non-key (cell) predicate: regions cannot be pruned, parquet
     * row-group stats + residual filtering take over. */
   val cellFilter: Q = (s, d) => s.sql(
@@ -1809,6 +1827,7 @@ object CatalogQueries {
     "catalog_point_lookup" -> pointLookup,
     "catalog_range_scan" -> rangeScan,
     "catalog_region_sample" -> regionSampleUnion,
+    "catalog_view" -> viewFace,
     "catalog_key_agg" -> keyAgg,
     "catalog_cell_filter" -> cellFilter,
     "catalog_join_parquet" -> joinParquet,
@@ -2141,6 +2160,13 @@ object CatalogQueries {
       """SELECT o_orderstatus, count(*) AS cnt,
         |       round(sum(o_totalprice), 2) AS total
         |FROM orders WHERE o_orderkey <= 500 OR o_orderkey > 1400
+        |GROUP BY o_orderstatus""".stripMargin,
+
+    // the view body's key predicate replayed inline
+    "catalog_view" ->
+      """SELECT o_orderstatus, count(*) AS cnt,
+        |       round(sum(o_totalprice), 2) AS total
+        |FROM orders WHERE o_orderkey <= 1000
         |GROUP BY o_orderstatus""".stripMargin,
 
     // the 4 disjoint region shards union back to the whole table, so
