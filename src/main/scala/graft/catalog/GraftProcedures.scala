@@ -37,7 +37,7 @@ object GraftProcedures {
     Seq("load_csv", "compact", "cluster", "stats", "vacuum", "manifest",
       "fold", "history", "restore", "analyze", "split", "merge", "clone",
       "convert", "index", "index_refresh", "mview", "mview_refresh",
-      "tag", "untag", "scan_estimate")
+      "tag", "untag", "scan_estimate", "mirror")
 
   def load(catalogName: String, ident: Identifier): UnboundProcedure = {
     require(ident.namespace.isEmpty ||
@@ -66,6 +66,7 @@ object GraftProcedures {
       case "tag" => new TagProcedure(catalogName)
       case "untag" => new UntagProcedure(catalogName)
       case "scan_estimate" => new ScanEstimateProcedure(catalogName)
+      case "mirror" => new MirrorProcedure(catalogName)
       case other => throw new IllegalArgumentException(
         s"unknown graft procedure $other; available: ${Names.mkString(", ")}")
     }
@@ -1321,6 +1322,101 @@ object GraftProcedures {
             Array("mview", "rows_appended", "base_version"),
             Seq(Seq(mvFqn, appended.toString, now.toString))): Scan)
             .iterator()
+        }
+      }
+  }
+
+  /** `CALL graft.sys.mirror(source => 'ns.t', target => 'ns2.t2')` —
+    * incremental replication: bootstrap the target as a zero-copy
+    * CLONE of the source (same warehouse hard-link move the clone
+    * procedure makes), then each call appends the source's CDC delta
+    * `(watermark, current]` and advances the replication watermark —
+    * O(delta) per sync, never a source re-scan. The DR / dev-copy /
+    * cross-environment-promotion story: a consumer reads the mirror
+    * while the source keeps ingesting, and syncs are idempotent at the
+    * version level (an already-applied version is a 0-row no-op).
+    * Append-only sources only: an in-place rewrite (UPDATE / MERGE /
+    * overwrite / restore) or a dedupKeys fold since the watermark
+    * REFUSES (an append-only delta cannot retract rows) — drop the
+    * mirror and re-bootstrap, exactly the index_refresh contract. */
+  final class MirrorProcedure(catalogName: String)
+      extends UnboundProcedure {
+    override def name(): String = "mirror"
+    override def description(): String =
+      "bootstrap (clone) and incrementally sync a replica of a graft " +
+        "table from its CDC delta (O(delta) per sync)"
+    override def bind(inputType: StructType): BoundProcedure =
+      new BoundProcedure {
+        override def name(): String = "mirror"
+        override def description(): String =
+          MirrorProcedure.this.description()
+        override def isDeterministic: Boolean = false
+        override def parameters(): Array[ProcedureParameter] = Array(
+          ProcedureParameter.in("source", StringType)
+            .comment("source '<namespace>.<table>' within this catalog")
+            .build(),
+          ProcedureParameter.in("target", StringType)
+            .comment("replica '<namespace>.<table>'; created (cloned) " +
+              "on first call").build())
+        override def call(input: InternalRow): java.util.Iterator[Scan] = {
+          val source = input.getUTF8String(0).toString
+          val target = input.getUTF8String(1).toString
+          val s = SparkSession.active
+          val src = graftTable(catalogName, source)
+          val srcFqn = fqn(catalogName, source)
+          val tgtFqn = fqn(catalogName, target)
+          val now = TableMeta.currentVersion(src.tableDir)
+          require(!TableMeta.dedupKeys(src.meta.properties),
+            s"$srcFqn has graft.dedupKeys: upsert folds change " +
+              "key->value mappings in place, which an append-only " +
+              "delta cannot replicate; mirror only append-only tables")
+          def done(appended: Long): java.util.Iterator[Scan] =
+            Collections.singletonList(LocalRowsScan(
+              Array("mirror", "rows_appended", "source_version"),
+              Seq(Seq(tgtFqn, appended.toString, now.toString))): Scan)
+              .iterator()
+          val exists =
+            try { graftTable(catalogName, target); true }
+            catch { case _: Exception => false }
+          if (!exists) {
+            s.sql(s"CALL `$catalogName`.sys.clone(" +
+              s"table => '$source', target => '$target')").collect()
+            val n = s.table(tgtFqn).count()
+            s.sql(s"ALTER TABLE $tgtFqn SET TBLPROPERTIES(" +
+              s"'${TableMeta.MirrorOfProp}'='$srcFqn', " +
+              s"'${TableMeta.MirrorVersionProp}'='$now')")
+            return done(n)
+          }
+          val tgt = graftTable(catalogName, target)
+          require(tgt.meta.properties.get(TableMeta.MirrorOfProp)
+              .contains(srcFqn),
+            s"$tgtFqn is not a mirror of $srcFqn (it exists but has no " +
+              s"${TableMeta.MirrorOfProp} stamp; pick a fresh target)")
+          val watermark =
+            tgt.meta.properties(TableMeta.MirrorVersionProp).toLong
+          if (now == watermark) return done(0)
+          val rewrite = TableMeta.history(src.tableDir).find(e =>
+            e.version > watermark && e.version <= now &&
+              Set("rowlevel", "overwrite", "restore")(e.op))
+          require(rewrite.isEmpty,
+            s"$srcFqn had an in-place rewrite (${rewrite.get.op} at " +
+              s"version ${rewrite.get.version}) since the mirror " +
+              s"watermark $watermark; DROP $tgtFqn and re-bootstrap")
+          val delta = s.read
+            .option(GraftChanges.FromKey, watermark.toString)
+            .option(GraftChanges.ToKey, now.toString)
+            .table(srcFqn)
+          val appended = delta.count()
+          if (appended > 0) {
+            val v = s"mirror_delta_${math.abs(tgtFqn.hashCode)}"
+            delta.createOrReplaceTempView(v)
+            val cols = src.meta.schema.fieldNames
+              .map(c => s"`$c`").mkString(", ")
+            s.sql(s"INSERT INTO $tgtFqn SELECT $cols FROM $v")
+          }
+          s.sql(s"ALTER TABLE $tgtFqn SET TBLPROPERTIES(" +
+            s"'${TableMeta.MirrorVersionProp}'='$now')")
+          done(appended)
         }
       }
   }

@@ -189,6 +189,14 @@ object TableMeta {
   val MviewGroupByProp = "graft.mviewGroupBy"
   val MviewAggsProp = "graft.mviewAggs"
 
+  /** Stamped on tables maintained by `CALL graft.sys.mirror`: the
+    * source table this is an incremental replica of, and the source's
+    * commit-log version the replica has applied up to (the replication
+    * watermark — each mirror call appends the CDC delta
+    * (watermark, current] and advances it). */
+  val MirrorOfProp = "graft.mirrorOf"
+  val MirrorVersionProp = "graft.mirrorVersion"
+
   private def mapper = new ObjectMapper()
 
   /** The storage seam every manifest write goes through ([[CommitStore]]).
