@@ -37,7 +37,8 @@ object GraftProcedures {
     Seq("load_csv", "compact", "cluster", "stats", "vacuum", "manifest",
       "fold", "history", "restore", "analyze", "split", "merge", "clone",
       "convert", "index", "index_refresh", "mview", "mview_refresh",
-      "tag", "untag", "scan_estimate", "mirror")
+      "tag", "untag", "scan_estimate", "mirror",
+      "branch", "branches", "publish", "branch_drop")
 
   def load(catalogName: String, ident: Identifier): UnboundProcedure = {
     require(ident.namespace.isEmpty ||
@@ -67,6 +68,10 @@ object GraftProcedures {
       case "untag" => new UntagProcedure(catalogName)
       case "scan_estimate" => new ScanEstimateProcedure(catalogName)
       case "mirror" => new MirrorProcedure(catalogName)
+      case "branch" => new BranchProcedure(catalogName)
+      case "branches" => new BranchesProcedure(catalogName)
+      case "publish" => new PublishProcedure(catalogName)
+      case "branch_drop" => new BranchDropProcedure(catalogName)
       case other => throw new IllegalArgumentException(
         s"unknown graft procedure $other; available: ${Names.mkString(", ")}")
     }
@@ -515,6 +520,136 @@ object GraftProcedures {
           invalidate(catalogName, table)
           Collections.singletonList(LocalRowsScan(Array("untagged"),
             Seq(Seq(tag))): Scan).iterator()
+        }
+      }
+  }
+
+  /** `CALL graft.sys.branch(table => 'ns.t', name => 'audit')` —
+    * create a write-audit-publish staging branch ([[GraftBranch]]):
+    * appends staged on it are invisible to main readers until
+    * `graft.sys.publish`. */
+  final class BranchProcedure(catalogName: String)
+      extends UnboundProcedure {
+    override def name(): String = "branch"
+    override def description(): String =
+      "create a write-audit-publish staging branch; stage appends " +
+        "with writeTo(...).option('branch', ...) or the session conf " +
+        GraftBranch.WapConf
+    override def bind(inputType: StructType): BoundProcedure =
+      new BoundProcedure {
+        override def name(): String = "branch"
+        override def description(): String =
+          BranchProcedure.this.description()
+        override def isDeterministic: Boolean = false
+        override def parameters(): Array[ProcedureParameter] = Array(
+          ProcedureParameter.in("table", StringType)
+            .comment("'<namespace>.<table>' within this catalog").build(),
+          ProcedureParameter.in("name", StringType)
+            .comment("branch name (letter first; letters/digits/_)")
+            .build())
+        override def call(input: InternalRow): java.util.Iterator[Scan] = {
+          val table = input.getUTF8String(0).toString
+          val name = input.getUTF8String(1).toString
+          val gt = graftTable(catalogName, table)
+          val fork = TableMeta.createBranch(gt.tableDir, name)
+          Collections.singletonList(LocalRowsScan(
+            Array("branch", "fork_version"),
+            Seq(Seq(name, fork.toString))): Scan).iterator()
+        }
+      }
+  }
+
+  /** `CALL graft.sys.branches(table => 'ns.t')` — the audit readout:
+    * every staging branch with its fork version and staged volume. */
+  final class BranchesProcedure(catalogName: String)
+      extends UnboundProcedure {
+    override def name(): String = "branches"
+    override def description(): String =
+      "list the table's write-audit-publish staging branches with " +
+        "staged region/row counts"
+    override def bind(inputType: StructType): BoundProcedure =
+      new BoundProcedure {
+        override def name(): String = "branches"
+        override def description(): String =
+          BranchesProcedure.this.description()
+        override def isDeterministic: Boolean = false
+        override def parameters(): Array[ProcedureParameter] = Array(
+          ProcedureParameter.in("table", StringType)
+            .comment("'<namespace>.<table>' within this catalog").build())
+        override def call(input: InternalRow): java.util.Iterator[Scan] = {
+          val table = input.getUTF8String(0).toString
+          val gt = graftTable(catalogName, table)
+          val rows = TableMeta.branches(gt.tableDir).map {
+            case (name, fork, ts) =>
+              val (regions, rws) = TableMeta.branchStats(gt.tableDir, name)
+              Seq(name, fork.toString, ts.toString,
+                regions.toString, rws.toString)
+          }
+          Collections.singletonList(LocalRowsScan(
+            Array("branch", "fork_version", "created_ms",
+              "staged_regions", "staged_rows"), rows): Scan).iterator()
+        }
+      }
+  }
+
+  /** `CALL graft.sys.publish(table => 'ns.t', name => 'audit')` —
+    * move the branch's staged regions into main as ONE atomic commit
+    * (crash-retry idempotent) and drop the branch. */
+  final class PublishProcedure(catalogName: String)
+      extends UnboundProcedure {
+    override def name(): String = "publish"
+    override def description(): String =
+      "publish a staging branch: its staged appends become ONE main " +
+        "commit, atomically visible; the branch is dropped"
+    override def bind(inputType: StructType): BoundProcedure =
+      new BoundProcedure {
+        override def name(): String = "publish"
+        override def description(): String =
+          PublishProcedure.this.description()
+        override def isDeterministic: Boolean = false
+        override def parameters(): Array[ProcedureParameter] = Array(
+          ProcedureParameter.in("table", StringType)
+            .comment("'<namespace>.<table>' within this catalog").build(),
+          ProcedureParameter.in("name", StringType).build())
+        override def call(input: InternalRow): java.util.Iterator[Scan] = {
+          val table = input.getUTF8String(0).toString
+          val name = input.getUTF8String(1).toString
+          val gt = graftTable(catalogName, table)
+          val (regions, rows) = TableMeta.publishBranch(gt.tableDir, name)
+          Collections.singletonList(LocalRowsScan(
+            Array("published_regions", "published_rows"),
+            Seq(Seq(regions.toString, rows.toString))): Scan).iterator()
+        }
+      }
+  }
+
+  /** `CALL graft.sys.branch_drop(table => 'ns.t', name => 'audit')` —
+    * abandon the branch: staged data files (never visible to main)
+    * are deleted. */
+  final class BranchDropProcedure(catalogName: String)
+      extends UnboundProcedure {
+    override def name(): String = "branch_drop"
+    override def description(): String =
+      "abandon a staging branch and delete its staged (never " +
+        "published) region files"
+    override def bind(inputType: StructType): BoundProcedure =
+      new BoundProcedure {
+        override def name(): String = "branch_drop"
+        override def description(): String =
+          BranchDropProcedure.this.description()
+        override def isDeterministic: Boolean = false
+        override def parameters(): Array[ProcedureParameter] = Array(
+          ProcedureParameter.in("table", StringType)
+            .comment("'<namespace>.<table>' within this catalog").build(),
+          ProcedureParameter.in("name", StringType).build())
+        override def call(input: InternalRow): java.util.Iterator[Scan] = {
+          val table = input.getUTF8String(0).toString
+          val name = input.getUTF8String(1).toString
+          val gt = graftTable(catalogName, table)
+          val dropped = TableMeta.dropBranch(gt.tableDir, name)
+          Collections.singletonList(LocalRowsScan(
+            Array("dropped_regions"),
+            Seq(Seq(dropped.toString))): Scan).iterator()
         }
       }
   }

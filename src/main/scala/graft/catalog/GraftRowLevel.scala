@@ -67,6 +67,16 @@ class GraftRowLevelOperation(tableDir: File, meta: TableMeta,
       onBuild = s => scan = s)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    // a WAP session stages APPENDS; a row-level rewrite has no staged
+    // form (branches are append-only) and would silently mutate main
+    // mid-audit — refuse loudly, the same posture as streaming-to-
+    // branch. Unset the conf for intentional main DML.
+    GraftBranch.resolve(None).foreach { b =>
+      throw new UnsupportedOperationException(
+        s"UPDATE/MERGE/DELETE while ${GraftBranch.WapConf}='$b' is " +
+          "set would modify MAIN, not the branch (branches stage " +
+          "appends only); unset the conf to run main DML")
+    }
     // versioned (dedupKeys) tables: a region rewrite would collapse
     // every stored version of a key into ONE fresh region id,
     // destroying the latest-wins order that both the read recipe and

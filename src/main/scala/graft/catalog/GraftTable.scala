@@ -163,15 +163,36 @@ class GraftTable(tableName: String, val tableDir: File, val meta: TableMeta,
         Some(GraftChanges.regionsBetween(tableDir, fromV, toV))
       case None => pinnedRegions
     }
+    // WAP branch preview (GraftBranch): current main + the branch's
+    // staged regions, riding the same pinned-region seam as time
+    // travel/CDC so every pushdown surface composes. An explicit
+    // branch option cannot combine with a version pin (a preview of a
+    // historical main is not a defined state); the ambient session
+    // conf simply yields to the more specific pin. A named branch
+    // that does not exist on THIS table falls back to plain main —
+    // the session-wide WAP conf must not break reads of uninvolved
+    // tables.
+    val explicitBranch = Option(options.get(GraftBranch.OptionKey))
+      .map(_.trim).filter(_.nonEmpty)
+    val pinBranched = GraftBranch.resolve(explicitBranch) match {
+      case Some(b) if pin.isEmpty =>
+        TableMeta.branchPreviewRegions(tableDir, b).orElse(pin)
+      case Some(b) if explicitBranch.isDefined =>
+        throw new UnsupportedOperationException(
+          s"branch '$b' cannot be combined with VERSION/TIMESTAMP AS " +
+            "OF or a changes-read: a staged preview is defined only " +
+            "against the CURRENT main state")
+      case _ => pin
+    }
     // deterministic region (cluster) sampling: a profiling read over
     // an m/n fraction or the k:n shard of the region set — composes
     // with time travel / CDC pins by filtering whatever they resolved
     val pinSampled = Option(options.get(GraftSample.OptionKey)) match {
       case Some(spec) =>
         val keep = GraftSample.parse(spec)
-        Some(pin.getOrElse(TableMeta.loadRegions(tableDir)).filter(r =>
-          keep(r.id)))
-      case None => pin
+        Some(pinBranched.getOrElse(TableMeta.loadRegions(tableDir))
+          .filter(r => keep(r.id)))
+      case None => pinBranched
     }
     new GraftScanBuilder(tableDir, meta,
       Option(options.get(FilterHint.OptionKey)),
@@ -192,6 +213,14 @@ class GraftTable(tableName: String, val tableDir: File, val meta: TableMeta,
 
   override def deleteWhere(filters: Array[sources.Filter]): Unit = {
     if (snapshot.isDefined) refuseWrite("DELETE")
+    // same WAP posture as the row-level rewrite path (GraftRowLevel):
+    // a metadata-only DELETE mid-audit would mutate MAIN silently
+    GraftBranch.resolve(None).foreach { b =>
+      throw new UnsupportedOperationException(
+        s"DELETE while ${GraftBranch.WapConf}='$b' is set would " +
+          "modify MAIN, not the branch (branches stage appends only); " +
+          "unset the conf to run main DML")
+    }
     GraftDelete.deleteWhere(tableDir, meta, filters)
   }
 }
@@ -1179,8 +1208,9 @@ class GraftScan(tableDir: File, meta: TableMeta, required: StructType,
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
     require(pinned.isEmpty,
       "streaming from a pinned-region scan (time travel / " +
-        "graft.sampleRegions) is not supported; tail the live table " +
-        "(incremental consumers checkpoint on _graft_region_id instead)")
+        "graft.sampleRegions / a WAP branch preview) is not " +
+        "supported; tail the live table (incremental consumers " +
+        "checkpoint on _graft_region_id instead)")
     // graft.filterHint: user-asserted skipping predicate (FilterHint) —
     // the streaming stand-in for batch-only filter pushdown
     val hinted = filterHint

@@ -46,8 +46,26 @@ class GraftWriteBuilder(tableDir: File, meta: TableMeta,
       "graft: INSERT OVERWRITE with a predicate is not supported; " +
         "use DELETE + INSERT, or MERGE INTO")
 
-  override def build(): Write = new GraftWrite(tableDir, meta, info.queryId,
-    Option(info.options.get(GraftWrite.CopyKeysOption)), truncateAll)
+  override def build(): Write = {
+    val branch =
+      GraftBranch.resolve(Option(info.options.get(GraftBranch.OptionKey)))
+    branch.foreach { b =>
+      require(TableMeta.validBranchName(b),
+        s"invalid branch name '$b'")
+      if (truncateAll) throw new UnsupportedOperationException(
+        "graft branches are append-only staging lanes; INSERT " +
+          "OVERWRITE onto a branch is not supported — overwrite main " +
+          "after publish, or stage into a fresh table")
+      if (info.options.containsKey(GraftWrite.CopyKeysOption))
+        throw new UnsupportedOperationException(
+          "COPY INTO onto a branch is not supported (the per-file " +
+            "ledger is a main-manifest commit); unset " +
+            s"${GraftBranch.WapConf} for the COPY")
+    }
+    new GraftWrite(tableDir, meta, info.queryId,
+      Option(info.options.get(GraftWrite.CopyKeysOption)), truncateAll,
+      branch)
+  }
 }
 
 object GraftWrite {
@@ -78,7 +96,8 @@ private[catalog] object GraftWriteOrdering {
 }
 
 class GraftWrite(tableDir: File, meta: TableMeta, queryId: String,
-    copyKeys: Option[String] = None, truncateAll: Boolean = false)
+    copyKeys: Option[String] = None, truncateAll: Boolean = false,
+    branch: Option[String] = None)
     extends Write with RequiresDistributionAndOrdering {
 
   override def requiredDistribution(): Distribution =
@@ -90,10 +109,11 @@ class GraftWrite(tableDir: File, meta: TableMeta, queryId: String,
 
   override def toBatch: BatchWrite =
     if (truncateAll) new GraftTruncateBatchWrite(tableDir, meta)
-    else copyKeys match {
-      case Some(keys) =>
+    else (branch, copyKeys) match {
+      case (Some(b), _) => new GraftBranchBatchWrite(tableDir, meta, b)
+      case (None, Some(keys)) =>
         new GraftCopyBatchWrite(tableDir, meta, keys.split(',').toSeq)
-      case None => new GraftBatchWrite(tableDir, meta)
+      case (None, None) => new GraftBatchWrite(tableDir, meta)
     }
 
   /** Native streaming sink (`df.writeStream.toTable("graft.ns.t")`):
@@ -107,6 +127,14 @@ class GraftWrite(tableDir: File, meta: TableMeta, queryId: String,
     if (truncateAll) throw new UnsupportedOperationException(
       "graft streaming sink supports Append output mode only " +
         "(Complete mode would overwrite the table every epoch)")
+    // streaming-to-branch is refused: the sink's exactly-once story is
+    // the MAIN manifest's per-query epoch ledger, and a branch publish
+    // re-keys epochs — a replayed micro-batch after a mid-stream
+    // publish could no longer be recognized as a duplicate
+    if (branch.isDefined) throw new UnsupportedOperationException(
+      s"streaming writes onto a branch are not supported; unset " +
+        s"${GraftBranch.WapConf} for the stream and stage batch " +
+        "appends instead")
     // identity tables refuse streaming ingest: epochs share one writer
     // factory, so there is no per-epoch driver-side seam to reserve a
     // fresh sequence-number block — reusing one block across epochs
@@ -237,6 +265,21 @@ class GraftTruncateBatchWrite(tableDir: File, meta: TableMeta)
     GraftSplit.maybeAutoSplit(
       org.apache.spark.sql.SparkSession.active, tableDir, meta)
   }
+}
+
+/** WAP staging commit: regions land on the branch's own ladder
+  * ([[TableMeta.appendBranch]]), INVISIBLE to main readers until
+  * `CALL graft.sys.publish`. The branch auto-creates on first write
+  * (the `spark.graft.wap.branch` session flow). No auto-split: region
+  * geometry decisions belong to main's manifest, which this commit
+  * deliberately does not touch. */
+class GraftBranchBatchWrite(tableDir: File, meta: TableMeta,
+    branch: String) extends GraftBatchWrite(tableDir, meta) {
+  override def commit(messages: Array[WriterCommitMessage]): Unit =
+    TableMeta.appendBranch(tableDir, branch,
+      GraftCommits.withBlockHosts(tableDir,
+        GraftCommits.toRegions(GraftCommits.commits(messages))),
+      autoCreate = true)
 }
 
 /** COPY INTO's batch commit: the region append and the per-file

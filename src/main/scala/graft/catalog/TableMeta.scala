@@ -1089,4 +1089,224 @@ object TableMeta {
         Some(HistoryEntry(q, ts, op, added, rows, removed))
       } catch { case _: Exception => None } // deleted mid-listing
     }
+
+  // ------------------------------------------------------------------
+  // Branches — write-audit-publish (WAP) staging
+  //
+  // A branch is a named, APPEND-ONLY staging lane for one table: writes
+  // land on the branch invisible to main readers, an audit reads the
+  // post-publish preview (current main + staged regions), and publish
+  // moves the staged regions into main as ONE ordinary commit. The
+  // capability Iceberg ships as `spark.wap.branch`, re-expressed on the
+  // graft commit log.
+  //
+  // Layout rides the existing log directory in names the main fold
+  // CANNOT see ([[listSegSeqs]] parses only bare-numeric segment names,
+  // so branch files are invisible to the fold, to checkpoints, and —
+  // critically — to checkpoint cleanup, which only deletes consumed
+  // numeric segments; no extra retention pin is needed):
+  //
+  //   _graft_log/branch-<name>.json   registry (putIfAbsent = atomic
+  //                                   create; fork seq + create time)
+  //   _graft_log/b-<name>-<n>.json    the branch's own CAS ladder, one
+  //                                   file per staged append
+  //
+  // Staged regions carry id=0: ids are assigned by MAIN's ladder at
+  // publish time (so concurrent main appends can never collide with
+  // staged ids), and previews synthesize ids above main's nextId (so a
+  // latest-wins read over a dedupKeys preview sees staged rows as
+  // newest — exactly what publishing would make true).
+  //
+  // Publish commits through [[commitEpoch]] with ledger key
+  // `branch:<name>` and the branch ladder's top index as the epoch:
+  // a crash between the publish segment and the ladder cleanup makes
+  // the retry a recognized duplicate replay (regions commit ZERO
+  // times extra), the same idempotence contract COPY INTO rides.
+  // ------------------------------------------------------------------
+
+  private def branchFile(tableDir: File, name: String): File =
+    new File(logDirOf(tableDir), s"branch-$name.json")
+
+  private def branchSegFile(tableDir: File, name: String, n: Long): File =
+    new File(logDirOf(tableDir), f"b-$name-$n%09d.json")
+
+  private def listBranchSegs(tableDir: File, name: String): Seq[Long] = {
+    val pre = s"b-$name-"
+    val names = logDirOf(tableDir).list()
+    if (names == null) Nil
+    else names.toSeq.filter(n => n.startsWith(pre) && n.endsWith(".json"))
+      .flatMap(_.stripPrefix(pre).stripSuffix(".json").toLongOption).sorted
+  }
+
+  private[catalog] def validBranchName(name: String): Boolean =
+    name.matches("[A-Za-z][A-Za-z0-9_]*")
+
+  /** This branch GENERATION's publish-ledger key (None = no registry).
+    * Salting with create time + fork seq keeps a recreated same-name
+    * branch's epochs from colliding with the old generation's. */
+  private def branchLedgerKey(tableDir: File, name: String)
+      : Option[String] = {
+    val f = branchFile(tableDir, name)
+    if (!f.isFile) None
+    else try {
+      val j = mapper.readTree(f)
+      Some(s"branch:$name:${j.get("ts").asLong}-${j.get("forkSeq").asLong}")
+    } catch { case _: Exception => None } // dropped mid-read
+  }
+
+  def branchExists(tableDir: File, name: String): Boolean =
+    branchFile(tableDir, name).isFile
+
+  /** All branches of the table: (name, forkSeq, createMillis). */
+  def branches(tableDir: File): Seq[(String, Long, Long)] = {
+    val names = Option(logDirOf(tableDir).list()).getOrElse(Array.empty)
+    names.toSeq.filter(n => n.startsWith("branch-") && n.endsWith(".json"))
+      .sorted.flatMap { n =>
+        try {
+          val j = mapper.readTree(new File(logDirOf(tableDir), n))
+          Some((j.get("name").asText, j.get("forkSeq").asLong,
+            j.get("ts").asLong))
+        } catch { case _: Exception => None } // dropped mid-listing
+      }
+  }
+
+  /** Create branch `name` forked at the current version. Atomic via
+    * putIfAbsent — a concurrent identical create loses loudly. */
+  def createBranch(tableDir: File, name: String): Long = {
+    require(validBranchName(name),
+      s"invalid branch name '$name': letter first, then letters/" +
+        "digits/'_' only (keeps registry and ladder file names " +
+        "unambiguous)")
+    val fork = loadLoaded(tableDir).lastSeq
+    logDirOf(tableDir).mkdirs()
+    val root = mapper.createObjectNode()
+    root.put("name", name)
+    root.put("forkSeq", fork)
+    root.put("ts", System.currentTimeMillis())
+    if (!commitStore.putIfAbsent(branchFile(tableDir, name), root.toString))
+      throw new IllegalArgumentException(
+        s"branch '$name' already exists on ${tableDir.getName}")
+    fork
+  }
+
+  /** Stage one append on branch `name` (creating the branch when
+    * `autoCreate` — the `spark.graft.wap.branch` first-write path).
+    * The ladder index is CAS'd exactly like main segment seqs; ids
+    * stay 0 until publish. */
+  def appendBranch(tableDir: File, name: String,
+      added: Seq[RegionMeta], autoCreate: Boolean = false): Unit = {
+    if (added.isEmpty) return
+    if (!branchExists(tableDir, name)) {
+      if (!autoCreate) throw new IllegalArgumentException(
+        s"branch '$name' does not exist on ${tableDir.getName}; " +
+          "CALL graft.sys.branch to create it")
+      // two sessions' first WAP writes may race the create: losing the
+      // putIfAbsent means the branch now exists — proceed to stage
+      try createBranch(tableDir, name)
+      catch { case _: IllegalArgumentException
+        if branchExists(tableDir, name) => () }
+    }
+    val root = mapper.createObjectNode()
+    root.put("ts", System.currentTimeMillis())
+    regionsJson(root.putArray("regions"),
+      added.map(_.copy(id = 0L, srcMaxId = -1L)))
+    // floor at the generation's already-published ledger epoch: a
+    // staging append racing a publish must not recycle a ladder index
+    // the publish just consumed, or its rows would later read as a
+    // duplicate replay and silently drop
+    val floor = branchLedgerKey(tableDir, name)
+      .flatMap(k => loadState(tableDir).epochs.get(k)).map(_.epoch)
+      .getOrElse(0L)
+    var n =
+      (listBranchSegs(tableDir, name).maxOption.getOrElse(0L) max floor) + 1L
+    while (!commitStore.putIfAbsent(
+      branchSegFile(tableDir, name, n), root.toString)) n += 1L
+  }
+
+  /** The staged regions of exactly the ladder indexes `segs`, in
+    * commit order, ids still 0. Callers pass the listing they will
+    * later clean up, so a concurrent staging append landing after the
+    * listing is never deleted unpublished. */
+  private def stagedRegions(tableDir: File, name: String,
+      segs: Seq[Long]): Seq[RegionMeta] =
+    segs.flatMap { n =>
+      parseRegionList(mapper.readTree(branchSegFile(tableDir, name, n)),
+        "regions")
+    }
+
+  /** Staged (regionCount, rowCount) — the audit readout. */
+  def branchStats(tableDir: File, name: String): (Int, Long) = {
+    val rs = stagedRegions(tableDir, name, listBranchSegs(tableDir, name))
+    (rs.size, rs.map(_.rows).sum)
+  }
+
+  /** The post-publish PREVIEW region set: current main + staged
+    * regions under synthetic ids above main's nextId (newest-wins
+    * previews rank staged rows last, as publish will). None = no such
+    * branch (callers fall back to a plain main read — a WAP session
+    * conf must not break reads of tables that have no such branch).
+    * Preview ids are for scanning only; streaming offsets over a
+    * preview are refused at the source. */
+  def branchPreviewRegions(tableDir: File, name: String)
+      : Option[Seq[RegionMeta]] =
+    if (!branchExists(tableDir, name)) None
+    else {
+      val st = loadState(tableDir)
+      val staged = stagedRegions(tableDir, name,
+        listBranchSegs(tableDir, name))
+      Some(st.regions ++ staged.zipWithIndex.map { case (r, i) =>
+        r.copy(id = st.nextId + i)
+      })
+    }
+
+  /** Publish: move every staged region into main as ONE ordinary
+    * commit, then drop the branch metadata. Staged data files become
+    * main's; nothing is rewritten or copied.
+    *
+    * Idempotence across crash retries rides [[commitEpoch]] with a
+    * PER-BRANCH-GENERATION ledger key (`branch:<name>:<createTs>-
+    * <forkSeq>`): a retry after a crash between the publish segment
+    * and the ladder cleanup is a recognized duplicate replay and
+    * commits nothing twice, while a LATER branch recreated under the
+    * same name gets a fresh key — its (smaller) ladder indexes can
+    * never be mistaken for replays of the old generation's epochs.
+    * A staging append racing the publish keeps its ladder file and
+    * the registry (only the listed indexes are cleaned, and the
+    * registry survives while any index remains) — the late rows stay
+    * staged, publishable by a second call, never silently dropped.
+    * Returns (regionsPublished, rowsPublished). */
+  def publishBranch(tableDir: File, name: String): (Int, Long) = {
+    val reg = branchFile(tableDir, name)
+    val key = branchLedgerKey(tableDir, name).getOrElse(
+      throw new IllegalArgumentException(
+        s"branch '$name' does not exist on ${tableDir.getName}"))
+    val segs = listBranchSegs(tableDir, name)
+    val rs = stagedRegions(tableDir, name, segs)
+    if (rs.nonEmpty) {
+      // duplicate replay (false) means a crashed earlier publish
+      // already committed these very regions — proceed to cleanup
+      commitEpoch(tableDir, rs, key, segs.max)
+    }
+    segs.foreach(n => branchSegFile(tableDir, name, n).delete())
+    if (listBranchSegs(tableDir, name).isEmpty) reg.delete()
+    (rs.size, rs.map(_.rows).sum)
+  }
+
+  /** Abandon the branch: delete its staged DATA files (they were never
+    * visible to main) and its metadata. Do not drop a branch a writer
+    * is actively staging to — a write racing the drop can leave its
+    * one staged append behind (re-creating the branch surfaces it;
+    * publish-then-drop is the race-free teardown). Returns staged
+    * regions deleted. */
+  def dropBranch(tableDir: File, name: String): Int = {
+    if (!branchExists(tableDir, name)) throw new IllegalArgumentException(
+      s"branch '$name' does not exist on ${tableDir.getName}")
+    val segs = listBranchSegs(tableDir, name)
+    val rs = stagedRegions(tableDir, name, segs)
+    rs.foreach(r => new File(tableDir, r.file).delete())
+    segs.foreach(n => branchSegFile(tableDir, name, n).delete())
+    if (listBranchSegs(tableDir, name).isEmpty)
+      branchFile(tableDir, name).delete()
+    rs.size
+  }
 }

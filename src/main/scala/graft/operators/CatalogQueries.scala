@@ -1774,6 +1774,110 @@ object CatalogQueries {
         round(sum(col("o_totalprice")), 2).as("total"))
   }
 
+  /** Write-audit-publish face ([[graft.catalog.GraftBranch]]): main
+    * holds the odd-key half of orders; the even half is STAGED on
+    * branch 'audit', never published. The graded query reads BOTH
+    * faces — plain main and the branch preview — in one result, so a
+    * single hash-green row proves staged writes are invisible to main
+    * AND the preview resolves to exactly main+staged, against oracles
+    * recomputed from raw parquet. Trust requires both halves intact
+    * (a killed prior run can leave a half-staged branch: the staged
+    * row count is re-read from `CALL graft.sys.branches`). */
+  private val builtWap = scala.collection.concurrent.TrieMap[String, String]()
+  private def wapTable(s: SparkSession, d: String): String =
+    builtWap.getOrElseUpdate(d, {
+      val ns = sfNamespace(s, d)
+      val fqn = s"graft.$ns.orders_wap_t"
+      val src = s.read.parquet(s"$d/orders.parquet")
+      val odd = src.where("o_orderkey % 2 = 1").count()
+      val even = src.count() - odd
+      val staged = trusted(s, ns, "orders_wap_t", odd) && {
+        val ok = try s.sql(
+          s"CALL graft.sys.branches(table => '$ns.orders_wap_t')")
+          .where("branch = 'audit'").collect()
+          .exists(_.getString(4).toLong == even)
+        catch { case _: Exception => false }
+        if (!ok) s.sql(s"DROP TABLE $fqn")
+        ok
+      }
+      if (!staged) {
+        s.sql(
+          s"""CREATE TABLE $fqn (
+             |  o_orderkey BIGINT, o_orderstatus STRING,
+             |  o_totalprice DOUBLE)
+             |TBLPROPERTIES('keyCols'='o_orderkey', 'numRegions'='4')"""
+            .stripMargin)
+        val v = s"wap_src_${math.abs(d.hashCode)}"
+        src.createOrReplaceTempView(v)
+        s.sql(s"INSERT INTO $fqn SELECT o_orderkey, o_orderstatus, " +
+          s"o_totalprice FROM $v WHERE o_orderkey % 2 = 1")
+        s.table(v).where("o_orderkey % 2 = 0")
+          .selectExpr("o_orderkey", "o_orderstatus", "o_totalprice")
+          .writeTo(fqn)
+          .option(graft.catalog.GraftBranch.OptionKey, "audit")
+          .append()
+      }
+      fqn
+    })
+
+  val wapAgg: Q = (s, d) => {
+    import org.apache.spark.sql.functions._
+    val fqn = wapTable(s, d)
+    def agg(df: org.apache.spark.sql.DataFrame, face: String) =
+      df.groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("cnt"),
+          round(sum(col("o_totalprice")), 2).as("total"))
+        .withColumn("face", lit(face))
+    agg(s.table(fqn), "main").unionByName(
+      agg(s.read.option(graft.catalog.GraftBranch.OptionKey, "audit")
+        .table(fqn), "preview"))
+  }
+
+  /** Incremental-replication face (`CALL graft.sys.mirror`): the
+    * replica is bootstrapped from the odd-key batch, then SYNCED with
+    * the even-key delta after a second source append — reading the
+    * replica against the full-orders oracle proves the CDC-driven
+    * sync moved exactly the delta (a re-bootstrap or a skipped batch
+    * would double or halve groups). */
+  private val builtMirror =
+    scala.collection.concurrent.TrieMap[String, String]()
+  private def mirrorTable(s: SparkSession, d: String): String =
+    builtMirror.getOrElseUpdate(d, {
+      val ns = sfNamespace(s, d)
+      val srcFqn = s"graft.$ns.orders_mirsrc_t"
+      val tgtFqn = s"graft.$ns.orders_mirror_t"
+      val src = s.read.parquet(s"$d/orders.parquet")
+      val total = src.count()
+      if (!trusted(s, ns, "orders_mirror_t", total)) {
+        s.sql(s"DROP TABLE IF EXISTS $srcFqn")
+        s.sql(
+          s"""CREATE TABLE $srcFqn (
+             |  o_orderkey BIGINT, o_orderstatus STRING,
+             |  o_totalprice DOUBLE)
+             |TBLPROPERTIES('keyCols'='o_orderkey', 'numRegions'='4')"""
+            .stripMargin)
+        val v = s"mir_src_${math.abs(d.hashCode)}"
+        src.createOrReplaceTempView(v)
+        s.sql(s"INSERT INTO $srcFqn SELECT o_orderkey, o_orderstatus, " +
+          s"o_totalprice FROM $v WHERE o_orderkey % 2 = 1")
+        s.sql(s"CALL graft.sys.mirror(source => '$ns.orders_mirsrc_t', " +
+          s"target => '$ns.orders_mirror_t')").collect()
+        s.sql(s"INSERT INTO $srcFqn SELECT o_orderkey, o_orderstatus, " +
+          s"o_totalprice FROM $v WHERE o_orderkey % 2 = 0")
+        s.sql(s"CALL graft.sys.mirror(source => '$ns.orders_mirsrc_t', " +
+          s"target => '$ns.orders_mirror_t')").collect()
+      }
+      tgtFqn
+    })
+
+  val mirrorAgg: Q = (s, d) => {
+    import org.apache.spark.sql.functions._
+    s.table(mirrorTable(s, d))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("cnt"),
+        round(sum(col("o_totalprice")), 2).as("total"))
+  }
+
   /** Leading-key TopN pushdown face: both directions in one result.
     * The ASC/DESC LIMITs plan only the manifest-bounded head/tail
     * regions (LimitPushdownSpec proves the pruning); the oracle is the
@@ -1795,6 +1899,8 @@ object CatalogQueries {
     "catalog_changes" -> changesAgg,
     "catalog_clone" -> cloneAgg,
     "catalog_tag" -> tagAgg,
+    "catalog_wap" -> wapAgg,
+    "catalog_mirror" -> mirrorAgg,
     "catalog_topn" -> topnFace,
     "catalog_ann_topk" -> annTopkOnStore,
     "catalog_ann_lsh" -> annLshOnStore,
@@ -1905,6 +2011,28 @@ object CatalogQueries {
         |SELECT * FROM (
         |  SELECT 'desc' AS dir, o_orderkey, o_totalprice
         |  FROM orders ORDER BY o_orderkey DESC LIMIT 50)""".stripMargin,
+
+    // one hash proves BOTH WAP invariants: main sees only its own
+    // (odd) half while the branch is staged, and the preview is
+    // exactly main + staged (the full table)
+    "catalog_wap" ->
+      """SELECT o_orderstatus, count(*) AS cnt,
+        |       round(sum(o_totalprice), 2) AS total, 'main' AS face
+        |FROM orders WHERE o_orderkey % 2 = 1
+        |GROUP BY o_orderstatus
+        |UNION ALL
+        |SELECT o_orderstatus, count(*) AS cnt,
+        |       round(sum(o_totalprice), 2) AS total, 'preview' AS face
+        |FROM orders
+        |GROUP BY o_orderstatus""".stripMargin,
+
+    // bootstrap + one incremental sync must land exactly the source:
+    // a re-bootstrap doubles groups, a skipped delta halves them
+    "catalog_mirror" ->
+      """SELECT o_orderstatus, count(*) AS cnt,
+        |       round(sum(o_totalprice), 2) AS total
+        |FROM orders
+        |GROUP BY o_orderstatus""".stripMargin,
 
     // the CDC delta since the batch-1 append IS the even-key batch:
     // the oracle recomputes it from raw parquet, so the hash proves
