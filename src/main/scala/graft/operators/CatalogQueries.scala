@@ -1524,12 +1524,24 @@ object CatalogQueries {
       val src = s.read.parquet(s"$d/orders.parquet")
       val expected = src.count() +
         src.filter("o_orderkey % 10 = 0").count()
-      if (!trusted(s, ns, "orders_upsl_t", expected)) {
+      val exists = s.sql(s"SHOW TABLES IN graft.$ns").collect()
+        .exists(_.getString(1) == "orders_upsl_t") &&
+        usable(s, fqn, expected)
+      if (!exists) {
+        // fixed key splits, not numRegions: BOTH appends then bucket
+        // identically, every version of a key shares one partition,
+        // and the latest-wins window plans with ZERO Exchange off the
+        // KeyGroupedPartitioning the scan reports (the catalog_session
+        // layout applied to the upsert read)
+        val splits = src.stat
+          .approxQuantile("o_orderkey", (1 until 8).map(_ / 8.0).toArray,
+            0.001).map(_.toLong).distinct.sorted.mkString(";")
         s.sql(
           s"""CREATE TABLE $fqn (
              |  o_orderkey BIGINT, o_orderstatus STRING,
              |  o_totalprice DOUBLE)
-             |TBLPROPERTIES('keyCols'='o_orderkey', 'numRegions'='4',
+             |TBLPROPERTIES('keyCols'='o_orderkey',
+             |              'regionSplits'='$splits',
              |              'graft.dedupKeys'='true')""".stripMargin)
         val v = s"upsl_cat_src_${math.abs(d.hashCode)}"
         src.createOrReplaceTempView(v)
