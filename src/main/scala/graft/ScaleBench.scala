@@ -91,6 +91,13 @@ object ScaleBench {
   private val Heavy = Seq("catalog_tpch_q3", "catalog_tpch_q5",
     "catalog_tpch_q10", "catalog_tpch_q17", "catalog_tpch_q18",
     "catalog_tpch_q21", "events_session",
+    // exchange-free latest-wins read off fixed key splits: with zero
+    // key shuffle left, the sort+window should scale ~with data
+    "catalog_upsert_latest",
+    // WAP preview (main + staged regions off the branch ladder): the
+    // branch resolution is O(staged metadata), so the preview should
+    // cost the same as the equivalent plain scan at every scale
+    "catalog_wap",
     // the metadata-resolved faces: TopN plans only head/tail regions
     // and the CDC delta is a manifest diff — both should stay ~flat
     // while the data scales 10x (the point of resolving them from the

@@ -28,6 +28,11 @@ object GraftBranch {
   /** Per-operation read/write option. */
   val OptionKey = "branch"
 
+  /** Read option (with [[OptionKey]]): `true` reads ONLY the staged
+    * delta instead of the post-publish preview — the audit face that
+    * validates exactly the new batch. */
+  val DeltaOptionKey = "branchDelta"
+
   /** Session-wide WAP staging conf: while set, every graft append
     * stages on this branch and every graft scan reads the post-publish
     * preview of it (tables without the branch read plain main). */

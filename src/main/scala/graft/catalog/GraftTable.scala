@@ -174,7 +174,13 @@ class GraftTable(tableName: String, val tableDir: File, val meta: TableMeta,
     // tables.
     val explicitBranch = Option(options.get(GraftBranch.OptionKey))
       .map(_.trim).filter(_.nonEmpty)
+    val deltaOnly = Option(options.get(GraftBranch.DeltaOptionKey))
+      .exists(_.toBoolean)
     val pinBranched = GraftBranch.resolve(explicitBranch) match {
+      case Some(b) if pin.isEmpty && deltaOnly =>
+        // audit face: ONLY the staged batch (no such branch = nothing
+        // staged = an empty read, not a fallback to main)
+        Some(TableMeta.branchDeltaRegions(tableDir, b).getOrElse(Nil))
       case Some(b) if pin.isEmpty =>
         TableMeta.branchPreviewRegions(tableDir, b).orElse(pin)
       case Some(b) if explicitBranch.isDefined =>

@@ -1259,6 +1259,18 @@ object TableMeta {
       })
     }
 
+  /** ONLY the staged regions (synthetic ids, like the preview) — the
+    * audit face that validates exactly the new batch without EXCEPTing
+    * main away. None = no such branch. */
+  def branchDeltaRegions(tableDir: File, name: String)
+      : Option[Seq[RegionMeta]] =
+    if (!branchExists(tableDir, name)) None
+    else {
+      val base = loadState(tableDir).nextId
+      Some(stagedRegions(tableDir, name, listBranchSegs(tableDir, name))
+        .zipWithIndex.map { case (r, i) => r.copy(id = base + i) })
+    }
+
   /** Publish: move every staged region into main as ONE ordinary
     * commit, then drop the branch metadata. Staged data files become
     * main's; nothing is rewritten or copied.

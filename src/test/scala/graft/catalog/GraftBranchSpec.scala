@@ -174,6 +174,22 @@ class GraftBranchSpec extends AnyFunSuite {
     } finally spark.conf.unset(GraftBranch.WapConf)
   }
 
+  test("branchDelta reads ONLY the staged batch — the audit face — " +
+      "and an absent branch reads empty, not main") {
+    val fqn = mk("delta")
+    spark.range(10, 22).selectExpr("id AS k", "concat('s', id) AS v")
+      .writeTo(fqn).option("branch", "audit").append()
+    val delta = spark.read.option("branch", "audit")
+      .option("branchDelta", "true").table(fqn)
+    assert(delta.count() == 12L)
+    assert(delta.where("k < 10").count() == 0L, "no main rows leak in")
+    // pushdown still reaches the staged regions' stats
+    assert(delta.where("k >= 20").count() == 2L)
+    assert(spark.read.option("branch", "nosuch")
+      .option("branchDelta", "true").table(fqn).count() == 0L,
+      "absent branch = nothing staged = empty, never a main fallback")
+  }
+
   test("latest-wins preview on a dedupKeys table ranks staged rows " +
       "newest — exactly what publish then makes true") {
     ns()
