@@ -746,6 +746,131 @@ object TextOps {
       .limit(20)
   }
 
+  /** Distributed BPE tokenizer TRAINING (Sennrich et al. 2016, the
+    * byte-pair-encoding subword algorithm, in the word-histogram
+    * formulation fast trainers use): the corpus is read ONCE — a
+    * whitespace-word frequency histogram — and every merge iteration
+    * runs over the DISTINCT-WORD table, whose size is vocabulary-scale
+    * and corpus-size-independent. Training 50 merges over 100 TB costs
+    * one corpus pass plus 50 vocabulary passes; the corpus is never
+    * touched again.
+    *
+    * Each word starts as its character symbols plus a terminal `</w>`
+    * marker (a multi-character array ELEMENT, so it cannot collide
+    * with any single character; arrays are never re-split, so merged
+    * symbols cannot collide with it either). Per iteration: count
+    * adjacent symbol pairs weighted by word frequency (hash agg with
+    * map-side combine — pair cardinality crosses the wire, not token
+    * count), take the (count DESC, left ASC, right ASC) maximum — a
+    * ONE-ROW driver collect, the sequential decision BPE inherently
+    * is — and rewrite the symbol arrays with a left-to-right fold
+    * (`aggregate` HOF: leftmost occurrence merges first, matching the
+    * reference algorithm on runs like "aaa"). Rewrites stay LAZY and
+    * stack on the persisted histogram; `checkpointEvery` truncates the
+    * lineage with a localCheckpoint so iteration cost stays O(vocab)
+    * instead of O(merges·vocab) — the knob that matters at a 100M-word
+    * vocabulary, irrelevant at test scale.
+    *
+    * Returns the learned merge table (rank, left, right, merged,
+    * pair_count) — the artifact a tokenizer ships. No SQL oracle can
+    * replay the iteration (rows-only at the driver); BpeTrainSpec
+    * gates the merge SEQUENCE exactly against an independent
+    * single-JVM reference implementation. */
+  /** One corpus pass: the (symbol-array, frequency) word histogram
+    * training iterates on, partition count sized to the VOCABULARY
+    * (~100k words per partition) rather than the corpus — a synthetic
+    * 31-word vocabulary trains in single-task iterations while a
+    * 100M-word one keeps a thousand. Persisted: every merge reads it. */
+  def bpeHistogram(docsDf: DataFrame): DataFrame = {
+    val h = docsDf
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .select(concat(split(col("w"), ""), array(lit("</w>"))).as("syms"),
+        col("cnt"))
+    val n = h.count()
+    h.repartition(math.max(1L, n / 100000L).min(10000L).toInt).persist()
+  }
+
+  def bpeTrain(docsDf: DataFrame, numMerges: Int,
+      minPairCount: Long = 2L, checkpointEvery: Int = 16): DataFrame = {
+    val base = bpeHistogram(docsDf)
+    val out = bpeTrainOnHistogram(base, numMerges, minPairCount,
+      checkpointEvery)
+    base.unpersist(false)
+    out
+  }
+
+  /** Train over a prepared (shared/persisted) histogram — the loop of
+    * [[bpeTrain]] without the corpus pass; the caller owns the
+    * histogram's lifecycle. */
+  def bpeTrainOnHistogram(hist: DataFrame, numMerges: Int,
+      minPairCount: Long = 2L, checkpointEvery: Int = 16): DataFrame = {
+    val spark = hist.sparkSession
+    import spark.implicits._
+    var words = hist
+    val merges = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, String, Long)]
+    var rank = 0
+    while (rank < numMerges) {
+      // fully-merged words (ONE symbol left) contribute no pairs —
+      // and must not reach sequence(0, -1), which generates a
+      // DESCENDING range rather than an empty one
+      val top = words.filter(size(col("syms")) >= 2)
+        .select(col("cnt"), explode(expr(
+          """transform(sequence(0, size(syms) - 2),
+            |  i -> struct(syms[i] AS a, syms[i + 1] AS b))""".stripMargin))
+          .as("p"))
+        .groupBy(col("p.a"), col("p.b"))
+        .agg(sum(col("cnt")).as("pc"))
+        .orderBy(col("pc").desc, col("a").asc, col("b").asc)
+        .limit(1).collect()
+      if (top.isEmpty || top(0).getLong(2) < minPairCount) rank = numMerges
+      else {
+        val (a, b, pc) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((rank, a, b, a + b, pc))
+        // left-to-right fold: append x, unless the accumulator ends in
+        // `a` and x = b — then replace that tail with the merged
+        // symbol. try_element_at, not element_at: ANSI evaluation does
+        // not short-circuit the conjunction, and indexing the empty
+        // accumulator on the first element must yield NULL (falls to
+        // otherwise), not throw
+        words = words.select(
+          aggregate(col("syms"),
+            array().cast("array<string>"),
+            (acc, x) => when(
+              try_element_at(acc, lit(-1)) === lit(a) && x === lit(b),
+              concat(slice(acc, lit(1), size(acc) - 1),
+                array(lit(a + b))))
+              .otherwise(concat(acc, array(x)))).as("syms"),
+          col("cnt"))
+        rank += 1
+        if (rank % checkpointEvery == 0 && rank < numMerges)
+          words = words.localCheckpoint(true)
+      }
+    }
+    merges.toSeq.toDF("rank", "left", "right", "merged", "pair_count")
+  }
+
+  /** Per-sf-dir shared histogram (build-once like the other corpus
+    * fixtures): the timed face pays the merge loop, not the corpus
+    * pass — the regime a real tokenizer-training job runs in. */
+  private val bpeHistCache =
+    scala.collection.concurrent.TrieMap[String, DataFrame]()
+
+  /** Driver face: the first 6 learned merges over the documents
+    * corpus (each merge costs the argmax aggregation's scheduling
+    * floor and nothing else — so the face stays board-weight while
+    * the spec trains 24). Deterministic (total argmax order), but no
+    * SQL oracle can replay the sequential iteration — rows-only at
+    * the driver; BpeTrainSpec carries the exactness gate vs an
+    * independent single-JVM reference implementation. */
+  val bpeTrainFace: Q = (s, d) =>
+    bpeTrainOnHistogram(
+      bpeHistCache.getOrElseUpdate(d, bpeHistogram(docs(s, d))),
+      numMerges = 6)
+
   /** Corpus heavy hitters by sketch-then-verify: a bounded-memory
     * Misra-Gries pass ([[graft.functions.MisraGries]], k=64 counters)
     * nominates candidate tokens — guaranteed to include every token
@@ -1709,6 +1834,7 @@ object TextOps {
     "dedup_decontaminate" -> decontaminate,
     "text_vocab" -> vocabTop,
     "text_bpe" -> bpePairs,
+    "text_bpe_train" -> bpeTrainFace,
     "text_heavy_hitters" -> heavyHitters,
     "text_tfidf" -> tfidf,
     "pipeline_reservoir" -> reservoirSample,
