@@ -853,6 +853,31 @@ object TextOps {
     merges.toSeq.toDF("rank", "left", "right", "merged", "pair_count")
   }
 
+  /** ENCODE with a learned merge list: apply the merges to every
+    * word's symbols in rank order (the BPE inference rule — train-time
+    * order IS apply-time order), map-side over the corpus, no shuffle.
+    * Returns one row per (doc_id, word occurrence): (doc_id, w, syms).
+    * Symbols always concatenate back to word+`</w>` by construction
+    * (the fold only fuses adjacent symbols) — BpeTrainSpec asserts the
+    * roundtrip; aggregate per doc_id for token counts. */
+  def bpeEncode(docsDf: DataFrame,
+      merges: Seq[(String, String)]): DataFrame = {
+    val wordSyms = merges.foldLeft(
+      concat(split(col("w"), ""), array(lit("</w>")))) {
+      case (syms, (a, b)) =>
+        aggregate(syms, array().cast("array<string>"),
+          (acc, x) => when(
+            try_element_at(acc, lit(-1)) === lit(a) && x === lit(b),
+            concat(slice(acc, lit(1), size(acc) - 1),
+              array(lit(a + b))))
+            .otherwise(concat(acc, array(x))))
+    }
+    docsDf
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .select(col("doc_id"), col("w"), wordSyms.as("syms"))
+  }
+
   /** Per-sf-dir shared histogram (build-once like the other corpus
     * fixtures): the timed face pays the merge loop, not the corpus
     * pass — the regime a real tokenizer-training job runs in. */

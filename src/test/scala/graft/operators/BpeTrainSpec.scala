@@ -93,6 +93,30 @@ class BpeTrainSpec extends AnyFunSuite {
     assert(got(1)._2 == "a" && got(1)._3 == "c")
   }
 
+  test("encode applies the learned merges in rank order: symbols " +
+      "roundtrip to word + </w>, token counts shrink, and the trained " +
+      "pairs are actually fused") {
+    import spark.implicits._
+    val texts = spark.read
+      .parquet(s"${TestSpark.sfDir}/documents.parquet")
+      .select("text").collect().map(_.getString(0)).toSeq
+    val merges = train(texts, 12).map(m => (m._2, m._3))
+    val df = texts.toDF("text")
+      .selectExpr("monotonically_increasing_id() AS doc_id", "text")
+    val enc = TextOps.bpeEncode(df, merges)
+    val bad = enc.where(
+      "concat_ws('', syms) <> concat(w, '</w>')").count()
+    assert(bad == 0L, "every word's symbols must concatenate back")
+    val before = TextOps.bpeEncode(df, Nil)
+      .selectExpr("sum(size(syms))").collect().head.getLong(0)
+    val after = enc.selectExpr("sum(size(syms))").collect().head.getLong(0)
+    assert(after < before, "merges must reduce the corpus token count")
+    // the top-ranked merged symbol must actually occur in the encoding
+    val top = merges.head._1 + merges.head._2
+    assert(enc.where(s"array_contains(syms, '${top.replace("'", "''")}')")
+      .count() > 0L, s"top merge '$top' must appear as a token")
+  }
+
   test("minPairCount stops the iteration early; lineage checkpointing " +
       "does not change the result") {
     val texts = Seq("xy xy xy", "zq")
