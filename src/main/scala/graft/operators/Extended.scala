@@ -394,6 +394,9 @@ object Extended {
     "pivot_status" -> pivotStatus,
     "unpivot_metrics" -> unpivotMetrics,
     "agg_percentile" -> aggPercentile,
+    "agg_percentile_exact" -> ((s, d) =>
+      Quantiles.exactPercentiles(T(s, d, "lineitem"), "l_extendedprice",
+        Seq(0.25, 0.5, 0.75, 0.95))),
     "agg_corr" -> aggCorr,
     "agg_collect" -> aggCollect,
     "agg_grouping_id" -> aggGroupingId,
@@ -486,6 +489,24 @@ object Extended {
         |  round(CAST(quantile_cont(CAST(l_quantity AS DOUBLE), 0.75) AS DOUBLE), 4) AS p75,
         |  round(CAST(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.9) AS DOUBLE), 4) AS p90_price
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    // sketch-bracket-refine EXACT percentile (Quantiles): the answer
+    // must equal quantile_disc (the k = ceil(p*n)-th smallest element)
+    // bit-for-bit — both engines return an actual stored double
+    "agg_percentile_exact" ->
+      """SELECT CAST(0.25 AS DOUBLE) AS p,
+        |       quantile_disc(l_extendedprice, 0.25) AS value
+        |FROM lineitem
+        |UNION ALL
+        |SELECT CAST(0.5 AS DOUBLE),
+        |       quantile_disc(l_extendedprice, 0.5) FROM lineitem
+        |UNION ALL
+        |SELECT CAST(0.75 AS DOUBLE),
+        |       quantile_disc(l_extendedprice, 0.75) FROM lineitem
+        |UNION ALL
+        |SELECT CAST(0.95 AS DOUBLE),
+        |       quantile_disc(l_extendedprice, 0.95) FROM lineitem"""
+        .stripMargin,
 
     "agg_corr" ->
       """SELECT l_returnflag,
