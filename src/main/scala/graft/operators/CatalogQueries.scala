@@ -471,6 +471,61 @@ object CatalogQueries {
          |ORDER BY numwait DESC, s.s_name ASC LIMIT 25""".stripMargin)
   }
 
+  /** TPC-H Q4 (order priority checking) over the co-partitioned store:
+    * the correlated EXISTS carries a NON-EQUI residual
+    * (l_shipdate > o_orderdate) on top of the orderkey correlation —
+    * Spark rewrites it to a left-semi join whose equi key rides the
+    * storage partitioning, so neither fact side shuffles and the
+    * residual evaluates inside the join. The priority agg that
+    * follows is orders-side only. (Classic Q4 keys the late-line
+    * test on commit/receipt dates the test tables don't carry; the
+    * correlated ship-after-order predicate keeps the identical plan
+    * shape.) */
+  val tpchQ4: Q = (s, d) => {
+    val li = lineitemTable(s, d)
+    val o = ordersTable(s, d)
+    s.sql(
+      s"""SELECT o.o_orderpriority, count(*) AS order_count
+         |FROM $o o
+         |WHERE o.o_orderdate >= DATE'1996-01-01'
+         |  AND o.o_orderdate < DATE'1996-07-01'
+         |  AND EXISTS (SELECT 1 FROM $li l
+         |              WHERE l.l_orderkey = o.o_orderkey
+         |                AND l.l_shipdate > o.o_orderdate)
+         |GROUP BY o.o_orderpriority""".stripMargin)
+  }
+
+  /** TPC-H Q7 (volume shipping between two nations) over the store:
+    * the fact-fact join (lineitem_w ⋈ orders on orderkey) is
+    * storage-partitioned; supplier, customer and both nation aliases
+    * broadcast; the OR-of-nation-pairs predicate evaluates post-join —
+    * the classic join-order stress shape. (volume = l_extendedprice:
+    * the wide twin carries no discount column; same plan shape.) */
+  val tpchQ7: Q = (s, d) => {
+    val li = lineitemWideTable(s, d)
+    val o = ordersTable(s, d)
+    val h = math.abs(d.hashCode)
+    Seq("supplier", "customer", "nation").foreach { t =>
+      s.read.parquet(s"$d/$t.parquet")
+        .createOrReplaceTempView(s"${t}_cat_dim_$h")
+    }
+    s.sql(
+      s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         |       year(l.l_shipdate) AS l_year,
+         |       round(sum(l.l_extendedprice), 2) AS volume,
+         |       count(*) AS n_lines
+         |FROM $li l
+         |JOIN $o o ON l.l_orderkey = o.o_orderkey
+         |JOIN supplier_cat_dim_$h s ON s.s_suppkey = l.l_suppkey
+         |JOIN customer_cat_dim_$h c ON c.c_custkey = o.o_custkey
+         |JOIN nation_cat_dim_$h n1 ON n1.n_nationkey = s.s_nationkey
+         |JOIN nation_cat_dim_$h n2 ON n2.n_nationkey = c.c_nationkey
+         |WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+         |    OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+         |  AND l.l_shipdate >= DATE'1995-01-01'
+         |GROUP BY n1.n_name, n2.n_name, year(l.l_shipdate)""".stripMargin)
+  }
+
   /** Documents in the catalog too — LLM-pipeline ops composed over the
     * key-sorted store rather than raw parquet. */
   private val builtDocs = scala.collection.concurrent.TrieMap[String, String]()
@@ -1953,6 +2008,8 @@ object CatalogQueries {
     "catalog_tpch_q3" -> tpchQ3,
     "catalog_tpch_q10" -> tpchQ10,
     "catalog_tpch_q17" -> tpchQ17,
+    "catalog_tpch_q4" -> tpchQ4,
+    "catalog_tpch_q7" -> tpchQ7,
     "catalog_tpch_q18" -> tpchQ18,
     "catalog_tpch_q21" -> tpchQ21,
     "catalog_key_groupby" -> keyGroupBy,
@@ -2354,6 +2411,32 @@ object CatalogQueries {
         |JOIN region r ON n.n_regionkey = r.r_regionkey
         |WHERE r.r_name = 'ASIA' AND o.o_orderdate >= DATE'1996-01-01'
         |GROUP BY n.n_name""".stripMargin,
+
+    "catalog_tpch_q4" ->
+      """SELECT o.o_orderpriority, count(*) AS order_count
+        |FROM orders o
+        |WHERE o.o_orderdate >= DATE'1996-01-01'
+        |  AND o.o_orderdate < DATE'1996-07-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_shipdate > o.o_orderdate)
+        |GROUP BY o.o_orderpriority""".stripMargin,
+
+    "catalog_tpch_q7" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |       CAST(year(l.l_shipdate) AS INT) AS l_year,
+        |       round(sum(l.l_extendedprice), 2) AS volume,
+        |       count(*) AS n_lines
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |JOIN customer c ON c.c_custkey = o.o_custkey
+        |JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+        |JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+        |WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+        |    OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+        |  AND l.l_shipdate >= DATE'1995-01-01'
+        |GROUP BY n1.n_name, n2.n_name, year(l.l_shipdate)""".stripMargin,
 
     "catalog_tpch_q18" ->
       """WITH big AS (

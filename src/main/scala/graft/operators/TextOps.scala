@@ -1822,6 +1822,177 @@ object TextOps {
 
   val joinSimilarity: Q = (s, d) => similarityJoin(docs(s, d))
 
+  // ------------------------------------------------- BM25 lexical retrieval
+
+  /** The fixed retrieval query the BM25/hybrid faces score against —
+    * three mid-frequency corpus terms, so tf and doc-length actually
+    * discriminate. */
+  private val bm25Terms = Seq("vector", "join", "stream")
+
+  /** Okapi BM25 retrieval (Robertson et al., TREC-3; the Lucene/
+    * Elasticsearch default): score every document against a fixed
+    * 3-term query, return the top 10. Shape at scale: the per-doc
+    * (term, tf) pairs come from the map-side [[graft.functions
+    * .VectorOps.wordTfPairs]] kernel FILTERED to the query terms
+    * before exploding — tokens never leave the kernel and at most
+    * |q| = 3 rows per matching doc cross the wire; the corpus
+    * statistics (N, avgdl, per-term df) are two tiny aggregates
+    * broadcast into the scoring stage; the final top-10 is a
+    * TakeOrdered over per-doc scores, no global sort. Scores are
+    * rounded to 4 dp BEFORE ranking and ties break on doc_id, so the
+    * cross-engine result set is deterministic (the ≤3-addend
+    * float-sum drift is ~1e-16, far inside the rounding grain).
+    * Exact DuckDB oracle. */
+  val bm25: Q = (s, d) =>
+    bm25Scores(s, d)
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(10)
+
+  /** Per-doc rounded BM25 scores against [[bm25Terms]] (no top-k) —
+    * shared by the retrieval face and the RRF fusion arm. */
+  private[operators] def bm25Scores(s: SparkSession, d: String): DataFrame = {
+    val k1 = 1.2
+    val b = 0.75
+    val qTerms = array(bm25Terms.map(lit): _*)
+    val base = docs(s, d).select(
+      col("doc_id"),
+      size(filter(split(col("text"), " "), w => w =!= "")).cast("long")
+        .as("dl"),
+      filter(graft.functions.VectorOps.wordTfPairs(col("text")),
+        p => array_contains(qTerms, p.getField("w"))).as("qtf"))
+    val stats = base.agg(count(lit(1)).as("n_docs"),
+      avg(col("dl")).as("avgdl"))
+    val tf = base.filter(size(col("qtf")) > 0)
+      .select(col("doc_id"), col("dl"), explode(col("qtf")).as("p"))
+      .select(col("doc_id"), col("dl"), col("p.w").as("w"),
+        col("p.tf").cast("long").as("tf"))
+    val dfreq = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfreq), "w")
+      .crossJoin(broadcast(stats))
+      .groupBy(col("doc_id"))
+      .agg(sum(
+        log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)) *
+          (col("tf") * (k1 + 1.0)) /
+          (col("tf") +
+            (col("dl") / col("avgdl") * b + (1.0 - b)) * k1))
+        .as("s"))
+      .select(col("doc_id"), round(col("s"), 4).as("score"))
+  }
+
+  /** Hybrid retrieval with reciprocal-rank fusion (Cormack et al.,
+    * SIGIR'09 — the standard lexical+vector ensemble): the BM25
+    * top-50 and the cosine top-50 against the vec_id-0 query
+    * embedding, fused by Σ 1/(60+rank) and re-ranked. Shape at
+    * scale: each arm is its own bounded top-k (TakeOrdered / the
+    * broadcast-query cosine kernel); the fusion join touches ≤100
+    * rows. Ranks are integers and the fused score is a sum of two
+    * exact rationals rounded to 6 dp, so the cross-engine order is
+    * deterministic. Exact DuckDB oracle. */
+  val hybridRrf: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val wLex = Window.orderBy(col("score").desc, col("doc_id").asc)
+    val lex = bm25Scores(s, d)
+      .filter(col("doc_id") =!= 0)
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(50)
+      .withColumn("lrk", row_number().over(wLex))
+      .select(col("doc_id").as("id"), col("lrk"))
+    val q = emb(s, d).filter(col("vec_id") === 0)
+      .select(col("embedding").as("qv"))
+    val wVec = Window.orderBy(col("sim").desc, col("vec_id").asc)
+    val vec = emb(s, d).filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .withColumn("sim",
+        round(VectorOps.cosine(col("embedding"), col("qv")), 4))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+      .limit(50)
+      .withColumn("vrk", row_number().over(wVec))
+      .select(col("vec_id").as("id"), col("vrk"))
+    lex.join(vec, Seq("id"), "full_outer")
+      .select(col("id").as("doc_id"),
+        round(
+          coalesce(lit(1.0) / (lit(60) + col("lrk")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("vrk")), lit(0.0)), 6)
+          .as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id").asc)
+      .limit(10)
+  }
+
+  // ------------------------------------- weighted sampling / edit-dist dedup
+
+  /** Weighted sampling without replacement (Efraimidis–Spirakis A-Res,
+    * IPL 2006): per language, the 5 documents drawn with probability
+    * proportional to token count, via the key u^(1/w) — u a
+    * deterministic hash-uniform in (0,1), w the token weight. The key
+    * is quantized to 1e-9 (one floor(x·1e9+0.5) in both engines; the
+    * pow ulp drift ~1e-16 is far inside the grain) so the
+    * cross-engine draw is identical. Shape at scale: the k-bounded
+    * [[graft.functions.BoundedMinK]] summary under groupBy gets
+    * map-side partial aggregation — each task forwards ≤ k pairs per
+    * stratum and nothing is globally sorted — while the oracle's
+    * window formulation sorts the corpus. Exact DuckDB oracle. */
+  val weightedSample: Q = (s, d) => {
+    val kSmall = udaf(new graft.functions.BoundedMinK(5))
+    docs(s, d)
+      .withColumn("w", (col("n_chars") / 4).cast("long") + 1)
+      .withColumn("u",
+        (pmod(col("doc_id") * lit(2654435761L), lit(1000000007L)) + 1) /
+          lit(1000000008.0))
+      // A-Res key, largest-first => min-k of the negated quantized key
+      .withColumn("nk",
+        -floor(pow(col("u"), lit(1.0) / col("w")) * 1e9 + 0.5).cast("long"))
+      .groupBy(col("lang"))
+      .agg(kSmall(col("nk"), col("doc_id")).as("picks"))
+      .select(col("lang"), posexplode(col("picks")))
+      .select(col("lang"), (col("pos") + 1).cast("int").as("rk"),
+        col("col._2").as("doc_id"))
+  }
+
+  /** Edit-distance near-dup pairs over the 5-word document prefix
+    * ("title"), FastSS deletion-variant blocked (Bocek et al., 2007 —
+    * the SymSpell scheme): if lev(a,b) ≤ t, then some ≤t-deletion
+    * variant of a equals one of b, so grouping by variant has 100%
+    * recall and the levenshtein verify runs only inside blocks —
+    * never all-pairs. Variants are generated map-side by HOF
+    * expressions (≤ 1+n+n² per title, n ≈ 25 chars, t = 2), the join
+    * key is the variant string, and candidate pairs are distinct-ed
+    * before ONE exact verify per pair. At sf0.1 DuckDB's brute-force
+    * recompute of the same answer takes ~35 s; this path is the
+    * scale route. Exact DuckDB oracle (bounded brute force at the
+    * verify sf). */
+  val dedupEdit: Q = (s, d) => {
+    val titles = docs(s, d).select(col("doc_id"),
+      concat_ws(" ",
+        slice(filter(split(col("text"), " "), w => w =!= ""), 1, 5))
+        .as("t"))
+    // all variants of t with 0, 1, or 2 character deletions
+    val variants = titles.select(col("doc_id"), col("t"),
+      array_distinct(concat(
+        array(col("t")),
+        expr("""transform(sequence(1, length(t)),
+                  i -> concat(substring(t, 1, i-1),
+                              substring(t, i+1, length(t))))"""),
+        expr("""flatten(transform(sequence(1, greatest(length(t)-1, 1)),
+                  i -> transform(sequence(i+1, greatest(length(t), i+1)),
+                    j -> concat(substring(t, 1, i-1),
+                                substring(t, i+1, j-i-1),
+                                substring(t, j+1, length(t))))))""")))
+        .as("vs"))
+    val exploded = variants
+      .select(col("doc_id"), explode(col("vs")).as("v"))
+    val cands = exploded.as("a")
+      .join(exploded.as("b"), col("a.v") === col("b.v") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .distinct()
+    cands
+      .join(titles.select(col("doc_id").as("da"), col("t").as("ta")), "da")
+      .join(titles.select(col("doc_id").as("db"), col("t").as("tb")), "db")
+      .withColumn("dist", levenshtein(col("ta"), col("tb")))
+      .filter(col("dist") <= 2)
+      .select(col("da"), col("db"), col("dist").cast("int").as("dist"))
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, Q] = Map(
@@ -1874,6 +2045,10 @@ object TextOps {
     "text_classifier" -> textClassifier,
     "dedup_semantic" -> dedupSemantic,
     "join_similarity" -> joinSimilarity,
+    "text_bm25" -> bm25,
+    "ann_hybrid_rrf" -> hybridRrf,
+    "pipeline_weighted" -> weightedSample,
+    "dedup_edit" -> dedupEdit,
   )
 
   /** Shared CTE chain for the exact word-Jaccard all-pairs recompute
@@ -1976,8 +2151,79 @@ object TextOps {
        |FROM b GROUP BY bucket""".stripMargin
   }
 
+  /** Shared BM25 CTE chain (tokenize → query-term tf → df → corpus
+    * stats → per-doc score) for the retrieval and fusion oracles. */
+  private val bm25Cte =
+    """dl AS (SELECT doc_id, len(list_filter(string_split(text, ' '),
+      |                            x -> x <> '')) AS dl FROM documents),
+      |tok AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+      |                                 x -> x <> '')) AS w FROM documents),
+      |tf AS (SELECT doc_id, w, count(*) AS tf FROM tok
+      |       WHERE w IN ('vector', 'join', 'stream') GROUP BY 1, 2),
+      |df AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
+      |st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+      |sc AS (SELECT tf.doc_id,
+      |         sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+      |             * tf * (1.2 + 1)
+      |             / (tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / avgdl))) AS s
+      |       FROM tf JOIN df USING (w) JOIN dl USING (doc_id), st
+      |       GROUP BY 1)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "ann_lsh" -> lshBucketOracleSql(),
+
+    "text_bm25" ->
+      s"""WITH $bm25Cte
+         |SELECT doc_id, round(s, 4) AS score FROM sc
+         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+
+    "ann_hybrid_rrf" ->
+      s"""WITH $bm25Cte,
+         |lex AS (SELECT doc_id AS id,
+         |          row_number() OVER (ORDER BY round(s, 4) DESC, doc_id) AS lrk
+         |        FROM sc WHERE doc_id <> 0
+         |        ORDER BY round(s, 4) DESC, doc_id LIMIT 50),
+         |vec0 AS (SELECT vec_id,
+         |           round(list_cosine_similarity(cast(embedding AS DOUBLE[]),
+         |             (SELECT cast(embedding AS DOUBLE[]) FROM embeddings
+         |              WHERE vec_id = 0)), 4) AS sim
+         |         FROM embeddings WHERE vec_id <> 0),
+         |vec AS (SELECT vec_id AS id,
+         |          row_number() OVER (ORDER BY sim DESC, vec_id) AS vrk
+         |        FROM vec0 ORDER BY sim DESC, vec_id LIMIT 50)
+         |SELECT coalesce(lex.id, vec.id) AS doc_id,
+         |       round(coalesce(1.0 / (60 + lrk), 0)
+         |             + coalesce(1.0 / (60 + vrk), 0), 6) AS rrf
+         |FROM lex FULL JOIN vec ON lex.id = vec.id
+         |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin,
+
+    // same deterministic draw: hash-uniform u, A-Res key u^(1/w)
+    // quantized to 1e-9 BEFORE ranking (pow ulp drift ~1e-16 is far
+    // inside the grain), per-lang top-5 by (key DESC, doc_id)
+    "pipeline_weighted" ->
+      """WITH s AS (SELECT lang, doc_id, (n_chars // 4) + 1 AS w,
+        |  ((doc_id * 2654435761) % 1000000007 + 1) / 1000000008.0 AS u
+        |  FROM documents),
+        |k AS (SELECT lang, doc_id,
+        |  CAST(floor(pow(u, 1.0 / w) * 1e9 + 0.5) AS BIGINT) AS key9 FROM s),
+        |r AS (SELECT lang, doc_id, row_number() OVER (
+        |        PARTITION BY lang ORDER BY key9 DESC, doc_id ASC) AS rk
+        |      FROM k)
+        |SELECT lang, CAST(rk AS INT) AS rk, doc_id FROM r
+        |WHERE rk <= 5""".stripMargin,
+
+    // brute-force recompute of the blocked answer (all pairs at the
+    // verify sf; the Spark face is the scale path — at sf0.1 this
+    // exact query takes DuckDB ~35 s, the blocked join ~2 s)
+    "dedup_edit" ->
+      """WITH ti AS (SELECT doc_id,
+        |  array_to_string(list_filter(string_split(text, ' '),
+        |                              x -> x <> '')[1:5], ' ') AS t
+        |  FROM documents)
+        |SELECT a.doc_id AS da, b.doc_id AS db,
+        |       CAST(levenshtein(a.t, b.t) AS INT) AS dist
+        |FROM ti a JOIN ti b ON a.doc_id < b.doc_id
+        |WHERE levenshtein(a.t, b.t) <= 2""".stripMargin,
 
     // full MinHash signature recompute: shingles rebuilt 1-based,
     // h1/h2 from md5 / md5(s || '#2'), component k = SIGNED min of

@@ -311,10 +311,12 @@ class SecondaryIndexSpec extends AnyFunSuite {
     // grp = 3 is a leading-key point predicate on the index → pruned
     // to its region(s), not the whole 16-region index. The sorted
     // load's range boundaries come from Spark's range-shuffle
-    // sampling (seeded by session-wide RDD ids), so the 1000 matching
-    // rows span 2 regions or — when a boundary lands inside the run —
-    // 3; ceil(1000/500)+1 is the layout-independent bound.
-    assert(ss.head.inputRDD.getNumPartitions <= 3,
+    // SAMPLING (seeded by session-wide RDD ids), so regions are only
+    // approximately even: the 1000 matching rows usually span 2-3
+    // regions, but a sampling-shortened region inside the run can add
+    // another. Assert pruning (a small handful, not the 16-region
+    // index) rather than a pseudo-exact boundary count.
+    assert(ss.head.inputRDD.getNumPartitions <= 5,
       s"expected index point scan, got ${ss.head.inputRDD.getNumPartitions}")
     // an uncovered column falls back to the probe + base join (2 scans)
     val q2 = spark.sql(

