@@ -86,4 +86,24 @@ class TpchHeavyPlanSpec extends AnyFunSuite {
     assert(!plan.contains("LeftSemi") && !plan.contains("LeftAnti"),
       s"correlations should be pre-aggregated, not joined:\n$plan")
   }
+
+  test("q4: the correlated EXISTS plans as a storage-partitioned semi " +
+      "join carrying the non-equi residual — zero orderkey Exchange") {
+    val plan = planNoBroadcast("catalog_tpch_q4")
+    assert(plan.contains("LeftSemi"), s"expected a semi join:\n$plan")
+    // the ship-after-order correlation must ride the join as a
+    // residual, not a post-join filter over a wider join
+    assert(plan.contains("l_shipdate") && plan.contains("o_orderdate"))
+    val bad = orderkeyShuffles(plan)
+    assert(bad.isEmpty,
+      s"orderkey shuffles present:\n${bad.mkString("\n")}\n\nplan:\n$plan")
+  }
+
+  test("q7: the fact-fact join rides the orderkey storage " +
+      "partitioning; dims join without touching the fact layout") {
+    val plan = planNoBroadcast("catalog_tpch_q7")
+    val bad = orderkeyShuffles(plan)
+    assert(bad.isEmpty,
+      s"orderkey shuffles present:\n${bad.mkString("\n")}\n\nplan:\n$plan")
+  }
 }
