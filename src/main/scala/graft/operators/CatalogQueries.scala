@@ -783,6 +783,98 @@ object CatalogQueries {
       fqn
     })
 
+  /** The inverted postings index MATERIALIZED as a graft table — the
+    * full-text-search artifact: one (term, doc_id, tf, dl) row per
+    * distinct word per document, KEYED BY (term, doc_id). dl is
+    * denormalized into the posting (standard IR practice) so scoring
+    * never joins back to the corpus. Query-time cost is then
+    * independent of corpus size: a term IN-list is a point predicate
+    * on the leading string key → region pruning + page skipping reach
+    * only the queried terms' postings, the way a 100-TB search tier
+    * serves queries without scanning documents. Built ONCE from the
+    * stored documents by the same map-side word_tf_pairs kernel the
+    * parquet face uses per query. */
+  private val builtPost = scala.collection.concurrent.TrieMap[String, String]()
+  private def postingsTable(s: SparkSession, d: String): String =
+    builtPost.getOrElseUpdate(d, {
+      val docsFqn = documentsTable(s, d)
+      val ns = s"sf_${math.abs(d.hashCode)}"
+      val fqn = s"graft.$ns.postings_t"
+      import org.apache.spark.sql.functions._
+      val src = s.table(docsFqn)
+      val srcCount = src.agg(
+        sum(size(graft.functions.VectorOps.wordTfPairs(col("text")))))
+        .collect()(0).getLong(0)
+      val exists = trusted(s, ns, "postings_t", srcCount)
+      if (!exists) {
+        s.sql(
+          s"""CREATE TABLE $fqn (
+             |  term STRING, doc_id BIGINT, tf BIGINT, dl BIGINT)
+             |TBLPROPERTIES('keyCols'='term;doc_id', 'numRegions'='8')"""
+            .stripMargin)
+        val v = s"postings_src_${math.abs(d.hashCode)}"
+        src.select(col("doc_id"),
+          size(filter(split(col("text"), " "), w => w =!= ""))
+            .cast("long").as("dl"),
+          explode(graft.functions.VectorOps.wordTfPairs(col("text")))
+            .as("p"))
+          .select(col("p.w").as("term"), col("doc_id"),
+            col("p.tf").cast("long").as("tf"), col("dl"))
+          .createOrReplaceTempView(v)
+        s.sql(s"INSERT INTO $fqn SELECT * FROM $v")
+      }
+      fqn
+    })
+
+  /** Corpus-level BM25 statistics (n_docs, avgdl) persisted beside the
+    * postings index — two rows, point-read at query time; recomputing
+    * them would re-scan the corpus the index exists to avoid. */
+  private val builtTs = scala.collection.concurrent.TrieMap[String, String]()
+  private def textStatsTable(s: SparkSession, d: String): String =
+    builtTs.getOrElseUpdate(d, {
+      val docsFqn = documentsTable(s, d)
+      val ns = s"sf_${math.abs(d.hashCode)}"
+      val fqn = s"graft.$ns.text_stats_t"
+      import org.apache.spark.sql.functions._
+      val exists = trusted(s, ns, "text_stats_t", 2L)
+      if (!exists) {
+        s.sql(s"""CREATE TABLE $fqn (stat STRING, v DOUBLE)
+                 |TBLPROPERTIES('keyCols'='stat', 'numRegions'='2')"""
+          .stripMargin)
+        val st = s.table(docsFqn).agg(
+          count(lit(1)).cast("double").as("n_docs"),
+          avg(size(filter(split(col("text"), " "), w => w =!= ""))
+            .cast("long")).as("avgdl"))
+          .selectExpr(
+            "stack(2, 'n_docs', n_docs, 'avgdl', avgdl) AS (stat, v)")
+        val v = s"text_stats_src_${math.abs(d.hashCode)}"
+        st.createOrReplaceTempView(v)
+        s.sql(s"INSERT INTO $fqn SELECT * FROM $v")
+      }
+      fqn
+    })
+
+  /** BM25 retrieval FROM THE INDEX: the query terms hit the postings
+    * table as a leading-key IN-list (region-pruned, page-skipped), the
+    * two corpus stats are point reads, and the shared scoring core
+    * ([[TextOps.bm25ScoreOf]]) runs over postings whose volume is the
+    * query's, not the corpus's. Same top-10, same oracle as text_bm25
+    * — a hash match proves the persisted index + stats reproduce the
+    * full-scan recompute exactly. */
+  val bm25OnStore: Q = (s, d) => {
+    import org.apache.spark.sql.functions._
+    val posts = s.table(postingsTable(s, d))
+      .filter(col("term").isin(TextOps.bm25Terms: _*))
+      .select(col("doc_id"), col("dl"), col("term").as("w"), col("tf"))
+    val stats = s.table(textStatsTable(s, d))
+      .groupBy()
+      .agg(max(when(col("stat") === "n_docs", col("v"))).as("n_docs"),
+        max(when(col("stat") === "avgdl", col("v"))).as("avgdl"))
+    TextOps.bm25ScoreOf(posts, stats)
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(10)
+  }
+
   /** MinHash-LSH verified near-dup pairs over CATALOG-stored documents:
     * the near-dup scale path (signatures → banded join → exact-Jaccard
     * verify) composed with the key-sorted store the way
@@ -1972,6 +2064,7 @@ object CatalogQueries {
     "catalog_ann_topk" -> annTopkOnStore,
     "catalog_ann_lsh" -> annLshOnStore,
     "catalog_dedup_minhash" -> dedupMinhashOnStore,
+    "catalog_bm25" -> bm25OnStore,
     "catalog_dedup_embedding" -> dedupEmbeddingOnStore,
     "catalog_session" -> sessionOnStore,
     "catalog_decimal" -> decimalAgg,
@@ -2034,6 +2127,7 @@ object CatalogQueries {
     // the store face shares text_perplexity's oracle verbatim: the
     // catalog must hold exactly the source documents
     "catalog_perplexity" -> TextOps.oracles("text_perplexity"),
+    "catalog_bm25" -> TextOps.oracles("text_bm25"),
 
     // the index path must answer exactly like the plain filter
     "catalog_index_lookup" ->

@@ -1827,7 +1827,31 @@ object TextOps {
   /** The fixed retrieval query the BM25/hybrid faces score against —
     * three mid-frequency corpus terms, so tf and doc-length actually
     * discriminate. */
-  private val bm25Terms = Seq("vector", "join", "stream")
+  private[operators] val bm25Terms = Seq("vector", "join", "stream")
+
+  /** Shared Okapi scoring core over any (doc_id, w, tf, dl) postings
+    * frame plus a 1-row (n_docs, avgdl) stats frame — run by BOTH the
+    * parquet face (postings recomputed map-side per query) and the
+    * catalog face (postings read region-pruned from the persisted
+    * inverted index), so a change to the weighting cannot diverge
+    * them. df comes from the postings themselves: restricted to the
+    * query terms it IS the document frequency either way. */
+  private[operators] def bm25ScoreOf(posts: DataFrame, stats: DataFrame)
+      : DataFrame = {
+    val k1 = 1.2
+    val b = 0.75
+    val dfreq = posts.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    posts.join(broadcast(dfreq), "w")
+      .crossJoin(broadcast(stats))
+      .groupBy(col("doc_id"))
+      .agg(sum(
+        log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)) *
+          (col("tf") * (k1 + 1.0)) /
+          (col("tf") +
+            (col("dl") / col("avgdl") * b + (1.0 - b)) * k1))
+        .as("s"))
+      .select(col("doc_id"), round(col("s"), 4).as("score"))
+  }
 
   /** Okapi BM25 retrieval (Robertson et al., TREC-3; the Lucene/
     * Elasticsearch default): score every document against a fixed
@@ -1851,8 +1875,6 @@ object TextOps {
   /** Per-doc rounded BM25 scores against [[bm25Terms]] (no top-k) —
     * shared by the retrieval face and the RRF fusion arm. */
   private[operators] def bm25Scores(s: SparkSession, d: String): DataFrame = {
-    val k1 = 1.2
-    val b = 0.75
     val qTerms = array(bm25Terms.map(lit): _*)
     val base = docs(s, d).select(
       col("doc_id"),
@@ -1862,21 +1884,11 @@ object TextOps {
         p => array_contains(qTerms, p.getField("w"))).as("qtf"))
     val stats = base.agg(count(lit(1)).as("n_docs"),
       avg(col("dl")).as("avgdl"))
-    val tf = base.filter(size(col("qtf")) > 0)
+    val posts = base.filter(size(col("qtf")) > 0)
       .select(col("doc_id"), col("dl"), explode(col("qtf")).as("p"))
       .select(col("doc_id"), col("dl"), col("p.w").as("w"),
         col("p.tf").cast("long").as("tf"))
-    val dfreq = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
-    tf.join(broadcast(dfreq), "w")
-      .crossJoin(broadcast(stats))
-      .groupBy(col("doc_id"))
-      .agg(sum(
-        log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)) *
-          (col("tf") * (k1 + 1.0)) /
-          (col("tf") +
-            (col("dl") / col("avgdl") * b + (1.0 - b)) * k1))
-        .as("s"))
-      .select(col("doc_id"), round(col("s"), 4).as("score"))
+    bm25ScoreOf(posts, stats)
   }
 
   /** Hybrid retrieval with reciprocal-rank fusion (Cormack et al.,

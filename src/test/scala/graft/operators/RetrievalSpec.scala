@@ -131,6 +131,34 @@ class RetrievalSpec extends AnyFunSuite {
       again.map(r => (r.getLong(0), r.getDouble(1))).toSeq)
   }
 
+  test("catalog_bm25 from the persisted postings index equals the " +
+    "full-scan parquet face, and the term lookup prunes regions") {
+    val viaIndex = CatalogQueries.queries("catalog_bm25")(spark, sf)
+    val got = viaIndex.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val want = TextOps.bm25(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == want, s"index=$got full=$want")
+    // the 3-term IN-list must reach only the regions holding those
+    // terms, not the full 8-region postings table
+    def scans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.datasources.v2.BatchScanExec] =
+      p match {
+        case b: org.apache.spark.sql.execution.datasources.v2
+          .BatchScanExec => Seq(b)
+        case a: org.apache.spark.sql.execution.adaptive
+          .AdaptiveSparkPlanExec => scans(a.executedPlan)
+        case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          scans(qs.plan)
+        case other => other.children.flatMap(scans)
+      }
+    val postScans = scans(viaIndex.queryExecution.executedPlan)
+      .filter(_.toString.contains("postings_t"))
+    assert(postScans.nonEmpty, "expected a postings_t scan")
+    assert(postScans.head.inputRDD.getNumPartitions < 8,
+      s"expected region pruning on the term IN-list, got " +
+        s"${postScans.head.inputRDD.getNumPartitions} of 8")
+  }
+
   test("hybrid RRF fuses both arms: every fused score is the exact " +
     "1/(60+rank) sum of the arms' recomputed ranks") {
     // recompute each arm's rank list independently
