@@ -1822,6 +1822,54 @@ object TextOps {
 
   val joinSimilarity: Q = (s, d) => similarityJoin(docs(s, d))
 
+  // ------------------------------------------------ dedup-at-ingest screen
+
+  /** Near-dup screening of an INCOMING document set against a
+    * HISTORICAL corpus — the dedup-at-ingest primitive: new data is
+    * LSH-screened against everything already collected before it is
+    * admitted. Same banding (word MinHash sigs → 32 bands) and the
+    * same exact word-Jaccard ≥ 0.9 verify as the symmetric pair
+    * faces, but bipartite: candidates are (incoming × historical)
+    * pairs sharing a band — never all-pairs, and at scale the
+    * historical side is the PERSISTED band index (the streaming twin
+    * joins it stream-static per micro-batch), so screening cost
+    * follows the incoming batch, not the corpus. */
+  def incomingNearDups(inc: DataFrame, hist: DataFrame): DataFrame = {
+    val bi = minhashBands(minhashWordSigs(inc))
+      .select(col("bh"), col("doc_id").as("di"))
+    val bh = minhashBands(minhashWordSigs(hist))
+      .select(col("bh"), col("doc_id").as("dh"))
+    val cands = bi.join(bh, Seq("bh"))
+      .select(col("di"), col("dh")).distinct()
+    def wsets(df: DataFrame, idc: String, wc: String, nc: String) =
+      df.select(col("doc_id").as(idc),
+        graft.functions.VectorOps.distinctWordHashes(col("text")).as(wc))
+        .withColumn(nc, size(col(wc)))
+    cands
+      .join(wsets(inc, "di", "wsa", "na"), "di")
+      .join(wsets(hist, "dh", "wsb", "nb"), "dh")
+      .filter(least(col("na"), col("nb")) * 100 >=
+        greatest(col("na"), col("nb")) * 89)
+      .withColumn("shared",
+        graft.functions.VectorOps.sharedCount(col("wsa"), col("wsb")))
+      .withColumn("jaccard",
+        round(col("shared") / (col("na") + col("nb") - col("shared")), 4))
+      .filter(col("jaccard") >= 0.9)
+      .select(col("di").as("doc_id"), col("dh").as("matched_doc"),
+        col("jaccard"))
+  }
+
+  /** Driver face: every 5th document plays the incoming batch, the
+    * rest the historical corpus; emitted rows are the admissions the
+    * screen would refuse. Exact DuckDB oracle (brute-force bipartite
+    * Jaccard). */
+  val dedupIncoming: Q = (s, d) => {
+    val all = docs(s, d)
+    incomingNearDups(
+      all.filter(pmod(col("doc_id"), lit(5)) === 4),
+      all.filter(pmod(col("doc_id"), lit(5)) =!= 4))
+  }
+
   // ------------------------------------------------- BM25 lexical retrieval
 
   /** The fixed retrieval query the BM25/hybrid faces score against —
@@ -2061,6 +2109,7 @@ object TextOps {
     "ann_hybrid_rrf" -> hybridRrf,
     "pipeline_weighted" -> weightedSample,
     "dedup_edit" -> dedupEdit,
+    "dedup_incoming" -> dedupIncoming,
   )
 
   /** Shared CTE chain for the exact word-Jaccard all-pairs recompute
@@ -2223,6 +2272,26 @@ object TextOps {
         |      FROM k)
         |SELECT lang, CAST(rk AS INT) AS rk, doc_id FROM r
         |WHERE rk <= 5""".stripMargin,
+
+    // brute-force bipartite recompute: every (incoming, historical)
+    // pair at word-Jaccard >= 0.9, same list_distinct tokenization as
+    // the symmetric pair oracles
+    "dedup_incoming" ->
+      """WITH w AS (SELECT doc_id,
+        |             unnest(list_distinct(string_split(text, ' '))) AS wd
+        |           FROM documents),
+        |sz AS (SELECT doc_id, count(*) AS n FROM w GROUP BY 1),
+        |sh AS (SELECT a.doc_id AS di, b.doc_id AS dh, count(*) AS shared
+        |       FROM w a JOIN w b ON a.wd = b.wd
+        |       WHERE a.doc_id % 5 = 4 AND b.doc_id % 5 <> 4
+        |       GROUP BY 1, 2)
+        |SELECT sh.di AS doc_id, sh.dh AS matched_doc,
+        |       round(shared / CAST(sa.n + sb.n - shared AS DOUBLE), 4)
+        |         AS jaccard
+        |FROM sh JOIN sz sa ON sh.di = sa.doc_id
+        |        JOIN sz sb ON sh.dh = sb.doc_id
+        |WHERE round(shared / CAST(sa.n + sb.n - shared AS DOUBLE), 4)
+        |        >= 0.9""".stripMargin,
 
     // brute-force recompute of the blocked answer (all pairs at the
     // verify sf; the Spark face is the scale path — at sf0.1 this

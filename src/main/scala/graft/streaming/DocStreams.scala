@@ -1,0 +1,42 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Streaming faces of the document-pipeline operators: dedup-at-ingest.
+  *
+  * The production shape for corpus growth: documents arrive as
+  * micro-batches and each batch is screened against the historical
+  * corpus BEFORE admission, so near-duplicates never enter the lake.
+  * The screen itself is the shared batch core
+  * ([[graft.operators.TextOps.incomingNearDups]] — banded LSH
+  * candidates, exact word-Jaccard verify), run per micro-batch via
+  * foreachBatch: every incoming document arrives in exactly one batch,
+  * so batch-local screening emits each (incoming, historical) match
+  * exactly once and needs NO cross-batch state — the stream-static
+  * join against the persisted corpus/band index is the only thing that
+  * grows, and it grows with the corpus, not the stream. */
+object DocStreams {
+
+  /** Start the ingest screen over a staging directory of parquet
+    * document files (one micro-batch per file). Matches are written to
+    * `outDir/epoch=<id>/` with per-epoch overwrite, so a retried epoch
+    * rewrites its own output instead of duplicating it — the same
+    * effectively-once discipline as the graft sink's epoch ledger. */
+  def screenIngest(spark: SparkSession, stagingDir: String,
+      hist: DataFrame, outDir: String, checkpoint: String)
+      : StreamingQuery = {
+    val schema = hist.schema
+    val incoming = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stagingDir)
+    incoming.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        graft.operators.TextOps.incomingNearDups(batch, hist)
+          .write.mode("overwrite").parquet(s"$outDir/epoch=$epoch")
+        ()
+      }
+      .start()
+  }
+}
