@@ -174,6 +174,65 @@ object VectorKernels {
     new GenericArrayData(out)
   }
 
+  /** Distinct hashes of every ≤maxDel-character-deletion variant of
+    * `text` — the FastSS/SymSpell blocking neighborhood, WITHOUT
+    * building any variant string: prefix polynomial rolling hashes
+    * make each variant's hash an O(1) segment combine, so the whole
+    * ≤2-deletion neighborhood of an n-char string costs O(n²) longs
+    * and zero allocations beyond the output (the HOF formulation that
+    * materialized every variant string measured 20× slower). CHAR
+    * level (not bytes), so multi-byte text blocks exactly the pairs a
+    * char-based levenshtein verify expects. Hash equality of equal
+    * variants is exact; a wraparound collision only ADDS a candidate,
+    * which the exact verify then rejects. */
+  def deletionVariantHashes(text: org.apache.spark.unsafe.types.UTF8String,
+      maxDel: Int): ArrayData = {
+    val s = text.toString
+    val n = s.length
+    val B = 1099511628211L // FNV-64 prime as polynomial base (mod 2^64)
+    // pre(i) = hash of s[0,i); pow(i) = B^i — Long wraparound arithmetic
+    val pre = new Array[Long](n + 1)
+    val pow = new Array[Long](n + 1)
+    pow(0) = 1L
+    var i = 0
+    while (i < n) {
+      pre(i + 1) = pre(i) * B + s.charAt(i).toLong
+      pow(i + 1) = pow(i) * B
+      i += 1
+    }
+    // hash of s[a,b): pre(b) - pre(a)*B^(b-a)
+    @inline def seg(a: Int, b: Int): Long = pre(b) - pre(a) * pow(b - a)
+    val seen = new java.util.HashSet[java.lang.Long]()
+    seen.add(pre(n)) // 0 deletions
+    if (maxDel >= 1) {
+      i = 0
+      while (i < n) { // delete i
+        seen.add(seg(0, i) * pow(n - 1 - i) + seg(i + 1, n))
+        i += 1
+      }
+    }
+    if (maxDel >= 2) {
+      require(maxDel == 2, "deletion_variant_hashes supports t <= 2")
+      i = 0
+      while (i < n - 1) {
+        val h1 = seg(0, i)
+        var j = i + 1
+        while (j < n) { // delete i and j
+          val mid = seg(i + 1, j)
+          seen.add((h1 * pow(j - i - 1) + mid) * pow(n - 1 - j) +
+            seg(j + 1, n))
+          j += 1
+        }
+        i += 1
+      }
+    }
+    val out = new Array[Long](seen.size())
+    val it = seen.iterator()
+    i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    new GenericArrayData(out)
+  }
+
   /** Per-document term frequencies in one pass — the struct-array
     * image of `explode(split(text,' ')) … GROUP BY doc, word` computed
     * map-side, so the (doc, word) aggregation exchange disappears from
@@ -906,6 +965,32 @@ case class DistinctGramHashes(child: Expression, k: Int)
       : DistinctGramHashes = copy(child = newChild)
 }
 
+/** deletion_variant_hashes(text, t) → ARRAY<LONG>: distinct hashes of
+  * every variant of `text` with up to `t` characters deleted (the
+  * FastSS / SymSpell neighborhood) — see
+  * [[VectorKernels.deletionVariantHashes]]. */
+case class DeletionVariantHashes(child: Expression, maxDel: Int)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs a STRING input, got ${child.dataType.simpleString}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "deletion_variant_hashes"
+
+  override def nullSafeEval(in: Any): Any =
+    VectorKernels.deletionVariantHashes(
+      in.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], maxDel)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = " +
+        s"graft.functions.VectorKernels.deletionVariantHashes($a, $maxDel);")
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : DeletionVariantHashes = copy(child = newChild)
+}
+
 /** shared_count(a, b) → INT, |a ∩ b| over LONG sets. */
 case class SharedCount(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -1020,6 +1105,8 @@ object VectorOps {
     ColumnExpr.column(SharedCount(ColumnExpr.expr(a), ColumnExpr.expr(b)))
   def distinctGramHashes(text: Column, k: Int): Column =
     ColumnExpr.column(DistinctGramHashes(ColumnExpr.expr(text), k))
+  def deletionVariantHashes(text: Column, maxDel: Int): Column =
+    ColumnExpr.column(DeletionVariantHashes(ColumnExpr.expr(text), maxDel))
   def wordTfPairs(text: Column): Column =
     ColumnExpr.column(WordTfPairs(ColumnExpr.expr(text)))
 
