@@ -127,7 +127,25 @@ object ScaleBench {
     "pipeline_budget",
     // resample is user_id<10-pruned at the scan: the pushed filter
     // should keep it ~flat while events scale 10x
-    "events_resample")
+    "events_resample",
+    // BM25 retrieval, both faces: the parquet face re-scans the corpus
+    // (tf kernel + tiny broadcast stats — should grow ~linearly); the
+    // catalog face reads the persisted postings index region-pruned to
+    // the query terms, so it should grow only with those terms'
+    // posting lists (well under data growth)
+    "text_bm25", "catalog_bm25",
+    // A-Res weighted draw: k-bounded partial agg per stratum — the
+    // exchange is O(strata·k·tasks), should stay ~flat like reservoir
+    "pipeline_weighted",
+    // Q4's storage-partitioned semi join + Q7's fact-fact join with
+    // two broadcast nation aliases: the round-9 additions to the
+    // co-partitioned family
+    "catalog_tpch_q4", "catalog_tpch_q7")
+  // dedup_edit and dedup_incoming are deliberately NOT amplified:
+  // key-shifted replicas make every title/document an exact dup
+  // family, so their OUTPUT grows ~factor² by construction (same
+  // reason catalog_dedup_minhash is excluded) — their scaling evidence
+  // is the natural sf0.01 → sf0.1 pair in BASELINE.md instead.
 
   /** The UNBOUNDED verified near-dup pipeline (idBound=None): whole
     * corpus through signatures → 32-band LSH → exact verify. Measured

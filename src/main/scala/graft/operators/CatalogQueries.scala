@@ -875,6 +875,61 @@ object CatalogQueries {
       .limit(10)
   }
 
+  /** The HISTORICAL corpus's band index persisted for the ingest
+    * screen: bands of every already-admitted document (the %5≠4
+    * split), keyed by band hash. Unlike [[minhashBandTable]] (bounded
+    * for its oracle), this one covers the whole historical corpus —
+    * the screen's cost must not depend on corpus size, and it doesn't:
+    * the incoming batch's bands broadcast into a join against this
+    * table's scan. */
+  private val builtHistBand =
+    scala.collection.concurrent.TrieMap[String, String]()
+  private def histBandTable(s: SparkSession, d: String): String =
+    builtHistBand.getOrElseUpdate(d, {
+      val docsFqn = documentsTable(s, d)
+      val ns = s"sf_${math.abs(d.hashCode)}"
+      val fqn = s"graft.$ns.hist_band_t"
+      import org.apache.spark.sql.functions._
+      val hist = s.table(docsFqn)
+        .filter(pmod(col("doc_id"), lit(5)) =!= 4)
+      val srcCount = hist.count() * 32L // 32 bands per doc
+      val exists = trusted(s, ns, "hist_band_t", srcCount)
+      if (!exists) {
+        val splits = (1 until 8).map(i =>
+          (BigInt(Long.MinValue) + (BigInt(2).pow(64) / 8) * i).toLong)
+          .mkString(";")
+        s.sql(
+          s"""CREATE TABLE $fqn (bh BIGINT, doc_id BIGINT)
+             |TBLPROPERTIES('keyCols'='bh;doc_id',
+             |              'regionSplits'='$splits')""".stripMargin)
+        val v = s"hist_band_src_${math.abs(d.hashCode)}"
+        TextOps.minhashBands(TextOps.minhashWordSigs(hist))
+          .select(col("bh"), col("doc_id"))
+          .createOrReplaceTempView(v)
+        s.sql(s"INSERT INTO $fqn SELECT * FROM $v")
+      }
+      fqn
+    })
+
+  /** Dedup-at-ingest against the PERSISTED index: incoming documents
+    * (still outside the lake — read from parquet) are banded map-side
+    * and screened against [[histBandTable]] + the stored corpus. Only
+    * the incoming batch is ever signature-hashed at query time; the
+    * historical side contributes a band-table scan and the verify
+    * join-back — the shape whose cost follows the batch, not the
+    * corpus. Same oracle as dedup_incoming: a hash match proves the
+    * persisted index and store reproduce the from-scratch screen. */
+  val dedupIncomingOnStore: Q = (s, d) => {
+    import org.apache.spark.sql.functions._
+    val hist = s.table(documentsTable(s, d))
+      .filter(pmod(col("doc_id"), lit(5)) =!= 4)
+    val inc = s.read.parquet(s"$d/documents.parquet")
+      .filter(pmod(col("doc_id"), lit(5)) === 4)
+    val bands = s.table(histBandTable(s, d))
+      .select(col("bh"), col("doc_id").as("dh"))
+    TextOps.incomingNearDupsAgainstBands(inc, bands, hist)
+  }
+
   /** MinHash-LSH verified near-dup pairs over CATALOG-stored documents:
     * the near-dup scale path (signatures → banded join → exact-Jaccard
     * verify) composed with the key-sorted store the way
@@ -2065,6 +2120,7 @@ object CatalogQueries {
     "catalog_ann_lsh" -> annLshOnStore,
     "catalog_dedup_minhash" -> dedupMinhashOnStore,
     "catalog_bm25" -> bm25OnStore,
+    "catalog_dedup_incoming" -> dedupIncomingOnStore,
     "catalog_dedup_embedding" -> dedupEmbeddingOnStore,
     "catalog_session" -> sessionOnStore,
     "catalog_decimal" -> decimalAgg,
@@ -2128,6 +2184,7 @@ object CatalogQueries {
     // catalog must hold exactly the source documents
     "catalog_perplexity" -> TextOps.oracles("text_perplexity"),
     "catalog_bm25" -> TextOps.oracles("text_bm25"),
+    "catalog_dedup_incoming" -> TextOps.oracles("dedup_incoming"),
 
     // the index path must answer exactly like the plain filter
     "catalog_index_lookup" ->

@@ -1835,11 +1835,20 @@ object TextOps {
     * joins it stream-static per micro-batch), so screening cost
     * follows the incoming batch, not the corpus. */
   def incomingNearDups(inc: DataFrame, hist: DataFrame): DataFrame = {
-    val bi = minhashBands(minhashWordSigs(inc))
-      .select(col("bh"), col("doc_id").as("di"))
     val bh = minhashBands(minhashWordSigs(hist))
       .select(col("bh"), col("doc_id").as("dh"))
-    val cands = bi.join(bh, Seq("bh"))
+    incomingNearDupsAgainstBands(inc, bh, hist)
+  }
+
+  /** The ingest screen with the HISTORICAL side's bands supplied — the
+    * production entry point, where they come from the persisted band
+    * index instead of a recompute (the catalog twin reads its
+    * `hist_band_t`); only the incoming batch's bands are computed. */
+  def incomingNearDupsAgainstBands(inc: DataFrame, histBands: DataFrame,
+      hist: DataFrame): DataFrame = {
+    val bi = minhashBands(minhashWordSigs(inc))
+      .select(col("bh"), col("doc_id").as("di"))
+    val cands = bi.join(histBands, Seq("bh"))
       .select(col("di"), col("dh")).distinct()
     def wsets(df: DataFrame, idc: String, wc: String, nc: String) =
       df.select(col("doc_id").as(idc),
