@@ -1029,6 +1029,46 @@ object CatalogQueries {
   val sessionOnStore: Q = (s, d) =>
     Extended.sessionize(s.table(eventsTable(s, d)))
 
+  /** Events with the FULL column set (event_type/event_id carried as
+    * non-key payload) keyed (user_id, ts) — the layout for the as-of
+    * family, where the per-user time order is the storage order. */
+  private val builtEvF = scala.collection.concurrent.TrieMap[String, String]()
+  private def eventsFullTable(s: SparkSession, d: String): String =
+    builtEvF.getOrElseUpdate(d, {
+      ordersTable(s, d)
+      val ns = s"sf_${math.abs(d.hashCode)}"
+      val fqn = s"graft.$ns.events_full_t"
+      val src = Relational.events(s, d)
+        .select("user_id", "ts", "event_type", "event_id", "value")
+      val srcCount = src.count()
+      val exists = s.sql(s"SHOW TABLES IN graft.$ns").collect()
+        .exists(_.getString(1) == "events_full_t") && usable(s, fqn, srcCount)
+      if (!exists) {
+        val splits = src.stat
+          .approxQuantile("user_id", (1 until 8).map(_ / 8.0).toArray, 0.001)
+          .map(_.toLong).distinct.sorted.mkString(";")
+        s.sql(
+          s"""CREATE TABLE $fqn (
+             |  user_id BIGINT, ts TIMESTAMP, event_type STRING,
+             |  event_id BIGINT, value DOUBLE)
+             |TBLPROPERTIES('keyCols'='user_id;ts',
+             |              'regionSplits'='$splits')""".stripMargin)
+        val v = s"events_full_src_${math.abs(d.hashCode)}"
+        src.createOrReplaceTempView(v)
+        s.sql(s"INSERT INTO $fqn SELECT * FROM $v")
+      }
+      fqn
+    })
+
+  /** As-of join (every click ↔ the same user's most recent view)
+    * straight off the key-sorted store: the shared
+    * [[Extended.asofOf]] pipeline, with the union's window riding the
+    * scan's (user_id, ts) partitioning — the per-user Exchange the
+    * parquet face pays disappears (asserted in StoragePartitionSpec).
+    * Same oracle as join_asof. */
+  val asofOnStore: Q = (s, d) =>
+    Extended.asofOf(s.table(eventsFullTable(s, d)))
+
   /** Orders with a DECIMAL(12,2) price stored IN the catalog: exact
     * decimal aggregation over the store. The price is derived from
     * integer cents (`(o_orderkey * 7919 + 421) % 10^8`, then an exact
@@ -2121,6 +2161,7 @@ object CatalogQueries {
     "catalog_dedup_minhash" -> dedupMinhashOnStore,
     "catalog_bm25" -> bm25OnStore,
     "catalog_dedup_incoming" -> dedupIncomingOnStore,
+    "catalog_join_asof" -> asofOnStore,
     "catalog_dedup_embedding" -> dedupEmbeddingOnStore,
     "catalog_session" -> sessionOnStore,
     "catalog_decimal" -> decimalAgg,
@@ -2185,6 +2226,7 @@ object CatalogQueries {
     "catalog_perplexity" -> TextOps.oracles("text_perplexity"),
     "catalog_bm25" -> TextOps.oracles("text_bm25"),
     "catalog_dedup_incoming" -> TextOps.oracles("dedup_incoming"),
+    "catalog_join_asof" -> Extended.oracles("join_asof"),
 
     // the index path must answer exactly like the plain filter
     "catalog_index_lookup" ->

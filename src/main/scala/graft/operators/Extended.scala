@@ -260,27 +260,29 @@ object Extended {
   // --------------------------------------------------- as-of / range joins
 
   /** As-of join: for every click, the most recent view (same user) at
-    * or before it. Implemented as union + running last-non-null window
-    * — one shuffle on user_id, no per-row probe, watermark-friendly at
-    * stream scale. (Absent from the reference; SURVEY §2.3.) */
-  val joinAsof: Q = (s, d) => {
-    val e = Relational.events(s, d)
-    val views = e.filter(col("event_type") === "view")
-      .select(col("user_id"), col("ts"), lit(0).as("tag"),
-        lit(null).cast("long").as("event_id"),
-        col("ts").as("v_ts"), col("value").as("v_val"))
-    val clicks = e.filter(col("event_type") === "click")
-      .select(col("user_id"), col("ts"), lit(1).as("tag"),
-        col("event_id"),
-        lit(null).cast("timestamp").as("v_ts"),
-        lit(null).cast("double").as("v_val"))
+    * or before it. One scan, one running last-non-null window — no
+    * per-row probe, no union (a union of two filtered branches would
+    * drop the scan's reported partitioning and force the window to
+    * re-shuffle both), watermark-friendly at stream scale. (Absent
+    * from the reference; SURVEY §2.3.) */
+  val joinAsof: Q = (s, d) => asofOf(Relational.events(s, d))
+
+  /** Shared as-of core over any (user_id, ts, event_type, event_id,
+    * value) frame — the parquet face and the catalog store face (where
+    * the scan's reported (user_id, ts) partitioning makes the window
+    * exchange-free) run THIS pipeline, like [[sessionize]]. */
+  def asofOf(e: DataFrame): DataFrame = {
     // views sort before clicks at equal ts => "<=" as-of semantics
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts").asc, col("tag").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    views.unionByName(clicks)
-      .withColumn("m_ts", last(col("v_ts"), ignoreNulls = true).over(w))
-      .withColumn("m_val", last(col("v_val"), ignoreNulls = true).over(w))
+    e.filter(col("event_type").isin("view", "click"))
+      .withColumn("tag",
+        when(col("event_type") === "view", 0).otherwise(1))
+      .withColumn("m_ts", last(
+        when(col("tag") === 0, col("ts")), ignoreNulls = true).over(w))
+      .withColumn("m_val", last(
+        when(col("tag") === 0, col("value")), ignoreNulls = true).over(w))
       .filter(col("tag") === 1 && col("m_ts").isNotNull)
       .select(col("event_id"),
         date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("click_ts"),

@@ -177,6 +177,37 @@ class StoragePartitionSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("DROP TABLE graft.spj.events_s")
   }
 
+  test("as-of join over a (user_id, ts)-keyed table: the single-pass " +
+      "window plans with no Exchange") {
+    import org.apache.spark.sql.functions._
+    spark.sql("DROP TABLE IF EXISTS graft.spj.events_a")
+    val raw = spark.read.parquet(s"$sf/events.parquet")
+    val src = (raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case _ => raw
+    }).select("user_id", "ts", "event_type", "event_id", "value")
+    val splits = src.stat
+      .approxQuantile("user_id", (1 until 4).map(_ / 4.0).toArray, 0.001)
+      .map(_.toLong).distinct.sorted.mkString(";")
+    spark.sql(
+      s"""CREATE TABLE graft.spj.events_a (
+         |  user_id BIGINT, ts TIMESTAMP, event_type STRING,
+         |  event_id BIGINT, value DOUBLE)
+         |TBLPROPERTIES('keyCols'='user_id;ts',
+         |              'regionSplits'='$splits')""".stripMargin)
+    src.createOrReplaceTempView("spj_events_asrc")
+    spark.sql("INSERT INTO graft.spj.events_a SELECT * FROM spj_events_asrc")
+    val df = graft.operators.Extended.asofOf(spark.table("graft.spj.events_a"))
+    val p = finalPlan(df)
+    assert(shuffles(p) == 0, s"expected exchange-free as-of join:\n$p")
+    // answers equal the parquet-faced pipeline on the same rows
+    assert(sortedRows(df) ==
+      sortedRows(graft.operators.Extended.asofOf(
+        spark.table("spj_events_asrc"))))
+    spark.sql("DROP TABLE graft.spj.events_a")
+  }
+
   test("differently-split tables do not claim co-partitioning") {
     spark.sql("DROP TABLE IF EXISTS graft.spj.other_s")
     spark.sql(
