@@ -799,32 +799,61 @@ object CatalogQueries {
     builtPost.getOrElseUpdate(d, {
       val docsFqn = documentsTable(s, d)
       val ns = s"sf_${math.abs(d.hashCode)}"
-      val fqn = s"graft.$ns.postings_t"
+      val fqn = s"graft.$ns.postings_p_t"
       import org.apache.spark.sql.functions._
       val src = s.table(docsFqn)
       val srcCount = src.agg(
         sum(size(graft.functions.VectorOps.wordTfPairs(col("text")))))
         .collect()(0).getLong(0)
-      val exists = trusted(s, ns, "postings_t", srcCount)
+      val exists = trusted(s, ns, "postings_p_t", srcCount)
       if (!exists) {
         s.sql(
           s"""CREATE TABLE $fqn (
-             |  term STRING, doc_id BIGINT, tf BIGINT, dl BIGINT)
+             |  term STRING, doc_id BIGINT, tf BIGINT, dl BIGINT,
+             |  pos ARRAY<INT>)
              |TBLPROPERTIES('keyCols'='term;doc_id', 'numRegions'='8')"""
             .stripMargin)
         val v = s"postings_src_${math.abs(d.hashCode)}"
+        // POSITIONAL postings (word offsets per occurrence) — tf is
+        // their count, so BM25 needs nothing extra and phrase queries
+        // ([[phraseOnStore]]) resolve adjacency inside the posting
         src.select(col("doc_id"),
           size(filter(split(col("text"), " "), w => w =!= ""))
             .cast("long").as("dl"),
-          explode(graft.functions.VectorOps.wordTfPairs(col("text")))
-            .as("p"))
-          .select(col("p.w").as("term"), col("doc_id"),
-            col("p.tf").cast("long").as("tf"), col("dl"))
+          posexplode(filter(split(col("text"), " "), w => w =!= ""))
+            .as(Seq("pos", "term")))
+          .groupBy(col("doc_id"), col("term"))
+          .agg(first(col("dl")).as("dl"),
+            count(lit(1)).cast("long").as("tf"),
+            sort_array(collect_list(col("pos"))).as("pos"))
+          .select(col("term"), col("doc_id"), col("tf"), col("dl"),
+            col("pos"))
           .createOrReplaceTempView(v)
         s.sql(s"INSERT INTO $fqn SELECT * FROM $v")
       }
       fqn
     })
+
+  /** PHRASE search from the index: both terms' postings are point
+    * reads on the leading string key (region-pruned, page-skipped),
+    * the doc_id join touches only docs containing both words, and
+    * adjacency resolves inside the positional arrays — "fast join" as
+    * a phrase, never a corpus scan, never a LIKE. The n_hits count is
+    * the number of adjacent occurrences. */
+  val phraseOnStore: Q = (s, d) => {
+    import org.apache.spark.sql.functions._
+    val posts = s.table(postingsTable(s, d))
+    val p1 = posts.filter(col("term") === "fast")
+      .select(col("doc_id"), col("pos").as("p1"))
+    val p2 = posts.filter(col("term") === "join")
+      .select(col("doc_id"), col("pos").as("p2"))
+    p1.join(p2, "doc_id")
+      .withColumn("n_hits",
+        size(array_intersect(transform(col("p1"), x => x + 1), col("p2")))
+          .cast("long"))
+      .filter(col("n_hits") > 0)
+      .select(col("doc_id"), col("n_hits"))
+  }
 
   /** Corpus-level BM25 statistics (n_docs, avgdl) persisted beside the
     * postings index — two rows, point-read at query time; recomputing
@@ -2162,6 +2191,7 @@ object CatalogQueries {
     "catalog_bm25" -> bm25OnStore,
     "catalog_dedup_incoming" -> dedupIncomingOnStore,
     "catalog_join_asof" -> asofOnStore,
+    "catalog_phrase" -> phraseOnStore,
     "catalog_dedup_embedding" -> dedupEmbeddingOnStore,
     "catalog_session" -> sessionOnStore,
     "catalog_decimal" -> decimalAgg,
@@ -2227,6 +2257,20 @@ object CatalogQueries {
     "catalog_bm25" -> TextOps.oracles("text_bm25"),
     "catalog_dedup_incoming" -> TextOps.oracles("dedup_incoming"),
     "catalog_join_asof" -> Extended.oracles("join_asof"),
+
+    // adjacency recomputed from the raw word sequence — the index must
+    // reproduce exactly the positions a corpus scan would see
+    "catalog_phrase" ->
+      """WITH t AS (SELECT doc_id,
+        |             list_filter(string_split(text, ' '), x -> x <> '')
+        |               AS ws
+        |           FROM documents),
+        |u AS (SELECT doc_id, unnest(range(1, len(ws))) AS i, ws
+        |      FROM t WHERE len(ws) >= 2)
+        |SELECT doc_id, count(*) AS n_hits FROM u
+        |WHERE ws[CAST(i AS INT)] = 'fast'
+        |  AND ws[CAST(i AS INT) + 1] = 'join'
+        |GROUP BY doc_id""".stripMargin,
 
     // the index path must answer exactly like the plain filter
     "catalog_index_lookup" ->
