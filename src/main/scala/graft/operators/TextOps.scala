@@ -1822,6 +1822,27 @@ object TextOps {
 
   val joinSimilarity: Q = (s, d) => similarityJoin(docs(s, d))
 
+  /** Leakage-safe train/test split: the split key is the NEAR-DUP
+    * CLUSTER, not the document — near-duplicates of a training doc can
+    * never land in the eval split (the contamination a per-doc hash
+    * split silently allows; the reason dedup-before-split is a rule of
+    * LLM corpus construction). Cluster labels come from the shared
+    * verified-pair artifact's connected components; singletons are
+    * their own cluster. Deterministic hash split by cluster label,
+    * 90/10. Exact DuckDB oracle (recursive-CTE closure + the same
+    * hash). */
+  val splitSafe: Q = (s, d) => {
+    val labels = connectedComponents(verifiedPairsShared(s, d))
+      .withColumnRenamed("doc", "doc_id")
+    docs(s, d).select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("label"), col("doc_id")))
+      .withColumn("split",
+        when(pmod(col("cluster_id") * lit(2654435761L), lit(100)) < 90,
+          "train").otherwise("test"))
+      .select(col("doc_id"), col("cluster_id"), col("split"))
+  }
+
   // ------------------------------------------------ dedup-at-ingest screen
 
   /** Near-dup screening of an INCOMING document set against a
@@ -2121,6 +2142,7 @@ object TextOps {
     "pipeline_weighted" -> weightedSample,
     "dedup_edit" -> dedupEdit,
     "dedup_incoming" -> dedupIncoming,
+    "pipeline_split_safe" -> splitSafe,
   )
 
   /** Shared CTE chain for the exact word-Jaccard all-pairs recompute
@@ -2283,6 +2305,30 @@ object TextOps {
         |      FROM k)
         |SELECT lang, CAST(rk AS INT) AS rk, doc_id FROM r
         |WHERE rk <= 5""".stripMargin,
+
+    // cluster closure rebuilt from scratch (the dedup_clusters CTE),
+    // singletons labeled by their own id, identical hash split — the
+    // oracle proves no near-dup cluster ever straddles the split
+    "pipeline_split_safe" ->
+      s"""WITH RECURSIVE
+         |$jaccardCte,
+         |p AS (SELECT da, db FROM sh
+         |      JOIN sz sa ON da = sa.doc_id
+         |      JOIN sz sb ON db = sb.doc_id
+         |      WHERE round(shared / cast(sa.n + sb.n - shared AS DOUBLE), 4)
+         |              >= 0.9),
+         |sym AS (SELECT da AS s, db AS t FROM p
+         |        UNION SELECT db, da FROM p),
+         |reach(s, t) AS (SELECT s, t FROM sym
+         |                UNION
+         |                SELECT r.s, y.t FROM reach r JOIN sym y ON r.t = y.s),
+         |lab AS (SELECT s AS doc, least(min(t), s) AS label
+         |        FROM reach GROUP BY s)
+         |SELECT d.doc_id, coalesce(lab.label, d.doc_id) AS cluster_id,
+         |       CASE WHEN (coalesce(lab.label, d.doc_id) * 2654435761)
+         |                   % 100 < 90
+         |            THEN 'train' ELSE 'test' END AS split
+         |FROM documents d LEFT JOIN lab ON lab.doc = d.doc_id""".stripMargin,
 
     // brute-force bipartite recompute: every (incoming, historical)
     // pair at word-Jaccard >= 0.9, same list_distinct tokenization as

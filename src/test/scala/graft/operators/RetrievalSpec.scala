@@ -159,6 +159,32 @@ class RetrievalSpec extends AnyFunSuite {
         s"${postScans.head.inputRDD.getNumPartitions} of 8")
   }
 
+  test("leakage-safe split: no near-dup cluster straddles train/test, " +
+    "and every verified near-dup pair lands on one side") {
+    val assigned = TextOps.splitSafe(spark, sf)
+    val straddlers = assigned.groupBy(col("cluster_id"))
+      .agg(countDistinct(col("split")).as("n_splits"))
+      .filter(col("n_splits") > 1)
+    assert(straddlers.count() == 0)
+    // the property the per-doc split CANNOT give: verified pairs stay
+    // together
+    val side = assigned.select(col("doc_id"), col("split"))
+    val pairs = TextOps.queries("dedup_minhash_pairs")(spark, sf)
+      .select(col("da"), col("db"))
+    val crossSide = pairs
+      .join(side.withColumnRenamed("doc_id", "da")
+        .withColumnRenamed("split", "sa"), "da")
+      .join(side.withColumnRenamed("doc_id", "db")
+        .withColumnRenamed("split", "sb"), "db")
+      .filter(col("sa") =!= col("sb"))
+    assert(crossSide.count() == 0)
+    // both sides are non-trivially populated
+    val splits = assigned.groupBy(col("split")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(splits.getOrElse("train", 0L) > 0 &&
+      splits.getOrElse("test", 0L) > 0, s"got $splits")
+  }
+
   test("hybrid RRF fuses both arms: every fused score is the exact " +
     "1/(60+rank) sum of the arms' recomputed ranks") {
     // recompute each arm's rank list independently
