@@ -134,6 +134,9 @@ object ScaleBench {
     // the query terms, so it should grow only with those terms'
     // posting lists (well under data growth)
     "text_bm25", "catalog_bm25",
+    // phrase match, same contrast: scan face re-reads the corpus,
+    // index face point-reads the two terms' positional postings
+    "text_phrase", "catalog_phrase",
     // A-Res weighted draw: k-bounded partial agg per stratum — the
     // exchange is O(strata·k·tasks), should stay ~flat like reservoir
     "pipeline_weighted",

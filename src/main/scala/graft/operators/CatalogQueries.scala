@@ -2260,17 +2260,7 @@ object CatalogQueries {
 
     // adjacency recomputed from the raw word sequence — the index must
     // reproduce exactly the positions a corpus scan would see
-    "catalog_phrase" ->
-      """WITH t AS (SELECT doc_id,
-        |             list_filter(string_split(text, ' '), x -> x <> '')
-        |               AS ws
-        |           FROM documents),
-        |u AS (SELECT doc_id, unnest(range(1, len(ws))) AS i, ws
-        |      FROM t WHERE len(ws) >= 2)
-        |SELECT doc_id, count(*) AS n_hits FROM u
-        |WHERE ws[CAST(i AS INT)] = 'fast'
-        |  AND ws[CAST(i AS INT) + 1] = 'join'
-        |GROUP BY doc_id""".stripMargin,
+    "catalog_phrase" -> TextOps.phraseOracleSql,
 
     // the index path must answer exactly like the plain filter
     "catalog_index_lookup" ->

@@ -1843,6 +1843,23 @@ object TextOps {
       .select(col("doc_id"), col("cluster_id"), col("split"))
   }
 
+  /** Phrase match by corpus scan — the full-scan twin of the
+    * index-backed catalog_phrase (same oracle): adjacency counted
+    * map-side inside the word array, no shuffle at all, but every
+    * query pays a pass over every document — the cost the positional
+    * postings index exists to avoid. */
+  val phraseScan: Q = (s, d) =>
+    docs(s, d)
+      .select(col("doc_id"),
+        filter(split(col("text"), " "), w => w =!= "").as("ws"))
+      // guard: sequence(0, -1) would DESCEND for sub-2-word docs
+      .filter(size(col("ws")) >= 2)
+      .select(col("doc_id"),
+        expr("""size(filter(sequence(0, size(ws) - 2),
+               |  i -> ws[i] = 'fast' AND ws[i+1] = 'join'))"""
+          .stripMargin).cast("long").as("n_hits"))
+      .filter(col("n_hits") > 0)
+
   // ------------------------------------------------ dedup-at-ingest screen
 
   /** Near-dup screening of an INCOMING document set against a
@@ -2143,7 +2160,22 @@ object TextOps {
     "dedup_edit" -> dedupEdit,
     "dedup_incoming" -> dedupIncoming,
     "pipeline_split_safe" -> splitSafe,
+    "text_phrase" -> phraseScan,
   )
+
+  /** Adjacency recomputed from the raw word sequence — the oracle for
+    * BOTH phrase faces (scan and positional-postings index). */
+  private[operators] val phraseOracleSql: String =
+    """WITH t AS (SELECT doc_id,
+      |             list_filter(string_split(text, ' '), x -> x <> '')
+      |               AS ws
+      |           FROM documents),
+      |u AS (SELECT doc_id, unnest(range(1, len(ws))) AS i, ws
+      |      FROM t WHERE len(ws) >= 2)
+      |SELECT doc_id, count(*) AS n_hits FROM u
+      |WHERE ws[CAST(i AS INT)] = 'fast'
+      |  AND ws[CAST(i AS INT) + 1] = 'join'
+      |GROUP BY doc_id""".stripMargin
 
   /** Shared CTE chain for the exact word-Jaccard all-pairs recompute
     * (bounded to doc_id < 1000 like the faces it checks). */
@@ -2305,6 +2337,10 @@ object TextOps {
         |      FROM k)
         |SELECT lang, CAST(rk AS INT) AS rk, doc_id FROM r
         |WHERE rk <= 5""".stripMargin,
+
+    // adjacency recomputed from the raw word sequence — shared by the
+    // scan face and the index-backed catalog twin
+    "text_phrase" -> phraseOracleSql,
 
     // cluster closure rebuilt from scratch (the dedup_clusters CTE),
     // singletons labeled by their own id, identical hash split — the
