@@ -816,19 +816,11 @@ object CatalogQueries {
         val v = s"postings_src_${math.abs(d.hashCode)}"
         // POSITIONAL postings (word offsets per occurrence) — tf is
         // their count, so BM25 needs nothing extra and phrase queries
-        // ([[phraseOnStore]]) resolve adjacency inside the posting
-        src.select(col("doc_id"),
-          size(filter(split(col("text"), " "), w => w =!= ""))
-            .cast("long").as("dl"),
-          posexplode(filter(split(col("text"), " "), w => w =!= ""))
-            .as(Seq("pos", "term")))
-          .groupBy(col("doc_id"), col("term"))
-          .agg(first(col("dl")).as("dl"),
-            count(lit(1)).cast("long").as("tf"),
-            sort_array(collect_list(col("pos"))).as("pos"))
-          .select(col("term"), col("doc_id"), col("tf"), col("dl"),
-            col("pos"))
-          .createOrReplaceTempView(v)
+        // ([[phraseOnStore]]) resolve adjacency inside the posting.
+        // Built by the shared row builder so an incremental refresh
+        // (insert the delta's postingRows) is bit-identical to a
+        // rebuild (PostingsRefresh test in RetrievalSpec).
+        TextOps.postingRows(src).createOrReplaceTempView(v)
         s.sql(s"INSERT INTO $fqn SELECT * FROM $v")
       }
       fqn
@@ -855,27 +847,31 @@ object CatalogQueries {
       .select(col("doc_id"), col("n_hits"))
   }
 
-  /** Corpus-level BM25 statistics (n_docs, avgdl) persisted beside the
-    * postings index — two rows, point-read at query time; recomputing
-    * them would re-scan the corpus the index exists to avoid. */
+  /** Corpus-level BM25 statistics persisted beside the postings index
+    * — two rows, point-read at query time; recomputing them would
+    * re-scan the corpus the index exists to avoid. Stored as EXACT
+    * integer counters (doc count, total word count) rather than the
+    * derived average: counters ADD, so an incremental refresh updates
+    * them from the delta's own aggregates with no drift and no corpus
+    * re-scan; avgdl is one division at query time. */
   private val builtTs = scala.collection.concurrent.TrieMap[String, String]()
   private def textStatsTable(s: SparkSession, d: String): String =
     builtTs.getOrElseUpdate(d, {
       val docsFqn = documentsTable(s, d)
       val ns = s"sf_${math.abs(d.hashCode)}"
-      val fqn = s"graft.$ns.text_stats_t"
+      val fqn = s"graft.$ns.text_stats_c_t"
       import org.apache.spark.sql.functions._
-      val exists = trusted(s, ns, "text_stats_t", 2L)
+      val exists = trusted(s, ns, "text_stats_c_t", 2L)
       if (!exists) {
-        s.sql(s"""CREATE TABLE $fqn (stat STRING, v DOUBLE)
+        s.sql(s"""CREATE TABLE $fqn (stat STRING, v BIGINT)
                  |TBLPROPERTIES('keyCols'='stat', 'numRegions'='2')"""
           .stripMargin)
         val st = s.table(docsFqn).agg(
-          count(lit(1)).cast("double").as("n_docs"),
-          avg(size(filter(split(col("text"), " "), w => w =!= ""))
-            .cast("long")).as("avgdl"))
+          count(lit(1)).as("n_docs"),
+          sum(size(filter(split(col("text"), " "), w => w =!= ""))
+            .cast("long")).as("total_dl"))
           .selectExpr(
-            "stack(2, 'n_docs', n_docs, 'avgdl', avgdl) AS (stat, v)")
+            "stack(2, 'n_docs', n_docs, 'total_dl', total_dl) AS (stat, v)")
         val v = s"text_stats_src_${math.abs(d.hashCode)}"
         st.createOrReplaceTempView(v)
         s.sql(s"INSERT INTO $fqn SELECT * FROM $v")
@@ -898,7 +894,8 @@ object CatalogQueries {
     val stats = s.table(textStatsTable(s, d))
       .groupBy()
       .agg(max(when(col("stat") === "n_docs", col("v"))).as("n_docs"),
-        max(when(col("stat") === "avgdl", col("v"))).as("avgdl"))
+        (max(when(col("stat") === "total_dl", col("v"))).cast("double") /
+          max(when(col("stat") === "n_docs", col("v")))).as("avgdl"))
     TextOps.bm25ScoreOf(posts, stats)
       .orderBy(col("score").desc, col("doc_id").asc)
       .limit(10)

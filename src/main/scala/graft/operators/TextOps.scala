@@ -1843,6 +1843,24 @@ object TextOps {
       .select(col("doc_id"), col("cluster_id"), col("split"))
   }
 
+  /** The (term, doc_id, tf, dl, pos) posting rows of a document frame
+    * — the unit of incremental index maintenance: because postings
+    * carry no cross-document state, the postings of a corpus DELTA are
+    * exactly the delta of the postings (insert-only refresh), and the
+    * corpus stats are exact integer counters (doc count, total word
+    * count) that add. */
+  def postingRows(docsDf: DataFrame): DataFrame =
+    docsDf.select(col("doc_id"),
+      size(filter(split(col("text"), " "), w => w =!= ""))
+        .cast("long").as("dl"),
+      posexplode(filter(split(col("text"), " "), w => w =!= ""))
+        .as(Seq("pos", "term")))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(first(col("dl")).as("dl"),
+        count(lit(1)).cast("long").as("tf"),
+        sort_array(collect_list(col("pos"))).as("pos"))
+      .select(col("term"), col("doc_id"), col("tf"), col("dl"), col("pos"))
+
   /** Phrase match by corpus scan — the full-scan twin of the
     * index-backed catalog_phrase (same oracle): adjacency counted
     * map-side inside the word array, no shuffle at all, but every

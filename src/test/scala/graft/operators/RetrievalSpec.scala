@@ -159,6 +159,48 @@ class RetrievalSpec extends AnyFunSuite {
         s"${postScans.head.inputRDD.getNumPartitions} of 8")
   }
 
+  test("postings index maintained incrementally (insert the delta's " +
+    "rows, add the counters) equals the full-scan BM25") {
+    import graft.functions.VectorOps
+    val all = spark.read.parquet(s"$sf/documents.parquet")
+    val hist = all.filter(col("doc_id") < 300)
+    val delta = all.filter(col("doc_id") >= 300)
+    spark.sql("DROP TABLE IF EXISTS graft.r9inc.postings")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.r9inc")
+    spark.sql(
+      """CREATE TABLE graft.r9inc.postings (
+        |  term STRING, doc_id BIGINT, tf BIGINT, dl BIGINT,
+        |  pos ARRAY<INT>)
+        |TBLPROPERTIES('keyCols'='term;doc_id', 'numRegions'='4')"""
+        .stripMargin)
+    // initial build, then the refresh: ONLY the delta is tokenized
+    TextOps.postingRows(hist).createOrReplaceTempView("r9inc_hist")
+    spark.sql("INSERT INTO graft.r9inc.postings SELECT * FROM r9inc_hist")
+    TextOps.postingRows(delta).createOrReplaceTempView("r9inc_delta")
+    spark.sql("INSERT INTO graft.r9inc.postings SELECT * FROM r9inc_delta")
+    // stats as exact adding counters (what text_stats_c_t persists)
+    def cnt(df: org.apache.spark.sql.DataFrame) = df.agg(
+      count(lit(1)).as("n"),
+      sum(size(filter(split(col("text"), " "), w => w =!= ""))
+        .cast("long")).as("t")).collect()(0)
+    val (h, dta) = (cnt(hist), cnt(delta))
+    val nDocs = h.getLong(0) + dta.getLong(0)
+    val totalDl = h.getLong(1) + dta.getLong(1)
+    val stats = spark.range(1).select(
+      lit(nDocs).as("n_docs"),
+      (lit(totalDl).cast("double") / lit(nDocs)).as("avgdl"))
+    val posts = spark.table("graft.r9inc.postings")
+      .filter(col("term").isin("vector", "join", "stream"))
+      .select(col("doc_id"), col("dl"), col("term").as("w"), col("tf"))
+    val viaIndex = TextOps.bm25ScoreOf(posts, stats)
+      .orderBy(col("score").desc, col("doc_id").asc).limit(10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val full = TextOps.bm25(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(viaIndex == full, s"incremental=$viaIndex full=$full")
+    spark.sql("DROP TABLE graft.r9inc.postings")
+  }
+
   test("leakage-safe split: no near-dup cluster straddles train/test, " +
     "and every verified near-dup pair lands on one side") {
     val assigned = TextOps.splitSafe(spark, sf)
