@@ -20,7 +20,7 @@ Usage::
     # vec_dot, minhash_sig, simhash64, lsh_bucket, winnow_keys,
     # shingle3_hashes, word_hashes, word_window_hashes,
     # distinct_word_hashes, distinct_gram_hashes, shared_count,
-    # word_tf_pairs
+    # word_tf_pairs, deletion_variant_hashes
     spark.sql("SELECT size(winnow_keys('some document text here', 8, 4))"
               ).show()
 

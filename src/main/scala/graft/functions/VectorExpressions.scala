@@ -1153,5 +1153,8 @@ object VectorOps {
       { args => SharedCount(args(0), args(1)) }, "scala_udf")
     reg.createOrReplaceTempFunction("word_tf_pairs",
       { args => WordTfPairs(args(0)) }, "scala_udf")
+    reg.createOrReplaceTempFunction("deletion_variant_hashes",
+      { args => DeletionVariantHashes(args(0), intLit(args(1), 2)) },
+      "scala_udf")
   }
 }

@@ -151,6 +151,45 @@ class KernelEquivalenceSpec extends AnyFunSuite {
     assert(bad.isEmpty, s"shared_count diverges: ${bad.mkString(" | ")}")
   }
 
+  test("deletion_variant_hashes: distinct-hash count equals the " +
+    "distinct string-variant count, and equal variants hash equal " +
+    "across strings") {
+    // the kernel hashes its own rolling-hash image, not the variant
+    // strings, so the equivalence is structural: per string, the hash
+    // SET is as large as the string-variant set (a wraparound
+    // collision would shrink it); across strings, shared variants must
+    // collide (the blocking property dedup_edit recall rests on)
+    val hofVariants = expr(
+      """array_distinct(concat(
+        |  array(text),
+        |  transform(sequence(1, greatest(length(text), 1)),
+        |    i -> concat(substring(text, 1, i-1),
+        |                substring(text, i+1, length(text)))),
+        |  flatten(transform(sequence(1, greatest(length(text)-1, 1)),
+        |    i -> transform(sequence(i+1, greatest(length(text), i+1)),
+        |      j -> concat(substring(text, 1, i-1),
+        |                  substring(text, i+1, j-i-1),
+        |                  substring(text, j+1, length(text))))))))"""
+        .stripMargin)
+    val bad = corpus().filter(length(col("text")) >= 2)
+      .select(col("text"),
+        size(VectorOps.deletionVariantHashes(col("text"), 2)).as("k"),
+        size(hofVariants).as("s"))
+      .filter(col("k") =!= col("s")).limit(3).collect()
+    assert(bad.isEmpty,
+      s"variant-count mismatch: ${bad.mkString(" | ")}")
+    // cross-string: a 2-edit mutant must share >=1 hash with its source
+    import spark.implicits._
+    val pairs = Seq(("abcdef", "abdef"), ("abcdef", "xbcdef"),
+      ("abcdef", "abccdef"), ("αβγδ", "αγδx")).toDF("a", "b")
+    val miss = pairs.select(
+      size(array_intersect(
+        VectorOps.deletionVariantHashes(col("a"), 2),
+        VectorOps.deletionVariantHashes(col("b"), 2))).as("shared"))
+      .filter(col("shared") === 0).collect()
+    assert(miss.isEmpty, "2-edit mutant not blocked with its source")
+  }
+
   test("word_tf_pairs == array_distinct + per-word count chain") {
     // same first-occurrence order as array_distinct, same empty-word
     // filter, tf = occurrences of the word among the non-empty tokens
