@@ -526,6 +526,24 @@ object CatalogQueries {
          |GROUP BY n1.n_name, n2.n_name, year(l.l_shipdate)""".stripMargin)
   }
 
+  /** Ranking window straight off the key-sorted store: top-2 line
+    * items by price within each order. partitionBy(l_orderkey) rides
+    * the scan's KeyGroupedPartitioning — no Exchange before the window
+    * (the shuffle every parquet-faced window_* query pays), and the
+    * leading-key range predicate prunes regions before scheduling. */
+  val windowOnStore: Q = (s, d) => {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("l_orderkey"))
+      .orderBy(col("l_extendedprice").desc, col("l_linenumber").asc)
+    s.table(lineitemTable(s, d))
+      .filter(col("l_orderkey") < 3000)
+      .withColumn("rk", row_number().over(w).cast("int"))
+      .filter(col("rk") <= 2)
+      .select(col("l_orderkey"), col("rk"), col("l_linenumber"),
+        round(col("l_extendedprice"), 2).as("price"))
+  }
+
   /** Documents in the catalog too — LLM-pipeline ops composed over the
     * key-sorted store rather than raw parquet. */
   private val builtDocs = scala.collection.concurrent.TrieMap[String, String]()
@@ -2189,6 +2207,7 @@ object CatalogQueries {
     "catalog_dedup_incoming" -> dedupIncomingOnStore,
     "catalog_join_asof" -> asofOnStore,
     "catalog_phrase" -> phraseOnStore,
+    "catalog_window_rank" -> windowOnStore,
     "catalog_dedup_embedding" -> dedupEmbeddingOnStore,
     "catalog_session" -> sessionOnStore,
     "catalog_decimal" -> decimalAgg,
@@ -2258,6 +2277,17 @@ object CatalogQueries {
     // adjacency recomputed from the raw word sequence — the index must
     // reproduce exactly the positions a corpus scan would see
     "catalog_phrase" -> TextOps.phraseOracleSql,
+
+    "catalog_window_rank" ->
+      """SELECT l_orderkey, CAST(rk AS INT) AS rk, l_linenumber,
+        |       round(l_extendedprice, 2) AS price
+        |FROM (SELECT l_orderkey, l_linenumber, l_extendedprice,
+        |             row_number() OVER (
+        |               PARTITION BY l_orderkey
+        |               ORDER BY l_extendedprice DESC, l_linenumber ASC)
+        |               AS rk
+        |      FROM lineitem WHERE l_orderkey < 3000)
+        |WHERE rk <= 2""".stripMargin,
 
     // the index path must answer exactly like the plain filter
     "catalog_index_lookup" ->

@@ -106,4 +106,17 @@ class TpchHeavyPlanSpec extends AnyFunSuite {
     assert(bad.isEmpty,
       s"orderkey shuffles present:\n${bad.mkString("\n")}\n\nplan:\n$plan")
   }
+
+  test("catalog window: partitionBy on the leading key plans with NO " +
+      "Exchange at all") {
+    val df = CatalogQueries
+      .queries("catalog_window_rank")(spark, graft.TestSpark.sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    val bad = plan.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(bad.isEmpty,
+      s"window shuffles present:\n${bad.mkString("\n")}\n\nplan:\n$plan")
+    assert(plan.contains("Window"), s"expected a Window exec:\n$plan")
+  }
 }
