@@ -34,7 +34,13 @@ class ScanEstimateSpec extends AnyFunSuite {
     val (total, scanned, rows, bytes) = estimate("k BETWEEN 10 AND 20")
     assert(total == 8)
     assert(scanned == 1, s"one region holds k in [10,20], got $scanned")
-    assert(rows == 500, "rows upper bound = the surviving region's rows")
+    // rows upper bound = the surviving REGION's rows — region-sized,
+    // not table-sized. The sorted load's range boundaries come from
+    // Spark's range-shuffle SAMPLING, so regions are only ~4000/8 even
+    // (a run may cut 499/501); assert the magnitude, not a pseudo-
+    // exact count.
+    assert(rows >= 400 && rows <= 600,
+      s"rows upper bound should be one region (~500), got $rows")
     assert(bytes > 0)
     // the real scan schedules the same single partition
     val real = spark.table(fqn).where("k BETWEEN 10 AND 20")
