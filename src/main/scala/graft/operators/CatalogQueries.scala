@@ -906,6 +906,16 @@ object CatalogQueries {
     * full-scan recompute exactly. */
   val bm25OnStore: Q = (s, d) => {
     import org.apache.spark.sql.functions._
+    bm25ScoresFromIndex(s, d)
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(10)
+  }
+
+  /** Per-doc BM25 scores served from the persisted postings index +
+    * stats counters — shared by the retrieval face and the hybrid
+    * fusion arm. */
+  private def bm25ScoresFromIndex(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
     val posts = s.table(postingsTable(s, d))
       .filter(col("term").isin(TextOps.bm25Terms: _*))
       .select(col("doc_id"), col("dl"), col("term").as("w"), col("tf"))
@@ -915,9 +925,16 @@ object CatalogQueries {
         (max(when(col("stat") === "total_dl", col("v"))).cast("double") /
           max(when(col("stat") === "n_docs", col("v")))).as("avgdl"))
     TextOps.bm25ScoreOf(posts, stats)
-      .orderBy(col("score").desc, col("doc_id").asc)
-      .limit(10)
   }
+
+  /** Hybrid retrieval ENTIRELY on the store: the lexical arm reads the
+    * region-pruned postings index, the vector arm the stored
+    * embeddings, fused by the shared RRF core — one oracle with the
+    * parquet face, so a hash match proves both persisted indexes
+    * reproduce the full recompute. */
+  val hybridOnStore: Q = (s, d) =>
+    TextOps.hybridRrfOf(bm25ScoresFromIndex(s, d),
+      s.table(embeddingsTable(s, d)))
 
   /** The HISTORICAL corpus's band index persisted for the ingest
     * screen: bands of every already-admitted document (the %5≠4
@@ -2208,6 +2225,7 @@ object CatalogQueries {
     "catalog_join_asof" -> asofOnStore,
     "catalog_phrase" -> phraseOnStore,
     "catalog_window_rank" -> windowOnStore,
+    "catalog_hybrid_rrf" -> hybridOnStore,
     "catalog_dedup_embedding" -> dedupEmbeddingOnStore,
     "catalog_session" -> sessionOnStore,
     "catalog_decimal" -> decimalAgg,
@@ -2272,6 +2290,7 @@ object CatalogQueries {
     "catalog_perplexity" -> TextOps.oracles("text_perplexity"),
     "catalog_bm25" -> TextOps.oracles("text_bm25"),
     "catalog_dedup_incoming" -> TextOps.oracles("dedup_incoming"),
+    "catalog_hybrid_rrf" -> TextOps.oracles("ann_hybrid_rrf"),
     "catalog_join_asof" -> Extended.oracles("join_asof"),
 
     // adjacency recomputed from the raw word sequence — the index must

@@ -2013,19 +2013,25 @@ object TextOps {
     * rows. Ranks are integers and the fused score is a sum of two
     * exact rationals rounded to 6 dp, so the cross-engine order is
     * deterministic. Exact DuckDB oracle. */
-  val hybridRrf: Q = (s, d) => {
+  val hybridRrf: Q = (s, d) => hybridRrfOf(bm25Scores(s, d), emb(s, d))
+
+  /** The fusion core over any per-doc lexical-score frame and any
+    * embedding frame — the parquet face and the catalog face (both
+    * arms served from persisted indexes) run THIS pipeline, one
+    * oracle. */
+  def hybridRrfOf(lexScores: DataFrame, embDf: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val wLex = Window.orderBy(col("score").desc, col("doc_id").asc)
-    val lex = bm25Scores(s, d)
+    val lex = lexScores
       .filter(col("doc_id") =!= 0)
       .orderBy(col("score").desc, col("doc_id").asc)
       .limit(50)
       .withColumn("lrk", row_number().over(wLex))
       .select(col("doc_id").as("id"), col("lrk"))
-    val q = emb(s, d).filter(col("vec_id") === 0)
+    val q = embDf.filter(col("vec_id") === 0)
       .select(col("embedding").as("qv"))
     val wVec = Window.orderBy(col("sim").desc, col("vec_id").asc)
-    val vec = emb(s, d).filter(col("vec_id") =!= 0)
+    val vec = embDf.filter(col("vec_id") =!= 0)
       .crossJoin(broadcast(q))
       .withColumn("sim",
         round(VectorOps.cosine(col("embedding"), col("qv")), 4))
