@@ -471,6 +471,29 @@ object CatalogQueries {
          |ORDER BY numwait DESC, s.s_name ASC LIMIT 25""".stripMargin)
   }
 
+  /** TPC-H Q19 (discounted revenue, the OR-of-triples shape) over the
+    * partkey-co-partitioned family: the lineitem_p ⋈ part join is
+    * storage-partitioned (both keyed by partkey — zero Exchange on the
+    * fact side), and the disjunction of (brand, size-band,
+    * quantity-band) triples evaluates post-join — the classic
+    * OR-pushdown/CNF stress. (volume = l_extendedprice; the partkey
+    * twin carries no discount column — same plan shape.) */
+  val tpchQ19: Q = (s, d) => {
+    val li = lineitemByPartTable(s, d)
+    val p = partTable(s, d)
+    s.sql(
+      s"""SELECT count(*) AS cnt,
+         |       round(sum(l.l_extendedprice), 2) AS revenue
+         |FROM $li l
+         |JOIN $p p ON p.p_partkey = l.l_partkey
+         |WHERE (p.p_brand = 'Brand#16' AND p.p_size BETWEEN 1 AND 15
+         |       AND l.l_quantity BETWEEN 1 AND 21)
+         |   OR (p.p_brand = 'Brand#18' AND p.p_size BETWEEN 1 AND 25
+         |       AND l.l_quantity BETWEEN 10 AND 30)
+         |   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35
+         |       AND l.l_quantity BETWEEN 20 AND 40)""".stripMargin)
+  }
+
   /** TPC-H Q4 (order priority checking) over the co-partitioned store:
     * the correlated EXISTS carries a NON-EQUI residual
     * (l_shipdate > o_orderdate) on top of the orderkey correlation —
@@ -2264,6 +2287,7 @@ object CatalogQueries {
     "catalog_tpch_q17" -> tpchQ17,
     "catalog_tpch_q4" -> tpchQ4,
     "catalog_tpch_q7" -> tpchQ7,
+    "catalog_tpch_q19" -> tpchQ19,
     "catalog_tpch_q18" -> tpchQ18,
     "catalog_tpch_q21" -> tpchQ21,
     "catalog_key_groupby" -> keyGroupBy,
@@ -2710,6 +2734,18 @@ object CatalogQueries {
         |    OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
         |  AND l.l_shipdate >= DATE'1995-01-01'
         |GROUP BY n1.n_name, n2.n_name, year(l.l_shipdate)""".stripMargin,
+
+    "catalog_tpch_q19" ->
+      """SELECT count(*) AS cnt,
+        |       round(sum(l.l_extendedprice), 2) AS revenue
+        |FROM lineitem l
+        |JOIN part p ON p.p_partkey = l.l_partkey
+        |WHERE (p.p_brand = 'Brand#16' AND p.p_size BETWEEN 1 AND 15
+        |       AND l.l_quantity BETWEEN 1 AND 21)
+        |   OR (p.p_brand = 'Brand#18' AND p.p_size BETWEEN 1 AND 25
+        |       AND l.l_quantity BETWEEN 10 AND 30)
+        |   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35
+        |       AND l.l_quantity BETWEEN 20 AND 40)""".stripMargin,
 
     "catalog_tpch_q18" ->
       """WITH big AS (

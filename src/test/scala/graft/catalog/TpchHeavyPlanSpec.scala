@@ -107,6 +107,16 @@ class TpchHeavyPlanSpec extends AnyFunSuite {
       s"orderkey shuffles present:\n${bad.mkString("\n")}\n\nplan:\n$plan")
   }
 
+  test("q19: the OR-of-triples join rides the partkey storage " +
+      "partitioning — zero partkey Exchange") {
+    val plan = planNoBroadcast("catalog_tpch_q19")
+    val bad = plan.linesIterator.filter(l =>
+      l.contains("Exchange hashpartitioning") &&
+        (l.contains("l_partkey") || l.contains("p_partkey"))).toSeq
+    assert(bad.isEmpty,
+      s"partkey shuffles present:\n${bad.mkString("\n")}\n\nplan:\n$plan")
+  }
+
   test("catalog window: partitionBy on the leading key plans with NO " +
       "Exchange at all") {
     val df = CatalogQueries
