@@ -52,6 +52,46 @@ class RetrievalSpec extends AnyFunSuite {
     assert(pairs == Set(1L, 2L, 3L, 4L), s"got $pairs")
   }
 
+  test("randomized recall: 300 random <=2-edit mutations are always " +
+    "blocked with their source (FastSS pigeonhole, kernel-hashed)") {
+    import graft.functions.VectorOps
+    val rnd = new scala.util.Random(7)
+    val alphabet = "abcdefgh "
+    def mutate(s: String, ops: Int): String = {
+      var t = s
+      (1 to ops).foreach { _ =>
+        val kind = rnd.nextInt(3)
+        val i = if (t.isEmpty) 0 else rnd.nextInt(t.length)
+        val c = alphabet(rnd.nextInt(alphabet.length))
+        t = kind match {
+          case 0 if t.nonEmpty => t.substring(0, i) + t.substring(i + 1)
+          case 1 => t.substring(0, i) + c + t.substring(i)
+          case _ if t.nonEmpty =>
+            t.substring(0, i) + c + t.substring(i + 1)
+          case _ => c.toString
+        }
+      }
+      t
+    }
+    val cases = (1 to 300).map { _ =>
+      val n = 8 + rnd.nextInt(20)
+      val base = (1 to n).map(_ =>
+        alphabet(rnd.nextInt(alphabet.length))).mkString
+      (base, mutate(base, 1 + rnd.nextInt(2)))
+    }
+    import spark.implicits._
+    val miss = cases.toDF("a", "b")
+      .select(col("a"), col("b"),
+        size(array_intersect(
+          VectorOps.deletionVariantHashes(col("a"), 2),
+          VectorOps.deletionVariantHashes(col("b"), 2))).as("shared"),
+        levenshtein(col("a"), col("b")).as("d"))
+      .filter(col("d") <= 2 && col("shared") === 0)
+      .limit(3).collect()
+    assert(miss.isEmpty,
+      s"mutation not blocked with its source: ${miss.mkString(" | ")}")
+  }
+
   test("pipeline_weighted equals the window-rank formulation") {
     val viaWindow = {
       import org.apache.spark.sql.expressions.Window
