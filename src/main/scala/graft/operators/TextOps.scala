@@ -1513,6 +1513,35 @@ object TextOps {
       .select(col("vec_id"), col("sim"))
   }
 
+  /** Hard-negative mining for retriever/contrastive training: for each
+    * anchor vector, the 3 most-similar vectors carrying a DIFFERENT
+    * label — the near-miss examples a contrastive loss learns most
+    * from (in-batch negatives are mostly easy; mined hard negatives
+    * are the standard upgrade, e.g. DPR/ANCE). Anchors bounded
+    * (vec_id < 100) for the oracle's all-pairs recompute; the corpus
+    * side broadcasts and the per-anchor top-3 is a window over
+    * anchor-local rows. At scale the anchor loop rides the IVF/LSH
+    * bucket structure (candidates from the anchor's probe set) — this
+    * face is the exact-verification path, like ann_cosine_pairs.
+    * Scores rounded to 4 dp before ranking; ties break on vec_id. */
+  val hardNegatives: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val e = emb(s, d)
+    val anchors = fanOut(e.filter(col("vec_id") < 100))
+      .select(col("vec_id").as("anchor"), col("embedding").as("ea"),
+        col("label").as("la"))
+    val corpus = e.select(col("vec_id").as("neg"),
+      col("embedding").as("eb"), col("label").as("lb"))
+    val w = Window.partitionBy(col("anchor"))
+      .orderBy(col("sim").desc, col("neg").asc)
+    anchors.join(broadcast(corpus), col("la") =!= col("lb"))
+      .withColumn("sim",
+        round(VectorOps.cosine(col("ea"), col("eb")), 4))
+      .withColumn("rk", row_number().over(w).cast("int"))
+      .filter(col("rk") <= 3)
+      .select(col("anchor"), col("rk"), col("neg"), col("sim"))
+  }
+
   /** Embedding near-dup pairs: cosine ≥ 0.3 over all pairs. Verification
     * path (all-pairs is O(n²)); the LSH-bucketed variant below is the
     * scale path. The fused [[graft.functions.VecCosine]] kernel keeps
@@ -2190,6 +2219,7 @@ object TextOps {
     "dedup_incoming" -> dedupIncoming,
     "pipeline_split_safe" -> splitSafe,
     "text_phrase" -> phraseScan,
+    "pipeline_hard_negatives" -> hardNegatives,
   )
 
   /** Adjacency recomputed from the raw word sequence — the oracle for
@@ -2370,6 +2400,23 @@ object TextOps {
     // adjacency recomputed from the raw word sequence — shared by the
     // scan face and the index-backed catalog twin
     "text_phrase" -> phraseOracleSql,
+
+    // all-pairs recompute of the mined hard negatives (anchors bounded
+    // to keep it tractable), same rounded-then-ranked ordering
+    "pipeline_hard_negatives" ->
+      """WITH s AS (
+        |  SELECT a.vec_id AS anchor, b.vec_id AS neg,
+        |         round(list_cosine_similarity(
+        |           cast(a.embedding AS DOUBLE[]),
+        |           cast(b.embedding AS DOUBLE[])), 4) AS sim
+        |  FROM embeddings a JOIN embeddings b ON a.label <> b.label
+        |  WHERE a.vec_id < 100)
+        |SELECT anchor, CAST(rk AS INT) AS rk, neg, sim
+        |FROM (SELECT anchor, neg, sim,
+        |             row_number() OVER (PARTITION BY anchor
+        |               ORDER BY sim DESC, neg ASC) AS rk
+        |      FROM s)
+        |WHERE rk <= 3""".stripMargin,
 
     // cluster closure rebuilt from scratch (the dedup_clusters CTE),
     // singletons labeled by their own id, identical hash split — the
