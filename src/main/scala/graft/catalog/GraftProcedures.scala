@@ -38,7 +38,8 @@ object GraftProcedures {
       "fold", "history", "restore", "analyze", "split", "merge", "clone",
       "convert", "index", "index_refresh", "mview", "mview_refresh",
       "tag", "untag", "scan_estimate", "mirror",
-      "branch", "branches", "publish", "branch_drop")
+      "branch", "branches", "publish", "branch_drop",
+      "text_index", "text_index_refresh")
 
   def load(catalogName: String, ident: Identifier): UnboundProcedure = {
     require(ident.namespace.isEmpty ||
@@ -62,6 +63,9 @@ object GraftProcedures {
       case "convert" => new ConvertProcedure(catalogName)
       case "index" => new IndexProcedure(catalogName)
       case "index_refresh" => new IndexRefreshProcedure(catalogName)
+      case "text_index" => new TextIndexProcedure(catalogName)
+      case "text_index_refresh" =>
+        new TextIndexRefreshProcedure(catalogName)
       case "mview" => new MviewProcedure(catalogName)
       case "mview_refresh" => new MviewRefreshProcedure(catalogName)
       case "tag" => new TagProcedure(catalogName)
@@ -1097,6 +1101,207 @@ object GraftProcedures {
           Collections.singletonList(LocalRowsScan(
             Array("index", "rows", "base_version"),
             Seq(Seq(idxFqn, rows.toString, version.toString))): Scan)
+            .iterator()
+        }
+      }
+  }
+
+  /** `CALL graft.sys.text_index(table => 'ns.t', column => 'text',
+    * id => 'doc_id')` — build (or rebuild) the full-text search tier
+    * for a document table: a positional postings table `<t>_fts`
+    * keyed `(term; id)` — one (term, id, tf, dl, pos) row per distinct
+    * word per document, built by the same shared
+    * [[graft.operators.TextOps.postingRows]] builder the query faces
+    * recompute with — plus a `<t>_fts_stats` counters table (doc
+    * count, total words: EXACT integers that ADD, so the incremental
+    * refresh below never re-scans the corpus). Query-time BM25/phrase
+    * cost then follows the query's terms (leading-key point reads on
+    * the term string), not the corpus. */
+  final class TextIndexProcedure(catalogName: String)
+      extends UnboundProcedure {
+    override def name(): String = "text_index"
+    override def description(): String =
+      "build a positional full-text postings index <t>_fts (+ exact " +
+        "stats counters <t>_fts_stats) over a document table"
+    override def bind(inputType: StructType): BoundProcedure =
+      new BoundProcedure {
+        override def name(): String = "text_index"
+        override def description(): String =
+          TextIndexProcedure.this.description()
+        override def isDeterministic: Boolean = false
+        override def parameters(): Array[ProcedureParameter] = Array(
+          ProcedureParameter.in("table", StringType)
+            .comment("base '<namespace>.<table>' within this catalog")
+            .build(),
+          ProcedureParameter.in("column", StringType)
+            .comment("STRING column to tokenize").build(),
+          ProcedureParameter.in("id", StringType)
+            .comment("document id column (becomes the trailing key)")
+            .build(),
+          ProcedureParameter.in("num_regions", IntegerType)
+            .defaultValue("8").build())
+        override def call(input: InternalRow): java.util.Iterator[Scan] = {
+          val table = input.getUTF8String(0).toString
+          val column = input.getUTF8String(1).toString
+          val id = input.getUTF8String(2).toString
+          val nRegions = input.getInt(3)
+          val s = SparkSession.active
+          val base = graftTable(catalogName, table)
+          val meta = base.meta
+          def field(c: String) = meta.schema.fields
+            .find(_.name.equalsIgnoreCase(c))
+            .getOrElse(throw new IllegalArgumentException(
+              s"column $c not in ${table}'s schema"))
+          val colF = field(column)
+          val idF = field(id)
+          require(colF.dataType == StringType,
+            s"text_index tokenizes a STRING column; $column is " +
+              colF.dataType.simpleString)
+          require(graft.codec.KeyCodec.supportedTypes
+              .contains(idF.dataType),
+            s"id column $id (${idF.dataType.simpleString}) is not a " +
+              "key-codec type")
+          val (ns, t) = splitNsTable(table)
+          val ftsFqn = fqn(catalogName, s"$ns.${t}_fts")
+          val statsFqn = fqn(catalogName, s"$ns.${t}_fts_stats")
+          val baseFqn = fqn(catalogName, table)
+          // watermark BEFORE the read, like IndexProcedure
+          val version = TableMeta.currentVersion(base.tableDir)
+          s.sql(s"DROP TABLE IF EXISTS $ftsFqn")
+          s.sql(s"DROP TABLE IF EXISTS $statsFqn")
+          s.sql(
+            s"""CREATE TABLE $ftsFqn (
+               |  term STRING, `${idF.name}` ${idF.dataType.sql},
+               |  tf BIGINT, dl BIGINT, pos ARRAY<INT>)
+               |TBLPROPERTIES(
+               |  '${TableMeta.KeyColsProp}'='term;${idF.name}',
+               |  '${TableMeta.NumRegionsProp}'='$nRegions',
+               |  '${TableMeta.TextIndexOfProp}'='$baseFqn',
+               |  '${TableMeta.FtsColProp}'='${colF.name}',
+               |  '${TableMeta.FtsIdProp}'='${idF.name}',
+               |  '${TableMeta.IndexedVersionProp}'='$version')"""
+              .stripMargin)
+          s.sql(
+            s"""CREATE TABLE $statsFqn (stat STRING, v BIGINT)
+               |TBLPROPERTIES('${TableMeta.KeyColsProp}'='stat',
+               |  '${TableMeta.NumRegionsProp}'='2')""".stripMargin)
+          val src = s.table(baseFqn)
+            .select(org.apache.spark.sql.functions.col(idF.name)
+              .as("doc_id"),
+              org.apache.spark.sql.functions.col(colF.name).as("text"))
+          val pv = s"fts_src_${math.abs(ftsFqn.hashCode)}"
+          graft.operators.TextOps.postingRows(src)
+            .createOrReplaceTempView(pv)
+          s.sql(s"INSERT INTO $ftsFqn SELECT * FROM $pv")
+          val sv = s"fts_stats_src_${math.abs(ftsFqn.hashCode)}"
+          import org.apache.spark.sql.functions._
+          src.agg(count(lit(1)).as("n_docs"),
+            coalesce(sum(size(filter(split(col("text"), " "),
+              w => w =!= "")).cast("long")), lit(0L)).as("total_dl"))
+            .selectExpr(
+              "stack(2, 'n_docs', n_docs, 'total_dl', total_dl)" +
+                " AS (stat, v)")
+            .createOrReplaceTempView(sv)
+          s.sql(s"INSERT INTO $statsFqn SELECT * FROM $sv")
+          val rows = s.table(ftsFqn).count()
+          Collections.singletonList(LocalRowsScan(
+            Array("fts", "postings", "base_version"),
+            Seq(Seq(ftsFqn, rows.toString, version.toString))): Scan)
+            .iterator()
+        }
+      }
+  }
+
+  /** `CALL graft.sys.text_index_refresh(table => 'ns.t')` —
+    * incrementally maintain the full-text tier after base appends:
+    * read the CDC delta since the watermark (manifest-only planning,
+    * reads ONLY appended regions), insert the DELTA's postingRows
+    * (postings carry no cross-document state, so delta postings ARE
+    * the postings delta), and ADD the delta's exact counters to the
+    * stats rows — never a corpus re-scan. Same soundness contract as
+    * index_refresh: in-place rewrites and dedupKeys folds refuse and
+    * direct to a text_index rebuild. */
+  final class TextIndexRefreshProcedure(catalogName: String)
+      extends UnboundProcedure {
+    override def name(): String = "text_index_refresh"
+    override def description(): String =
+      "incrementally refresh <t>_fts and its stats counters from the " +
+        "base table's CDC delta (O(delta), no corpus re-scan)"
+    override def bind(inputType: StructType): BoundProcedure =
+      new BoundProcedure {
+        override def name(): String = "text_index_refresh"
+        override def description(): String =
+          TextIndexRefreshProcedure.this.description()
+        override def isDeterministic: Boolean = false
+        override def parameters(): Array[ProcedureParameter] = Array(
+          ProcedureParameter.in("table", StringType)
+            .comment("base '<namespace>.<table>' within this catalog")
+            .build())
+        override def call(input: InternalRow): java.util.Iterator[Scan] = {
+          val table = input.getUTF8String(0).toString
+          val s = SparkSession.active
+          val base = graftTable(catalogName, table)
+          val (ns, t) = splitNsTable(table)
+          val ftsFqn = fqn(catalogName, s"$ns.${t}_fts")
+          val statsFqn = fqn(catalogName, s"$ns.${t}_fts_stats")
+          val baseFqn = fqn(catalogName, table)
+          val idx = graftTable(catalogName, s"$ns.${t}_fts")
+          require(idx.meta.properties.get(TableMeta.TextIndexOfProp)
+              .contains(baseFqn),
+            s"$ftsFqn is not a text index of $baseFqn (build it with " +
+              "CALL graft.sys.text_index first)")
+          val column = idx.meta.properties(TableMeta.FtsColProp)
+          val id = idx.meta.properties(TableMeta.FtsIdProp)
+          val watermark = idx.meta.properties(TableMeta.IndexedVersionProp)
+            .toLong
+          val now = TableMeta.currentVersion(base.tableDir)
+          if (now == watermark)
+            return Collections.singletonList(LocalRowsScan(
+              Array("fts", "postings_appended", "base_version"),
+              Seq(Seq(ftsFqn, "0", now.toString))): Scan).iterator()
+          require(!TableMeta.dedupKeys(base.meta.properties),
+            s"$baseFqn has graft.dedupKeys: upsert folds change " +
+              "documents in place, which an append-only postings delta " +
+              "cannot retract; rebuild with CALL graft.sys.text_index")
+          val rewrite = TableMeta.history(base.tableDir).find(e =>
+            e.version > watermark && e.version <= now &&
+              Set("rowlevel", "overwrite", "restore")(e.op))
+          require(rewrite.isEmpty,
+            s"$baseFqn had an in-place rewrite (${rewrite.get.op} at " +
+              s"version ${rewrite.get.version}) since the text-index " +
+              s"watermark $watermark; rebuild with " +
+              "CALL graft.sys.text_index")
+          import org.apache.spark.sql.functions._
+          val delta = s.read
+            .option(GraftChanges.FromKey, watermark.toString)
+            .option(GraftChanges.ToKey, now.toString)
+            .table(baseFqn)
+            .select(col(s"`$id`").as("doc_id"),
+              col(s"`$column`").as("text"))
+          val agg = delta.agg(count(lit(1)).as("n"),
+            coalesce(sum(size(filter(split(col("text"), " "),
+              w => w =!= "")).cast("long")), lit(0L)).as("tdl"))
+            .collect()(0)
+          val (nDocs, totalDl) = (agg.getLong(0), agg.getLong(1))
+          var appended = 0L
+          if (nDocs > 0) {
+            val pv = s"fts_delta_${math.abs(ftsFqn.hashCode)}"
+            val rows = graft.operators.TextOps.postingRows(delta)
+            rows.createOrReplaceTempView(pv)
+            s.sql(s"INSERT INTO $ftsFqn SELECT * FROM $pv")
+            appended = s.table(pv).count()
+            // exact adding counters — the reason the stats are stored
+            // as integers rather than the derived average
+            s.sql(s"UPDATE $statsFqn SET v = v + $nDocs " +
+              "WHERE stat = 'n_docs'")
+            s.sql(s"UPDATE $statsFqn SET v = v + $totalDl " +
+              "WHERE stat = 'total_dl'")
+          }
+          s.sql(s"ALTER TABLE $ftsFqn SET TBLPROPERTIES(" +
+            s"'${TableMeta.IndexedVersionProp}'='$now')")
+          Collections.singletonList(LocalRowsScan(
+            Array("fts", "postings_appended", "base_version"),
+            Seq(Seq(ftsFqn, appended.toString, now.toString))): Scan)
             .iterator()
         }
       }

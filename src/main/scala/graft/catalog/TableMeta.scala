@@ -173,6 +173,16 @@ object TableMeta {
   val IndexOfProp = "graft.indexOf"
   val IndexedVersionProp = "graft.indexedVersion"
 
+  /** Stamped on tables built by `CALL graft.sys.text_index`: the base
+    * table the postings index serves, the tokenized column, and the
+    * document-id column — distinct from [[IndexOfProp]] so the
+    * secondary-index rewrite machinery never mistakes a full-text
+    * postings table for a key index. The freshness watermark reuses
+    * [[IndexedVersionProp]]. */
+  val TextIndexOfProp = "graft.textIndexOf"
+  val FtsColProp = "graft.fts.column"
+  val FtsIdProp = "graft.fts.id"
+
   /** Stamped on tables built by `CALL graft.sys.mview`: the base table
     * this is a materialized aggregate of, the base's commit-log version
     * at build/refresh time (freshness watermark — [[GraftMviewRewrite]]

@@ -1983,8 +1983,7 @@ object TextOps {
     * inverted index), so a change to the weighting cannot diverge
     * them. df comes from the postings themselves: restricted to the
     * query terms it IS the document frequency either way. */
-  private[operators] def bm25ScoreOf(posts: DataFrame, stats: DataFrame)
-      : DataFrame = {
+  def bm25ScoreOf(posts: DataFrame, stats: DataFrame): DataFrame = {
     val k1 = 1.2
     val b = 0.75
     val dfreq = posts.groupBy(col("w")).agg(count(lit(1)).as("df"))
