@@ -840,30 +840,21 @@ object CatalogQueries {
     builtPost.getOrElseUpdate(d, {
       val docsFqn = documentsTable(s, d)
       val ns = s"sf_${math.abs(d.hashCode)}"
-      val fqn = s"graft.$ns.postings_p_t"
+      val fqn = s"graft.$ns.documents_t_fts"
       import org.apache.spark.sql.functions._
       val src = s.table(docsFqn)
       val srcCount = src.agg(
         sum(size(graft.functions.VectorOps.wordTfPairs(col("text")))))
         .collect()(0).getLong(0)
-      val exists = trusted(s, ns, "postings_p_t", srcCount)
-      if (!exists) {
-        s.sql(
-          s"""CREATE TABLE $fqn (
-             |  term STRING, doc_id BIGINT, tf BIGINT, dl BIGINT,
-             |  pos ARRAY<INT>)
-             |TBLPROPERTIES('keyCols'='term;doc_id', 'numRegions'='8')"""
-            .stripMargin)
-        val v = s"postings_src_${math.abs(d.hashCode)}"
-        // POSITIONAL postings (word offsets per occurrence) — tf is
-        // their count, so BM25 needs nothing extra and phrase queries
-        // ([[phraseOnStore]]) resolve adjacency inside the posting.
-        // Built by the shared row builder so an incremental refresh
-        // (insert the delta's postingRows) is bit-identical to a
-        // rebuild (PostingsRefresh test in RetrievalSpec).
-        TextOps.postingRows(src).createOrReplaceTempView(v)
-        s.sql(s"INSERT INTO $fqn SELECT * FROM $v")
-      }
+      // build through the REAL procedure (`CALL graft.sys.text_index`)
+      // rather than a private twin of it: every catalog_bm25 /
+      // catalog_phrase / catalog_hybrid_rrf driver row then re-proves
+      // the procedure's output against the full-scan oracle
+      val exists = trusted(s, ns, "documents_t_fts", srcCount) &&
+        trusted(s, ns, "documents_t_fts_stats", 2L)
+      if (!exists)
+        s.sql(s"CALL graft.sys.text_index(table => '$ns.documents_t', " +
+          "column => 'text', id => 'doc_id')").collect()
       fqn
     })
 
@@ -895,30 +886,10 @@ object CatalogQueries {
     * derived average: counters ADD, so an incremental refresh updates
     * them from the delta's own aggregates with no drift and no corpus
     * re-scan; avgdl is one division at query time. */
-  private val builtTs = scala.collection.concurrent.TrieMap[String, String]()
-  private def textStatsTable(s: SparkSession, d: String): String =
-    builtTs.getOrElseUpdate(d, {
-      val docsFqn = documentsTable(s, d)
-      val ns = s"sf_${math.abs(d.hashCode)}"
-      val fqn = s"graft.$ns.text_stats_c_t"
-      import org.apache.spark.sql.functions._
-      val exists = trusted(s, ns, "text_stats_c_t", 2L)
-      if (!exists) {
-        s.sql(s"""CREATE TABLE $fqn (stat STRING, v BIGINT)
-                 |TBLPROPERTIES('keyCols'='stat', 'numRegions'='2')"""
-          .stripMargin)
-        val st = s.table(docsFqn).agg(
-          count(lit(1)).as("n_docs"),
-          sum(size(filter(split(col("text"), " "), w => w =!= ""))
-            .cast("long")).as("total_dl"))
-          .selectExpr(
-            "stack(2, 'n_docs', n_docs, 'total_dl', total_dl) AS (stat, v)")
-        val v = s"text_stats_src_${math.abs(d.hashCode)}"
-        st.createOrReplaceTempView(v)
-        s.sql(s"INSERT INTO $fqn SELECT * FROM $v")
-      }
-      fqn
-    })
+  private def textStatsTable(s: SparkSession, d: String): String = {
+    postingsTable(s, d) // the text_index CALL builds both tables
+    s"graft.sf_${math.abs(d.hashCode)}.documents_t_fts_stats"
+  }
 
   /** BM25 retrieval FROM THE INDEX: the query terms hit the postings
     * table as a leading-key IN-list (region-pruned, page-skipped), the

@@ -192,8 +192,8 @@ class RetrievalSpec extends AnyFunSuite {
         case other => other.children.flatMap(scans)
       }
     val postScans = scans(viaIndex.queryExecution.executedPlan)
-      .filter(_.toString.contains("postings_p_t"))
-    assert(postScans.nonEmpty, "expected a postings_p_t scan")
+      .filter(_.toString.contains("documents_t_fts"))
+    assert(postScans.nonEmpty, "expected a documents_t_fts scan")
     assert(postScans.head.inputRDD.getNumPartitions < 8,
       s"expected region pruning on the term IN-list, got " +
         s"${postScans.head.inputRDD.getNumPartitions} of 8")
