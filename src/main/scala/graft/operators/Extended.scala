@@ -257,6 +257,30 @@ object Extended {
         md5(col("p_name")).as("h_md5"),
         sha2(col("p_name"), 256).as("h_sha256"))
 
+  /** Ordered-funnel analysis (view → click → purchase): how many users
+    * reach each step, where a step only counts if it happens strictly
+    * AFTER the user's first occurrence of the previous step — the
+    * MATCH_RECOGNIZE-lite every product-analytics stack runs. Shape at
+    * scale: three step aggregations chained by user_id equi-joins —
+    * each stage's input is pre-filtered to one event type and each
+    * join key is the same user_id hash, so AQE reuses the exchange;
+    * per-user state is two timestamps, never an event list. Exact
+    * DuckDB oracle. */
+  val eventsFunnel: Q = (s, d) => {
+    val e = Relational.events(s, d)
+    val v = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val c = e.filter(col("event_type") === "click")
+      .join(v, "user_id").filter(col("ts") > col("t1"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+    val p = e.filter(col("event_type") === "purchase")
+      .join(c, "user_id").filter(col("ts") > col("t2"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+    v.agg(count(lit(1)).as("n_view"))
+      .crossJoin(c.agg(count(lit(1)).as("n_click")))
+      .crossJoin(p.agg(count(lit(1)).as("n_purchase")))
+  }
+
   // --------------------------------------------------- as-of / range joins
 
   /** As-of join: for every click, the most recent view (same user) at
@@ -416,9 +440,25 @@ object Extended {
     "join_range" -> joinRange,
     "events_session" -> eventsSession,
     "events_resample" -> eventsResample,
+    "events_funnel" -> eventsFunnel,
   )
 
   val oracles: Map[String, String] = Map(
+    // same strictly-after step chaining: first view, first click after
+    // it, first purchase after that — integer counts, exact compare
+    "events_funnel" ->
+      """WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+        |           WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(e.ts) AS t2
+        |      FROM events e JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY 1),
+        |p AS (SELECT e.user_id, min(e.ts) AS t3
+        |      FROM events e JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY 1)
+        |SELECT (SELECT count(*) FROM v) AS n_view,
+        |       (SELECT count(*) FROM c) AS n_click,
+        |       (SELECT count(*) FROM p) AS n_purchase""".stripMargin,
+
     // same hourly grid + arg_max-by-event_id last reading + IGNORE
     // NULLS forward fill; filled_v copies stored doubles (no
     // arithmetic), so the compare is exact without rounding
