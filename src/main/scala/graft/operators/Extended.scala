@@ -281,6 +281,28 @@ object Extended {
       .crossJoin(p.agg(count(lit(1)).as("n_purchase")))
   }
 
+  /** Weekly cohort retention: users grouped by the ISO week of their
+    * first event; for each (cohort, weeks-since) cell, how many of
+    * them were active — the retention matrix behind every growth
+    * dashboard. Shape at scale: one per-user min (map-side partial),
+    * one equi-join back on user_id, one (cohort, offset) distinct-user
+    * agg; week offsets are exact integers (week-trunc differences are
+    * whole multiples of 7 days), so the matrix is integer-exact in
+    * both engines. */
+  val eventsCohort: Q = (s, d) => {
+    val e = Relational.events(s, d)
+    val first = e.groupBy(col("user_id"))
+      .agg(date_trunc("week", min(col("ts"))).as("cw"))
+    e.join(first, "user_id")
+      .withColumn("wk_off",
+        (datediff(date_trunc("week", col("ts")), col("cw")) / 7)
+          .cast("int"))
+      .groupBy(col("cw"), col("wk_off"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .select(date_format(col("cw"), "yyyy-MM-dd").as("cohort_week"),
+        col("wk_off"), col("n_users"))
+  }
+
   // --------------------------------------------------- as-of / range joins
 
   /** As-of join: for every click, the most recent view (same user) at
@@ -441,6 +463,7 @@ object Extended {
     "events_session" -> eventsSession,
     "events_resample" -> eventsResample,
     "events_funnel" -> eventsFunnel,
+    "events_cohort" -> eventsCohort,
   )
 
   val oracles: Map[String, String] = Map(
@@ -458,6 +481,19 @@ object Extended {
         |SELECT (SELECT count(*) FROM v) AS n_view,
         |       (SELECT count(*) FROM c) AS n_click,
         |       (SELECT count(*) FROM p) AS n_purchase""".stripMargin,
+
+    // same week-trunc anchoring; DuckDB and Spark both truncate to
+    // ISO Monday weeks, and the day difference between week-truncs is
+    // an exact multiple of 7
+    "events_cohort" ->
+      """WITH f AS (SELECT user_id, date_trunc('week', min(ts)) AS cw
+        |           FROM events GROUP BY 1)
+        |SELECT strftime(f.cw, '%Y-%m-%d') AS cohort_week,
+        |       CAST(datediff('day', f.cw, date_trunc('week', e.ts)) / 7
+        |            AS INT) AS wk_off,
+        |       count(DISTINCT e.user_id) AS n_users
+        |FROM events e JOIN f ON e.user_id = f.user_id
+        |GROUP BY 1, 2""".stripMargin,
 
     // same hourly grid + arg_max-by-event_id last reading + IGNORE
     // NULLS forward fill; filled_v copies stored doubles (no
