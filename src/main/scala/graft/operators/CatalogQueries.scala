@@ -1124,6 +1124,15 @@ object CatalogQueries {
   val asofOnStore: Q = (s, d) =>
     Extended.asofOf(s.table(eventsFullTable(s, d)))
 
+  /** Ordered funnel straight off the key-sorted store: the three step
+    * aggregations AND both chaining joins all key on user_id, so the
+    * whole funnel rides the scan's (user_id, ts) partitioning — zero
+    * user_id Exchange (asserted in StoragePartitionSpec; only the
+    * final three single-row counts shuffle, one row each). Same
+    * pipeline and oracle as events_funnel. */
+  val funnelOnStore: Q = (s, d) =>
+    Extended.funnelOf(s.table(eventsFullTable(s, d)))
+
   /** Orders with a DECIMAL(12,2) price stored IN the catalog: exact
     * decimal aggregation over the store. The price is derived from
     * integer cents (`(o_orderkey * 7919 + 421) % 10^8`, then an exact
@@ -2220,6 +2229,7 @@ object CatalogQueries {
     "catalog_phrase" -> phraseOnStore,
     "catalog_window_rank" -> windowOnStore,
     "catalog_hybrid_rrf" -> hybridOnStore,
+    "catalog_funnel" -> funnelOnStore,
     "catalog_dedup_embedding" -> dedupEmbeddingOnStore,
     "catalog_session" -> sessionOnStore,
     "catalog_decimal" -> decimalAgg,
@@ -2286,6 +2296,7 @@ object CatalogQueries {
     "catalog_bm25" -> TextOps.oracles("text_bm25"),
     "catalog_dedup_incoming" -> TextOps.oracles("dedup_incoming"),
     "catalog_hybrid_rrf" -> TextOps.oracles("ann_hybrid_rrf"),
+    "catalog_funnel" -> Extended.oracles("events_funnel"),
     "catalog_join_asof" -> Extended.oracles("join_asof"),
 
     // adjacency recomputed from the raw word sequence — the index must

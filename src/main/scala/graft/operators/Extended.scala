@@ -266,8 +266,14 @@ object Extended {
     * join key is the same user_id hash, so AQE reuses the exchange;
     * per-user state is two timestamps, never an event list. Exact
     * DuckDB oracle. */
-  val eventsFunnel: Q = (s, d) => {
-    val e = Relational.events(s, d)
+  val eventsFunnel: Q = (s, d) => funnelOf(Relational.events(s, d))
+
+  /** Shared funnel core over any (user_id, ts, event_type) frame — the
+    * parquet face and the catalog store face (where all three step
+    * aggregations and both user_id joins ride the scan's (user_id, ts)
+    * partitioning — zero user_id Exchange) run THIS pipeline, like
+    * [[sessionize]] and [[asofOf]]. */
+  def funnelOf(e: DataFrame): DataFrame = {
     val v = e.filter(col("event_type") === "view")
       .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
     val c = e.filter(col("event_type") === "click")
@@ -301,6 +307,24 @@ object Extended {
       .agg(countDistinct(col("user_id")).as("n_users"))
       .select(date_format(col("cw"), "yyyy-MM-dd").as("cohort_week"),
         col("wk_off"), col("n_users"))
+  }
+
+  /** Event-sequence transition counts (first-order Markov matrix): for
+    * every consecutive event pair within a user's timeline, how often
+    * each (from, to) transition occurs — the sequence-mining primitive
+    * behind path analysis and next-event models. One lag window per
+    * user (rides the same per-user clustering as sessionization),
+    * integer counts, ties broken by event_id so the sequence is
+    * deterministic in both engines. */
+  val eventsTransitions: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    Relational.events(s, d)
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .groupBy(col("prev").as("from_type"),
+        col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
   }
 
   // --------------------------------------------------- as-of / range joins
@@ -464,6 +488,7 @@ object Extended {
     "events_resample" -> eventsResample,
     "events_funnel" -> eventsFunnel,
     "events_cohort" -> eventsCohort,
+    "events_transitions" -> eventsTransitions,
   )
 
   val oracles: Map[String, String] = Map(
@@ -481,6 +506,15 @@ object Extended {
         |SELECT (SELECT count(*) FROM v) AS n_view,
         |       (SELECT count(*) FROM c) AS n_click,
         |       (SELECT count(*) FROM p) AS n_purchase""".stripMargin,
+
+    // same per-user (ts, event_id) ordering, same lag-1 pairing
+    "events_transitions" ->
+      """WITH o AS (SELECT user_id, event_type,
+        |             lag(event_type) OVER (PARTITION BY user_id
+        |               ORDER BY ts ASC, event_id ASC) AS prev
+        |           FROM events)
+        |SELECT prev AS from_type, event_type AS to_type, count(*) AS n
+        |FROM o WHERE prev IS NOT NULL GROUP BY 1, 2""".stripMargin,
 
     // same week-trunc anchoring; DuckDB and Spark both truncate to
     // ISO Monday weeks, and the day difference between week-truncs is

@@ -208,6 +208,44 @@ class StoragePartitionSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("DROP TABLE graft.spj.events_a")
   }
 
+  test("funnel over a (user_id, ts)-keyed table: step aggs and chain " +
+      "joins plan with no user_id Exchange") {
+    import org.apache.spark.sql.functions._
+    spark.sql("DROP TABLE IF EXISTS graft.spj.events_fu")
+    val raw = spark.read.parquet(s"$sf/events.parquet")
+    val src = (raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case _ => raw
+    }).select("user_id", "ts", "event_type", "event_id", "value")
+    val splits = src.stat
+      .approxQuantile("user_id", (1 until 4).map(_ / 4.0).toArray, 0.001)
+      .map(_.toLong).distinct.sorted.mkString(";")
+    spark.sql(
+      s"""CREATE TABLE graft.spj.events_fu (
+         |  user_id BIGINT, ts TIMESTAMP, event_type STRING,
+         |  event_id BIGINT, value DOUBLE)
+         |TBLPROPERTIES('keyCols'='user_id;ts',
+         |              'regionSplits'='$splits')""".stripMargin)
+    src.createOrReplaceTempView("spj_events_fsrc")
+    spark.sql("INSERT INTO graft.spj.events_fu SELECT * FROM spj_events_fsrc")
+    val df = graft.operators.Extended.funnelOf(
+      spark.table("graft.spj.events_fu"))
+    df.collect()
+    val p = finalPlan(df)
+    // only the three single-row global counts may shuffle
+    // (SinglePartition); the per-user steps and joins must not
+    val bad = p.linesIterator.filter(l =>
+      l.contains("Exchange hashpartitioning") &&
+        l.contains("user_id")).toSeq
+    assert(bad.isEmpty,
+      s"user_id shuffles present:\n${bad.mkString("\n")}\n\nplan:\n$p")
+    assert(sortedRows(df) ==
+      sortedRows(graft.operators.Extended.funnelOf(
+        spark.table("spj_events_fsrc"))))
+    spark.sql("DROP TABLE graft.spj.events_fu")
+  }
+
   test("differently-split tables do not claim co-partitioning") {
     spark.sql("DROP TABLE IF EXISTS graft.spj.other_s")
     spark.sql(
