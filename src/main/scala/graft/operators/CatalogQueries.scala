@@ -1133,6 +1133,12 @@ object CatalogQueries {
   val funnelOnStore: Q = (s, d) =>
     Extended.funnelOf(s.table(eventsFullTable(s, d)))
 
+  /** Transition counts off the store — the lag window's
+    * partitionBy(user_id) rides the (user_id, ts) key layout with no
+    * Exchange; same pipeline and oracle as events_transitions. */
+  val transitionsOnStore: Q = (s, d) =>
+    Extended.transitionsOf(s.table(eventsFullTable(s, d)))
+
   /** Orders with a DECIMAL(12,2) price stored IN the catalog: exact
     * decimal aggregation over the store. The price is derived from
     * integer cents (`(o_orderkey * 7919 + 421) % 10^8`, then an exact
@@ -2230,6 +2236,7 @@ object CatalogQueries {
     "catalog_window_rank" -> windowOnStore,
     "catalog_hybrid_rrf" -> hybridOnStore,
     "catalog_funnel" -> funnelOnStore,
+    "catalog_transitions" -> transitionsOnStore,
     "catalog_dedup_embedding" -> dedupEmbeddingOnStore,
     "catalog_session" -> sessionOnStore,
     "catalog_decimal" -> decimalAgg,
@@ -2297,6 +2304,7 @@ object CatalogQueries {
     "catalog_dedup_incoming" -> TextOps.oracles("dedup_incoming"),
     "catalog_hybrid_rrf" -> TextOps.oracles("ann_hybrid_rrf"),
     "catalog_funnel" -> Extended.oracles("events_funnel"),
+    "catalog_transitions" -> Extended.oracles("events_transitions"),
     "catalog_join_asof" -> Extended.oracles("join_asof"),
 
     // adjacency recomputed from the raw word sequence — the index must

@@ -316,11 +316,16 @@ object Extended {
     * user (rides the same per-user clustering as sessionization),
     * integer counts, ties broken by event_id so the sequence is
     * deterministic in both engines. */
-  val eventsTransitions: Q = (s, d) => {
+  val eventsTransitions: Q = (s, d) =>
+    transitionsOf(Relational.events(s, d))
+
+  /** Shared transition-count core (see [[eventsTransitions]]) — the
+    * catalog twin's lag window rides the store's per-user clustering
+    * with no user_id Exchange. */
+  def transitionsOf(e: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts").asc, col("event_id").asc)
-    Relational.events(s, d)
-      .withColumn("prev", lag(col("event_type"), 1).over(w))
+    e.withColumn("prev", lag(col("event_type"), 1).over(w))
       .filter(col("prev").isNotNull)
       .groupBy(col("prev").as("from_type"),
         col("event_type").as("to_type"))
