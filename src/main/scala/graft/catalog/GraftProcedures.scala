@@ -39,7 +39,7 @@ object GraftProcedures {
       "convert", "index", "index_refresh", "mview", "mview_refresh",
       "tag", "untag", "scan_estimate", "mirror",
       "branch", "branches", "publish", "branch_drop",
-      "text_index", "text_index_refresh")
+      "text_index", "text_index_refresh", "text_search")
 
   def load(catalogName: String, ident: Identifier): UnboundProcedure = {
     require(ident.namespace.isEmpty ||
@@ -66,6 +66,7 @@ object GraftProcedures {
       case "text_index" => new TextIndexProcedure(catalogName)
       case "text_index_refresh" =>
         new TextIndexRefreshProcedure(catalogName)
+      case "text_search" => new TextSearchProcedure(catalogName)
       case "mview" => new MviewProcedure(catalogName)
       case "mview_refresh" => new MviewRefreshProcedure(catalogName)
       case "tag" => new TagProcedure(catalogName)
@@ -1208,6 +1209,66 @@ object GraftProcedures {
             Array("fts", "postings", "base_version"),
             Seq(Seq(ftsFqn, rows.toString, version.toString))): Scan)
             .iterator()
+        }
+      }
+  }
+
+  /** `CALL graft.sys.text_search(table => 'ns.t', query => 'a b c',
+    * k => 10)` — BM25 top-k over the `<t>_fts` postings index, as a
+    * statement: arbitrary query terms, no DataFrame code. The terms
+    * hit the index as a leading-key IN-list (region-pruned), the two
+    * stats counters are point reads, and the scoring is the same
+    * shared core the driver-gated faces run — query cost follows the
+    * query, not the corpus. */
+  final class TextSearchProcedure(catalogName: String)
+      extends UnboundProcedure {
+    override def name(): String = "text_search"
+    override def description(): String =
+      "BM25 top-k retrieval from a text_index postings table"
+    override def bind(inputType: StructType): BoundProcedure =
+      new BoundProcedure {
+        override def name(): String = "text_search"
+        override def description(): String =
+          TextSearchProcedure.this.description()
+        override def isDeterministic: Boolean = false
+        override def parameters(): Array[ProcedureParameter] = Array(
+          ProcedureParameter.in("table", StringType)
+            .comment("indexed base '<namespace>.<table>'").build(),
+          ProcedureParameter.in("query", StringType)
+            .comment("space-separated query terms").build(),
+          ProcedureParameter.in("k", IntegerType)
+            .defaultValue("10").build())
+        override def call(input: InternalRow): java.util.Iterator[Scan] = {
+          val table = input.getUTF8String(0).toString
+          val terms = input.getUTF8String(1).toString
+            .split(' ').map(_.trim).filter(_.nonEmpty).distinct.toSeq
+          val k = input.getInt(2)
+          require(terms.nonEmpty, "query must contain at least one term")
+          val s = SparkSession.active
+          val (ns, t) = splitNsTable(table)
+          val ftsFqn = fqn(catalogName, s"$ns.${t}_fts")
+          val statsFqn = fqn(catalogName, s"$ns.${t}_fts_stats")
+          val idx = graftTable(catalogName, s"$ns.${t}_fts")
+          val id = idx.meta.properties(TableMeta.FtsIdProp)
+          import org.apache.spark.sql.functions._
+          val posts = s.table(ftsFqn)
+            .filter(col("term").isin(terms: _*))
+            .select(col(s"`$id`").as("doc_id"), col("dl"),
+              col("term").as("w"), col("tf"))
+          val stats = s.table(statsFqn).groupBy()
+            .agg(max(when(col("stat") === "n_docs", col("v")))
+              .as("n_docs"),
+              (max(when(col("stat") === "total_dl", col("v")))
+                .cast("double") /
+                max(when(col("stat") === "n_docs", col("v"))))
+                .as("avgdl"))
+          val top = graft.operators.TextOps.bm25ScoreOf(posts, stats)
+            .orderBy(col("score").desc, col("doc_id").asc)
+            .limit(k).collect()
+          Collections.singletonList(LocalRowsScan(
+            Array(id, "score"),
+            top.map(r => Seq(r.get(0).toString,
+              r.getDouble(1).toString)).toSeq): Scan).iterator()
         }
       }
   }

@@ -64,6 +64,35 @@ class TextIndexSpec extends AnyFunSuite {
     assert(again.head.getString(1) == "0")
   }
 
+  test("text_search CALL equals the driver-gated BM25 pipeline for " +
+      "the same terms, and answers arbitrary queries") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.fts")
+    Seq("docs_s", "docs_s_fts", "docs_s_fts_stats").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS graft.fts.$t"))
+    spark.sql(
+      """CREATE TABLE graft.fts.docs_s (
+        |  doc_id BIGINT, text STRING, lang STRING)
+        |TBLPROPERTIES('keyCols'='doc_id', 'numRegions'='4')"""
+        .stripMargin)
+    spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text", "lang")
+      .createOrReplaceTempView("fts_all")
+    spark.sql("INSERT INTO graft.fts.docs_s SELECT * FROM fts_all")
+    spark.sql("CALL graft.sys.text_index(table => 'fts.docs_s', " +
+      "column => 'text', id => 'doc_id')").collect()
+    val viaCall = spark.sql("CALL graft.sys.text_search(" +
+      "table => 'fts.docs_s', query => 'vector join stream')")
+      .collect().map(r => (r.getString(0).toLong,
+        r.getString(1).toDouble)).toSeq
+    val full = graft.operators.TextOps.bm25(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(viaCall == full, s"call=$viaCall full=$full")
+    // an arbitrary single-term query answers too (df=1 term)
+    val one = spark.sql("CALL graft.sys.text_search(" +
+      "table => 'fts.docs_s', query => 'customer', k => 5)").collect()
+    assert(one.length == 5)
+  }
+
   test("refresh refuses after an in-place rewrite and on dedupKeys " +
       "bases, directing to a rebuild") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.fts")
