@@ -82,8 +82,65 @@ object CatalogQueries {
     ensureGraftCatalog(s)
     val ns = s"sf_${math.abs(d.hashCode)}"
     s.sql(s"CREATE NAMESPACE IF NOT EXISTS graft.$ns")
+    fingerprintGate(s, ns, d)
     ns
   }
+
+  /** Bump to force a rebuild of EVERY catalog fixture in this
+    * namespace — when a builder's output changes shape or content
+    * without changing its row count, row-count trust can't see it. */
+  private val FixtureVersion = 10
+
+  private val fpGate = scala.collection.concurrent.TrieMap[String, Boolean]()
+
+  /** Content fingerprint of one source sf dir: (path, size, mtime) of
+    * every file under it, plus [[FixtureVersion]]. Cheap (filesystem
+    * metadata only) and catches exactly what row-count trust cannot —
+    * regenerated testdata parquet with the same cardinality. */
+  private def sourceFingerprint(d: String): String = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+          .sortBy(_.getName).toSeq.flatMap(walk)
+      else Seq(f)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.update(s"v$FixtureVersion".getBytes("UTF-8"))
+    walk(new java.io.File(d)).foreach { f =>
+      md.update(s"${f.getPath}|${f.length}|${f.lastModified}\n"
+        .getBytes("UTF-8"))
+    }
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  /** Fixture-staleness gate, once per (JVM, sf dir): every fixture
+    * builder trusts a warehouse table left by a prior JVM only if the
+    * SOURCE BYTES (and fixture-code generation) that built it are
+    * unchanged — `trusted()`'s row-count check alone served stale
+    * mview partials two rounds running when testdata was regenerated
+    * at the same cardinality. On mismatch every table in the sf
+    * namespace is dropped, so all fixtures lazily rebuild from the
+    * current bytes, then the namespace is stamped with the new
+    * fingerprint (a marker file beside the table dirs; listTables
+    * ignores non-table files). */
+  private def fingerprintGate(s: SparkSession, ns: String,
+      d: String): Unit =
+    fpGate.getOrElseUpdate(s"$d#$ns", {
+      val fp = sourceFingerprint(d)
+      val wh = s.conf.getOption("spark.sql.catalog.graft.warehouse")
+        .getOrElse("/tmp/graft_warehouse")
+      val marker = java.nio.file.Paths.get(wh, ns, "_fixture_fp")
+      val cur = if (java.nio.file.Files.exists(marker))
+        new String(java.nio.file.Files.readAllBytes(marker), "UTF-8").trim
+      else ""
+      if (cur != fp) {
+        s.sql(s"SHOW TABLES IN graft.$ns").collect().foreach { r =>
+          s.sql(s"DROP TABLE graft.$ns.`${r.getString(1)}`")
+        }
+        java.nio.file.Files.createDirectories(marker.getParent)
+        java.nio.file.Files.write(marker, fp.getBytes("UTF-8"))
+      }
+      true
+    })
 
   /** Build-once discipline shared by every catalog-backed fixture:
     * trust an existing table only at the expected row count (a killed

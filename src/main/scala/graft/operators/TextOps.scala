@@ -37,6 +37,15 @@ object TextOps {
   private def fanOut(df: DataFrame): DataFrame =
     df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
+  /** Multiplicative split hash, wrap-safe: the id is reduced mod the
+    * prime BEFORE the Knuth multiply so the product stays inside
+    * 64-bit range (1000000006 × 2654435761 < 2^63) — Spark's Long
+    * arithmetic and DuckDB's HUGEINT-promoting % then agree at ANY id,
+    * not just ids < ~3.5e9 (above which the unreduced product wraps
+    * silently in Spark while DuckDB keeps the exact value). */
+  private[operators] def splitHash(id: Column, m: Long): Column =
+    pmod(pmod(id, lit(1000000007L)) * lit(2654435761L), lit(m))
+
   /** words / 3-word shingles as array columns (map-side only). */
   private val wordsCol = split(col("text"), " ")
   private val shinglesExpr =
@@ -375,7 +384,7 @@ object TextOps {
         when(col("lang") === "en", 60)
           .when(col("lang").isin("fr", "de"), 30)
           .otherwise(10))
-      .filter(pmod(col("doc_id") * lit(2654435761L), lit(100))
+      .filter(splitHash(col("doc_id"), 100)
         < col("quota"))
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_sampled"),
@@ -545,7 +554,7 @@ object TextOps {
   val trainValTest: Q = (s, d) =>
     docs(s, d)
       .withColumn("bucket",
-        pmod(col("doc_id") * lit(2654435761L), lit(100)))
+        splitHash(col("doc_id"), 100))
       .withColumn("split",
         when(col("bucket") < 90, "train")
           .when(col("bucket") < 95, "val").otherwise("test"))
@@ -568,7 +577,7 @@ object TextOps {
   val reservoirSample: Q = (s, d) => {
     val kSmall = udaf(new graft.functions.BoundedMinK(25))
     docs(s, d)
-      .withColumn("h", pmod(col("doc_id") * lit(2654435761L), lit(1000000007L)))
+      .withColumn("h", splitHash(col("doc_id"), 1000000007L))
       .groupBy(col("lang"))
       .agg(kSmall(col("h"), col("doc_id")).as("picks"))
       .select(col("lang"), posexplode(col("picks")))
@@ -1867,7 +1876,7 @@ object TextOps {
       .join(labels, Seq("doc_id"), "left")
       .withColumn("cluster_id", coalesce(col("label"), col("doc_id")))
       .withColumn("split",
-        when(pmod(col("cluster_id") * lit(2654435761L), lit(100)) < 90,
+        when(splitHash(col("cluster_id"), 100) < 90,
           "train").otherwise("test"))
       .select(col("doc_id"), col("cluster_id"), col("split"))
   }
@@ -1940,15 +1949,25 @@ object TextOps {
       .select(col("bh"), col("doc_id").as("di"))
     val cands = bi.join(histBands, Seq("bh"))
       .select(col("di"), col("dh")).distinct()
-    def wsets(df: DataFrame, idc: String, wc: String, nc: String) =
+    // Size prefilter FIRST: only two INTs ride the wide candidate
+    // joins; the word-hash ARRAYS are attached afterwards, to the
+    // ratio survivors only. (Attaching arrays to the full candidate
+    // set — ~12M rows at sf0.1 — dragged the arrays through both wide
+    // shuffles and made this verify 3.5× the cost of the whole screen.)
+    def sizes(df: DataFrame, idc: String, nc: String) =
+      df.select(col("doc_id").as(idc),
+        size(graft.functions.VectorOps.distinctWordHashes(col("text")))
+          .as(nc))
+    def wsets(df: DataFrame, idc: String, wc: String) =
       df.select(col("doc_id").as(idc),
         graft.functions.VectorOps.distinctWordHashes(col("text")).as(wc))
-        .withColumn(nc, size(col(wc)))
     cands
-      .join(wsets(inc, "di", "wsa", "na"), "di")
-      .join(wsets(hist, "dh", "wsb", "nb"), "dh")
+      .join(sizes(inc, "di", "na"), "di")
+      .join(sizes(hist, "dh", "nb"), "dh")
       .filter(least(col("na"), col("nb")) * 100 >=
         greatest(col("na"), col("nb")) * 89)
+      .join(wsets(inc, "di", "wsa"), "di")
+      .join(wsets(hist, "dh", "wsb"), "dh")
       .withColumn("shared",
         graft.functions.VectorOps.sharedCount(col("wsa"), col("wsb")))
       .withColumn("jaccard",
@@ -2100,7 +2119,7 @@ object TextOps {
     docs(s, d)
       .withColumn("w", (col("n_chars") / 4).cast("long") + 1)
       .withColumn("u",
-        (pmod(col("doc_id") * lit(2654435761L), lit(1000000007L)) + 1) /
+        (splitHash(col("doc_id"), 1000000007L) + 1) /
           lit(1000000008.0))
       // A-Res key, largest-first => min-k of the negated quantized key
       .withColumn("nk",
@@ -2386,7 +2405,7 @@ object TextOps {
     // inside the grain), per-lang top-5 by (key DESC, doc_id)
     "pipeline_weighted" ->
       """WITH s AS (SELECT lang, doc_id, (n_chars // 4) + 1 AS w,
-        |  ((doc_id * 2654435761) % 1000000007 + 1) / 1000000008.0 AS u
+        |  (((doc_id % 1000000007) * 2654435761) % 1000000007 + 1) / 1000000008.0 AS u
         |  FROM documents),
         |k AS (SELECT lang, doc_id,
         |  CAST(floor(pow(u, 1.0 / w) * 1e9 + 0.5) AS BIGINT) AS key9 FROM s),
@@ -2436,8 +2455,8 @@ object TextOps {
          |lab AS (SELECT s AS doc, least(min(t), s) AS label
          |        FROM reach GROUP BY s)
          |SELECT d.doc_id, coalesce(lab.label, d.doc_id) AS cluster_id,
-         |       CASE WHEN (coalesce(lab.label, d.doc_id) * 2654435761)
-         |                   % 100 < 90
+         |       CASE WHEN ((coalesce(lab.label, d.doc_id) % 1000000007)
+         |                   * 2654435761) % 100 < 90
          |            THEN 'train' ELSE 'test' END AS split
          |FROM documents d LEFT JOIN lab ON lab.doc = d.doc_id""".stripMargin,
 
@@ -2719,7 +2738,7 @@ object TextOps {
       """SELECT lang, count(*) AS n_sampled,
         |       CAST(sum(n_chars) AS BIGINT) AS sampled_chars
         |FROM documents
-        |WHERE (doc_id * 2654435761) % 100 <
+        |WHERE ((doc_id % 1000000007) * 2654435761) % 100 <
         |      CASE WHEN lang = 'en' THEN 60
         |           WHEN lang IN ('fr', 'de') THEN 30
         |           ELSE 10 END
@@ -2850,8 +2869,8 @@ object TextOps {
     // positive product is plain % in DuckDB
     "pipeline_split" ->
       """SELECT lang,
-        |       CASE WHEN (doc_id * 2654435761) % 100 < 90 THEN 'train'
-        |            WHEN (doc_id * 2654435761) % 100 < 95 THEN 'val'
+        |       CASE WHEN ((doc_id % 1000000007) * 2654435761) % 100 < 90 THEN 'train'
+        |            WHEN ((doc_id % 1000000007) * 2654435761) % 100 < 95 THEN 'val'
         |            ELSE 'test' END AS split,
         |       count(*) AS n_docs,
         |       CAST(sum(n_chars) AS BIGINT) AS n_chars,
@@ -2974,7 +2993,7 @@ object TextOps {
         |FROM (SELECT lang, doc_id,
         |             row_number() OVER (
         |               PARTITION BY lang
-        |               ORDER BY (doc_id * 2654435761) % 1000000007 ASC,
+        |               ORDER BY ((doc_id % 1000000007) * 2654435761) % 1000000007 ASC,
         |                        doc_id ASC) AS rk
         |      FROM documents)
         |WHERE rk <= 25""".stripMargin,

@@ -30,10 +30,22 @@ object DocStreams {
     val incoming = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(stagingDir)
+    // The historical band index is computed (and cached) ONCE, outside
+    // foreachBatch — per-batch screening cost must follow the incoming
+    // batch, not the corpus. In production this frame is the persisted
+    // band-index table (dedupIncomingOnStore reads `hist_band_t`);
+    // here it is the one-time recompute, materialized so micro-batches
+    // reuse it instead of re-signature-hashing the corpus every epoch.
+    import org.apache.spark.sql.functions.col
+    val histBands = graft.operators.TextOps
+      .minhashBands(graft.operators.TextOps.minhashWordSigs(hist))
+      .select(col("bh"), col("doc_id").as("dh"))
+      .persist()
     incoming.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, epoch: Long) =>
-        graft.operators.TextOps.incomingNearDups(batch, hist)
+        graft.operators.TextOps
+          .incomingNearDupsAgainstBands(batch, histBands, hist)
           .write.mode("overwrite").parquet(s"$outDir/epoch=$epoch")
         ()
       }
