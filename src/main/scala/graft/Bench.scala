@@ -51,30 +51,39 @@ object Bench {
     }
     // a failing query reports -1 s, loudly: silent swallowing would let a
     // broken query keep "benchmarking"
+    val osBean = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(t => selected(t._1)).map { case (name, fn) =>
+      val l0 = osBean.getSystemLoadAverage
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).count()
-        name -> (System.nanoTime() - t0) / 1e9
+        (name, (System.nanoTime() - t0) / 1e9, l0)
       } catch { case e: Throwable =>
         System.err.println(s"[bench] FAILED $name: ${e.getMessage}")
-        name -> -1.0
+        (name, -1.0, l0)
       }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f"$v%.4f" }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + f"$v%.4f" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     // Machine-contention witness: a loaded host inflates every timing
     // uniformly (a past round's driver run read 4.4x slower than a
     // quiet rerun of the same binary). Recording the 1-minute load
-    // average beside the numbers makes a contended capture
-    // self-evident rather than forensic.
-    val loadAvg = java.lang.management.ManagementFactory
-      .getOperatingSystemMXBean.getSystemLoadAverage
+    // average beside the numbers — globally AND at each query's start —
+    // makes a contended capture (or a contended stretch inside one)
+    // self-evident rather than forensic: this process alone keeps
+    // load_avg ≈ its own concurrency, so sustained readings well above
+    // `cpus`-worth of bench work indicate a contended window whose
+    // timings overstate steady-state latency uniformly.
+    val loadAvg = osBean.getSystemLoadAverage
+    val ql = results.map { case (k, _, l) => s"\"" + k + "\":" + f"$l%.2f" }
+      .mkString("{", ",", "}")
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-        s""""sf":"$sfDir","load_avg":$loadAvg,"cpus":"$cpus"}"""
+        s""""sf":"$sfDir","load_avg":$loadAvg,"load_at_query":$ql,""" +
+        s""""cpus":"$cpus"}"""
     println(json)
     // stdout captures have been truncated before; persist the full line
     // beside the repo so the timing map always survives intact

@@ -1166,7 +1166,13 @@ object GraftProcedures {
           val ftsFqn = fqn(catalogName, s"$ns.${t}_fts")
           val statsFqn = fqn(catalogName, s"$ns.${t}_fts_stats")
           val baseFqn = fqn(catalogName, table)
-          // watermark BEFORE the read, like IndexProcedure
+          // watermark BEFORE the read, like IndexProcedure — and the
+          // read below is PINNED to this version (VERSION AS OF), so a
+          // concurrent append landing between version capture and the
+          // build scan is neither indexed now nor lost: the next
+          // refresh delivers it exactly once. An unpinned read would
+          // both index it and re-deliver it (double-counted postings
+          // and stats).
           val version = TableMeta.currentVersion(base.tableDir)
           s.sql(s"DROP TABLE IF EXISTS $ftsFqn")
           s.sql(s"DROP TABLE IF EXISTS $statsFqn")
@@ -1186,10 +1192,23 @@ object GraftProcedures {
             s"""CREATE TABLE $statsFqn (stat STRING, v BIGINT)
                |TBLPROPERTIES('${TableMeta.KeyColsProp}'='stat',
                |  '${TableMeta.NumRegionsProp}'='2')""".stripMargin)
-          val src = s.table(baseFqn)
-            .select(org.apache.spark.sql.functions.col(idF.name)
-              .as("doc_id"),
-              org.apache.spark.sql.functions.col(colF.name).as("text"))
+          val src = s.sql(s"SELECT `${idF.name}` AS doc_id, " +
+            s"`${colF.name}` AS text FROM $baseFqn VERSION AS OF $version")
+          // BM25 df / n_docs assume one document per id: a duplicated
+          // id would merge two documents' postings into one corrupted
+          // row at build AND make every later incremental refresh
+          // unsound (an append re-using an id cannot be retracted by
+          // an insert-only delta). Enforced here once, so refresh only
+          // has to check its delta against this invariant.
+          import org.apache.spark.sql.functions.{count => fcount,
+            countDistinct, lit => flit}
+          val uniq = src.agg(fcount(flit(1)).as("n"),
+            countDistinct(org.apache.spark.sql.functions.col("doc_id"))
+              .as("nd")).collect()(0)
+          require(uniq.getLong(0) == uniq.getLong(1),
+            s"$baseFqn has ${uniq.getLong(0) - uniq.getLong(1)} " +
+              s"duplicate `${idF.name}` values; text_index requires " +
+              "one document per id (BM25 stats count documents)")
           val pv = s"fts_src_${math.abs(ftsFqn.hashCode)}"
           graft.operators.TextOps.postingRows(src)
             .createOrReplaceTempView(pv)
@@ -1341,9 +1360,41 @@ object GraftProcedures {
               col(s"`$column`").as("text"))
           val agg = delta.agg(count(lit(1)).as("n"),
             coalesce(sum(size(filter(split(col("text"), " "),
-              w => w =!= "")).cast("long")), lit(0L)).as("tdl"))
+              w => w =!= "")).cast("long")), lit(0L)).as("tdl"),
+            countDistinct(col("doc_id")).as("nids"))
             .collect()(0)
           val (nDocs, totalDl) = (agg.getLong(0), agg.getLong(1))
+          // An append that RE-USES an already-indexed id is unsound for
+          // an insert-only postings delta: the duplicate (term, id)
+          // rows double-count df/tf and the adding counters double-
+          // count n_docs/total_dl — refresh would silently diverge
+          // from a rebuild. Build enforces one-document-per-id, so it
+          // suffices to check the delta against itself and against the
+          // ids visible AT THE WATERMARK (pinned read — rows appended
+          // after it are exactly the delta being checked). Small
+          // deltas check by key-pruned IN-list point lookups; large
+          // ones by a single-column join (still far below a rebuild,
+          // which re-tokenizes the corpus).
+          if (nDocs > 0) {
+            require(agg.getLong(2) == nDocs,
+              s"delta of $baseFqn contains ${nDocs - agg.getLong(2)} " +
+                "duplicate document ids; rebuild with " +
+                "CALL graft.sys.text_index")
+            val deltaIds = delta.select(col("doc_id")).distinct()
+            val atWm = s.sql(s"SELECT `$id` AS doc_id FROM $baseFqn " +
+              s"VERSION AS OF $watermark")
+            val reused =
+              if (nDocs <= 10000) {
+                val ids = deltaIds.collect().map(_.get(0))
+                atWm.filter(col("doc_id").isin(ids: _*)).limit(1)
+                  .count()
+              } else atWm.join(deltaIds, "doc_id").limit(1).count()
+            require(reused == 0L,
+              s"$baseFqn re-used at least one already-indexed " +
+                s"`$id` since the text-index watermark $watermark; " +
+                "an insert-only postings delta cannot retract the " +
+                "old document — rebuild with CALL graft.sys.text_index")
+          }
           var appended = 0L
           if (nDocs > 0) {
             val pv = s"fts_delta_${math.abs(ftsFqn.hashCode)}"

@@ -2299,7 +2299,8 @@ object CatalogQueries {
     "catalog_decimal" -> decimalAgg,
     "catalog_generated" -> generatedOnStore,
     // inverted-list IVF: probe = region pruning (IvfIndex.topkStored)
-    "catalog_ann_ivf" -> ((s, d) => IvfIndex.topkStored(s, d)),
+    "catalog_ann_ivf" ->
+      ((s, d) => TextOps.annSketchGateFace(s, d, IvfIndex.topkStored(s, d))),
     "catalog_multimodal_meta" -> multimodalMetaOnStore,
     "catalog_skipscan" -> skipScan,
     "catalog_stats_skip" -> statsSkip,
@@ -2359,6 +2360,9 @@ object CatalogQueries {
     "catalog_perplexity" -> TextOps.oracles("text_perplexity"),
     "catalog_bm25" -> TextOps.oracles("text_bm25"),
     "catalog_dedup_incoming" -> TextOps.oracles("dedup_incoming"),
+    // sketch gate face: exact top-10 rows + the pinned ≥0.9 recall
+    // column, recall measured against the store-backed IVF probe
+    "catalog_ann_ivf" -> TextOps.oracles("ann_ivf_topk"),
     "catalog_hybrid_rrf" -> TextOps.oracles("ann_hybrid_rrf"),
     "catalog_funnel" -> Extended.oracles("events_funnel"),
     "catalog_transitions" -> Extended.oracles("events_transitions"),

@@ -335,11 +335,32 @@ object Relational {
 
   /** HLL approximate distinct — no exact oracle (implementation-specific
     * sketch), driver records a rows-only check. */
-  val aggApproxDistinct: Q = (s, d) =>
-    li(s, d)
+  /** HLL sketch face with a hash-checked quality gate: the emitted
+    * counts are the EXACT distinct counts (what the DuckDB oracle
+    * recomputes) and `within_rsd` carries the sketch claim — 1 iff
+    * both approx_count_distinct estimates land within 5× their
+    * configured relative standard deviation of the exact counts
+    * (HLL's error is unbounded only in the tail; 5 σ is a
+    * never-flakes-on-honest-sketches envelope). The sketches run for
+    * real on every grading run, so an estimator regression flips the
+    * column to 0 and the board row red — the only inherently
+    * approximate face left on the board, gated the same way as the
+    * ANN sketches ([[TextOps.annSketchGateFace]]). */
+  val aggApproxDistinct: Q = (s, d) => {
+    val r = li(s, d)
       .agg(
-        approx_count_distinct(col("l_partkey")).as("approx_parts"),
-        approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"))
+        approx_count_distinct(col("l_partkey")).as("ap"),
+        approx_count_distinct(col("l_orderkey"), 0.01).as("ao"),
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        countDistinct(col("l_orderkey")).as("exact_orders"))
+      .collect()(0)
+    val ok = math.abs(r.getLong(0) - r.getLong(2)) <=
+        5 * 0.05 * r.getLong(2) &&
+      math.abs(r.getLong(1) - r.getLong(3)) <= 5 * 0.01 * r.getLong(3)
+    import s.implicits._
+    Seq((r.getLong(2), r.getLong(3), if (ok) 1 else 0))
+      .toDF("exact_parts", "exact_orders", "within_rsd")
+  }
 
   // --------------------------------------------- sort / limit / set ops
 

@@ -155,6 +155,15 @@ object RelationalOracles {
         |FROM lineitem GROUP BY l_partkey
         |HAVING round(sum(l_quantity), 2) > 800""".stripMargin,
 
+    // HLL sketch gate face: exact counts + the pinned within-5σ
+    // quality column (the estimates themselves are checked in-face
+    // against these exact counts; see Relational.aggApproxDistinct)
+    "agg_approx_distinct" ->
+      """SELECT count(DISTINCT l_partkey) AS exact_parts,
+        |       count(DISTINCT l_orderkey) AS exact_orders,
+        |       CAST(1 AS INT) AS within_rsd
+        |FROM lineitem""".stripMargin,
+
     "agg_count_distinct" ->
       """SELECT l_returnflag,
         |       count(DISTINCT l_suppkey) AS n_supp,

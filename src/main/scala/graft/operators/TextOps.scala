@@ -781,10 +781,10 @@ object TextOps {
     * vocabulary, irrelevant at test scale.
     *
     * Returns the learned merge table (rank, left, right, merged,
-    * pair_count) — the artifact a tokenizer ships. No SQL oracle can
-    * replay the iteration (rows-only at the driver); BpeTrainSpec
-    * gates the merge SEQUENCE exactly against an independent
-    * single-JVM reference implementation. */
+    * pair_count) — the artifact a tokenizer ships. The driver replays
+    * the merge loop exactly in DuckDB ([[bpeTrainOracleSql]]);
+    * BpeTrainSpec additionally gates the merge SEQUENCE against an
+    * independent single-JVM reference implementation. */
   /** One corpus pass: the (symbol-array, frequency) word histogram
     * training iterates on, partition count sized to the VOCABULARY
     * (~100k words per partition) rather than the corpus — a synthetic
@@ -896,14 +896,62 @@ object TextOps {
   /** Driver face: the first 6 learned merges over the documents
     * corpus (each merge costs the argmax aggregation's scheduling
     * floor and nothing else — so the face stays board-weight while
-    * the spec trains 24). Deterministic (total argmax order), but no
-    * SQL oracle can replay the sequential iteration — rows-only at
-    * the driver; BpeTrainSpec carries the exactness gate vs an
+    * the spec trains 24). Deterministic (total argmax order) and
+    * hash-checked against [[bpeTrainOracleSql]]'s exact DuckDB replay;
+    * BpeTrainSpec additionally carries the exactness gate vs an
     * independent single-JVM reference implementation. */
   val bpeTrainFace: Q = (s, d) =>
     bpeTrainOnHistogram(
       bpeHistCache.getOrElseUpdate(d, bpeHistogram(docs(s, d))),
       numMerges = 6)
+
+  /** DuckDB SQL that replays [[bpeTrainOnHistogram]]'s first
+    * `numMerges` merges EXACTLY — the "no SQL oracle" caveat above was
+    * wrong. The trick is the rewrite step: encode each word's symbol
+    * list as a string with a DOUBLE chr(31) separator between symbols
+    * (and at both ends), so the merge of (a, b) is the plain
+    * non-overlapping `replace` of `␟a␟␟b␟` with `␟ab␟`. Non-overlapping
+    * replace scans left to right — exactly the fold's leftmost-first
+    * semantics on runs like "aaaa" → [aa, aa] — and because each
+    * boundary is TWO separators while the pattern consumes only the
+    * inner one on each side, a replacement leaves intact boundaries
+    * for adjacent matches ("abab" merges both (a,b) pairs, which a
+    * single-separator encoding would miss). Plain `replace`, not
+    * regex, so metacharacter symbols need no escaping; chr(31) never
+    * appears in corpus text. One CTE trio (pair counts → argmax →
+    * rewrite) per merge, chained; a single diverged merge cascades
+    * into every later rank. */
+  private[operators] def bpeTrainOracleSql(numMerges: Int): String = {
+    val S = "chr(31)||chr(31)"
+    val head =
+      s"""WITH rec AS (
+         |  SELECT w, count(*) AS cnt FROM (
+         |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+         |  WHERE w <> '' GROUP BY w),
+         |w0 AS (
+         |  SELECT $S || array_to_string(regexp_split_to_array(w, ''), $S)
+         |         || $S || '</w>' || $S AS sym, cnt FROM rec)""".stripMargin
+    val iters = (0 until numMerges).map { k =>
+      s"""p$k AS (
+         |  SELECT syms[i] AS a, syms[i+1] AS b, sum(cnt) AS pc
+         |  FROM (SELECT string_split(sym, $S) AS syms, cnt FROM w$k) t,
+         |       UNNEST(generate_series(2, len(syms)-2)) AS g(i)
+         |  GROUP BY a, b),
+         |m$k AS (SELECT a, b, pc FROM p$k
+         |        ORDER BY pc DESC, a ASC, b ASC LIMIT 1),
+         |w${k + 1} AS (
+         |  SELECT replace(t.sym, chr(31)||m.a||$S||m.b||chr(31),
+         |                        chr(31)||m.a||m.b||chr(31)) AS sym, cnt
+         |  FROM w$k t, m$k m)""".stripMargin
+    }
+    val out = (0 until numMerges).map { k =>
+      s"""SELECT CAST($k AS INT) AS rank, a AS "left", b AS "right",
+         |       a||b AS merged, CAST(pc AS BIGINT) AS pair_count
+         |FROM m$k""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    (head +: iters).mkString(",\n") +
+      s"\nSELECT * FROM (\n$out\n) ORDER BY rank"
+  }
 
   /** Corpus heavy hitters by sketch-then-verify: a bounded-memory
     * Misra-Gries pass ([[graft.functions.MisraGries]], k=64 counters)
@@ -1576,11 +1624,62 @@ object TextOps {
       .withColumn("bucket", VectorOps.lshBucket(col("embedding"), nPlanes))
       .select(col("vec_id"), col("label"), col("bucket"))
 
+  /** The exact cosine top-10 (brute force, same kernel as
+    * [[annCosineTopk]]) — the set every ANN sketch's quality gate
+    * compares against, and the rows the driver's DuckDB oracle
+    * recomputes. */
+  private def exactCosineTop10(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .withColumn("sim",
+        round(VectorOps.cosine(col("embedding"), col("qv")), 4))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+      .limit(10)
+      .select(col("vec_id"), col("sim"))
+  }
+
+  /** Driver face for an ANN SKETCH (IVF / PQ / IVFPQ, parquet or
+    * store-backed): the emitted ROWS are the exact top-10 — which the
+    * DuckDB oracle recomputes — and `recall10_ge_90` carries the
+    * sketch's quality claim as a hash-checked integer: 1 iff the
+    * sketch's own top-10 hits ≥ 9 of the exact set, the same ≥ 0.9
+    * threshold TextOpsSpec / CatalogVectorSpec gate in sbt. The
+    * sketch runs for real on every grading run (both collects are
+    * k-sized, driver-bounded), so a recall regression on a future
+    * corpus flips the column to 0 and the board row red — the quality
+    * gate is re-proven at grade time, not only in sbt. The sketch's
+    * own rows cannot be oracle-checked directly: a ≥0.9-recall sketch
+    * legitimately emits a non-exact member (IVF at sf0.01 does — one
+    * true neighbor's cell is outside the NProbe=6 probe set). */
+  def annSketchGateFace(s: SparkSession, d: String,
+      sketch: => DataFrame): DataFrame = {
+    val exact = exactCosineTop10(s, d)
+    val exactIds = exact.collect().map(_.getLong(0)).toSet
+    val hits = sketch.select(col("vec_id")).collect()
+      .map(_.getLong(0)).count(exactIds)
+    exact.withColumn("recall10_ge_90", lit(if (hits >= 9) 1 else 0))
+  }
+
+  /** Shared oracle for the sketch gate faces: the exact top-10 plus
+    * the pinned quality column. */
+  private[operators] val annSketchGateOracle: String =
+    """SELECT vec_id,
+      |       round(list_cosine_similarity(
+      |         cast(embedding AS DOUBLE[]),
+      |         (SELECT cast(embedding AS DOUBLE[]) FROM embeddings
+      |          WHERE vec_id = 0)), 4) AS sim,
+      |       CAST(1 AS INT) AS recall10_ge_90
+      |FROM embeddings WHERE vec_id <> 0
+      |ORDER BY sim DESC, vec_id ASC LIMIT 10""".stripMargin
+
   /** IVF ANN: exact cosine over the cells of a trained seeded-centroid
     * index nearest the query — see [[IvfIndex]] (deterministic spherical
     * k-means, centroids persisted as a graft catalog table, probe
-    * fraction + recall gated in TextOpsSpec vs [[annCosineTopk]]). */
-  val annIvfTopk: Q = (s, d) => IvfIndex.topk(s, d)
+    * fraction + recall gated in TextOpsSpec vs [[annCosineTopk]]);
+    * driver face wrapped in [[annSketchGateFace]]. */
+  val annIvfTopk: Q = (s, d) => annSketchGateFace(s, d, IvfIndex.topk(s, d))
 
   val annLsh: Q = (s, d) =>
     annLshBuckets(s, d)
@@ -2204,8 +2303,9 @@ object TextOps {
     "ann_cosine_pairs" -> annCosinePairs,
     "ann_lsh" -> annLsh,
     "ann_ivf_topk" -> annIvfTopk,
-    "ann_pq_topk" -> ((s, d) => PqIndex.topk(s, d)),
-    "ann_ivfpq_topk" -> ((s, d) => PqIndex.ivfpqTopk(s, d)),
+    "ann_pq_topk" -> ((s, d) => annSketchGateFace(s, d, PqIndex.topk(s, d))),
+    "ann_ivfpq_topk" ->
+      ((s, d) => annSketchGateFace(s, d, PqIndex.ivfpqTopk(s, d))),
     "text_ngram_jaccard" -> ngramJaccardPairs,
     "text_pii_scrub" -> piiScrub,
     "dedup_simhash_pairs" -> ((s, d) =>
@@ -2374,6 +2474,11 @@ object TextOps {
 
   val oracles: Map[String, String] = Map(
     "ann_lsh" -> lshBucketOracleSql(),
+    // sketch gate faces: exact top-10 rows + the pinned ≥0.9 recall
+    // column (see annSketchGateFace)
+    "ann_ivf_topk" -> annSketchGateOracle,
+    "ann_pq_topk" -> annSketchGateOracle,
+    "ann_ivfpq_topk" -> annSketchGateOracle,
 
     "text_bm25" ->
       s"""WITH $bm25Cte
@@ -2942,6 +3047,14 @@ object TextOps {
         |       count(DISTINCT w) AS n_words
         |FROM p GROUP BY pair
         |ORDER BY cnt DESC, pair ASC LIMIT 20""".stripMargin,
+
+    // exact REPLAY of the 6-merge training loop: same word histogram,
+    // same (count DESC, left ASC, right ASC) argmax, and the same
+    // leftmost-first rewrite — non-overlapping string replace over a
+    // double-separator symbol encoding IS the left-to-right fold (see
+    // bpeTrainOracleSql). A single diverged merge cascades into every
+    // later rank, so the hash pins the whole sequential decision chain.
+    "text_bpe_train" -> bpeTrainOracleSql(6),
 
     // the (cnt DESC, word ASC) order is total, so the top-100 cut is
     // deterministic in both engines

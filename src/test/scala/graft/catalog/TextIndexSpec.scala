@@ -93,6 +93,58 @@ class TextIndexSpec extends AnyFunSuite {
     assert(one.length == 5)
   }
 
+  test("build refuses duplicate ids; refresh refuses a re-used or " +
+      "within-delta-duplicated id (insert-only postings cannot " +
+      "retract the old document)") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.fts")
+    Seq("docs_u", "docs_u_fts", "docs_u_fts_stats").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS graft.fts.$t"))
+    spark.sql(
+      """CREATE TABLE graft.fts.docs_u (doc_id BIGINT, text STRING)
+        |TBLPROPERTIES('keyCols'='doc_id', 'numRegions'='2')"""
+        .stripMargin)
+    // duplicate id 7 at build time: BM25 stats count documents, so the
+    // build itself must refuse
+    spark.sql("INSERT INTO graft.fts.docs_u " +
+      "SELECT id, concat('w', id % 5, ' y z') FROM range(50)")
+    spark.sql("INSERT INTO graft.fts.docs_u VALUES (7, 'dup seven')")
+    val eb = intercept[Exception] {
+      spark.sql("CALL graft.sys.text_index(table => 'fts.docs_u', " +
+        "column => 'text', id => 'doc_id')").collect()
+    }
+    assert(eb.getMessage.contains("duplicate"),
+      s"expected a duplicate-id refusal, got: ${eb.getMessage}")
+    // clean base indexes fine…
+    spark.sql("DELETE FROM graft.fts.docs_u WHERE text = 'dup seven'")
+    spark.sql("CALL graft.sys.text_index(table => 'fts.docs_u', " +
+      "column => 'text', id => 'doc_id')").collect()
+    // …but an append RE-USING an indexed id must refuse at refresh:
+    // blindly inserting the delta's postings would double-count the
+    // (term, id) rows and the n_docs/total_dl counters
+    spark.sql("INSERT INTO graft.fts.docs_u VALUES (7, 'reused seven')")
+    val er = intercept[Exception] {
+      spark.sql("CALL graft.sys.text_index_refresh(" +
+        "table => 'fts.docs_u')").collect()
+    }
+    assert(er.getMessage.contains("rebuild") &&
+      er.getMessage.contains("re-used"),
+      s"expected a re-used-id rebuild refusal, got: ${er.getMessage}")
+    // a rebuild also refuses (the duplicate is now in the base) until
+    // the offending row is removed
+    spark.sql("DELETE FROM graft.fts.docs_u WHERE text = 'reused seven'")
+    spark.sql("CALL graft.sys.text_index(table => 'fts.docs_u', " +
+      "column => 'text', id => 'doc_id')").collect()
+    // within-delta duplicate: two new rows sharing a NEW id
+    spark.sql("INSERT INTO graft.fts.docs_u VALUES " +
+      "(900, 'fresh a'), (900, 'fresh b')")
+    val ed = intercept[Exception] {
+      spark.sql("CALL graft.sys.text_index_refresh(" +
+        "table => 'fts.docs_u')").collect()
+    }
+    assert(ed.getMessage.contains("duplicate"),
+      s"expected a within-delta duplicate refusal, got: ${ed.getMessage}")
+  }
+
   test("refresh refuses after an in-place rewrite and on dedupKeys " +
       "bases, directing to a rebuild") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.fts")
