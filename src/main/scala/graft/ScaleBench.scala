@@ -143,7 +143,20 @@ object ScaleBench {
     // Q4's storage-partitioned semi join + Q7's fact-fact join with
     // two broadcast nation aliases: the round-9 additions to the
     // co-partitioned family
-    "catalog_tpch_q4", "catalog_tpch_q7")
+    "catalog_tpch_q4", "catalog_tpch_q7",
+    // round-9's late event-analytics faces: funnel/transitions/cohort
+    // are one pass + one narrow aggregation over events (the catalog
+    // twins ride the (user_id, ts) key layout exchange-free), so all
+    // five should grow ~linearly or less with events — amplified
+    // replicas are disjoint user populations, so per-user window work
+    // is unchanged and only row volume grows
+    "events_funnel", "catalog_funnel", "events_transitions",
+    "catalog_transitions", "events_cohort",
+    // fused lexical+vector retrieval: the parquet face re-scans corpus
+    // and embeddings (~linear); the catalog face reads term-pruned
+    // postings + the same ANN top-k, so it should grow well under
+    // data growth
+    "ann_hybrid_rrf", "catalog_hybrid_rrf")
   // dedup_edit and dedup_incoming are deliberately NOT amplified:
   // key-shifted replicas make every title/document an exact dup
   // family, so their OUTPUT grows ~factor² by construction (same
@@ -244,7 +257,14 @@ object ScaleBench {
     // the pipeline is tens of seconds, contention noise is <10% there
     val ndQ = Seq("dedup_minhash_full" -> NearDup,
       "dedup_substring_full" -> SubstringDedup,
-      "dedup_winnow_full" -> WinnowPairs)
+      "dedup_winnow_full" -> WinnowPairs,
+      // the dedup-at-ingest screen, both faces, at natural corpus
+      // scales — output (true match pairs) grows ~100× at 10× docs on
+      // this corpus, so the cost-per-emitted-match is the honest
+      // scaling statistic (BASELINE.md carries it)
+      "dedup_incoming" -> SparkEntry.queries("dedup_incoming"),
+      "catalog_dedup_incoming" ->
+        SparkEntry.queries("catalog_dedup_incoming"))
     val smallDir = srcDir.replace("sf0.1", "sf0.01")
     val ndBase = emit("neardup_base", smallDir, 1, ndQ)
     val ndBig = emit("neardup_x10", srcDir, 1, ndQ)
