@@ -156,7 +156,14 @@ object ScaleBench {
     // and embeddings (~linear); the catalog face reads term-pruned
     // postings + the same ANN top-k, so it should grow well under
     // data growth
-    "ann_hybrid_rrf", "catalog_hybrid_rrf")
+    "ann_hybrid_rrf", "catalog_hybrid_rrf",
+    // the round-13 TPC-H completion (everything the testdata's columns
+    // can express exactly): q6 scan+agg, q8/q9 wide stars on the
+    // co-partitioned full-width lineitem, q13 left-join histogram,
+    // q14 conditional share, q15 top supplier, q22 anti join
+    "catalog_tpch_q6", "catalog_tpch_q8", "catalog_tpch_q9",
+    "catalog_tpch_q13", "catalog_tpch_q14", "catalog_tpch_q15",
+    "catalog_tpch_q22")
   // dedup_edit and dedup_incoming are deliberately NOT amplified:
   // key-shifted replicas make every title/document an exact dup
   // family, so their OUTPUT grows ~factor² by construction (same

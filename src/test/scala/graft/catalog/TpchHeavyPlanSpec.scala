@@ -65,6 +65,32 @@ class TpchHeavyPlanSpec extends AnyFunSuite {
       s"partkey shuffles present:\n${bad.mkString("\n")}\n\nplan:\n$plan")
   }
 
+  test("q6: pure scan+aggregate — the shipdate/discount/quantity " +
+      "filters reach the scan and no hash Exchange exists at all") {
+    val plan = planNoBroadcast("catalog_tpch_q6")
+    assert(plan.contains("l_shipdate"), s"pushed date filter:\n$plan")
+    val bad = plan.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(bad.isEmpty,
+      s"hash shuffles in a scan+agg:\n${bad.mkString("\n")}\n\nplan:\n$plan")
+  }
+
+  test("q8: the 8-table star keeps the fact-fact join exchange-free " +
+      "on the orderkey (dims may shuffle, the facts must not)") {
+    val plan = planNoBroadcast("catalog_tpch_q8")
+    val bad = orderkeyShuffles(plan)
+    assert(bad.isEmpty,
+      s"orderkey shuffles present:\n${bad.mkString("\n")}\n\nplan:\n$plan")
+  }
+
+  test("q9: part+supplier+nation hang off the fact with zero " +
+      "orderkey Exchange") {
+    val plan = planNoBroadcast("catalog_tpch_q9")
+    val bad = orderkeyShuffles(plan)
+    assert(bad.isEmpty,
+      s"orderkey shuffles present:\n${bad.mkString("\n")}\n\nplan:\n$plan")
+  }
+
   test("q21: both correlations fold into ONE shuffle-free fact pass") {
     val plan = planNoBroadcast("catalog_tpch_q21")
     val bad = orderkeyShuffles(plan)
