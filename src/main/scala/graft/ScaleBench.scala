@@ -206,8 +206,15 @@ object ScaleBench {
   private val WinnowPairs: (SparkSession, String) => DataFrame = (s, d) =>
     TextOps.winnowPairs(s.read.parquet(s"$d/documents.parquet"))
 
+  /** Local iteration aid (the driver never sets it): run only queries
+    * whose name contains one of the comma-separated substrings. */
+  private val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
+    .map(_.split(',').toSeq)
+  private def selected(name: String): Boolean =
+    only.forall(_.exists(name.contains))
+
   private def queriesFor(): Seq[(String, (SparkSession, String) => DataFrame)] =
-    Heavy.map(n => n -> SparkEntry.queries(n))
+    Heavy.filter(selected).map(n => n -> SparkEntry.queries(n))
 
   /** Warm once (builds catalog tables — ingest, not query time), then
     * report the min of `timedRuns` timed passes per query (min is the
@@ -258,6 +265,7 @@ object ScaleBench {
     val scaled = emit(s"x$factor", workDir)
     // winnow extraction on the amplified corpus (map-side; replica-safe)
     val wQ = Seq("text_winnow_full" -> WinnowFull)
+      .filter(t => selected(t._1))
     val wBase = emit("winnow_base", srcDir, 2, wQ)
     val wBig = emit(s"winnow_x$factor", workDir, 2, wQ)
     // near-dup curve on driver corpora (see NearDup); one timed run —
@@ -272,6 +280,7 @@ object ScaleBench {
       "dedup_incoming" -> SparkEntry.queries("dedup_incoming"),
       "catalog_dedup_incoming" ->
         SparkEntry.queries("catalog_dedup_incoming"))
+      .filter(t => selected(t._1))
     val smallDir = srcDir.replace("sf0.1", "sf0.01")
     val ndBase = emit("neardup_base", smallDir, 1, ndQ)
     val ndBig = emit("neardup_x10", srcDir, 1, ndQ)

@@ -412,16 +412,29 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         require(add.fieldNames.length == 1,
           "graft supports top-level columns only")
         val name = add.fieldNames.head
-        // existing region files would read the new column as NULL, not
-        // the declared default — refusing beats silently lying about
-        // stored data (CREATE-time defaults are fully supported; a new
-        // default on future writes is ALTER COLUMN SET DEFAULT after a
-        // plain ADD COLUMN)
-        require(add.defaultValue() == null,
-          s"ADD COLUMN $name with DEFAULT is not supported: rows in " +
-            "existing region files would read NULL, not the default. " +
-            "ADD the column, then ALTER COLUMN … SET DEFAULT for future " +
-            "writes")
+        // ADD COLUMN WITH DEFAULT: the default becomes BOTH the
+        // current default (analyzer fills omitted INSERT columns from
+        // CURRENT_DEFAULT in the field metadata) and the EXISTENCE
+        // default — rows in region files written before the column
+        // existed read the default, not NULL (Spark's parquet readers
+        // honor EXISTS_DEFAULT for absent columns since 3.4; the graft
+        // row fallback implements the same contract in
+        // ParquetRowIO.RowReader). Constant defaults only: an
+        // existence default must be a literal the readers can
+        // materialize with no evaluation context — that is the same
+        // restriction Spark's own sources enforce.
+        val defaultMeta = Option(add.defaultValue()).map { dv =>
+          val lit = dv.getValue
+          require(lit != null,
+            s"ADD COLUMN $name DEFAULT must be a constant expression")
+          val foldedSql = org.apache.spark.sql.catalyst.expressions
+            .Literal(lit.value, lit.dataType).sql
+          new org.apache.spark.sql.types.MetadataBuilder()
+            .putString("CURRENT_DEFAULT",
+              Option(dv.getSql).getOrElse(foldedSql))
+            .putString("EXISTS_DEFAULT", foldedSql)
+            .build()
+        }
         require(ParquetRowIO.isStorable(add.dataType),
           s"column $name: unsupported type ${add.dataType.simpleString}")
         require(!meta.schema.fieldNames.exists(_.equalsIgnoreCase(name)),
@@ -440,7 +453,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         }
         meta = withTombstones(meta,
           tombstones(meta) - name.toLowerCase).copy(schema =
-          meta.schema.add(StructField(name, add.dataType, nullable = true)))
+          meta.schema.add(StructField(name, add.dataType, nullable = true,
+            defaultMeta.getOrElse(
+              org.apache.spark.sql.types.Metadata.empty))))
       case del: TableChange.DeleteColumn =>
         val name = del.fieldNames.head
         require(!meta.keyCols.exists(_.equalsIgnoreCase(name)),

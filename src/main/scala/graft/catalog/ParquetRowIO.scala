@@ -240,6 +240,14 @@ object ParquetRowIO {
         if (present(i)) { p += 1; p } else -1
       }.toArray
     }
+    // Existence defaults for columns ABSENT from this file (added by
+    // ALTER TABLE ADD COLUMN … DEFAULT after the file was written):
+    // same contract as Spark's own parquet readers — a missing column
+    // reads its EXISTS_DEFAULT literal; a present-but-null value stays
+    // null. Internal (catalyst) values, resolved once per file.
+    private val existsDefault: Array[Any] =
+      org.apache.spark.sql.catalyst.util.ResolveDefaultColumns
+        .existenceDefaultValues(requested)
     conf.set(org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA,
       projection.toString)
     private val reader: ParquetReader[Group] = {
@@ -257,7 +265,10 @@ object ParquetRowIO {
       var i = 0
       while (i < types.length) {
         val p = projIdx(i)
-        if (p < 0 || g.getFieldRepetitionCount(p) == 0) row.setNullAt(i)
+        if (p < 0) {
+          if (existsDefault(i) == null) row.setNullAt(i)
+          else row.update(i, existsDefault(i))
+        } else if (g.getFieldRepetitionCount(p) == 0) row.setNullAt(i)
         else types(i) match {
           case BooleanType => row.setBoolean(i, g.getBoolean(p, 0))
           case ByteType => row.setByte(i, g.getInteger(p, 0).toByte)

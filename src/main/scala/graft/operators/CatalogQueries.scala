@@ -794,6 +794,48 @@ object CatalogQueries {
          |GROUP BY cntrycode""".stripMargin)
   }
 
+  /** ADD COLUMN … DEFAULT fixture: batch 1 (even orderkeys) lands
+    * BEFORE the columns exist, so its region files do not contain
+    * them — reads must materialize the EXISTENCE default (Spark's
+    * EXISTS_DEFAULT contract, wired through both the columnar and the
+    * row fallback readers); batch 2 (odd) lands after the ALTER with
+    * explicit values. The aggregate below exercises exactly those two
+    * mechanisms and the DuckDB oracle recomputes both from the raw
+    * parquet — a NULL-instead-of-default read hash-mismatches. */
+  private val builtDef = scala.collection.concurrent.TrieMap[String, String]()
+  private def addDefaultTable(s: SparkSession, d: String): String =
+    builtDef.getOrElseUpdate(d, {
+      sfNamespace(s, d)
+      val ns = s"sf_${math.abs(d.hashCode)}"
+      val fqn = s"graft.$ns.orders_def_t"
+      val srcCount = s.read.parquet(s"$d/orders.parquet").count()
+      val exists = trusted(s, ns, "orders_def_t", srcCount)
+      if (!exists) {
+        s.sql(
+          s"""CREATE TABLE $fqn (o_orderkey BIGINT, o_totalprice DOUBLE)
+             |TBLPROPERTIES('keyCols'='o_orderkey', 'numRegions'='4')"""
+            .stripMargin)
+        val v = s"def_src_${math.abs(d.hashCode)}"
+        s.read.parquet(s"$d/orders.parquet").createOrReplaceTempView(v)
+        s.sql(s"INSERT INTO $fqn SELECT o_orderkey, o_totalprice " +
+          s"FROM $v WHERE o_orderkey % 2 = 0")
+        s.sql(s"ALTER TABLE $fqn ADD COLUMN channel STRING DEFAULT 'web'")
+        s.sql(s"ALTER TABLE $fqn ADD COLUMN fee BIGINT DEFAULT 3")
+        s.sql(s"INSERT INTO $fqn SELECT o_orderkey, o_totalprice, " +
+          s"'store', 7 FROM $v WHERE o_orderkey % 2 = 1")
+      }
+      fqn
+    })
+
+  /** Aggregate over an ADD COLUMN DEFAULT evolution: the 'web'/3 group
+    * exists only as existence defaults (its files predate the
+    * columns), the 'store'/7 group only as stored values. */
+  val addDefaultAgg: Q = (s, d) => s.sql(
+    s"""SELECT channel, count(*) AS cnt, sum(fee) AS total_fee,
+       |       round(sum(o_totalprice), 2) AS total_price
+       |FROM ${addDefaultTable(s, d)}
+       |GROUP BY channel""".stripMargin)
+
   /** Ranking window straight off the key-sorted store: top-2 line
     * items by price within each order. partitionBy(l_orderkey) rides
     * the scan's KeyGroupedPartitioning — no Exchange before the window
@@ -2524,6 +2566,7 @@ object CatalogQueries {
     "catalog_tpch_q19" -> tpchQ19,
     "catalog_tpch_q18" -> tpchQ18,
     "catalog_tpch_q21" -> tpchQ21,
+    "catalog_add_default" -> addDefaultAgg,
     "catalog_tpch_q6" -> tpchQ6,
     "catalog_tpch_q8" -> tpchQ8,
     "catalog_tpch_q9" -> tpchQ9,
@@ -3053,6 +3096,15 @@ object CatalogQueries {
         |                    AND l3.l_shipdate > DATE'1995-06-30')
         |GROUP BY s.s_name
         |ORDER BY numwait DESC, s.s_name ASC LIMIT 25""".stripMargin,
+
+    "catalog_add_default" ->
+      """SELECT CASE WHEN o_orderkey % 2 = 0 THEN 'web' ELSE 'store' END
+        |         AS channel,
+        |       count(*) AS cnt,
+        |       CAST(sum(CASE WHEN o_orderkey % 2 = 0 THEN 3 ELSE 7 END)
+        |            AS BIGINT) AS total_fee,
+        |       round(sum(o_totalprice), 2) AS total_price
+        |FROM orders GROUP BY 1""".stripMargin,
 
     "catalog_tpch_q6" ->
       """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
