@@ -921,8 +921,12 @@ object TextOps {
     * appears in corpus text. One CTE trio (pair counts → argmax →
     * rewrite) per merge, chained; a single diverged merge cascades
     * into every later rank. */
-  private[operators] def bpeTrainOracleSql(numMerges: Int): String = {
-    val S = "chr(31)||chr(31)"
+  private val BpeSep = "chr(31)||chr(31)"
+
+  /** The WITH-chain replaying `numMerges` training merges (shared by
+    * the train and encode oracles): rec → w0 → (pK, mK, wK+1)*. */
+  private def bpeMergeCtes(numMerges: Int): String = {
+    val S = BpeSep
     val head =
       s"""WITH rec AS (
          |  SELECT w, count(*) AS cnt FROM (
@@ -944,13 +948,71 @@ object TextOps {
          |                        chr(31)||m.a||m.b||chr(31)) AS sym, cnt
          |  FROM w$k t, m$k m)""".stripMargin
     }
+    (head +: iters).mkString(",\n")
+  }
+
+  private[operators] def bpeTrainOracleSql(numMerges: Int): String = {
     val out = (0 until numMerges).map { k =>
       s"""SELECT CAST($k AS INT) AS rank, a AS "left", b AS "right",
          |       a||b AS merged, CAST(pc AS BIGINT) AS pair_count
          |FROM m$k""".stripMargin
     }.mkString("\nUNION ALL\n")
-    (head +: iters).mkString(",\n") +
+    bpeMergeCtes(numMerges) +
       s"\nSELECT * FROM (\n$out\n) ORDER BY rank"
+  }
+
+  /** Encode oracle: re-learn the merge table (same CTE chain as the
+    * train oracle), then apply the merges IN RANK ORDER to every word
+    * occurrence of the bounded doc set — the same
+    * per-word/leftmost-first semantics [[bpeEncode]]'s folded
+    * expressions implement — and count symbols per document. */
+  private[operators] def bpeEncodeOracleSql(numMerges: Int,
+      idBound: Long): String = {
+    val S = BpeSep
+    val enc0 =
+      s"""wx AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS w
+         |  FROM documents WHERE doc_id < $idBound),
+         |enc0 AS (
+         |  SELECT doc_id,
+         |         $S || array_to_string(regexp_split_to_array(w, ''), $S)
+         |         || $S || '</w>' || $S AS sym
+         |  FROM wx WHERE w <> '')""".stripMargin
+    val encs = (0 until numMerges).map { k =>
+      s"""enc${k + 1} AS (
+         |  SELECT doc_id,
+         |         replace(t.sym, chr(31)||m.a||$S||m.b||chr(31),
+         |                        chr(31)||m.a||m.b||chr(31)) AS sym
+         |  FROM enc$k t, m$k m)""".stripMargin
+    }
+    (Seq(bpeMergeCtes(numMerges), enc0) ++ encs).mkString(",\n") +
+      s"""
+         |SELECT doc_id, count(*) AS n_words,
+         |       CAST(sum(len(string_split(sym, $S)) - 2) AS BIGINT)
+         |         AS n_tokens
+         |FROM enc$numMerges GROUP BY doc_id""".stripMargin
+  }
+
+  /** Driver face closing the tokenizer loop: train 6 merges (shared
+    * histogram), ENCODE a bounded doc set with them ([[bpeEncode]] —
+    * the merges fold into per-word map-side expressions, no shuffle
+    * until the per-doc count), and report exact integer token counts.
+    * The oracle re-learns the same merge table in SQL and re-encodes
+    * with the same leftmost-first replace — so the hash pins train
+    * AND apply semantics end to end. Bounded (doc_id < 2000) because
+    * the encode expressions are interpreted HOF folds — fine for a
+    * gate face; a production encode ships the merge table into a
+    * native kernel the way the winnow/window faces do. */
+  val bpeEncodeFace: Q = (s, d) => {
+    val merges = bpeTrainOnHistogram(
+      bpeHistCache.getOrElseUpdate(d, bpeHistogram(docs(s, d))),
+      numMerges = 6)
+      .collect().sortBy(_.getInt(0))
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    bpeEncode(docs(s, d).filter(col("doc_id") < 2000L), merges)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(size(col("syms"))).as("n_tokens"))
   }
 
   /** Corpus heavy hitters by sketch-then-verify: a bounded-memory
@@ -2322,6 +2384,7 @@ object TextOps {
     "text_vocab" -> vocabTop,
     "text_bpe" -> bpePairs,
     "text_bpe_train" -> bpeTrainFace,
+    "text_bpe_encode" -> bpeEncodeFace,
     "text_heavy_hitters" -> heavyHitters,
     "text_tfidf" -> tfidf,
     "pipeline_reservoir" -> reservoirSample,
@@ -3061,6 +3124,10 @@ object TextOps {
     // bpeTrainOracleSql). A single diverged merge cascades into every
     // later rank, so the hash pins the whole sequential decision chain.
     "text_bpe_train" -> bpeTrainOracleSql(6),
+
+    // exact replay of train + apply: same merge chain, same
+    // leftmost-first replace per word, integer token counts
+    "text_bpe_encode" -> bpeEncodeOracleSql(6, 2000L),
 
     // the (cnt DESC, word ASC) order is total, so the top-100 cut is
     // deterministic in both engines
