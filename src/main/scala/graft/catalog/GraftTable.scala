@@ -309,7 +309,10 @@ object GraftFilters {
     (a.keySet ++ b.keySet).map { d =>
       val xs = a.getOrElse(d, List(KeyRanges.full))
       val ys = b.getOrElse(d, List(KeyRanges.full))
-      d -> (for (x <- xs; y <- ys) yield x.intersect(y)).filterNot(_.isEmpty)
+      // sorted-sweep intersection — the naive cross product is O(n·m),
+      // which a runtime-filter IN-list of ~32k key points (SMJ semi
+      // filter) ANDed with itself turned into minutes of driver time
+      d -> KeyRanges.intersectSets(xs, ys)
     }.toMap
 
   private def enc(dt: DataType, v: Any): Option[Array[Byte]] =
@@ -394,10 +397,14 @@ object GraftFilters {
       one(sources.GreaterThanOrEqual(n, v), dims)
     case sources.LessThanOrEqual(n, v) =>
       one(sources.GreaterThan(n, v), dims)
-    // ¬(k IN (v…)) = ∧ of the per-value exclusions
+    // ¬(k IN (v…)) = the complement interval set, built directly in
+    // O(n log n) (folding per-value exclusions through merge is
+    // quadratic in the list length); unencodable values are skipped —
+    // excluding fewer points is sound
     case sources.In(n, vs) if vs.nonEmpty =>
-      vs.map(v => excludePoint(n, v, dims))
-        .reduce((a, b) => merge(a, b))
+      dim(n, dims).map { case (d, dt) =>
+        Map(d -> KeyRanges.complementOfPoints(vs.toSeq.flatMap(enc(dt, _))))
+      }.getOrElse(Map.empty)
     // keys non-null: ¬(k IS NULL) is always true (⊤); ¬(k IS NOT NULL)
     // is provably false
     case sources.IsNull(_) => Map.empty

@@ -2114,13 +2114,20 @@ object TextOps {
       hist: DataFrame): DataFrame = {
     val bi = minhashBands(minhashWordSigs(inc))
       .select(col("bh"), col("doc_id").as("di"))
-    val cands = bi.join(histBands, Seq("bh"))
-      .select(col("di"), col("dh")).distinct()
-    // Size prefilter FIRST: only two INTs ride the wide candidate
-    // joins; the word-hash ARRAYS are attached afterwards, to the
-    // ratio survivors only. (Attaching arrays to the full candidate
-    // set — ~12M rows at sf0.1 — dragged the arrays through both wide
-    // shuffles and made this verify 3.5× the cost of the whole screen.)
+    // Size prefilter INSIDE the candidate join, BEFORE the distinct:
+    // a true near-dup pair collides in ~21 of the 32 bands at s=0.9,
+    // so the raw band join emits ~14× the distinct candidate count
+    // (55.6M vs 3.97M at sf0.1) and the distinct's map-side partial
+    // aggregation over that stream was the screen's single biggest
+    // cost. Attaching the distinct-word-set SIZE (one int) to the
+    // band rows themselves — a broadcast join onto the 32-per-doc
+    // band tables, i.e. O(batch) and O(index) rows — lets the ratio
+    // test run codegen-inline in the join task and drop ~2/3 of the
+    // stream before anything is shuffled. The word-hash ARRAYS are
+    // still attached only to the ratio survivors after the distinct.
+    // (At 100 TB the historical sizes would be persisted next to the
+    // band index; here they are recomputed map-side — a scan of the
+    // corpus dimension, not of the candidate stream.)
     def sizes(df: DataFrame, idc: String, nc: String) =
       df.select(col("doc_id").as(idc),
         size(graft.functions.VectorOps.distinctWordHashes(col("text")))
@@ -2128,11 +2135,13 @@ object TextOps {
     def wsets(df: DataFrame, idc: String, wc: String) =
       df.select(col("doc_id").as(idc),
         graft.functions.VectorOps.distinctWordHashes(col("text")).as(wc))
-    cands
-      .join(sizes(inc, "di", "na"), "di")
-      .join(sizes(hist, "dh", "nb"), "dh")
+    val cands = bi.join(broadcast(sizes(inc, "di", "na")), "di")
+      .join(histBands.join(broadcast(sizes(hist, "dh", "nb")), "dh"),
+        Seq("bh"))
       .filter(least(col("na"), col("nb")) * 100 >=
         greatest(col("na"), col("nb")) * 89)
+      .select(col("di"), col("dh"), col("na"), col("nb")).distinct()
+    cands
       .join(wsets(inc, "di", "wsa"), "di")
       .join(wsets(hist, "dh", "wsb"), "dh")
       .withColumn("shared",

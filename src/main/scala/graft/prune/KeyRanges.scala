@@ -69,8 +69,106 @@ object KeyRanges {
     * requires covering, not disjointness, so union is concatenation. */
   type IvSet = List[Iv]
 
-  private def intersectSets(a: IvSet, b: IvSet): IvSet =
-    (for (x <- a; y <- b) yield x.intersect(y)).filterNot(_.isEmpty)
+  /** Lower-bound order: unbounded first; equal bytes → inclusive first
+    * (an inclusive bound starts earlier). */
+  private def cmpLo(a: Iv, b: Iv): Int = (a.lo, b.lo) match {
+    case (None, None) => 0
+    case (None, _) => -1
+    case (_, None) => 1
+    case (Some(x), Some(y)) =>
+      val c = KeyCodec.compare(x, y)
+      if (c != 0) c
+      else (a.loInc, b.loInc) match {
+        case (true, false) => -1
+        case (false, true) => 1
+        case _ => 0
+      }
+  }
+
+  /** Upper-bound order: unbounded last; equal bytes → exclusive first
+    * (an exclusive bound ends earlier). */
+  private def cmpHi(a: Iv, b: Iv): Int = (a.hi, b.hi) match {
+    case (None, None) => 0
+    case (None, _) => 1
+    case (_, None) => -1
+    case (Some(x), Some(y)) =>
+      val c = KeyCodec.compare(x, y)
+      if (c != 0) c
+      else (a.hiInc, b.hiInc) match {
+        case (true, false) => 1
+        case (false, true) => -1
+        case _ => 0
+      }
+  }
+
+  /** Does interval `b` (whose lo is ≥ `a`'s lo in [[cmpLo]] order)
+    * start at or before `a`'s end — i.e. do they overlap as point
+    * sets? Touching at one byte point counts only if both sides
+    * include it. */
+  private def startsWithin(a: Iv, b: Iv): Boolean = (b.lo, a.hi) match {
+    case (None, _) | (_, None) => true
+    case (Some(x), Some(y)) =>
+      val c = KeyCodec.compare(x, y)
+      c < 0 || (c == 0 && b.loInc && a.hiInc)
+  }
+
+  /** Canonical form: sorted by lower bound, pairwise disjoint, no empty
+    * intervals. Exact as a point set (overlapping intervals merge into
+    * their union hull), which is the semantics every consumer uses. */
+  private def normalize(s: IvSet): IvSet = {
+    val xs = s.filterNot(_.isEmpty)
+    if (xs.lengthCompare(1) <= 0) xs
+    else {
+      val sorted = xs.sortWith(cmpLo(_, _) < 0)
+      val out = List.newBuilder[Iv]
+      var cur = sorted.head
+      sorted.tail.foreach { iv =>
+        if (startsWithin(cur, iv))
+          cur = if (cmpHi(cur, iv) >= 0) cur
+                else Iv(cur.lo, cur.loInc, iv.hi, iv.hiInc)
+        else { out += cur; cur = iv }
+      }
+      out += cur
+      out.result()
+    }
+  }
+
+  /** Pairwise intersection of two interval sets. Tiny sets take the
+    * direct cross product; anything larger is normalized (sorted +
+    * disjoint) and swept with two pointers in O(n log n + m log m) —
+    * the cross product is O(n·m), which a runtime-filter IN-list of
+    * tens of thousands of key points turns into minutes of
+    * driver-side planning. */
+  private[graft] def intersectSets(a: IvSet, b: IvSet): IvSet =
+    if (a.lengthCompare(16) <= 0 && b.lengthCompare(16) <= 0)
+      (for (x <- a; y <- b) yield x.intersect(y)).filterNot(_.isEmpty)
+    else {
+      val as = normalize(a).toArray
+      val bs = normalize(b).toArray
+      val out = List.newBuilder[Iv]
+      var i = 0
+      var j = 0
+      while (i < as.length && j < bs.length) {
+        val c = as(i).intersect(bs(j))
+        if (!c.isEmpty) out += c
+        if (cmpHi(as(i), bs(j)) <= 0) i += 1 else j += 1
+      }
+      out.result()
+    }
+
+  /** ¬(k IN pts) as the complement interval set, built directly in
+    * O(n log n): the gaps strictly between the sorted distinct points,
+    * plus the two unbounded tails. (Folding per-point exclusions
+    * through [[intersectSets]] is quadratic in the list length —
+    * pathological for large NOT-IN lists.) */
+  private[graft] def complementOfPoints(pts: Seq[Array[Byte]]): IvSet = {
+    val sorted = pts.distinct.sortWith(KeyCodec.compare(_, _) < 0)
+    val bounds = None +: sorted.map(Some(_))
+    val uppers = sorted.map(Some(_)) :+ None
+    bounds.zip(uppers).map { case (lo, hi) =>
+      Iv(lo, loInc = false, hi, hiInc = false)
+    }.toList.filterNot(_.isEmpty)
+  }
 
   /** dims: key column name (lowercase) → (dimension index, type). */
   def analyze(pred: Expression, dims: Map[String, (Int, DataType)])
@@ -125,15 +223,14 @@ object KeyRanges {
       case LessThanOrEqual(l, r) => analyzeLeaf(GreaterThan(l, r), dims0)
       case In(KeyAttr(a), list) if list.forall {
             case FoldableLit(_) => true; case _ => false } =>
+        // complement built directly (gaps between sorted points) —
+        // folding per-point exclusions is quadratic in the list size;
+        // unencodable values are skipped (excluding fewer points is
+        // sound)
         dims0.get(a.name.toLowerCase).map { case (d, dt) =>
-          list.map { case FoldableLit(v) => excludePoint(d, dt, v)
-                     case _ => Map.empty[Int, IvSet] }
-            .reduceOption { (x, y) =>
-              (x.keySet ++ y.keySet).map { dd =>
-                dd -> intersectSets(x.getOrElse(dd, List(full)),
-                  y.getOrElse(dd, List(full)))
-              }.toMap
-            }.getOrElse(Map.empty)
+          val pts = list.collect { case FoldableLit(v) => v }
+            .flatMap(v => enc(dt, v))
+          Map(d -> complementOfPoints(pts))
         }.getOrElse(Map.empty)
       case IsNull(a: Attribute) if dims0.contains(a.name.toLowerCase) =>
         Map.empty // keys non-null → ¬IsNull always true
