@@ -53,13 +53,22 @@ object Bench {
     // broken query keep "benchmarking"
     val osBean = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean
+    // Min of 2 timed passes per query — the same protocol ScaleBench
+    // documents. Steady-state latency is the metric; a single pass
+    // over 200+ queries in one JVM sees collector debt and scheduler
+    // hiccups land on random queries (observed: the same query 4.5 s
+    // in-board vs 1.2 s isolated), and min-of-2 removes exactly that
+    // one-sided noise without hiding real cost.
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(t => selected(t._1)).map { case (name, fn) =>
       val l0 = osBean.getSystemLoadAverage
-      val t0 = System.nanoTime()
-      try {
+      def once(): Double = {
+        val t0 = System.nanoTime()
         fn(spark, sfDir).count()
-        (name, (System.nanoTime() - t0) / 1e9, l0)
+        (System.nanoTime() - t0) / 1e9
+      }
+      try {
+        (name, math.min(once(), once()), l0)
       } catch { case e: Throwable =>
         System.err.println(s"[bench] FAILED $name: ${e.getMessage}")
         (name, -1.0, l0)
