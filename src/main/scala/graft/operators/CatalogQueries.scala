@@ -885,6 +885,16 @@ object CatalogQueries {
   val perplexityOnStore: Q = (s, d) =>
     TextOps.perplexityOf(s.table(documentsTable(s, d)))
 
+  /** DSIR importance resampling over catalog-stored documents — the
+    * data-selection pass running on the storage engine (same shared
+    * core and exact oracle as pipeline_dsir, so a hash match proves
+    * the store holds exactly the source rows AND the two-model
+    * importance weights survive the storage round-trip). */
+  val dsirOnStore: Q = (s, d) => {
+    import org.apache.spark.sql.functions.col
+    TextOps.dsirOf(s.table(documentsTable(s, d)), col("lang") === "en", 100)
+  }
+
   /** Exact dedup accounting over catalog-stored documents (the LLM
     * pipeline running on the storage engine, not raw files). */
   val dedupOnStore: Q = (s, d) => s.sql(
@@ -2550,6 +2560,7 @@ object CatalogQueries {
     "catalog_pipeline_pack" -> packOnStore,
     "catalog_dedup_exact" -> dedupOnStore,
     "catalog_perplexity" -> perplexityOnStore,
+    "catalog_dsir" -> dsirOnStore,
     "catalog_point_lookup" -> pointLookup,
     "catalog_range_scan" -> rangeScan,
     "catalog_region_sample" -> regionSampleUnion,
@@ -2596,6 +2607,7 @@ object CatalogQueries {
     // the store face shares text_perplexity's oracle verbatim: the
     // catalog must hold exactly the source documents
     "catalog_perplexity" -> TextOps.oracles("text_perplexity"),
+    "catalog_dsir" -> TextOps.oracles("pipeline_dsir"),
     "catalog_bm25" -> TextOps.oracles("text_bm25"),
     "catalog_dedup_incoming" -> TextOps.oracles("dedup_incoming"),
     // sketch gate face: exact top-10 rows + the pinned ≥0.9 recall

@@ -1159,6 +1159,66 @@ object TextOps {
         (round(nll, 4) < 8.0).as("keep"))
   }
 
+  /** DSIR data selection (Xie et al. 2023, arXiv:2302.03169): score
+    * every raw-corpus document by its IMPORTANCE WEIGHT between a
+    * target-domain n-gram model and the raw-corpus model, then
+    * Gumbel-top-k resample — the importance-resampling recipe for
+    * picking pretraining data that "looks like" a target domain. Here
+    * the target is the `lang = 'en'` slice, the features are word
+    * bigrams (the paper hashes n-grams into buckets; bucketing is a
+    * memory bound, not a semantics change, and the exact string-based
+    * oracle needs collision-free features), both models are add-one-
+    * smoothed multinomials over the RAW corpus's bigram vocabulary,
+    * and log w(d) = Σ_b∈d [ln p_T(b) − ln p_R(b)]. Resampling uses
+    * the repo's replayable hash-uniform u (the pipeline_weighted
+    * draw) through the Gumbel trick — key = log w − ln(−ln u) —
+    * quantized to 1e-6 BEFORE ranking so float-sum drift can never
+    * reorder engines. Shape at scale: the two models are ONE hash
+    * aggregation keyed by 8-byte bigram hash (map-side combine,
+    * vocabulary-bounded — Zipf ≪ corpus); the three corpus totals
+    * broadcast as scalars; scoring is a single join of doc-bigrams
+    * against the model; the selection is TakeOrdered top-100, never a
+    * global sort. At 100 TB both models persist once and every
+    * selection pass pays only the scoring join. */
+  val dsirSelect: Q = (s, d) => dsirOf(docs(s, d), col("lang") === "en", 100)
+
+  /** The DSIR core over any (doc_id, lang, text) frame: `targetPred`
+    * marks the target-domain rows, `k` the resample size. */
+  def dsirOf(docsDf: DataFrame, targetPred: Column, k: Int): DataFrame = {
+    val base = docsDf
+      .withColumn("wh", graft.functions.VectorOps.wordHashes(col("text")))
+      .filter(size(col("wh")) >= 2)
+    val bigrams = base.select(col("doc_id"), col("lang"),
+      targetPred.as("tgt"),
+      explode(arrays_zip(
+        expr("slice(wh, 1, size(wh) - 1)").as("w1"),
+        expr("slice(wh, 2, size(wh) - 1)").as("w2"))).as("bg"))
+      .select(col("doc_id"), col("lang"), col("tgt"),
+        xxhash64(col("bg.w1"), col("bg.w2")).as("bgh"))
+    val model = bigrams.groupBy(col("bgh")).agg(
+      count(lit(1)).as("cr"),
+      count(when(col("tgt"), 1)).as("ct"))
+    val stats = model.agg(sum(col("cr")).as("nr"), sum(col("ct")).as("nt"),
+      count(lit(1)).as("v"))
+    val scored = bigrams.join(model, Seq("bgh"))
+      .crossJoin(broadcast(stats))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(log((col("ct") + 1).cast("double") /
+              (col("nt") + col("v")).cast("double")) -
+            log((col("cr") + 1).cast("double") /
+              (col("nr") + col("v")).cast("double"))).as("lw"))
+    val u = (pmod(pmod(col("doc_id"), lit(1000000007L)) * lit(2654435761L),
+      lit(1000000007L)) + 1).cast("double") / 1000000008.0
+    scored
+      .withColumn("key6",
+        floor((col("lw") - log(-log(u))) * 1e6 + 0.5).cast("long"))
+      .orderBy(col("key6").desc, col("doc_id").asc)
+      .limit(k)
+      .select(col("doc_id"), col("lang"), col("n_bigrams"),
+        round(col("lw"), 4).as("log_weight"))
+  }
+
   /** CCNet's head/middle/tail partition (arXiv:1911.00359 §3.3): split
     * the corpus into perplexity terciles — "head" is the most
     * fluent-looking third, the slice CCNet keeps for training. Scale
@@ -2400,6 +2460,7 @@ object TextOps {
     "pipeline_budget" -> budgetSelect,
     "text_perplexity" -> textPerplexity,
     "pipeline_ppl_buckets" -> pplBuckets,
+    "pipeline_dsir" -> dsirSelect,
     "pipeline_mix" -> domainMix,
     "pipeline_full" -> pipelineFull,
     "dedup_lines" -> dedupLines,
@@ -2582,6 +2643,39 @@ object TextOps {
          |             + coalesce(1.0 / (60 + vrk), 0), 6) AS rrf
          |FROM lex FULL JOIN vec ON lex.id = vec.id
          |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin,
+
+    // exact string-bigram replay of the DSIR models (the Spark face
+    // hashes bigrams for the wire; counts agree short of a 64-bit
+    // collision, which this oracle would flag), same replayable
+    // hash-uniform u through the Gumbel key, same 1e-6 quantization
+    // before ranking
+    "pipeline_dsir" ->
+      """WITH d AS (SELECT doc_id, lang,
+        |             list_filter(string_split(text, ' '),
+        |                         w -> w <> '') AS ws
+        |           FROM documents),
+        |b AS (SELECT doc_id, lang, unnest(range(1, len(ws))) AS i, ws
+        |      FROM d WHERE len(ws) >= 2),
+        |bg AS (SELECT doc_id, lang, ws[CAST(i AS INT)] AS w1,
+        |              ws[CAST(i AS INT) + 1] AS w2 FROM b),
+        |m AS (SELECT w1, w2, count(*) AS cr,
+        |             count(*) FILTER (WHERE lang = 'en') AS ct
+        |      FROM bg GROUP BY 1, 2),
+        |st AS (SELECT sum(cr) AS nr, sum(ct) AS nt, count(*) AS v FROM m),
+        |sc AS (SELECT bg.doc_id, bg.lang, count(*) AS n_bigrams,
+        |              sum(ln((ct + 1) / CAST(nt + v AS DOUBLE))
+        |                - ln((cr + 1) / CAST(nr + v AS DOUBLE))) AS lw
+        |       FROM bg JOIN m USING (w1, w2), st
+        |       GROUP BY 1, 2),
+        |k AS (SELECT doc_id, lang, n_bigrams, lw,
+        |             (((doc_id % 1000000007) * 2654435761) % 1000000007
+        |               + 1) / 1000000008.0 AS u
+        |      FROM sc)
+        |SELECT doc_id, lang, n_bigrams, round(lw, 4) AS log_weight
+        |FROM k
+        |ORDER BY CAST(floor((lw - ln(-ln(u))) * 1e6 + 0.5) AS BIGINT)
+        |           DESC, doc_id ASC
+        |LIMIT 100""".stripMargin,
 
     // same deterministic draw: hash-uniform u, A-Res key u^(1/w)
     // quantized to 1e-9 BEFORE ranking (pow ulp drift ~1e-16 is far

@@ -552,4 +552,34 @@ class TextOpsSpec extends AnyFunSuite {
     assert(TextOps.perplexityOf(single).collect().map(_.getLong(0))
       .toSeq == Seq(1L))
   }
+
+  test("DSIR importance weights match the hand-computed two-model " +
+      "ratio on a crafted corpus") {
+    import spark.implicits._
+    // corpus bigrams: (a,b)x2 (docs 1,2), (a,c)x1 (doc 3); target =
+    // lang 'en' = doc 1 only. Models (add-one over the raw vocabulary
+    // V=2): nr=3, nt=1.
+    //   doc1/doc2 [(a,b)]: ln((1+1)/(1+2)) - ln((2+1)/(3+2)) = ln(10/9)
+    //   doc3      [(a,c)]: ln((0+1)/(1+2)) - ln((1+1)/(3+2)) = ln(5/6)
+    val crafted = Seq((1L, "en", "a b"), (2L, "de", "a b"),
+      (3L, "de", "a c")).toDF("doc_id", "lang", "text")
+    val got = TextOps.dsirOf(crafted, col("lang") === "en", 100)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(got(1L) == 0.1054 && got(2L) == 0.1054) // ln(10/9) @ 4dp
+    assert(got(3L) == -0.1823)                     // ln(5/6)  @ 4dp
+    // a single-word doc has no bigram features and is excluded
+    val single = Seq((1L, "en", "a b"), (2L, "de", "solo"))
+      .toDF("doc_id", "lang", "text")
+    assert(TextOps.dsirOf(single, col("lang") === "en", 100)
+      .collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
+  test("DSIR resampling concentrates the target domain: the selected " +
+      "set is mostly 'en' despite a ~44% base rate") {
+    val sel = TextOps.dsirOf(docs, col("lang") === "en", 100).collect()
+    assert(sel.length == 100)
+    val enShare = sel.count(_.getString(1) == "en") / 100.0
+    assert(enShare >= 0.7, s"en share $enShare — importance weights " +
+      "no longer concentrate the target domain")
+  }
 }
