@@ -2195,7 +2195,15 @@ object TextOps {
     def wsets(df: DataFrame, idc: String, wc: String) =
       df.select(col("doc_id").as(idc),
         graft.functions.VectorOps.distinctWordHashes(col("text")).as(wc))
+    // The band join is PINNED to a shuffle join (merge hint): left to
+    // the planner, AQE sometimes flips it to broadcast when the batch
+    // side's runtime stats come in small, and the broadcast variant
+    // measured ~2× slower here (every task replays the full band
+    // multiplicity against the broadcast table) besides not scaling
+    // to real batch sizes. A deterministic join strategy also keeps
+    // the board's timing unimodal.
     val cands = bi.join(broadcast(sizes(inc, "di", "na")), "di")
+      .hint("merge")
       .join(histBands.join(broadcast(sizes(hist, "dh", "nb")), "dh"),
         Seq("bh"))
       .filter(least(col("na"), col("nb")) * 100 >=
