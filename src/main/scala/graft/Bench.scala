@@ -53,26 +53,35 @@ object Bench {
     // broken query keep "benchmarking"
     val osBean = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean
-    // Min of 2 timed passes per query — the same protocol ScaleBench
-    // documents. Steady-state latency is the metric; a single pass
-    // over 200+ queries in one JVM sees collector debt and scheduler
-    // hiccups land on random queries (observed: the same query 4.5 s
-    // in-board vs 1.2 s isolated), and min-of-2 removes exactly that
-    // one-sided noise without hiding real cost.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter(t => selected(t._1)).map { case (name, fn) =>
-      val l0 = osBean.getSystemLoadAverage
-      def once(): Double = {
+    // Min over 2 timed SWEEPS of the whole board — the min-of-2
+    // protocol ScaleBench documents, arranged so a query's two passes
+    // are separated by a full board sweep: host-contention bursts on
+    // this box last minutes and hit a contiguous alphabetical stretch
+    // of queries, so back-to-back passes both land inside the burst
+    // while sweep-separated passes almost never do. Steady-state
+    // latency is the metric; the min removes exactly that one-sided
+    // noise (collector debt, scheduler hiccups, host steal) without
+    // hiding real cost.
+    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(t => selected(t._1))
+    def sweep(): Seq[(String, Double, Double)] = names.map {
+      case (name, fn) =>
+        val l0 = osBean.getSystemLoadAverage
         val t0 = System.nanoTime()
-        fn(spark, sfDir).count()
-        (System.nanoTime() - t0) / 1e9
-      }
-      try {
-        (name, math.min(once(), once()), l0)
-      } catch { case e: Throwable =>
-        System.err.println(s"[bench] FAILED $name: ${e.getMessage}")
-        (name, -1.0, l0)
-      }
+        try {
+          fn(spark, sfDir).count()
+          (name, (System.nanoTime() - t0) / 1e9, l0)
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] FAILED $name: ${e.getMessage}")
+          (name, -1.0, l0)
+        }
+    }
+    val (s1, s2) = (sweep(), sweep())
+    // a query reports -1 only if it failed in BOTH sweeps (still
+    // loud); load is reported from the sweep that produced the kept
+    // time
+    val results = s1.zip(s2).map { case ((n, t1, l1), (_, t2, l2)) =>
+      if (t1 < 0 || (t2 >= 0 && t2 < t1)) (n, t2, l2) else (n, t1, l1)
     }
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + f"$v%.4f" }
       .mkString("{", ",", "}")
@@ -95,10 +104,13 @@ object Bench {
         s""""cpus":"$cpus"}"""
     println(json)
     // stdout captures have been truncated before; persist the full line
-    // beside the repo so the timing map always survives intact
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_LOCAL.json"), json + "\n")
-    catch { case _: Throwable => () }
+    // beside the repo so the timing map always survives intact — but
+    // only for FULL boards: a SPARK_GRAFT_ONLY iteration run must not
+    // clobber the committed 200+-query capture with a 2-query artifact
+    if (only.isEmpty)
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("BENCH_LOCAL.json"), json + "\n")
+      catch { case _: Throwable => () }
     spark.stop()
   }
 }

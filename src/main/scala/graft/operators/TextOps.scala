@@ -1208,8 +1208,8 @@ object TextOps {
               (col("nt") + col("v")).cast("double")) -
             log((col("cr") + 1).cast("double") /
               (col("nr") + col("v")).cast("double"))).as("lw"))
-    val u = (pmod(pmod(col("doc_id"), lit(1000000007L)) * lit(2654435761L),
-      lit(1000000007L)) + 1).cast("double") / 1000000008.0
+    val u = (splitHash(col("doc_id"), 1000000007L) + 1).cast("double") /
+      1000000008.0
     scored
       .withColumn("key6",
         floor((col("lw") - log(-log(u))) * 1e6 + 0.5).cast("long"))

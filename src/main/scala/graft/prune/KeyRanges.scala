@@ -157,12 +157,14 @@ object KeyRanges {
     }
 
   /** ¬(k IN pts) as the complement interval set, built directly in
-    * O(n log n): the gaps strictly between the sorted distinct points,
-    * plus the two unbounded tails. (Folding per-point exclusions
-    * through [[intersectSets]] is quadratic in the list length —
-    * pathological for large NOT-IN lists.) */
+    * O(n log n): the gaps strictly between the sorted points, plus the
+    * two unbounded tails. Duplicate points need no dedup — adjacent
+    * equal points produce the degenerate exclusive gap (p,p), which
+    * `isEmpty` filters. (Folding per-point exclusions through
+    * [[intersectSets]] is quadratic in the list length — pathological
+    * for large NOT-IN lists.) */
   private[graft] def complementOfPoints(pts: Seq[Array[Byte]]): IvSet = {
-    val sorted = pts.distinct.sortWith(KeyCodec.compare(_, _) < 0)
+    val sorted = pts.sortWith(KeyCodec.compare(_, _) < 0)
     val bounds = None +: sorted.map(Some(_))
     val uppers = sorted.map(Some(_)) :+ None
     bounds.zip(uppers).map { case (lo, hi) =>
