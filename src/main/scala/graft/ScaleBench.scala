@@ -111,6 +111,11 @@ object ScaleBench {
     // replicas multiply counts uniformly, so the workload scales
     // cleanly even on the amplified corpus
     "text_perplexity",
+    // DSIR selection: same bigram-model shape as perplexity (two
+    // vocab-bounded count aggs + one scoring join) plus a TakeOrdered
+    // top-100 — replicas multiply both models' counts uniformly, so
+    // the amplified corpus is representative here too
+    "pipeline_dsir",
     // sketch-then-verify heavy hitters: replicas multiply every token
     // count uniformly, so the answer set is unchanged while the sketch
     // pass scales with tokens — both passes should grow ~linearly

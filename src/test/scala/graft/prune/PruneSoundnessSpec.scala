@@ -32,8 +32,14 @@ class PruneSoundnessSpec extends AnyFunSuite {
       case 2 => sources.GreaterThanOrEqual(col, v)
       case 3 => sources.LessThan(col, v)
       case 4 => sources.LessThanOrEqual(col, v)
-      case 5 => sources.In(col, Array.fill(1 + rnd.nextInt(3))(
-        (rnd.nextInt(100) - 50): Any))
+      // occasionally a large IN (and thus a large NOT-IN under the
+      // random Not wrapper): >16 points per side pushes the AND-merge
+      // through the sorted-sweep intersection path rather than the
+      // tiny-set cross product, so the soundness property exercises
+      // both implementations
+      case 5 => sources.In(col, Array.fill(
+        if (rnd.nextInt(4) == 0) 17 + rnd.nextInt(24)
+        else 1 + rnd.nextInt(3))((rnd.nextInt(100) - 50): Any))
       case 6 => sources.EqualNullSafe(col, v)
       case 7 => sources.IsNotNull(col)
       case 8 => sources.Not(randLeaf())
