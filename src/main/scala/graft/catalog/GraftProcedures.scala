@@ -37,6 +37,7 @@ object GraftProcedures {
     Seq("load_csv", "compact", "cluster", "stats", "vacuum", "manifest",
       "fold", "history", "restore", "analyze", "split", "merge", "clone",
       "convert", "index", "index_refresh", "mview", "mview_refresh",
+      "mview_join", "mview_join_refresh",
       "tag", "untag", "scan_estimate", "mirror",
       "branch", "branches", "publish", "branch_drop",
       "text_index", "text_index_refresh", "text_search")
@@ -69,6 +70,9 @@ object GraftProcedures {
       case "text_search" => new TextSearchProcedure(catalogName)
       case "mview" => new MviewProcedure(catalogName)
       case "mview_refresh" => new MviewRefreshProcedure(catalogName)
+      case "mview_join" => new MviewJoinProcedure(catalogName)
+      case "mview_join_refresh" =>
+        new MviewJoinRefreshProcedure(catalogName)
       case "tag" => new TagProcedure(catalogName)
       case "untag" => new UntagProcedure(catalogName)
       case "scan_estimate" => new ScanEstimateProcedure(catalogName)
@@ -1773,6 +1777,236 @@ object GraftProcedures {
           Collections.singletonList(LocalRowsScan(
             Array("mview", "rows_appended", "base_version"),
             Seq(Seq(mvFqn, appended.toString, now.toString))): Scan)
+            .iterator()
+        }
+      }
+  }
+
+  /** Append-only soundness guard shared by the join-view refresh: an
+    * incremental delta can only APPEND, so any operation that removed
+    * or rewrote rows in `(watermark, now]` — or a dedupKeys fold that
+    * changes key→value mappings in place — refuses toward a rebuild. */
+  private def requireAppendOnlySince(side: String, base: GraftTable,
+      baseFqn: String, watermark: Long, now: Long, rebuild: String): Unit = {
+    require(!TableMeta.dedupKeys(base.meta.properties),
+      s"$side table $baseFqn has graft.dedupKeys: upsert folds change " +
+        s"key→value mappings in place, which an append-only join view " +
+        s"cannot retract; rebuild with $rebuild")
+    val rewrite = TableMeta.history(base.tableDir).find(e =>
+      e.version > watermark && e.version <= now &&
+        Set("rowlevel", "overwrite", "restore", "delete")(e.op))
+    require(rewrite.isEmpty,
+      s"$side table $baseFqn had a row-removing or in-place rewrite " +
+        s"(${rewrite.get.op} at version ${rewrite.get.version}) since " +
+        s"the join view's watermark $watermark; rebuild with $rebuild")
+  }
+
+  /** `CALL graft.sys.mview_join(left => 'ns.a', right => 'ns.b',
+    * name => 'enriched', on => 'a_key=b_key')` — build (or rebuild) a
+    * MATERIALIZED JOIN VIEW table `<a>_mvj_<name>`: the inner
+    * equi-join of the two bases, keyed (non-unique) by the join
+    * column, persisted once so consumers read a pre-joined table
+    * instead of re-paying the join per query — the denormalization
+    * move a 100-TB star schema needs when the same enrichment join
+    * fronts many queries. Both base reads are PINNED to the versions
+    * captured before the scan (VERSION AS OF), so concurrent appends
+    * land entirely after both watermarks and the incremental refresh
+    * delivers them exactly once. Column names must be disjoint across
+    * the sides (the right join column is dropped — it equals the
+    * left's); a collision refuses loudly. */
+  final class MviewJoinProcedure(catalogName: String)
+      extends UnboundProcedure {
+    override def name(): String = "mview_join"
+    override def description(): String =
+      "build or rebuild a materialized inner equi-join view " +
+        "<left>_mvj_<name> keyed by the join column"
+    override def bind(inputType: StructType): BoundProcedure =
+      new BoundProcedure {
+        override def name(): String = "mview_join"
+        override def description(): String =
+          MviewJoinProcedure.this.description()
+        override def isDeterministic: Boolean = false
+        override def parameters(): Array[ProcedureParameter] = Array(
+          ProcedureParameter.in("left", StringType)
+            .comment("left base '<namespace>.<table>'").build(),
+          ProcedureParameter.in("right", StringType)
+            .comment("right base '<namespace>.<table>'").build(),
+          ProcedureParameter.in("name", StringType)
+            .comment("view suffix: table <left_t>_mvj_<name>").build(),
+          ProcedureParameter.in("on", StringType)
+            .comment("equi-join condition '<left_col>=<right_col>'")
+            .build(),
+          ProcedureParameter.in("num_regions", IntegerType)
+            .defaultValue("4").build())
+        override def call(input: InternalRow): java.util.Iterator[Scan] = {
+          val leftT = input.getUTF8String(0).toString
+          val rightT = input.getUTF8String(1).toString
+          val suffix = input.getUTF8String(2).toString.toLowerCase
+          require(suffix.matches("[a-z0-9_]+"),
+            s"view name '$suffix' must be [a-z0-9_]+")
+          val on = input.getUTF8String(3).toString
+          val nRegions = input.getInt(4)
+          val Array(lCol, rCol) = {
+            val parts = on.split("=", 2).map(_.trim.toLowerCase)
+            require(parts.length == 2 && parts.forall(_.nonEmpty),
+              s"on must be '<left_col>=<right_col>', got '$on'")
+            parts
+          }
+          val s = SparkSession.active
+          val left = graftTable(catalogName, leftT)
+          val right = graftTable(catalogName, rightT)
+          def field(m: TableMeta, c: String, side: String) =
+            m.schema.fields.find(_.name.equalsIgnoreCase(c))
+              .getOrElse(throw new IllegalArgumentException(
+                s"join column $c not in the $side table's schema"))
+          val lf = field(left.meta, lCol, "left")
+          field(right.meta, rCol, "right")
+          require(graft.codec.KeyCodec.supportedTypes.contains(lf.dataType),
+            s"join column $lCol (${lf.dataType.simpleString}) is not a " +
+              "key-codec type")
+          val rightKept = right.meta.schema.fields
+            .filterNot(_.name.equalsIgnoreCase(rCol))
+          val collide = rightKept.map(_.name.toLowerCase).toSet
+            .intersect(left.meta.schema.fields.map(_.name.toLowerCase).toSet)
+          require(collide.isEmpty,
+            s"column name collision between the sides: ${collide.mkString(", ")} " +
+              "— a materialized join view needs disjoint names " +
+              "(rename or project the bases first)")
+          val (ns, lt) = splitNsTable(leftT)
+          val mvFqn = fqn(catalogName, s"$ns.${lt}_mvj_$suffix")
+          val leftFqn = fqn(catalogName, leftT)
+          val rightFqn = fqn(catalogName, rightT)
+          // both watermarks BEFORE the read; the read pins to them
+          val vL = TableMeta.currentVersion(left.tableDir)
+          val vR = TableMeta.currentVersion(right.tableDir)
+          val cols = (left.meta.schema.fields.map(f => s"l.`${f.name}`") ++
+            rightKept.map(f => s"r.`${f.name}`")).mkString(", ")
+          val df = s.sql(
+            s"""SELECT $cols
+               |FROM $leftFqn VERSION AS OF $vL l
+               |JOIN $rightFqn VERSION AS OF $vR r
+               |  ON l.`$lCol` = r.`$rCol`""".stripMargin)
+          s.sql(s"DROP TABLE IF EXISTS $mvFqn")
+          val ddl = df.schema.fields
+            .map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
+          s.sql(
+            s"""CREATE TABLE $mvFqn ($ddl)
+               |TBLPROPERTIES(
+               |  '${TableMeta.KeyColsProp}'='${lf.name}',
+               |  '${TableMeta.NumRegionsProp}'='$nRegions',
+               |  '${TableMeta.MviewJoinLeftProp}'='$leftFqn',
+               |  '${TableMeta.MviewJoinRightProp}'='$rightFqn',
+               |  '${TableMeta.MviewJoinOnProp}'='$lCol=$rCol')"""
+              .stripMargin)
+          val v = s"mvj_src_${math.abs(mvFqn.hashCode)}"
+          df.createOrReplaceTempView(v)
+          s.sql(s"INSERT INTO $mvFqn SELECT * FROM $v")
+          // watermarks stamped AFTER the insert: versionless = never
+          // refreshable, so a crashed half-build refuses toward rebuild
+          s.sql(s"ALTER TABLE $mvFqn SET TBLPROPERTIES(" +
+            s"'${TableMeta.MviewJoinLeftVerProp}'='$vL'," +
+            s"'${TableMeta.MviewJoinRightVerProp}'='$vR')")
+          val rows = s.table(mvFqn).count()
+          Collections.singletonList(LocalRowsScan(
+            Array("mview_join", "rows", "left_version", "right_version"),
+            Seq(Seq(mvFqn, rows.toString, vL.toString, vR.toString))): Scan)
+            .iterator()
+        }
+      }
+  }
+
+  /** `CALL graft.sys.mview_join_refresh(view => 'ns.a_mvj_x')` —
+    * incrementally maintain a materialized join view from the two
+    * bases' CDC deltas since their per-side watermarks. For
+    * insert-only bases the delta of an inner join decomposes exactly:
+    *
+    *   Δ(L ⋈ R) = ΔL ⋈ R_new  ∪  L_old ⋈ ΔR
+    *
+    * (ΔL pairs with everything now in R including ΔR; ΔR's remaining
+    * pairs are against the PRE-append L, read VERSION AS OF the old
+    * watermark — counting each new pair exactly once). Both terms are
+    * delta-sized joins; the view never re-scans either base. Rewrites
+    * or dedupKeys folds on either side refuse toward a rebuild, the
+    * index_refresh/mview_refresh contract. */
+  final class MviewJoinRefreshProcedure(catalogName: String)
+      extends UnboundProcedure {
+    override def name(): String = "mview_join_refresh"
+    override def description(): String =
+      "incrementally refresh a materialized join view from both " +
+        "bases' CDC deltas (O(delta), exact for append-only bases)"
+    override def bind(inputType: StructType): BoundProcedure =
+      new BoundProcedure {
+        override def name(): String = "mview_join_refresh"
+        override def description(): String =
+          MviewJoinRefreshProcedure.this.description()
+        override def isDeterministic: Boolean = false
+        override def parameters(): Array[ProcedureParameter] = Array(
+          ProcedureParameter.in("view", StringType)
+            .comment("the '<namespace>.<table>_mvj_<name>' view").build())
+        override def call(input: InternalRow): java.util.Iterator[Scan] = {
+          val viewT = input.getUTF8String(0).toString
+          val s = SparkSession.active
+          val mv = graftTable(catalogName, viewT)
+          val mvFqn = fqn(catalogName, viewT)
+          val p = mv.meta.properties
+          val leftFqn = p.getOrElse(TableMeta.MviewJoinLeftProp,
+            throw new IllegalArgumentException(
+              s"$mvFqn is not a materialized join view (build it with " +
+                "CALL graft.sys.mview_join first)"))
+          val rightFqn = p(TableMeta.MviewJoinRightProp)
+          val Array(lCol, rCol) = p(TableMeta.MviewJoinOnProp).split("=", 2)
+          val wL = p.getOrElse(TableMeta.MviewJoinLeftVerProp,
+            throw new IllegalStateException(
+              s"$mvFqn carries no watermark (crashed half-build); " +
+                "rebuild with CALL graft.sys.mview_join")).toLong
+          val wR = p(TableMeta.MviewJoinRightVerProp).toLong
+          def baseOf(f: String) = graftTable(catalogName,
+            f.split("\\.", 2)(1))
+          val left = baseOf(leftFqn)
+          val right = baseOf(rightFqn)
+          val vL = TableMeta.currentVersion(left.tableDir)
+          val vR = TableMeta.currentVersion(right.tableDir)
+          if (vL == wL && vR == wR)
+            return Collections.singletonList(LocalRowsScan(
+              Array("mview_join", "rows_appended", "left_version",
+                "right_version"),
+              Seq(Seq(mvFqn, "0", vL.toString, vR.toString))): Scan)
+              .iterator()
+          val rebuild = "CALL graft.sys.mview_join"
+          requireAppendOnlySince("left", left, leftFqn, wL, vL, rebuild)
+          requireAppendOnlySince("right", right, rightFqn, wR, vR, rebuild)
+          val rightKept = right.meta.schema.fields
+            .filterNot(_.name.equalsIgnoreCase(rCol))
+          val cols = (left.meta.schema.fields.map(f => s"l.`${f.name}`") ++
+            rightKept.map(f => s"r.`${f.name}`")).mkString(", ")
+          val h = math.abs(mvFqn.hashCode)
+          val dL = s"mvj_dl_$h"
+          val dR = s"mvj_dr_$h"
+          s.read.option(GraftChanges.FromKey, wL.toString)
+            .option(GraftChanges.ToKey, vL.toString)
+            .table(leftFqn).createOrReplaceTempView(dL)
+          s.read.option(GraftChanges.FromKey, wR.toString)
+            .option(GraftChanges.ToKey, vR.toString)
+            .table(rightFqn).createOrReplaceTempView(dR)
+          val delta = s.sql(
+            s"""SELECT $cols FROM $dL l
+               |JOIN $rightFqn VERSION AS OF $vR r
+               |  ON l.`$lCol` = r.`$rCol`
+               |UNION ALL
+               |SELECT $cols FROM $leftFqn VERSION AS OF $wL l
+               |JOIN $dR r ON l.`$lCol` = r.`$rCol`""".stripMargin)
+          val v = s"mvj_delta_$h"
+          delta.createOrReplaceTempView(v)
+          val appended = delta.count()
+          if (appended > 0)
+            s.sql(s"INSERT INTO $mvFqn SELECT * FROM $v")
+          s.sql(s"ALTER TABLE $mvFqn SET TBLPROPERTIES(" +
+            s"'${TableMeta.MviewJoinLeftVerProp}'='$vL'," +
+            s"'${TableMeta.MviewJoinRightVerProp}'='$vR')")
+          Collections.singletonList(LocalRowsScan(
+            Array("mview_join", "rows_appended", "left_version",
+              "right_version"),
+            Seq(Seq(mvFqn, appended.toString, vL.toString, vR.toString))): Scan)
             .iterator()
         }
       }

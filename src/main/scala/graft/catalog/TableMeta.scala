@@ -199,6 +199,16 @@ object TableMeta {
   val MviewGroupByProp = "graft.mviewGroupBy"
   val MviewAggsProp = "graft.mviewAggs"
 
+  /** Stamped on materialized JOIN views (`CALL graft.sys.mview_join`):
+    * the two base tables, the equi-join condition, and one freshness
+    * watermark per side — the refresh reads each side's CDC delta
+    * since its own watermark (the two bases commit independently). */
+  val MviewJoinLeftProp = "graft.mviewJoinLeft"
+  val MviewJoinRightProp = "graft.mviewJoinRight"
+  val MviewJoinOnProp = "graft.mviewJoinOn"
+  val MviewJoinLeftVerProp = "graft.mviewJoinLeftVersion"
+  val MviewJoinRightVerProp = "graft.mviewJoinRightVersion"
+
   /** Stamped on tables maintained by `CALL graft.sys.mirror`: the
     * source table this is an incremental replica of, and the source's
     * commit-log version the replica has applied up to (the replication

@@ -1614,6 +1614,83 @@ object CatalogQueries {
       fqn
     })
 
+  /** Materialized JOIN view fixture: dedicated orders and customer
+    * store tables each loaded in TWO batches (split by key parity),
+    * `CALL graft.sys.mview_join` after the first pair and
+    * `CALL graft.sys.mview_join_refresh` after the second — so the
+    * persisted view's content is built half by the initial join and
+    * half by the two CDC delta terms (ΔL ⋈ R_new ∪ L_old ⋈ ΔR). The
+    * oracle recomputes the join from the raw parquet: a hash match
+    * proves the incremental maintenance IS the full join. Prices
+    * derive from integer cents (the catalog_decimal trick) so the
+    * row payload is hash-stable. */
+  private val builtMvJ = scala.collection.concurrent.TrieMap[String, String]()
+  private def mviewJoinView(s: SparkSession, d: String): String =
+    builtMvJ.getOrElseUpdate(d, {
+      sfNamespace(s, d)
+      val ns = s"sf_${math.abs(d.hashCode)}"
+      val oFqn = s"graft.$ns.orders_j_t"
+      val cFqn = s"graft.$ns.customer_j_t"
+      val mvFqn = s"graft.$ns.orders_j_t_mvj_cust"
+      val srcO = s.read.parquet(s"$d/orders.parquet").count()
+      val srcC = s.read.parquet(s"$d/customer.parquet").count()
+      val ok = trusted(s, ns, "orders_j_t", srcO) &&
+        trusted(s, ns, "customer_j_t", srcC) &&
+        s.sql(s"SHOW TABLES IN graft.$ns").collect()
+          .exists(_.getString(1) == "orders_j_t_mvj_cust") &&
+        s.sql(s"SHOW TBLPROPERTIES $mvFqn").collect().exists(
+          _.getString(0) == graft.catalog.TableMeta.MviewJoinLeftVerProp)
+      if (!ok) {
+        s.sql(s"DROP TABLE IF EXISTS $mvFqn")
+        s.sql(s"DROP TABLE IF EXISTS $oFqn")
+        s.sql(s"DROP TABLE IF EXISTS $cFqn")
+        s.sql(
+          s"""CREATE TABLE $oFqn (
+             |  o_orderkey BIGINT, o_custkey BIGINT,
+             |  o_orderstatus STRING, o_price DECIMAL(12,2))
+             |TBLPROPERTIES('keyCols'='o_orderkey', 'numRegions'='4')"""
+            .stripMargin)
+        s.sql(
+          s"""CREATE TABLE $cFqn (
+             |  c_custkey BIGINT, c_name STRING, c_mktsegment STRING)
+             |TBLPROPERTIES('keyCols'='c_custkey', 'numRegions'='4')"""
+            .stripMargin)
+        val ov = s"mvj_o_src_${math.abs(d.hashCode)}"
+        val cv = s"mvj_c_src_${math.abs(d.hashCode)}"
+        s.read.parquet(s"$d/orders.parquet").createOrReplaceTempView(ov)
+        s.read.parquet(s"$d/customer.parquet").createOrReplaceTempView(cv)
+        def batchO(cond: String): Unit = s.sql(
+          s"""INSERT INTO $oFqn
+             |SELECT o_orderkey, o_custkey, o_orderstatus,
+             |       CAST(CAST((o_orderkey * 7919 + 421) % 100000000
+             |                 AS DECIMAL(12,0)) * 0.01 AS DECIMAL(12,2))
+             |FROM $ov WHERE $cond""".stripMargin)
+        def batchC(cond: String): Unit = s.sql(
+          s"""INSERT INTO $cFqn
+             |SELECT c_custkey, c_name, c_mktsegment
+             |FROM $cv WHERE $cond""".stripMargin)
+        batchO("o_orderkey % 2 = 0")
+        batchC("c_custkey % 2 = 0")
+        s.sql(s"CALL graft.sys.mview_join(left => '$ns.orders_j_t', " +
+          s"right => '$ns.customer_j_t', name => 'cust', " +
+          "on => 'o_custkey=c_custkey')").collect()
+        batchO("o_orderkey % 2 = 1")
+        batchC("c_custkey % 2 = 1")
+        s.sql(s"CALL graft.sys.mview_join_refresh(" +
+          s"view => '$ns.orders_j_t_mvj_cust')").collect()
+      }
+      mvFqn
+    })
+
+  /** Read the materialized join view — the driver's hash gate covers
+    * the build join, BOTH incremental delta terms, and the store
+    * round-trip in one row set (oracle: the same join recomputed from
+    * raw parquet). */
+  val mviewJoinRead: Q = (s, d) => s.sql(
+    s"""SELECT o_orderkey, o_custkey, o_orderstatus, o_price,
+       |       c_mktsegment
+       |FROM ${mviewJoinView(s, d)}""".stripMargin)
+
   /** The "lambda" read: stored partials UNION the manifest-resolved
     * CDC delta, re-aggregated — half the corpus never rescanned, the
     * other half read only from its appended regions. */
@@ -2588,6 +2665,7 @@ object CatalogQueries {
     "catalog_key_groupby" -> keyGroupBy,
     "catalog_key_groupby_pushdown" -> keyGroupByPushdown,
     "catalog_mview" -> mviewAgg,
+    "catalog_mview_join" -> mviewJoinRead,
     "catalog_mview_rollup" -> mviewRollup,
     "catalog_mview_delta" -> mviewDeltaAgg,
     "catalog_mview_distinct" -> mviewDistinct,
@@ -2784,6 +2862,16 @@ object CatalogQueries {
     // mview faces recompute from the raw parquet: the materialized
     // partials (built in two batches + incremental refresh) must be
     // invisible in the answers
+    // the view must equal the parquet-recomputed join exactly: build
+    // half, two CDC delta terms, and the store round-trip all hash in
+    "catalog_mview_join" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+        |       CAST(CAST((o_orderkey * 7919 + 421) % 100000000
+        |                 AS DECIMAL(12,0)) * 0.01 AS DECIMAL(12,2))
+        |         AS o_price,
+        |       c_mktsegment
+        |FROM orders JOIN customer ON o_custkey = c_custkey""".stripMargin,
+
     "catalog_mview" ->
       """WITH priced AS (
         |  SELECT o_orderstatus, o_orderpriority,
