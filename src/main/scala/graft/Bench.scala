@@ -102,15 +102,26 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""sf":"$sfDir","load_avg":$loadAvg,"load_at_query":$ql,""" +
         s""""cpus":"$cpus"}"""
-    println(json)
-    // stdout captures have been truncated before; persist the full line
-    // beside the repo so the timing map always survives intact — but
-    // only for FULL boards: a SPARK_GRAFT_ONLY iteration run must not
-    // clobber the committed 200+-query capture with a 2-query artifact
-    if (only.isEmpty)
+    // The full line (two 219-entry maps) is ~12 KB — larger than the
+    // driver's stdout-tail capture window, which truncated it mid-JSON
+    // two rounds running (BENCH_r09/r10 parsed=null). Persist the full
+    // map beside the repo, and make the FINAL stdout line a compact
+    // summary (total + the slowest queries) that always fits the tail —
+    // but only for FULL boards: a SPARK_GRAFT_ONLY iteration run must
+    // not clobber the committed 200+-query capture with a 2-query
+    // artifact — and only at the driver's bench SF (sf0.1): a local
+    // sf0.001 smoke must not clobber the committed sf0.1 anchor
+    if (only.isEmpty && sfDir.contains("sf0.1"))
       try java.nio.file.Files.writeString(
         java.nio.file.Paths.get("BENCH_LOCAL.json"), json + "\n")
       catch { case _: Throwable => () }
+    val top = results.sortBy(-_._2).take(25)
+      .map { case (k, v, _) => s"\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$top,""" +
+        s""""sf":"$sfDir","load_avg":$loadAvg,"cpus":"$cpus",""" +
+        s""""n_queries":${results.size},"full_map":"BENCH_LOCAL.json"}""")
     spark.stop()
   }
 }

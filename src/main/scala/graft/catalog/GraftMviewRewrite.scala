@@ -325,8 +325,29 @@ class GraftMviewRewrite(session: SparkSession) extends Rule[LogicalPlan] {
         val structural = m.properties.contains(TableMeta.MviewOfProp) &&
           m.properties.contains(TableMeta.MviewGroupByProp) &&
           m.properties.contains(TableMeta.MviewAggsProp)
-        val wm = m.properties.get(TableMeta.MviewVersionProp)
+        val stamped = m.properties.get(TableMeta.MviewVersionProp)
           .flatMap(_.toLongOption)
+        // A refresh killed between its partials INSERT and its
+        // watermark ALTER leaves [[TableMeta.MviewPendingProp]] behind
+        // with the delta ALREADY in the stored partials — repairing
+        // from the stamped watermark would union that delta a second
+        // time. If the intent's insert landed (the mview's manifest
+        // version moved past the recorded one), the effective
+        // watermark is the intent's target; if it never landed, the
+        // stamped watermark still describes the content exactly. A
+        // malformed intent disables the mview (base scan is always
+        // correct).
+        val wm: Option[Long] =
+          m.properties.get(TableMeta.MviewPendingProp) match {
+            case None => stamped
+            case Some(pend) => try {
+              val Array(tgts, ver) = pend.split(":", 2)
+              val tgt = tgts.split(";").head.trim.toLong
+              if (TableMeta.currentVersion(dir) > ver.toLong)
+                stamped.map(math.max(_, tgt))
+              else stamped
+            } catch { case _: Exception => None }
+          }
         if (!structural || wm.isEmpty) None
         else if (wm.contains(current)) Some((dir, m, None))
         else appendOnlyWindow(table, wm.get, current)

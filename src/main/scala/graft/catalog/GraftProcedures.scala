@@ -1540,6 +1540,55 @@ object GraftProcedures {
       (fn, col, stored)
     }
 
+  /** Sanitized, collision-free temp-view name for a procedure-internal
+    * dataframe: derived from the target FQN itself — distinct FQNs
+    * yield distinct names (`abs(hashCode)` could collide across calls
+    * in one session, and `abs(Int.MinValue)` is negative). Callers
+    * drop the view after use so nothing leaks into the session
+    * catalog. */
+  private def procView(prefix: String, fqn: String): String =
+    prefix + "_" + fqn.toLowerCase.replaceAll("[^a-z0-9]", "_")
+
+  private def dropProcViews(s: SparkSession, names: String*): Unit =
+    names.foreach { n =>
+      try s.catalog.dropTempView(n) catch { case _: Exception => () }
+    }
+
+  private def setProps(s: SparkSession, fqn: String,
+      kvs: (String, String)*): Unit =
+    s.sql(s"ALTER TABLE $fqn SET TBLPROPERTIES(" +
+      kvs.map { case (k, v) => s"'$k'='$v'" }.mkString(",") + ")")
+
+  private def unsetProp(s: SparkSession, fqn: String, k: String): Unit =
+    s.sql(s"ALTER TABLE $fqn UNSET TBLPROPERTIES IF EXISTS ('$k')")
+
+  /** Crash recovery for the refresh write protocol (see
+    * [[TableMeta.MviewPendingProp]]): a pending intent whose INSERT
+    * landed (the view's manifest version moved past the recorded one)
+    * is finished by advancing the watermark prop(s) to the intent's
+    * targets; an intent whose INSERT never landed is simply cleared —
+    * the delta will be re-derived. Idempotent: re-running recovery
+    * after any of its own crash points converges to the same state.
+    * Reads meta fresh from disk — recovery must see the crashed
+    * run's last write, not a cached snapshot. */
+  private def recoverPending(s: SparkSession, mvDir: java.io.File,
+      mvFqn: String, watermarkProps: Seq[String]): Unit = {
+    val props = TableMeta.load(mvDir).properties
+    props.get(TableMeta.MviewPendingProp).foreach { pend =>
+      val parts = pend.split(":", 2)
+      val targets = parts.head.split(";").map(_.trim).filter(_.nonEmpty)
+      require(parts.length == 2 &&
+          targets.length == watermarkProps.length &&
+          targets.forall(_.forall(_.isDigit)) &&
+          parts(1).forall(_.isDigit),
+        s"$mvFqn carries a malformed refresh intent '$pend'; " +
+          "rebuild the view")
+      if (TableMeta.currentVersion(mvDir) > parts(1).toLong)
+        setProps(s, mvFqn, watermarkProps.zip(targets): _*)
+      unsetProp(s, mvFqn, TableMeta.MviewPendingProp)
+    }
+  }
+
   /** SQL select-list fragment computing one partial aggregate. */
   private def aggSelectExprs(specs: Seq[(String, String, String)])
       : Seq[String] = specs.map {
@@ -1664,9 +1713,10 @@ object GraftProcedures {
                     .map(_.name.toLowerCase).mkString(";")}',
                |  '${TableMeta.MviewAggsProp}'='$aggsProp')"""
               .stripMargin)
-          val v = s"mv_src_${math.abs(mvFqn.hashCode)}"
+          val v = procView("mv_src", mvFqn)
           df.createOrReplaceTempView(v)
-          s.sql(s"INSERT INTO $mvFqn SELECT * FROM $v")
+          try s.sql(s"INSERT INTO $mvFqn SELECT * FROM $v")
+          finally dropProcViews(s, v)
           s.sql(s"ALTER TABLE $mvFqn SET TBLPROPERTIES(" +
             s"'${TableMeta.MviewVersionProp}'='$version')")
           val rows = s.table(mvFqn).count()
@@ -1722,8 +1772,13 @@ object GraftProcedures {
               .contains(baseFqn),
             s"$mvFqn is not a materialized view of $baseFqn (build it " +
               "with CALL graft.sys.mview first)")
-          val watermark = mv.meta.properties(TableMeta.MviewVersionProp)
-            .toLong
+          // finish/roll back a refresh killed mid-protocol before
+          // trusting the stamped watermark (an applied-but-unstamped
+          // delta would otherwise be appended a second time)
+          recoverPending(s, mv.tableDir, mvFqn,
+            Seq(TableMeta.MviewVersionProp))
+          val watermark = TableMeta.load(mv.tableDir)
+            .properties(TableMeta.MviewVersionProp).toLong
           val now = TableMeta.currentVersion(base.tableDir)
           if (now == watermark)
             return Collections.singletonList(LocalRowsScan(
@@ -1753,27 +1808,44 @@ object GraftProcedures {
             .option(GraftChanges.FromKey, watermark.toString)
             .option(GraftChanges.ToKey, now.toString)
             .table(baseFqn)
-          val v = s"mv_delta_${math.abs(mvFqn.hashCode)}"
+          val v = procView("mv_delta", mvFqn)
           delta.createOrReplaceTempView(v)
           val gCols = groupBy.map(c => s"`$c`").mkString(", ")
-          val nullGroups = s.sql(
-            s"""SELECT 1 FROM $v WHERE ${groupBy
-                .map(c => s"`$c` IS NULL").mkString(" OR ")} LIMIT 1""")
-            .count()
-          require(nullGroups == 0,
-            s"CDC delta of $baseFqn contains NULL group column(s); a " +
-              "keyed mview row needs a non-null key")
-          val partials = s.sql(
-            s"""SELECT $gCols, ${aggSelectExprs(specs).mkString(", ")}
-               |FROM $v GROUP BY $gCols""".stripMargin)
-          val appended = partials.count()
-          if (appended > 0) {
-            val pv = s"mv_part_${math.abs(mvFqn.hashCode)}"
-            partials.createOrReplaceTempView(pv)
-            s.sql(s"INSERT INTO $mvFqn SELECT * FROM $pv")
-          }
-          s.sql(s"ALTER TABLE $mvFqn SET TBLPROPERTIES(" +
-            s"'${TableMeta.MviewVersionProp}'='$now')")
+          val appended = try {
+            val nullGroups = s.sql(
+              s"""SELECT 1 FROM $v WHERE ${groupBy
+                  .map(c => s"`$c` IS NULL").mkString(" OR ")} LIMIT 1""")
+              .count()
+            require(nullGroups == 0,
+              s"CDC delta of $baseFqn contains NULL group column(s); a " +
+                "keyed mview row needs a non-null key")
+            val partials = s.sql(
+              s"""SELECT $gCols, ${aggSelectExprs(specs).mkString(", ")}
+                 |FROM $v GROUP BY $gCols""".stripMargin)
+            // one evaluation feeds both the count and the insert
+            partials.persist()
+            try {
+              val n = partials.count()
+              if (n > 0) {
+                val pv = procView("mv_part", mvFqn)
+                partials.createOrReplaceTempView(pv)
+                // write-ahead intent, then insert, then stamp+clear:
+                // every crash point is recoverable (recoverPending)
+                // and readable ([[GraftMviewRewrite]]'s effective
+                // watermark) without double-counting the delta
+                val mvVer = TableMeta.currentVersion(mv.tableDir)
+                try {
+                  setProps(s, mvFqn,
+                    TableMeta.MviewPendingProp -> s"$now:$mvVer")
+                  s.sql(s"INSERT INTO $mvFqn SELECT * FROM $pv")
+                } finally dropProcViews(s, pv)
+              }
+              n
+            } finally partials.unpersist()
+          } finally dropProcViews(s, v)
+          setProps(s, mvFqn,
+            TableMeta.MviewVersionProp -> now.toString)
+          unsetProp(s, mvFqn, TableMeta.MviewPendingProp)
           Collections.singletonList(LocalRowsScan(
             Array("mview", "rows_appended", "base_version"),
             Seq(Seq(mvFqn, appended.toString, now.toString))): Scan)
@@ -1860,10 +1932,18 @@ object GraftProcedures {
               .getOrElse(throw new IllegalArgumentException(
                 s"join column $c not in the $side table's schema"))
           val lf = field(left.meta, lCol, "left")
-          field(right.meta, rCol, "right")
+          val rf = field(right.meta, rCol, "right")
           require(graft.codec.KeyCodec.supportedTypes.contains(lf.dataType),
             s"join column $lCol (${lf.dataType.simpleString}) is not a " +
               "key-codec type")
+          // a BIGINT=STRING pair would silently depend on Spark's
+          // implicit-cast equality; refuse loudly like the other
+          // build-time mismatches
+          require(lf.dataType == rf.dataType,
+            s"join column type mismatch: $lCol is " +
+              s"${lf.dataType.simpleString} but $rCol is " +
+              s"${rf.dataType.simpleString} (cast or project the bases " +
+              "first)")
           val rightKept = right.meta.schema.fields
             .filterNot(_.name.equalsIgnoreCase(rCol))
           val collide = rightKept.map(_.name.toLowerCase).toSet
@@ -1898,9 +1978,10 @@ object GraftProcedures {
                |  '${TableMeta.MviewJoinRightProp}'='$rightFqn',
                |  '${TableMeta.MviewJoinOnProp}'='$lCol=$rCol')"""
               .stripMargin)
-          val v = s"mvj_src_${math.abs(mvFqn.hashCode)}"
+          val v = procView("mvj_src", mvFqn)
           df.createOrReplaceTempView(v)
-          s.sql(s"INSERT INTO $mvFqn SELECT * FROM $v")
+          try s.sql(s"INSERT INTO $mvFqn SELECT * FROM $v")
+          finally dropProcViews(s, v)
           // watermarks stamped AFTER the insert: versionless = never
           // refreshable, so a crashed half-build refuses toward rebuild
           s.sql(s"ALTER TABLE $mvFqn SET TBLPROPERTIES(" +
@@ -1948,11 +2029,16 @@ object GraftProcedures {
           val s = SparkSession.active
           val mv = graftTable(catalogName, viewT)
           val mvFqn = fqn(catalogName, viewT)
-          val p = mv.meta.properties
-          val leftFqn = p.getOrElse(TableMeta.MviewJoinLeftProp,
-            throw new IllegalArgumentException(
-              s"$mvFqn is not a materialized join view (build it with " +
-                "CALL graft.sys.mview_join first)"))
+          require(mv.meta.properties.contains(TableMeta.MviewJoinLeftProp),
+            s"$mvFqn is not a materialized join view (build it with " +
+              "CALL graft.sys.mview_join first)")
+          // finish/roll back a refresh killed mid-protocol before
+          // trusting the stamped watermarks
+          recoverPending(s, mv.tableDir, mvFqn,
+            Seq(TableMeta.MviewJoinLeftVerProp,
+              TableMeta.MviewJoinRightVerProp))
+          val p = TableMeta.load(mv.tableDir).properties
+          val leftFqn = p(TableMeta.MviewJoinLeftProp)
           val rightFqn = p(TableMeta.MviewJoinRightProp)
           val Array(lCol, rCol) = p(TableMeta.MviewJoinOnProp).split("=", 2)
           val wL = p.getOrElse(TableMeta.MviewJoinLeftVerProp,
@@ -1979,9 +2065,8 @@ object GraftProcedures {
             .filterNot(_.name.equalsIgnoreCase(rCol))
           val cols = (left.meta.schema.fields.map(f => s"l.`${f.name}`") ++
             rightKept.map(f => s"r.`${f.name}`")).mkString(", ")
-          val h = math.abs(mvFqn.hashCode)
-          val dL = s"mvj_dl_$h"
-          val dR = s"mvj_dr_$h"
+          val dL = procView("mvj_dl", mvFqn)
+          val dR = procView("mvj_dr", mvFqn)
           s.read.option(GraftChanges.FromKey, wL.toString)
             .option(GraftChanges.ToKey, vL.toString)
             .table(leftFqn).createOrReplaceTempView(dL)
@@ -1995,14 +2080,32 @@ object GraftProcedures {
                |UNION ALL
                |SELECT $cols FROM $leftFqn VERSION AS OF $wL l
                |JOIN $dR r ON l.`$lCol` = r.`$rCol`""".stripMargin)
-          val v = s"mvj_delta_$h"
-          delta.createOrReplaceTempView(v)
-          val appended = delta.count()
-          if (appended > 0)
-            s.sql(s"INSERT INTO $mvFqn SELECT * FROM $v")
-          s.sql(s"ALTER TABLE $mvFqn SET TBLPROPERTIES(" +
-            s"'${TableMeta.MviewJoinLeftVerProp}'='$vL'," +
-            s"'${TableMeta.MviewJoinRightVerProp}'='$vR')")
+          // one evaluation feeds both the count and the insert
+          delta.persist()
+          val appended = try {
+            val n = delta.count()
+            if (n > 0) {
+              val v = procView("mvj_delta", mvFqn)
+              delta.createOrReplaceTempView(v)
+              // write-ahead intent → insert → stamp+clear (the
+              // mview_refresh protocol; recoverPending finishes or
+              // rolls back any crash point without re-appending)
+              val mvVer = TableMeta.currentVersion(mv.tableDir)
+              try {
+                setProps(s, mvFqn,
+                  TableMeta.MviewPendingProp -> s"$vL;$vR:$mvVer")
+                s.sql(s"INSERT INTO $mvFqn SELECT * FROM $v")
+              } finally dropProcViews(s, v)
+            }
+            n
+          } finally {
+            delta.unpersist()
+            dropProcViews(s, dL, dR)
+          }
+          setProps(s, mvFqn,
+            TableMeta.MviewJoinLeftVerProp -> vL.toString,
+            TableMeta.MviewJoinRightVerProp -> vR.toString)
+          unsetProp(s, mvFqn, TableMeta.MviewPendingProp)
           Collections.singletonList(LocalRowsScan(
             Array("mview_join", "rows_appended", "left_version",
               "right_version"),

@@ -199,6 +199,20 @@ object TableMeta {
   val MviewGroupByProp = "graft.mviewGroupBy"
   val MviewAggsProp = "graft.mviewAggs"
 
+  /** Write-ahead refresh intent, set by `mview_refresh` /
+    * `mview_join_refresh` BEFORE their partials/delta INSERT and
+    * cleared after the watermark advance. Value:
+    * `<targetVersions ';'-joined>:<mview manifest version at intent>`.
+    * A refresh killed between its INSERT and its watermark ALTER
+    * leaves the delta applied with a stale watermark — without the
+    * intent, a lambda read would union the same delta again
+    * (double-count) and the next refresh would re-append it. Recovery
+    * (next refresh call, and [[GraftMviewRewrite]]'s effective
+    * watermark) compares the view's CURRENT manifest version against
+    * the recorded one: greater = the insert landed (finish by
+    * advancing the watermark), equal = it did not (clear and redo). */
+  val MviewPendingProp = "graft.mviewPending"
+
   /** Stamped on materialized JOIN views (`CALL graft.sys.mview_join`):
     * the two base tables, the equi-join condition, and one freshness
     * watermark per side — the refresh reads each side's CDC delta

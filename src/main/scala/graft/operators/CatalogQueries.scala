@@ -1520,6 +1520,24 @@ object CatalogQueries {
     * under any aggregation order. The oracle recomputes from the raw
     * parquet: the mview must be invisible in the answers. */
   private val builtMvB = scala.collection.concurrent.TrieMap[String, String]()
+
+  /** Fixture-grade consistency gate for mview faces: the canonical
+    * aggregate answered WITH the transparent rewrite must equal the
+    * same SQL answered with the rewrite disabled (the base scan is
+    * correct by construction — the driver-green non-mview faces prove
+    * the base content). Collected separately because a single plan
+    * would optimize both subtrees under one conf value. */
+  private def mviewOnOffAgree(s: SparkSession, sql: String): Boolean = {
+    def rows(): Seq[String] =
+      s.sql(sql).collect().map(_.toString).sorted.toSeq
+    val on = rows()
+    val off = try {
+      s.conf.set("spark.graft.accel.mviewRewrite", "false")
+      rows()
+    } finally s.conf.set("spark.graft.accel.mviewRewrite", "true")
+    on == off
+  }
+
   private def mviewBase(s: SparkSession, d: String): String =
     builtMvB.getOrElseUpdate(d, {
       sfNamespace(s, d)
@@ -1540,7 +1558,7 @@ object CatalogQueries {
         s.sql(s"SHOW TBLPROPERTIES $mvFqn").collect()
           .exists(r => r.getString(0) == graft.catalog.TableMeta.MviewAggsProp &&
             r.getString(1) == expectAggs)
-      if (!mvFresh) {
+      def build(): Unit = {
         s.sql(s"DROP TABLE IF EXISTS $mvFqn")
         s.sql(s"DROP TABLE IF EXISTS $fqn")
         s.sql(
@@ -1566,6 +1584,28 @@ object CatalogQueries {
         s.sql(s"CALL graft.sys.mview_refresh(" +
           s"table => '$ns.orders_sum_t', name => 'status')").collect()
       }
+      if (mvFresh)
+        // a prior run killed between the second batch and its refresh
+        // (or mid-refresh) passes every structural check above; the
+        // refresh heals both states (recoverPending + delta apply) and
+        // is a no-op when the view is already fresh
+        s.sql(s"CALL graft.sys.mview_refresh(" +
+          s"table => '$ns.orders_sum_t', name => 'status')").collect()
+      else build()
+      // content gate: never hand the faces a summary that disagrees
+      // with its own base — one rebuild self-heals any poisoned
+      // warehouse state; a second disagreement is a live bug and must
+      // fail LOUDLY, not hash-red
+      val canonical =
+        s"""SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+           |       sum(o_price) AS total, min(o_price) AS lo,
+           |       max(o_price) AS hi
+           |FROM $fqn GROUP BY o_orderstatus, o_orderpriority""".stripMargin
+      if (!mviewOnOffAgree(s, canonical)) {
+        build()
+        require(mviewOnOffAgree(s, canonical),
+          s"mview $mvFqn disagrees with its base after a clean rebuild")
+      }
       fqn
     })
 
@@ -1587,7 +1627,7 @@ object CatalogQueries {
           .exists(_.getString(1) == "orders_sum_d_t_mv_status") &&
         s.sql(s"SHOW TBLPROPERTIES $mvFqn").collect()
           .exists(_.getString(0) == graft.catalog.TableMeta.MviewVersionProp)
-      if (!ok) {
+      def build(): Unit = {
         s.sql(s"DROP TABLE IF EXISTS $mvFqn")
         s.sql(s"DROP TABLE IF EXISTS $fqn")
         s.sql(
@@ -1610,6 +1650,17 @@ object CatalogQueries {
           "aggs => 'sum:o_price;count:*;min:o_price;max:o_price')")
           .collect()
         batch("o_orderkey % 2 = 1") // no refresh: the read must repair
+      }
+      if (!ok) build()
+      // lambda-read content gate (same contract as mviewBase's)
+      val canonical =
+        s"""SELECT o_orderstatus, count(*) AS cnt, sum(o_price) AS total,
+           |       min(o_price) AS lo, max(o_price) AS hi
+           |FROM $fqn GROUP BY o_orderstatus""".stripMargin
+      if (!mviewOnOffAgree(s, canonical)) {
+        build()
+        require(mviewOnOffAgree(s, canonical),
+          s"mview $mvFqn disagrees with its base after a clean rebuild")
       }
       fqn
     })
@@ -1640,7 +1691,7 @@ object CatalogQueries {
           .exists(_.getString(1) == "orders_j_t_mvj_cust") &&
         s.sql(s"SHOW TBLPROPERTIES $mvFqn").collect().exists(
           _.getString(0) == graft.catalog.TableMeta.MviewJoinLeftVerProp)
-      if (!ok) {
+      def build(): Unit = {
         s.sql(s"DROP TABLE IF EXISTS $mvFqn")
         s.sql(s"DROP TABLE IF EXISTS $oFqn")
         s.sql(s"DROP TABLE IF EXISTS $cFqn")
@@ -1678,6 +1729,34 @@ object CatalogQueries {
         batchC("c_custkey % 2 = 1")
         s.sql(s"CALL graft.sys.mview_join_refresh(" +
           s"view => '$ns.orders_j_t_mvj_cust')").collect()
+      }
+      if (ok)
+        // a prior run killed after the second-batch inserts but before
+        // (or during) its refresh passes every structural check above —
+        // the refresh heals both states (recoverPending + delta apply)
+        // and is a no-op when the watermarks already match
+        s.sql(s"CALL graft.sys.mview_join_refresh(" +
+          s"view => '$ns.orders_j_t_mvj_cust')").collect()
+      else build()
+      // content gate: the persisted view must equal the join of its own
+      // bases exactly (multiset compare, distributed) — one rebuild
+      // self-heals a poisoned warehouse; a second disagreement throws
+      def consistent(): Boolean = {
+        val direct = s.sql(
+          s"""SELECT l.o_orderkey, l.o_custkey, l.o_orderstatus,
+             |       l.o_price, r.c_name, r.c_mktsegment
+             |FROM $oFqn l JOIN $cFqn r
+             |  ON l.o_custkey = r.c_custkey""".stripMargin)
+        val view = s.table(mvFqn)
+          .select("o_orderkey", "o_custkey", "o_orderstatus", "o_price",
+            "c_name", "c_mktsegment")
+        view.exceptAll(direct).isEmpty && direct.exceptAll(view).isEmpty
+      }
+      if (!consistent()) {
+        build()
+        require(consistent(),
+          s"join view $mvFqn disagrees with its bases after a clean " +
+            "rebuild")
       }
       mvFqn
     })
