@@ -345,25 +345,32 @@ object Relational {
     * real on every grading run, so an estimator regression flips the
     * column to 0 and the board row red — the only inherently
     * approximate face left on the board, gated the same way as the
-    * ANN sketches ([[TextOps.annSketchGateFace]]). */
+    * ANN sketches ([[TextOps.annSketchGateFace]]).
+    *
+    * DataSketches HLL (`hll_sketch_agg`, lgK 12/14 ⇒ rsd ≈ 1.6%/0.8%)
+    * rather than Spark's HLL++: at equal precision the HLL++
+    * rsd=0.01 16k-register buffer measured 1.3 s alone at sf0.1
+    * against DataSketches' 0.38 s. The sketch and exact aggregates
+    * cross-join into ONE job so their stages schedule together. */
   val aggApproxDistinct: Q = (s, d) => {
-    // the sketches and the exact counts run as SEPARATE aggregates:
-    // mixing HLL++ partials into the distinct-Expand plan made one
-    // 0.2 s aggregation cost 6 s (each expanded lane dragged the
-    // 16k-register rsd=0.01 buffer through the partial exchange)
-    val a = li(s, d).agg(
-      approx_count_distinct(col("l_partkey")).as("ap"),
-      approx_count_distinct(col("l_orderkey"), 0.01).as("ao"))
-      .collect()(0)
-    val e = li(s, d).agg(
+    // the sketches and the exact counts stay SEPARATE aggregate
+    // subtrees: mixing sketch partials into the distinct-Expand plan
+    // made one 0.2 s aggregation cost 6 s (each expanded lane dragged
+    // the register buffer through the partial exchange)
+    val approxDf = li(s, d).agg(
+      expr("hll_sketch_estimate(hll_sketch_agg(l_partkey))").as("ap"),
+      expr("hll_sketch_estimate(hll_sketch_agg(l_orderkey, 14))")
+        .as("ao"))
+    val exactDf = li(s, d).agg(
       countDistinct(col("l_partkey")).as("exact_parts"),
       countDistinct(col("l_orderkey")).as("exact_orders"))
-      .collect()(0)
-    val ok = math.abs(a.getLong(0) - e.getLong(0)) <=
-        5 * 0.05 * e.getLong(0) &&
-      math.abs(a.getLong(1) - e.getLong(1)) <= 5 * 0.01 * e.getLong(1)
+    val row = approxDf.crossJoin(exactDf).collect()(0)
+    val (ap, ao) = (row.getLong(0), row.getLong(1))
+    val (exactParts, exactOrders) = (row.getLong(2), row.getLong(3))
+    val ok = math.abs(ap - exactParts) <= 5 * 0.05 * exactParts &&
+      math.abs(ao - exactOrders) <= 5 * 0.01 * exactOrders
     import s.implicits._
-    Seq((e.getLong(0), e.getLong(1), if (ok) 1 else 0))
+    Seq((exactParts, exactOrders, if (ok) 1 else 0))
       .toDF("exact_parts", "exact_orders", "within_rsd")
   }
 
