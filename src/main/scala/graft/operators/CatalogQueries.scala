@@ -1581,8 +1581,13 @@ object CatalogQueries {
           "aggs => 'sum:o_price;count:*;min:o_price;max:o_price;" +
           "hll:o_orderpriority')").collect()
         batch("o_orderkey % 2 = 1")
-        s.sql(s"CALL graft.sys.mview_refresh(" +
-          s"table => '$ns.orders_sum_t', name => 'status')").collect()
+        val r = s.sql(s"CALL graft.sys.mview_refresh(" +
+          s"table => '$ns.orders_sum_t', name => 'status')").collect()(0)
+        // the build's refresh MUST see batch 2 — a zero delta here
+        // means the CDC window was computed wrong and the face would
+        // serve half the corpus
+        require(r.getString(1).toLong > 0,
+          s"mview fixture refresh applied an empty delta on $fqn")
       }
       if (mvFresh)
         // a prior run killed between the second batch and its refresh
@@ -1727,8 +1732,12 @@ object CatalogQueries {
           "on => 'o_custkey=c_custkey')").collect()
         batchO("o_orderkey % 2 = 1")
         batchC("c_custkey % 2 = 1")
-        s.sql(s"CALL graft.sys.mview_join_refresh(" +
-          s"view => '$ns.orders_j_t_mvj_cust')").collect()
+        val r = s.sql(s"CALL graft.sys.mview_join_refresh(" +
+          s"view => '$ns.orders_j_t_mvj_cust')").collect()(0)
+        // both second batches land before this refresh: a zero delta
+        // means the two-sided CDC decomposition missed them
+        require(r.getString(1).toLong > 0,
+          s"join-view fixture refresh applied an empty delta on $mvFqn")
       }
       if (ok)
         // a prior run killed after the second-batch inserts but before
