@@ -105,23 +105,29 @@ object Bench {
     // The full line (two 219-entry maps) is ~12 KB — larger than the
     // driver's stdout-tail capture window, which truncated it mid-JSON
     // two rounds running (BENCH_r09/r10 parsed=null). Persist the full
-    // map beside the repo, and make the FINAL stdout line a compact
-    // summary (total + the slowest queries) that always fits the tail —
-    // but only for FULL boards: a SPARK_GRAFT_ONLY iteration run must
-    // not clobber the committed 200+-query capture with a 2-query
-    // artifact — and only at the driver's bench SF (sf0.1): a local
-    // sf0.001 smoke must not clobber the committed sf0.1 anchor
-    if (only.isEmpty && sfDir.contains("sf0.1"))
-      try java.nio.file.Files.writeString(
-        java.nio.file.Paths.get("BENCH_LOCAL.json"), json + "\n")
-      catch { case _: Throwable => () }
+    // map beside the repo — but only for FULL boards at the driver's
+    // bench SF (sf0.1): a SPARK_GRAFT_ONLY iteration run or a local
+    // sf0.001 smoke must not clobber the committed sf0.1 anchor —
+    // and make the FINAL stdout line a compact summary (total + the
+    // slowest queries) that always fits the tail window. When the full
+    // map is NOT persisted, it still prints (first), so no run ever
+    // loses its per-query timings.
+    val persisted = only.isEmpty && sfDir.contains("sf0.1") && {
+      try {
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get("BENCH_LOCAL.json"), json + "\n")
+        true
+      } catch { case _: Throwable => false }
+    }
+    if (!persisted) println(json)
     val top = results.sortBy(-_._2).take(25)
       .map { case (k, v, _) => s"\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
+    val fullMap = if (persisted) "\"BENCH_LOCAL.json\"" else "\"stdout\""
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$top,""" +
         s""""sf":"$sfDir","load_avg":$loadAvg,"cpus":"$cpus",""" +
-        s""""n_queries":${results.size},"full_map":"BENCH_LOCAL.json"}""")
+        s""""n_queries":${results.size},"full_map":$fullMap}""")
     spark.stop()
   }
 }

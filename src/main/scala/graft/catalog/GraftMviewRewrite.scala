@@ -331,20 +331,23 @@ class GraftMviewRewrite(session: SparkSession) extends Rule[LogicalPlan] {
         // watermark ALTER leaves [[TableMeta.MviewPendingProp]] behind
         // with the delta ALREADY in the stored partials — repairing
         // from the stamped watermark would union that delta a second
-        // time. If the intent's insert landed (the mview's manifest
-        // version moved past the recorded one), the effective
-        // watermark is the intent's target; if it never landed, the
-        // stamped watermark still describes the content exactly. A
-        // malformed intent disables the mview (base scan is always
-        // correct).
+        // time. "Landed" = an APPEND commit in the mview's history
+        // after the recorded version (a bare version comparison would
+        // be fooled by maintenance commits — compact/vacuum/analyze
+        // bump the version without adding the delta rows); then the
+        // effective watermark is the intent's target. If it never
+        // landed, the stamped watermark still describes the content
+        // exactly. A malformed intent disables the mview (base scan
+        // is always correct).
         val wm: Option[Long] =
           m.properties.get(TableMeta.MviewPendingProp) match {
             case None => stamped
             case Some(pend) => try {
               val Array(tgts, ver) = pend.split(":", 2)
               val tgt = tgts.split(";").head.trim.toLong
-              if (TableMeta.currentVersion(dir) > ver.toLong)
-                stamped.map(math.max(_, tgt))
+              val landed = TableMeta.history(dir)
+                .exists(e => e.version > ver.toLong && e.op == "append")
+              if (landed) stamped.map(math.max(_, tgt))
               else stamped
             } catch { case _: Exception => None }
           }

@@ -1540,14 +1540,15 @@ object GraftProcedures {
       (fn, col, stored)
     }
 
-  /** Sanitized, collision-free temp-view name for a procedure-internal
-    * dataframe: derived from the target FQN itself — distinct FQNs
-    * yield distinct names (`abs(hashCode)` could collide across calls
-    * in one session, and `abs(Int.MinValue)` is negative). Callers
+  /** Sanitized temp-view name for a procedure-internal dataframe:
+    * the readable part derives from the target FQN and a hex hash of
+    * the UNsanitized FQN disambiguates names the lossy `[^a-z0-9]→_`
+    * mapping would collapse (`graft.x.a_t` vs `graft.x_a.t`). Callers
     * drop the view after use so nothing leaks into the session
     * catalog. */
   private def procView(prefix: String, fqn: String): String =
-    prefix + "_" + fqn.toLowerCase.replaceAll("[^a-z0-9]", "_")
+    prefix + "_" + fqn.toLowerCase.replaceAll("[^a-z0-9]", "_") +
+      "_" + java.lang.Integer.toHexString(fqn.hashCode)
 
   private def dropProcViews(s: SparkSession, names: String*): Unit =
     names.foreach { n =>
@@ -1564,26 +1565,33 @@ object GraftProcedures {
 
   /** Crash recovery for the refresh write protocol (see
     * [[TableMeta.MviewPendingProp]]): a pending intent whose INSERT
-    * landed (the view's manifest version moved past the recorded one)
-    * is finished by advancing the watermark prop(s) to the intent's
-    * targets; an intent whose INSERT never landed is simply cleared —
-    * the delta will be re-derived. Idempotent: re-running recovery
-    * after any of its own crash points converges to the same state.
-    * Reads meta fresh from disk — recovery must see the crashed
-    * run's last write, not a cached snapshot. */
+    * landed is finished by advancing the watermark prop(s) to the
+    * intent's targets; an intent whose INSERT never landed is simply
+    * cleared — the delta will be re-derived. "Landed" means an
+    * APPEND commit exists in the view's history after the recorded
+    * version — a bare version comparison would be fooled by
+    * maintenance commits (compact/vacuum/analyze/cluster/split all
+    * bump the manifest version without adding the delta rows).
+    * Idempotent: re-running recovery after any of its own crash
+    * points converges to the same state. Reads meta fresh from disk —
+    * recovery must see the crashed run's last write, not a cached
+    * snapshot. */
   private def recoverPending(s: SparkSession, mvDir: java.io.File,
       mvFqn: String, watermarkProps: Seq[String]): Unit = {
     val props = TableMeta.load(mvDir).properties
     props.get(TableMeta.MviewPendingProp).foreach { pend =>
       val parts = pend.split(":", 2)
       val targets = parts.head.split(";").map(_.trim).filter(_.nonEmpty)
-      require(parts.length == 2 &&
-          targets.length == watermarkProps.length &&
-          targets.forall(_.forall(_.isDigit)) &&
-          parts(1).forall(_.isDigit),
+      val recorded =
+        if (parts.length == 2) parts(1).toLongOption else None
+      require(targets.length == watermarkProps.length &&
+          targets.forall(_.toLongOption.isDefined) &&
+          recorded.isDefined,
         s"$mvFqn carries a malformed refresh intent '$pend'; " +
           "rebuild the view")
-      if (TableMeta.currentVersion(mvDir) > parts(1).toLong)
+      val landed = TableMeta.history(mvDir)
+        .exists(e => e.version > recorded.get && e.op == "append")
+      if (landed)
         setProps(s, mvFqn, watermarkProps.zip(targets): _*)
       unsetProp(s, mvFqn, TableMeta.MviewPendingProp)
     }

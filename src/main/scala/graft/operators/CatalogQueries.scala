@@ -1530,11 +1530,16 @@ object CatalogQueries {
   private def mviewOnOffAgree(s: SparkSession, sql: String): Boolean = {
     def rows(): Seq[String] =
       s.sql(sql).collect().map(_.toString).sorted.toSeq
-    val on = rows()
-    val off = try {
-      s.conf.set("spark.graft.accel.mviewRewrite", "false")
+    val key = "spark.graft.accel.mviewRewrite"
+    val prior = s.conf.getOption(key) // restore, don't force "true":
+    val on = rows()                   // the session may have the kill
+    val off = try {                   // switch deliberately off
+      s.conf.set(key, "false")
       rows()
-    } finally s.conf.set("spark.graft.accel.mviewRewrite", "true")
+    } finally prior match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
     on == off
   }
 

@@ -2208,24 +2208,28 @@ object TextOps {
     // deduped pairs instead of 27M collision instances. A pinned
     // strategy (explicit broadcast) also keeps the board's timing
     // unimodal.
+    // Only the BATCH side is pinned broadcast (O(batch) by contract);
+    // the historical sizes attach un-pinned — at bench scale the
+    // planner broadcasts them anyway, at corpus scale it is a
+    // dh-co-partitioned dimension join, which also preserves the
+    // per-dh locality the distinct's map-side dedup relies on
     val cands = histBands
-      .join(broadcast(sizes(hist, "dh", "nb")), "dh")
+      .join(sizes(hist, "dh", "nb"), "dh")
       .join(broadcast(bi.join(broadcast(sizes(inc, "di", "na")), "di")),
         Seq("bh"))
       .filter(least(col("na"), col("nb")) * 100 >=
         greatest(col("na"), col("nb")) * 89)
       .select(col("di"), col("dh"), col("na"), col("nb")).distinct()
-    // Verify joins BROADCAST the two word-set dimensions: the arrays
-    // (~150 hashes/doc) pushed the estimated build size past the
-    // auto-broadcast threshold, so the planner sort-merged — shuffling
-    // the multi-million-row candidate stream with array payloads on
-    // both hops. Broadcasting keeps the candidate stream in place and
-    // pipelines both attaches + the shared-count kernel in one stage;
-    // the dimensions are O(corpus), not O(candidates), and at 100 TB
-    // this becomes the usual co-partitioned dimension join.
+    // Verify: the INCOMING word-set dimension broadcasts (O(batch) by
+    // contract — its array payload pushed the planner's estimate past
+    // the auto-broadcast threshold, so it was sort-merging the
+    // candidate stream); the HISTORICAL word sets attach un-pinned —
+    // a corpus-sized broadcast would hit Spark's broadcast limit long
+    // before 100 TB, while the un-pinned join is a dh-co-partitioned
+    // dimension join over the already-deduped candidate pairs.
     cands
       .join(broadcast(wsets(inc, "di", "wsa")), "di")
-      .join(broadcast(wsets(hist, "dh", "wsb")), "dh")
+      .join(wsets(hist, "dh", "wsb"), "dh")
       .withColumn("shared",
         graft.functions.VectorOps.sharedCount(col("wsa"), col("wsb")))
       .withColumn("jaccard",
