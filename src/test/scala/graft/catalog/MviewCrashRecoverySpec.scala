@@ -208,6 +208,35 @@ class MviewCrashRecoverySpec extends AnyFunSuite {
       .contains(TableMeta.MviewPendingProp))
   }
 
+  test("a maintenance commit after a pre-INSERT crash does not fool " +
+      "recovery into skipping the delta") {
+    val (t, mv) = freshAgg("compact")
+    spark.sql(s"INSERT INTO $t VALUES (1,'a',10), (2,'b',20)")
+    spark.sql("CALL graft.sys.mview(table => 'mvc.t_compact', " +
+      "name => 'g', group_by => 'g', aggs => 'sum:x;count:*;min:x;max:x')")
+      .collect()
+    spark.sql(s"INSERT INTO $t VALUES (3,'a',5), (4,'c',40)")
+    val mvDir = dir("mvc", "t_compact_mv_g")
+    val base = dir("mvc", "t_compact")
+    val now = TableMeta.currentVersion(base)
+    // crash state: intent written, the partials INSERT never ran
+    setProp(mv, TableMeta.MviewPendingProp,
+      s"$now:${TableMeta.currentVersion(mvDir)}")
+    // an operator compacts the VIEW before the next refresh — the
+    // manifest version bumps without any delta rows landing; a bare
+    // version comparison would call the insert "landed" and advance
+    // the watermark past a delta that was never applied
+    spark.sql("CALL graft.sys.compact(table => 'mvc.t_compact_mv_g', " +
+      "target_regions => 1)").collect()
+    val r = spark.sql("CALL graft.sys.mview_refresh(" +
+      "table => 'mvc.t_compact', name => 'g')").collect()(0)
+    assert(r.getString(1).toLong > 0,
+      "the delta must be applied, not skipped")
+    assert(agg(t) === direct(t))
+    assert(!TableMeta.load(mvDir).properties
+      .contains(TableMeta.MviewPendingProp))
+  }
+
   test("a malformed refresh intent disables the mview acceleration " +
       "instead of serving a wrong answer") {
     val (t, mv) = freshAgg("badpend")
