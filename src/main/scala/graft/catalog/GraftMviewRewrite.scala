@@ -167,6 +167,27 @@ class GraftMviewRewrite(session: SparkSession) extends Rule[LogicalPlan] {
       } else agg.aggregateFunction match {
         case Sum(x: AttributeReference, _) =>
           aggMap.get(("sum", x.name.toLowerCase)).map(summed)
+        // AVG(x) = SUM(sum_x) / SUM(cnt_x) — the dashboard aggregate.
+        // Requires BOTH stored partials: count:x specifically (not
+        // count:*), so SQL NULL semantics survive (AVG ignores NULLs;
+        // an all-NULL group yields NULL because the re-summed sum is
+        // NULL before the divide). Non-decimal inputs only: their
+        // Average evaluates exactly as sum/count in double arithmetic,
+        // which this reproduces; decimal AVG carries Spark-internal
+        // precision/rounding rules a re-derivation could drift from,
+        // so it declines to the base scan (correct, just not
+        // accelerated).
+        case aggregate.Average(x: AttributeReference, _)
+            if !x.dataType.isInstanceOf[org.apache.spark.sql.types
+              .DecimalType] =>
+          for {
+            sc <- aggMap.get(("sum", x.name.toLowerCase))
+            cc <- aggMap.get(("count", x.name.toLowerCase))
+          } yield org.apache.spark.sql.catalyst.expressions.Divide(
+            Cast(Sum(mvAttr(sc)).toAggregateExpression(),
+              org.apache.spark.sql.types.DoubleType),
+            Cast(Sum(mvAttr(cc)).toAggregateExpression(),
+              org.apache.spark.sql.types.DoubleType))
         // MIN/MAX over a group column need no stored partial: the
         // value-set extremum is multiplicity-independent
         case Min(x: AttributeReference) =>

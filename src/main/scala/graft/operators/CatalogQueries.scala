@@ -1552,7 +1552,8 @@ object CatalogQueries {
       val srcCount = s.read.parquet(s"$d/orders.parquet").count()
       val expectAggs = "sum:o_price=sum_o_price;count:*=cnt_star;" +
         "min:o_price=min_o_price;max:o_price=max_o_price;" +
-        "hll:o_orderpriority=hll_o_orderpriority"
+        "hll:o_orderpriority=hll_o_orderpriority;" +
+        "sum:o_cents=sum_o_cents;count:o_cents=cnt_o_cents"
       val mvFresh = trusted(s, ns, "orders_sum_t", srcCount) &&
         s.sql(s"SHOW TABLES IN graft.$ns").collect()
           .exists(_.getString(1) == "orders_sum_t_mv_status") &&
@@ -1569,22 +1570,29 @@ object CatalogQueries {
         s.sql(
           s"""CREATE TABLE $fqn (
              |  o_orderkey BIGINT, o_orderstatus STRING,
-             |  o_orderpriority STRING, o_price DECIMAL(12,2))
+             |  o_orderpriority STRING, o_price DECIMAL(12,2),
+             |  o_cents BIGINT)
              |TBLPROPERTIES('keyCols'='o_orderkey', 'numRegions'='4')"""
             .stripMargin)
         val v = s"mv_base_src_${math.abs(d.hashCode)}"
         s.read.parquet(s"$d/orders.parquet").createOrReplaceTempView(v)
+        // o_cents: the same integer-cents value as a BIGINT — AVG over
+        // it divides an exact long sum (< 2^53) by an exact count, so
+        // the double result is correctly-rounded and bit-identical in
+        // Spark (direct AND via the rewrite's sum/count re-derivation)
+        // and DuckDB
         def batch(cond: String): Unit = s.sql(
           s"""INSERT INTO $fqn
              |SELECT o_orderkey, o_orderstatus, o_orderpriority,
              |       CAST(CAST((o_orderkey * 7919 + 421) % 100000000
-             |                 AS DECIMAL(12,0)) * 0.01 AS DECIMAL(12,2))
+             |                 AS DECIMAL(12,0)) * 0.01 AS DECIMAL(12,2)),
+             |       (o_orderkey * 7919 + 421) % 100000000
              |FROM $v WHERE $cond""".stripMargin)
         batch("o_orderkey % 2 = 0")
         s.sql(s"CALL graft.sys.mview(table => '$ns.orders_sum_t', " +
           "name => 'status', group_by => 'o_orderstatus;o_orderpriority', " +
           "aggs => 'sum:o_price;count:*;min:o_price;max:o_price;" +
-          "hll:o_orderpriority')").collect()
+          "hll:o_orderpriority;sum:o_cents;count:o_cents')").collect()
         batch("o_orderkey % 2 = 1")
         val r = s.sql(s"CALL graft.sys.mview_refresh(" +
           s"table => '$ns.orders_sum_t', name => 'status')").collect()(0)
@@ -1609,7 +1617,7 @@ object CatalogQueries {
       val canonical =
         s"""SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
            |       sum(o_price) AS total, min(o_price) AS lo,
-           |       max(o_price) AS hi
+           |       max(o_price) AS hi, avg(o_cents) AS av
            |FROM $fqn GROUP BY o_orderstatus, o_orderpriority""".stripMargin
       if (!mviewOnOffAgree(s, canonical)) {
         build()
@@ -1803,6 +1811,18 @@ object CatalogQueries {
        |       max(o_price) AS hi
        |FROM ${mviewBase(s, d)}
        |GROUP BY o_orderstatus, o_orderpriority""".stripMargin)
+
+  /** AVG from the stored sum+count partials — the dashboard
+    * aggregate: the rewrite derives AVG(x) as SUM(sum_x)/SUM(cnt_x)
+    * over ~30 partial rows, never rescanning the fact table. The
+    * cents column is a BIGINT, so the long sums are exact and the one
+    * double division is correctly-rounded identically in Spark
+    * (either path) and DuckDB — hash-stable without rounding. */
+  val mviewAvg: Q = (s, d) => s.sql(
+    s"""SELECT o_orderstatus, avg(o_cents) AS avg_cents,
+       |       count(*) AS cnt
+       |FROM ${mviewBase(s, d)}
+       |GROUP BY o_orderstatus""".stripMargin)
 
   /** DISTINCT over an mview group column: the (status, priority)
     * partials carry the exact value set of their group tuple, so
@@ -2758,6 +2778,7 @@ object CatalogQueries {
     "catalog_key_groupby" -> keyGroupBy,
     "catalog_key_groupby_pushdown" -> keyGroupByPushdown,
     "catalog_mview" -> mviewAgg,
+    "catalog_mview_avg" -> mviewAvg,
     "catalog_mview_join" -> mviewJoinRead,
     "catalog_mview_rollup" -> mviewRollup,
     "catalog_mview_delta" -> mviewDeltaAgg,
@@ -2975,6 +2996,14 @@ object CatalogQueries {
         |       CAST(sum(p) AS DECIMAL(22,2)) AS total,
         |       min(p) AS lo, max(p) AS hi
         |FROM priced GROUP BY o_orderstatus, o_orderpriority""".stripMargin,
+
+    // avg over exact integer cents: long sums < 2^53 divide to a
+    // correctly-rounded double identically in both engines
+    "catalog_mview_avg" ->
+      """SELECT o_orderstatus,
+        |       avg((o_orderkey * 7919 + 421) % 100000000) AS avg_cents,
+        |       count(*) AS cnt
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
 
     // exact at this cardinality: 5 priorities sit in the sketch's
     // coupon (exact) regime, so the estimate IS the distinct count

@@ -185,6 +185,35 @@ class MviewSpec extends AnyFunSuite {
     assert(!scannedTables(unknown).exists(_.endsWith("base_mv_bygrp")))
   }
 
+  test("AVG derives from the sum and count partials; decimal AVG " +
+      "declines to the base") {
+    setup(); buildMv()
+    // v is NULL every 11th row: AVG(v) must divide by count:v (the
+    // NULL-ignoring count), not count:* — parity() proves the values
+    // against the base under exactly that trap
+    val df = parity(
+      """SELECT grp, avg(v) AS m, count(*) AS n
+        |FROM graft.mv.base GROUP BY grp""".stripMargin)
+    assert(scannedTables(df).exists(_.endsWith("base_mv_bygrp")),
+      "AVG over stored sum+count partials should answer from the mview")
+    // decimal AVG carries Spark-internal precision/rounding rules the
+    // re-derivation does not reproduce — it must fall back (correct,
+    // just unaccelerated)
+    val dec = parity(
+      "SELECT grp, avg(d) AS m FROM graft.mv.base GROUP BY grp")
+    assert(!scannedTables(dec).exists(_.endsWith("base_mv_bygrp")),
+      "decimal AVG must decline to the base scan")
+  }
+
+  test("the catalog_mview_avg driver face answers from the mview " +
+      "partials, not the base") {
+    val df = graft.operators.CatalogQueries.queries("catalog_mview_avg")(
+      spark, graft.TestSpark.sfDir)
+    assert(scannedTables(df).exists(_.endsWith("orders_sum_t_mv_status")),
+      "the face's AVG must ride the stored sum/count partials")
+    assert(df.count() > 0)
+  }
+
   test("decimal sum result type is preserved through re-aggregation") {
     setup(); buildMv()
     val q = "SELECT grp, sum(d) AS sd FROM graft.mv.base GROUP BY grp"
