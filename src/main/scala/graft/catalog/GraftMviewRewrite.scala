@@ -183,11 +183,20 @@ class GraftMviewRewrite(session: SparkSession) extends Rule[LogicalPlan] {
           for {
             sc <- aggMap.get(("sum", x.name.toLowerCase))
             cc <- aggMap.get(("count", x.name.toLowerCase))
-          } yield org.apache.spark.sql.catalyst.expressions.Divide(
-            Cast(Sum(mvAttr(sc)).toAggregateExpression(),
-              org.apache.spark.sql.types.DoubleType),
-            Cast(Sum(mvAttr(cc)).toAggregateExpression(),
-              org.apache.spark.sql.types.DoubleType))
+          } yield {
+            import org.apache.spark.sql.catalyst.expressions.{Divide, If, IsNull, Literal => Lit}
+            import org.apache.spark.sql.types.DoubleType
+            val total = Cast(Sum(mvAttr(sc)).toAggregateExpression(),
+              DoubleType)
+            val n = Cast(Sum(mvAttr(cc)).toAggregateExpression(),
+              DoubleType)
+            // all-NULL group ⇒ total is NULL and n is 0: answer NULL
+            // without evaluating the divide (ANSI Divide checks the
+            // divisor FIRST and would raise DIVIDE_BY_ZERO where base
+            // AVG returns NULL); identical aggregate subtrees dedup in
+            // physical planning, so `total` costs once
+            If(IsNull(total), Lit(null, DoubleType), Divide(total, n))
+          }
         // MIN/MAX over a group column need no stored partial: the
         // value-set extremum is multiplicity-independent
         case Min(x: AttributeReference) =>

@@ -205,6 +205,35 @@ class MviewSpec extends AnyFunSuite {
       "decimal AVG must decline to the base scan")
   }
 
+  test("AVG of an all-NULL group answers NULL from the mview — ANSI " +
+      "mode included (the naive divide would raise DIVIDE_BY_ZERO)") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.mv")
+    spark.sql("DROP TABLE IF EXISTS graft.mv.avgnull_mv_g")
+    spark.sql("DROP TABLE IF EXISTS graft.mv.avgnull")
+    spark.sql(
+      """CREATE TABLE graft.mv.avgnull (k BIGINT, g STRING, x BIGINT)
+        |TBLPROPERTIES('keyCols'='k', 'numRegions'='2')""".stripMargin)
+    spark.sql("INSERT INTO graft.mv.avgnull VALUES " +
+      "(1,'a',10), (2,'a',NULL), (3,'b',NULL), (4,'b',NULL)")
+    spark.sql("CALL graft.sys.mview(table => 'mv.avgnull', " +
+      "name => 'g', group_by => 'g', aggs => 'sum:x;count:x')").collect()
+    val q = "SELECT g, avg(x) AS m FROM graft.mv.avgnull GROUP BY g"
+    def rowsOf(df: DataFrame): Map[String, Any] =
+      df.collect().map(r => r.getString(0) -> r.get(1)).toMap
+    val df = spark.sql(q)
+    assert(scannedTables(df).exists(_.endsWith("avgnull_mv_g")))
+    assert(rowsOf(df) === Map("a" -> 10.0, "b" -> null))
+    val prior = spark.conf.getOption("spark.sql.ansi.enabled")
+    try {
+      spark.conf.set("spark.sql.ansi.enabled", "true")
+      assert(rowsOf(spark.sql(q)) === Map("a" -> 10.0, "b" -> null),
+        "ANSI mode must not turn the all-NULL group into an error")
+    } finally prior match {
+      case Some(v) => spark.conf.set("spark.sql.ansi.enabled", v)
+      case None => spark.conf.unset("spark.sql.ansi.enabled")
+    }
+  }
+
   test("the catalog_mview_avg driver face answers from the mview " +
       "partials, not the base") {
     val df = graft.operators.CatalogQueries.queries("catalog_mview_avg")(
