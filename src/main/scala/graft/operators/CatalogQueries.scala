@@ -168,7 +168,7 @@ object CatalogQueries {
   /** Ensure the graft catalog is registered and the orders table for
     * this sf dir is created+loaded; returns its fully qualified name. */
   private def ordersTable(s: SparkSession, d: String): String =
-    built.getOrElseUpdate(d, {
+    built.getOrElseUpdate(d, FixtureLock.build(d) {
       sfNamespace(s, d)
       // key-grouped scans are only honored under these (safe defaults)
       s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
@@ -266,7 +266,7 @@ object CatalogQueries {
     * for multi-table queries entirely over graft storage. */
   private val builtLi = scala.collection.concurrent.TrieMap[String, String]()
   private def lineitemTable(s: SparkSession, d: String): String =
-    builtLi.getOrElseUpdate(d, {
+    builtLi.getOrElseUpdate(d, FixtureLock.build(d) {
       ordersTable(s, d) // ensures catalog + namespace exist
       // same splits as orders_t -> co-partitioned on the orderkey
       buildKeyedTable(s, d, "lineitem_t",
@@ -335,7 +335,7 @@ object CatalogQueries {
     * trust a stale narrow build. */
   private val builtLiW = scala.collection.concurrent.TrieMap[String, String]()
   private def lineitemWideTable(s: SparkSession, d: String): String =
-    builtLiW.getOrElseUpdate(d, {
+    builtLiW.getOrElseUpdate(d, FixtureLock.build(d) {
       ordersTable(s, d)
       buildKeyedTable(s, d, "lineitem_w_t",
         """l_orderkey BIGINT, l_linenumber INT, l_suppkey BIGINT,
@@ -381,7 +381,7 @@ object CatalogQueries {
     * deployment would choose for part-centric analytics. */
   private val builtLiP = scala.collection.concurrent.TrieMap[String, String]()
   private def lineitemByPartTable(s: SparkSession, d: String): String =
-    builtLiP.getOrElseUpdate(d, {
+    builtLiP.getOrElseUpdate(d, FixtureLock.build(d) {
       ordersTable(s, d)
       buildKeyedTable(s, d, "lineitem_p_t",
         """l_partkey BIGINT, l_orderkey BIGINT, l_linenumber INT,
@@ -395,7 +395,7 @@ object CatalogQueries {
     * shuffle. */
   private val builtPart = scala.collection.concurrent.TrieMap[String, String]()
   private def partTable(s: SparkSession, d: String): String =
-    builtPart.getOrElseUpdate(d, {
+    builtPart.getOrElseUpdate(d, FixtureLock.build(d) {
       ordersTable(s, d)
       buildKeyedTable(s, d, "part_t",
         """p_partkey BIGINT, p_name STRING, p_brand STRING,
@@ -407,7 +407,7 @@ object CatalogQueries {
     * — co-partitioned with orders_t). */
   private val builtLiR = scala.collection.concurrent.TrieMap[String, String]()
   private def lineitemReturnsTable(s: SparkSession, d: String): String =
-    builtLiR.getOrElseUpdate(d, {
+    builtLiR.getOrElseUpdate(d, FixtureLock.build(d) {
       ordersTable(s, d)
       buildKeyedTable(s, d, "lineitem_r_t",
         """l_orderkey BIGINT, l_linenumber INT, l_extendedprice DOUBLE,
@@ -615,7 +615,7 @@ object CatalogQueries {
     * narrowing, so adding a query never means adding a table. */
   private val builtLiF = scala.collection.concurrent.TrieMap[String, String]()
   private def lineitemFullTable(s: SparkSession, d: String): String =
-    builtLiF.getOrElseUpdate(d, {
+    builtLiF.getOrElseUpdate(d, FixtureLock.build(d) {
       ordersTable(s, d)
       buildKeyedTable(s, d, "lineitem_f_t",
         """l_orderkey BIGINT, l_linenumber INT, l_partkey BIGINT,
@@ -804,7 +804,7 @@ object CatalogQueries {
     * parquet — a NULL-instead-of-default read hash-mismatches. */
   private val builtDef = scala.collection.concurrent.TrieMap[String, String]()
   private def addDefaultTable(s: SparkSession, d: String): String =
-    builtDef.getOrElseUpdate(d, {
+    builtDef.getOrElseUpdate(d, FixtureLock.build(d) {
       sfNamespace(s, d)
       val ns = s"sf_${math.abs(d.hashCode)}"
       val fqn = s"graft.$ns.orders_def_t"
@@ -858,7 +858,7 @@ object CatalogQueries {
     * key-sorted store rather than raw parquet. */
   private val builtDocs = scala.collection.concurrent.TrieMap[String, String]()
   private def documentsTable(s: SparkSession, d: String): String =
-    builtDocs.getOrElseUpdate(d, {
+    builtDocs.getOrElseUpdate(d, FixtureLock.build(d) {
       ordersTable(s, d)
       val ns = s"sf_${math.abs(d.hashCode)}"
       val fqn = s"graft.$ns.documents_t"
@@ -919,7 +919,7 @@ object CatalogQueries {
     * partial-agg pushdown is for. */
   private val builtLiH = scala.collection.concurrent.TrieMap[String, String]()
   private def lineitemHeapTable(s: SparkSession, d: String): String =
-    builtLiH.getOrElseUpdate(d, {
+    builtLiH.getOrElseUpdate(d, FixtureLock.build(d) {
       ordersTable(s, d) // ensures catalog + namespace exist
       val ns = s"sf_${math.abs(d.hashCode)}"
       val fqn = s"graft.$ns.lineitem_h_t"
@@ -975,7 +975,7 @@ object CatalogQueries {
     * row-count effect; this query gates the answers). */
   private val builtWide = scala.collection.concurrent.TrieMap[String, String]()
   private def wideTable(s: SparkSession, d: String): String =
-    builtWide.getOrElseUpdate(d, {
+    builtWide.getOrElseUpdate(d, FixtureLock.build(d) {
       ordersTable(s, d)
       val ns = s"sf_${math.abs(d.hashCode)}"
       val fqn = s"graft.$ns.orders_wide_t"
@@ -1009,7 +1009,7 @@ object CatalogQueries {
     * not raw parquet. */
   private val builtEmb = scala.collection.concurrent.TrieMap[String, String]()
   def embeddingsTable(s: SparkSession, d: String): String =
-    builtEmb.getOrElseUpdate(d, {
+    builtEmb.getOrElseUpdate(d, FixtureLock.build(d) {
       ordersTable(s, d)
       val ns = s"sf_${math.abs(d.hashCode)}"
       val fqn = s"graft.$ns.embeddings_t"
@@ -1063,7 +1063,7 @@ object CatalogQueries {
     * (ReadSchema asserted in CatalogVectorSpec). */
   private val builtMedia = scala.collection.concurrent.TrieMap[String, String]()
   def mediaTable(s: SparkSession, d: String): String =
-    builtMedia.getOrElseUpdate(d, {
+    builtMedia.getOrElseUpdate(d, FixtureLock.build(d) {
       ordersTable(s, d)
       val ns = s"sf_${math.abs(d.hashCode)}"
       val fqn = s"graft.$ns.media_t"
@@ -1094,7 +1094,7 @@ object CatalogQueries {
     * layout that holds at any corpus size. */
   private val builtBand = scala.collection.concurrent.TrieMap[String, String]()
   private def minhashBandTable(s: SparkSession, d: String): String =
-    builtBand.getOrElseUpdate(d, {
+    builtBand.getOrElseUpdate(d, FixtureLock.build(d) {
       val docsFqn = documentsTable(s, d)
       val ns = s"sf_${math.abs(d.hashCode)}"
       val fqn = s"graft.$ns.minhash_band_t"
@@ -1134,7 +1134,7 @@ object CatalogQueries {
     * parquet face uses per query. */
   private val builtPost = scala.collection.concurrent.TrieMap[String, String]()
   private def postingsTable(s: SparkSession, d: String): String =
-    builtPost.getOrElseUpdate(d, {
+    builtPost.getOrElseUpdate(d, FixtureLock.build(d) {
       val docsFqn = documentsTable(s, d)
       val ns = s"sf_${math.abs(d.hashCode)}"
       val fqn = s"graft.$ns.documents_t_fts"
@@ -1237,7 +1237,7 @@ object CatalogQueries {
   private val builtHistBand =
     scala.collection.concurrent.TrieMap[String, String]()
   private def histBandTable(s: SparkSession, d: String): String =
-    builtHistBand.getOrElseUpdate(d, {
+    builtHistBand.getOrElseUpdate(d, FixtureLock.build(d) {
       val docsFqn = documentsTable(s, d)
       val ns = s"sf_${math.abs(d.hashCode)}"
       val fqn = s"graft.$ns.hist_band_t"
@@ -1310,7 +1310,7 @@ object CatalogQueries {
     * decision is unchanged by storage. */
   private val builtDocVec = scala.collection.concurrent.TrieMap[String, String]()
   private def docVecTable(s: SparkSession, d: String): String =
-    builtDocVec.getOrElseUpdate(d, {
+    builtDocVec.getOrElseUpdate(d, FixtureLock.build(d) {
       val docsFqn = documentsTable(s, d)
       val ns = s"sf_${math.abs(d.hashCode)}"
       val fqn = s"graft.$ns.doc_vec_t"
@@ -1348,7 +1348,7 @@ object CatalogQueries {
     * (`HBaseStrategies.scala:44-175`) applied to a window workload. */
   private val builtEv = scala.collection.concurrent.TrieMap[String, String]()
   private def eventsTable(s: SparkSession, d: String): String =
-    builtEv.getOrElseUpdate(d, {
+    builtEv.getOrElseUpdate(d, FixtureLock.build(d) {
       ordersTable(s, d)
       val ns = s"sf_${math.abs(d.hashCode)}"
       val fqn = s"graft.$ns.events_t"
@@ -1386,7 +1386,7 @@ object CatalogQueries {
     * family, where the per-user time order is the storage order. */
   private val builtEvF = scala.collection.concurrent.TrieMap[String, String]()
   private def eventsFullTable(s: SparkSession, d: String): String =
-    builtEvF.getOrElseUpdate(d, {
+    builtEvF.getOrElseUpdate(d, FixtureLock.build(d) {
       ordersTable(s, d)
       val ns = s"sf_${math.abs(d.hashCode)}"
       val fqn = s"graft.$ns.events_full_t"
@@ -1448,7 +1448,7 @@ object CatalogQueries {
     * an exactly-scale-2 value) is exact in both engines. */
   private val builtDec = scala.collection.concurrent.TrieMap[String, String]()
   private def decimalTable(s: SparkSession, d: String): String =
-    builtDec.getOrElseUpdate(d, {
+    builtDec.getOrElseUpdate(d, FixtureLock.build(d) {
       ordersTable(s, d)
       val ns = s"sf_${math.abs(d.hashCode)}"
       val fqn = s"graft.$ns.orders_cents_t"
@@ -1482,7 +1482,7 @@ object CatalogQueries {
     * expressions — end to end through the store. */
   private val builtGen = scala.collection.concurrent.TrieMap[String, String]()
   private def generatedTable(s: SparkSession, d: String): String =
-    builtGen.getOrElseUpdate(d, {
+    builtGen.getOrElseUpdate(d, FixtureLock.build(d) {
       sfNamespace(s, d)
       val ns = s"sf_${math.abs(d.hashCode)}"
       val fqn = s"graft.$ns.docs_gen_t"
@@ -1543,8 +1543,27 @@ object CatalogQueries {
     on == off
   }
 
+  /** Forensic breadcrumb for the driver-red investigation: append one
+    * line per fixture decision to a `_fixture_diag` file beside the
+    * warehouse tables (listTables ignores non-table files). If a
+    * driver round ever reds an mview face again, the breadcrumb shows
+    * which path ran (build vs reuse-heal), what the heal refresh
+    * appended, and the gate outcomes — in the driver's own window,
+    * not a later reproduction. */
+  private def mviewDiag(s: SparkSession, ns: String, line: String): Unit =
+    try {
+      val wh = s.conf.getOption("spark.sql.catalog.graft.warehouse")
+        .getOrElse("/tmp/graft_warehouse")
+      val p = java.nio.file.Paths.get(wh, ns, "_fixture_diag")
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.writeString(p,
+        s"${java.time.Instant.now()} $line\n",
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+    } catch { case _: Exception => () }
+
   private def mviewBase(s: SparkSession, d: String): String =
-    builtMvB.getOrElseUpdate(d, {
+    builtMvB.getOrElseUpdate(d, FixtureLock.build(d) {
       sfNamespace(s, d)
       val ns = s"sf_${math.abs(d.hashCode)}"
       val fqn = s"graft.$ns.orders_sum_t"
@@ -1602,14 +1621,16 @@ object CatalogQueries {
         require(r.getString(1).toLong > 0,
           s"mview fixture refresh applied an empty delta on $fqn")
       }
-      if (mvFresh)
+      if (mvFresh) {
         // a prior run killed between the second batch and its refresh
         // (or mid-refresh) passes every structural check above; the
         // refresh heals both states (recoverPending + delta apply) and
         // is a no-op when the view is already fresh
-        s.sql(s"CALL graft.sys.mview_refresh(" +
-          s"table => '$ns.orders_sum_t', name => 'status')").collect()
-      else build()
+        val h = s.sql(s"CALL graft.sys.mview_refresh(" +
+          s"table => '$ns.orders_sum_t', name => 'status')").collect()(0)
+        mviewDiag(s, ns, s"orders_sum_t reuse-heal appended=" +
+          s"${h.getString(1)} base_version=${h.getString(2)}")
+      } else { build(); mviewDiag(s, ns, "orders_sum_t fresh build") }
       // content gate: never hand the faces a summary that disagrees
       // with its own base — one rebuild self-heals any poisoned
       // warehouse state; a second disagreement is a live bug and must
@@ -1620,10 +1641,13 @@ object CatalogQueries {
            |       max(o_price) AS hi, avg(o_cents) AS av
            |FROM $fqn GROUP BY o_orderstatus, o_orderpriority""".stripMargin
       if (!mviewOnOffAgree(s, canonical)) {
+        mviewDiag(s, ns, "orders_sum_t GATE DISAGREED — rebuilding")
         build()
         require(mviewOnOffAgree(s, canonical),
           s"mview $mvFqn disagrees with its base after a clean rebuild")
       }
+      mviewDiag(s, ns, "orders_sum_t gate ok; partial_rows=" +
+        s.table(mvFqn).count())
       fqn
     })
 
@@ -1634,7 +1658,7 @@ object CatalogQueries {
     * the un-refreshed mview must be invisible in the answers. */
   private val builtMvD = scala.collection.concurrent.TrieMap[String, String]()
   private def mviewDeltaBase(s: SparkSession, d: String): String =
-    builtMvD.getOrElseUpdate(d, {
+    builtMvD.getOrElseUpdate(d, FixtureLock.build(d) {
       sfNamespace(s, d)
       val ns = s"sf_${math.abs(d.hashCode)}"
       val fqn = s"graft.$ns.orders_sum_d_t"
@@ -1695,7 +1719,7 @@ object CatalogQueries {
     * row payload is hash-stable. */
   private val builtMvJ = scala.collection.concurrent.TrieMap[String, String]()
   private def mviewJoinView(s: SparkSession, d: String): String =
-    builtMvJ.getOrElseUpdate(d, {
+    builtMvJ.getOrElseUpdate(d, FixtureLock.build(d) {
       sfNamespace(s, d)
       val ns = s"sf_${math.abs(d.hashCode)}"
       val oFqn = s"graft.$ns.orders_j_t"
@@ -1752,14 +1776,16 @@ object CatalogQueries {
         require(r.getString(1).toLong > 0,
           s"join-view fixture refresh applied an empty delta on $mvFqn")
       }
-      if (ok)
+      if (ok) {
         // a prior run killed after the second-batch inserts but before
         // (or during) its refresh passes every structural check above —
         // the refresh heals both states (recoverPending + delta apply)
         // and is a no-op when the watermarks already match
-        s.sql(s"CALL graft.sys.mview_join_refresh(" +
-          s"view => '$ns.orders_j_t_mvj_cust')").collect()
-      else build()
+        val h = s.sql(s"CALL graft.sys.mview_join_refresh(" +
+          s"view => '$ns.orders_j_t_mvj_cust')").collect()(0)
+        mviewDiag(s, ns, s"orders_j_t_mvj_cust reuse-heal appended=" +
+          s"${h.getString(1)} lv=${h.getString(2)} rv=${h.getString(3)}")
+      } else { build(); mviewDiag(s, ns, "orders_j_t_mvj_cust fresh build") }
       // content gate: the persisted view must equal the join of its own
       // bases exactly (multiset compare, distributed) — one rebuild
       // self-heals a poisoned warehouse; a second disagreement throws
@@ -1775,21 +1801,30 @@ object CatalogQueries {
         view.exceptAll(direct).isEmpty && direct.exceptAll(view).isEmpty
       }
       if (!consistent()) {
+        mviewDiag(s, ns, "orders_j_t_mvj_cust GATE DISAGREED — rebuilding")
         build()
         require(consistent(),
           s"join view $mvFqn disagrees with its bases after a clean " +
             "rebuild")
       }
+      mviewDiag(s, ns, "orders_j_t_mvj_cust gate ok; view_rows=" +
+        s.table(mvFqn).count())
       mvFqn
     })
 
   /** Read the materialized join view — the driver's hash gate covers
     * the build join, BOTH incremental delta terms, and the store
     * round-trip in one row set (oracle: the same join recomputed from
-    * raw parquet). */
+    * raw parquet). `okey_n` is a SELF-CHECKING column (the
+    * annSketchGateFace pattern): each order joins exactly one
+    * customer, so the per-orderkey row count inside the view must be
+    * 1 — a double-applied or partially-applied refresh delta flips it
+    * to 2/0 on the affected rows even when total cardinality happens
+    * to net out, turning a silent hash-red into a pinpointable value. */
   val mviewJoinRead: Q = (s, d) => s.sql(
     s"""SELECT o_orderkey, o_custkey, o_orderstatus, o_price,
-       |       c_mktsegment
+       |       c_mktsegment,
+       |       count(*) OVER (PARTITION BY o_orderkey) AS okey_n
        |FROM ${mviewJoinView(s, d)}""".stripMargin)
 
   /** The "lambda" read: stored partials UNION the manifest-resolved
@@ -1804,13 +1839,33 @@ object CatalogQueries {
   /** Transparent mview answer: the GROUP BY matches the mview's group
     * set exactly, so the plan re-aggregates 30 partial rows instead of
     * scanning the base — at 100 TB, the dashboard query reads the
-    * summary table, never the fact table. */
-  val mviewAgg: Q = (s, d) => s.sql(
-    s"""SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
-       |       sum(o_price) AS total, min(o_price) AS lo,
-       |       max(o_price) AS hi
-       |FROM ${mviewBase(s, d)}
-       |GROUP BY o_orderstatus, o_orderpriority""".stripMargin)
+    * summary table, never the fact table. `partial_rows` is a
+    * SELF-CHECKING column: it counts the stored partial rows per
+    * group DIRECTLY from the mview table, and the oracle computes the
+    * expected batch count per group from raw parquet
+    * (count(DISTINCT o_orderkey % 2) — the fixture loads by key
+    * parity). A refresh that never applied reads 1; a double-applied
+    * refresh reads 3 — either way the red names its own mechanism in
+    * the saved parquet instead of just flipping a hash. */
+  val mviewAgg: Q = (s, d) => {
+    val fqn = mviewBase(s, d)
+    s.sql(
+      s"""SELECT b.o_orderstatus, b.o_orderpriority, b.cnt, b.total,
+         |       b.lo, b.hi, p.partial_rows
+         |FROM (
+         |  SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+         |         sum(o_price) AS total, min(o_price) AS lo,
+         |         max(o_price) AS hi
+         |  FROM $fqn
+         |  GROUP BY o_orderstatus, o_orderpriority) b
+         |JOIN (
+         |  SELECT o_orderstatus, o_orderpriority,
+         |         count(*) AS partial_rows
+         |  FROM ${fqn}_mv_status
+         |  GROUP BY o_orderstatus, o_orderpriority) p
+         |  ON b.o_orderstatus = p.o_orderstatus
+         | AND b.o_orderpriority = p.o_orderpriority""".stripMargin)
+  }
 
   /** AVG from the stored sum+count partials — the dashboard
     * aggregate: the rewrite derives AVG(x) as SUM(sum_x)/SUM(cnt_x)
@@ -1868,7 +1923,7 @@ object CatalogQueries {
     * parquet row-group stats. */
   private val builtLog = scala.collection.concurrent.TrieMap[String, String]()
   private def ordersLogTable(s: SparkSession, d: String): String =
-    builtLog.getOrElseUpdate(d, {
+    builtLog.getOrElseUpdate(d, FixtureLock.build(d) {
       ordersTable(s, d)
       val ns = s"sf_${math.abs(d.hashCode)}"
       val fqn = s"graft.$ns.orders_log_t"
@@ -1912,7 +1967,7 @@ object CatalogQueries {
     * the skip; this query gates the answers). */
   private val builtFp = scala.collection.concurrent.TrieMap[String, String]()
   private def docsFpTable(s: SparkSession, d: String): String =
-    builtFp.getOrElseUpdate(d, {
+    builtFp.getOrElseUpdate(d, FixtureLock.build(d) {
       ordersTable(s, d)
       val ns = s"sf_${math.abs(d.hashCode)}"
       val fqn = s"graft.$ns.docs_fp_t"
@@ -1941,7 +1996,7 @@ object CatalogQueries {
     * (GraftConvertSpec proves the link/rewrite/pruning mechanics). */
   private val builtConv = scala.collection.concurrent.TrieMap[String, String]()
   private def customerConvTable(s: SparkSession, d: String): String =
-    builtConv.getOrElseUpdate(d, {
+    builtConv.getOrElseUpdate(d, FixtureLock.build(d) {
       sfNamespace(s, d)
       val ns = s"sf_${math.abs(d.hashCode)}"
       val fqn = s"graft.$ns.customer_conv_t"
@@ -1969,7 +2024,7 @@ object CatalogQueries {
     * stale contents atomically rather than appending to them. */
   private val builtOw = scala.collection.concurrent.TrieMap[String, String]()
   private def ordersOwTable(s: SparkSession, d: String): String =
-    builtOw.getOrElseUpdate(d, {
+    builtOw.getOrElseUpdate(d, FixtureLock.build(d) {
       sfNamespace(s, d)
       val ns = s"sf_${math.abs(d.hashCode)}"
       val fqn = s"graft.$ns.orders_ow_t"
@@ -2014,7 +2069,7 @@ object CatalogQueries {
     * property the rewrite records, and rebuilt. */
   private val builtZ = scala.collection.concurrent.TrieMap[String, String]()
   private def ordersZTable(s: SparkSession, d: String): String =
-    builtZ.getOrElseUpdate(d, {
+    builtZ.getOrElseUpdate(d, FixtureLock.build(d) {
       sfNamespace(s, d)
       val ns = s"sf_${math.abs(d.hashCode)}"
       val fqn = s"graft.$ns.orders_z_t"
@@ -2062,7 +2117,7 @@ object CatalogQueries {
     * split not yet run) still has one region and is rebuilt. */
   private val builtSp = scala.collection.concurrent.TrieMap[String, String]()
   private def ordersSplitTable(s: SparkSession, d: String): String =
-    builtSp.getOrElseUpdate(d, {
+    builtSp.getOrElseUpdate(d, FixtureLock.build(d) {
       sfNamespace(s, d)
       val ns = s"sf_${math.abs(d.hashCode)}"
       val fqn = s"graft.$ns.orders_sp_t"
@@ -2118,7 +2173,7 @@ object CatalogQueries {
     * regions and is rebuilt. */
   private val builtMg = scala.collection.concurrent.TrieMap[String, String]()
   private def ordersMergedTable(s: SparkSession, d: String): String =
-    builtMg.getOrElseUpdate(d, {
+    builtMg.getOrElseUpdate(d, FixtureLock.build(d) {
       sfNamespace(s, d)
       val ns = s"sf_${math.abs(d.hashCode)}"
       val fqn = s"graft.$ns.orders_mg_t"
@@ -2190,7 +2245,7 @@ object CatalogQueries {
   val indexLookup: Q = (s, d) => {
     val o = ordersTable(s, d)
     val ns = s"sf_${math.abs(d.hashCode)}"
-    val idx = builtIdx.getOrElseUpdate(d, {
+    val idx = builtIdx.getOrElseUpdate(d, FixtureLock.build(d) {
       val expect = s.table(o).where("o_custkey IS NOT NULL").count()
       val name = "orders_t_idx_o_custkey"
       // trust needs the covering schema too: a pre-include index from
@@ -2271,7 +2326,7 @@ object CatalogQueries {
     * row count did not inflate, and untouched rows are intact. */
   private val builtUps = scala.collection.concurrent.TrieMap[String, String]()
   private def upsertTable(s: SparkSession, d: String): String =
-    builtUps.getOrElseUpdate(d, {
+    builtUps.getOrElseUpdate(d, FixtureLock.build(d) {
       val ns = sfNamespace(s, d)
       val fqn = s"graft.$ns.orders_ups_t"
       val srcCount = s.read.parquet(s"$d/orders.parquet").count()
@@ -2317,7 +2372,7 @@ object CatalogQueries {
     * INSERTs rebuilds. */
   private val builtUpsL = scala.collection.concurrent.TrieMap[String, String]()
   private def upsertLatestTable(s: SparkSession, d: String): String =
-    builtUpsL.getOrElseUpdate(d, {
+    builtUpsL.getOrElseUpdate(d, FixtureLock.build(d) {
       val ns = sfNamespace(s, d)
       val fqn = s"graft.$ns.orders_upsl_t"
       val src = s.read.parquet(s"$d/orders.parquet")
@@ -2363,7 +2418,7 @@ object CatalogQueries {
     * cannot tell a merged table from a freshly loaded one. */
   private val builtMrg = scala.collection.concurrent.TrieMap[String, String]()
   private def mergeTable(s: SparkSession, d: String): String =
-    builtMrg.getOrElseUpdate(d, {
+    builtMrg.getOrElseUpdate(d, FixtureLock.build(d) {
       val ns = sfNamespace(s, d)
       val fqn = s"graft.$ns.orders_mrg_t"
       val srcCount = s.read.parquet(s"$d/orders.parquet").count()
@@ -2512,7 +2567,7 @@ object CatalogQueries {
   private val builtClone =
     scala.collection.concurrent.TrieMap[String, String]()
   private def cloneTable(s: SparkSession, d: String): String =
-    builtClone.getOrElseUpdate(d, {
+    builtClone.getOrElseUpdate(d, FixtureLock.build(d) {
       val (srcFqn, v1) = changesTable(s, d)
       val ns = sfNamespace(s, d)
       val fqn = s"graft.$ns.orders_clone_t"
@@ -2542,7 +2597,7 @@ object CatalogQueries {
   private val builtTag =
     scala.collection.concurrent.TrieMap[String, String]()
   private def tagTable(s: SparkSession, d: String): String =
-    builtTag.getOrElseUpdate(d, {
+    builtTag.getOrElseUpdate(d, FixtureLock.build(d) {
       val ns = sfNamespace(s, d)
       val fqn = s"graft.$ns.orders_tag_t"
       val src = s.read.parquet(s"$d/orders.parquet")
@@ -2596,7 +2651,7 @@ object CatalogQueries {
     * row count is re-read from `CALL graft.sys.branches`). */
   private val builtWap = scala.collection.concurrent.TrieMap[String, String]()
   private def wapTable(s: SparkSession, d: String): String =
-    builtWap.getOrElseUpdate(d, {
+    builtWap.getOrElseUpdate(d, FixtureLock.build(d) {
       val ns = sfNamespace(s, d)
       val fqn = s"graft.$ns.orders_wap_t"
       val src = s.read.parquet(s"$d/orders.parquet")
@@ -2653,7 +2708,7 @@ object CatalogQueries {
   private val builtMirror =
     scala.collection.concurrent.TrieMap[String, String]()
   private def mirrorTable(s: SparkSession, d: String): String =
-    builtMirror.getOrElseUpdate(d, {
+    builtMirror.getOrElseUpdate(d, FixtureLock.build(d) {
       val ns = sfNamespace(s, d)
       val srcFqn = s"graft.$ns.orders_mirsrc_t"
       val tgtFqn = s"graft.$ns.orders_mirror_t"
@@ -2978,23 +3033,32 @@ object CatalogQueries {
     // invisible in the answers
     // the view must equal the parquet-recomputed join exactly: build
     // half, two CDC delta terms, and the store round-trip all hash in
+    // okey_n: each order joins exactly one customer, so the in-view
+    // per-orderkey row count is 1 on every row — the self-check that
+    // turns a netting-out duplicate/missing refresh delta into a
+    // visible value flip
     "catalog_mview_join" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus,
         |       CAST(CAST((o_orderkey * 7919 + 421) % 100000000
         |                 AS DECIMAL(12,0)) * 0.01 AS DECIMAL(12,2))
         |         AS o_price,
-        |       c_mktsegment
+        |       c_mktsegment, CAST(1 AS BIGINT) AS okey_n
         |FROM orders JOIN customer ON o_custkey = c_custkey""".stripMargin,
 
+    // partial_rows: the fixture loads by key parity and refreshes once,
+    // so each group holds exactly one stored partial per parity batch
+    // that contains it — count(DISTINCT o_orderkey % 2) from raw parquet
     "catalog_mview" ->
       """WITH priced AS (
         |  SELECT o_orderstatus, o_orderpriority,
         |         CAST(CAST((o_orderkey * 7919 + 421) % 100000000
-        |                   AS DECIMAL(12,0)) * 0.01 AS DECIMAL(12,2)) AS p
+        |                   AS DECIMAL(12,0)) * 0.01 AS DECIMAL(12,2)) AS p,
+        |         o_orderkey % 2 AS par
         |  FROM orders)
         |SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
         |       CAST(sum(p) AS DECIMAL(22,2)) AS total,
-        |       min(p) AS lo, max(p) AS hi
+        |       min(p) AS lo, max(p) AS hi,
+        |       count(DISTINCT par) AS partial_rows
         |FROM priced GROUP BY o_orderstatus, o_orderpriority""".stripMargin,
 
     // avg over exact integer cents: long sums < 2^53 divide to a

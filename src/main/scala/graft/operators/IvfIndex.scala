@@ -117,7 +117,7 @@ object IvfIndex {
     * only at the full row count — same rebuild discipline as the other
     * catalog-backed queries). */
   def centroidsTable(s: SparkSession, d: String): String =
-    builtCent.getOrElseUpdate(d, {
+    builtCent.getOrElseUpdate(d, FixtureLock.build(d) {
       val ns = CatalogQueries.sfNamespace(s, d)
       val fqn = s"graft.$ns.ann_centroids_t"
       val exists = CatalogQueries.trusted(s, ns, "ann_centroids_t", K)
@@ -146,7 +146,7 @@ object IvfIndex {
   def candidates(s: SparkSession, d: String,
       nProbe: Int = NProbe): DataFrame = {
     val vn = vecs(s, d)
-    val (cents, q) = probeCache.getOrElseUpdate(d, {
+    val (cents, q) = probeCache.getOrElseUpdate(d, FixtureLock.build(d) {
       val c = s.table(centroidsTable(s, d)).collect()
         .map(r => (r.getInt(0), r.getSeq[Float](1))).toSeq
       val qv = vn.filter(col("vec_id") === 0).select(col("vn").as("qv"))
@@ -186,7 +186,7 @@ object IvfIndex {
     * (recomputing assignments at query time, as [[candidates]] does,
     * reads everything and only saves compute). */
   def invertedTable(s: SparkSession, d: String): String =
-    builtInv.getOrElseUpdate(d, {
+    builtInv.getOrElseUpdate(d, FixtureLock.build(d) {
       val ns = CatalogQueries.sfNamespace(s, d)
       val fqn = s"graft.$ns.ann_ivf_t"
       val srcCount = T(s, d, "embeddings").count()

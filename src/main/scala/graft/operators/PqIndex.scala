@@ -151,7 +151,7 @@ object PqIndex {
   /** Codebooks as a graft catalog table keyed (m, cid) — the shipped
     * index artifact, M×K2 rows. */
   def codebookTable(s: SparkSession, d: String): String =
-    builtCb.getOrElseUpdate(d, {
+    builtCb.getOrElseUpdate(d, FixtureLock.build(d) {
       val ns = CatalogQueries.sfNamespace(s, d)
       val fqn = s"graft.$ns.pq_codebooks_${Stamp}_t"
       val exists = CatalogQueries.trusted(s, ns, s"pq_codebooks_${Stamp}_t", M * K2)
@@ -185,7 +185,7 @@ object PqIndex {
     * what a 100 TB ANN sweep scans instead of raw vectors (≤8 B vs
     * 256 B per row before encoding). */
   def codesTable(s: SparkSession, d: String): String =
-    builtCodes.getOrElseUpdate(d, {
+    builtCodes.getOrElseUpdate(d, FixtureLock.build(d) {
       val ns = CatalogQueries.sfNamespace(s, d)
       val fqn = s"graft.$ns.pq_codes_${Stamp}_t"
       val srcCount = T(s, d, "embeddings").count()
@@ -212,7 +212,7 @@ object PqIndex {
     * driver-built M×K2 dot table), exact re-rank of the top-`Rerank`. */
   def topk(s: SparkSession, d: String): DataFrame = {
     val codes = codesTable(s, d)
-    val (cb, q) = queryCache.getOrElseUpdate(d, {
+    val (cb, q) = queryCache.getOrElseUpdate(d, FixtureLock.build(d) {
       val c = loadCb(s, d)
       val qv = vecs(s, d).filter(col("vec_id") === 0)
         .collect().head.getSeq[Float](1)
@@ -258,7 +258,7 @@ object PqIndex {
     * of floats. At 100 TB this is the difference between an ANN query
     * reading ~40% × corpus-bytes and reading ~40% × corpus/32. */
   def ivfpqTable(s: SparkSession, d: String): String =
-    builtIvfPq.getOrElseUpdate(d, {
+    builtIvfPq.getOrElseUpdate(d, FixtureLock.build(d) {
       val ns = CatalogQueries.sfNamespace(s, d)
       val tbl = s"ivfpq_codes_${Stamp}_t"
       val fqn = s"graft.$ns.$tbl"
@@ -289,7 +289,7 @@ object PqIndex {
     * the final plan). */
   def probedCodes(s: SparkSession, d: String): DataFrame = {
     val codesFqn = ivfpqTable(s, d)
-    val (_, q) = queryCache.getOrElseUpdate(d, {
+    val (_, q) = queryCache.getOrElseUpdate(d, FixtureLock.build(d) {
       val c = loadCb(s, d)
       val qv = vecs(s, d).filter(col("vec_id") === 0)
         .collect().head.getSeq[Float](1)

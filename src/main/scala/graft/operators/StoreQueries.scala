@@ -17,7 +17,7 @@ object StoreQueries {
     * `private[operators]` so PlanShapeSpec asserts pruning/ordering on
     * the SAME fixture the driver-gate faces run against. */
   private[operators] def ordersStore(s: SparkSession, d: String): String =
-    cache.getOrElseUpdate(d, {
+    cache.getOrElseUpdate(d, FixtureLock.build(d) {
       val dir = s"/tmp/graft_region_store/orders_${math.abs(d.hashCode)}"
       if (!new java.io.File(s"$dir/_graft_manifest").exists()) {
         RegionStore.bulkLoad(

@@ -98,6 +98,27 @@ class MviewSpec extends AnyFunSuite {
       s"base still scanned: $tables")
   }
 
+  test("self-check face shape: agg-over-base JOIN agg-over-mview still " +
+      "drops the base scan") {
+    // the catalog_mview driver face joins the rewrite-served aggregate
+    // with a direct partial-row count from the mview table — the
+    // rewrite must still fire on the base subtree, leaving a plan
+    // that scans ONLY the mview
+    setup(); buildMv()
+    val q =
+      """SELECT b.grp, b.sv, b.c1, p.partial_rows
+        |FROM (SELECT grp, sum(v) AS sv, count(*) AS c1
+        |      FROM graft.mv.base GROUP BY grp) b
+        |JOIN (SELECT grp, count(*) AS partial_rows
+        |      FROM graft.mv.base_mv_bygrp GROUP BY grp) p
+        |  ON b.grp = p.grp""".stripMargin
+    val df = parity(q)
+    val tables = scannedTables(df)
+    assert(tables.nonEmpty &&
+      tables.forall(_.endsWith("base_mv_bygrp")),
+      s"expected only mview scans in the joined face shape: $tables")
+  }
+
   test("rollup over the group column and filters on it stay exact") {
     setup(); buildMv()
     val df = parity(
