@@ -647,7 +647,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def listNamespaces(): Array[Array[String]] =
     Option(warehouse.listFiles()).getOrElse(Array.empty)
-      .filter(_.isDirectory).map(f => Array(f.getName))
+      .filter(_.isDirectory)
+      // "_"-prefixed directories are warehouse-internal (the fixture
+      // build locks live in _locks), not namespaces
+      .filterNot(_.getName.startsWith("_"))
+      .map(f => Array(f.getName))
 
   override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
     if (namespace.isEmpty) listNamespaces()

@@ -2543,7 +2543,7 @@ object CatalogQueries {
       if (!readable && !retry) { s.sql(s"DROP TABLE $fqn"); build(true) }
       else (fqn, v1)
     }
-    builtCdc.getOrElseUpdate(d, build(retry = false))
+    builtCdc.getOrElseUpdate(d, FixtureLock.build(d)(build(retry = false)))
   }
 
   /** Aggregate over the version delta — hash-checked against the raw

@@ -45,6 +45,17 @@ class FixtureLockSpec extends AnyFunSuite {
     assert(maxInside == 1, s"critical section interleaved: $maxInside")
   }
 
+  test("the _locks directory never surfaces as a catalog namespace") {
+    FixtureLock.build("/ns/visibility") { () } // materializes _locks
+    val wh = spark.conf.get("spark.sql.catalog.graft.warehouse")
+    assert(new java.io.File(wh, "_locks").isDirectory,
+      "lock dir should exist inside the warehouse")
+    val ns = spark.sql("SHOW NAMESPACES IN graft").collect()
+      .map(_.getString(0))
+    assert(!ns.contains("_locks"),
+      s"internal lock dir leaked into SHOW NAMESPACES: ${ns.mkString(",")}")
+  }
+
   test("distinct keys do not block each other") {
     spark.sparkContext
     val pool = Executors.newFixedThreadPool(2)
