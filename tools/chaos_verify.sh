@@ -10,8 +10,12 @@
 #                   warehouse (different namespaces; must both stay green)
 #
 # Usage: MODE=race ITER=6 tools/chaos_verify.sh [queryFilter]
-# Requires a compiled tree (sbt compile). Uses a private warehouse under
-# /tmp/graft_chaos_wh so concurrent sessions don't collide.
+# queryFilter "all" runs the FULL query board (no filter). Requires a
+# compiled tree (sbt compile) — and do NOT recompile while a run is in
+# flight: the JVMs load classes lazily from target/, so a concurrent
+# compile manifests as spurious NoClassDefFoundError crashes. Uses a
+# private warehouse under /tmp/graft_chaos_wh so concurrent sessions
+# don't collide.
 set -u
 MODE=${MODE:-race}
 ITER=${ITER:-6}
@@ -25,10 +29,12 @@ mkdir -p $LOG
 RC=0
 
 run_verify() { # out, logfile
-  SPARK_GRAFT_CPUS=4 java -Xmx6g $ADDOPENS \
+  local args=("$SF" "$1")
+  [ "$FILTER" != "all" ] && args+=("$FILTER")
+  SPARK_GRAFT_CPUS=4 java -Xmx8g $ADDOPENS \
     -Dspark.sql.catalog.graft=graft.catalog.GraftCatalog \
     -Dspark.sql.catalog.graft.warehouse=$WH \
-    -cp "$CP" graft.Verify $SF "$1" "$FILTER" > "$2" 2>&1
+    -cp "$CP" graft.Verify "${args[@]}" > "$2" 2>&1
 }
 
 check() { # out, logfile -> rc
