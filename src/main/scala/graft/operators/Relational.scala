@@ -352,6 +352,22 @@ object Relational {
     * rsd=0.01 16k-register buffer measured 1.3 s alone at sf0.1
     * against DataSketches' 0.38 s. The sketch and exact aggregates
     * cross-join into ONE job so their stages schedule together. */
+  /** Exact COUNT(DISTINCT c) as ROARING-STYLE BITMAPS instead of the
+    * Expand-based distinct aggregate: group the key into 32k-value
+    * buckets, OR the positions into one 4 KB bitmap per bucket, sum
+    * the bit counts. The partial aggregate carries ~n/32k bitmaps per
+    * task instead of a deduped key stream, the exchange moves
+    * kilobytes, and the Expand (which multiplies the scan stream per
+    * distinct column) is gone — the same trick BigQuery's bitmap
+    * count-distinct and ClickHouse's groupBitmap use, exact at any
+    * scale because a value owns exactly one (bucket, bit). Positive
+    * keys only (bitmap_bit_position is 1-based). */
+  private[operators] def exactDistinctViaBitmap(df: DataFrame, c: String,
+      alias: String): DataFrame =
+    df.groupBy(expr(s"bitmap_bucket_number($c)").as("bkt"))
+      .agg(expr(s"bitmap_construct_agg(bitmap_bit_position($c))").as("bm"))
+      .agg(sum(expr("bitmap_count(bm)")).as(alias))
+
   val aggApproxDistinct: Q = (s, d) => {
     // the sketches and the exact counts stay SEPARATE aggregate
     // subtrees: mixing sketch partials into the distinct-Expand plan
@@ -361,23 +377,10 @@ object Relational {
       expr("hll_sketch_estimate(hll_sketch_agg(l_partkey))").as("ap"),
       expr("hll_sketch_estimate(hll_sketch_agg(l_orderkey, 14))")
         .as("ao"))
-    // exact distinct counts as ROARING-STYLE BITMAPS instead of the
-    // Expand-based countDistinct pair: group each key into 32k-value
-    // buckets, OR the positions into one 4 KB bitmap per bucket, sum
-    // the bit counts. The partial aggregate carries ~20 bitmaps per
-    // task instead of a deduped key stream, the exchange moves
-    // kilobytes, and the Expand (which doubled the scan stream) is
-    // gone — the same trick BigQuery's bitmap count-distinct and
-    // ClickHouse's groupBitmap use, and it stays exact at any scale
-    // because a value owns exactly one (bucket, bit).
-    def bitmapCount(c: String, alias: String) =
-      li(s, d)
-        .groupBy(expr(s"bitmap_bucket_number($c)").as("bkt"))
-        .agg(expr(s"bitmap_construct_agg(bitmap_bit_position($c))")
-          .as("bm"))
-        .agg(sum(expr("bitmap_count(bm)")).as(alias))
-    val exactDf = bitmapCount("l_partkey", "exact_parts")
-      .crossJoin(bitmapCount("l_orderkey", "exact_orders"))
+    val exactDf =
+      exactDistinctViaBitmap(li(s, d), "l_partkey", "exact_parts")
+        .crossJoin(
+          exactDistinctViaBitmap(li(s, d), "l_orderkey", "exact_orders"))
     val row = approxDf.crossJoin(exactDf).collect()(0)
     val (ap, ao) = (row.getLong(0), row.getLong(1))
     val (exactParts, exactOrders) = (row.getLong(2), row.getLong(3))

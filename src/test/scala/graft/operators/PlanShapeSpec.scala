@@ -45,6 +45,17 @@ class PlanShapeSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(p).size >= 2)
   }
 
+  test("bitmap exact-distinct plans without Expand; counts stay exact") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val df = Relational.exactDistinctViaBitmap(li, "l_orderkey", "n")
+    val p = plan(df)
+    assert(!p.contains("Expand"),
+      s"bitmap distinct must not multiply the scan stream:\n$p")
+    assert(p.contains("bitmap_construct_agg"), p)
+    val exact = li.select("l_orderkey").distinct().count()
+    assert(df.collect()(0).getLong(0) == exact)
+  }
+
   test("cosine kernel runs inside whole-stage codegen") {
     val df = TextOps.annCosinePairs(spark, sf)
     df.collect() // finalize the adaptive plan
