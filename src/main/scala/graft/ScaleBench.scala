@@ -168,7 +168,12 @@ object ScaleBench {
     // q14 conditional share, q15 top supplier, q22 anti join
     "catalog_tpch_q6", "catalog_tpch_q8", "catalog_tpch_q9",
     "catalog_tpch_q13", "catalog_tpch_q14", "catalog_tpch_q15",
-    "catalog_tpch_q22")
+    "catalog_tpch_q22",
+    // bitmap exact-distinct + HLL sketch face: replicas key-shift
+    // l_partkey/l_orderkey, so the distinct counts (and bitmap bucket
+    // counts) genuinely grow ~xfactor — the bucket partials should keep
+    // the exchange tiny and the whole face ~linear-or-less
+    "agg_approx_distinct")
   // dedup_edit and dedup_incoming are deliberately NOT amplified:
   // key-shifted replicas make every title/document an exact dup
   // family, so their OUTPUT grows ~factor² by construction (same
