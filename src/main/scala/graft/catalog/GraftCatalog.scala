@@ -658,8 +658,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     else if (namespaceExists(namespace)) Array.empty
     else throw new NoSuchNamespaceException(namespace.toSeq)
 
+  // "_"-prefixed names are reserved for warehouse-internal state (the
+  // fixture build locks live in _locks): they are invisible to every
+  // namespace operation, so DROP NAMESPACE can never delete live lock
+  // files and CREATE/SHOW stay mutually consistent
+  private def internalName(namespace: Array[String]): Boolean =
+    namespace.length == 1 && namespace.head.startsWith("_")
+
   override def namespaceExists(namespace: Array[String]): Boolean =
-    namespace.length == 1 && nsDir(namespace).isDirectory
+    namespace.length == 1 && !internalName(namespace) &&
+      nsDir(namespace).isDirectory
 
   override def loadNamespaceMetadata(namespace: Array[String])
       : java.util.Map[String, String] = {
@@ -670,6 +678,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def createNamespace(namespace: Array[String],
       metadata: java.util.Map[String, String]): Unit = {
+    if (internalName(namespace))
+      throw new IllegalArgumentException(
+        s"namespace name '${namespace.head}' is reserved " +
+          "(\"_\"-prefixed directories are warehouse-internal)")
     if (namespaceExists(namespace))
       throw new NamespaceAlreadyExistsException(namespace)
     Files.createDirectories(nsDir(namespace).toPath)
@@ -681,6 +693,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def dropNamespace(namespace: Array[String],
       cascade: Boolean): Boolean = {
+    if (internalName(namespace)) return false
     val d = nsDir(namespace)
     if (!d.isDirectory) return false
     if (!cascade && Option(d.listFiles()).exists(_.nonEmpty))

@@ -126,8 +126,7 @@ object CatalogQueries {
       d: String): Unit =
     fpGate.getOrElseUpdate(s"$d#$ns", {
       val fp = sourceFingerprint(d)
-      val wh = s.conf.getOption("spark.sql.catalog.graft.warehouse")
-        .getOrElse("/tmp/graft_warehouse")
+      val wh = FixtureLock.warehouse(s)
       val marker = java.nio.file.Paths.get(wh, ns, "_fixture_fp")
       val cur = if (java.nio.file.Files.exists(marker))
         new String(java.nio.file.Files.readAllBytes(marker), "UTF-8").trim
@@ -1552,9 +1551,8 @@ object CatalogQueries {
     * not a later reproduction. */
   private def mviewDiag(s: SparkSession, ns: String, line: String): Unit =
     try {
-      val wh = s.conf.getOption("spark.sql.catalog.graft.warehouse")
-        .getOrElse("/tmp/graft_warehouse")
-      val p = java.nio.file.Paths.get(wh, ns, "_fixture_diag")
+      val p = java.nio.file.Paths.get(
+        FixtureLock.warehouse(s), ns, "_fixture_diag")
       java.nio.file.Files.createDirectories(p.getParent)
       java.nio.file.Files.writeString(p,
         s"${java.time.Instant.now()} $line\n",

@@ -48,22 +48,37 @@ object FixtureLock {
       new java.util.HashSet[String]()
   }
 
-  private def warehouse: String = {
-    val s = SparkSession.active
+  /** The ONE warehouse resolution fixture code uses — it must agree
+    * with [[graft.catalog.GraftCatalog]]'s own default (the `warehouse`
+    * catalog option, falling back to `/tmp/graft_warehouse`,
+    * GraftCatalog.scala) or the lock would guard a different directory
+    * than the catalog mutates. */
+  private[operators] def warehouse(s: SparkSession): String =
     s.conf.getOption("spark.sql.catalog.graft.warehouse")
-      .getOrElse("/tmp/graft_catalog_warehouse")
-  }
+      .getOrElse("/tmp/graft_warehouse")
 
   def build[T](d: String)(body: => T): T = {
-    val wh = warehouse
+    val s = SparkSession.active
+    // register the catalog (idempotent) BEFORE resolving the warehouse:
+    // the first builder in a fresh session would otherwise resolve the
+    // pre-registration default while later builders resolve the
+    // registered location — two lock roots guarding one warehouse
+    CatalogQueries.ensureGraftCatalog(s)
+    val wh = warehouse(s)
     val key = wh + "#" + d
     if (held.get.contains(key)) return body // re-entrant nested builder
     val mon = monitors.computeIfAbsent(key, _ => new Object)
     mon.synchronized {
       val dir = Paths.get(wh, "_locks")
       Files.createDirectories(dir)
+      // file name from a digest of the SAME key the monitor uses: the
+      // monitor and the OS lock must agree on identity, or a hash
+      // collision could reach ch.lock() twice in one JVM
+      // (OverlappingFileLockException) or skip serialization entirely
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(key.getBytes("UTF-8"))
       val file = dir.resolve(
-        java.lang.Integer.toHexString(d.hashCode) + ".lock")
+        md.map("%02x".format(_)).mkString + ".lock")
       val ch = FileChannel.open(file,
         StandardOpenOption.CREATE, StandardOpenOption.WRITE)
       try {

@@ -25,24 +25,27 @@ class FixtureLockSpec extends AnyFunSuite {
     spark.sparkContext
     val pool = Executors.newFixedThreadPool(2)
     val started = new CountDownLatch(2)
-    @volatile var inside = 0
-    @volatile var maxInside = 0
+    // atomic read-modify-write: a broken lock must not be able to
+    // slip past a racy detector
+    val inside = new java.util.concurrent.atomic.AtomicInteger(0)
+    val maxInside = new java.util.concurrent.atomic.AtomicInteger(0)
     val fs = (1 to 2).map { _ =>
       pool.submit(new Runnable {
         override def run(): Unit = {
           started.countDown(); started.await()
           FixtureLock.build("/contended/key") {
-            inside += 1
-            maxInside = math.max(maxInside, inside)
+            val n = inside.incrementAndGet()
+            maxInside.accumulateAndGet(n, math.max)
             Thread.sleep(50)
-            inside -= 1
+            inside.decrementAndGet()
           }
         }
       })
     }
     fs.foreach(_.get(30, TimeUnit.SECONDS))
     pool.shutdown()
-    assert(maxInside == 1, s"critical section interleaved: $maxInside")
+    assert(maxInside.get == 1,
+      s"critical section interleaved: ${maxInside.get}")
   }
 
   test("the _locks directory never surfaces as a catalog namespace") {

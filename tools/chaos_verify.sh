@@ -64,8 +64,13 @@ for i in $(seq 1 $ITER); do
     mixed)
       run_verify /tmp/graft_chaos_a $LOG/ma$i.log & PA=$!
       sleep $((RANDOM % 10))
+      # "all" means no filter — Bench's SPARK_GRAFT_ONLY is a substring
+      # match, so passing the literal "all" would select a near-empty
+      # board and the mixed run would prove nothing
+      BENCH_ONLY=""
+      [ "$FILTER" != "all" ] && BENCH_ONLY="$FILTER"
       SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=8 \
-        SPARK_GRAFT_ONLY="$FILTER" \
+        ${BENCH_ONLY:+SPARK_GRAFT_ONLY="$BENCH_ONLY"} \
         SPARK_GRAFT_CONF="spark.sql.catalog.graft=graft.catalog.GraftCatalog;spark.sql.catalog.graft.warehouse=$WH" \
         java -Xmx8g $ADDOPENS -cp "$CP" graft.Bench > $LOG/mb$i.log 2>&1 & PB=$!
       wait $PA; wait $PB; RB=$?
