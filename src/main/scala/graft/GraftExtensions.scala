@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, IntegerLiteral}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, IntegerLiteral}
 import graft.functions.{DistinctGramHashes, DistinctWordHashes, LshBucket, MinHashSig, SharedCount, Shingle3Hashes, SimHash64, VecCosine, VecDot, WinnowKeys, WordHashes, WordTfPairs, WordWindowHashes}
 
 /** Session extension wiring the graft native functions into SQL.
@@ -109,5 +109,39 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("word_tf_pairs"),
       info("word_tf_pairs", classOf[WordTfPairs]),
       (args: Seq[Expression]) => WordTfPairs(args(0))))
+    // KLL quantile sketches (the percentile counterpart of the built-in
+    // DataSketches hll_* family, which Spark does not ship): build,
+    // merge-of-stored-partials, and quantile readout
+    ext.injectFunction((FunctionIdentifier("kll_sketch_agg"),
+      info("kll_sketch_agg", classOf[graft.functions.KllSketchAgg]),
+      (args: Seq[Expression]) => {
+        // numerics implicit-cast to double; a double→double cast is
+        // simplified away by the optimizer
+        def c(e: Expression) =
+          Cast(e, org.apache.spark.sql.types.DoubleType)
+        val agg = args match {
+          case Seq(a) => graft.functions.KllSketchAgg(c(a), 200)
+          case Seq(a, IntegerLiteral(k)) =>
+            graft.functions.KllSketchAgg(c(a), k)
+          case _ => throw new IllegalArgumentException(
+            "kll_sketch_agg(x[, k]) expects a literal k")
+        }
+        agg.toAggregateExpression()
+      }))
+    ext.injectFunction((FunctionIdentifier("kll_union_agg"),
+      info("kll_union_agg", classOf[graft.functions.KllUnionAgg]),
+      (args: Seq[Expression]) => {
+        val agg = args match {
+          case Seq(a) => graft.functions.KllUnionAgg(a, 200)
+          case Seq(a, IntegerLiteral(k)) => graft.functions.KllUnionAgg(a, k)
+          case _ => throw new IllegalArgumentException(
+            "kll_union_agg(sketch[, k]) expects a literal k")
+        }
+        agg.toAggregateExpression()
+      }))
+    ext.injectFunction((FunctionIdentifier("kll_get_quantile"),
+      info("kll_get_quantile", classOf[graft.functions.KllGetQuantile]),
+      (args: Seq[Expression]) =>
+        graft.functions.KllGetQuantile(args(0), args(1))))
   }
 }

@@ -230,6 +230,22 @@ class GraftMviewRewrite(session: SparkSession) extends Rule[LogicalPlan] {
                   .toAggregateExpression())
             case _ => None
           }
+        // kll_sketch_agg over a stored KLL partial re-aggregates as
+        // kll_union_agg — same approximate-transparency contract as
+        // hll: merge preserves the sketch's rank-error bound, and the
+        // user already opted into an approximate aggregate. Only the
+        // default-k form matches the stored sketch's configuration.
+        // The builder implicit-casts the input to double, so the
+        // attribute may arrive wrapped in that cast.
+        case ksa: graft.functions.KllSketchAgg if ksa.k == 200 =>
+          (ksa.child match {
+            case x: AttributeReference => Some(x)
+            case Cast(x: AttributeReference, org.apache.spark.sql.types
+              .DoubleType, _, _) => Some(x)
+            case _ => None
+          }).flatMap(x => aggMap.get(("kll", x.name.toLowerCase)).map(c =>
+            graft.functions.KllUnionAgg(mvAttr(c), 200)
+              .toAggregateExpression()))
         case _ => None
       }
       out.map(e =>

@@ -1527,11 +1527,11 @@ object GraftProcedures {
       val parts = spec.split(":", 2)
       require(parts.length == 2,
         s"agg spec '$spec' must be '<fn>:<col>' (fn in " +
-          "sum/count/min/max/hll)")
+          "sum/count/min/max/hll/kll)")
       val fn = parts(0).trim.toLowerCase
       val col = parts(1).trim.toLowerCase
-      require(Set("sum", "count", "min", "max", "hll")(fn),
-        s"unsupported mview aggregate '$fn' (sum/count/min/max/hll)")
+      require(Set("sum", "count", "min", "max", "hll", "kll")(fn),
+        s"unsupported mview aggregate '$fn' (sum/count/min/max/hll/kll)")
       require(col != "*" || fn == "count", s"'$fn:*' is not an aggregate")
       val stored =
         if (fn == "count" && col == "*") "cnt_star"
@@ -1602,6 +1602,7 @@ object GraftProcedures {
       : Seq[String] = specs.map {
     case ("count", "*", stored) => s"count(*) AS `$stored`"
     case ("hll", col, stored) => s"hll_sketch_agg(`$col`) AS `$stored`"
+    case ("kll", col, stored) => s"kll_sketch_agg(`$col`) AS `$stored`"
     case (fn, col, stored) =>
       val f = if (fn == "count") "count" else fn
       s"$f(`$col`) AS `$stored`"

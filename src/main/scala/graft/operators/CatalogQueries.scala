@@ -1570,7 +1570,8 @@ object CatalogQueries {
       val expectAggs = "sum:o_price=sum_o_price;count:*=cnt_star;" +
         "min:o_price=min_o_price;max:o_price=max_o_price;" +
         "hll:o_orderpriority=hll_o_orderpriority;" +
-        "sum:o_cents=sum_o_cents;count:o_cents=cnt_o_cents"
+        "sum:o_cents=sum_o_cents;count:o_cents=cnt_o_cents;" +
+        "kll:o_cents=kll_o_cents"
       val mvFresh = trusted(s, ns, "orders_sum_t", srcCount) &&
         s.sql(s"SHOW TABLES IN graft.$ns").collect()
           .exists(_.getString(1) == "orders_sum_t_mv_status") &&
@@ -1609,7 +1610,8 @@ object CatalogQueries {
         s.sql(s"CALL graft.sys.mview(table => '$ns.orders_sum_t', " +
           "name => 'status', group_by => 'o_orderstatus;o_orderpriority', " +
           "aggs => 'sum:o_price;count:*;min:o_price;max:o_price;" +
-          "hll:o_orderpriority;sum:o_cents;count:o_cents')").collect()
+          "hll:o_orderpriority;sum:o_cents;count:o_cents;kll:o_cents')")
+          .collect()
         batch("o_orderkey % 2 = 1")
         val r = s.sql(s"CALL graft.sys.mview_refresh(" +
           s"table => '$ns.orders_sum_t', name => 'status')").collect()(0)
@@ -1903,6 +1905,49 @@ object CatalogQueries {
        |       count(*) AS cnt
        |FROM ${mviewBase(s, d)}
        |GROUP BY o_orderstatus""".stripMargin)
+
+  /** Median from STORED KLL sketch partials — the percentile
+    * counterpart of [[mviewHll]]: `kll_union_agg` merges the per-batch
+    * sketches (build partial + refresh-appended partial per group) and
+    * `kll_get_quantile` reads p50 without touching the fact table. KLL
+    * compaction is randomized, so the face is sketch-GATED (the
+    * annSketchGateFace pattern): the hash-checked columns are the
+    * EXACT discrete median (the ceil(n/2)-th smallest cents value,
+    * engine-portable integer arithmetic the DuckDB oracle recomputes
+    * from raw parquet) plus `within_kll` — 1 iff the sketch estimate's
+    * TRUE rank sits within 0.5±0.06 (k=200 rank error is ~1.65%; 6% is
+    * a never-flakes-on-honest-sketches envelope). The sketches run for
+    * real on every grading run; an estimator regression flips the
+    * column and the board row goes red. */
+  val mviewKll: Q = (s, d) => {
+    val fqn = mviewBase(s, d)
+    s.sql(
+      s"""WITH k AS (
+         |  SELECT o_orderstatus,
+         |         kll_get_quantile(kll_union_agg(kll_o_cents), 0.5D)
+         |           AS est
+         |  FROM ${fqn}_mv_status GROUP BY o_orderstatus),
+         |r AS (
+         |  SELECT b.o_orderstatus, count(*) AS cnt,
+         |         sum(CASE WHEN b.o_cents <= k.est THEN 1 ELSE 0 END)
+         |           AS le
+         |  FROM $fqn b JOIN k ON b.o_orderstatus = k.o_orderstatus
+         |  GROUP BY b.o_orderstatus),
+         |m AS (
+         |  SELECT o_orderstatus,
+         |         min(CASE WHEN rk = CAST(ceil(n * 0.5) AS BIGINT)
+         |                  THEN o_cents END) AS med_cents
+         |  FROM (SELECT o_orderstatus, o_cents,
+         |               row_number() OVER (PARTITION BY o_orderstatus
+         |                                  ORDER BY o_cents) AS rk,
+         |               count(*) OVER (PARTITION BY o_orderstatus) AS n
+         |        FROM $fqn)
+         |  GROUP BY o_orderstatus)
+         |SELECT m.o_orderstatus, m.med_cents, r.cnt,
+         |       CASE WHEN abs(r.le / r.cnt - 0.5) <= 0.06
+         |            THEN 1 ELSE 0 END AS within_kll
+         |FROM m JOIN r ON m.o_orderstatus = r.o_orderstatus""".stripMargin)
+  }
 
   /** Coarser rollup + filter on an mview dimension: still derivable
     * from the stored partials (SUM of sums over the surviving rows). */
@@ -2832,6 +2877,7 @@ object CatalogQueries {
     "catalog_key_groupby_pushdown" -> keyGroupByPushdown,
     "catalog_mview" -> mviewAgg,
     "catalog_mview_avg" -> mviewAvg,
+    "catalog_mview_kll" -> mviewKll,
     "catalog_mview_join" -> mviewJoinRead,
     "catalog_mview_rollup" -> mviewRollup,
     "catalog_mview_delta" -> mviewDeltaAgg,
@@ -3058,6 +3104,26 @@ object CatalogQueries {
         |       min(p) AS lo, max(p) AS hi,
         |       count(DISTINCT par) AS partial_rows
         |FROM priced GROUP BY o_orderstatus, o_orderpriority""".stripMargin,
+
+    // sketch-gated KLL percentile: the hash-checked columns are the
+    // exact ceil(n/2)-th-smallest cents (portable integer window
+    // arithmetic) and the gate bit; the sketch itself is randomized,
+    // so only its rank-accuracy is asserted, Spark-side
+    "catalog_mview_kll" ->
+      """WITH base AS (
+        |  SELECT o_orderstatus,
+        |         (o_orderkey * 7919 + 421) % 100000000 AS o_cents
+        |  FROM orders)
+        |SELECT o_orderstatus,
+        |       min(CASE WHEN rk = CAST(ceil(n * 0.5) AS BIGINT)
+        |                THEN o_cents END) AS med_cents,
+        |       max(n) AS cnt, 1 AS within_kll
+        |FROM (SELECT o_orderstatus, o_cents,
+        |             row_number() OVER (PARTITION BY o_orderstatus
+        |                                ORDER BY o_cents) AS rk,
+        |             count(*) OVER (PARTITION BY o_orderstatus) AS n
+        |      FROM base)
+        |GROUP BY o_orderstatus""".stripMargin,
 
     // avg over exact integer cents: long sums < 2^53 divide to a
     // correctly-rounded double identically in both engines

@@ -381,6 +381,74 @@ class MviewSpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS graft.mv.base_mv_hll")
   }
 
+  test("KLL sketch partials: quantile readout from merged stored " +
+      "partials stays rank-accurate; rewrite serves kll_sketch_agg") {
+    setup()
+    spark.sql("DROP TABLE IF EXISTS graft.mv.base_mv_kll")
+    spark.sql("CALL graft.sys.mview(table => 'mv.base', " +
+      "name => 'kll', group_by => 'grp', aggs => 'kll:k;count:*')")
+      .collect()
+    // direct read of the stored partials: union then quantile
+    val est = spark.sql(
+      """SELECT grp, kll_get_quantile(kll_union_agg(kll_k), 0.5D) AS p50
+        |FROM graft.mv.base_mv_kll GROUP BY grp""".stripMargin)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // exact rank gate: the estimate's true rank must sit within 5% of
+    // 0.5 (k=200 rank error is ~1.65%; KLL is randomized, so gate on
+    // rank, never on values)
+    val rows = spark.table("graft.mv.base")
+      .select("grp", "k").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).sorted)
+    est.foreach { case (g, e) =>
+      val vs = rows(g)
+      val rank = vs.count(_ <= e).toDouble / vs.length
+      assert(math.abs(rank - 0.5) <= 0.05,
+        s"grp $g: estimate $e has rank $rank")
+    }
+    // the rewrite serves kll_sketch_agg over the base from the mview
+    val q = """SELECT grp,
+              |       kll_get_quantile(kll_sketch_agg(CAST(k AS DOUBLE)),
+              |                        0.5D) AS p50
+              |FROM graft.mv.base GROUP BY grp""".stripMargin
+    val on = spark.sql(q)
+    assert(scannedTables(on).exists(_.endsWith("base_mv_kll")),
+      s"kll mview should serve: ${scannedTables(on)}")
+    on.collect().foreach { r =>
+      val vs = rows(r.getLong(0))
+      val rank = vs.count(_ <= r.getDouble(1)).toDouble / vs.length
+      assert(math.abs(rank - 0.5) <= 0.05,
+        s"rewritten grp ${r.getLong(0)}: rank $rank")
+    }
+    // refresh appends a second sketch partial per group; union still
+    // rank-accurate
+    spark.sql(
+      """INSERT INTO graft.mv.base
+        |SELECT id + 9000, id % 7, 's0', CAST(id AS DOUBLE),
+        |       CAST(1.00 AS DECIMAL(10,2)) FROM range(500)""".stripMargin)
+    spark.sql("CALL graft.sys.mview_refresh(" +
+      "table => 'mv.base', name => 'kll')").collect()
+    val rows2 = spark.table("graft.mv.base")
+      .select("grp", "k").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).sorted)
+    val on2 = spark.sql(q)
+    assert(scannedTables(on2).exists(_.endsWith("base_mv_kll")))
+    on2.collect().foreach { r =>
+      val vs = rows2(r.getLong(0))
+      val rank = vs.count(_ <= r.getDouble(1)).toDouble / vs.length
+      assert(math.abs(rank - 0.5) <= 0.05,
+        s"post-refresh grp ${r.getLong(0)}: rank $rank")
+    }
+    // stale-by-append: no singleton-sketch projection for raw rows —
+    // decline to the base, like hll
+    spark.sql(
+      """INSERT INTO graft.mv.base VALUES
+        |(99998, 1, 's1', 1.0, CAST(1.00 AS DECIMAL(10,2)))""".stripMargin)
+    val stale = spark.sql(q)
+    assert(!scannedTables(stale).exists(_.endsWith("base_mv_kll")),
+      "kll staleness cannot union raw rows; must fall back to the base")
+    spark.sql("DROP TABLE IF EXISTS graft.mv.base_mv_kll")
+  }
+
   test("streaming ingest composes with incremental mview maintenance") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
