@@ -173,7 +173,12 @@ object ScaleBench {
     // l_partkey/l_orderkey, so the distinct counts (and bitmap bucket
     // counts) genuinely grow ~xfactor — the bucket partials should keep
     // the exchange tiny and the whole face ~linear-or-less
-    "agg_approx_distinct")
+    "agg_approx_distinct",
+    // KLL percentile face: the sketch readout is O(partials) like
+    // catalog_mview, but the face also recomputes the EXACT gate
+    // median over the base (a per-group window sort) — the gate side
+    // is the scaling cost, the sketch side is the flat claim
+    "catalog_mview_kll")
   // dedup_edit and dedup_incoming are deliberately NOT amplified:
   // key-shifted replicas make every title/document an exact dup
   // family, so their OUTPUT grows ~factor² by construction (same
