@@ -53,6 +53,13 @@ def main(classpath, warehouse):
             "FROM graft.pysmoke.t").collect()[0]
         assert (agg["n"], agg["lo"], agg["hi"]) == (100, 0, 99), agg
 
+        # KLL quantile sketch family (graft-registered aggregates):
+        # the p50 of 0..99 must land within the sketch's rank bound
+        p50 = spark.sql(
+            "SELECT kll_get_quantile(kll_sketch_agg(CAST(k AS DOUBLE)),"
+            " 0.5D) AS q FROM graft.pysmoke.t").collect()[0][0]
+        assert abs(p50 - 49.5) <= 5.0, p50
+
         # per-region manifest statistics procedure
         stats = spark.sql(
             "CALL graft.sys.stats(table => 'pysmoke.t')").collect()
