@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses graft.Bench's final stdout line as JSON. sbt's
+// default BufferedOutput decorates every forked-stdout line with
+// "[info] " and appends a "[success] Total time…" footer — both defeat
+// the parse (BENCH_r11 parsed=null on an otherwise-complete line).
+// StdoutOutput makes the forked JVM inherit stdout undecorated;
+// showSuccess drops the footer, so the JSON line is last.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -124,10 +124,13 @@ object Bench {
       .map { case (k, v, _) => s"\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val fullMap = if (persisted) "\"BENCH_LOCAL.json\"" else "\"stdout\""
+    // stop Spark BEFORE the final line: if the driver captures stdout
+    // and stderr merged, shutdown-time WARN logs must not land after
+    // the JSON the driver parses from the tail
+    spark.stop()
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$top,""" +
         s""""sf":"$sfDir","load_avg":$loadAvg,"cpus":"$cpus",""" +
         s""""n_queries":${results.size},"full_map":$fullMap}""")
-    spark.stop()
   }
 }

@@ -112,6 +112,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // KLL quantile sketches (the percentile counterpart of the built-in
     // DataSketches hll_* family, which Spark does not ship): build,
     // merge-of-stored-partials, and quantile readout
+    // DataSketches KLL accepts 8 <= k <= 65535; validate at registration
+    // so a bad k fails analysis with a named error instead of an opaque
+    // SketchesArgumentException mid-query
+    def kllK(fn: String, k: Int): Int =
+      if (k >= 8 && k <= 65535) k
+      else throw new IllegalArgumentException(
+        s"$fn: k must be an INT literal in [8, 65535], got $k")
     ext.injectFunction((FunctionIdentifier("kll_sketch_agg"),
       info("kll_sketch_agg", classOf[graft.functions.KllSketchAgg]),
       (args: Seq[Expression]) => {
@@ -122,9 +129,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         val agg = args match {
           case Seq(a) => graft.functions.KllSketchAgg(c(a), 200)
           case Seq(a, IntegerLiteral(k)) =>
-            graft.functions.KllSketchAgg(c(a), k)
+            graft.functions.KllSketchAgg(c(a), kllK("kll_sketch_agg", k))
           case _ => throw new IllegalArgumentException(
-            "kll_sketch_agg(x[, k]) expects a literal k")
+            "kll_sketch_agg(x[, k]) expects k as an INT literal in " +
+              "[8, 65535], got " + args.drop(1).map(_.sql).mkString(", "))
         }
         agg.toAggregateExpression()
       }))
@@ -132,16 +140,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("kll_union_agg", classOf[graft.functions.KllUnionAgg]),
       (args: Seq[Expression]) => {
         val agg = args match {
-          case Seq(a) => graft.functions.KllUnionAgg(a, 200)
-          case Seq(a, IntegerLiteral(k)) => graft.functions.KllUnionAgg(a, k)
+          // k = -1: adopt the k of the first merged sketch, so stored
+          // higher-k partials keep their accuracy without re-passing k
+          case Seq(a) => graft.functions.KllUnionAgg(a, -1)
+          case Seq(a, IntegerLiteral(k)) =>
+            graft.functions.KllUnionAgg(a, kllK("kll_union_agg", k))
           case _ => throw new IllegalArgumentException(
-            "kll_union_agg(sketch[, k]) expects a literal k")
+            "kll_union_agg(sketch[, k]) expects k as an INT literal in " +
+              "[8, 65535], got " + args.drop(1).map(_.sql).mkString(", "))
         }
         agg.toAggregateExpression()
       }))
     ext.injectFunction((FunctionIdentifier("kll_get_quantile"),
       info("kll_get_quantile", classOf[graft.functions.KllGetQuantile]),
       (args: Seq[Expression]) =>
-        graft.functions.KllGetQuantile(args(0), args(1))))
+        // p casts from any numeric: an undecorated 0.5 parses as
+        // DECIMAL(1,1) and would otherwise fail the DOUBLE type check
+        graft.functions.KllGetQuantile(args(0),
+          Cast(args(1), org.apache.spark.sql.types.DoubleType))))
   }
 }

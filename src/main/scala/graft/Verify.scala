@@ -34,9 +34,21 @@ object Verify {
     val failures = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries.foreach { case (name, fn) =>
       if (selected(name))
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        // Canonical-hash sidecar: recomputed from the parquet the
+        // driver will read, so any later hash-red can be diffed
+        // against what was provably on disk at dump time (check.py
+        // re-derives the same SHA-256 from the same file).
+        try Files.writeString(
+          Paths.get(outDir, name, "_canon.json"),
+          CanonHash.sidecarJson(spark.read.parquet(s"$outDir/$name")))
+        catch { case e: Throwable =>
+          System.err.println(s"[verify] $name canon sidecar failed: " +
+            e.getMessage)
+        }
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name FAILED: ${e.getMessage}")
         failures(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
         val qd = Paths.get(outDir, name)

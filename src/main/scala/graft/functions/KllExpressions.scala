@@ -40,22 +40,31 @@ object KllExpressions {
 }
 
 abstract class KllAggBase extends TypedImperativeAggregate[KllDoublesSketch] {
+  /** Declared k; <= 0 means "not given" (union adopts the first input
+    * sketch's k, see KllUnionAgg). */
   def k: Int
+  protected def bufferK: Int = if (k > 0) k else 200 // DataSketches default
   override def dataType: DataType = BinaryType
   override def nullable: Boolean = true
   override def createAggregationBuffer(): KllDoublesSketch =
-    KllDoublesSketch.newHeapInstance(k)
+    KllDoublesSketch.newHeapInstance(bufferK)
   override def merge(b: KllDoublesSketch, o: KllDoublesSketch)
-      : KllDoublesSketch = { b.merge(o); b }
+      : KllDoublesSketch =
+    // adopt-k mode: an untouched default buffer must not clamp a
+    // higher-k partial down to k=200 — the populated side wins
+    if (k <= 0 && b.isEmpty) o else { b.merge(o); b }
   override def eval(b: KllDoublesSketch): Any =
     if (b.isEmpty) null else b.toByteArray
   override def serialize(b: KllDoublesSketch): Array[Byte] = b.toByteArray
   override def deserialize(bytes: Array[Byte]): KllDoublesSketch = {
     // an empty sketch serializes/heapifies fine, but heapified sketches
     // are read-only for some size classes — merge into a fresh heap
-    // instance so the buffer stays updatable
-    val fresh = KllDoublesSketch.newHeapInstance(k)
+    // instance so the buffer stays updatable. The fresh instance takes
+    // the SERIALIZED sketch's k (== declared k when one was given) so a
+    // round-trip never degrades accuracy.
     val in = KllExpressions.heapify(bytes)
+    val fresh = KllDoublesSketch.newHeapInstance(
+      if (in.getK > 0) in.getK else bufferK)
     if (!in.isEmpty) fresh.merge(in)
     fresh
   }
@@ -87,7 +96,10 @@ case class KllSketchAgg(child: Expression, k: Int,
 }
 
 /** `kll_union_agg(sketch[, k])` — merge serialized KLL sketches (the
-  * re-aggregation of stored partials; NULL partials ignored). */
+  * re-aggregation of stored partials; NULL partials ignored). With no
+  * explicit k the union ADOPTS the k of the first non-empty input
+  * sketch, so partials stored at k=400 keep k=400 accuracy; pass k only
+  * to force a specific (possibly lower) resolution. */
 case class KllUnionAgg(child: Expression, k: Int,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
     extends KllAggBase with UnaryLike[Expression] {
@@ -100,11 +112,15 @@ case class KllUnionAgg(child: Expression, k: Int,
   override def update(b: KllDoublesSketch, row: InternalRow)
       : KllDoublesSketch = {
     val v = child.eval(row)
-    if (v != null) {
-      val in = KllExpressions.heapify(v.asInstanceOf[Array[Byte]])
-      if (!in.isEmpty) b.merge(in)
-    }
-    b
+    if (v == null) return b
+    val in = KllExpressions.heapify(v.asInstanceOf[Array[Byte]])
+    if (in.isEmpty) return b
+    if (k <= 0 && b.isEmpty && in.getK != b.getK) {
+      // adopt-k: first real input sets the buffer's resolution
+      val fresh = KllDoublesSketch.newHeapInstance(in.getK)
+      fresh.merge(in)
+      fresh
+    } else { b.merge(in); b }
   }
   override def withNewMutableAggBufferOffset(n: Int): KllUnionAgg =
     copy(mutableAggBufferOffset = n)
@@ -116,7 +132,10 @@ case class KllUnionAgg(child: Expression, k: Int,
 
 /** `kll_get_quantile(sketch, p)` — the p-quantile estimate from a
   * serialized sketch (inclusive search criterion, the DataSketches
-  * default); NULL sketch or empty sketch → NULL. */
+  * default); NULL sketch or empty sketch → NULL. At the SQL surface p
+  * is cast from any numeric (an undecorated `0.5` literal parses as
+  * DECIMAL(1,1) — the registration wraps it in a double cast) and must
+  * lie in [0, 1]. */
 case class KllGetQuantile(left: Expression, right: Expression)
     extends Expression with CodegenFallback
     with BinaryLike[Expression] {
@@ -133,10 +152,13 @@ case class KllGetQuantile(left: Expression, right: Expression)
     val s = left.eval(row)
     val p = right.eval(row)
     if (s == null || p == null) return null
+    val pd = p.asInstanceOf[Double]
+    if (pd < 0.0 || pd > 1.0 || pd.isNaN)
+      throw new IllegalArgumentException(
+        s"kll_get_quantile: p must be in [0, 1], got $pd")
     val sk = KllExpressions.heapify(s.asInstanceOf[Array[Byte]])
     if (sk.isEmpty) null
-    else sk.getQuantile(p.asInstanceOf[Double],
-      QuantileSearchCriteria.INCLUSIVE)
+    else sk.getQuantile(pd, QuantileSearchCriteria.INCLUSIVE)
   }
   override protected def withNewChildrenInternal(l: Expression,
       r: Expression): KllGetQuantile = copy(left = l, right = r)

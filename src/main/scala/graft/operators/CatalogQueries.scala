@@ -1558,7 +1558,12 @@ object CatalogQueries {
         s"${java.time.Instant.now()} $line\n",
         java.nio.file.StandardOpenOption.CREATE,
         java.nio.file.StandardOpenOption.APPEND)
-    } catch { case _: Exception => () }
+    } catch {
+      // diagnostics must never fail the query — but don't swallow an
+      // interrupt: re-set the flag so cancellation still propagates
+      case _: InterruptedException => Thread.currentThread().interrupt()
+      case scala.util.control.NonFatal(_) => ()
+    }
 
   private def mviewBase(s: SparkSession, d: String): String =
     builtMvB.getOrElseUpdate(d, FixtureLock.build(d) {
@@ -2876,9 +2881,17 @@ object CatalogQueries {
     "catalog_key_groupby" -> keyGroupBy,
     "catalog_key_groupby_pushdown" -> keyGroupByPushdown,
     "catalog_mview" -> mviewAgg,
+    // _v2 aliases: IDENTICAL content under fresh names. The driver board
+    // has hash-red rows for catalog_mview/catalog_mview_join across three
+    // rounds and three fixture generations while the dumped parquet passes
+    // the type-strict local oracle replica — if these aliases come back
+    // green while the originals stay red, the divergence is stale
+    // driver-side per-name state, not an engine bug (VERDICT r11 #1).
+    "catalog_mview_v2" -> mviewAgg,
     "catalog_mview_avg" -> mviewAvg,
     "catalog_mview_kll" -> mviewKll,
     "catalog_mview_join" -> mviewJoinRead,
+    "catalog_mview_join_v2" -> mviewJoinRead,
     "catalog_mview_rollup" -> mviewRollup,
     "catalog_mview_delta" -> mviewDeltaAgg,
     "catalog_mview_distinct" -> mviewDistinct,
@@ -2894,7 +2907,7 @@ object CatalogQueries {
       |                      ELSE o_totalprice END), 2) AS total
       |FROM orders GROUP BY 1""".stripMargin
 
-  val oracles: Map[String, String] = Map(
+  private val baseOracles: Map[String, String] = Map(
     // the store face shares text_perplexity's oracle verbatim: the
     // catalog must hold exactly the source documents
     "catalog_perplexity" -> TextOps.oracles("text_perplexity"),
@@ -3565,5 +3578,13 @@ object CatalogQueries {
         |       strftime(min(l_shipdate), '%Y-%m-%d') AS first_ship,
         |       round(CAST(max(l_discount) AS DOUBLE), 2) AS max_disc
         |FROM lineitem GROUP BY l_orderkey""".stripMargin,
+  )
+
+  /** _v2 name-change experiment (VERDICT r11 #1): identical oracle text
+    * under fresh keys, taken from the original entries so the two can
+    * never drift apart. */
+  val oracles: Map[String, String] = baseOracles ++ Map(
+    "catalog_mview_v2" -> baseOracles("catalog_mview"),
+    "catalog_mview_join_v2" -> baseOracles("catalog_mview_join"),
   )
 }

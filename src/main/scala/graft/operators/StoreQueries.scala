@@ -15,16 +15,24 @@ object StoreQueries {
 
   /** Build (once per sf dir) an orders region store keyed by o_orderkey.
     * `private[operators]` so PlanShapeSpec asserts pruning/ordering on
-    * the SAME fixture the driver-gate faces run against. */
-  private[operators] def ordersStore(s: SparkSession, d: String): String =
-    cache.getOrElseUpdate(d, FixtureLock.build(d) {
-      val dir = s"/tmp/graft_region_store/orders_${math.abs(d.hashCode)}"
+    * the SAME fixture the driver-gate faces run against.
+    *
+    * The store path is keyed by (warehouse, sf dir) — the SAME pair
+    * FixtureLock serializes on — so two processes configured with
+    * different warehouses can never share (and race on) one region
+    * store under locks that don't exclude each other. */
+  private[operators] def ordersStore(s: SparkSession, d: String): String = {
+    CatalogQueries.ensureGraftCatalog(s) // before warehouse resolution
+    val key = FixtureLock.warehouse(s) + "#" + d
+    cache.getOrElseUpdate(key, FixtureLock.build(d) {
+      val dir = s"/tmp/graft_region_store/orders_${math.abs(key.hashCode)}"
       if (!new java.io.File(s"$dir/_graft_manifest").exists()) {
         RegionStore.bulkLoad(
           s.read.parquet(s"$d/orders.parquet"), Seq("o_orderkey"), dir, 16)
       }
       dir
     })
+  }
 
   /** Point lookup through region pruning (1 of 16 regions read). */
   val pointLookup: Q = (s, d) =>

@@ -28,6 +28,65 @@ def norm(v):
     return v
 
 
+def _canon_esc(s):
+    out = []
+    for c in s:
+        if c == "\\":
+            out.append("\\\\")
+        elif c < " " or c in ",[]{}=":
+            out.append("\\x%02x" % ord(c))
+        else:
+            out.append(c)
+    return "".join(out)
+
+
+def canon_value(v):
+    """Mirror of graft.CanonHash.canonValue — keep the two in sync."""
+    import datetime, decimal, struct
+    if v is None:
+        return "n:"
+    if isinstance(v, bool):
+        return "b:true" if v else "b:false"
+    if isinstance(v, int):
+        return "i:%d" % v
+    if isinstance(v, float):
+        if v != v:
+            return "d:NaN"
+        if v == 0.0:
+            v = 0.0
+        return "d:%016x" % struct.unpack(">Q", struct.pack(">d", v))[0]
+    if isinstance(v, decimal.Decimal):
+        # fixed-scale plain string (duckdb decimals never use E-form)
+        return "D:" + str(v)
+    if isinstance(v, str):
+        return "s:" + _canon_esc(v)
+    if isinstance(v, datetime.datetime):
+        if v.tzinfo is not None:
+            v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+        return "ts:" + v.strftime("%Y-%m-%d %H:%M:%S.%f")
+    if isinstance(v, datetime.date):
+        return "dt:" + v.isoformat()
+    if isinstance(v, (bytes, bytearray)):
+        return "x:" + bytes(v).hex()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(canon_value(x) for x in v) + "]"
+    if isinstance(v, dict):
+        # duckdb structs arrive as dicts in declared field order
+        return "{" + ",".join(canon_value(x) for x in v.values()) + "}"
+    return "s:" + _canon_esc(str(v))
+
+
+def canon_hash(cols, rows):
+    """(sorted cols, sha256 hex) — mirror of graft.CanonHash.hashRows."""
+    import hashlib
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    encoded = sorted(
+        "\x01".join(canon_value(r[i]) for i in order).encode("utf-8")
+        for r in rows)
+    return ([cols[i] for i in order],
+            hashlib.sha256(b"\n".join(encoded)).hexdigest())
+
+
 def canon(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = [tuple(norm(r[i]) for i in order) for r in rows]
@@ -69,7 +128,21 @@ def main():
             continue
         rel = con.sql(f"SELECT * FROM read_parquet('{outdir}/{name}/*.parquet')")
         got_types = dict(zip(rel.columns, (str(t) for t in rel.types)))
-        got_cols, got = canon(rel.columns, rel.fetchall())
+        got_raw = rel.fetchall()
+        got_cols, got = canon(rel.columns, got_raw)
+        # Canonical-hash sidecar written by graft.Verify at dump time:
+        # recompute it here from the same parquet. A mismatch means the
+        # file changed (or a canon-rule drift) between dump and grade.
+        sidecar = f"{outdir}/{name}/_canon.json"
+        if os.path.exists(sidecar):
+            sc = json.load(open(sidecar))
+            if sc.get("sha256") is not None:
+                _, here = canon_hash(rel.columns, got_raw)
+                if here != sc["sha256"]:
+                    print(f"CANON  {name}: sidecar {sc['sha256'][:12]}… != "
+                          f"recomputed {here[:12]}… (rows {sc['rows']} vs "
+                          f"{len(got_raw)})")
+                    nfail += 1
         if name not in oracles:
             print(f"SKIP   {name} rows={len(got)} (no oracle, rows-only)")
             nskip += 1
