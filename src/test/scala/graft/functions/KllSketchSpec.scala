@@ -53,4 +53,48 @@ class KllSketchSpec extends AnyFunSuite {
         |FROM range(100000)""".stripMargin).collect()(0).getDouble(0)
     assert(math.abs(v - 50000.0) <= 3000.0)
   }
+
+  test("kll_union_agg without k adopts the stored sketches' k") {
+    spark.sql(
+      """SELECT id % 4 AS g, kll_sketch_agg(CAST(id AS DOUBLE), 400) AS sk
+        |FROM range(50000) GROUP BY id % 4""".stripMargin)
+      .createOrReplaceTempView("kll_k400_parts")
+    // round-trip through BINARY and the no-k union: the merged sketch
+    // must report k=400, not the k=200 default (silent degradation)
+    val bytes = spark.sql(
+      "SELECT kll_union_agg(sk) FROM kll_k400_parts")
+      .collect()(0).getAs[Array[Byte]](0)
+    assert(KllExpressions.heapify(bytes).getK == 400,
+      "no-k union degraded stored k=400 partials")
+  }
+
+  test("p accepts an undecorated decimal literal and rejects " +
+      "out-of-range") {
+    // 0.5 parses as DECIMAL(1,1): the registration's double cast must
+    // make this analyzable (ADVICE r11)
+    val v = spark.sql(
+      """SELECT kll_get_quantile(kll_sketch_agg(CAST(id AS DOUBLE)), 0.5)
+        |FROM range(1000)""".stripMargin).collect()(0).getDouble(0)
+    assert(v >= 0 && v <= 999)
+    val e = intercept[Exception] {
+      spark.sql(
+        """SELECT kll_get_quantile(kll_sketch_agg(CAST(id AS DOUBLE)),
+          |                        1.5D)
+          |FROM range(10)""".stripMargin).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
+  test("k is validated at registration with a named error") {
+    val e = intercept[Exception] {
+      spark.sql(
+        """SELECT kll_sketch_agg(CAST(id AS DOUBLE), 4) FROM range(10)"""
+      ).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("[8, 65535]")),
+      s"expected a range-named error, got: ${msgs(e).mkString(" | ")}")
+  }
 }
