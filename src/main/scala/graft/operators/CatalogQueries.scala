@@ -1120,6 +1120,44 @@ object CatalogQueries {
       fqn
     })
 
+  /** ScaleBench entry: [[dedupMinhashOnStore]]'s pipeline WITHOUT the
+    * face's doc_id<1000 oracle-tractability bound — a full-corpus band
+    * table (same keyed-by-band-hash layout, fixed even splits) built
+    * once from the stored documents, then the co-located candidate
+    * join + exact verify over the WHOLE corpus. This is the
+    * measurement face for the band family's scaling claim; the driver
+    * face keeps its bound so its DuckDB brute-force oracle stays
+    * tractable. */
+  private val builtBandFull = scala.collection.concurrent.TrieMap[String, String]()
+  private[graft] def dedupMinhashOnStoreFull(s: SparkSession, d: String)
+      : DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val docsFqn = documentsTable(s, d)
+    val bandFqn = builtBandFull.getOrElseUpdate(d, FixtureLock.build(d) {
+      val ns = s"sf_${math.abs(d.hashCode)}"
+      val fqn = s"graft.$ns.minhash_band_full_t"
+      val srcCount = s.table(docsFqn).count() * 32L
+      if (!trusted(s, ns, "minhash_band_full_t", srcCount)) {
+        val splits = (1 until 8).map(i =>
+          (BigInt(Long.MinValue) + (BigInt(2).pow(64) / 8) * i).toLong)
+          .mkString(";")
+        s.sql(
+          s"""CREATE TABLE $fqn (bh BIGINT, doc_id BIGINT)
+             |TBLPROPERTIES('keyCols'='bh;doc_id',
+             |              'regionSplits'='$splits')""".stripMargin)
+        val v = s"minhash_band_full_src_${math.abs(d.hashCode)}"
+        TextOps.minhashBands(TextOps.minhashWordSigs(s.table(docsFqn)))
+          .select(col("bh"), col("doc_id"))
+          .createOrReplaceTempView(v)
+        s.sql(s"INSERT INTO $fqn SELECT * FROM $v")
+        s.catalog.dropTempView(v)
+      }
+      fqn
+    })
+    TextOps.minhashVerifiedPairsFromBands(
+      s.table(docsFqn), s.table(bandFqn))
+  }
+
   /** The inverted postings index MATERIALIZED as a graft table — the
     * full-text-search artifact: one (term, doc_id, tf, dl) row per
     * distinct word per document, KEYED BY (term, doc_id). dl is
