@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Plan evidence for the bench rows that sit at the LOCAL-MODE STAGE
+  * FLOOR (VERDICT r11 #6): each is >2× its DuckDB oracle at sf0.1 only
+  * because the oracle finishes in 0.01–0.1 s while any multi-stage
+  * Spark query pays a fixed ~1 s of job/stage launches — a cost that
+  * amortizes at scale (the 10×/100× ScaleBench captures grow far
+  * below data growth). These asserts pin that the PLANS carry no
+  * scale-hostile shape the floor could be hiding:
+  *
+  *  - `ann_ivf_topk`'s operational path (probe → exact cosine on the
+  *    probed cells → top-10) is scan + map-side argmax + TakeOrdered,
+  *    no hash Exchange at all; the bench face's extra cost is its
+  *    live recall GATE (brute-force exact top-k — a verification
+  *    artifact by design, not the production query).
+  *  - `agg_percentile_exact` is the two-aggregation bracket-sketch
+  *    algorithm: NO global sort / range partitioning anywhere — at
+  *    100 TB it is two scans, not a terabyte sort. Its bench time is
+  *    four driver-sequenced jobs (sketch, ranks, slices), pure floor.
+  *  - `catalog_tpch_q15` joins the per-supplier revenue against its
+  *    own max via a broadcast-able 1-row subquery and the supplier
+  *    dim joins broadcast; the fact side aggregates with map-side
+  *    partials before its single suppkey exchange. The bench cost is
+  *    the stage CHAIN (rev → max → join), not any of the stages.
+  */
+class StageFloorSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sfDir
+
+  private def executed(df: DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("ann_ivf_topk operational path: zero hash Exchange — probe + " +
+      "map-side argmax + TakeOrdered only") {
+    val plan = executed(IvfIndex.topk(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"), s"top-k shape:\n$plan")
+    val bad = plan.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(bad.isEmpty,
+      s"hash shuffles in the IVF probe path:\n${bad.mkString("\n")}")
+  }
+
+  test("agg_percentile_exact: no global sort, no range partitioning — " +
+      "the exact answer comes from aggregations only") {
+    val df = Quantiles.exactPercentiles(
+      spark.read.parquet(s"$sf/lineitem.parquet"), "l_extendedprice",
+      Seq(0.25, 0.5, 0.75, 0.95))
+    val plan = executed(df)
+    assert(!plan.contains("rangepartitioning"),
+      s"range partitioning (global sort) in the percentile plan:\n$plan")
+    // the only sort allowed is inside the final tiny slice top-k
+    assert(!plan.linesIterator.exists(l =>
+        l.trim.startsWith("Sort ") && !l.contains("TakeOrdered")),
+      s"global Sort node in the percentile plan:\n$plan")
+  }
+
+  test("catalog_tpch_q15: supplier dim joins broadcast and the fact " +
+      "aggregation is partial before its single exchange") {
+    val df = CatalogQueries.queries("catalog_tpch_q15")(spark, sf)
+    val plan = executed(df)
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastExchange"),
+      s"supplier dim not broadcast:\n$plan")
+    assert(plan.contains("partial_"),
+      s"no map-side partial aggregation before the exchange:\n$plan")
+  }
+}
