@@ -251,6 +251,13 @@ object ScaleBench {
             w => concat(w, lit("~r"), col("_rep").cast("string"))), " "))
           .as("text"),
         col("lang"), col("source"), col("n_chars"))
+        // many files, like any real corpus layout: the base sf0.1
+        // parquet is ONE file, and a single-split amplified corpus
+        // serializes the whole map side onto one core (observed: the
+        // ×10 ingest screen pinned 1 of 32 lanes for 35+ min) —
+        // pair with spark.sql.files.maxPartitionBytes (see main) so
+        // the splits actually fan out
+        .repartition(32)
         .write.parquet(target)
       System.err.println(s"[scale] generated renamed documents x$factor")
     }
@@ -319,12 +326,24 @@ object ScaleBench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
+      // amplified corpora are small files by byte count but heavy per
+      // byte (the screen family does candidate-join work per row) —
+      // the default 128m split packing reads a 66 MB ×100 corpus as
+      // ONE split and strands 31 lanes. Overridable per capture; the
+      // default stays stock so the TPC-H-family curves remain
+      // comparable with earlier rounds' captures.
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("SPARK_GRAFT_MAXPART", "128m"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.sources.v2.bucketing.enabled", "true")
       .config("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    generate(spark, srcDir, workDir, factor)
+    // the key-shifted amplification covers every table — skip it when
+    // the filter selects none of its consumers (e.g. a screen-family
+    // pass at factor 100 needs only the renamed documents corpus)
+    if (queriesFor().nonEmpty || Seq("text_winnow_full").exists(selected))
+      generate(spark, srcDir, workDir, factor)
     def emit(tag: String, d: String, timedRuns: Int = 2,
         qs: Seq[(String, (SparkSession, String) => DataFrame)] = queriesFor())
         : Map[String, Double] = {

@@ -1780,14 +1780,21 @@ object TextOps {
     * gate is re-proven at grade time, not only in sbt. The sketch's
     * own rows cannot be oracle-checked directly: a ≥0.9-recall sketch
     * legitimately emits a non-exact member (IVF at sf0.01 does — one
-    * true neighbor's cell is outside the NProbe=6 probe set). */
+    * true neighbor's cell is outside the NProbe=6 probe set).
+    *
+    * The gate is ONE declarative plan, not driver collects: the hit
+    * count is a 10×10 left-semi join of the two top-10s, attached to
+    * every exact row by a broadcast of the 1-row count. One action at
+    * read time (the old shape paid three sequential job launches per
+    * run — two driver collects before the readout — which WAS the
+    * bench floor on these faces). */
   def annSketchGateFace(s: SparkSession, d: String,
       sketch: => DataFrame): DataFrame = {
     val exact = exactCosineTop10(s, d)
-    val exactIds = exact.collect().map(_.getLong(0)).toSet
-    val hits = sketch.select(col("vec_id")).collect()
-      .map(_.getLong(0)).count(exactIds)
-    exact.withColumn("recall10_ge_90", lit(if (hits >= 9) 1 else 0))
+    val gate = exact.select(col("vec_id"))
+      .join(sketch.select(col("vec_id")), Seq("vec_id"), "left_semi")
+      .agg((count(lit(1)) >= 9).cast("int").as("recall10_ge_90"))
+    exact.crossJoin(broadcast(gate))
   }
 
   /** Shared oracle for the sketch gate faces: the exact top-10 plus

@@ -46,6 +46,39 @@ class StageFloorSpec extends AnyFunSuite {
       s"hash shuffles in the IVF probe path:\n${bad.mkString("\n")}")
   }
 
+  test("ann sketch-gate face runs as ONE Spark action (no driver-side " +
+      "collects before the readout)") {
+    // the gate hit-count is a 10x10 left-semi join broadcast onto the
+    // exact rows — the whole face is one declarative plan, so one
+    // job-submitting action per read; the old 3-collect shape was the
+    // measured floor on ann_ivf_topk (1.15 s for a 0.01 s oracle)
+    val face = TextOps.queries("ann_ivf_topk")
+    face(spark, sf).collect() // warm: fixture builds run their own actions
+    val actions = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = actions.incrementAndGet()
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = actions.incrementAndGet()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val rows = face(spark, sf).collect()
+      // QueryExecutionListener delivery is async — wait for the bus
+      val deadline = System.nanoTime() + 10_000_000_000L
+      while (actions.get() < 1 && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      Thread.sleep(500) // let any EXTRA action events surface too
+      assert(rows.length == 10)
+      assert(rows.forall(_.getInt(2) == 1), "recall gate tripped")
+      assert(actions.get() == 1,
+        s"gate face ran ${actions.get()} actions — driver-side " +
+          "sequencing crept back in")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("agg_percentile_exact: no global sort, no range partitioning — " +
       "the exact answer comes from aggregations only") {
     val df = Quantiles.exactPercentiles(
