@@ -339,6 +339,36 @@ object ScaleBench {
       .config("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_SCREEN_ONLY: a dedicated screen/band-family capture
+    // in a fresh JVM — base = the factor-1 renamed corpus so BOTH
+    // sides share the 32-file layout (the source sf0.1 corpus is one
+    // parquet file = one input split, which serializes the map side
+    // and makes base-vs-scaled wall ratios meaningless), and nothing
+    // else runs first (a long mixed-section run was observed to
+    // degrade late-section times ~4x — heap/GC pollution, not data).
+    if (sys.env.contains("SPARK_GRAFT_SCREEN_ONLY")) {
+      val scrQ = Screen.filter(t => selected(t._1))
+      val baseDir = s"${workDir}_nd_x1"
+      val renamedDir = s"${workDir}_nd_x$factor"
+      generateRenamedDocs(spark, srcDir, baseDir, 1)
+      generateRenamedDocs(spark, srcDir, renamedDir, factor)
+      def emitScreen(tag: String, d: String): Map[String, Double] = {
+        val r = measure(spark, d, 1, scrQ)
+        val json = r.map { case (k, v) => "\"" + k + "\":" + v }
+          .mkString("{", ",", "}")
+        println(s"""{"metric":"scale_$tag","queries":$json,"dir":"$d"}""")
+        r.toMap
+      }
+      val b = emitScreen("screen_base", baseDir)
+      val s2 = emitScreen(s"screen_x$factor", renamedDir)
+      val ratios = scrQ.map(_._1).sorted.map { k =>
+        "\"" + k + "\":" + (if (b(k) > 0) s2(k) / b(k) else -1.0)
+      }.mkString("{", ",", "}")
+      println(
+        s"""{"metric":"scale_ratio","factor":$factor,"queries":$ratios}""")
+      spark.stop()
+      return
+    }
     // the key-shifted amplification covers every table — skip it when
     // the filter selects none of its consumers (e.g. a screen-family
     // pass at factor 100 needs only the renamed documents corpus)
