@@ -1782,19 +1782,25 @@ object TextOps {
     * legitimately emits a non-exact member (IVF at sf0.01 does — one
     * true neighbor's cell is outside the NProbe=6 probe set).
     *
-    * The gate is ONE declarative plan, not driver collects: the hit
-    * count is a 10×10 left-semi join of the two top-10s, attached to
-    * every exact row by a broadcast of the 1-row count. One action at
-    * read time (the old shape paid three sequential job launches per
-    * run — two driver collects before the readout — which WAS the
-    * bench floor on these faces). */
+    * The gate is ONE declarative plan, not driver collects (the old
+    * shape paid three sequential actions per run — two driver
+    * collects before the readout): the sketch's top-10 ids broadcast-
+    * left-join onto the exact rows and the hit count is a single
+    * unpartitioned-window sum over the 10-row result — the exact
+    * subtree is evaluated once (a gate built as a separate
+    * aggregate-and-attach would re-run it), and the window's exchange
+    * moves 10 rows. */
   def annSketchGateFace(s: SparkSession, d: String,
       sketch: => DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val exact = exactCosineTop10(s, d)
-    val gate = exact.select(col("vec_id"))
-      .join(sketch.select(col("vec_id")), Seq("vec_id"), "left_semi")
-      .agg((count(lit(1)) >= 9).cast("int").as("recall10_ge_90"))
-    exact.crossJoin(broadcast(gate))
+    val hits = sketch.select(col("vec_id")).withColumn("hit", lit(1))
+    exact
+      .join(broadcast(hits), Seq("vec_id"), "left")
+      .withColumn("recall10_ge_90",
+        (coalesce(sum(col("hit")).over(Window.partitionBy()), lit(0)) >= 9)
+          .cast("int"))
+      .select(col("vec_id"), col("sim"), col("recall10_ge_90"))
   }
 
   /** Shared oracle for the sketch gate faces: the exact top-10 plus
