@@ -290,8 +290,12 @@ object ScaleBench {
     * whose name contains one of the comma-separated substrings. */
   private val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
     .map(_.split(',').toSeq)
+  /** Substring match, or exact match with a leading '=' (needed where
+    * one face's name is a substring of another's, e.g.
+    * `=dedup_minhash_full` without catalog_dedup_minhash_full). */
   private def selected(name: String): Boolean =
-    only.forall(_.exists(name.contains))
+    only.forall(_.exists(f =>
+      if (f.startsWith("=")) name == f.drop(1) else name.contains(f)))
 
   private def queriesFor(): Seq[(String, (SparkSession, String) => DataFrame)] =
     Heavy.filter(selected).map(n => n -> SparkEntry.queries(n))
