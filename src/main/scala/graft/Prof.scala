@@ -1,18 +1,21 @@
 package graft
 
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
 import org.apache.spark.sql.SparkSession
 
 /** Single-query profiling aid: times one registered query on the bench
   * session config (warm pass first, so catalog builds and JIT are out
-  * of the number) and prints its formatted physical plan — the
-  * `.explain`-and-iterate loop SURVEY §6 prescribes, as a one-liner.
+  * of the number), prints a per-stage cost table from a stage listener
+  * (wall duration, summed task time, shuffle bytes — the guide §1/§7
+  * loop without a UI), and prints the formatted physical plan.
   *
-  * Usage: `runMain graft.Prof <queryName> [sfDir]`
+  * Usage: `runMain graft.Prof <queryName> [sfDir] [reps]`
   */
 object Prof {
   def main(args: Array[String]): Unit = {
-    require(args.nonEmpty, "usage: runMain graft.Prof <queryName> [sfDir]")
+    require(args.nonEmpty, "usage: runMain graft.Prof <queryName> [sfDir] [reps]")
     val d = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val reps = if (args.length > 2) args(2).toInt else 1
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -31,10 +34,49 @@ object Prof {
       sys.error(s"unknown query '${args(0)}'; names: " +
         SparkEntry.queries.keys.toSeq.sorted.mkString(", ")))
     q(spark, d).count() // warm: builds catalog tables, JITs codegen
-    val t0 = System.nanoTime()
-    val df = q(spark, d)
-    df.count()
-    println(f"[prof] ${args(0)} ${(System.nanoTime() - t0) / 1e9}%.2f s")
+
+    // stage listener: collect (stageId, name, wall ms, task ms, shuffle
+    // read/write MB, input MB, tasks) for the timed passes only
+    case class St(id: Int, name: String, wallMs: Long, taskMs: Long,
+      shReadMb: Double, shWriteMb: Double, inMb: Double, tasks: Int)
+    val stages = scala.collection.mutable.ArrayBuffer[St]()
+    val listener = new SparkListener {
+      override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
+        val si = e.stageInfo
+        val m = si.taskMetrics
+        stages.synchronized {
+          stages += St(si.stageId,
+            si.name.take(80),
+            si.completionTime.getOrElse(0L) - si.submissionTime.getOrElse(0L),
+            m.executorRunTime,
+            m.shuffleReadMetrics.totalBytesRead / 1e6,
+            m.shuffleWriteMetrics.bytesWritten / 1e6,
+            m.inputMetrics.bytesRead / 1e6,
+            si.numTasks)
+        }
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    var best = Double.MaxValue
+    var df = q(spark, d)
+    for (i <- 0 until reps) {
+      stages.synchronized(stages.clear())
+      val t0 = System.nanoTime()
+      df = q(spark, d)
+      df.count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      best = math.min(best, dt)
+      println(f"[prof] ${args(0)} pass$i $dt%.3f s, ${stages.size} stages")
+      val tab = stages.synchronized(stages.toSeq).sortBy(-_.wallMs)
+      println(f"[prof] ${"id"}%5s ${"wall_ms"}%8s ${"task_ms"}%8s " +
+        f"${"shR_MB"}%8s ${"shW_MB"}%8s ${"in_MB"}%8s ${"tasks"}%6s  name")
+      tab.foreach { s =>
+        println(f"[prof] ${s.id}%5d ${s.wallMs}%8d ${s.taskMs}%8d " +
+          f"${s.shReadMb}%8.2f ${s.shWriteMb}%8.2f ${s.inMb}%8.2f " +
+          f"${s.tasks}%6d  ${s.name}")
+      }
+    }
+    println(f"[prof] ${args(0)} best $best%.3f s over $reps reps")
     println(df.queryExecution.explainString(
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
     spark.stop()

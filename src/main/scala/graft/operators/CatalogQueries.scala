@@ -1314,7 +1314,18 @@ object CatalogQueries {
       .filter(pmod(col("doc_id"), lit(5)) =!= 4)
     val inc = s.read.parquet(s"$d/documents.parquet")
       .filter(pmod(col("doc_id"), lit(5)) === 4)
-    val bands = s.table(histBandTable(s, d))
+    // Re-cluster the bh-keyed band index by document BEFORE the screen
+    // (TextOps.spread — gated to sub-64 MB inputs): the stored index is
+    // region-partitioned by band hash, so one document's 32 band rows
+    // land in ~32 different regions and the candidate distinct's
+    // map-side partial aggregation cannot collapse the ~21× band
+    // multiplicity of a true pair — the exchange carried 115 MB of
+    // collision instances (vs 15.7 MB on the parquet face, whose band
+    // rows are doc-clustered). The re-cluster shuffle moves only the
+    // 2 MB (bh, doc_id) index slice; above the spread gate the screen
+    // falls back to the O(collisions) exchange, which is still
+    // batch-bound (collisions ∝ incoming batch × band multiplicity).
+    val bands = TextOps.spread(s.table(histBandTable(s, d)))
       .select(col("bh"), col("doc_id").as("dh"))
     TextOps.incomingNearDupsAgainstBands(inc, bands, hist)
   }

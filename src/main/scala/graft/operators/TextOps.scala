@@ -37,6 +37,37 @@ object TextOps {
   private def fanOut(df: DataFrame): DataFrame =
     df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
+  /** Parallelize expensive per-document kernel work over a SMALL scan.
+    * A compressed text corpus file under `files.maxPartitionBytes` is
+    * ONE scan split (sf0.1's documents.parquet is 0.6 MB), so every
+    * heavyweight kernel that follows the scan — minhash signatures,
+    * deletion-variant hashes, shingle hashes — runs serially on one
+    * core while the rest idle: the r12 stage profile showed 5.7 s of
+    * dedup_incoming's 8.4 s in that single task. This is the guide's
+    * "input skew: one unsplittable file" case; the fix is a hash
+    * repartition on doc_id to the session's parallelism BEFORE the
+    * kernel. Scale-adaptive, not a local-mode constant: the shuffle
+    * moves only the raw text of a sub-threshold input (≤64 MB by plan
+    * stats — an input whose scan cannot have more than a handful of
+    * splits) and is skipped for anything larger, whose scan is already
+    * parallel. Keying by doc_id keeps each document's derived rows
+    * (band rows, variant hashes) co-located, preserving the map-side
+    * partial-aggregation collapse the band joins rely on. */
+  private[operators] def spread(df: DataFrame): DataFrame =
+    if (df.queryExecution.optimizedPlan.stats.sizeInBytes <=
+        64L * 1024 * 1024)
+      // xxhash64(doc_id), NOT doc_id itself: same per-doc co-location,
+      // but the output partitioning is an expression, so a downstream
+      // distinct/groupBy on doc-id keys still plans its own exchange
+      // WITH a map-side partial aggregate below it. Partitioning by the
+      // raw attribute satisfied those requirements, which fused the
+      // whole screen pipeline into one giant stage — measured 20×
+      // slower (no partial collapse before the verify, monster codegen
+      // span) than the split shape.
+      df.repartition(df.sparkSession.sparkContext.defaultParallelism,
+        xxhash64(col("doc_id")))
+    else df
+
   /** Multiplicative split hash, wrap-safe: the id is reduced mod the
     * prime BEFORE the Knuth multiply so the product stays inside
     * 64-bit range (1000000006 × 2654435761 < 2^63) — Spark's Long
@@ -2057,13 +2088,6 @@ object TextOps {
     // the whole word-hash list (such a corpus doc can never equal a
     // probe's 3-word shingle anyway, matching the string semantics
     // where a ≤2-word string never equals a 3-word shingle).
-    def hashShingles(c: String): String =
-      s"""CASE WHEN size($c) >= 3 THEN
-         |  transform(sequence(1, size($c) - 2),
-         |            j -> xxhash64($c[j-1], $c[j], $c[j+1]))
-         |ELSE array(xxhash64($c)) END""".stripMargin
-    val base = docsDf.withColumn("wh",
-      expr("transform(split(text, ' '), x -> xxhash64(x))"))
     // corpus side: native shingle3_hashes kernel (one JVM loop per doc,
     // byte-identical to the HOF chain — hash-gated), deduped INSIDE the
     // row (array_distinct over longs is cheap; over the old string
@@ -2071,16 +2095,28 @@ object TextOps {
     // shape deferred dedup to a count(DISTINCT) — that cost an extra
     // exchange). With both sides distinct, each shared shingle value
     // joins exactly once and the containment count is a plain count.
-    // The probe side keeps the SQL shape (27 docs, not worth a twin).
-    val corpusSh = docsDf
+    val corpusSh = spread(docsDf)
       .select(col("doc_id"),
         explode(array_distinct(
           graft.functions.VectorOps.shingle3Hashes(col("text"))))
           .as("s"))
-    val probes = base.filter(col("doc_id") % 37 === 0)
-      .withColumn("pwh", expr("slice(wh, 1, 8)"))
+    // Probe side: the SAME kernel. The first-8-word-hash shingles the
+    // HOF formulation computed are exactly the first 6 full-text
+    // shingles (shingle j touches words j..j+2, so j ≤ 6 stays inside
+    // the 8-word prefix), and the kernel's <3-word fallback — one
+    // chained hash over the whole word-hash list — matches the HOF's
+    // xxhash64(pwh) fallback because pwh IS the whole list for such
+    // docs. The HOF chain also re-inlined its ~6-reference expression
+    // tree into the Generate's inferred not-null/size filter
+    // (guide §4.4's duplicated-evaluation trap, here via
+    // InferFiltersFromGenerate + CollapseProject): the probe subtree
+    // alone measured ~0.7 s single-task; the kernel form is one JVM
+    // pass per evaluation and survives the inlining unharmed.
+    val probes = docsDf.filter(col("doc_id") % 37 === 0)
       .select(col("doc_id").as("probe_id"),
-        expr(s"array_distinct(${hashShingles("pwh")})").as("psh"))
+        array_distinct(slice(
+          graft.functions.VectorOps.shingle3Hashes(col("text")), 1, 6))
+          .as("psh"))
     val probeSh = probes.select(col("probe_id"),
       size(col("psh")).cast("long").as("n_psh"),
       explode(col("psh")).as("s"))
@@ -2174,7 +2210,11 @@ object TextOps {
     * joins it stream-static per micro-batch), so screening cost
     * follows the incoming batch, not the corpus. */
   def incomingNearDups(inc: DataFrame, hist: DataFrame): DataFrame = {
-    val bh = minhashBands(minhashWordSigs(hist))
+    // spread ONLY the signature kernel (the expensive subtree); the
+    // sizes/word-set dimension subtrees stay on the raw scan — they are
+    // sub-100 ms single-task and a repartition would cost more stages
+    // than it parallelizes
+    val bh = minhashBands(minhashWordSigs(spread(hist)))
       .select(col("bh"), col("doc_id").as("dh"))
     incomingNearDupsAgainstBands(inc, bh, hist)
   }
@@ -2185,7 +2225,10 @@ object TextOps {
     * `hist_band_t`); only the incoming batch's bands are computed. */
   def incomingNearDupsAgainstBands(inc: DataFrame, histBands: DataFrame,
       hist: DataFrame): DataFrame = {
-    val bi = minhashBands(minhashWordSigs(inc))
+    // the incoming batch's signature kernel is spread (guide §2.5
+    // small-input skew: a sub-split-size file serializes the minhash
+    // kernel on one core); no-op at corpus scale
+    val bi = minhashBands(minhashWordSigs(spread(inc)))
       .select(col("bh"), col("doc_id").as("di"))
     // Size prefilter INSIDE the candidate join, BEFORE the distinct:
     // a true near-dup pair collides in ~21 of the 32 bands at s=0.9,
@@ -2419,7 +2462,7 @@ object TextOps {
     * scale route. Exact DuckDB oracle (bounded brute force at the
     * verify sf). */
   val dedupEdit: Q = (s, d) => {
-    val titles = docs(s, d).select(col("doc_id"),
+    val titles = spread(docs(s, d)).select(col("doc_id"),
       concat_ws(" ",
         slice(filter(split(col("text"), " "), w => w =!= ""), 1, 5))
         .as("t"))
