@@ -32,6 +32,17 @@ object Bench {
       // default (this is the bench harness session, not a library
       // default).
       .config("spark.sql.files.maxPartitionBytes", "4m")
+      // AQE coalescing is parallelism-first (Spark default), but the
+      // 1 MB minPartitionSize floor caps post-shuffle parallelism
+      // whenever a shuffle is smaller than cores x 1 MB — exactly the
+      // regime of the CPU-dense candidate/verify exchanges (a 15.7 MB
+      // pair stream coalesced to 10 of 32 cores; the per-pair set
+      // intersection, not bytes, is the cost). 64k keeps those stages
+      // at full parallelism; on a cluster-scale shuffle the floor is
+      // irrelevant (partitions are MBs+), so this is not a local-only
+      // constant. Parameterized for experiments.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_MIN_COALESCED_SIZE", "64k"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.sources.v2.bucketing.enabled", "true")
       .config("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")

@@ -25,19 +25,25 @@ object Prof {
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.files.maxPartitionBytes", "4m")
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_MIN_COALESCED_SIZE", "64k"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.sources.v2.bucketing.enabled", "true")
       .config("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val q = SparkEntry.queries.getOrElse(args(0),
-      sys.error(s"unknown query '${args(0)}'; names: " +
-        SparkEntry.queries.keys.toSeq.sorted.mkString(", ")))
+    val names = args(0).split(',').toSeq
+    names.foreach { n =>
+      require(SparkEntry.queries.contains(n), s"unknown query '$n'")
+    }
+    for (name <- names) {
+    val q = SparkEntry.queries(name)
     q(spark, d).count() // warm: builds catalog tables, JITs codegen
 
     // stage listener: collect (stageId, name, wall ms, task ms, shuffle
     // read/write MB, input MB, tasks) for the timed passes only
     case class St(id: Int, name: String, wallMs: Long, taskMs: Long,
+      deserMs: Long, gcMs: Long,
       shReadMb: Double, shWriteMb: Double, inMb: Double, tasks: Int)
     val stages = scala.collection.mutable.ArrayBuffer[St]()
     val listener = new SparkListener {
@@ -49,6 +55,8 @@ object Prof {
             si.name.take(80),
             si.completionTime.getOrElse(0L) - si.submissionTime.getOrElse(0L),
             m.executorRunTime,
+            m.executorDeserializeTime,
+            m.jvmGCTime,
             m.shuffleReadMetrics.totalBytesRead / 1e6,
             m.shuffleWriteMetrics.bytesWritten / 1e6,
             m.inputMetrics.bytesRead / 1e6,
@@ -66,19 +74,22 @@ object Prof {
       df.count()
       val dt = (System.nanoTime() - t0) / 1e9
       best = math.min(best, dt)
-      println(f"[prof] ${args(0)} pass$i $dt%.3f s, ${stages.size} stages")
+      println(f"[prof] $name pass$i $dt%.3f s, ${stages.size} stages")
       val tab = stages.synchronized(stages.toSeq).sortBy(-_.wallMs)
       println(f"[prof] ${"id"}%5s ${"wall_ms"}%8s ${"task_ms"}%8s " +
+        f"${"deser_ms"}%8s ${"gc_ms"}%6s " +
         f"${"shR_MB"}%8s ${"shW_MB"}%8s ${"in_MB"}%8s ${"tasks"}%6s  name")
       tab.foreach { s =>
         println(f"[prof] ${s.id}%5d ${s.wallMs}%8d ${s.taskMs}%8d " +
+          f"${s.deserMs}%8d ${s.gcMs}%6d " +
           f"${s.shReadMb}%8.2f ${s.shWriteMb}%8.2f ${s.inMb}%8.2f " +
           f"${s.tasks}%6d  ${s.name}")
       }
     }
-    println(f"[prof] ${args(0)} best $best%.3f s over $reps reps")
+    println(f"[prof] $name best $best%.3f s over $reps reps")
     println(df.queryExecution.explainString(
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+    }
     spark.stop()
   }
 }

@@ -40,6 +40,14 @@ object Quantiles {
     val spark = df.sparkSession
     import spark.implicits._
     val v = col(valueCol)
+    // Deliberately NOT repartitioned before the aggregations (r12:
+    // measured): fanning the 600k-row value column out to 32 tasks
+    // costs a 4.8 MB shuffle write + a 32-sketch final merge + GC that
+    // together exceed the 3-task sketch update it parallelizes
+    // (2.6 s vs 1.35 s end to end). The partial aggregation pipelines
+    // with the scan; rows-per-split, not core count, is the right
+    // grain here.
+    val vdf = df.select(v)
 
     // pass 1: count + bracket sketch in ONE aggregation (the rank
     // error is E = n/accuracy, so the bracket HALF-WIDTH as a rank
@@ -50,7 +58,7 @@ object Quantiles {
     val eps = 3.0 / accuracy
     val pLo = ps.map(p => math.max(p - eps, 0.0))
     val pHi = ps.map(p => math.min(p + eps, 1.0))
-    val sk = df.agg(
+    val sk = vdf.agg(
       count(v).as("n"),
       percentile_approx(v, lit(pLo.toArray), lit(accuracy)).as("lo"),
       percentile_approx(v, lit(pHi.toArray), lit(accuracy)).as("hi"))
@@ -60,25 +68,37 @@ object Quantiles {
     val vHi = sk.getSeq[Double](2)
     val ks = ps.map(p => math.ceil(p * n).toLong)
 
-    // pass 2: exact bracket ranks in ONE aggregation. The STRICT rank
-    // of v_lo matters under heavy duplicates: when the target sits
-    // inside a duplicated mass, v_lo IS that mass and the answer is
-    // v_lo itself — detectable only as lt < k <= le.
-    val rankCols: Seq[Column] = ps.indices.flatMap { i =>
-      Seq(sum(when(v < vLo(i), 1L).otherwise(0L)).as(s"lt_$i"),
-        sum(when(v <= vLo(i), 1L).otherwise(0L)).as(s"le_$i"),
-        sum(when(v <= vHi(i), 1L).otherwise(0L)).as(s"he_$i"))
-    }
-    val ranks = df.agg(rankCols.head, rankCols.tail: _*).head()
     // open-sided targets: at the low edge the bracket's lower filter
     // is dropped (ranks 0), at the high edge the upper one (rank n)
     val openLo = ps.indices.map(i => pLo(i) <= 0.0)
     val openHi = ps.indices.map(i => pHi(i) >= 1.0)
-    val lt = ps.indices.map(i => if (openLo(i)) 0L else ranks.getLong(3 * i))
+    // pass 2+3 FUSED: exact bracket ranks AND the in-bracket slices in
+    // ONE aggregation (r12: the old shape paid a third full scan +
+    // shuffle + per-slice window for pass 3). The STRICT rank of v_lo
+    // matters under heavy duplicates: when the target sits inside a
+    // duplicated mass, v_lo IS that mass and the answer is v_lo itself
+    // — detectable only as lt < k <= le. The collected slice is
+    // O(targets · E) BY THE SKETCH CONTRACT (rank(v_hi) − rank(v_lo) ≤
+    // ~8E even under duplicates, since both bracket ranks are within
+    // 4E of k), so the collect_list is driver-bounded the same way the
+    // k-sized gate reads are — never O(data).
+    val inB: Seq[Column] = ps.indices.map { i =>
+      val lo = if (openLo(i)) lit(true) else v > vLo(i)
+      val hi = if (openHi(i)) lit(true) else v <= vHi(i)
+      lo && hi
+    }
+    val rankCols: Seq[Column] = ps.indices.flatMap { i =>
+      Seq(sum(when(v < vLo(i), 1L).otherwise(0L)).as(s"lt_$i"),
+        sum(when(v <= vLo(i), 1L).otherwise(0L)).as(s"le_$i"),
+        sum(when(v <= vHi(i), 1L).otherwise(0L)).as(s"he_$i"),
+        collect_list(when(inB(i), v)).as(s"sl_$i"))
+    }
+    val ranks = vdf.agg(rankCols.head, rankCols.tail: _*).head()
+    val lt = ps.indices.map(i => if (openLo(i)) 0L else ranks.getLong(4 * i))
     val le = ps.indices.map(i =>
-      if (openLo(i)) 0L else ranks.getLong(3 * i + 1))
+      if (openLo(i)) 0L else ranks.getLong(4 * i + 1))
     val he = ps.indices.map(i =>
-      if (openHi(i)) n else ranks.getLong(3 * i + 2))
+      if (openHi(i)) n else ranks.getLong(4 * i + 2))
 
     // per-target resolution: answered-by-v_lo / slice-pick / violated
     val direct = ps.indices.filter(i => lt(i) < ks(i) && ks(i) <= le(i))
@@ -89,7 +109,7 @@ object Quantiles {
       // answer by the DEFINITION — global sort, k-th element. NOT
       // percentile(): that interpolates (quantile_cont), a different
       // statistic.
-      val byRank = df.select(v.as("value"))
+      val byRank = vdf.select(v.as("value"))
         .withColumn("rn", row_number().over(
           Window.orderBy(col("value").asc)))
         .filter(col("rn").isin(ks.distinct: _*))
@@ -100,32 +120,15 @@ object Quantiles {
     }
 
     val directRows = direct.map(i => (ps(i), vLo(i)))
-    if (sliced.isEmpty) {
-      import spark.implicits._
-      return directRows.toDF("p", "value")
+    // resolve the sliced targets from the already-collected bracket
+    // slices: the answer is the (k − r_lo)-th smallest inside the
+    // slice — a sort of ≤ ~8E doubles on the driver, replacing the old
+    // pass-3 scan + explode + per-slice window
+    val slicedRows = sliced.map { i =>
+      val slice = ranks.getSeq[Double](4 * i + 3).sorted
+      (ps(i), slice((ks(i) - le(i) - 1).toInt))
     }
-
-    // pass 3: emit only in-bracket rows, one window per tiny slice
-    val arms = sliced.map { i =>
-      val inLo = if (openLo(i)) lit(true) else v > vLo(i)
-      val inHi = if (openHi(i)) lit(true) else v <= vHi(i)
-      when(inLo && inHi, struct(lit(i).as("i"), v.as("value")))
-    }
-    val pickExpr = sliced
-      .map(i => s"WHEN i = $i THEN ${ks(i) - le(i)}L")
-      .mkString("CASE ", " ", " END")
-    val slicedDf = df.select(explode(array(arms: _*)).as("a"))
-      .filter(col("a").isNotNull)
-      .select(col("a.i").as("i"), col("a.value").as("value"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("i")).orderBy(col("value").asc)))
-      .filter(col("rn") === expr(pickExpr))
-      .select(element_at(lit(ps.toArray), col("i") + 1).as("p"),
-        col("value"))
-    if (directRows.isEmpty) slicedDf
-    else {
-      import spark.implicits._
-      slicedDf.unionByName(directRows.toDF("p", "value"))
-    }
+    import spark.implicits._
+    (directRows ++ slicedRows).toDF("p", "value")
   }
 }

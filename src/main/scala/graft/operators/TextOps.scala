@@ -1216,9 +1216,17 @@ object TextOps {
   /** The DSIR core over any (doc_id, lang, text) frame: `targetPred`
     * marks the target-domain rows, `k` the resample size. */
   def dsirOf(docsDf: DataFrame, targetPred: Column, k: Int): DataFrame = {
-    val base = docsDf
+    val base = spread(docsDf)
       .withColumn("wh", graft.functions.VectorOps.wordHashes(col("text")))
       .filter(size(col("wh")) >= 2)
+    // NOT persisted, deliberately (r12: measured): the bigram stream
+    // feeds both the model aggregation and the scoring join, but
+    // caching it costs as much as the word-hash kernel recompute —
+    // the two consumer stages run concurrently in one job and RACE to
+    // materialize the cache, so every partition pays columnar
+    // cache-store on top of the compute (13.3 s + 9.4 s task time with
+    // persist vs 7.2 s + 6.1 s without, same wall). Recompute is the
+    // cheaper side of the cache-or-recompute call here.
     val bigrams = base.select(col("doc_id"), col("lang"),
       targetPred.as("tgt"),
       explode(arrays_zip(
