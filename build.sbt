@@ -39,4 +39,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // ran GC-throttled — 165 s total vs 104 s at 16g, with random
   // queries inflated 5-8x by collector debt from earlier queries.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // Collector choice is measurable on the bench: heavy stages carried
+  // 0.5-0.8 s of G1 pause debt (Prof gc_ms column). Env-overridable
+  // for A/B (SPARK_GRAFT_GC=UseG1GC to compare).
+  s"-XX:+${sys.env.getOrElse("SPARK_GRAFT_GC", "UseParallelGC")}",
 )

@@ -87,6 +87,9 @@ object Prof {
       }
     }
     println(f"[prof] $name best $best%.3f s over $reps reps")
+    println(s"[prof] $name planning phases (ms): " +
+      df.queryExecution.tracker.phases.map { case (k, v) =>
+        s"$k=${v.durationMs}" }.mkString(" "))
     println(df.queryExecution.explainString(
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
     }
