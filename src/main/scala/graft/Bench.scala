@@ -43,6 +43,17 @@ object Bench {
       // constant. Parameterized for experiments.
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
         sys.env.getOrElse("SPARK_GRAFT_MIN_COALESCED_SIZE", "64k"))
+      // The JVM-wide generated-code cache defaults to 100 entries —
+      // sized for a service re-running one query shape, not a session
+      // running 223 distinct queries: every query's stages evicted the
+      // previous ones and EVERY pass re-paid bytecode generation +
+      // janino compilation (visible as ~200-800 ms/stage of
+      // executor-side task time that repeated across sweeps). 4096
+      // entries holds the whole board. Full-board A/B at identical
+      // code: 86.1 s -> 62.4 s. Not a scale constant — it bounds
+      // compiled-class count, not data.
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "4096"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.sources.v2.bucketing.enabled", "true")
       .config("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
