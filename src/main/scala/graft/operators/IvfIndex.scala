@@ -41,8 +41,14 @@ object IvfIndex {
   /** Unit-normalize the float vector (double accumulation, cast back —
     * cosine becomes a plain dot product downstream). */
   private def normalized(c: String): Column = expr(
-    s"""transform($c, x -> CAST(x / sqrt(aggregate($c, CAST(0 AS DOUBLE),
-       |  (a, y) -> a + CAST(y AS DOUBLE) * CAST(y AS DOUBLE))) AS FLOAT))"""
+    // the norm is LET-BOUND via the single-element-array idiom: with
+    // the aggregate inline under the per-element lambda, the
+    // interpreted HOF chain re-folded the whole vector ONCE PER
+    // ELEMENT (64 × 64 ops/row — 616 ms single-task over sf0.1's
+    // 5000 vectors, r12 profile); bound, it folds once per row
+    s"""transform(array(sqrt(aggregate($c, CAST(0 AS DOUBLE),
+       |  (a, y) -> a + CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))),
+       |  n -> transform($c, x -> CAST(x / n AS FLOAT)))[0]"""
       .stripMargin)
 
   private def vecs(s: SparkSession, d: String): DataFrame =

@@ -59,10 +59,13 @@ object PqIndex {
     * trust check cannot see content drift in the code table). */
   private val Stamp = s"m${M}k$K2" 
 
-  /** Unit-normalize (same expression as the IVF index's loader). */
+  /** Unit-normalize (same let-bound expression as the IVF index's
+    * loader — the inline form re-folded the norm once per element,
+    * see IvfIndex.normalized). */
   private def normalized(c: String): Column = expr(
-    s"""transform($c, x -> CAST(x / sqrt(aggregate($c, CAST(0 AS DOUBLE),
-       |  (a, y) -> a + CAST(y AS DOUBLE) * CAST(y AS DOUBLE))) AS FLOAT))"""
+    s"""transform(array(sqrt(aggregate($c, CAST(0 AS DOUBLE),
+       |  (a, y) -> a + CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))),
+       |  n -> transform($c, x -> CAST(x / n AS FLOAT)))[0]"""
       .stripMargin)
 
   private def vecs(s: SparkSession, d: String): DataFrame =

@@ -1219,14 +1219,6 @@ object TextOps {
     val base = spread(docsDf)
       .withColumn("wh", graft.functions.VectorOps.wordHashes(col("text")))
       .filter(size(col("wh")) >= 2)
-    // NOT persisted, deliberately (r12: measured): the bigram stream
-    // feeds both the model aggregation and the scoring join, but
-    // caching it costs as much as the word-hash kernel recompute —
-    // the two consumer stages run concurrently in one job and RACE to
-    // materialize the cache, so every partition pays columnar
-    // cache-store on top of the compute (13.3 s + 9.4 s task time with
-    // persist vs 7.2 s + 6.1 s without, same wall). Recompute is the
-    // cheaper side of the cache-or-recompute call here.
     val bigrams = base.select(col("doc_id"), col("lang"),
       targetPred.as("tgt"),
       explode(arrays_zip(
@@ -1234,19 +1226,49 @@ object TextOps {
         expr("slice(wh, 2, size(wh) - 1)").as("w2"))).as("bg"))
       .select(col("doc_id"), col("lang"), col("tgt"),
         xxhash64(col("bg.w1"), col("bg.w2")).as("bgh"))
-    val model = bigrams.groupBy(col("bgh")).agg(
-      count(lit(1)).as("cr"),
-      count(when(col("tgt"), 1)).as("ct"))
-    val stats = model.agg(sum(col("cr")).as("nr"), sum(col("ct")).as("nt"),
-      count(lit(1)).as("v"))
-    val scored = bigrams.join(model, Seq("bgh"))
-      .crossJoin(broadcast(stats))
+    // ONE pass over the bigram stream (r12; the old shape aggregated a
+    // model table, then JOINED the stream back against it — which
+    // re-ran the word-hash kernel + explode, since caching the stream
+    // measured as expensive as recomputing it). The per-bigram counts
+    // (cr, ct) attach as window aggregates over the bgh partition, and
+    // the GLOBAL normalizers factor out of the log-weight algebraically:
+    //   lw = Σ log((ct+1)/(nt+v)) − log((cr+1)/(nr+v))
+    //      = Σ(log(ct+1) − log(cr+1)) − n·log(nt+v) + n·log(nr+v)
+    // so nr/nt (total/target bigram instances) reduce from the per-doc
+    // aggregates and v (distinct bigrams) from a first-row-per-bgh
+    // marker — no model table, no join, no second corpus pass. Same
+    // 4dp-rounded values (summation regrouping drifts ~1e-12, far
+    // inside the grain the cross-engine oracle already absorbs).
+    import org.apache.spark.sql.expressions.Window
+    val wB = Window.partitionBy(col("bgh"))
+    val attached = bigrams
+      .withColumn("cr", count(lit(1)).over(wB))
+      .withColumn("ct", count(when(col("tgt"), 1)).over(wB))
+      .withColumn("rn", row_number().over(wB.orderBy(col("doc_id"))))
+    // persisted: consumed by the stats aggregate AND the scoring
+    // projection — but unlike the bigram stream, (a) it is per-doc
+    // tiny and (b) the stats job (a broadcast build) completes BEFORE
+    // the scoring stage starts, so the cache is materialized once,
+    // never raced
+    val perDoc = attached
       .groupBy(col("doc_id"), col("lang"))
       .agg(count(lit(1)).as("n_bigrams"),
-        sum(log((col("ct") + 1).cast("double") /
-              (col("nt") + col("v")).cast("double")) -
-            log((col("cr") + 1).cast("double") /
-              (col("nr") + col("v")).cast("double"))).as("lw"))
+        sum(log((col("ct") + 1).cast("double")) -
+            log((col("cr") + 1).cast("double"))).as("s"),
+        max(col("tgt")).as("tgt"),
+        sum(when(col("rn") === 1, 1L).otherwise(0L)).as("nf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val stats = perDoc.agg(
+      sum(col("n_bigrams")).as("nr"),
+      sum(when(col("tgt"), col("n_bigrams")).otherwise(0L)).as("nt"),
+      sum(col("nf")).as("v"))
+    val scored = perDoc.crossJoin(broadcast(stats))
+      .withColumn("lw",
+        col("s") -
+          col("n_bigrams").cast("double") *
+            (log((col("nt") + col("v")).cast("double")) -
+             log((col("nr") + col("v")).cast("double"))))
+      .select(col("doc_id"), col("lang"), col("n_bigrams"), col("lw"))
     val u = (splitHash(col("doc_id"), 1000000007L) + 1).cast("double") /
       1000000008.0
     scored
