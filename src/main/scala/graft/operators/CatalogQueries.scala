@@ -749,6 +749,12 @@ object CatalogQueries {
   val tpchQ15: Q = (s, d) => {
     val li = lineitemFullTable(s, d)
     val h = dimViews(s, d, "supplier")
+    // max attached as an unpartitioned window over the ALREADY
+    // per-supplier-aggregated rev (supplier-cardinality rows), not a
+    // scalar subquery: the subquery form re-scanned and re-aggregated
+    // the lineitem fact a second time (two BatchScans + two Exchange
+    // pairs in the r12 plan dump). Same rows (ties included) — the
+    // max-of-rev comparison is unchanged.
     s.sql(
       s"""WITH rev AS (
          |  SELECT l_suppkey,
@@ -759,9 +765,10 @@ object CatalogQueries {
          |    AND l_shipdate < DATE'1996-04-01'
          |  GROUP BY l_suppkey)
          |SELECT s.s_suppkey, s.s_name, r.total_rev
-         |FROM rev r
+         |FROM (SELECT l_suppkey, total_rev,
+         |             max(total_rev) OVER () AS mx FROM rev) r
          |JOIN supplier_cat_dim_$h s ON s.s_suppkey = r.l_suppkey
-         |WHERE r.total_rev = (SELECT max(total_rev) FROM rev)""".stripMargin)
+         |WHERE r.total_rev = r.mx""".stripMargin)
   }
 
   /** TPC-H Q22 (global sales opportunity), adapted: the country code

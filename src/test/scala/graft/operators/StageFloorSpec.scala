@@ -19,13 +19,15 @@ import graft.TestSpark
   *    artifact by design, not the production query).
   *  - `agg_percentile_exact` is the two-aggregation bracket-sketch
   *    algorithm: NO global sort / range partitioning anywhere — at
-  *    100 TB it is two scans, not a terabyte sort. Its bench time is
-  *    four driver-sequenced jobs (sketch, ranks, slices), pure floor.
-  *  - `catalog_tpch_q15` joins the per-supplier revenue against its
-  *    own max via a broadcast-able 1-row subquery and the supplier
-  *    dim joins broadcast; the fact side aggregates with map-side
-  *    partials before its single suppkey exchange. The bench cost is
-  *    the stage CHAIN (rev → max → join), not any of the stages.
+  *    100 TB it is two scans, not a terabyte sort. Since r12 the
+  *    rank pass also collects the contract-bounded bracket slices,
+  *    so its bench time is TWO driver-sequenced jobs, pure floor.
+  *  - `catalog_tpch_q15` (r12 shape) attaches the max as an
+  *    unpartitioned window over the per-supplier revenue — ONE fact
+  *    aggregation (the scalar-subquery form re-scanned and
+  *    re-aggregated lineitem); the supplier dim joins broadcast and
+  *    the fact side aggregates with map-side partials before its
+  *    single suppkey exchange.
   */
 class StageFloorSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
@@ -102,5 +104,13 @@ class StageFloorSpec extends AnyFunSuite {
       s"supplier dim not broadcast:\n$plan")
     assert(plan.contains("partial_"),
       s"no map-side partial aggregation before the exchange:\n$plan")
+    // r12: the max attaches as a window over the aggregated revenue —
+    // the scalar-subquery form scanned and aggregated the fact TWICE.
+    // Count inside the final plan only (AdaptiveSparkPlan's toString
+    // appends the initial plan, which would double-count the scan).
+    val finalPlan = plan.split("== Initial Plan ==").head
+    val factScans = "BatchScan [^\n]*lineitem".r.findAllIn(finalPlan).size
+    assert(factScans == 1,
+      s"expected exactly one lineitem scan, found $factScans:\n$finalPlan")
   }
 }
