@@ -486,7 +486,7 @@ object Extended {
     "agg_percentile" -> aggPercentile,
     "agg_percentile_exact" -> ((s, d) =>
       Quantiles.exactPercentiles(T(s, d, "lineitem"), "l_extendedprice",
-        Seq(0.25, 0.5, 0.75, 0.95))),
+        Seq(0.25, 0.5, 0.75, 0.95), accuracy = 2000)),
     "agg_corr" -> aggCorr,
     "agg_collect" -> aggCollect,
     "agg_grouping_id" -> aggGroupingId,

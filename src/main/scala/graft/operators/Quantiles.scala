@@ -34,7 +34,8 @@ object Quantiles {
   /** Exact `quantile_disc` for every p in `ps` over `df(valueCol)`
     * (doubles; NULLs ignored). Returns (p, value) rows. */
   def exactPercentiles(df: DataFrame, valueCol: String,
-      ps: Seq[Double], accuracy: Int = 10000): DataFrame = {
+      ps: Seq[Double], accuracy: Int = 10000,
+      fuseLimit: Long = 1L << 20): DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p > 0.0 && p <= 1.0),
       s"percentile targets must be in (0, 1]; got $ps")
     val spark = df.sparkSession
@@ -72,16 +73,20 @@ object Quantiles {
     // is dropped (ranks 0), at the high edge the upper one (rank n)
     val openLo = ps.indices.map(i => pLo(i) <= 0.0)
     val openHi = ps.indices.map(i => pHi(i) >= 1.0)
-    // pass 2+3 FUSED: exact bracket ranks AND the in-bracket slices in
-    // ONE aggregation (r12: the old shape paid a third full scan +
-    // shuffle + per-slice window for pass 3). The STRICT rank of v_lo
-    // matters under heavy duplicates: when the target sits inside a
-    // duplicated mass, v_lo IS that mass and the answer is v_lo itself
-    // — detectable only as lt < k <= le. The collected slice is
-    // O(targets · E) BY THE SKETCH CONTRACT (rank(v_hi) − rank(v_lo) ≤
-    // ~8E even under duplicates, since both bracket ranks are within
-    // 4E of k), so the collect_list is driver-bounded the same way the
-    // k-sized gate reads are — never O(data).
+    // pass 2+3: exact bracket ranks, FUSED with the in-bracket slice
+    // collection when the slice is driver-small. The STRICT rank of
+    // v_lo matters under heavy duplicates: when the target sits
+    // inside a duplicated mass, v_lo IS that mass and the answer is
+    // v_lo itself — detectable only as lt < k <= le. The slice is
+    // O(targets · E) with E = n/accuracy BY THE SKETCH CONTRACT
+    // (rank(v_hi) − rank(v_lo) ≤ ~8E even under duplicates, since
+    // both bracket ranks are within 4E of k) — which is bounded by
+    // the ACCURACY, not the data, only as a fraction: at fixed
+    // accuracy it grows with n. So the collect rides the rank
+    // aggregation only while the expected slice stays under ~1M
+    // values (n is known from pass 1); past that the refine runs as
+    // the distributed pass 3 it always was — the 100 TB shape.
+    val fuse = 8L * (n / accuracy + 1) * ps.size <= fuseLimit
     val inB: Seq[Column] = ps.indices.map { i =>
       val lo = if (openLo(i)) lit(true) else v > vLo(i)
       val hi = if (openHi(i)) lit(true) else v <= vHi(i)
@@ -90,15 +95,18 @@ object Quantiles {
     val rankCols: Seq[Column] = ps.indices.flatMap { i =>
       Seq(sum(when(v < vLo(i), 1L).otherwise(0L)).as(s"lt_$i"),
         sum(when(v <= vLo(i), 1L).otherwise(0L)).as(s"le_$i"),
-        sum(when(v <= vHi(i), 1L).otherwise(0L)).as(s"he_$i"),
-        collect_list(when(inB(i), v)).as(s"sl_$i"))
+        sum(when(v <= vHi(i), 1L).otherwise(0L)).as(s"he_$i")) ++
+        (if (fuse) Seq(collect_list(when(inB(i), v)).as(s"sl_$i"))
+         else Nil)
     }
+    val stride = if (fuse) 4 else 3
     val ranks = vdf.agg(rankCols.head, rankCols.tail: _*).head()
-    val lt = ps.indices.map(i => if (openLo(i)) 0L else ranks.getLong(4 * i))
+    val lt = ps.indices.map(i =>
+      if (openLo(i)) 0L else ranks.getLong(stride * i))
     val le = ps.indices.map(i =>
-      if (openLo(i)) 0L else ranks.getLong(4 * i + 1))
+      if (openLo(i)) 0L else ranks.getLong(stride * i + 1))
     val he = ps.indices.map(i =>
-      if (openHi(i)) n else ranks.getLong(4 * i + 2))
+      if (openHi(i)) n else ranks.getLong(stride * i + 2))
 
     // per-target resolution: answered-by-v_lo / slice-pick / violated
     val direct = ps.indices.filter(i => lt(i) < ks(i) && ks(i) <= le(i))
@@ -120,15 +128,45 @@ object Quantiles {
     }
 
     val directRows = direct.map(i => (ps(i), vLo(i)))
-    // resolve the sliced targets from the already-collected bracket
-    // slices: the answer is the (k − r_lo)-th smallest inside the
-    // slice — a sort of ≤ ~8E doubles on the driver, replacing the old
-    // pass-3 scan + explode + per-slice window
-    val slicedRows = sliced.map { i =>
-      val slice = ranks.getSeq[Double](4 * i + 3).sorted
-      (ps(i), slice((ks(i) - le(i) - 1).toInt))
+    if (fuse) {
+      // resolve the sliced targets from the already-collected bracket
+      // slices: the answer is the (k − r_lo)-th smallest inside the
+      // slice — a sort of ≤ ~8E doubles on the driver, replacing the
+      // pass-3 scan + explode + per-slice window
+      val slicedRows = sliced.map { i =>
+        val slice = ranks.getSeq[Double](stride * i + 3).sorted
+        (ps(i), slice((ks(i) - le(i) - 1).toInt))
+      }
+      import spark.implicits._
+      return (directRows ++ slicedRows).toDF("p", "value")
     }
-    import spark.implicits._
-    (directRows ++ slicedRows).toDF("p", "value")
+
+    // pass 3 (large-slice branch): emit only in-bracket rows, one
+    // window per tiny-fraction slice — distributed, never collected
+    if (sliced.isEmpty) {
+      import spark.implicits._
+      return directRows.toDF("p", "value")
+    }
+    val arms = sliced.map { i =>
+      val inLo = if (openLo(i)) lit(true) else v > vLo(i)
+      val inHi = if (openHi(i)) lit(true) else v <= vHi(i)
+      when(inLo && inHi, struct(lit(i).as("i"), v.as("value")))
+    }
+    val pickExpr = sliced
+      .map(i => s"WHEN i = $i THEN ${ks(i) - le(i)}L")
+      .mkString("CASE ", " ", " END")
+    val slicedDf = vdf.select(explode(array(arms: _*)).as("a"))
+      .filter(col("a").isNotNull)
+      .select(col("a.i").as("i"), col("a.value").as("value"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("i")).orderBy(col("value").asc)))
+      .filter(col("rn") === expr(pickExpr))
+      .select(element_at(lit(ps.toArray), col("i") + 1).as("p"),
+        col("value"))
+    if (directRows.isEmpty) slicedDf
+    else {
+      import spark.implicits._
+      slicedDf.unionByName(directRows.toDF("p", "value"))
+    }
   }
 }

@@ -20,10 +20,11 @@ class QuantilesSpec extends AnyFunSuite {
     sorted(math.ceil(p * xs.size).toLong.toInt - 1)
   }
 
-  private def check(xs: Seq[Double], accuracy: Int = 10000): Unit = {
+  private def check(xs: Seq[Double], accuracy: Int = 10000,
+      fuseLimit: Long = 1L << 20): Unit = {
     import spark.implicits._
     val got = Quantiles
-      .exactPercentiles(xs.toDF("x"), "x", Ps, accuracy)
+      .exactPercentiles(xs.toDF("x"), "x", Ps, accuracy, fuseLimit)
       .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
     Ps.foreach { p =>
       assert(got(p) == definitional(xs, p),
@@ -48,6 +49,14 @@ class QuantilesSpec extends AnyFunSuite {
     check(Seq.fill(5000)(math.exp(rnd.nextGaussian() * 8)))
     check(Seq(3.0, 1.0, 2.0)) // n < E: every bracket clamps open
     check(Seq(42.0))
+  }
+
+  test("large-slice branch (fuse gate off): the distributed pass-3 " +
+      "refine answers identically to the fused driver-side resolve") {
+    val rnd = new scala.util.Random(19)
+    check(Seq.fill(20000)(rnd.nextDouble() * 1e6), fuseLimit = 0L)
+    check(Seq.fill(18000)(123.456) ++ Seq.fill(2000)(rnd.nextDouble()),
+      fuseLimit = 0L)
   }
 
   test("starved accuracy falls back to the exact-but-heavy percentile " +
