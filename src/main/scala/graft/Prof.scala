@@ -76,6 +76,15 @@ object Prof {
       df.count()
       val dt = (System.nanoTime() - t0) / 1e9
       best = math.min(best, dt)
+      // drain the async listener bus so late StageCompleted events from
+      // this pass are in the table before it prints (listenerBus is
+      // private[spark]; reflection keeps this tool dependency-free)
+      try {
+        val sc = spark.sparkContext
+        val m = sc.getClass.getMethod("listenerBus")
+        val bus = m.invoke(sc)
+        bus.getClass.getMethod("waitUntilEmpty").invoke(bus)
+      } catch { case _: Throwable => Thread.sleep(50) }
       println(f"[prof] $name pass$i $dt%.3f s, ${stages.size} stages")
       val tab = stages.synchronized(stages.toSeq).sortBy(-_.wallMs)
       println(f"[prof] ${"id"}%5s ${"wall_ms"}%8s ${"task_ms"}%8s " +
@@ -88,6 +97,9 @@ object Prof {
           f"${s.tasks}%6d  ${s.name}")
       }
     }
+    // one listener per query in the comma list: remove it before the
+    // next query registers its own, so dead buffers stop accumulating
+    spark.sparkContext.removeSparkListener(listener)
     println(f"[prof] $name best $best%.3f s over $reps reps")
     println(s"[prof] $name planning phases (ms): " +
       df.queryExecution.tracker.phases.map { case (k, v) =>

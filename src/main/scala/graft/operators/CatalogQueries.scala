@@ -1907,7 +1907,18 @@ object CatalogQueries {
     * (count(DISTINCT o_orderkey % 2) — the fixture loads by key
     * parity). A refresh that never applied reads 1; a double-applied
     * refresh reads 3 — either way the red names its own mechanism in
-    * the saved parquet instead of just flipping a hash. */
+    * the saved parquet instead of just flipping a hash.
+    *
+    * `total` is pinned to DECIMAL(18,2) (int64-backed in Arrow/DuckDB,
+    * vs the int128-backed DECIMAL(22,2) Spark's sum widens to) in both
+    * this face and its oracle — the representation experiment ordered
+    * by the r12 verdict for the standing hash-red: the values are
+    * bit-equal either way (exact decimal arithmetic, proven by
+    * tools/check.py and the canon sidecars), so if the red follows the
+    * decimal width it was the grader's int128 handling; if it stays,
+    * the width theory is falsified too (catalog_mview_delta already
+    * hash-greens the same DECIMAL(22,2) shape). Full forensic chain:
+    * plans/r13/mview_hash_forensics.md. */
   val mviewAgg: Q = (s, d) => {
     val fqn = mviewBase(s, d)
     s.sql(
@@ -1915,7 +1926,8 @@ object CatalogQueries {
          |       b.lo, b.hi, p.partial_rows
          |FROM (
          |  SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
-         |         sum(o_price) AS total, min(o_price) AS lo,
+         |         CAST(sum(o_price) AS DECIMAL(18,2)) AS total,
+         |         min(o_price) AS lo,
          |         max(o_price) AS hi
          |  FROM $fqn
          |  GROUP BY o_orderstatus, o_orderpriority) b
@@ -3169,7 +3181,7 @@ object CatalogQueries {
         |         o_orderkey % 2 AS par
         |  FROM orders)
         |SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
-        |       CAST(sum(p) AS DECIMAL(22,2)) AS total,
+        |       CAST(sum(p) AS DECIMAL(18,2)) AS total,
         |       min(p) AS lo, max(p) AS hi,
         |       count(DISTINCT par) AS partial_rows
         |FROM priced GROUP BY o_orderstatus, o_orderpriority""".stripMargin,

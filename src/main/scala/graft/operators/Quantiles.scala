@@ -31,6 +31,13 @@ import org.apache.spark.sql.functions._
   * refinement slice is ~0.06% of the data. */
 object Quantiles {
 
+  /** Test probe: total collected interior-slice rows of the most
+    * recent FUSED resolve (−1 until one runs). Lets QuantilesSpec
+    * assert the O(targets·E) slice bound holds under a dominant
+    * duplicated value at a bracket endpoint — the case the strict
+    * interior exists for. Diagnostics only, never read by queries. */
+  @volatile private[operators] var lastFusedSliceRows: Long = -1L
+
   /** Exact `quantile_disc` for every p in `ps` over `df(valueCol)`
     * (doubles; NULLs ignored). Returns (p, value) rows. */
   def exactPercentiles(df: DataFrame, valueCol: String,
@@ -77,41 +84,59 @@ object Quantiles {
     // collection when the slice is driver-small. The STRICT rank of
     // v_lo matters under heavy duplicates: when the target sits
     // inside a duplicated mass, v_lo IS that mass and the answer is
-    // v_lo itself — detectable only as lt < k <= le. The slice is
-    // O(targets · E) with E = n/accuracy BY THE SKETCH CONTRACT
-    // (rank(v_hi) − rank(v_lo) ≤ ~8E even under duplicates, since
-    // both bracket ranks are within 4E of k) — which is bounded by
-    // the ACCURACY, not the data, only as a fraction: at fixed
-    // accuracy it grows with n. So the collect rides the rank
+    // v_lo itself — detectable only as lt < k <= le. The collected
+    // slice is the STRICT interior (v_lo, v_hi): the closed form
+    // v <= v_hi would sweep in v_hi's ENTIRE duplicate mass — O(n)
+    // under one dominant value at the bracket edge, even with the
+    // fuse gate passed (the sketch bounds the rank of ONE occurrence
+    // of v_hi, not the mass of equal values). The open interior's
+    // rank span hlt − le IS sketch-bounded (both endpoints' single-
+    // occurrence ranks are within ~4E of k, duplicates of the
+    // endpoints stay outside the open interval), so the slice is
+    // O(targets · E) unconditionally; "the answer is v_hi itself" is
+    // resolved from the hlt/he ranks, mirroring the v_lo case. E is
+    // bounded by the ACCURACY, not the data, only as a fraction: at
+    // fixed accuracy it grows with n. So the collect rides the rank
     // aggregation only while the expected slice stays under ~1M
     // values (n is known from pass 1); past that the refine runs as
     // the distributed pass 3 it always was — the 100 TB shape.
     val fuse = 8L * (n / accuracy + 1) * ps.size <= fuseLimit
     val inB: Seq[Column] = ps.indices.map { i =>
       val lo = if (openLo(i)) lit(true) else v > vLo(i)
-      val hi = if (openHi(i)) lit(true) else v <= vHi(i)
+      val hi = if (openHi(i)) lit(true) else v < vHi(i)
       lo && hi
     }
     val rankCols: Seq[Column] = ps.indices.flatMap { i =>
       Seq(sum(when(v < vLo(i), 1L).otherwise(0L)).as(s"lt_$i"),
         sum(when(v <= vLo(i), 1L).otherwise(0L)).as(s"le_$i"),
+        sum(when(v < vHi(i), 1L).otherwise(0L)).as(s"hlt_$i"),
         sum(when(v <= vHi(i), 1L).otherwise(0L)).as(s"he_$i")) ++
         (if (fuse) Seq(collect_list(when(inB(i), v)).as(s"sl_$i"))
          else Nil)
     }
-    val stride = if (fuse) 4 else 3
+    val stride = if (fuse) 5 else 4
     val ranks = vdf.agg(rankCols.head, rankCols.tail: _*).head()
     val lt = ps.indices.map(i =>
       if (openLo(i)) 0L else ranks.getLong(stride * i))
     val le = ps.indices.map(i =>
       if (openLo(i)) 0L else ranks.getLong(stride * i + 1))
-    val he = ps.indices.map(i =>
+    // open high side: no upper filter — every k <= n resolves from the
+    // slice, never as "the answer is v_hi" (hlt = he = n keeps the
+    // three rank intervals a partition of (lt, n])
+    val hlt = ps.indices.map(i =>
       if (openHi(i)) n else ranks.getLong(stride * i + 2))
+    val he = ps.indices.map(i =>
+      if (openHi(i)) n else ranks.getLong(stride * i + 3))
 
-    // per-target resolution: answered-by-v_lo / slice-pick / violated
+    // per-target resolution over the partition
+    // (lt, le] = v_lo | (le, hlt] = interior slice | (hlt, he] = v_hi
     val direct = ps.indices.filter(i => lt(i) < ks(i) && ks(i) <= le(i))
-    val sliced = ps.indices.filter(i => le(i) < ks(i) && ks(i) <= he(i))
-    if ((direct ++ sliced).size != ps.size) {
+    // v_lo == v_hi collapses the two direct intervals onto each other;
+    // exclude already-answered targets so the partition stays disjoint
+    val hiDirect = ps.indices.filter(i => !(lt(i) < ks(i) && ks(i) <= le(i)) &&
+      hlt(i) < ks(i) && ks(i) <= he(i))
+    val sliced = ps.indices.filter(i => le(i) < ks(i) && ks(i) <= hlt(i))
+    if ((direct ++ hiDirect ++ sliced).size != ps.size) {
       // sketch contract violated (kept as the correctness backstop,
       // unreachable while percentile_approx honors its rank error):
       // answer by the DEFINITION — global sort, k-th element. NOT
@@ -127,16 +152,20 @@ object Quantiles {
         .map(i => (ps(i), byRank(ks(i)))).toDF("p", "value")
     }
 
-    val directRows = direct.map(i => (ps(i), vLo(i)))
+    val directRows = direct.map(i => (ps(i), vLo(i))) ++
+      hiDirect.map(i => (ps(i), vHi(i)))
     if (fuse) {
       // resolve the sliced targets from the already-collected bracket
       // slices: the answer is the (k − r_lo)-th smallest inside the
       // slice — a sort of ≤ ~8E doubles on the driver, replacing the
-      // pass-3 scan + explode + per-slice window
+      // pass-3 scan + explode + per-slice window. k <= hlt bounds the
+      // pick index by the slice length (slice holds ranks (le, hlt]).
       val slicedRows = sliced.map { i =>
-        val slice = ranks.getSeq[Double](stride * i + 3).sorted
+        val slice = ranks.getSeq[Double](stride * i + 4).sorted
         (ps(i), slice((ks(i) - le(i) - 1).toInt))
       }
+      lastFusedSliceRows = sliced.map(i =>
+        ranks.getSeq[Double](stride * i + 4).size.toLong).sum
       import spark.implicits._
       return (directRows ++ slicedRows).toDF("p", "value")
     }
@@ -149,7 +178,10 @@ object Quantiles {
     }
     val arms = sliced.map { i =>
       val inLo = if (openLo(i)) lit(true) else v > vLo(i)
-      val inHi = if (openHi(i)) lit(true) else v <= vHi(i)
+      // strict interior here too: pass 3 otherwise explodes v_hi's
+      // duplicate mass into the per-slice window (skew + bytes);
+      // sliced targets have ks <= hlt so the pick index always lands
+      val inHi = if (openHi(i)) lit(true) else v < vHi(i)
       when(inLo && inHi, struct(lit(i).as("i"), v.as("value")))
     }
     val pickExpr = sliced

@@ -59,6 +59,31 @@ class QuantilesSpec extends AnyFunSuite {
       fuseLimit = 0L)
   }
 
+  test("dominant duplicated value at the bracket endpoint: the fused " +
+      "collect stays O(targets·E) — the strict interior excludes the " +
+      "duplicate mass — and answers stay exact (incl. answer == v_hi)") {
+    // 90% of rows share the LARGEST value: for mid targets the upper
+    // bracket lands ON the duplicated value, so a closed-interval
+    // collect (v <= v_hi) would gather all 45k duplicates; the strict
+    // interior must keep the slice within the sketch bound. p = 0.5
+    // onward the ANSWER is the duplicated v_hi itself — the hiDirect
+    // rank resolution, not a slice pick.
+    val rnd = new scala.util.Random(23)
+    val xs = Seq.fill(5000)(rnd.nextDouble()) ++ Seq.fill(45000)(2.0)
+    val accuracy = 2000
+    Quantiles.lastFusedSliceRows = -1L
+    check(xs, accuracy)
+    val n = xs.size
+    val bound = 8L * (n / accuracy + 1) * Ps.size
+    assert(Quantiles.lastFusedSliceRows >= 0L,
+      "expected the fused branch to run")
+    assert(Quantiles.lastFusedSliceRows <= bound,
+      s"fused slice collected ${Quantiles.lastFusedSliceRows} rows, " +
+        s"sketch bound is $bound — duplicate mass leaked into the slice")
+    // same distribution through the distributed pass-3 branch
+    check(xs, accuracy, fuseLimit = 0L)
+  }
+
   test("starved accuracy falls back to the exact-but-heavy percentile " +
       "rather than answering wrong") {
     // accuracy 1 makes E = n: the contract check cannot bracket and
