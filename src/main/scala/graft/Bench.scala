@@ -32,17 +32,18 @@ object Bench {
       // default (this is the bench harness session, not a library
       // default).
       .config("spark.sql.files.maxPartitionBytes", "4m")
-      // AQE coalescing is parallelism-first (Spark default), but the
-      // 1 MB minPartitionSize floor caps post-shuffle parallelism
-      // whenever a shuffle is smaller than cores x 1 MB — exactly the
-      // regime of the CPU-dense candidate/verify exchanges (a 15.7 MB
-      // pair stream coalesced to 10 of 32 cores; the per-pair set
-      // intersection, not bytes, is the cost). 64k keeps those stages
-      // at full parallelism; on a cluster-scale shuffle the floor is
-      // irrelevant (partitions are MBs+), so this is not a local-only
-      // constant. Parameterized for experiments.
+      // AQE coalesce floor: back to Spark's 1m DEFAULT (r13). The r12
+      // round lowered it to 64k so the CPU-dense screen verify
+      // exchanges kept all 32 cores — but after the third-wave
+      // reshapes the 64k floor measured as a net LOSS on the full
+      // board (47.8 s vs 45.5 s, structured diff: ~100 small-exchange
+      // faces each pay extra tiny tasks — task-binary deserialization
+      // per task — while only the dedup_incoming screen still gains,
+      // +0.6 s of its verify width). The default floor is also what a
+      // cluster deployment runs; keeping it removes a tuned local
+      // constant. Env-overridable for experiments.
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
-        sys.env.getOrElse("SPARK_GRAFT_MIN_COALESCED_SIZE", "64k"))
+        sys.env.getOrElse("SPARK_GRAFT_MIN_COALESCED_SIZE", "1m"))
       // The JVM-wide generated-code cache defaults to 100 entries —
       // sized for a service re-running one query shape, not a session
       // running 223 distinct queries: every query's stages evicted the

@@ -13,6 +13,10 @@ object Explain {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // bench/verify parity: without the extension the accel rules
+      // (mview/index rewrites) don't fire and the dumped plan shows a
+      // base scan the real sessions never run
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")

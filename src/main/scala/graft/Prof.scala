@@ -26,7 +26,7 @@ object Prof {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.files.maxPartitionBytes", "4m")
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
-        sys.env.getOrElse("SPARK_GRAFT_MIN_COALESCED_SIZE", "64k"))
+        sys.env.getOrElse("SPARK_GRAFT_MIN_COALESCED_SIZE", "1m"))
       .config("spark.sql.codegen.cache.maxEntries",
         sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "4096"))
       .config("spark.sql.session.timeZone", "UTC")
@@ -34,13 +34,24 @@ object Prof {
       .config("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Optional: per-task serialized-size lines ("Starting task ... bytes)")
+    // from TaskSetManager — the §7 probe for task-binary bloat
+    if (sys.env.get("SPARK_GRAFT_PROF_TASKSIZE").contains("1")) {
+      org.apache.logging.log4j.core.config.Configurator.setLevel(
+        "org.apache.spark.scheduler.TaskSetManager",
+        org.apache.logging.log4j.Level.INFO)
+    }
     val names = args(0).split(',').toSeq
     names.foreach { n =>
       require(SparkEntry.queries.contains(n), s"unknown query '$n'")
     }
     for (name <- names) {
     val q = SparkEntry.queries(name)
-    q(spark, d).count() // warm: builds catalog tables, JITs codegen
+    // SPARK_GRAFT_PROF_COLD=1 skips the warm pass so pass0 shows the
+    // cold cost (in-query persists, catalog builds, codegen) that the
+    // bench's untimed warmup otherwise hides
+    if (!sys.env.get("SPARK_GRAFT_PROF_COLD").contains("1"))
+      q(spark, d).count() // warm: builds catalog tables, JITs codegen
 
     // stage listener: collect (stageId, name, wall ms, task ms, shuffle
     // read/write MB, input MB, tasks) for the timed passes only
@@ -101,6 +112,20 @@ object Prof {
     // next query registers its own, so dead buffers stop accumulating
     spark.sparkContext.removeSparkListener(listener)
     println(f"[prof] $name best $best%.3f s over $reps reps")
+    // Approximate task-binary weight: java-serialize the executed
+    // plan's RDD graph (what every task deserializes via the stage's
+    // taskBinary broadcast). Big numbers here mean heavy expression
+    // trees / captured state riding to every task.
+    try {
+      val bos = new java.io.ByteArrayOutputStream()
+      val oos = new java.io.ObjectOutputStream(bos)
+      oos.writeObject(df.queryExecution.toRdd)
+      oos.close()
+      println(s"[prof] $name serialized final-plan RDD graph: " +
+        s"${bos.size()} bytes")
+    } catch { case e: Throwable =>
+      println(s"[prof] $name rdd serialize probe failed: ${e.getMessage}")
+    }
     println(s"[prof] $name planning phases (ms): " +
       df.queryExecution.tracker.phases.map { case (k, v) =>
         s"$k=${v.durationMs}" }.mkString(" "))

@@ -178,7 +178,13 @@ object ScaleBench {
     // catalog_mview, but the face also recomputes the EXACT gate
     // median over the base (a per-group window sort) — the gate side
     // is the scaling cost, the sketch side is the flat claim
-    "catalog_mview_kll")
+    "catalog_mview_kll",
+    // exact percentiles (sketch-bracket-refine): both bounded passes
+    // scan the column, so the face should grow ~linearly; the r12/r13
+    // fused refine stays engaged at 10x (slice bound 8·(n/acc+1)·|ps|
+    // ≈ 96k ≤ the 1M fuse limit at n = 6M) — the distributed branch's
+    // equivalence is pinned by QuantilesSpec at fuseLimit = 0
+    "agg_percentile_exact")
   // dedup_edit and dedup_incoming are deliberately NOT amplified:
   // key-shifted replicas make every title/document an exact dup
   // family, so their OUTPUT grows ~factor² by construction (same

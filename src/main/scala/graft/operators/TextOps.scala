@@ -2503,10 +2503,32 @@ object TextOps {
     // formulation that materialized variant strings and self-joined
     // them measured 123 s at sf0.1; hashed single-pass groupBy 46 s;
     // this kernel ~2 s — same 260 candidates either way.
+    //
+    // The variant neighborhood is generated over the 15-char PREFIX of
+    // the title (SymSpell's prefix indexing; r13): the ≤t-deletion
+    // blocks of two strings with lev ≤ t always intersect on their
+    // fixed-length prefixes too — an edit beyond the cut leaves the
+    // prefixes equal, an edit inside it costs ≤1 deletion per side,
+    // and the ≤t-char alignment shift an indel induces at the cut is
+    // absorbed by deleting boundary chars charged to the same op —
+    // so recall stays 100% (RetrievalSpec: brute-force equality +
+    // randomized prefix recall) while the variant count drops from
+    // 1+n+n(n−1)/2 ≈ 368 at the 26.6-char mean title to 121: ~3× less
+    // kernel CPU, exchange bytes, and collect_set input. Precision
+    // costs only verify work: prefix-15 collisions at sf0.1 put ≤11
+    // docs in a block (vs ~5k at prefix-10, why 15 was chosen — the
+    // pair explosion, not recall, bounds the cut).
     val exploded = titles
       .select(col("doc_id"),
         explode(graft.functions.VectorOps
-          .deletionVariantHashes(col("t"), 2)).as("vh"))
+          .deletionVariantHashes(substring(col("t"), 1, 15), 2)).as("vh"))
+    // (r13, tried and REVERTED: repartition(N, vh) to force a single
+    // complete-mode aggregate — variant hashes are ~unique per doc so
+    // the map-side partial collapses nothing. GC in the kernel stage
+    // did drop 2.46 s → 0.61 s and the exchange 9.6 → 7.9 MB, but
+    // best wall only moved 1.55 → 1.50 s (noise) while the
+    // REPARTITION_BY_NUM shuffle is immune to AQE coalescing AND skew
+    // split — a scale-safety regression for a measurement tie.)
     val cands = exploded
       .groupBy(col("vh")).agg(collect_set(col("doc_id")).as("ids"))
       .filter(size(col("ids")) > 1)

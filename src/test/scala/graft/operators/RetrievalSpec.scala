@@ -92,6 +92,53 @@ class RetrievalSpec extends AnyFunSuite {
       s"mutation not blocked with its source: ${miss.mkString(" | ")}")
   }
 
+  test("prefix-restricted recall: variants of the 15-char prefixes still " +
+    "block every <=2-edit pair of FULL strings (SymSpell prefix indexing)") {
+    import graft.functions.VectorOps
+    val rnd = new scala.util.Random(31)
+    val alphabet = "abcdefgh "
+    def mutate(s: String, ops: Int): String = {
+      var t = s
+      (1 to ops).foreach { _ =>
+        val kind = rnd.nextInt(3)
+        val i = if (t.isEmpty) 0 else rnd.nextInt(t.length)
+        val c = alphabet(rnd.nextInt(alphabet.length))
+        t = kind match {
+          case 0 if t.nonEmpty => t.substring(0, i) + t.substring(i + 1)
+          case 1 => t.substring(0, i) + c + t.substring(i)
+          case _ if t.nonEmpty =>
+            t.substring(0, i) + c + t.substring(i + 1)
+          case _ => c.toString
+        }
+      }
+      t
+    }
+    // strings LONGER than the prefix cut, so edits land on both sides
+    // of it; plus targeted boundary cases (indels straddling char 15)
+    val cases = (1 to 500).map { _ =>
+      val n = 16 + rnd.nextInt(20)
+      val base = (1 to n).map(_ =>
+        alphabet(rnd.nextInt(alphabet.length))).mkString
+      (base, mutate(base, 1 + rnd.nextInt(2)))
+    } ++ Seq(
+      ("abcdefghabcdefghabcdefgh", "cdefghabcdefghabcdefgh"),   // 2 dels at front
+      ("abcdefghabcdefghabcdefgh", "xyabcdefghabcdefghabcdefgh"), // 2 ins at front
+      ("abcdefghabcdefghabcdefgh", "abcdefghabcdefXhabcdefgh"),  // sub at cut
+      ("abcdefghabcdefghabcdefgh", "abcdefghabcdefgXhabcdefgh")) // ins at cut
+    import spark.implicits._
+    val miss = cases.toDF("a", "b")
+      .select(col("a"), col("b"),
+        size(array_intersect(
+          VectorOps.deletionVariantHashes(substring(col("a"), 1, 15), 2),
+          VectorOps.deletionVariantHashes(substring(col("b"), 1, 15), 2)))
+          .as("shared"),
+        levenshtein(col("a"), col("b")).as("d"))
+      .filter(col("d") <= 2 && col("shared") === 0)
+      .limit(3).collect()
+    assert(miss.isEmpty,
+      s"prefix cut broke recall: ${miss.mkString(" | ")}")
+  }
+
   test("pipeline_weighted equals the window-rank formulation") {
     val viaWindow = {
       import org.apache.spark.sql.expressions.Window
